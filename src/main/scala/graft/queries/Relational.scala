@@ -1,0 +1,318 @@
+package graft.queries
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.sources.TableCatalog._
+
+/** Relational core: scan/filter/project, hash aggregation, joins
+  * (broadcast + shuffle), windows, set ops, grouping sets, pivot,
+  * top-k. SURVEY.md §2b rows 19-33.
+  *
+  * Oracle-parity conventions (SURVEY.md §6): money/measure sums go
+  * through DECIMAL(18,2) (exact, order-independent) and are cast to
+  * DOUBLE at the end; counts are BIGINT on both sides; every top-k
+  * has a deterministic tie-break.
+  */
+object Relational {
+
+  /** sum(cast(c as decimal(18,2))) cast to double — hash-stable. */
+  private def dsum(c: Column): Column = sum(c.cast("decimal(18,2)")).cast("double")
+
+  type Q = (SparkSession, String) => DataFrame
+
+  // ---- q1: TPC-H Q1-style pricing summary (hash agg, partial agg) ----
+  val q1PricingSummary: Q = (s, d) => {
+    lineitem(s, d)
+      .filter(col("l_shipdate") <= lit("1999-12-01").cast("timestamp"))
+      .groupBy(col("l_returnflag"), col("l_linestatus"))
+      .agg(
+        dsum(col("l_quantity")).as("sum_qty"),
+        dsum(col("l_extendedprice")).as("sum_base_price"),
+        sum((col("l_extendedprice").cast("decimal(18,2)") *
+          (lit(1).cast("decimal(18,2)") - col("l_discount").cast("decimal(18,2)"))))
+          .cast("double").as("sum_disc_price"),
+        count(lit(1)).cast("bigint").as("count_order"))
+      .withColumn("avg_qty", col("sum_qty") / col("count_order").cast("double"))
+  }
+
+  val q1Oracle: String =
+    """SELECT l_returnflag, l_linestatus,
+      |  CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty,
+      |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_base_price,
+      |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2)) * (CAST(1 AS DECIMAL(18,2)) - CAST(l_discount AS DECIMAL(18,2)))) AS DOUBLE) AS sum_disc_price,
+      |  CAST(COUNT(*) AS BIGINT) AS count_order,
+      |  CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE) AS avg_qty
+      |FROM lineitem WHERE l_shipdate <= TIMESTAMP '1999-12-01'
+      |GROUP BY l_returnflag, l_linestatus""".stripMargin
+
+  // ---- q2: filter + projection pushdown (scan efficiency) ----
+  val q2FilterPushdown: Q = (s, d) => {
+    lineitem(s, d)
+      .filter(col("l_shipdate") >= lit("1997-01-01").cast("timestamp") &&
+        col("l_shipdate") < lit("1997-02-01").cast("timestamp") &&
+        col("l_quantity") < lit(10.0))
+      .select(col("l_orderkey"), col("l_linenumber"), col("l_quantity"), col("l_discount"))
+  }
+
+  val q2Oracle: String =
+    """SELECT l_orderkey, l_linenumber, l_quantity, l_discount
+      |FROM lineitem
+      |WHERE l_shipdate >= TIMESTAMP '1997-01-01' AND l_shipdate < TIMESTAMP '1997-02-01'
+      |  AND l_quantity < 10.0""".stripMargin
+
+  // ---- q3: TPC-H Q3-style join + agg + top-k (broadcast dim, shuffle fact-fact) ----
+  val q3TopOrders: Q = (s, d) => {
+    val c = customer(s, d).filter(col("c_mktsegment") === "BUILDING")
+    val o = orders(s, d).filter(col("o_orderdate") < lit("1998-01-01").cast("timestamp"))
+    val l = lineitem(s, d).filter(col("l_shipdate") > lit("1998-01-01").cast("timestamp"))
+    l.join(o, col("l_orderkey") === col("o_orderkey"))
+      .join(broadcast(c), col("o_custkey") === col("c_custkey"))
+      .groupBy(col("l_orderkey"), col("o_orderdate"))
+      .agg(sum((col("l_extendedprice").cast("decimal(18,2)") *
+        (lit(1).cast("decimal(18,2)") - col("l_discount").cast("decimal(18,2)"))))
+        .cast("double").as("revenue"))
+      .orderBy(col("revenue").desc, col("l_orderkey").asc)
+      .limit(10)
+  }
+
+  val q3Oracle: String =
+    """SELECT l_orderkey, o_orderdate,
+      |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2)) * (CAST(1 AS DECIMAL(18,2)) - CAST(l_discount AS DECIMAL(18,2)))) AS DOUBLE) AS revenue
+      |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+      |JOIN customer ON o_custkey = c_custkey
+      |WHERE c_mktsegment = 'BUILDING'
+      |  AND o_orderdate < TIMESTAMP '1998-01-01'
+      |  AND l_shipdate > TIMESTAMP '1998-01-01'
+      |GROUP BY l_orderkey, o_orderdate
+      |ORDER BY revenue DESC, l_orderkey ASC LIMIT 10""".stripMargin
+
+  // ---- q5: TPC-H Q5-style 6-way star join ----
+  val q5RegionRevenue: Q = (s, d) => {
+    val l = lineitem(s, d)
+    val o = orders(s, d).filter(col("o_orderdate") >= lit("1996-01-01").cast("timestamp") &&
+      col("o_orderdate") < lit("1998-01-01").cast("timestamp"))
+    l.join(o, col("l_orderkey") === col("o_orderkey"))
+      .join(broadcast(customer(s, d)), col("o_custkey") === col("c_custkey"))
+      .join(broadcast(supplier(s, d)),
+        col("l_suppkey") === col("s_suppkey") && col("c_nationkey") === col("s_nationkey"))
+      .join(broadcast(nation(s, d)), col("s_nationkey") === col("n_nationkey"))
+      .join(broadcast(region(s, d)), col("n_regionkey") === col("r_regionkey"))
+      .filter(col("r_name") === "ASIA")
+      .groupBy(col("n_name"))
+      .agg(sum((col("l_extendedprice").cast("decimal(18,2)") *
+        (lit(1).cast("decimal(18,2)") - col("l_discount").cast("decimal(18,2)"))))
+        .cast("double").as("revenue"))
+  }
+
+  val q5Oracle: String =
+    """SELECT n_name,
+      |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2)) * (CAST(1 AS DECIMAL(18,2)) - CAST(l_discount AS DECIMAL(18,2)))) AS DOUBLE) AS revenue
+      |FROM lineitem
+      |JOIN orders ON l_orderkey = o_orderkey
+      |JOIN customer ON o_custkey = c_custkey
+      |JOIN supplier ON l_suppkey = s_suppkey AND c_nationkey = s_nationkey
+      |JOIN nation ON s_nationkey = n_nationkey
+      |JOIN region ON n_regionkey = r_regionkey
+      |WHERE r_name = 'ASIA'
+      |  AND o_orderdate >= TIMESTAMP '1996-01-01' AND o_orderdate < TIMESTAMP '1998-01-01'
+      |GROUP BY n_name""".stripMargin
+
+  // ---- q6: distinct ----
+  val q6Distinct: Q = (s, d) =>
+    customer(s, d).select(col("c_mktsegment"), col("c_nationkey")).distinct()
+
+  val q6Oracle: String =
+    "SELECT DISTINCT c_mktsegment, c_nationkey FROM customer"
+
+  // ---- q7: union (dedup set-union of two subsets) ----
+  val q7Union: Q = (s, d) => {
+    val c = customer(s, d)
+    c.filter(col("c_nationkey") < 5).select(col("c_custkey"), col("c_name"))
+      .union(c.filter(col("c_acctbal") > 5000.0).select(col("c_custkey"), col("c_name")))
+      .distinct()
+  }
+
+  val q7Oracle: String =
+    """SELECT c_custkey, c_name FROM customer WHERE c_nationkey < 5
+      |UNION
+      |SELECT c_custkey, c_name FROM customer WHERE c_acctbal > 5000.0""".stripMargin
+
+  // ---- q8: window rank per group ----
+  val q8WindowRank: Q = (s, d) => {
+    val w = Window.partitionBy(col("o_custkey"))
+      .orderBy(col("o_totalprice").desc, col("o_orderkey").asc)
+    orders(s, d)
+      .withColumn("rn", row_number().over(w).cast("bigint"))
+      .filter(col("rn") <= 2)
+      .select(col("o_custkey"), col("o_orderkey"), col("o_totalprice"), col("rn"))
+  }
+
+  val q8Oracle: String =
+    """SELECT o_custkey, o_orderkey, o_totalprice, rn FROM (
+      |  SELECT o_custkey, o_orderkey, o_totalprice,
+      |    CAST(ROW_NUMBER() OVER (PARTITION BY o_custkey ORDER BY o_totalprice DESC, o_orderkey ASC) AS BIGINT) AS rn
+      |  FROM orders) t WHERE rn <= 2""".stripMargin
+
+  // ---- q9: semi join (EXISTS) ----
+  val q9SemiJoin: Q = (s, d) => {
+    val urgent = orders(s, d).filter(col("o_orderpriority") === "1-URGENT")
+    customer(s, d).join(urgent, col("c_custkey") === col("o_custkey"), "left_semi")
+      .select(col("c_custkey"), col("c_name"))
+  }
+
+  val q9Oracle: String =
+    """SELECT c_custkey, c_name FROM customer
+      |WHERE EXISTS (SELECT 1 FROM orders
+      |  WHERE o_custkey = c_custkey AND o_orderpriority = '1-URGENT')""".stripMargin
+
+  // ---- q10: anti join (NOT EXISTS) ----
+  val q10AntiJoin: Q = (s, d) => {
+    val urgent = orders(s, d).filter(col("o_orderpriority") === "1-URGENT")
+    customer(s, d).join(urgent, col("c_custkey") === col("o_custkey"), "left_anti")
+      .select(col("c_custkey"), col("c_name"))
+  }
+
+  val q10Oracle: String =
+    """SELECT c_custkey, c_name FROM customer
+      |WHERE NOT EXISTS (SELECT 1 FROM orders
+      |  WHERE o_custkey = c_custkey AND o_orderpriority = '1-URGENT')""".stripMargin
+
+  // ---- q11: global aggregate statistics ----
+  val q11AggStats: Q = (s, d) => {
+    lineitem(s, d).agg(
+      count(lit(1)).cast("bigint").as("n_rows"),
+      countDistinct(col("l_orderkey")).cast("bigint").as("n_orders"),
+      min(col("l_quantity")).as("min_qty"),
+      max(col("l_quantity")).as("max_qty"),
+      dsum(col("l_extendedprice")).as("sum_price"))
+  }
+
+  val q11Oracle: String =
+    """SELECT CAST(COUNT(*) AS BIGINT) AS n_rows,
+      |  CAST(COUNT(DISTINCT l_orderkey) AS BIGINT) AS n_orders,
+      |  MIN(l_quantity) AS min_qty, MAX(l_quantity) AS max_qty,
+      |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_price
+      |FROM lineitem""".stripMargin
+
+  // ---- q12: ROLLUP grouping sets ----
+  val q12Rollup: Q = (s, d) => {
+    lineitem(s, d)
+      .rollup(col("l_returnflag"), col("l_linestatus"))
+      .agg(count(lit(1)).cast("bigint").as("n"),
+        dsum(col("l_quantity")).as("sum_qty"))
+  }
+
+  val q12Oracle: String =
+    """SELECT l_returnflag, l_linestatus, CAST(COUNT(*) AS BIGINT) AS n,
+      |  CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty
+      |FROM lineitem GROUP BY ROLLUP (l_returnflag, l_linestatus)""".stripMargin
+
+  // ---- q13: pivot via conditional aggregation ----
+  val q13Pivot: Q = (s, d) => {
+    orders(s, d).groupBy(col("o_orderpriority")).agg(
+      sum(when(col("o_orderstatus") === "O", 1L).otherwise(0L)).cast("bigint").as("n_open"),
+      sum(when(col("o_orderstatus") === "F", 1L).otherwise(0L)).cast("bigint").as("n_finished"),
+      sum(when(col("o_orderstatus") === "P", 1L).otherwise(0L)).cast("bigint").as("n_pending"))
+  }
+
+  val q13Oracle: String =
+    """SELECT o_orderpriority,
+      |  CAST(SUM(CASE WHEN o_orderstatus = 'O' THEN 1 ELSE 0 END) AS BIGINT) AS n_open,
+      |  CAST(SUM(CASE WHEN o_orderstatus = 'F' THEN 1 ELSE 0 END) AS BIGINT) AS n_finished,
+      |  CAST(SUM(CASE WHEN o_orderstatus = 'P' THEN 1 ELSE 0 END) AS BIGINT) AS n_pending
+      |FROM orders GROUP BY o_orderpriority""".stripMargin
+
+  // ---- q14: top-k (TakeOrderedAndProject, no full sort at scale) ----
+  val q14TopK: Q = (s, d) =>
+    orders(s, d)
+      .orderBy(col("o_totalprice").desc, col("o_orderkey").asc)
+      .limit(10)
+      .select(col("o_orderkey"), col("o_custkey"), col("o_totalprice"))
+
+  val q14Oracle: String =
+    """SELECT o_orderkey, o_custkey, o_totalprice FROM orders
+      |ORDER BY o_totalprice DESC, o_orderkey ASC LIMIT 10""".stripMargin
+
+  // ---- q15: broadcast enrichment join (dim lookup chain) ----
+  val q15Enrich: Q = (s, d) => {
+    orders(s, d).filter(col("o_orderkey") < 500)
+      .join(broadcast(customer(s, d)), col("o_custkey") === col("c_custkey"))
+      .join(broadcast(nation(s, d)), col("c_nationkey") === col("n_nationkey"))
+      .select(col("o_orderkey"), col("c_name"), col("n_name"), col("o_totalprice"))
+  }
+
+  val q15Oracle: String =
+    """SELECT o_orderkey, c_name, n_name, o_totalprice
+      |FROM orders JOIN customer ON o_custkey = c_custkey
+      |JOIN nation ON c_nationkey = n_nationkey
+      |WHERE o_orderkey < 500""".stripMargin
+
+  // ---- q16: as-of join (point-in-time lookup), single-shuffle window form ----
+  // For each 'purchase' event: the most recent 'view' event of the same
+  // user strictly before it in (ts, event_id) order. Composed as ONE
+  // window over the unioned stream — no range-join row explosion, one
+  // shuffle on user_id (SURVEY.md §2b row 33).
+  val q16AsofJoin: Q = (s, d) => {
+    val e = events(s, d).filter(col("event_type").isin("view", "purchase"))
+    val w = Window.partitionBy(col("user_id"))
+      .orderBy(col("ts").asc, col("event_id").asc)
+      .rowsBetween(Window.unboundedPreceding, -1)
+    e.withColumn("asof_view_id",
+        last(when(col("event_type") === "view", col("event_id")), ignoreNulls = true).over(w))
+      .withColumn("asof_view_value",
+        last(when(col("event_type") === "view", col("value")), ignoreNulls = true).over(w))
+      .filter(col("event_type") === "purchase")
+      .select(col("event_id"), col("user_id"), col("ts").as("purchase_ts"),
+        col("value").as("purchase_value"), col("asof_view_id"), col("asof_view_value"))
+  }
+
+  val q16Oracle: String =
+    """SELECT event_id, user_id, CAST(ts AS TIMESTAMP) AS purchase_ts,
+      |  value AS purchase_value, asof_view_id, asof_view_value
+      |FROM (
+      |  SELECT event_id, user_id, ts, event_type, value,
+      |    LAST_VALUE(CASE WHEN event_type = 'view' THEN event_id END IGNORE NULLS)
+      |      OVER (PARTITION BY user_id ORDER BY ts ASC, event_id ASC
+      |            ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS asof_view_id,
+      |    LAST_VALUE(CASE WHEN event_type = 'view' THEN value END IGNORE NULLS)
+      |      OVER (PARTITION BY user_id ORDER BY ts ASC, event_id ASC
+      |            ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS asof_view_value
+      |  FROM events WHERE event_type IN ('view', 'purchase')) t
+      |WHERE event_type = 'purchase'""".stripMargin
+
+  val queries: Map[String, Q] = Map(
+    "q1_pricing_summary" -> q1PricingSummary,
+    "q2_filter_pushdown" -> q2FilterPushdown,
+    "q3_top_orders" -> q3TopOrders,
+    "q5_region_revenue" -> q5RegionRevenue,
+    "q6_distinct" -> q6Distinct,
+    "q7_union" -> q7Union,
+    "q8_window_rank" -> q8WindowRank,
+    "q9_semi_join" -> q9SemiJoin,
+    "q10_anti_join" -> q10AntiJoin,
+    "q11_agg_stats" -> q11AggStats,
+    "q12_rollup" -> q12Rollup,
+    "q13_pivot" -> q13Pivot,
+    "q14_topk" -> q14TopK,
+    "q15_enrich" -> q15Enrich,
+    "q16_asof_join" -> q16AsofJoin)
+
+  val oracles: Map[String, String] = Map(
+    "q1_pricing_summary" -> q1Oracle,
+    "q2_filter_pushdown" -> q2Oracle,
+    "q3_top_orders" -> q3Oracle,
+    "q5_region_revenue" -> q5Oracle,
+    "q6_distinct" -> q6Oracle,
+    "q7_union" -> q7Oracle,
+    "q8_window_rank" -> q8Oracle,
+    "q9_semi_join" -> q9Oracle,
+    "q10_anti_join" -> q10Oracle,
+    "q11_agg_stats" -> q11Oracle,
+    "q12_rollup" -> q12Oracle,
+    "q13_pivot" -> q13Oracle,
+    "q14_topk" -> q14Oracle,
+    "q15_enrich" -> q15Oracle,
+    "q16_asof_join" -> q16Oracle)
+}
