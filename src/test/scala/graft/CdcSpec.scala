@@ -1,0 +1,137 @@
+package graft
+
+import java.nio.file.Files
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.cdc._
+import graft.sources.CdcBatchReader
+
+object SparkTestSession {
+  lazy val spark: SparkSession = SparkSession.builder()
+    .master("local[4]")
+    .appName("graft-test")
+    .config("spark.sql.shuffle.partitions", "4")
+    .config("spark.sql.session.timeZone", "UTC")
+    .config("spark.ui.enabled", "false")
+    .getOrCreate()
+}
+
+class CdcSpec extends AnyFunSuite {
+  lazy val spark: SparkSession = SparkTestSession.spark
+  import spark.implicits._
+
+  test("latestByKey keeps the max-sequence row per key") {
+    val df = Seq(
+      (1L, 10L, "a"), (1L, 30L, "c"), (1L, 20L, "b"),
+      (2L, 5L, "x")).toDF("id", "seq", "v")
+    val got = CdcMerge.latestByKey(df, Seq("id"), Seq("seq"))
+      .orderBy("id").collect().map(r => (r.getLong(0), r.getLong(1), r.getString(2)))
+    assert(got.toSeq == Seq((1L, 30L, "c"), (2L, 5L, "x")))
+  }
+
+  test("applyOperations: upsert latest-wins, delete removes key") {
+    val df = Seq(
+      (1L, 1L, 2, "ins"), (1L, 2L, 4, "upd"),        // id 1: insert then update
+      (2L, 3L, 2, "ins"), (2L, 4L, 1, "del"),        // id 2: deleted
+      (3L, 5L, 1, "del"), (3L, 6L, 2, "resurrect")   // id 3: delete anywhere in batch wins
+    ).toDF("id", "seq", "gwcbi___operation", "v")
+    val got = CdcMerge.applyOperations(df, Seq("id"), Seq("seq"))
+      .select("id", "v").as[(Long, String)].collect().toMap
+    assert(got == Map(1L -> "upd"))
+  }
+
+  test("dropInternal keeps operation/seqval, drops other gwcbi___ cols") {
+    val df = Seq((1L, 2, "ff", "x")).toDF("id", "gwcbi___operation", "gwcbi___seqval_hex", "gwcbi___lsn")
+    val out = CdcColumns.dropInternal(df)
+    assert(out.columns.toSet == Set("id", "gwcbi___operation", "gwcbi___seqval_hex"))
+  }
+
+  test("dropAllInternal optionally keeps seqval (merged-sink shape)") {
+    val df = Seq((1L, 2, "ff", "fp", "100")).toDF(
+      "id", "gwcbi___operation", "gwcbi___seqval_hex",
+      "gwcdac__fingerprintfolder", "gwcdac__timestampfolder")
+    assert(CdcColumns.dropAllInternal(df).columns.toSet == Set("id", "gwcbi___seqval_hex"))
+    assert(CdcColumns.dropAllInternal(df, keepSeqVal = false).columns.toSet == Set("id"))
+  }
+
+  test("forJdbcTarget renames interval and drops spatial/textdata") {
+    val df = Seq((1L, 2, 3, 4, 5)).toDF("id", "interval", "geo_spatial", "textdata", "ok")
+    assert(CdcColumns.forJdbcTarget(df).columns.toSet == Set("id", "interval_", "ok"))
+  }
+
+  test("unionEvolved null-fills missing columns") {
+    val oldFp = Seq((1L, "a")).toDF("id", "v")
+    val newFp = Seq((2L, "b", 9.9)).toDF("id", "v", "score")
+    val out = SchemaEvolution.unionEvolved(Seq(oldFp, newFp))
+    assert(out.columns.toSet == Set("id", "v", "score"))
+    assert(out.filter($"id" === 1L).select("score").first().isNullAt(0))
+    assert(SchemaEvolution.addedColumns(oldFp, newFp) == Seq("score"))
+  }
+
+  test("savepoints round-trip and upsert") {
+    val dir = Files.createTempDirectory("sp").toString
+    val sp = new Savepoints(dir)
+    assert(sp.get("t1").isEmpty)
+    sp.write("t1", "100")
+    sp.write("t1", "200")
+    sp.write("t2", "50")
+    val reread = new Savepoints(dir)
+    assert(reread.getAsLong("t1").contains(200L))
+    assert(reread.snapshot == Map("t1" -> "200", "t2" -> "50"))
+  }
+
+  test("manifest parse, filter, pending fingerprints") {
+    val json =
+      """{"taccount": {"lastSuccessfulWriteTimestamp": "300",
+        |  "totalProcessedRecordsCount": 240000,
+        |  "dataFilesPath": "/data/taccount",
+        |  "schemaHistory": {"fpA": "100", "fpB": "250"}},
+        | "tnote": {"lastSuccessfulWriteTimestamp": "400",
+        |  "totalProcessedRecordsCount": 1,
+        |  "dataFilesPath": "/data/tnote",
+        |  "schemaHistory": {"fpX": "50"}}}""".stripMargin
+    val m = Manifest.parseJson(json)
+    assert(m.keySet == Set("taccount", "tnote"))
+    assert(m("taccount").lastSafeTimestamp == 300L)
+    assert(Manifest.filterTables(m, "tnote").keySet == Set("tnote"))
+    assert(Manifest.filterTables(m, "").keySet == m.keySet)
+    val e = m("taccount")
+    // savepoint before fpB's start: both fingerprints pending
+    assert(Manifest.fingerprintsWithUnprocessedRecords(e, Some(120L)) == Seq("fpA", "fpB"))
+    // savepoint past fpA's interval end (250): only fpB pending
+    assert(Manifest.fingerprintsWithUnprocessedRecords(e, Some(260L)) == Seq("fpB"))
+    assert(Manifest.fingerprintsWithUnprocessedRecords(e, None) == Seq("fpA", "fpB"))
+  }
+
+  test("CdcBatchReader reads layout incrementally with provenance") {
+    import spark.implicits._
+    val base = Files.createTempDirectory("cdc").toString
+    // fingerprint fpA: folders 100, 200 (old schema); fpB: folder 300 (adds score)
+    Seq((1L, 10, "a")).toDF("id", "gwcbi___operation", "v")
+      .write.parquet(s"$base/t/fpA/100")
+    Seq((2L, 4, "b")).toDF("id", "gwcbi___operation", "v")
+      .write.parquet(s"$base/t/fpA/200")
+    Seq((3L, 4, "c", 1.5)).toDF("id", "gwcbi___operation", "v", "score")
+      .write.parquet(s"$base/t/fpB/300")
+    val entry = ManifestEntry("300", 3, s"$base/t", Map("fpA" -> "100", "fpB" -> "300"))
+
+    val all = CdcBatchReader.readTable(spark, "t", entry, savepoint = None).get
+    assert(all.count() == 3)
+    assert(all.columns.contains("gwcdac__fingerprintfolder"))
+    val byId = all.select($"id", $"gwcdac__timestampfolder").as[(Long, String)].collect().toMap
+    assert(byId == Map(1L -> "100", 2L -> "200", 3L -> "300"))
+    assert(all.filter($"id" === 1L).select("score").first().isNullAt(0))
+
+    // savepoint at 200: only folder 300 remains
+    val inc = CdcBatchReader.readTable(spark, "t", entry, savepoint = Some(200L)).get
+    assert(inc.select("id").as[Long].collect().toSeq == Seq(3L))
+    // savepoint at the end: nothing new
+    assert(CdcBatchReader.readTable(spark, "t", entry, savepoint = Some(300L)).isEmpty)
+    // maxTimestamp drives the next savepoint
+    assert(CdcBatchReader.maxTimestamp(
+      CdcBatchReader.listBatches("t", entry, None)).contains(300L))
+  }
+}
