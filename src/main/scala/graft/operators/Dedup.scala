@@ -1,0 +1,154 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame}
+import org.apache.spark.sql.functions._
+
+import graft.functions._
+
+/** Corpus deduplication operators (SURVEY.md §2c rows 34-38).
+  *
+  * Scale shapes:
+  *  - exact: one hash-aggregate on the normalized text (map-side
+  *    partial agg first, so duplicate-heavy corpora shrink before the
+  *    shuffle);
+  *  - ngramJaccard: inverted-index self-join — only (shingle, doc)
+  *    pairs shuffle, never documents; shingles occurring once are
+  *    dropped before the join; hot shingles are capped to bound skew;
+  *  - minhashLsh: per-row signatures (zero shuffle), then a bucket
+  *    join that shuffles only (band, bucket-hash) keys;
+  *  - simhash: per-row 64-bit sketch; candidate pairs via chunk
+  *    pigeonhole (hamming <= 3 pairs must share one of 4 16-bit
+  *    chunks), verified with bit_count.
+  *  - embeddingNearDup: hyperplane-LSH buckets, exact cosine verify
+  *    inside buckets only.
+  */
+object Dedup {
+
+  /** Canonical whitespace/case normalization for exact dedup. */
+  private def normText(c: org.apache.spark.sql.Column) =
+    regexp_replace(lower(trim(c)), "\\s+", " ")
+
+  /** One row per distinct normalized text: representative id (min),
+    * copy count, and an md5 of the normalized text.
+    */
+  def exact(df: DataFrame, idCol: String, textCol: String): DataFrame =
+    df.select(col(idCol), normText(col(textCol)).as("__norm"))
+      .groupBy(col("__norm"))
+      .agg(min(col(idCol)).as("rep_id"), count(lit(1)).cast("bigint").as("n_copies"))
+      .select(md5(col("__norm")).as("text_md5"), col("rep_id"), col("n_copies"))
+
+  /** Near-duplicate pairs by exact word-n-gram Jaccard similarity.
+    *
+    * @param maxShinglePosting drop shingles shared by more than this
+    *        many docs before pairing (stopword-shingle skew guard;
+    *        a shingle in k docs generates k^2 candidate pairs).
+    */
+  def ngramJaccard(df: DataFrame, idCol: String, textCol: String,
+                   n: Int = 3, threshold: Double = 0.8,
+                   maxShinglePosting: Int = 1000): DataFrame = {
+    val shingled = df.select(col(idCol).as("doc"),
+      wordShingles(wsTokens(col(textCol)), n).as("shingles"))
+    val sizes = shingled.select(col("doc"), size(col("shingles")).as("n_sh"))
+    val posting = shingled
+      .select(col("doc"), explode(col("shingles")).as("sh"))
+    // inverted index: keep only shingles that can produce a pair
+    val byShingle = posting.groupBy("sh")
+      .agg(collect_list("doc").as("docs"))
+      .filter(size(col("docs")).between(2, maxShinglePosting))
+    val pairArray = filter(
+      flatten(transform(col("docs"), a =>
+        transform(col("docs"), b => struct(a.as("a"), b.as("b"))))),
+      p => p.getField("a") < p.getField("b"))
+    val pairs = byShingle
+      .select(explode(pairArray).as("p"))
+      .select(col("p.a").as("doc_a"), col("p.b").as("doc_b"))
+      .groupBy("doc_a", "doc_b")
+      .agg(count(lit(1)).cast("bigint").as("n_common"))
+    pairs
+      .join(sizes.withColumnRenamed("doc", "doc_a").withColumnRenamed("n_sh", "n_a"), "doc_a")
+      .join(sizes.withColumnRenamed("doc", "doc_b").withColumnRenamed("n_sh", "n_b"), "doc_b")
+      .withColumn("jaccard",
+        col("n_common").cast("double") /
+          (col("n_a") + col("n_b") - col("n_common")).cast("double"))
+      .filter(col("jaccard") >= threshold)
+      .select(col("doc_a"), col("doc_b"), col("n_common"), col("jaccard"))
+  }
+
+  /** Candidate near-duplicate pairs via MinHash + LSH banding,
+    * verified by exact Jaccard on the candidates only.
+    *
+    * @param numHashes signature length; bands of `rowsPerBand` hashes
+    *        each — a pair collides in a band iff that band of the
+    *        signature matches exactly.
+    */
+  def minhashLsh(df: DataFrame, idCol: String, textCol: String,
+                 n: Int = 3, numHashes: Int = 32, rowsPerBand: Int = 4,
+                 threshold: Double = 0.8): DataFrame = {
+    require(numHashes % rowsPerBand == 0, "numHashes must be divisible by rowsPerBand")
+    val numBands = numHashes / rowsPerBand
+    val shingled = df.select(col(idCol).as("doc"),
+      wordShingles(wsTokens(col(textCol)), n).as("shingles"))
+      .withColumn("sig", minhashSignature(col("shingles"), numHashes))
+    // (band, hash-of-band-slice) bucket keys; docs only meet within a bucket
+    val banded = shingled.select(col("doc"), col("shingles"),
+      explode(transform(sequence(lit(0), lit(numBands - 1)), b =>
+        struct(b.as("band"),
+          xxhash64(slice(col("sig"), b * rowsPerBand + lit(1), lit(rowsPerBand)), b).as("bh"))))
+        .as("bucket"))
+      .select(col("doc"), col("shingles"), col("bucket.band"), col("bucket.bh"))
+    val a = banded.select(col("band"), col("bh"), col("doc").as("doc_a"), col("shingles").as("sh_a"))
+    val b = banded.select(col("band"), col("bh"), col("doc").as("doc_b"), col("shingles").as("sh_b"))
+    val candidates = a.join(b, Seq("band", "bh"))
+      .filter(col("doc_a") < col("doc_b"))
+      .select("doc_a", "doc_b", "sh_a", "sh_b").dropDuplicates("doc_a", "doc_b")
+    // exact-Jaccard verification on candidates only
+    candidates
+      .withColumn("n_common", size(array_intersect(col("sh_a"), col("sh_b"))).cast("bigint"))
+      .withColumn("jaccard", col("n_common").cast("double") /
+        size(array_union(col("sh_a"), col("sh_b"))).cast("double"))
+      .filter(col("jaccard") >= threshold)
+      .select(col("doc_a"), col("doc_b"), col("n_common"), col("jaccard"))
+  }
+
+  /** Near-duplicate pairs by SimHash hamming distance.
+    *
+    * Pigeonhole banding: a pair with hamming <= maxHamming (< number
+    * of 16-bit chunks) must agree exactly on at least one chunk, so
+    * only chunk-equal pairs are compared.
+    */
+  def simhashPairs(df: DataFrame, idCol: String, textCol: String,
+                   maxHamming: Int = 3): DataFrame = {
+    require(maxHamming < 4, "4-chunk pigeonhole guarantees hamming <= 3")
+    val sketched = df.select(col(idCol).as("doc"),
+      simhash64(wsTokens(col(textCol))).as("sk"))
+    val chunked = sketched.select(col("doc"), col("sk"),
+      explode(transform(sequence(lit(0), lit(3)), c =>
+        struct(c.as("chunk"),
+          call_function("shiftright", col("sk"), c * 16).bitwiseAND(lit(0xFFFFL)).as("ck")))).as("b"))
+      .select(col("doc"), col("sk"), col("b.chunk"), col("b.ck"))
+    val a = chunked.select(col("chunk"), col("ck"), col("doc").as("doc_a"), col("sk").as("sk_a"))
+    val b = chunked.select(col("chunk"), col("ck"), col("doc").as("doc_b"), col("sk").as("sk_b"))
+    a.join(b, Seq("chunk", "ck"))
+      .filter(col("doc_a") < col("doc_b"))
+      .dropDuplicates("doc_a", "doc_b")
+      .withColumn("hamming", hamming64(col("sk_a"), col("sk_b")).cast("bigint"))
+      .filter(col("hamming") <= maxHamming)
+      .select(col("doc_a"), col("doc_b"), col("hamming"))
+  }
+
+  /** Near-duplicate embedding pairs: hyperplane-LSH bucket join +
+    * exact cosine verification within buckets.
+    */
+  def embeddingNearDup(df: DataFrame, idCol: String, vecCol: String,
+                       threshold: Double = 0.95, numPlanes: Int = 8): DataFrame = {
+    val bucketed = df.select(col(idCol).as("vid"), col(vecCol).as("v"),
+      hyperplaneBucket(col(vecCol), numPlanes).as("bucket"))
+    val a = bucketed.select(col("bucket"), col("vid").as("id_a"), col("v").as("v_a"))
+    val b = bucketed.select(col("bucket"), col("vid").as("id_b"), col("v").as("v_b"))
+    a.join(b, Seq("bucket"))
+      .filter(col("id_a") < col("id_b"))
+      .withColumn("cosine", cosineSim(col("v_a"), col("v_b")))
+      .filter(col("cosine") >= threshold)
+      .select(col("id_a"), col("id_b"), col("cosine"))
+  }
+}

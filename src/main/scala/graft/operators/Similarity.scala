@@ -1,0 +1,60 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.functions._
+
+/** Approximate-nearest-neighbor search over an embedding column
+  * (SURVEY.md §2c rows 39-40).
+  *
+  * Baseline: brute-force cosine top-k with the QUERY side broadcast —
+  * the 100 TB base never moves, each partition scores its vectors
+  * against the in-memory query set and emits only per-partition
+  * candidates. Scale path: hyperplane-LSH bucketing, so each base
+  * vector is scored only against queries sharing its bucket.
+  */
+object Similarity {
+
+  /** Exact top-k neighbors per query vector by cosine similarity.
+    * `queries` is expected to be small (it is broadcast); ties break
+    * on neighbor id.
+    */
+  def bruteForceTopK(base: DataFrame, queries: DataFrame,
+                     idCol: String, vecCol: String, k: Int = 5): DataFrame = {
+    val b = base.select(col(idCol).as("base_id"), col(vecCol).as("base_v"))
+    val q = queries.select(col(idCol).as("query_id"), col(vecCol).as("query_v"))
+    val scored = b.crossJoin(broadcast(q))
+      .filter(col("base_id") =!= col("query_id"))
+      .withColumn("cosine", cosineSim(col("base_v"), col("query_v")))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("cosine").desc, col("base_id").asc)
+    scored.withColumn("rank", row_number().over(w).cast("bigint"))
+      .filter(col("rank") <= k)
+      .select(col("query_id"), col("base_id"), col("rank"), col("cosine"))
+  }
+
+  /** LSH-bucketed ANN: base and queries are hashed into hyperplane
+    * sign buckets; scoring happens only within a bucket. Recall is
+    * traded for a `2^numPlanes`-way reduction in comparisons; the
+    * spec measures recall against `bruteForceTopK`.
+    */
+  def lshTopK(base: DataFrame, queries: DataFrame,
+              idCol: String, vecCol: String, k: Int = 5,
+              numPlanes: Int = 4): DataFrame = {
+    val b = base.select(col(idCol).as("base_id"), col(vecCol).as("base_v"),
+      hyperplaneBucket(col(vecCol), numPlanes).as("bucket"))
+    val q = queries.select(col(idCol).as("query_id"), col(vecCol).as("query_v"),
+      hyperplaneBucket(col(vecCol), numPlanes).as("bucket"))
+    val scored = b.join(broadcast(q), Seq("bucket"))
+      .filter(col("base_id") =!= col("query_id"))
+      .withColumn("cosine", cosineSim(col("base_v"), col("query_v")))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("cosine").desc, col("base_id").asc)
+    scored.withColumn("rank", row_number().over(w).cast("bigint"))
+      .filter(col("rank") <= k)
+      .select(col("query_id"), col("base_id"), col("rank"), col("cosine"))
+  }
+
+}

@@ -1,0 +1,93 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+import graft.functions._
+
+/** Text-corpus analysis operators for large-scale training-data
+  * pipelines (SURVEY.md §2c rows 41-44). All per-row column math —
+  * no shuffle, fully codegen'd; at 100 TB these run at scan speed.
+  */
+object TextAnalysis {
+
+  /** Language marker lexicons for the n-gram/stopword heuristic.
+    * Deterministic scoring: hits per language, argmax with a fixed
+    * preference order on ties.
+    */
+  val langMarkers: Seq[(String, Seq[String])] = Seq(
+    "en" -> Seq("the", "a", "of", "and", "is"),
+    "es" -> Seq("el", "la", "de", "y", "es"),
+    "de" -> Seq("der", "die", "das", "und", "ist"),
+    "fr" -> Seq("le", "la", "de", "et", "est"))
+
+  val stopwords: Seq[String] = Seq("the", "a", "of", "and", "is", "to", "in")
+
+  private def hitCount(tokens: Column, words: Seq[String]): Column =
+    size(filter(tokens, t => t.isin(words.map(lit): _*)))
+      .cast("bigint")
+
+  /** doc_id + token statistics: chars, whitespace tokens, distinct
+    * types, BPE-ish lexer tokens.
+    */
+  def tokenStats(df: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val toks = wsTokens(col(textCol))
+    df.select(
+      col(idCol),
+      length(col(textCol)).cast("bigint").as("n_chars"),
+      size(toks).cast("bigint").as("n_tokens"),
+      size(array_distinct(toks)).cast("bigint").as("n_types"),
+      size(bpeTokens(col(textCol))).cast("bigint").as("n_bpe_tokens"))
+  }
+
+  /** Quality scoring: stopword ratio, mean token length, digit and
+    * punctuation counts, and a boolean keep/drop verdict.
+    */
+  def quality(df: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val toks = wsTokens(col(textCol))
+    val nTokens = size(toks).cast("bigint")
+    val nStop = hitCount(toks, stopwords)
+    val charSum = aggregate(toks, lit(0L), (acc, t) => acc + length(t).cast("bigint"))
+    df.select(
+      col(idCol),
+      nTokens.as("n_tokens"),
+      nStop.as("n_stopwords"),
+      (nStop.cast("double") / nTokens.cast("double")).as("stopword_ratio"),
+      (charSum.cast("double") / nTokens.cast("double")).as("mean_token_len"),
+      size(regexp_extract_all(col(textCol), lit("[0-9]"), lit(0))).cast("bigint").as("n_digits"),
+      size(regexp_extract_all(col(textCol), lit("[^a-zA-Z0-9\\s]"), lit(0))).cast("bigint").as("n_punct"))
+      .withColumn("quality_ok",
+        col("n_tokens") >= 5 && col("stopword_ratio") < lit(0.5) && col("mean_token_len") < lit(15.0))
+  }
+
+  /** Language identification by marker-word scoring. */
+  def langId(df: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val toks = wsTokens(lower(col(textCol)))
+    val scored = df.select(
+      col(idCol) +:
+        langMarkers.map { case (lang, words) => hitCount(toks, words).as(s"${lang}_hits") }: _*)
+    // argmax with fixed preference order (earlier language wins ties):
+    // lang i is chosen when its hits are >0 and >= every later lang's
+    // (earlier langs already failed their own stricter check).
+    val langs = langMarkers.map(_._1)
+    val best = langs.zipWithIndex.foldRight(lit("und")) { case ((lang, i), rest) =>
+      val geLater = langs.drop(i + 1)
+        .foldLeft(col(s"${lang}_hits") > 0)((acc, later) =>
+          acc && col(s"${lang}_hits") >= col(s"${later}_hits"))
+      when(geLater, lit(lang)).otherwise(rest)
+    }
+    scored.withColumn("pred_lang", best)
+  }
+
+  /** Order-sensitive document fingerprint (polynomial rolling hash)
+    * plus a shingle-set fingerprint (min of shingle hashes).
+    */
+  def fingerprint(df: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val toks = wsTokens(col(textCol))
+    df.select(
+      col(idCol),
+      rollingHash(toks).as("rolling_fp"),
+      aggregate(wordShingles(toks, 3), lit(Long.MaxValue),
+        (acc, s) => least(acc, xxhash64(s))).as("shingle_fp"))
+  }
+}

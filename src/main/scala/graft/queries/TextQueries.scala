@@ -1,0 +1,180 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.operators.{Dedup, Multimodal, Similarity, TextAnalysis}
+import graft.sources.TableCatalog._
+
+/** Text-analysis / dedup / similarity / multimodal queries
+  * (SURVEY.md §2c). Hash-dependent operators (minhash, simhash,
+  * embedding cosine) are rows-only: Spark's xxhash64 has no DuckDB
+  * equivalent — they are verified by ScalaTest specs instead
+  * (SURVEY.md §6).
+  */
+object TextQueries {
+
+  type Q = (SparkSession, String) => DataFrame
+
+  // ---- text_token_stats ----
+  val tokenStats: Q = (s, d) =>
+    TextAnalysis.tokenStats(documents(s, d), "doc_id", "text")
+
+  val tokenStatsOracle: String =
+    """SELECT doc_id,
+      |  CAST(length(text) AS BIGINT) AS n_chars,
+      |  CAST(len(regexp_split_to_array(trim(text), '\s+')) AS BIGINT) AS n_tokens,
+      |  CAST(len(list_distinct(regexp_split_to_array(trim(text), '\s+'))) AS BIGINT) AS n_types,
+      |  CAST(len(regexp_extract_all(lower(text), '[a-z]+|[0-9]+|[^a-z0-9\s]')) AS BIGINT) AS n_bpe_tokens
+      |FROM documents""".stripMargin
+
+  // ---- text_quality ----
+  val quality: Q = (s, d) =>
+    TextAnalysis.quality(documents(s, d), "doc_id", "text")
+
+  val qualityOracle: String =
+    """WITH t AS (SELECT doc_id, text, regexp_split_to_array(trim(text), '\s+') toks FROM documents),
+      |s AS (SELECT doc_id,
+      |  CAST(len(toks) AS BIGINT) AS n_tokens,
+      |  CAST(len(list_filter(toks, x -> x IN ('the','a','of','and','is','to','in'))) AS BIGINT) AS n_stopwords,
+      |  CAST(list_sum(list_transform(toks, x -> length(x))) AS BIGINT) AS char_sum,
+      |  CAST(len(regexp_extract_all(text, '[0-9]')) AS BIGINT) AS n_digits,
+      |  CAST(len(regexp_extract_all(text, '[^a-zA-Z0-9\s]')) AS BIGINT) AS n_punct
+      |FROM t)
+      |SELECT doc_id, n_tokens, n_stopwords,
+      |  CAST(n_stopwords AS DOUBLE)/CAST(n_tokens AS DOUBLE) AS stopword_ratio,
+      |  CAST(char_sum AS DOUBLE)/CAST(n_tokens AS DOUBLE) AS mean_token_len,
+      |  n_digits, n_punct,
+      |  (n_tokens >= 5 AND CAST(n_stopwords AS DOUBLE)/CAST(n_tokens AS DOUBLE) < 0.5
+      |    AND CAST(char_sum AS DOUBLE)/CAST(n_tokens AS DOUBLE) < 15.0) AS quality_ok
+      |FROM s""".stripMargin
+
+  // ---- text_langid ----
+  val langId: Q = (s, d) =>
+    TextAnalysis.langId(documents(s, d), "doc_id", "text")
+
+  val langIdOracle: String =
+    """WITH t AS (SELECT doc_id, regexp_split_to_array(trim(lower(text)), '\s+') toks FROM documents),
+      |h AS (SELECT doc_id,
+      |  CAST(len(list_filter(toks, x -> x IN ('the','a','of','and','is'))) AS BIGINT) AS en_hits,
+      |  CAST(len(list_filter(toks, x -> x IN ('el','la','de','y','es'))) AS BIGINT) AS es_hits,
+      |  CAST(len(list_filter(toks, x -> x IN ('der','die','das','und','ist'))) AS BIGINT) AS de_hits,
+      |  CAST(len(list_filter(toks, x -> x IN ('le','la','de','et','est'))) AS BIGINT) AS fr_hits
+      |FROM t)
+      |SELECT doc_id, en_hits, es_hits, de_hits, fr_hits,
+      |  CASE WHEN en_hits > 0 AND en_hits >= es_hits AND en_hits >= de_hits AND en_hits >= fr_hits THEN 'en'
+      |       WHEN es_hits > 0 AND es_hits >= de_hits AND es_hits >= fr_hits THEN 'es'
+      |       WHEN de_hits > 0 AND de_hits >= fr_hits THEN 'de'
+      |       WHEN fr_hits > 0 THEN 'fr'
+      |       ELSE 'und' END AS pred_lang
+      |FROM h""".stripMargin
+
+  // ---- text_fingerprint (rows-only: xxhash64-based) ----
+  val fingerprint: Q = (s, d) =>
+    TextAnalysis.fingerprint(documents(s, d), "doc_id", "text")
+
+  // ---- dedup_exact ----
+  val dedupExact: Q = (s, d) =>
+    Dedup.exact(documents(s, d), "doc_id", "text")
+
+  val dedupExactOracle: String =
+    """SELECT md5(norm) AS text_md5, MIN(doc_id) AS rep_id,
+      |  CAST(COUNT(*) AS BIGINT) AS n_copies
+      |FROM (SELECT doc_id, regexp_replace(lower(trim(text)), '\s+', ' ', 'g') AS norm
+      |      FROM documents) t
+      |GROUP BY norm""".stripMargin
+
+  // ---- dedup_ngram_jaccard ----
+  val dedupNgram: Q = (s, d) =>
+    Dedup.ngramJaccard(documents(s, d), "doc_id", "text", n = 3, threshold = 0.8)
+
+  val dedupNgramOracle: String =
+    """WITH docs AS (SELECT doc_id, regexp_split_to_array(trim(text), '\s+') toks FROM documents),
+      |sh AS (SELECT doc_id, list_distinct([toks[i]||' '||toks[i+1]||' '||toks[i+2]
+      |                                     for i in range(1, len(toks)-1)]) g FROM docs),
+      |ex AS (SELECT doc_id, unnest(g) s FROM sh),
+      |sz AS (SELECT doc_id, CAST(len(g) AS BIGINT) n FROM sh),
+      |pairs AS (SELECT a.doc_id doc_a, b.doc_id doc_b, CAST(count(*) AS BIGINT) n_common
+      |          FROM ex a JOIN ex b ON a.s = b.s AND a.doc_id < b.doc_id GROUP BY 1, 2)
+      |SELECT doc_a, doc_b, n_common,
+      |  CAST(n_common AS DOUBLE)/CAST(sa.n + sb.n - n_common AS DOUBLE) AS jaccard
+      |FROM pairs JOIN sz sa ON sa.doc_id = doc_a JOIN sz sb ON sb.doc_id = doc_b
+      |WHERE CAST(n_common AS DOUBLE)/CAST(sa.n + sb.n - n_common AS DOUBLE) >= 0.8""".stripMargin
+
+  // ---- dedup_minhash_lsh / dedup_simhash / dedup_embedding (rows-only) ----
+  val dedupMinhash: Q = (s, d) =>
+    Dedup.minhashLsh(documents(s, d), "doc_id", "text", threshold = 0.8)
+
+  val dedupSimhash: Q = (s, d) =>
+    Dedup.simhashPairs(documents(s, d), "doc_id", "text", maxHamming = 3)
+
+  // the synthetic embeddings have no true near-dups (max pairwise
+  // cosine ~0.47), so the query flags "suspiciously similar" pairs
+  val dedupEmbedding: Q = (s, d) =>
+    Dedup.embeddingNearDup(embeddings(s, d), "vec_id", "embedding",
+      threshold = 0.3, numPlanes = 4)
+
+  // ---- ann_topk / ann_lsh (rows-only) ----
+  val annTopK: Q = (s, d) => {
+    val e = embeddings(s, d)
+    Similarity.bruteForceTopK(e, e.filter(col("vec_id") < 20), "vec_id", "embedding", k = 5)
+  }
+
+  val annLsh: Q = (s, d) => {
+    val e = embeddings(s, d)
+    Similarity.lshTopK(e, e.filter(col("vec_id") < 20), "vec_id", "embedding", k = 5)
+  }
+
+  // ---- multimodal_meta ----
+  val multimodalMeta: Q = (s, d) =>
+    Multimodal.metaColumns(
+      documents(s, d).withColumn("payload", encode(col("text"), "UTF-8")),
+      "doc_id", "payload")
+
+  val multimodalMetaOracle: String =
+    """SELECT doc_id,
+      |  CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes,
+      |  CAST(octet_length(encode(text)) AS BIGINT) % 640 AS width,
+      |  CAST(octet_length(encode(text)) AS BIGINT) * 7 % 480 AS height,
+      |  CASE WHEN octet_length(encode(text)) % 2 = 0 THEN 'png' ELSE 'jpeg' END AS format
+      |FROM documents""".stripMargin
+
+  // ---- q_stream_window: tumbling-window agg (batch equivalent of
+  //      the streaming WindowedAgg; oracle-checked here, streaming
+  //      equivalence asserted in StreamingSpec) ----
+  val streamWindow: Q = (s, d) =>
+    events(s, d)
+      .groupBy(date_trunc("hour", col("ts")).as("window_start"), col("event_type"))
+      .agg(count(lit(1)).cast("bigint").as("n_events"),
+        sum(col("value").cast("decimal(18,2)")).cast("double").as("sum_value"))
+
+  val streamWindowOracle: String =
+    """SELECT date_trunc('hour', CAST(ts AS TIMESTAMP)) AS window_start, event_type,
+      |  CAST(COUNT(*) AS BIGINT) AS n_events,
+      |  CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
+      |FROM events GROUP BY 1, 2""".stripMargin
+
+  val queries: Map[String, Q] = Map(
+    "text_token_stats" -> tokenStats,
+    "text_quality" -> quality,
+    "text_langid" -> langId,
+    "text_fingerprint" -> fingerprint,
+    "dedup_exact" -> dedupExact,
+    "dedup_ngram_jaccard" -> dedupNgram,
+    "dedup_minhash_lsh" -> dedupMinhash,
+    "dedup_simhash" -> dedupSimhash,
+    "dedup_embedding" -> dedupEmbedding,
+    "ann_topk" -> annTopK,
+    "ann_lsh" -> annLsh,
+    "multimodal_meta" -> multimodalMeta,
+    "q_stream_window" -> streamWindow)
+
+  val oracles: Map[String, String] = Map(
+    "text_token_stats" -> tokenStatsOracle,
+    "text_quality" -> qualityOracle,
+    "text_langid" -> langIdOracle,
+    "dedup_exact" -> dedupExactOracle,
+    "dedup_ngram_jaccard" -> dedupNgramOracle,
+    "multimodal_meta" -> multimodalMetaOracle,
+    "q_stream_window" -> streamWindowOracle)
+}

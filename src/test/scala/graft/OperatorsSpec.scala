@@ -1,0 +1,134 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.functions._
+import graft.operators.{Dedup, Multimodal, Similarity, TextAnalysis}
+
+/** Property/recall specs for the hash-dependent operators that have
+  * no DuckDB oracle (SURVEY.md §6).
+  */
+class OperatorsSpec extends AnyFunSuite {
+  lazy val spark: SparkSession = SparkTestSession.spark
+  import spark.implicits._
+
+  val sfDir = "/root/testdata/sf0.001"
+
+  def docs = spark.read.parquet(s"$sfDir/documents.parquet")
+  def embs = spark.read.parquet(s"$sfDir/embeddings.parquet")
+
+  test("minhash LSH finds every exact-jaccard near-dup pair (recall vs truth)") {
+    val truth = Dedup.ngramJaccard(docs, "doc_id", "text", threshold = 0.8)
+      .select("doc_a", "doc_b").as[(Long, Long)].collect().toSet
+    val lsh = Dedup.minhashLsh(docs, "doc_id", "text", threshold = 0.8)
+      .select("doc_a", "doc_b").as[(Long, Long)].collect().toSet
+    assert(truth.nonEmpty, "test corpus should contain near-dups")
+    // candidates are verified with exact jaccard, so lsh ⊆ truth;
+    // banding (32 hashes, 8 bands of 4) should catch all j>=0.8 pairs here
+    assert(lsh.subsetOf(truth))
+    assert(lsh == truth, s"missed pairs: ${truth -- lsh}")
+  }
+
+  test("simhash pairs are token-set near-dups with verified hamming <= 3") {
+    val pairs = Dedup.simhashPairs(docs, "doc_id", "text", maxHamming = 3)
+    val collected = pairs.select("doc_a", "doc_b", "hamming").as[(Long, Long, Long)].collect()
+    assert(collected.nonEmpty)
+    assert(collected.forall(_._3 <= 3))
+    // simhash measures token-DISTRIBUTION similarity (bit votes over
+    // unordered token hashes), so the right ground truth is unigram
+    // jaccard, not 3-gram: every flagged pair must be a token-set
+    // near-dup, and most order-preserving near-dups must be caught.
+    val uniJac = Dedup.ngramJaccard(docs, "doc_id", "text", n = 1, threshold = 0.0)
+      .select("doc_a", "doc_b", "jaccard").as[(Long, Long, Double)].collect()
+      .map(t => (t._1, t._2) -> t._3).toMap
+    val simPairs = collected.map(t => (t._1, t._2)).toSet
+    assert(simPairs.forall(p => uniJac.getOrElse(p, 0.0) >= 0.85),
+      "simhash flagged a pair with low token-set similarity")
+    val truth = Dedup.ngramJaccard(docs, "doc_id", "text", threshold = 0.9)
+      .select("doc_a", "doc_b").as[(Long, Long)].collect().toSet
+    val recall = (truth & simPairs).size.toDouble / truth.size
+    assert(recall >= 0.7, s"simhash recall on 3-gram near-dups too low: $recall")
+  }
+
+  test("brute-force ANN returns k ranked neighbors with descending cosine") {
+    val res = Similarity.bruteForceTopK(embs, embs.filter($"vec_id" < 5), "vec_id", "embedding", k = 5)
+      .select("query_id", "base_id", "rank", "cosine")
+      .as[(Long, Long, Long, Double)].collect()
+    assert(res.length == 25)
+    res.groupBy(_._1).foreach { case (_, rows) =>
+      val byRank = rows.sortBy(_._3)
+      assert(byRank.map(_._3).toSeq == Seq(1L, 2L, 3L, 4L, 5L))
+      assert(byRank.map(_._4).sliding(2).forall(p => p(0) >= p(1)), "cosine must be non-increasing")
+    }
+  }
+
+  test("LSH ANN results are a subset of correct answers within shared buckets") {
+    val brute = Similarity.bruteForceTopK(embs, embs.filter($"vec_id" < 5), "vec_id", "embedding", k = 50)
+      .select("query_id", "base_id").as[(Long, Long)].collect().toSet
+    val lsh = Similarity.lshTopK(embs, embs.filter($"vec_id" < 5), "vec_id", "embedding", k = 5, numPlanes = 4)
+      .select("query_id", "base_id", "cosine").as[(Long, Long, Double)].collect()
+    assert(lsh.nonEmpty)
+    // each lsh hit must be a genuinely high-cosine neighbor (top-50 of brute force)
+    val hitRate = lsh.count(r => brute.contains((r._1, r._2))).toDouble / lsh.length
+    assert(hitRate >= 0.5, s"LSH hit rate vs brute-force top-50 too low: $hitRate")
+  }
+
+  test("cosineSim agrees with plain-Scala computation") {
+    val rows = embs.limit(3).select($"vec_id", $"embedding").as[(Long, Array[Float])].collect()
+    val (idA, va) = rows(0); val (idB, vb) = rows(1)
+    def cos(a: Array[Float], b: Array[Float]): Double = {
+      val dot = a.zip(b).map { case (x, y) => x.toDouble * y.toDouble }.sum
+      val na = math.sqrt(a.map(x => x.toDouble * x.toDouble).sum)
+      val nb = math.sqrt(b.map(x => x.toDouble * x.toDouble).sum)
+      dot / (na * nb)
+    }
+    val got = embs.filter($"vec_id" === idA).crossJoin(
+        embs.filter($"vec_id" === idB).select($"embedding".as("e2")))
+      .select(cosineSim($"embedding", $"e2")).as[Double].head()
+    assert(math.abs(got - cos(va, vb)) < 1e-9)
+  }
+
+  test("rolling fingerprint is order-sensitive and deterministic") {
+    val df = Seq((1L, "a b c"), (2L, "c b a"), (3L, "a b c")).toDF("doc_id", "text")
+    val fps = TextAnalysis.fingerprint(df, "doc_id", "text")
+      .select("doc_id", "rolling_fp").as[(Long, Long)].collect().toMap
+    assert(fps(1L) == fps(3L))
+    assert(fps(1L) != fps(2L))
+  }
+
+  test("wordShingles handles short texts without descending-sequence artifacts") {
+    val df = Seq((1L, "a b"), (2L, "a b c"), (3L, "")).toDF("id", "t")
+    val got = df.select($"id", wordShingles(wsTokens($"t"), 3).as("sh"))
+      .as[(Long, Seq[String])].collect().toMap
+    assert(got(1L).isEmpty)
+    assert(got(2L) == Seq("a b c"))
+    assert(got(3L).isEmpty || got(3L) == Seq(""))
+  }
+
+  test("multimodal decodeMeta runs the batched partition pipeline") {
+    val media = docs.withColumn("payload", encode($"text", "UTF-8"))
+    val meta = Multimodal.decodeMeta(spark, media, "doc_id", "payload")
+    val rows = meta.collect()
+    assert(rows.length == docs.count())
+    assert(rows.forall(m => m.width == m.n_bytes % 640 && m.height == (m.n_bytes * 7) % 480))
+    assert(rows.forall(m => (m.n_bytes % 2 == 0) == (m.format == "png")))
+    // pure-column variant agrees with the partition-batch variant
+    val colVariant = Multimodal.metaColumns(media, "doc_id", "payload")
+      .select($"doc_id", $"n_bytes", $"width", $"height", $"format")
+      .as[(Long, Long, Long, Long, String)].collect().toSet
+    val dsVariant = rows.map(m => (m.doc_id, m.n_bytes, m.width, m.height, m.format)).toSet
+    assert(colVariant == dsVariant)
+  }
+
+  test("multimodal sampleFrames emits bounded fixed-size windows") {
+    val media = docs.limit(5).withColumn("payload", encode($"text", "UTF-8"))
+    val frames = Multimodal.sampleFrames(media, "doc_id", "payload", frameSize = 64, maxFrames = 4)
+    val rows = frames.select($"doc_id", $"frame_no", octet_length($"frame_bytes").cast("long"))
+      .as[(Long, Long, Long)].collect()
+    assert(rows.nonEmpty)
+    assert(rows.forall(_._3 <= 64))
+    assert(rows.groupBy(_._1).forall(_._2.length <= 4))
+  }
+}
