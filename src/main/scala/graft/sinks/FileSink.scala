@@ -1,0 +1,57 @@
+package graft.sinks
+
+import org.apache.spark.sql.{DataFrame, SaveMode}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.{BinaryType, StructType}
+
+/** File-based output (cda-client FileBasedOutputWriter.scala)
+  * re-expressed Spark-first.
+  *
+  * Layout mirrors the reference: `<root>/<table>/<fingerprint>` plus
+  * an optional `/<timestamp>` leaf. `singleFile` does a coalesce(1) —
+  * the reference documents the same trade-off (one file vs one file
+  * per partition); at scale leave it off and let each task write.
+  *
+  * CSV can't carry nested structs or binary, so structs are
+  * serialized with the codegen'd `to_json` (the reference used a Row
+  * UDF, FileBasedOutputWriter.scala:22) and binary becomes base64.
+  */
+object FileSink {
+
+  case class Layout(root: String, tableName: String, fingerprint: String,
+                    timestamp: Option[String] = None) {
+    def path: String = {
+      val base = s"$root/$tableName/$fingerprint"
+      timestamp.map(t => s"$base/$t").getOrElse(base)
+    }
+  }
+
+  /** Make a DataFrame CSV-safe: structs → JSON strings, binary → base64. */
+  def flattenForCsv(df: DataFrame): DataFrame =
+    df.schema.fields.foldLeft(df) { (acc, field) =>
+      field.dataType match {
+        case _: StructType => acc.withColumn(field.name, to_json(col(field.name)))
+        case BinaryType => acc.withColumn(field.name, base64(col(field.name)))
+        case _ => acc
+      }
+    }
+
+  def writeCsv(df: DataFrame, layout: Layout,
+               header: Boolean = true, singleFile: Boolean = false): String = {
+    val out = if (singleFile) flattenForCsv(df).coalesce(1) else flattenForCsv(df)
+    out.write.option("header", header.toString).mode(SaveMode.Overwrite).csv(layout.path)
+    layout.path
+  }
+
+  def writeParquet(df: DataFrame, layout: Layout, singleFile: Boolean = false): String = {
+    val out = if (singleFile) df.coalesce(1) else df
+    out.write.mode(SaveMode.Overwrite).parquet(layout.path)
+    layout.path
+  }
+
+  def writeJson(df: DataFrame, layout: Layout, singleFile: Boolean = false): String = {
+    val out = if (singleFile) df.coalesce(1) else df
+    out.write.mode(SaveMode.Overwrite).json(layout.path)
+    layout.path
+  }
+}

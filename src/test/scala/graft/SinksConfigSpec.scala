@@ -1,0 +1,191 @@
+package graft
+
+import java.nio.file.{Files, Paths}
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.config._
+import graft.sinks._
+
+class SinksConfigSpec extends AnyFunSuite {
+  lazy val spark: SparkSession = SparkTestSession.spark
+  import spark.implicits._
+
+  // ---------------- FileSink ----------------
+
+  test("csv sink flattens structs to json and binary to base64, writes header") {
+    val dir = Files.createTempDirectory("csv").toString
+    val df = Seq((1L, "hello")).toDF("id", "t")
+      .withColumn("s", struct(lit(7).as("a"), lit("x").as("b")))
+      .withColumn("bin", encode($"t", "UTF-8"))
+    val layout = FileSink.Layout(dir, "tbl", "fp1", Some("100"))
+    val path = FileSink.writeCsv(df, layout, header = true, singleFile = true)
+    assert(path == s"$dir/tbl/fp1/100")
+    val files = Files.list(Paths.get(path)).iterator()
+    val csvs = new scala.collection.mutable.ArrayBuffer[String]
+    while (files.hasNext) { val f = files.next(); if (f.toString.endsWith(".csv")) csvs += f.toString }
+    assert(csvs.size == 1, "singleFile should produce one csv")
+    val lines = new String(Files.readAllBytes(Paths.get(csvs.head)), "UTF-8").trim.split("\n")
+    assert(lines.head == "id,t,s,bin")
+    assert(lines(1).contains("{\\\"a\\\":7,\\\"b\\\":\\\"x\\\"}"))
+    assert(lines(1).contains(java.util.Base64.getEncoder.encodeToString("hello".getBytes)))
+  }
+
+  test("parquet sink round-trips with timestamp-dir layout") {
+    val dir = Files.createTempDirectory("pq").toString
+    val df = Seq((1L, "a"), (2L, "b")).toDF("id", "v")
+    val p = FileSink.writeParquet(df, FileSink.Layout(dir, "t", "fp", None))
+    assert(p == s"$dir/t/fp")
+    assert(spark.read.parquet(p).count() == 2)
+  }
+
+  test("json sink writes readable lines") {
+    val dir = Files.createTempDirectory("js").toString
+    val p = FileSink.writeJson(Seq((1L, "a")).toDF("id", "v"),
+      FileSink.Layout(dir, "t", "fp"), singleFile = true)
+    assert(spark.read.json(p).select("id", "v").as[(Long, String)].collect().toSeq == Seq((1L, "a")))
+  }
+
+  test("schema.yaml sidecar lists name/type/nullability") {
+    val dir = Files.createTempDirectory("sch").toString
+    val df = Seq((1L, "a")).toDF("id", "v")
+    val p = SchemaDoc.writeSchemaYaml(df, dir)
+    val yaml = new String(Files.readAllBytes(Paths.get(p)), "UTF-8")
+    assert(yaml.contains("name: \"id\"") || yaml.contains("name: id"))
+    assert(yaml.contains("bigint"))
+    assert(yaml.contains("string"))
+  }
+
+  // ---------------- JdbcDdl ----------------
+
+  val schema: StructType = StructType(Seq(
+    StructField("id", LongType, nullable = true),
+    StructField("gwcbi___operation", IntegerType, nullable = true),
+    StructField("gwcbi___seqval_hex", StringType, nullable = true),
+    StructField("content", StringType, nullable = true),
+    StructField("amount", DecimalType(18, 2), nullable = true),
+    StructField("created", TimestampType, nullable = true),
+    StructField("blob", BinaryType, nullable = true)))
+
+  test("create DDL: alphabetic columns, platform types, forced not-null keys") {
+    val ddl = JdbcDdl.createTableDdl(JdbcDdl.SqlServer, schema, "dbo.policy", JdbcDdl.Raw)
+    assert(ddl.startsWith("CREATE TABLE dbo.policy ("))
+    // alphabetic order
+    val idx = Seq("\"amount\"", "\"blob\"", "\"content\"", "\"created\"",
+      "\"gwcbi___operation\"", "\"gwcbi___seqval_hex\"", "\"id\"").map(ddl.indexOf)
+    assert(idx == idx.sorted && idx.forall(_ >= 0))
+    assert(ddl.contains("\"id\" BIGINT NOT NULL"))
+    assert(ddl.contains("\"gwcbi___operation\" INTEGER NOT NULL"))
+    assert(ddl.contains("\"content\" VARCHAR(1333)"))
+    assert(ddl.contains("\"created\" DATETIME2"))
+    assert(ddl.contains("\"blob\" VARBINARY(max)"))
+    assert(ddl.contains("\"amount\" DECIMAL(18,2)"))
+  }
+
+  test("large-text override and platform variants") {
+    val large = Set("policy.content")
+    val ss = JdbcDdl.columnDefinition(JdbcDdl.SqlServer, "dbo.policy", "content", StringType, nullable = true, large)
+    val pg = JdbcDdl.columnDefinition(JdbcDdl.Postgres, "dbo.policy", "content", StringType, nullable = true, large)
+    val ora = JdbcDdl.columnDefinition(JdbcDdl.OracleDb, "dbo.policy", "content", StringType, nullable = true, large)
+    assert(ss.contains("VARCHAR(max)") && pg.endsWith("VARCHAR") && ora.contains("VARCHAR2(32767)"))
+    assert(JdbcDdl.columnDefinition(JdbcDdl.OracleDb, "s.t", "n", DecimalType(10, 0), nullable = true)
+      .contains("NUMBER(10)"))
+  }
+
+  test("alter-add generates one statement per new column") {
+    val existing = StructType(schema.fields.take(4))
+    val stmts = JdbcDdl.alterAddColumnsDdl(JdbcDdl.Postgres, existing, schema, "public.policy")
+    assert(stmts.size == 3)
+    assert(stmts.forall(_.startsWith("ALTER TABLE public.policy ADD ")))
+    assert(stmts.exists(_.contains("\"amount\" DECIMAL(18,2)")))
+  }
+
+  test("primary key and index DDL per write type") {
+    assert(JdbcDdl.primaryKeyDdl("dbo.policy", JdbcDdl.Raw) ==
+      """ALTER TABLE dbo.policy ADD CONSTRAINT policy_pk PRIMARY KEY ("id", "gwcbi___seqval_hex", "gwcbi___operation")""")
+    assert(JdbcDdl.primaryKeyDdl("dbo.policy", JdbcDdl.Merged) ==
+      """ALTER TABLE dbo.policy ADD CONSTRAINT policy_pk PRIMARY KEY ("id")""")
+    assert(JdbcDdl.secondaryIndexDdl("dbo.pctl_state").get.contains("\"typecode\""))
+    assert(JdbcDdl.secondaryIndexDdl("dbo.policy").get.contains("\"publicid\""))
+  }
+
+  test("platform detection from url") {
+    assert(JdbcDdl.platformForUrl("jdbc:postgresql://h/db") == JdbcDdl.Postgres)
+    assert(JdbcDdl.platformForUrl("jdbc:sqlserver://h;db=x") == JdbcDdl.SqlServer)
+    assert(JdbcDdl.platformForUrl("jdbc:oracle:thin:@//h:1521/x") == JdbcDdl.OracleDb)
+    assertThrows[IllegalArgumentException](JdbcDdl.platformForUrl("jdbc:mysql://h/db"))
+  }
+
+  // ---------------- JdbcSink frames ----------------
+
+  test("jdbc sink frames: raw fixes columns, merged applies ops and drops internals") {
+    val df = Seq(
+      (1L, 2, "01", "a", "keep", "g1"),
+      (1L, 4, "02", "b", "keep", "g1"),
+      (2L, 2, "03", "c", "keep", "g1"),
+      (2L, 1, "04", "c", "keep", "g1"))
+      .toDF("id", "gwcbi___operation", "gwcbi___seqval_hex", "v", "interval", "gwcbi___lsn")
+    val raw = JdbcSink.rawFrame(df)
+    assert(raw.columns.contains("interval_") && !raw.columns.contains("interval"))
+    val merged = JdbcSink.mergedFrame(df, Seq("id"), Seq("gwcbi___seqval_hex"))
+    assert(merged.columns.toSet == Set("id", "gwcbi___seqval_hex", "v", "interval_"))
+    val rows = merged.select("id", "v").as[(Long, String)].collect().toMap
+    assert(rows == Map(1L -> "b"))
+    // writer is fully configured without touching a database
+    val w = JdbcSink.writer(raw, JdbcConnection("jdbc:postgresql://h/db", "u", "p", "public"), "t")
+    assert(w != null)
+  }
+
+  // ---------------- GraftConfig ----------------
+
+  val goodYaml: String =
+    """sourceLocation:
+      |  baseDir: /data/cdc
+      |  manifestPath: /data/cdc/manifest.json
+      |outputLocation:
+      |  path: /out
+      |savepointsLocation:
+      |  path: /sp
+      |outputSettings:
+      |  tablesToInclude: taccount, tnote
+      |  exportTarget: file
+      |  fileFormat: csv
+      |  includeColumnNames: true
+      |  saveAsSingleFile: true
+      |  largeTextFields: cc_note.body, pc_datachange.gosu
+      |performanceTuning:
+      |  numberOfJobsInParallelMaxCount: 12
+      |sparkTuning:
+      |  maxResultSize: 4g
+      |""".stripMargin
+
+  test("yaml config parses with defaults and typed fields") {
+    val cfg = GraftConfig.fromYaml(goodYaml)
+    assert(cfg.sourceLocation.baseDir == "/data/cdc")
+    assert(cfg.outputSettings.fileFormat == "csv")
+    assert(cfg.outputSettings.saveAsSingleFile)
+    assert(!cfg.outputSettings.saveIntoTimestampDirectory) // default
+    assert(cfg.largeTextFieldSet == Set("cc_note.body", "pc_datachange.gosu"))
+    assert(cfg.performanceTuning.numberOfJobsInParallelMaxCount == 12)
+    assert(cfg.performanceTuning.numberOfThreadsPerJob == 4) // default
+    assert(cfg.sparkTuning.maxResultSize == "4g")
+    assert(cfg.jdbcConnectionRaw.isEmpty)
+  }
+
+  test("config validation rejects bad targets/formats/missing sections") {
+    assertThrows[InvalidConfigException](
+      GraftConfig.fromYaml(goodYaml.replace("exportTarget: file", "exportTarget: kafka")))
+    assertThrows[InvalidConfigException](
+      GraftConfig.fromYaml(goodYaml.replace("fileFormat: csv", "fileFormat: xml")))
+    assertThrows[InvalidConfigException](
+      GraftConfig.fromYaml(goodYaml.replace("sourceLocation:", "sourceLocationX:")))
+    // jdbc raw without a connection section
+    val jdbcYaml = goodYaml
+      .replace("exportTarget: file", "exportTarget: jdbc")
+      .replace("saveAsSingleFile: true", "saveIntoJdbcRaw: true")
+    assertThrows[InvalidConfigException](GraftConfig.fromYaml(jdbcYaml))
+  }
+}

@@ -1,0 +1,80 @@
+package graft
+
+import java.nio.file.Files
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.cdc.{CdcColumns, CdcMerge}
+import graft.streaming.{CdcStream, WindowedAgg}
+
+class StreamingSpec extends AnyFunSuite {
+  lazy val spark: SparkSession = SparkTestSession.spark
+  import spark.implicits._
+
+  val sfDir = "/root/testdata/sf0.001"
+
+  test("streaming tumbling-window agg equals the batch result") {
+    // the file stream source needs a directory, not a bare file
+    val streamDir = Files.createTempDirectory("evstream")
+    Files.copy(java.nio.file.Paths.get(s"$sfDir/events.parquet"),
+      streamDir.resolve("events.parquet"))
+    val stream = WindowedAgg.readEventsStream(spark, streamDir.toString)
+    val agg = WindowedAgg.tumblingAgg(stream, "1 hour", "2 hours")
+    val got = WindowedAgg.runToMemory(spark, agg, "win_test")
+      .select($"window_start", $"event_type", $"n_events", $"sum_value")
+      .as[(java.sql.Timestamp, String, Long, Double)].collect().toSet
+
+    val batch = graft.sources.TableCatalog.events(spark, sfDir)
+      .groupBy(date_trunc("hour", $"ts").as("window_start"), $"event_type")
+      .agg(count(lit(1)).cast("bigint").as("n_events"),
+        sum($"value".cast("decimal(18,2)")).cast("double").as("sum_value"))
+      .as[(java.sql.Timestamp, String, Long, Double)].collect().toSet
+
+    assert(got.nonEmpty)
+    assert(got == batch)
+  }
+
+  test("continuous CDC merge converges to sequence-ordered latest state") {
+    val work = Files.createTempDirectory("cdcstream")
+    val inDir = s"$work/in"; val stateDir = s"$work/state"; val ckDir = s"$work/ck"
+    Files.createDirectories(java.nio.file.Paths.get(inDir))
+
+    // coded op-log fixture: 3 entities; entity 2 ends deleted, entity 3
+    // is deleted then re-inserted LATER in sequence (stream semantics:
+    // latest op wins, so it survives — unlike the intra-batch
+    // deletes-last semantics of CdcMerge.applyOperations)
+    val log = Seq(
+      (1L, 1L, 2, "a1"), (1L, 4L, 4, "a2"),
+      (2L, 2L, 2, "b1"), (2L, 5L, 1, null),
+      (3L, 3L, 1, null), (3L, 6L, 2, "c1"))
+      .toDF("id", "seq", CdcColumns.OperationCol, "v")
+
+    // two micro-batches split by sequence
+    log.filter($"seq" <= 3).write.parquet(s"$inDir/batch=1")
+    log.filter($"seq" > 3).write.parquet(s"$inDir/batch=2")
+
+    val stream = spark.readStream.schema(log.schema)
+      .option("maxFilesPerTrigger", "1")
+      .parquet(s"$inDir/*")
+    val q = CdcStream.start(stream, stateDir, Seq("id"), Seq("seq"), ckDir)
+    q.processAllAvailable()
+    q.stop()
+
+    assert(CdcStream.currentVersion(stateDir).exists(_ >= 1), "should commit >1 state version")
+    val state = CdcStream.currentState(spark, stateDir).get
+      .select("id", "v").as[(Long, String)].collect().toMap
+    assert(state == Map(1L -> "a2", 3L -> "c1"))
+
+    // tombstone retained for entity 2
+    val withTombstones = CdcStream.stateWithTombstones(spark, stateDir).get
+    assert(withTombstones.count() == 3)
+
+    // equivalence: same result as a one-shot batch compaction of the full log
+    val batchState = CdcMerge.latestByKey(log, Seq("id"), Seq("seq"))
+      .filter(col(CdcColumns.OperationCol) =!= CdcMerge.DeleteOp)
+      .select("id", "v").as[(Long, String)].collect().toMap
+    assert(state == batchState)
+  }
+}
