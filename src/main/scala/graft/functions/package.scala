@@ -42,26 +42,59 @@ package object functions {
   // Hashing / sketches (per-row, zero shuffle)
   // ------------------------------------------------------------------
 
-  /** MinHash signature: for seed i in [0, numHashes), the minimum of
-    * `xxhash64(element, i)` over the array. One codegen'd expression;
-    * signatures are computed in the scan stage.
+  /** (h1, h2) hash pairs for the Kirsch-Mitzenmacher two-hash MinHash
+    * family: each element is hashed exactly TWICE regardless of
+    * signature length. Reduced mod 2^31 so `h1 + k*h2` can never
+    * overflow a long under ANSI mode. Materialize this in its own
+    * projection so the signature lambdas reference a computed
+    * attribute instead of re-hashing per signature slot.
     */
-  def minhashSignature(shingles: Column, numHashes: Int): Column =
-    transform(sequence(lit(0), lit(numHashes - 1)), i =>
-      aggregate(shingles, lit(Long.MaxValue), (acc, s) => least(acc, xxhash64(s, i))))
-
-  /** 64-bit SimHash over token hashes: bit j is set when the majority
-    * of tokens have bit j set in their xxhash64.
-    */
-  def simhash64(tokens: Column): Column = {
-    val n = size(tokens)
-    val bitTerms = transform(sequence(lit(0), lit(63)), j => {
-      val votes = aggregate(tokens, lit(0L),
-        (acc, t) => acc + call_function("shiftright", xxhash64(t), j).bitwiseAND(lit(1L)))
-      when(votes * 2 > n, call_function("shiftleft", lit(1L), j)).otherwise(lit(0L))
-    })
-    aggregate(bitTerms, lit(0L), (acc, b) => acc.bitwiseOR(b))
+  def minhashHashPairs(shingles: Column): Column = {
+    val M31 = lit(2147483647L)
+    transform(shingles, s =>
+      struct(pmod(xxhash64(s), M31).as("h1"), pmod(xxhash64(s, lit(7)), M31).as("h2")))
   }
+
+  /** MinHash signature from (h1, h2) pairs: sig_i = min over elements
+    * of h1 + (i+1)*h2.
+    *
+    * Transposed into ONE aggregate pass whose state is the whole
+    * signature array — the per-element hashing runs exactly once.
+    * (The naive "one aggregate per slot" form re-evaluates the hash
+    * transform per slot: CollapseProject inlines staged projections
+    * back into every consumer, so staging does not protect it.)
+    */
+  def minhashOfPairs(hashed: Column, numHashes: Int): Column =
+    aggregate(hashed,
+      array_repeat(lit(Long.MaxValue), numHashes),
+      (acc, h) => zip_with(acc, sequence(lit(1), lit(numHashes)), (m, i) =>
+        least(m, h.getField("h1") + i * h.getField("h2"))))
+
+  /** Convenience single-expression MinHash signature. */
+  def minhashSignature(shingles: Column, numHashes: Int): Column =
+    minhashOfPairs(minhashHashPairs(shingles), numHashes)
+
+  /** Element hashes for SimHash; materialize in its own projection. */
+  def tokenHashes(tokens: Column): Column = transform(tokens, t => xxhash64(t))
+
+  /** 64-bit SimHash from token hashes: bit j is set when the majority
+    * of tokens have bit j set. Transposed like `minhashOfPairs`: one
+    * aggregate pass accumulating all 64 bit-vote counters, so each
+    * token hash is consumed once.
+    */
+  def simhashOfHashes(hashes: Column): Column = {
+    val n = size(hashes)
+    val votes = aggregate(hashes,
+      array_repeat(lit(0L), 64),
+      (acc, h) => zip_with(acc, sequence(lit(0), lit(63)), (v, j) =>
+        v + call_function("shiftright", h, j).bitwiseAND(lit(1L))))
+    val bits = zip_with(votes, sequence(lit(0), lit(63)), (v, j) =>
+      when(v * 2 > n, call_function("shiftleft", lit(1L), j)).otherwise(lit(0L)))
+    aggregate(bits, lit(0L), (acc, b) => acc.bitwiseOR(b))
+  }
+
+  /** Convenience single-expression SimHash. */
+  def simhash64(tokens: Column): Column = simhashOfHashes(tokenHashes(tokens))
 
   /** Polynomial rolling hash of a token sequence (order-sensitive).
     * Computed mod 2^31-1 so every intermediate fits in 63 bits —

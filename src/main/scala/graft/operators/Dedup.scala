@@ -24,6 +24,16 @@ import graft.functions._
   */
 object Dedup {
 
+  /** Spread rows across cores when the source has fewer partitions
+    * than the cluster (a single parquet file reads as ONE task, which
+    * serializes the expensive per-row sketching). No-op when the
+    * input is already parallel — large inputs keep their layout.
+    */
+  private def spread(df: DataFrame): DataFrame = {
+    val target = df.sparkSession.sparkContext.defaultParallelism
+    if (df.rdd.getNumPartitions < math.max(2, target / 2)) df.repartition(target) else df
+  }
+
   /** Canonical whitespace/case normalization for exact dedup. */
   private def normText(c: org.apache.spark.sql.Column) =
     regexp_replace(lower(trim(c)), "\\s+", " ")
@@ -46,11 +56,13 @@ object Dedup {
   def ngramJaccard(df: DataFrame, idCol: String, textCol: String,
                    n: Int = 3, threshold: Double = 0.8,
                    maxShinglePosting: Int = 1000): DataFrame = {
-    val shingled = df.select(col(idCol).as("doc"),
+    val shingled = spread(df).select(col(idCol).as("doc"),
       wordShingles(wsTokens(col(textCol)), n).as("shingles"))
     val sizes = shingled.select(col("doc"), size(col("shingles")).as("n_sh"))
+    // shuffle 8-byte shingle hashes, not shingle strings (a word
+    // n-gram averages ~20 bytes and the posting shuffle dominates)
     val posting = shingled
-      .select(col("doc"), explode(col("shingles")).as("sh"))
+      .select(col("doc"), explode(tokenHashes(col("shingles"))).as("sh"))
     // inverted index: keep only shingles that can produce a pair
     val byShingle = posting.groupBy("sh")
       .agg(collect_list("doc").as("docs"))
@@ -86,23 +98,33 @@ object Dedup {
                  threshold: Double = 0.8): DataFrame = {
     require(numHashes % rowsPerBand == 0, "numHashes must be divisible by rowsPerBand")
     val numBands = numHashes / rowsPerBand
-    val shingled = df.select(col(idCol).as("doc"),
+    // two projections: hash pairs materialize once, then numHashes
+    // signature slots reference the computed attribute
+    val shingled = spread(df).select(col(idCol).as("doc"),
       wordShingles(wsTokens(col(textCol)), n).as("shingles"))
-      .withColumn("sig", minhashSignature(col("shingles"), numHashes))
-    // (band, hash-of-band-slice) bucket keys; docs only meet within a bucket
-    val banded = shingled.select(col("doc"), col("shingles"),
+      .withColumn("__hp", minhashHashPairs(col("shingles")))
+      .withColumn("sig", minhashOfPairs(col("__hp"), numHashes))
+      .drop("__hp")
+    // (band, hash-of-band-slice) bucket keys carry ONLY the doc id —
+    // shuffling the shingle arrays numBands times would dominate the
+    // job; candidates re-fetch their shingles by id afterwards
+    val banded = shingled.select(col("doc"),
       explode(transform(sequence(lit(0), lit(numBands - 1)), b =>
         struct(b.as("band"),
           xxhash64(slice(col("sig"), b * rowsPerBand + lit(1), lit(rowsPerBand)), b).as("bh"))))
         .as("bucket"))
-      .select(col("doc"), col("shingles"), col("bucket.band"), col("bucket.bh"))
-    val a = banded.select(col("band"), col("bh"), col("doc").as("doc_a"), col("shingles").as("sh_a"))
-    val b = banded.select(col("band"), col("bh"), col("doc").as("doc_b"), col("shingles").as("sh_b"))
+      .select(col("doc"), col("bucket.band"), col("bucket.bh"))
+    val a = banded.select(col("band"), col("bh"), col("doc").as("doc_a"))
+    val b = banded.select(col("band"), col("bh"), col("doc").as("doc_b"))
     val candidates = a.join(b, Seq("band", "bh"))
       .filter(col("doc_a") < col("doc_b"))
-      .select("doc_a", "doc_b", "sh_a", "sh_b").dropDuplicates("doc_a", "doc_b")
-    // exact-Jaccard verification on candidates only
+      .select("doc_a", "doc_b").dropDuplicates("doc_a", "doc_b")
+    // exact-Jaccard verification on candidates only (shingles joined
+    // back by id — candidate count << corpus size)
+    val shOnly = shingled.select(col("doc"), col("shingles"))
     candidates
+      .join(shOnly.select(col("doc").as("doc_a"), col("shingles").as("sh_a")), "doc_a")
+      .join(shOnly.select(col("doc").as("doc_b"), col("shingles").as("sh_b")), "doc_b")
       .withColumn("n_common", size(array_intersect(col("sh_a"), col("sh_b"))).cast("bigint"))
       .withColumn("jaccard", col("n_common").cast("double") /
         size(array_union(col("sh_a"), col("sh_b"))).cast("double"))
@@ -119,8 +141,9 @@ object Dedup {
   def simhashPairs(df: DataFrame, idCol: String, textCol: String,
                    maxHamming: Int = 3): DataFrame = {
     require(maxHamming < 4, "4-chunk pigeonhole guarantees hamming <= 3")
-    val sketched = df.select(col(idCol).as("doc"),
-      simhash64(wsTokens(col(textCol))).as("sk"))
+    val sketched = spread(df).select(col(idCol).as("doc"),
+        tokenHashes(wsTokens(col(textCol))).as("__th"))
+      .select(col("doc"), simhashOfHashes(col("__th")).as("sk"))
     val chunked = sketched.select(col("doc"), col("sk"),
       explode(transform(sequence(lit(0), lit(3)), c =>
         struct(c.as("chunk"),
@@ -141,7 +164,7 @@ object Dedup {
     */
   def embeddingNearDup(df: DataFrame, idCol: String, vecCol: String,
                        threshold: Double = 0.95, numPlanes: Int = 8): DataFrame = {
-    val bucketed = df.select(col(idCol).as("vid"), col(vecCol).as("v"),
+    val bucketed = spread(df).select(col(idCol).as("vid"), col(vecCol).as("v"),
       hyperplaneBucket(col(vecCol), numPlanes).as("bucket"))
     val a = bucketed.select(col("bucket"), col("vid").as("id_a"), col("v").as("v_a"))
     val b = bucketed.select(col("bucket"), col("vid").as("id_b"), col("v").as("v_b"))
