@@ -4,6 +4,7 @@ import org.apache.spark.sql.{DataFrame}
 import org.apache.spark.sql.functions._
 
 import graft.functions._
+import graft.plans.GraftFunctions
 
 /** Corpus deduplication operators (SURVEY.md §2c rows 34-38).
   *
@@ -164,13 +165,14 @@ object Dedup {
     */
   def embeddingNearDup(df: DataFrame, idCol: String, vecCol: String,
                        threshold: Double = 0.95, numPlanes: Int = 8): DataFrame = {
+    GraftFunctions.register(df.sparkSession)
     val bucketed = spread(df).select(col(idCol).as("vid"), col(vecCol).as("v"),
       hyperplaneBucket(col(vecCol), numPlanes).as("bucket"))
     val a = bucketed.select(col("bucket"), col("vid").as("id_a"), col("v").as("v_a"))
     val b = bucketed.select(col("bucket"), col("vid").as("id_b"), col("v").as("v_b"))
     a.join(b, Seq("bucket"))
       .filter(col("id_a") < col("id_b"))
-      .withColumn("cosine", cosineSim(col("v_a"), col("v_b")))
+      .withColumn("cosine", GraftFunctions.cosineFast(col("v_a"), col("v_b")))
       .filter(col("cosine") >= threshold)
       .select(col("id_a"), col("id_b"), col("cosine"))
   }

@@ -5,6 +5,7 @@ import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 import graft.functions._
+import graft.plans.GraftFunctions
 
 /** Approximate-nearest-neighbor search over an embedding column
   * (SURVEY.md §2c rows 39-40).
@@ -23,11 +24,12 @@ object Similarity {
     */
   def bruteForceTopK(base: DataFrame, queries: DataFrame,
                      idCol: String, vecCol: String, k: Int = 5): DataFrame = {
+    GraftFunctions.register(base.sparkSession)
     val b = base.select(col(idCol).as("base_id"), col(vecCol).as("base_v"))
     val q = queries.select(col(idCol).as("query_id"), col(vecCol).as("query_v"))
     val scored = b.crossJoin(broadcast(q))
       .filter(col("base_id") =!= col("query_id"))
-      .withColumn("cosine", cosineSim(col("base_v"), col("query_v")))
+      .withColumn("cosine", GraftFunctions.cosineFast(col("base_v"), col("query_v")))
     val w = Window.partitionBy(col("query_id"))
       .orderBy(col("cosine").desc, col("base_id").asc)
     scored.withColumn("rank", row_number().over(w).cast("bigint"))
@@ -43,13 +45,14 @@ object Similarity {
   def lshTopK(base: DataFrame, queries: DataFrame,
               idCol: String, vecCol: String, k: Int = 5,
               numPlanes: Int = 4): DataFrame = {
+    GraftFunctions.register(base.sparkSession)
     val b = base.select(col(idCol).as("base_id"), col(vecCol).as("base_v"),
       hyperplaneBucket(col(vecCol), numPlanes).as("bucket"))
     val q = queries.select(col(idCol).as("query_id"), col(vecCol).as("query_v"),
       hyperplaneBucket(col(vecCol), numPlanes).as("bucket"))
     val scored = b.join(broadcast(q), Seq("bucket"))
       .filter(col("base_id") =!= col("query_id"))
-      .withColumn("cosine", cosineSim(col("base_v"), col("query_v")))
+      .withColumn("cosine", GraftFunctions.cosineFast(col("base_v"), col("query_v")))
     val w = Window.partitionBy(col("query_id"))
       .orderBy(col("cosine").desc, col("base_id").asc)
     scored.withColumn("rank", row_number().over(w).cast("bigint"))

@@ -1,0 +1,42 @@
+package graft.plans
+
+import org.apache.spark.sql.{Column, SparkSession, SparkSessionExtensions}
+import org.apache.spark.sql.catalyst.FunctionIdentifier
+import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
+import org.apache.spark.sql.functions.call_function
+
+/** Registration for graft's native Catalyst expressions, exposing
+  * them to both the Column API (`cosineFast`) and SQL
+  * (`SELECT graft_cosine(a, b)`).
+  */
+object GraftFunctions {
+
+  val CosineName = "graft_cosine"
+
+  private def builders: Seq[(String, Seq[Expression] => Expression)] = Seq(
+    CosineName -> (exprs => CosineSimilarity(exprs(0), exprs(1))))
+
+  /** Idempotently register the functions on a session. Operators call
+    * this before building plans that use the fast expressions.
+    */
+  def register(spark: SparkSession): Unit =
+    builders.foreach { case (name, builder) =>
+      spark.sessionState.functionRegistry.createOrReplaceTempFunction(name, builder, "built-in")
+    }
+
+  /** Column-API handle (requires `register(spark)` on the session). */
+  def cosineFast(a: Column, b: Column): Column = call_function(CosineName, a, b)
+}
+
+/** Session extension injecting graft functions at session build time:
+  *
+  * {{{ SparkSession.builder().withExtensions(new GraftExtensions) }}}
+  */
+class GraftExtensions extends (SparkSessionExtensions => Unit) {
+  override def apply(ext: SparkSessionExtensions): Unit = {
+    ext.injectFunction((
+      FunctionIdentifier(GraftFunctions.CosineName),
+      new ExpressionInfo(classOf[CosineSimilarity].getName, GraftFunctions.CosineName),
+      (exprs: Seq[Expression]) => CosineSimilarity(exprs(0), exprs(1))))
+  }
+}

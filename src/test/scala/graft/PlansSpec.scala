@@ -1,0 +1,72 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.functions.cosineSim
+import graft.plans.{GraftExtensions, GraftFunctions}
+
+class PlansSpec extends AnyFunSuite {
+  lazy val spark: SparkSession = SparkTestSession.spark
+  import spark.implicits._
+
+  test("graft_cosine agrees with the HOF cosine on real float embeddings") {
+    GraftFunctions.register(spark)
+    val e = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    val pairs = e.select($"vec_id".as("ia"), $"embedding".as("va"))
+      .crossJoin(e.select($"vec_id".as("ib"), $"embedding".as("vb")))
+      .filter($"ia" < $"ib").limit(500)
+    val diff = pairs.select(
+        abs(GraftFunctions.cosineFast($"va", $"vb") - cosineSim($"va", $"vb")).as("d"))
+      .agg(max($"d")).as[Double].head()
+    assert(diff < 1e-12, s"max |fast - hof| = $diff")
+  }
+
+  test("graft_cosine handles double arrays, zero norms, and nulls") {
+    GraftFunctions.register(spark)
+    val df = Seq(
+      (Array(1.0, 2.0, 3.0), Array(1.0, 2.0, 3.0)),  // identical → 1.0
+      (Array(1.0, 0.0), Array(0.0, 1.0)),            // orthogonal → 0.0
+      (Array(0.0, 0.0), Array(1.0, 1.0))             // zero norm → 0.0
+    ).toDF("a", "b")
+    val got = df.select(GraftFunctions.cosineFast($"a", $"b")).as[Double].collect()
+    assert(math.abs(got(0) - 1.0) < 1e-12)
+    assert(math.abs(got(1)) < 1e-12)
+    assert(got(2) == 0.0)
+    // null input → null
+    val nulls = df.select(GraftFunctions.cosineFast(lit(null).cast("array<double>"), $"b"))
+      .collect()
+    assert(nulls.forall(_.isNullAt(0)))
+  }
+
+  test("graft_cosine is codegen-compatible (no fallback in evaluation)") {
+    GraftFunctions.register(spark)
+    // force both codegen and interpreted paths and compare
+    val e = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet").limit(50)
+    val q = e.select($"vec_id", GraftFunctions.cosineFast($"embedding", $"embedding").as("c"))
+    val withCodegen = q.collect().map(r => (r.getLong(0), r.getDouble(1))).toMap
+    withCodegen.values.foreach(v => assert(math.abs(v - 1.0) < 1e-6))
+    val prev = spark.conf.get("spark.sql.codegen.wholeStage")
+    try {
+      spark.conf.set("spark.sql.codegen.wholeStage", "false")
+      spark.conf.set("spark.sql.codegen.factoryMode", "NO_CODEGEN")
+      val interpreted = q.collect().map(r => (r.getLong(0), r.getDouble(1))).toMap
+      assert(interpreted == withCodegen)
+    } finally {
+      spark.conf.set("spark.sql.codegen.wholeStage", prev)
+      spark.conf.set("spark.sql.codegen.factoryMode", "FALLBACK")
+    }
+  }
+
+  test("graft_cosine is exposed to SQL after registration") {
+    // NOTE: building a second SparkSession with .withExtensions in the
+    // shared-context test JVM would not apply extensions (and closing
+    // it kills the context for parallel suites); the registry path the
+    // extension uses at build time is exercised via register() + SQL.
+    GraftFunctions.register(spark)
+    val one = spark.sql("SELECT graft_cosine(array(1.0D, 0.0D), array(1.0D, 0.0D)) AS c")
+      .collect()(0).getDouble(0)
+    assert(math.abs(one - 1.0) < 1e-12)
+  }
+}
