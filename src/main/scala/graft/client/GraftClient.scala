@@ -1,0 +1,109 @@
+package graft.client
+
+import java.util.concurrent.atomic.AtomicInteger
+
+import scala.collection.parallel.CollectionConverters._
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+
+import graft.cdc.{CdcColumns, CdcMerge, Manifest, Savepoints}
+import graft.config.GraftConfig
+import graft.sinks.{FileSink, SchemaDoc}
+import graft.sources.CdcBatchReader
+
+/** The end-to-end client run loop — graft's equivalent of the
+  * reference's TableReader.run (cda-client TableReader.scala:81-216)
+  * + CloudDataAccessClient:
+  *
+  *  1. read manifest, filter to included tables;
+  *  2. per table: compute unprocessed batches from the savepoint,
+  *     read them (internal columns managed, schemas unified);
+  *  3. write to the configured file sink (csv/parquet/json) in the
+  *     table/fingerprint/timestamp layout with a schema sidecar,
+  *     optionally merged to latest-state first;
+  *  4. commit the savepoint.
+  *
+  * Tables are processed concurrently (the reference uses `.par`,
+  * TableReader.scala:191) — each table's Spark job parallelizes
+  * internally as well, so the driver-side pool just keeps the
+  * scheduler fed.
+  */
+class GraftClient(spark: SparkSession, cfg: GraftConfig) {
+
+  case class TableResult(tableName: String, rowsWritten: Long,
+                         outputPath: String, newSavepoint: Option[String],
+                         skipped: Boolean = false)
+
+  private val savepoints = new Savepoints(cfg.savepointsLocation.path)
+
+  /** Merge policy applied before file writes when the caller wants
+    * state rather than the raw log.
+    */
+  def mergeIfRequested(df: DataFrame, merged: Boolean,
+                       keyCols: Seq[String], seqCols: Seq[String]): DataFrame =
+    if (merged) CdcColumns.dropAllInternal(
+      CdcMerge.applyOperations(df, keyCols, seqCols), keepSeqVal = true)
+    else df
+
+  def runTable(tableName: String, entry: graft.cdc.ManifestEntry,
+               merged: Boolean = false,
+               keyCols: Seq[String] = Seq("id"),
+               seqCols: Seq[String] = Seq(CdcColumns.SeqValCol)): TableResult = {
+    val savepoint = savepoints.getAsLong(tableName)
+    CdcBatchReader.readTable(spark, tableName, entry, savepoint) match {
+      case None =>
+        TableResult(tableName, 0L, "", None, skipped = true)
+      case Some(batch) =>
+        // CDC sources always carry seqval_hex, but a plain snapshot
+        // batch may not: fall back to the batch-folder provenance
+        // column (monotone per batch) so merged mode still orders.
+        val usableSeq = {
+          val present = seqCols.filter(batch.columns.contains)
+          if (present.nonEmpty) present else Seq(CdcColumns.TimestampFolderCol)
+        }
+        val out = mergeIfRequested(batch, merged, keyCols, usableSeq)
+        val fingerprint = entry.schemaHistory.keys.toSeq.sorted.mkString("+")
+        val layout = FileSink.Layout(cfg.outputLocation.path, tableName, fingerprint,
+          if (cfg.outputSettings.saveIntoTimestampDirectory)
+            Some(entry.lastSuccessfulWriteTimestamp) else None)
+        val path = cfg.outputSettings.fileFormat.toLowerCase match {
+          case "csv" =>
+            val p = FileSink.writeCsv(out, layout,
+              header = cfg.outputSettings.includeColumnNames,
+              singleFile = cfg.outputSettings.saveAsSingleFile)
+            SchemaDoc.writeSchemaYaml(out, p)
+            p
+          case "json" => FileSink.writeJson(out, layout, cfg.outputSettings.saveAsSingleFile)
+          case _ => FileSink.writeParquet(out, layout, cfg.outputSettings.saveAsSingleFile)
+        }
+        // count the frame itself: re-reading the folder would also pick
+        // up the schema.yaml sidecar (csv reader parses it as rows)
+        val rows = out.count()
+        val newSp = entry.lastSuccessfulWriteTimestamp
+        savepoints.write(tableName, newSp)
+        TableResult(tableName, rows, path, Some(newSp))
+    }
+  }
+
+  /** Run all (included) tables; returns per-table results. */
+  def run(singleTableName: String = "", merged: Boolean = false): Seq[TableResult] = {
+    val include = if (singleTableName.nonEmpty) singleTableName
+      else cfg.outputSettings.tablesToInclude
+    val manifest = Manifest.filterTables(
+      Manifest.fromFile(cfg.sourceLocation.manifestPath), include)
+    val done = new AtomicInteger(0)
+    val results = manifest.toSeq.par.map { case (tableName, entry) =>
+      val r = scala.util.Try(runTable(tableName, entry, merged)) match {
+        case scala.util.Success(res) => res
+        case scala.util.Failure(e) =>
+          // the reference logs and continues on per-table failure
+          // (TableReader.scala:199-206)
+          System.err.println(s"[graft] table '$tableName' FAILED: ${e.getMessage}")
+          TableResult(tableName, 0L, "", None, skipped = true)
+      }
+      done.incrementAndGet()
+      r
+    }.seq
+    results
+  }
+}

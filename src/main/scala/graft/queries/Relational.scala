@@ -282,6 +282,103 @@ object Relational {
       |  FROM events WHERE event_type IN ('view', 'purchase')) t
       |WHERE event_type = 'purchase'""".stripMargin
 
+  // ---- q17: gap-based sessionization (one window pass, one shuffle) ----
+  val q17Sessionize: Q = (s, d) => {
+    val w = Window.partitionBy(col("user_id")).orderBy(col("ts").asc, col("event_id").asc)
+    events(s, d)
+      .withColumn("prev_us", lag(unix_micros(col("ts")), 1).over(w))
+      .withColumn("new_sess",
+        when(col("prev_us").isNull ||
+          unix_micros(col("ts")) - col("prev_us") > lit(1800L * 1000000L), 1L).otherwise(0L))
+      .withColumn("session_no",
+        sum(col("new_sess")).over(w.rowsBetween(Window.unboundedPreceding, 0)))
+      .groupBy(col("user_id"), col("session_no"))
+      .agg(count(lit(1)).cast("bigint").as("n_events"),
+        min(col("ts")).as("session_start"),
+        max(col("ts")).as("session_end"),
+        sum(col("value").cast("decimal(18,2)")).cast("double").as("sum_value"))
+  }
+
+  val q17Oracle: String =
+    """WITH g AS (
+      |  SELECT user_id, event_id, value, CAST(ts AS TIMESTAMP) AS ts,
+      |    LAG(epoch_us(CAST(ts AS TIMESTAMP)), 1) OVER
+      |      (PARTITION BY user_id ORDER BY ts ASC, event_id ASC) AS prev_us
+      |  FROM events),
+      |m AS (
+      |  SELECT *, CASE WHEN prev_us IS NULL
+      |    OR epoch_us(ts) - prev_us > 1800 * 1000000 THEN 1 ELSE 0 END AS new_sess
+      |  FROM g),
+      |s AS (
+      |  SELECT *, SUM(new_sess) OVER (PARTITION BY user_id ORDER BY ts ASC, event_id ASC
+      |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_no
+      |  FROM m)
+      |SELECT user_id, CAST(session_no AS BIGINT) AS session_no,
+      |  CAST(COUNT(*) AS BIGINT) AS n_events,
+      |  MIN(ts) AS session_start, MAX(ts) AS session_end,
+      |  CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
+      |FROM s GROUP BY user_id, session_no""".stripMargin
+
+  // ---- q18: two-stage salted aggregation (skew-mitigation pattern;
+  //      result identical to a plain group-by because the partial sums
+  //      are exact decimals) ----
+  val q18SaltedAgg: Q = (s, d) => {
+    val salted = orders(s, d)
+      .withColumn("__salt", pmod(col("o_orderkey"), lit(8)))
+      .groupBy(col("o_orderpriority"), col("__salt"))
+      .agg(count(lit(1)).as("pn"),
+        sum(col("o_totalprice").cast("decimal(18,2)")).as("ps"))
+    salted.groupBy(col("o_orderpriority"))
+      .agg(sum(col("pn")).cast("bigint").as("n"),
+        sum(col("ps")).cast("double").as("sum_price"))
+  }
+
+  val q18Oracle: String =
+    """SELECT o_orderpriority, CAST(COUNT(*) AS BIGINT) AS n,
+      |  CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_price
+      |FROM orders GROUP BY o_orderpriority""".stripMargin
+
+  // ---- q19: exact interpolated percentiles (values are small
+  //      integers stored as doubles, so the interpolation arithmetic
+  //      is exact in both engines) ----
+  val q19Percentile: Q = (s, d) =>
+    lineitem(s, d).groupBy(col("l_returnflag")).agg(
+      expr("percentile(l_quantity, 0.5)").as("p50"),
+      expr("percentile(l_quantity, 0.9)").as("p90"),
+      count(lit(1)).cast("bigint").as("n"))
+
+  val q19Oracle: String =
+    """SELECT l_returnflag,
+      |  quantile_cont(l_quantity, 0.5) AS p50,
+      |  quantile_cont(l_quantity, 0.9) AS p90,
+      |  CAST(COUNT(*) AS BIGINT) AS n
+      |FROM lineitem GROUP BY l_returnflag""".stripMargin
+
+  // ---- q20: mean/stddev derived from exact decimal sums (the float
+  //      accumulation-order problem removed by construction) ----
+  val q20StatsManual: Q = (s, d) => {
+    val q = col("l_quantity").cast("decimal(18,2)")
+    lineitem(s, d).groupBy(col("l_linestatus"))
+      .agg(count(lit(1)).cast("bigint").as("n"),
+        sum(q).cast("double").as("sum_q"),
+        sum((q * q).cast("decimal(38,4)")).cast("double").as("sum_qq"))
+      .withColumn("mean_q", col("sum_q") / col("n").cast("double"))
+      .withColumn("stddev_q",
+        sqrt((col("sum_qq") - col("sum_q") * col("sum_q") / col("n").cast("double")) /
+          (col("n") - 1).cast("double")))
+  }
+
+  val q20Oracle: String =
+    """WITH t AS (
+      |  SELECT l_linestatus, CAST(COUNT(*) AS BIGINT) AS n,
+      |    CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_q,
+      |    CAST(SUM(CAST(CAST(l_quantity AS DECIMAL(18,2)) * CAST(l_quantity AS DECIMAL(18,2)) AS DECIMAL(38,4))) AS DOUBLE) AS sum_qq
+      |  FROM lineitem GROUP BY l_linestatus)
+      |SELECT l_linestatus, n, sum_q, sum_qq,
+      |  sum_q / CAST(n AS DOUBLE) AS mean_q,
+      |  sqrt((sum_qq - sum_q * sum_q / CAST(n AS DOUBLE)) / CAST(n - 1 AS DOUBLE)) AS stddev_q
+      |FROM t""".stripMargin
+
   val queries: Map[String, Q] = Map(
     "q1_pricing_summary" -> q1PricingSummary,
     "q2_filter_pushdown" -> q2FilterPushdown,
@@ -297,7 +394,11 @@ object Relational {
     "q13_pivot" -> q13Pivot,
     "q14_topk" -> q14TopK,
     "q15_enrich" -> q15Enrich,
-    "q16_asof_join" -> q16AsofJoin)
+    "q16_asof_join" -> q16AsofJoin,
+    "q17_sessionize" -> q17Sessionize,
+    "q18_salted_agg" -> q18SaltedAgg,
+    "q19_percentile" -> q19Percentile,
+    "q20_stats_manual" -> q20StatsManual)
 
   val oracles: Map[String, String] = Map(
     "q1_pricing_summary" -> q1Oracle,
@@ -314,5 +415,9 @@ object Relational {
     "q13_pivot" -> q13Oracle,
     "q14_topk" -> q14Oracle,
     "q15_enrich" -> q15Oracle,
-    "q16_asof_join" -> q16Oracle)
+    "q16_asof_join" -> q16Oracle,
+    "q17_sessionize" -> q17Oracle,
+    "q18_salted_agg" -> q18Oracle,
+    "q19_percentile" -> q19Oracle,
+    "q20_stats_manual" -> q20Oracle)
 }
