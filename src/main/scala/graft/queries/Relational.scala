@@ -379,6 +379,23 @@ object Relational {
       |  sqrt((sum_qq - sum_q * sum_q / CAST(n AS DOUBLE)) / CAST(n - 1 AS DOUBLE)) AS stddev_q
       |FROM t""".stripMargin
 
+  // ---- q21: custom physical operator — bounded-heap top-k per key
+  //      (TopKPerKeyNode/Exec via planner strategy; one shuffle, no
+  //      sort, vs the window row_number full partition sort) ----
+  val q21TopkCustom: Q = (s, d) =>
+    org.apache.spark.sql.graft.TopKPerKey(
+      orders(s, d).select(col("o_custkey"), col("o_orderkey"), col("o_totalprice")),
+      keyCols = Seq("o_custkey"),
+      orderCols = Seq("o_totalprice" -> true, "o_orderkey" -> false),
+      k = 2)
+
+  val q21Oracle: String =
+    """SELECT o_custkey, o_orderkey, o_totalprice FROM (
+      |  SELECT o_custkey, o_orderkey, o_totalprice,
+      |    ROW_NUMBER() OVER (PARTITION BY o_custkey
+      |      ORDER BY o_totalprice DESC, o_orderkey ASC) AS rn
+      |  FROM orders) t WHERE rn <= 2""".stripMargin
+
   val queries: Map[String, Q] = Map(
     "q1_pricing_summary" -> q1PricingSummary,
     "q2_filter_pushdown" -> q2FilterPushdown,
@@ -398,7 +415,8 @@ object Relational {
     "q17_sessionize" -> q17Sessionize,
     "q18_salted_agg" -> q18SaltedAgg,
     "q19_percentile" -> q19Percentile,
-    "q20_stats_manual" -> q20StatsManual)
+    "q20_stats_manual" -> q20StatsManual,
+    "q21_topk_custom" -> q21TopkCustom)
 
   val oracles: Map[String, String] = Map(
     "q1_pricing_summary" -> q1Oracle,
@@ -419,5 +437,6 @@ object Relational {
     "q17_sessionize" -> q17Oracle,
     "q18_salted_agg" -> q18Oracle,
     "q19_percentile" -> q19Oracle,
-    "q20_stats_manual" -> q20Oracle)
+    "q20_stats_manual" -> q20Oracle,
+    "q21_topk_custom" -> q21Oracle)
 }
