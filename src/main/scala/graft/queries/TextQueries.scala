@@ -120,6 +120,14 @@ object TextQueries {
     Similarity.bruteForceTopK(e, e.filter(col("vec_id") < 20), "vec_id", "embedding", k = 5)
   }
 
+  val annIvf: Q = (s, d) => {
+    val e = embeddings(s, d)
+    val model = graft.operators.IvfIndex.train(e, "vec_id", "embedding",
+      numCentroids = 16, iters = 2)
+    graft.operators.IvfIndex.topK(e, e.filter(col("vec_id") < 20),
+      "vec_id", "embedding", model, k = 5, nProbe = 4)
+  }
+
   val annLsh: Q = (s, d) => {
     val e = embeddings(s, d)
     Similarity.lshTopK(e, e.filter(col("vec_id") < 20), "vec_id", "embedding", k = 5)
@@ -138,6 +146,39 @@ object TextQueries {
       |  CAST(octet_length(encode(text)) AS BIGINT) * 7 % 480 AS height,
       |  CASE WHEN octet_length(encode(text)) % 2 = 0 THEN 'png' ELSE 'jpeg' END AS format
       |FROM documents""".stripMargin
+
+  // ---- text_pii_redact: PII scrubbing (emails / urls / phone-like)
+  //      — the corpus has no PII, so deterministic PII is appended
+  //      per doc first; both engines build and scrub the same string.
+  //      Patterns stay in the RE2-compatible subset DuckDB supports.
+  val piiRedact: Q = (s, d) => {
+    val built = concat(col("text"),
+      lit(" contact: user"), col("doc_id"), lit("@example.com"),
+      lit(" http://site"), col("doc_id"), lit(".org tel 555-"), col("doc_id"))
+    documents(s, d).select(
+      col("doc_id"),
+      size(regexp_extract_all(built, lit("[a-z0-9._%+-]+@[a-z0-9.-]+\\.[a-z]{2,}"), lit(0)))
+        .cast("bigint").as("n_emails"),
+      regexp_replace(
+        regexp_replace(
+          regexp_replace(built, "[a-z0-9._%+-]+@[a-z0-9.-]+\\.[a-z]{2,}", "<EMAIL>"),
+          "https?://[^ ]+", "<URL>"),
+        "\\b555-[0-9]+\\b", "<PHONE>").as("redacted"))
+  }
+
+  val piiRedactOracle: String =
+    """WITH b AS (SELECT doc_id,
+      |  text || ' contact: user' || doc_id || '@example.com http://site'
+      |       || doc_id || '.org tel 555-' || doc_id AS built
+      |  FROM documents)
+      |SELECT doc_id,
+      |  CAST(len(regexp_extract_all(built, '[a-z0-9._%+-]+@[a-z0-9.-]+\.[a-z]{2,}')) AS BIGINT) AS n_emails,
+      |  regexp_replace(
+      |    regexp_replace(
+      |      regexp_replace(built, '[a-z0-9._%+-]+@[a-z0-9.-]+\.[a-z]{2,}', '<EMAIL>', 'g'),
+      |      'https?://[^ ]+', '<URL>', 'g'),
+      |    '\b555-[0-9]+\b', '<PHONE>', 'g') AS redacted
+      |FROM b""".stripMargin
 
   // ---- q_stream_window: tumbling-window agg (batch equivalent of
   //      the streaming WindowedAgg; oracle-checked here, streaming
@@ -166,7 +207,9 @@ object TextQueries {
     "dedup_embedding" -> dedupEmbedding,
     "ann_topk" -> annTopK,
     "ann_lsh" -> annLsh,
+    "ann_ivf" -> annIvf,
     "multimodal_meta" -> multimodalMeta,
+    "text_pii_redact" -> piiRedact,
     "q_stream_window" -> streamWindow)
 
   val oracles: Map[String, String] = Map(
@@ -176,5 +219,6 @@ object TextQueries {
     "dedup_exact" -> dedupExactOracle,
     "dedup_ngram_jaccard" -> dedupNgramOracle,
     "multimodal_meta" -> multimodalMetaOracle,
+    "text_pii_redact" -> piiRedactOracle,
     "q_stream_window" -> streamWindowOracle)
 }

@@ -1,0 +1,78 @@
+package graft
+
+import java.nio.file.Files
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.operators.{IvfIndex, Similarity}
+import graft.streaming.Sessionize
+
+class SessionizeIvfSpec extends AnyFunSuite {
+  lazy val spark: SparkSession = SparkTestSession.spark
+  import spark.implicits._
+
+  val sfDir = "/root/testdata/sf0.001"
+
+  test("streaming sessionization matches batch windows for closed sessions") {
+    // typed event stream from the events table, split into two
+    // chronological batches (cross-batch order per user preserved)
+    val ev = graft.sources.TableCatalog.events(spark, sfDir)
+      .select($"user_id", $"event_id", $"ts", $"value")
+    val split = lit("2024-01-15 00:00:00").cast("timestamp")
+    val dir = Files.createTempDirectory("sess").toString
+    ev.filter($"ts" < split).write.parquet(s"$dir/b1")
+    ev.filter($"ts" >= split).write.parquet(s"$dir/b2")
+
+    val stream = spark.readStream.schema(ev.schema)
+      .option("maxFilesPerTrigger", "1").parquet(s"$dir/*")
+      .as[Sessionize.SessionEvent]
+    val got = Sessionize.runToMemory(spark,
+        Sessionize.sessions(stream, gapSeconds = 1800), "sess_test")
+      .collect().map(s => (s.user_id, s.session_no, s.n_events, s.sum_value))
+      .toSet
+
+    // batch truth: q17-style window sessionization, minus each user's
+    // LAST session (still open in the stream, intentionally unemitted)
+    val w = Window.partitionBy($"user_id").orderBy($"ts".asc, $"event_id".asc)
+    val sess = ev
+      .withColumn("prev_us", lag(unix_micros($"ts"), 1).over(w))
+      .withColumn("new_sess", when($"prev_us".isNull ||
+        unix_micros($"ts") - $"prev_us" > 1800L * 1000000L, 1L).otherwise(0L))
+      .withColumn("session_no", sum($"new_sess").over(w.rowsBetween(Window.unboundedPreceding, 0)))
+      .groupBy($"user_id", $"session_no")
+      .agg(count(lit(1)).as("n_events"), sum($"value").as("sum_value"))
+    val maxSess = sess.groupBy($"user_id").agg(max($"session_no").as("last_no"))
+    val want = sess.join(maxSess, "user_id")
+      .filter($"session_no" < $"last_no")
+      .select($"user_id", $"session_no", $"n_events", $"sum_value")
+      .as[(Long, Long, Long, Double)].collect()
+      .map(t => (t._1, t._2, t._3, math.round(t._4 * 100) / 100.0)).toSet
+
+    val gotRounded = got.map(t => (t._1, t._2, t._3, math.round(t._4 * 100) / 100.0))
+    assert(gotRounded.nonEmpty)
+    assert(gotRounded == want)
+  }
+
+  test("IVF ANN: trained centroids partition the corpus; probes recall brute-force hits") {
+    val e = spark.read.parquet(s"$sfDir/embeddings.parquet")
+    val queries = e.filter($"vec_id" < 5)
+    val model = IvfIndex.train(e, "vec_id", "embedding", numCentroids = 8, iters = 2)
+    assert(model.centroids.size == 8)
+    assert(model.centroids.forall(_.size == 64))
+
+    val ivf = IvfIndex.topK(e, queries, "vec_id", "embedding", model, k = 5, nProbe = 4)
+      .select("query_id", "base_id").as[(Long, Long)].collect()
+    assert(ivf.nonEmpty)
+    assert(ivf.groupBy(_._1).forall(_._2.length <= 5))
+
+    // recall vs exact brute force top-5: probing half the lists on a
+    // loosely-clustered corpus should still recover most true hits
+    val brute = Similarity.bruteForceTopK(e, queries, "vec_id", "embedding", k = 5)
+      .select("query_id", "base_id").as[(Long, Long)].collect().toSet
+    val recall = ivf.count(brute.contains).toDouble / brute.size
+    assert(recall >= 0.4, s"IVF recall too low: $recall")
+  }
+}
