@@ -119,6 +119,31 @@ class SinksConfigSpec extends AnyFunSuite {
     assertThrows[IllegalArgumentException](JdbcDdl.platformForUrl("jdbc:mysql://h/db"))
   }
 
+  test("schema gate: consistent / evolve / bypass decisions") {
+    import org.apache.spark.sql.types._
+    val existing = StructType(Seq(
+      StructField("id", LongType), StructField("v", StringType)))
+    val addsCol = StructType(existing.fields :+ StructField("score", DoubleType))
+    val typeChange = StructType(Seq(
+      StructField("id", LongType), StructField("v", LongType)))
+    val dropsCol = StructType(Seq(StructField("id", LongType)))
+
+    assert(SchemaGate.check(existing, existing, JdbcDdl.Postgres, "public.t") == SchemaGate.Consistent)
+    SchemaGate.check(existing, addsCol, JdbcDdl.Postgres, "public.t") match {
+      case SchemaGate.Evolve(stmts) =>
+        assert(stmts == Seq("ALTER TABLE public.t ADD \"score\" DOUBLE PRECISION"))
+      case other => fail(s"expected Evolve, got $other")
+    }
+    SchemaGate.check(existing, typeChange, JdbcDdl.Postgres, "public.t") match {
+      case SchemaGate.Bypass(reasons) => assert(reasons.exists(_.contains("type changed")))
+      case other => fail(s"expected Bypass, got $other")
+    }
+    SchemaGate.check(existing, dropsCol, JdbcDdl.Postgres, "public.t") match {
+      case SchemaGate.Bypass(reasons) => assert(reasons.exists(_.contains("missing from incoming")))
+      case other => fail(s"expected Bypass, got $other")
+    }
+  }
+
   // ---------------- JdbcSink frames ----------------
 
   test("jdbc sink frames: raw fixes columns, merged applies ops and drops internals") {
