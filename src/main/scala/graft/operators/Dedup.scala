@@ -99,13 +99,12 @@ object Dedup {
                  threshold: Double = 0.8): DataFrame = {
     require(numHashes % rowsPerBand == 0, "numHashes must be divisible by rowsPerBand")
     val numBands = numHashes / rowsPerBand
-    // two projections: hash pairs materialize once, then numHashes
-    // signature slots reference the computed attribute
+    GraftFunctions.register(df.sparkSession)
+    // native codegen'd signature (graft.plans.MinHashSig): one fused
+    // loop per row; same hash family as functions.minhashSignature
     val shingled = spread(df).select(col(idCol).as("doc"),
       wordShingles(wsTokens(col(textCol)), n).as("shingles"))
-      .withColumn("__hp", minhashHashPairs(col("shingles")))
-      .withColumn("sig", minhashOfPairs(col("__hp"), numHashes))
-      .drop("__hp")
+      .withColumn("sig", GraftFunctions.minhashFast(col("shingles"), numHashes))
     // (band, hash-of-band-slice) bucket keys carry ONLY the doc id —
     // shuffling the shingle arrays numBands times would dominate the
     // job; candidates re-fetch their shingles by id afterwards

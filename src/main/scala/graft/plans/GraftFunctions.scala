@@ -12,9 +12,20 @@ import org.apache.spark.sql.functions.call_function
 object GraftFunctions {
 
   val CosineName = "graft_cosine"
+  val MinHashName = "graft_minhash"
+
+  private def minhashBuilder(exprs: Seq[Expression]): Expression = {
+    val k = exprs(1) match {
+      case org.apache.spark.sql.catalyst.expressions.Literal(v: Int, _) => v
+      case other => throw new IllegalArgumentException(
+        s"$MinHashName: numHashes must be an integer literal, got $other")
+    }
+    MinHashSig(exprs(0), k)
+  }
 
   private def builders: Seq[(String, Seq[Expression] => Expression)] = Seq(
-    CosineName -> (exprs => CosineSimilarity(exprs(0), exprs(1))))
+    CosineName -> (exprs => CosineSimilarity(exprs(0), exprs(1))),
+    MinHashName -> (minhashBuilder _))
 
   /** Idempotently register the functions on a session. Operators call
     * this before building plans that use the fast expressions.
@@ -26,6 +37,10 @@ object GraftFunctions {
 
   /** Column-API handle (requires `register(spark)` on the session). */
   def cosineFast(a: Column, b: Column): Column = call_function(CosineName, a, b)
+
+  /** Codegen'd MinHash signature (requires `register(spark)`). */
+  def minhashFast(shingles: Column, numHashes: Int): Column =
+    call_function(MinHashName, shingles, org.apache.spark.sql.functions.lit(numHashes))
 }
 
 /** Session extension injecting graft functions at session build time:

@@ -59,6 +59,30 @@ class PlansSpec extends AnyFunSuite {
     }
   }
 
+  test("graft_minhash equals the HOF minhash signature on real docs") {
+    GraftFunctions.register(spark)
+    import graft.functions.{minhashSignature, wordShingles, wsTokens}
+    val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+      .select($"doc_id", wordShingles(wsTokens($"text"), 3).as("sh"))
+    val both = docs.select($"doc_id",
+        GraftFunctions.minhashFast($"sh", 32).as("fast"),
+        minhashSignature($"sh", 32).as("hof"))
+      .collect()
+    assert(both.nonEmpty)
+    both.foreach { r =>
+      assert(r.getSeq[Long](1) == r.getSeq[Long](2),
+        s"signature mismatch for doc ${r.getLong(0)}")
+    }
+  }
+
+  test("graft_minhash rejects bad inputs") {
+    GraftFunctions.register(spark)
+    val e = intercept[Exception] {
+      spark.sql("SELECT graft_minhash(array(1, 2), 8)").collect()
+    }
+    assert(e.getMessage.contains("array<string>"))
+  }
+
   test("graft_cosine is exposed to SQL after registration") {
     // NOTE: building a second SparkSession with .withExtensions in the
     // shared-context test JVM would not apply extensions (and closing
