@@ -5,15 +5,18 @@ import org.apache.spark.sql.SparkSession
 /** Benchmark main: one JSON line with per-query seconds at the
   * SPARK_GRAFT_SF_DIR scale factor.
   *
-  * Each query is first executed once at sf0.001 (untimed) so JIT +
-  * whole-stage-codegen warmup is paid before measurement — the timed
-  * numbers then reflect steady-state per-query cost, which is what a
-  * long-running cluster job sees.
+  * Each query is first executed once at the SAME scale factor
+  * (untimed) so JIT + whole-stage-codegen warmup is paid before
+  * measurement. Warming at a smaller SF is not enough: AQE picks
+  * different physical plans per SF, so the generated code recompiles
+  * and the first timed run absorbs janino compilation instead of
+  * query cost. The timed numbers reflect steady-state per-query cost,
+  * which is what a long-running cluster job sees.
   */
 object Bench {
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
-    val warmDir = "/root/testdata/sf0.001"
+    val warmDir = sfDir
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")

@@ -396,6 +396,45 @@ object Relational {
       |      ORDER BY o_totalprice DESC, o_orderkey ASC) AS rn
       |  FROM orders) t WHERE rn <= 2""".stripMargin
 
+  // ---- q22: correlated scalar subquery (orders above their
+  //      customer's average) — decorrelated by Catalyst into an
+  //      aggregate + join; exact decimal avg both sides ----
+  val q22Correlated: Q = (s, d) => {
+    val o = orders(s, d)
+    val custAvg = o.groupBy(col("o_custkey").as("ck"))
+      .agg((sum(col("o_totalprice").cast("decimal(18,2)")).cast("double") /
+        count(lit(1)).cast("double")).as("avg_price"))
+    o.join(custAvg, col("o_custkey") === col("ck"))
+      .filter(col("o_totalprice") > col("avg_price") * 1.5)
+      .select(col("o_orderkey"), col("o_custkey"), col("o_totalprice"), col("avg_price"))
+  }
+
+  val q22Oracle: String =
+    """WITH ca AS (
+      |  SELECT o_custkey AS ck,
+      |    CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE) AS avg_price
+      |  FROM orders GROUP BY o_custkey)
+      |SELECT o_orderkey, o_custkey, o_totalprice, avg_price
+      |FROM orders JOIN ca ON o_custkey = ck
+      |WHERE o_totalprice > avg_price * 1.5""".stripMargin
+
+  // ---- q23: RANGE-frame window — events per user within the
+  //      trailing hour of each event (event-time range frame) ----
+  val q23RangeWindow: Q = (s, d) => {
+    val w = Window.partitionBy(col("user_id"))
+      .orderBy(unix_micros(col("ts")))
+      .rangeBetween(-3600L * 1000000L, 0L)
+    events(s, d)
+      .withColumn("n_last_hour", count(lit(1)).over(w).cast("bigint"))
+      .select(col("event_id"), col("user_id"), col("ts"), col("n_last_hour"))
+  }
+
+  val q23Oracle: String =
+    """SELECT event_id, user_id, CAST(ts AS TIMESTAMP) AS ts,
+      |  CAST(COUNT(*) OVER (PARTITION BY user_id ORDER BY epoch_us(CAST(ts AS TIMESTAMP))
+      |    RANGE BETWEEN 3600000000 PRECEDING AND CURRENT ROW) AS BIGINT) AS n_last_hour
+      |FROM events""".stripMargin
+
   val queries: Map[String, Q] = Map(
     "q1_pricing_summary" -> q1PricingSummary,
     "q2_filter_pushdown" -> q2FilterPushdown,
@@ -416,7 +455,9 @@ object Relational {
     "q18_salted_agg" -> q18SaltedAgg,
     "q19_percentile" -> q19Percentile,
     "q20_stats_manual" -> q20StatsManual,
-    "q21_topk_custom" -> q21TopkCustom)
+    "q21_topk_custom" -> q21TopkCustom,
+    "q22_correlated" -> q22Correlated,
+    "q23_range_window" -> q23RangeWindow)
 
   val oracles: Map[String, String] = Map(
     "q1_pricing_summary" -> q1Oracle,
@@ -438,5 +479,7 @@ object Relational {
     "q18_salted_agg" -> q18Oracle,
     "q19_percentile" -> q19Oracle,
     "q20_stats_manual" -> q20Oracle,
-    "q21_topk_custom" -> q21Oracle)
+    "q21_topk_custom" -> q21Oracle,
+    "q22_correlated" -> q22Oracle,
+    "q23_range_window" -> q23Oracle)
 }
