@@ -147,6 +147,34 @@ object TextQueries {
       |  CASE WHEN octet_length(encode(text)) % 2 = 0 THEN 'png' ELSE 'jpeg' END AS format
       |FROM documents""".stripMargin
 
+  // ---- dedup_components: transitive near-dup clusters (connected
+  //      components over the jaccard-0.8 pair graph; representative
+  //      = min doc id). Oracle: recursive-CTE reachability. ----
+  val dedupComponents: Q = (s, d) => {
+    val pairs = Dedup.ngramJaccard(documents(s, d), "doc_id", "text", threshold = 0.8)
+    graft.operators.Components.connectedComponents(pairs, "doc_a", "doc_b")
+      .select(col("id").as("doc_id"), col("component"))
+  }
+
+  val dedupComponentsOracle: String =
+    """WITH RECURSIVE
+      |docs AS (SELECT doc_id, regexp_split_to_array(trim(text), '\s+') toks FROM documents),
+      |sh AS (SELECT doc_id, list_distinct([toks[i]||' '||toks[i+1]||' '||toks[i+2]
+      |                                     for i in range(1, len(toks)-1)]) g FROM docs),
+      |ex AS (SELECT doc_id, unnest(g) s FROM sh),
+      |sz AS (SELECT doc_id, CAST(len(g) AS BIGINT) n FROM sh),
+      |cnt AS (SELECT a.doc_id doc_a, b.doc_id doc_b, CAST(count(*) AS BIGINT) n_common
+      |        FROM ex a JOIN ex b ON a.s = b.s AND a.doc_id < b.doc_id GROUP BY 1, 2),
+      |pairs AS (SELECT doc_a, doc_b FROM cnt
+      |          JOIN sz sa ON sa.doc_id = doc_a JOIN sz sb ON sb.doc_id = doc_b
+      |          WHERE CAST(n_common AS DOUBLE)/CAST(sa.n + sb.n - n_common AS DOUBLE) >= 0.8),
+      |edges AS (SELECT doc_a s, doc_b d FROM pairs UNION SELECT doc_b, doc_a FROM pairs),
+      |reach AS (
+      |  SELECT s AS id, s AS r FROM edges
+      |  UNION
+      |  SELECT reach.id, e.d FROM reach JOIN edges e ON e.s = reach.r)
+      |SELECT id AS doc_id, MIN(r) AS component FROM reach GROUP BY id""".stripMargin
+
   // ---- text_pii_redact: PII scrubbing (emails / urls / phone-like)
   //      — the corpus has no PII, so deterministic PII is appended
   //      per doc first; both engines build and scrub the same string.
@@ -210,6 +238,7 @@ object TextQueries {
     "ann_ivf" -> annIvf,
     "multimodal_meta" -> multimodalMeta,
     "text_pii_redact" -> piiRedact,
+    "dedup_components" -> dedupComponents,
     "q_stream_window" -> streamWindow)
 
   val oracles: Map[String, String] = Map(
@@ -220,5 +249,6 @@ object TextQueries {
     "dedup_ngram_jaccard" -> dedupNgramOracle,
     "multimodal_meta" -> multimodalMetaOracle,
     "text_pii_redact" -> piiRedactOracle,
+    "dedup_components" -> dedupComponentsOracle,
     "q_stream_window" -> streamWindowOracle)
 }

@@ -36,6 +36,24 @@ class StreamingSpec extends AnyFunSuite {
     assert(got == batch)
   }
 
+  test("streaming dedup emits re-delivered records exactly once") {
+    val work = Files.createTempDirectory("sdedup")
+    val e = graft.sources.TableCatalog.events(spark, sfDir)
+      .select($"event_id", $"user_id", $"event_type", $"ts").limit(200)
+    // the same batch lands twice (at-least-once delivery)
+    e.write.parquet(s"$work/in/copy=1")
+    e.write.parquet(s"$work/in/copy=2")
+    val stream = spark.readStream.schema(e.schema)
+      .option("maxFilesPerTrigger", "1").parquet(s"$work/in/*")
+    val deduped = graft.streaming.StreamDedup.dedupUnbounded(stream, Seq("event_id"))
+    val q = deduped.writeStream.outputMode("append").format("memory")
+      .queryName("sdedup_out").start()
+    q.processAllAvailable(); q.stop()
+    val got = spark.table("sdedup_out")
+    assert(got.count() == 200)
+    assert(got.select("event_id").distinct().count() == 200)
+  }
+
   test("continuous CDC merge converges to sequence-ordered latest state") {
     val work = Files.createTempDirectory("cdcstream")
     val inDir = s"$work/in"; val stateDir = s"$work/state"; val ckDir = s"$work/ck"
