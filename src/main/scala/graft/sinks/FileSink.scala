@@ -49,6 +49,24 @@ object FileSink {
     layout.path
   }
 
+  /** Parquet write with the knobs that matter at scale: directory
+    * partitioning (partition pruning on read), compression codec, and
+    * a per-file row cap (bounds task output / downstream split size).
+    */
+  def writeParquetPartitioned(df: DataFrame, layout: Layout,
+                              partitionCols: Seq[String],
+                              compression: String = "snappy",
+                              maxRecordsPerFile: Long = 0L): String = {
+    val w = df.write.mode(SaveMode.Overwrite)
+      .option("compression", compression)
+    val withCap = if (maxRecordsPerFile > 0)
+      w.option("maxRecordsPerFile", maxRecordsPerFile.toString) else w
+    val withParts = if (partitionCols.nonEmpty)
+      withCap.partitionBy(partitionCols: _*) else withCap
+    withParts.parquet(layout.path)
+    layout.path
+  }
+
   def writeJson(df: DataFrame, layout: Layout, singleFile: Boolean = false): String = {
     val out = if (singleFile) df.coalesce(1) else df
     out.write.mode(SaveMode.Overwrite).json(layout.path)

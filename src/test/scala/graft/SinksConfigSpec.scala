@@ -59,6 +59,53 @@ class SinksConfigSpec extends AnyFunSuite {
     assert(yaml.contains("string"))
   }
 
+  test("bucketed tables join without any exchange") {
+    // warehouse dir is a static conf; managed tables land in the
+    // default ./spark-warehouse (dropped + gitignored)
+    spark.sql("DROP TABLE IF EXISTS b_orders")
+    spark.sql("DROP TABLE IF EXISTS b_lineitem")
+    Seq("b_orders", "b_lineitem").foreach { t =>
+      val loc = Paths.get("spark-warehouse", t)
+      if (Files.exists(loc)) {
+        import scala.jdk.CollectionConverters._
+        Files.walk(loc).iterator().asScala.toSeq.reverse.foreach(Files.delete)
+      }
+    }
+    val o = spark.read.parquet("/root/testdata/sf0.001/orders.parquet")
+      .select($"o_orderkey", $"o_custkey", $"o_totalprice")
+    val l = spark.read.parquet("/root/testdata/sf0.001/lineitem.parquet")
+      .select($"l_orderkey".as("o_orderkey"), $"l_quantity")
+    BucketedTables.writeBucketed(o, "b_orders", "o_orderkey", 8)
+    BucketedTables.writeBucketed(l, "b_lineitem", "o_orderkey", 8)
+    // tables are tiny, so force the non-broadcast path to show the
+    // bucketed sort-merge shape (at scale this is the default)
+    val prevThreshold = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    try {
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+      val joined = BucketedTables.coLocatedJoin(spark, "b_orders", "b_lineitem", "o_orderkey")
+      val plan = joined.queryExecution.executedPlan.toString
+      assert(plan.contains("SortMergeJoin"), plan)
+      assert(!plan.contains("Exchange"), s"bucketed join must not shuffle:\n$plan")
+      assert(joined.count() > 0)
+    } finally {
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prevThreshold)
+      spark.sql("DROP TABLE b_orders"); spark.sql("DROP TABLE b_lineitem")
+    }
+  }
+
+  test("partitioned parquet write prunes partitions on read") {
+    val dir = Files.createTempDirectory("pp").toString
+    val o = spark.read.parquet("/root/testdata/sf0.001/orders.parquet")
+    val p = FileSink.writeParquetPartitioned(o,
+      FileSink.Layout(dir, "orders", "fp"), Seq("o_orderstatus"),
+      compression = "gzip", maxRecordsPerFile = 500)
+    assert(Files.isDirectory(Paths.get(s"$p/o_orderstatus=O")))
+    val pruned = spark.read.parquet(p).filter($"o_orderstatus" === "O")
+    val scan = pruned.queryExecution.executedPlan.toString
+    assert(scan.contains("PartitionFilters: [isnotnull(o_orderstatus"), scan)
+    assert(pruned.count() > 0)
+  }
+
   // ---------------- JdbcDdl ----------------
 
   val schema: StructType = StructType(Seq(
