@@ -435,6 +435,31 @@ object Relational {
       |    RANGE BETWEEN 3600000000 PRECEDING AND CURRENT ROW) AS BIGINT) AS n_last_hour
       |FROM events""".stripMargin
 
+  // ---- q24: salted join on a synthetically skewed key (80% of rows
+  //      share key 0); result identical to the unsalted join, which
+  //      is what the oracle computes ----
+  val q24SaltedJoin: Q = (s, d) => {
+    val skewKey = when(col("l_orderkey") % 10 < 8, 0L).otherwise(col("l_orderkey"))
+    val facts = lineitem(s, d)
+      .select(col("l_orderkey"), col("l_linenumber"), col("l_quantity"),
+        skewKey.as("sk"))
+    val dims = facts.select(col("sk")).distinct()
+      .withColumn("bucket_name", concat(lit("k"), col("sk")))
+    graft.operators.Skew.saltedJoin(facts, dims, "sk",
+        factSaltSource = col("l_orderkey") * 10 + col("l_linenumber"), saltFactor = 8)
+      .groupBy(col("bucket_name"))
+      .agg(count(lit(1)).cast("bigint").as("n"),
+        sum(col("l_quantity").cast("decimal(18,2)")).cast("double").as("sum_qty"))
+  }
+
+  val q24Oracle: String =
+    """WITH f AS (SELECT l_quantity,
+      |  CASE WHEN l_orderkey % 10 < 8 THEN 0 ELSE l_orderkey END AS sk
+      |  FROM lineitem)
+      |SELECT 'k' || sk AS bucket_name, CAST(COUNT(*) AS BIGINT) AS n,
+      |  CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty
+      |FROM f GROUP BY sk""".stripMargin
+
   val queries: Map[String, Q] = Map(
     "q1_pricing_summary" -> q1PricingSummary,
     "q2_filter_pushdown" -> q2FilterPushdown,
@@ -457,7 +482,8 @@ object Relational {
     "q20_stats_manual" -> q20StatsManual,
     "q21_topk_custom" -> q21TopkCustom,
     "q22_correlated" -> q22Correlated,
-    "q23_range_window" -> q23RangeWindow)
+    "q23_range_window" -> q23RangeWindow,
+    "q24_salted_join" -> q24SaltedJoin)
 
   val oracles: Map[String, String] = Map(
     "q1_pricing_summary" -> q1Oracle,
@@ -481,5 +507,6 @@ object Relational {
     "q20_stats_manual" -> q20Oracle,
     "q21_topk_custom" -> q21Oracle,
     "q22_correlated" -> q22Oracle,
-    "q23_range_window" -> q23Oracle)
+    "q23_range_window" -> q23Oracle,
+    "q24_salted_join" -> q24Oracle)
 }
