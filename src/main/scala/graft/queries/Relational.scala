@@ -460,6 +460,15 @@ object Relational {
       |  CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty
       |FROM f GROUP BY sk""".stripMargin
 
+  // ---- q25: sketch aggregates (HLL approx-distinct next to the
+  //      exact count; rows-only — sketch estimates are
+  //      implementation-specific, the spec bounds the error) ----
+  val q25ApproxDistinct: Q = (s, d) =>
+    lineitem(s, d).groupBy(col("l_returnflag")).agg(
+      countDistinct(col("l_orderkey")).cast("bigint").as("exact_orders"),
+      approx_count_distinct(col("l_orderkey"), 0.02).cast("bigint").as("approx_orders"),
+      approx_count_distinct(col("l_partkey"), 0.02).cast("bigint").as("approx_parts"))
+
   val queries: Map[String, Q] = Map(
     "q1_pricing_summary" -> q1PricingSummary,
     "q2_filter_pushdown" -> q2FilterPushdown,
@@ -483,7 +492,8 @@ object Relational {
     "q21_topk_custom" -> q21TopkCustom,
     "q22_correlated" -> q22Correlated,
     "q23_range_window" -> q23RangeWindow,
-    "q24_salted_join" -> q24SaltedJoin)
+    "q24_salted_join" -> q24SaltedJoin,
+    "q25_approx_distinct" -> q25ApproxDistinct)
 
   val oracles: Map[String, String] = Map(
     "q1_pricing_summary" -> q1Oracle,

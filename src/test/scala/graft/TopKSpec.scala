@@ -41,6 +41,16 @@ class TopKSpec extends AnyFunSuite {
     assert(!plan.contains("Sort"), s"must not sort:\n$plan")
   }
 
+  test("approx_count_distinct stays within its error bound") {
+    val got = graft.queries.Relational.q25ApproxDistinct(spark, "/root/testdata/sf0.01")
+      .select("exact_orders", "approx_orders").as[(Long, Long)].collect()
+    assert(got.nonEmpty)
+    got.foreach { case (exact, approx) =>
+      val err = math.abs(approx - exact).toDouble / exact
+      assert(err < 0.05, s"HLL error $err too high (exact=$exact approx=$approx)")
+    }
+  }
+
   test("TopKPerKey rejects unknown columns with a clear error") {
     val e = intercept[Exception] {
       TopKPerKey(orders, Seq("nope"), Seq("o_totalprice" -> true), 1).collect()
