@@ -35,15 +35,16 @@ object Components {
       val prop = sym.join(labels.withColumnRenamed("id", "src"), "src")
         .groupBy(col("dst").as("id"))
         .agg(min(col("component")).as("nbr"))
+      // carry the previous label through the projection so the
+      // convergence check is a filter on the SAME cached result —
+      // one join and one action per iteration
       val next = labels.join(prop, Seq("id"), "left")
-        .select(col("id"),
+        .select(col("id"), col("component").as("__old"),
           least(col("component"), coalesce(col("nbr"), col("component"))).as("component"))
         .cache()
-      next.count()
-      val changed = next.join(labels.withColumnRenamed("component", "old"), "id")
-        .filter(col("component") =!= col("old")).limit(1).count() > 0
+      val changed = next.filter(col("component") =!= col("__old")).limit(1).count() > 0
       labels.unpersist()
-      labels = next
+      labels = next.select("id", "component")
       converged = !changed
       i += 1
     }
