@@ -132,6 +132,21 @@ object Dedup {
       .select(col("doc_a"), col("doc_b"), col("n_common"), col("jaccard"))
   }
 
+  /** Materialize the deduplicated corpus: drop every document that
+    * belongs to a near-duplicate component but is not its
+    * representative (minimum id). Composes pair generation +
+    * connected components + one anti-join — the end-to-end "dedup
+    * the corpus" operation a training pipeline actually runs.
+    */
+  def dropNearDuplicates(df: DataFrame, idCol: String, textCol: String,
+                         n: Int = 3, threshold: Double = 0.8): DataFrame = {
+    val pairs = ngramJaccard(df, idCol, textCol, n, threshold)
+    val comp = Components.connectedComponents(pairs, "doc_a", "doc_b")
+    val losers = comp.filter(col("id") =!= col("component"))
+      .select(col("id").as(idCol))
+    df.join(losers, Seq(idCol), "left_anti")
+  }
+
   /** Near-duplicate pairs by SimHash hamming distance.
     *
     * Pigeonhole banding: a pair with hamming <= maxHamming (< number

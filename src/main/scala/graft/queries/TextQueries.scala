@@ -175,6 +175,65 @@ object TextQueries {
       |  SELECT reach.id, e.d FROM reach JOIN edges e ON e.s = reach.r)
       |SELECT id AS doc_id, MIN(r) AS component FROM reach GROUP BY id""".stripMargin
 
+  // ---- dedup_drop_neardups: the materialized deduplicated corpus
+  //      (survivors = unique docs + one representative per component)
+  val dedupDrop: Q = (s, d) =>
+    Dedup.dropNearDuplicates(documents(s, d), "doc_id", "text", threshold = 0.8)
+      .select(col("doc_id"), col("lang"), col("source"), col("n_chars"))
+
+  val dedupDropOracle: String =
+    """WITH RECURSIVE
+      |docs AS (SELECT doc_id, regexp_split_to_array(trim(text), '\s+') toks FROM documents),
+      |sh AS (SELECT doc_id, list_distinct([toks[i]||' '||toks[i+1]||' '||toks[i+2]
+      |                                     for i in range(1, len(toks)-1)]) g FROM docs),
+      |ex AS (SELECT doc_id, unnest(g) s FROM sh),
+      |sz AS (SELECT doc_id, CAST(len(g) AS BIGINT) n FROM sh),
+      |cnt AS (SELECT a.doc_id doc_a, b.doc_id doc_b, CAST(count(*) AS BIGINT) n_common
+      |        FROM ex a JOIN ex b ON a.s = b.s AND a.doc_id < b.doc_id GROUP BY 1, 2),
+      |pairs AS (SELECT doc_a, doc_b FROM cnt
+      |          JOIN sz sa ON sa.doc_id = doc_a JOIN sz sb ON sb.doc_id = doc_b
+      |          WHERE CAST(n_common AS DOUBLE)/CAST(sa.n + sb.n - n_common AS DOUBLE) >= 0.8),
+      |edges AS (SELECT doc_a s, doc_b d FROM pairs UNION SELECT doc_b, doc_a FROM pairs),
+      |reach AS (
+      |  SELECT s AS id, s AS r FROM edges
+      |  UNION
+      |  SELECT reach.id, e.d FROM reach JOIN edges e ON e.s = reach.r),
+      |losers AS (SELECT id FROM reach GROUP BY id HAVING id <> MIN(r))
+      |SELECT doc_id, lang, source, n_chars FROM documents
+      |WHERE doc_id NOT IN (SELECT id FROM losers)""".stripMargin
+
+  // ---- q26_funnel: conversion funnel over the event stream
+  //      (signup → first view after → first purchase after that) ----
+  val funnel: Q = (s, d) => {
+    val e = events(s, d)
+    val t1 = e.filter(col("event_type") === "signup")
+      .groupBy(col("user_id")).agg(min(col("ts")).as("t_signup"))
+    val t2 = e.filter(col("event_type") === "view")
+      .join(t1, "user_id").filter(col("ts") > col("t_signup"))
+      .groupBy(col("user_id"), col("t_signup")).agg(min(col("ts")).as("t_view"))
+    val t3 = e.filter(col("event_type") === "purchase")
+      .join(t2, "user_id").filter(col("ts") > col("t_view"))
+      .groupBy(col("user_id")).agg(min(col("ts")).as("t_purchase"))
+    t1.agg(count(lit(1)).cast("bigint").as("n_signed_up"))
+      .crossJoin(t2.agg(count(lit(1)).cast("bigint").as("n_viewed_after")))
+      .crossJoin(t3.agg(count(lit(1)).cast("bigint").as("n_purchased_after")))
+  }
+
+  val funnelOracle: String =
+    """WITH t1 AS (SELECT user_id, MIN(ts) t_signup FROM events
+      |            WHERE event_type = 'signup' GROUP BY user_id),
+      |t2 AS (SELECT e.user_id, MIN(e.ts) t_view FROM events e
+      |       JOIN t1 ON e.user_id = t1.user_id
+      |       WHERE e.event_type = 'view' AND e.ts > t1.t_signup
+      |       GROUP BY e.user_id),
+      |t3 AS (SELECT e.user_id, MIN(e.ts) t_purchase FROM events e
+      |       JOIN t2 ON e.user_id = t2.user_id
+      |       WHERE e.event_type = 'purchase' AND e.ts > t2.t_view
+      |       GROUP BY e.user_id)
+      |SELECT CAST((SELECT COUNT(*) FROM t1) AS BIGINT) AS n_signed_up,
+      |       CAST((SELECT COUNT(*) FROM t2) AS BIGINT) AS n_viewed_after,
+      |       CAST((SELECT COUNT(*) FROM t3) AS BIGINT) AS n_purchased_after""".stripMargin
+
   // ---- text_pii_redact: PII scrubbing (emails / urls / phone-like)
   //      — the corpus has no PII, so deterministic PII is appended
   //      per doc first; both engines build and scrub the same string.
@@ -239,6 +298,8 @@ object TextQueries {
     "multimodal_meta" -> multimodalMeta,
     "text_pii_redact" -> piiRedact,
     "dedup_components" -> dedupComponents,
+    "dedup_drop_neardups" -> dedupDrop,
+    "q26_funnel" -> funnel,
     "q_stream_window" -> streamWindow)
 
   val oracles: Map[String, String] = Map(
@@ -250,5 +311,7 @@ object TextQueries {
     "multimodal_meta" -> multimodalMetaOracle,
     "text_pii_redact" -> piiRedactOracle,
     "dedup_components" -> dedupComponentsOracle,
+    "dedup_drop_neardups" -> dedupDropOracle,
+    "q26_funnel" -> funnelOracle,
     "q_stream_window" -> streamWindowOracle)
 }
