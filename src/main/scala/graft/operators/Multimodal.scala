@@ -68,6 +68,60 @@ object Multimodal {
       (octet_length(col(payloadCol)).cast("bigint") * 7 % 480).as("height"),
       when(octet_length(col(payloadCol)) % 2 === 0, "png").otherwise("jpeg").as("format"))
 
+  /** A media row with an extracted feature vector. */
+  case class MediaFeatures(doc_id: Long, features: Array[Float])
+
+  /** Feature-extraction stub: normalized 16-bin byte histogram per
+    * payload — the batch shape of an embedding model over media
+    * (replace the histogram with a real encoder; everything
+    * downstream, including ANN search over the features, is real).
+    */
+  def extractFeatures(spark: SparkSession, df: DataFrame,
+                      idCol: String, payloadCol: String,
+                      bins: Int = 16): Dataset[MediaFeatures] = {
+    import spark.implicits._
+    df.select(col(idCol).cast("long").as("doc_id"), col(payloadCol).as("payload"))
+      .as[MediaRow]
+      .mapPartitions { rows =>
+        // per-partition init point (a real model loads here, once)
+        rows.map { r =>
+          val hist = new Array[Float](bins)
+          var i = 0
+          while (i < r.payload.length) {
+            hist(java.lang.Byte.toUnsignedInt(r.payload(i)) * bins / 256) += 1f
+            i += 1
+          }
+          val n = math.max(1, r.payload.length).toFloat
+          var b = 0
+          while (b < bins) { hist(b) /= n; b += 1 }
+          MediaFeatures(r.doc_id, hist)
+        }
+      }
+  }
+
+  /** Resize stub: stride-sample the payload down to at most
+    * `targetBytes` (the batch shape of an image resize — constant
+    * per-row output size, pure function of the payload).
+    */
+  def resize(spark: SparkSession, df: DataFrame, idCol: String,
+             payloadCol: String, targetBytes: Int = 256): Dataset[MediaRow] = {
+    import spark.implicits._
+    df.select(col(idCol).cast("long").as("doc_id"), col(payloadCol).as("payload"))
+      .as[MediaRow]
+      .mapPartitions { rows =>
+        rows.map { r =>
+          if (r.payload.length <= targetBytes) r
+          else {
+            val stride = r.payload.length.toDouble / targetBytes
+            val out = new Array[Byte](targetBytes)
+            var i = 0
+            while (i < targetBytes) { out(i) = r.payload((i * stride).toInt); i += 1 }
+            MediaRow(r.doc_id, out)
+          }
+        }
+      }
+  }
+
   /** Frame/sample extraction stub: fixed-size byte windows from the
     * payload — the batch shape of video frame sampling. Emits
     * (doc_id, frame_no, frame_bytes).

@@ -122,6 +122,28 @@ class OperatorsSpec extends AnyFunSuite {
     assert(colVariant == dsVariant)
   }
 
+  test("multimodal feature extraction feeds ANN search end-to-end") {
+    val media = docs.withColumn("payload", encode($"text", "UTF-8"))
+    val feats = Multimodal.extractFeatures(spark, media, "doc_id", "payload").toDF()
+      .withColumnRenamed("doc_id", "vec_id").withColumnRenamed("features", "embedding")
+    // histograms are valid unit-ready vectors: normalized, fixed-dim
+    val sample = feats.limit(5).collect()
+    assert(sample.forall(_.getSeq[Float](1).length == 16))
+    assert(sample.forall(r => math.abs(r.getSeq[Float](1).sum - 1.0f) < 1e-3))
+    // binary -> features -> ANN: the multimodal pipeline terminates in
+    // the same similarity operators as text embeddings
+    val hits = Similarity.bruteForceTopK(feats, feats.filter($"vec_id" < 3),
+      "vec_id", "embedding", k = 3)
+    assert(hits.count() == 9)
+  }
+
+  test("multimodal resize stride-samples to a bounded payload") {
+    val media = docs.limit(10).withColumn("payload", encode($"text", "UTF-8"))
+    val out = Multimodal.resize(spark, media, "doc_id", "payload", targetBytes = 64).collect()
+    assert(out.nonEmpty)
+    assert(out.forall(_.payload.length <= 64))
+  }
+
   test("multimodal sampleFrames emits bounded fixed-size windows") {
     val media = docs.limit(5).withColumn("payload", encode($"text", "UTF-8"))
     val frames = Multimodal.sampleFrames(media, "doc_id", "payload", frameSize = 64, maxFrames = 4)
