@@ -58,6 +58,24 @@ object CdcMerge {
     state.join(deleted, keyCols, "left_anti")
   }
 
+  /** The "apply every update in sequence" mode
+    * (jdbcApplyLatestUpdatesOnly=false, JdbcOutputWriter.scala:438-445):
+    * the ordered update stream per key, with its apply position. The
+    * final state equals latest-wins, but audit/history sinks need the
+    * full ordered stream.
+    */
+  def updatesOrdered(df: DataFrame,
+                     keyCols: Seq[String],
+                     seqCols: Seq[String],
+                     opCol: String = CdcColumns.OperationCol): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(keyCols.map(col): _*)
+      .orderBy(seqCols.map(c => col(c).asc): _*)
+    df.filter(col(opCol) === UpdateOp)
+      .withColumn("apply_order",
+        org.apache.spark.sql.functions.row_number().over(w).cast("bigint"))
+  }
+
   /** Raw-log dedup on the reference's raw PK
     * (id, seqval, operation) — JdbcOutputWriter.scala:639 — or any
     * caller-supplied key; full-row dedup when `keyCols` is empty.

@@ -163,6 +163,24 @@ object Cdc {
     """SELECT event_id, user_id, event_type, CAST(ts AS TIMESTAMP) AS ts
       |FROM events WHERE ts > TIMESTAMP '2024-01-20 00:00:00'""".stripMargin
 
+  // ---- cdc_updates_ordered: every update in apply order (the
+  //      reference's jdbcApplyLatestUpdatesOnly=false mode) ----
+  val updatesOrdered: Q = (s, d) => {
+    val coded = codedEvents(s, d)
+      .select(col("user_id"), col("event_id"), col("value"), col("ts"),
+        col(CdcColumns.OperationCol))
+    CdcMerge.updatesOrdered(coded, Seq("user_id"), Seq("ts", "event_id"))
+      .select(col("user_id"), col("event_id"), col("value"), col("apply_order"))
+  }
+
+  val updatesOrderedOracle: String =
+    s"""WITH coded AS (
+       |  SELECT user_id, event_id, value, ts, $opSql AS op FROM events)
+       |SELECT user_id, event_id, value,
+       |  CAST(ROW_NUMBER() OVER (PARTITION BY user_id
+       |    ORDER BY ts ASC, event_id ASC) AS BIGINT) AS apply_order
+       |FROM coded WHERE op = 4""".stripMargin
+
   val queries: Map[String, Q] = Map(
     "cdc_union_batches" -> unionBatches,
     "cdc_drop_internal" -> dropInternal,
@@ -171,7 +189,8 @@ object Cdc {
     "cdc_apply_operations" -> applyOperations,
     "cdc_dedup_batch" -> dedupBatch,
     "cdc_schema_evolution" -> schemaEvolution,
-    "cdc_incremental_filter" -> incrementalFilter)
+    "cdc_incremental_filter" -> incrementalFilter,
+    "cdc_updates_ordered" -> updatesOrdered)
 
   val oracles: Map[String, String] = Map(
     "cdc_union_batches" -> unionBatchesOracle,
@@ -181,5 +200,6 @@ object Cdc {
     "cdc_apply_operations" -> applyOperationsOracle,
     "cdc_dedup_batch" -> dedupBatchOracle,
     "cdc_schema_evolution" -> schemaEvolutionOracle,
-    "cdc_incremental_filter" -> incrementalFilterOracle)
+    "cdc_incremental_filter" -> incrementalFilterOracle,
+    "cdc_updates_ordered" -> updatesOrderedOracle)
 }
