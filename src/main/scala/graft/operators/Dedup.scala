@@ -156,9 +156,9 @@ object Dedup {
   def simhashPairs(df: DataFrame, idCol: String, textCol: String,
                    maxHamming: Int = 3): DataFrame = {
     require(maxHamming < 4, "4-chunk pigeonhole guarantees hamming <= 3")
+    GraftFunctions.register(df.sparkSession)
     val sketched = spread(df).select(col(idCol).as("doc"),
-        tokenHashes(wsTokens(col(textCol))).as("__th"))
-      .select(col("doc"), simhashOfHashes(col("__th")).as("sk"))
+      GraftFunctions.simhashFast(wsTokens(col(textCol))).as("sk"))
     val chunked = sketched.select(col("doc"), col("sk"),
       explode(transform(sequence(lit(0), lit(3)), c =>
         struct(c.as("chunk"),

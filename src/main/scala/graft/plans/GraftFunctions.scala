@@ -13,6 +13,7 @@ object GraftFunctions {
 
   val CosineName = "graft_cosine"
   val MinHashName = "graft_minhash"
+  val SimHashName = "graft_simhash"
 
   private def minhashBuilder(exprs: Seq[Expression]): Expression = {
     val k = exprs(1) match {
@@ -25,7 +26,8 @@ object GraftFunctions {
 
   private def builders: Seq[(String, Seq[Expression] => Expression)] = Seq(
     CosineName -> (exprs => CosineSimilarity(exprs(0), exprs(1))),
-    MinHashName -> (minhashBuilder _))
+    MinHashName -> (minhashBuilder _),
+    SimHashName -> (exprs => SimHashSig(exprs(0))))
 
   /** Idempotently register the functions on a session. Operators call
     * this before building plans that use the fast expressions.
@@ -41,6 +43,9 @@ object GraftFunctions {
   /** Codegen'd MinHash signature (requires `register(spark)`). */
   def minhashFast(shingles: Column, numHashes: Int): Column =
     call_function(MinHashName, shingles, org.apache.spark.sql.functions.lit(numHashes))
+
+  /** Codegen'd SimHash sketch (requires `register(spark)`). */
+  def simhashFast(tokens: Column): Column = call_function(SimHashName, tokens)
 }
 
 /** Session extension injecting graft functions at session build time:

@@ -75,6 +75,20 @@ class PlansSpec extends AnyFunSuite {
     }
   }
 
+  test("graft_simhash equals the HOF simhash on real docs") {
+    GraftFunctions.register(spark)
+    import graft.functions.{simhash64, wsTokens}
+    val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    val both = docs.select($"doc_id",
+        GraftFunctions.simhashFast(wsTokens($"text")).as("fast"),
+        simhash64(wsTokens($"text")).as("hof"))
+      .collect()
+    assert(both.nonEmpty)
+    both.foreach { r =>
+      assert(r.getLong(1) == r.getLong(2), s"sketch mismatch for doc ${r.getLong(0)}")
+    }
+  }
+
   test("graft_minhash rejects bad inputs") {
     GraftFunctions.register(spark)
     val e = intercept[Exception] {
