@@ -64,6 +64,39 @@ object Sessionize {
         OutputMode.Append, GroupStateTimeout.NoTimeout)(fold(gapSeconds * 1000000L))
   }
 
+  /** Production variant: sessions also FLUSH on event-time timeout —
+    * when the watermark passes (session end + gap) with no new events,
+    * the open session is emitted and its state dropped, so idle keys
+    * do not pin state forever. Requires a watermark on `ts` upstream.
+    */
+  def foldWithTimeout(gapUs: Long)(userId: Long, events: Iterator[SessionEvent],
+                                   state: GroupState[OpenSession]): Iterator[ClosedSession] = {
+    if (state.hasTimedOut) {
+      val s = state.get
+      state.remove()
+      return Iterator.single(ClosedSession(userId, s.sessionNo, s.nEvents,
+        new Timestamp(s.startUs / 1000L), new Timestamp(s.endUs / 1000L), s.sumValue))
+    }
+    val out = fold(gapUs)(userId, events, state)
+    state.getOption.foreach { s =>
+      state.setTimeoutTimestamp((s.endUs + gapUs) / 1000L) // millis
+    }
+    out
+  }
+
+  /** Wire the timeout-flushing fold; `events` must already carry a
+    * watermark on `ts`.
+    */
+  def sessionsWithTimeout(events: Dataset[SessionEvent],
+                          gapSeconds: Long): Dataset[ClosedSession] = {
+    val spark = events.sparkSession
+    import spark.implicits._
+    events.groupByKey(_.user_id)
+      .flatMapGroupsWithState[OpenSession, ClosedSession](
+        OutputMode.Append, GroupStateTimeout.EventTimeTimeout)(
+        foldWithTimeout(gapSeconds * 1000000L))
+  }
+
   /** Run the streaming sessionizer to a memory sink until drained. */
   def runToMemory(spark: SparkSession, out: Dataset[ClosedSession],
                   queryName: String): Dataset[ClosedSession] = {

@@ -56,6 +56,33 @@ class SessionizeIvfSpec extends AnyFunSuite {
     assert(gotRounded == want)
   }
 
+  test("event-time timeout flushes idle sessions once the watermark passes") {
+    import org.apache.spark.sql.functions.{col, expr}
+    val dir = Files.createTempDirectory("sesstimeout").toString
+    import spark.implicits._
+    // user 1: two events at t0; user 2: one event 10 hours later.
+    // After batch 2 advances the watermark, user 1's session (idle
+    // past the 30-min gap) must flush via timeout; user 2's stays open.
+    val t0 = java.sql.Timestamp.valueOf("2024-01-01 00:00:00")
+    val t1 = java.sql.Timestamp.valueOf("2024-01-01 00:05:00")
+    val t2 = java.sql.Timestamp.valueOf("2024-01-01 10:00:00")
+    Seq((1L, 1L, t0, 1.0), (1L, 2L, t1, 2.0)).toDF("user_id", "event_id", "ts", "value")
+      .write.parquet(s"$dir/in/b1")
+    Seq((2L, 3L, t2, 9.0)).toDF("user_id", "event_id", "ts", "value")
+      .write.parquet(s"$dir/in/b2")
+    val schema = spark.read.parquet(s"$dir/in/b1").schema
+    val stream = spark.readStream.schema(schema)
+      .option("maxFilesPerTrigger", "1").parquet(s"$dir/in/*")
+      .withWatermark("ts", "10 minutes")
+      .as[Sessionize.SessionEvent]
+    val got = Sessionize.runToMemory(spark,
+        Sessionize.sessionsWithTimeout(stream, gapSeconds = 1800), "sess_timeout")
+      .collect()
+    assert(got.map(_.user_id).toSet == Set(1L), s"only user 1 should flush: ${got.toSeq}")
+    val s1 = got.head
+    assert(s1.n_events == 2 && math.abs(s1.sum_value - 3.0) < 1e-9)
+  }
+
   test("IVF ANN: trained centroids partition the corpus; probes recall brute-force hits") {
     val e = spark.read.parquet(s"$sfDir/embeddings.parquet")
     val queries = e.filter($"vec_id" < 5)
