@@ -1,0 +1,48 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Dataset sampling and splitting for training pipelines.
+  *
+  * Both operators are fully deterministic and row-parallel:
+  *  - `hashSplit` assigns each row to a split by hashing a stable id
+  *    — reproducible across runs, machines, and table re-orderings
+  *    (unlike `randomSplit`, which depends on partitioning), and any
+  *    row's split can be recomputed independently (joins between
+  *    split artifacts stay consistent);
+  *  - `stratifiedSample` keeps an approximate per-stratum fraction
+  *    using the same hash trick, so no per-stratum pass or state.
+  */
+object Sampling {
+
+  private val Buckets = 1000000L
+
+  private def bucket(idCol: Column, salt: String): Column =
+    pmod(xxhash64(idCol, lit(salt)), lit(Buckets))
+
+  /** Deterministic train/test split: (train, test) with ~`testFraction`
+    * of rows in test, assigned by id hash.
+    */
+  def hashSplit(df: DataFrame, idCol: String, testFraction: Double,
+                salt: String = "split"): (DataFrame, DataFrame) = {
+    require(testFraction > 0 && testFraction < 1, "testFraction must be in (0,1)")
+    val cut = (testFraction * Buckets).toLong
+    val b = bucket(col(idCol), salt)
+    (df.filter(b >= cut), df.filter(b < cut))
+  }
+
+  /** Deterministic stratified sample: keep ~`fractions(stratum)` of
+    * each stratum (default fraction for unlisted strata).
+    */
+  def stratifiedSample(df: DataFrame, idCol: String, stratumCol: String,
+                       fractions: Map[String, Double],
+                       defaultFraction: Double = 0.0,
+                       salt: String = "strata"): DataFrame = {
+    val cutExpr = fractions.foldLeft(lit((defaultFraction * Buckets).toLong)) {
+      case (acc, (stratum, f)) =>
+        when(col(stratumCol) === stratum, lit((f * Buckets).toLong)).otherwise(acc)
+    }
+    df.filter(bucket(col(idCol), salt) < cutExpr)
+  }
+}

@@ -1,0 +1,39 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.operators.Sampling
+
+class SamplingSpec extends AnyFunSuite {
+  lazy val spark: SparkSession = SparkTestSession.spark
+  import spark.implicits._
+
+  def docs = spark.read.parquet("/root/testdata/sf0.01/documents.parquet")
+
+  test("hash split is a deterministic partition with the right proportions") {
+    val (train, test) = Sampling.hashSplit(docs, "doc_id", testFraction = 0.2)
+    val n = docs.count().toDouble
+    val nTest = test.count().toDouble
+    // exact partition: no overlap, nothing lost
+    assert(train.count() + nTest == n)
+    assert(train.join(test, "doc_id").count() == 0)
+    // proportion within sampling tolerance
+    assert(math.abs(nTest / n - 0.2) < 0.08, s"test fraction ${nTest / n}")
+    // deterministic: same ids every time
+    val (_, test2) = Sampling.hashSplit(docs, "doc_id", testFraction = 0.2)
+    assert(test.select("doc_id").as[Long].collect().toSet ==
+      test2.select("doc_id").as[Long].collect().toSet)
+  }
+
+  test("stratified sample respects per-stratum fractions") {
+    val sampled = Sampling.stratifiedSample(docs, "doc_id", "lang",
+      Map("en" -> 0.5, "de" -> 1.0), defaultFraction = 0.0)
+    val byLang = sampled.groupBy("lang").count().as[(String, Long)].collect().toMap
+    val totals = docs.groupBy("lang").count().as[(String, Long)].collect().toMap
+    assert(byLang.keySet == Set("en", "de"), s"unlisted strata must drop: $byLang")
+    assert(byLang("de") == totals("de"), "fraction 1.0 keeps the whole stratum")
+    val enFrac = byLang("en").toDouble / totals("en")
+    assert(math.abs(enFrac - 0.5) < 0.15, s"en fraction $enFrac")
+  }
+}
