@@ -267,6 +267,26 @@ object TextQueries {
       |    '\b555-[0-9]+\b', '<PHONE>', 'g') AS redacted
       |FROM b""".stripMargin
 
+  // ---- text_top_ngrams: corpus-level top bigrams (explode + count
+  //      + deterministic top-k) ----
+  val topNgrams: Q = (s, d) => {
+    import graft.functions.{wordShingles, wsTokens}
+    documents(s, d)
+      .select(explode(wordShingles(wsTokens(col("text")), 2)).as("bigram"))
+      .groupBy(col("bigram"))
+      .agg(count(lit(1)).cast("bigint").as("n_docs"))
+      .orderBy(col("n_docs").desc, col("bigram").asc)
+      .limit(20)
+  }
+
+  val topNgramsOracle: String =
+    """WITH t AS (SELECT doc_id, regexp_split_to_array(trim(text), '\s+') toks FROM documents),
+      |b AS (SELECT doc_id, unnest(list_distinct([toks[i]||' '||toks[i+1]
+      |                                           for i in range(1, len(toks))])) bigram FROM t)
+      |SELECT bigram, CAST(COUNT(*) AS BIGINT) AS n_docs
+      |FROM b GROUP BY bigram
+      |ORDER BY n_docs DESC, bigram ASC LIMIT 20""".stripMargin
+
   // ---- q_stream_window: tumbling-window agg (batch equivalent of
   //      the streaming WindowedAgg; oracle-checked here, streaming
   //      equivalence asserted in StreamingSpec) ----
@@ -297,6 +317,7 @@ object TextQueries {
     "ann_ivf" -> annIvf,
     "multimodal_meta" -> multimodalMeta,
     "text_pii_redact" -> piiRedact,
+    "text_top_ngrams" -> topNgrams,
     "dedup_components" -> dedupComponents,
     "dedup_drop_neardups" -> dedupDrop,
     "q26_funnel" -> funnel,
@@ -310,6 +331,7 @@ object TextQueries {
     "dedup_ngram_jaccard" -> dedupNgramOracle,
     "multimodal_meta" -> multimodalMetaOracle,
     "text_pii_redact" -> piiRedactOracle,
+    "text_top_ngrams" -> topNgramsOracle,
     "dedup_components" -> dedupComponentsOracle,
     "dedup_drop_neardups" -> dedupDropOracle,
     "q26_funnel" -> funnelOracle,
