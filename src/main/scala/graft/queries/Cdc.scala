@@ -181,6 +181,35 @@ object Cdc {
        |    ORDER BY ts ASC, event_id ASC) AS BIGINT) AS apply_order
        |FROM coded WHERE op = 4""".stripMargin
 
+  // ---- cdc_snapshot_diff: derive a CDC feed from two snapshots ----
+  // v1 = events below 8000 with original values; v2 = events from
+  // 2000 up, values doubled where event_id % 3 == 0. The diff must
+  // label: < 2000 deletes, >= 8000 inserts, %3 rows in the overlap
+  // updates.
+  val snapshotDiff: Q = (s, d) => {
+    val base = events(s, d).select(col("event_id"), col("user_id"), col("value"))
+    val v1 = base.filter(col("event_id") < 8000)
+    val v2 = base.filter(col("event_id") >= 2000)
+      .withColumn("value",
+        when(col("event_id") % 3 === 0, col("value") * 2).otherwise(col("value")))
+    graft.cdc.SnapshotDiff.diff(v1, v2, Seq("event_id"))
+  }
+
+  val snapshotDiffOracle: String =
+    """WITH v1 AS (SELECT event_id, user_id, value FROM events WHERE event_id < 8000),
+      |v2 AS (SELECT event_id, user_id,
+      |         CASE WHEN event_id % 3 = 0 THEN value * 2 ELSE value END AS value
+      |       FROM events WHERE event_id >= 2000)
+      |SELECT COALESCE(v2.event_id, v1.event_id) AS event_id,
+      |  COALESCE(v2.user_id, v1.user_id) AS user_id,
+      |  COALESCE(v2.value, v1.value) AS value,
+      |  CASE WHEN v1.event_id IS NULL THEN 2
+      |       WHEN v2.event_id IS NULL THEN 1
+      |       ELSE 4 END AS gwcbi___operation
+      |FROM v1 FULL OUTER JOIN v2 ON v1.event_id = v2.event_id
+      |WHERE v1.event_id IS NULL OR v2.event_id IS NULL
+      |   OR v1.user_id <> v2.user_id OR v1.value <> v2.value""".stripMargin
+
   val queries: Map[String, Q] = Map(
     "cdc_union_batches" -> unionBatches,
     "cdc_drop_internal" -> dropInternal,
@@ -190,7 +219,8 @@ object Cdc {
     "cdc_dedup_batch" -> dedupBatch,
     "cdc_schema_evolution" -> schemaEvolution,
     "cdc_incremental_filter" -> incrementalFilter,
-    "cdc_updates_ordered" -> updatesOrdered)
+    "cdc_updates_ordered" -> updatesOrdered,
+    "cdc_snapshot_diff" -> snapshotDiff)
 
   val oracles: Map[String, String] = Map(
     "cdc_union_batches" -> unionBatchesOracle,
@@ -201,5 +231,6 @@ object Cdc {
     "cdc_dedup_batch" -> dedupBatchOracle,
     "cdc_schema_evolution" -> schemaEvolutionOracle,
     "cdc_incremental_filter" -> incrementalFilterOracle,
-    "cdc_updates_ordered" -> updatesOrderedOracle)
+    "cdc_updates_ordered" -> updatesOrderedOracle,
+    "cdc_snapshot_diff" -> snapshotDiffOracle)
 }

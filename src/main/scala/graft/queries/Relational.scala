@@ -469,6 +469,27 @@ object Relational {
       approx_count_distinct(col("l_orderkey"), 0.02).cast("bigint").as("approx_orders"),
       approx_count_distinct(col("l_partkey"), 0.02).cast("bigint").as("approx_parts"))
 
+  // ---- q27: incremental aggregate maintenance — two delta batches
+  //      merged into a running state equal the full recompute exactly
+  //      (decimal partials; materialized-view-maintenance pattern) ----
+  val q27IncrementalAgg: Q = (s, d) => {
+    import graft.operators.IncrementalAgg
+    val l = lineitem(s, d)
+    val batch1 = l.filter(col("l_orderkey") % 2 === 0)
+    val batch2 = l.filter(col("l_orderkey") % 2 =!= 0)
+    val state0 = IncrementalAgg.partial(batch1, Seq("l_returnflag"), "l_extendedprice")
+    val state1 = IncrementalAgg.merge(state0,
+      IncrementalAgg.partial(batch2, Seq("l_returnflag"), "l_extendedprice"),
+      Seq("l_returnflag"))
+    IncrementalAgg.readout(state1, Seq("l_returnflag"))
+  }
+
+  val q27Oracle: String =
+    """SELECT l_returnflag, CAST(COUNT(*) AS BIGINT) AS n,
+      |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_value,
+      |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE) AS mean_value
+      |FROM lineitem GROUP BY l_returnflag""".stripMargin
+
   val queries: Map[String, Q] = Map(
     "q1_pricing_summary" -> q1PricingSummary,
     "q2_filter_pushdown" -> q2FilterPushdown,
@@ -493,7 +514,8 @@ object Relational {
     "q22_correlated" -> q22Correlated,
     "q23_range_window" -> q23RangeWindow,
     "q24_salted_join" -> q24SaltedJoin,
-    "q25_approx_distinct" -> q25ApproxDistinct)
+    "q25_approx_distinct" -> q25ApproxDistinct,
+    "q27_incremental_agg" -> q27IncrementalAgg)
 
   val oracles: Map[String, String] = Map(
     "q1_pricing_summary" -> q1Oracle,
@@ -518,5 +540,6 @@ object Relational {
     "q21_topk_custom" -> q21Oracle,
     "q22_correlated" -> q22Oracle,
     "q23_range_window" -> q23Oracle,
-    "q24_salted_join" -> q24Oracle)
+    "q24_salted_join" -> q24Oracle,
+    "q27_incremental_agg" -> q27Oracle)
 }
