@@ -43,6 +43,24 @@ class CdcSpec extends AnyFunSuite {
     assert(got == Map(1L -> "upd"))
   }
 
+  test("snapshot diff replayed through applyOperations reproduces v2") {
+    import org.apache.spark.sql.functions._
+    // v1 -> v2: key 2 updated, key 3 deleted, key 4 inserted
+    val v1 = Seq((1L, "a"), (2L, "b"), (3L, "c")).toDF("id", "v")
+    val v2 = Seq((1L, "a"), (2L, "B"), (4L, "d")).toDF("id", "v")
+    val delta = SnapshotDiff.diff(v1, v2, Seq("id"))
+    val ops = delta.select($"id", $"v", col(CdcColumns.OperationCol))
+      .as[(Long, String, Int)].collect().toSet
+    assert(ops == Set((2L, "B", 4), (3L, "c", 1), (4L, "d", 2)))
+    // replay: v1 as baseline inserts (seq 0), delta on top (seq 1)
+    val log = v1.withColumn(CdcColumns.OperationCol, lit(2)).withColumn("seq", lit(0))
+      .unionByName(delta.withColumn("seq", lit(1)))
+    val replayed = CdcMerge.applyOperations(log, Seq("id"), Seq("seq"))
+      .select("id", "v").as[(Long, String)].collect().toSet
+    val want = v2.as[(Long, String)].collect().toSet
+    assert(replayed == want, s"replay mismatch: $replayed vs $want")
+  }
+
   test("dropInternal keeps operation/seqval, drops other gwcbi___ cols") {
     val df = Seq((1L, 2, "ff", "x")).toDF("id", "gwcbi___operation", "gwcbi___seqval_hex", "gwcbi___lsn")
     val out = CdcColumns.dropInternal(df)
