@@ -490,6 +490,35 @@ object Relational {
       |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE) AS mean_value
       |FROM lineitem GROUP BY l_returnflag""".stripMargin
 
+  // ---- q28: as-of join via the custom co-partitioned sort-merge
+  //      exec (AsOfJoinNode/Exec) — same semantics as q16's window
+  //      composition, different physical plan ----
+  val q28AsofCustom: Q = (s, d) => {
+    val e = events(s, d)
+    val purchases = e.filter(col("event_type") === "purchase")
+      .select(col("user_id"), col("event_id").as("p_id"),
+        unix_micros(col("ts")).as("p_us"))
+    val views = e.filter(col("event_type") === "view")
+      .select(col("user_id"), col("event_id").as("v_id"),
+        col("value").as("v_value"), unix_micros(col("ts")).as("v_us"))
+    org.apache.spark.sql.graft.AsOfJoin(purchases, views,
+        Seq("user_id"), Seq("p_us", "p_id"), Seq("v_us", "v_id"))
+      .select(col("p_id"), col("user_id"), col("v_id"), col("v_value"))
+  }
+
+  val q28Oracle: String =
+    """SELECT event_id AS p_id, user_id, asof_view_id AS v_id, asof_view_value AS v_value
+      |FROM (
+      |  SELECT event_id, user_id, event_type,
+      |    LAST_VALUE(CASE WHEN event_type = 'view' THEN event_id END IGNORE NULLS)
+      |      OVER (PARTITION BY user_id ORDER BY ts ASC, event_id ASC
+      |            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS asof_view_id,
+      |    LAST_VALUE(CASE WHEN event_type = 'view' THEN value END IGNORE NULLS)
+      |      OVER (PARTITION BY user_id ORDER BY ts ASC, event_id ASC
+      |            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS asof_view_value
+      |  FROM events WHERE event_type IN ('view', 'purchase')) t
+      |WHERE event_type = 'purchase'""".stripMargin
+
   val queries: Map[String, Q] = Map(
     "q1_pricing_summary" -> q1PricingSummary,
     "q2_filter_pushdown" -> q2FilterPushdown,
@@ -515,7 +544,8 @@ object Relational {
     "q23_range_window" -> q23RangeWindow,
     "q24_salted_join" -> q24SaltedJoin,
     "q25_approx_distinct" -> q25ApproxDistinct,
-    "q27_incremental_agg" -> q27IncrementalAgg)
+    "q27_incremental_agg" -> q27IncrementalAgg,
+    "q28_asof_custom" -> q28AsofCustom)
 
   val oracles: Map[String, String] = Map(
     "q1_pricing_summary" -> q1Oracle,
@@ -541,5 +571,6 @@ object Relational {
     "q22_correlated" -> q22Oracle,
     "q23_range_window" -> q23Oracle,
     "q24_salted_join" -> q24Oracle,
-    "q27_incremental_agg" -> q27Oracle)
+    "q27_incremental_agg" -> q27Oracle,
+    "q28_asof_custom" -> q28Oracle)
 }

@@ -1,0 +1,60 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.graft.AsOfJoin
+import org.scalatest.funsuite.AnyFunSuite
+
+class AsOfJoinSpec extends AnyFunSuite {
+  lazy val spark: SparkSession = SparkTestSession.spark
+  import spark.implicits._
+
+  test("as-of exec matches the window-over-union composition on real events") {
+    val e = graft.sources.TableCatalog.events(spark, "/root/testdata/sf0.001")
+    val purchases = e.filter($"event_type" === "purchase")
+      .select($"user_id", $"event_id".as("p_id"), unix_micros($"ts").as("p_us"))
+    val views = e.filter($"event_type" === "view")
+      .select($"user_id", $"event_id".as("v_id"), $"value".as("v_value"),
+        unix_micros($"ts").as("v_us"))
+
+    val got = AsOfJoin(purchases, views, Seq("user_id"), Seq("p_us", "p_id"), Seq("v_us", "v_id"))
+      .select($"p_id", $"v_id").as[(Long, Option[Long])].collect().toMap
+
+    // reference: interleave both streams, carry the last view forward
+    val tagged = e.filter($"event_type".isin("view", "purchase"))
+    val w = Window.partitionBy($"user_id").orderBy($"ts".asc, $"event_id".asc)
+      .rowsBetween(Window.unboundedPreceding, 0)
+    val want = tagged
+      .withColumn("last_view", last(when($"event_type" === "view", $"event_id"), ignoreNulls = true).over(w))
+      .filter($"event_type" === "purchase")
+      .select($"event_id", $"last_view").as[(Long, Option[Long])].collect().toMap
+
+    assert(got.nonEmpty)
+    assert(got == want)
+    // purchases with no prior view must appear with null right side
+    assert(got.values.exists(_.isEmpty) == want.values.exists(_.isEmpty))
+  }
+
+  test("as-of exec plan: co-partitioned, sorted once, no window/range join") {
+    val e = graft.sources.TableCatalog.events(spark, "/root/testdata/sf0.001")
+    val p = e.filter($"event_type" === "purchase")
+      .select($"user_id", $"event_id".as("p_id"), unix_micros($"ts").as("p_us"))
+    val v = e.filter($"event_type" === "view")
+      .select($"user_id", $"event_id".as("v_id"), unix_micros($"ts").as("v_us"))
+    val plan = AsOfJoin(p, v, Seq("user_id"), Seq("p_us", "p_id"), Seq("v_us", "v_id"))
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("AsOfJoin"))
+    assert("Exchange hashpartitioning".r.findAllIn(plan).size == 2, plan)
+    assert(!plan.contains("Window"), plan)
+  }
+
+  test("as-of join rejects mismatched key types") {
+    val l = Seq((1L, 10L)).toDF("k", "t")
+    val r = Seq((1, 5L)).toDF("k", "t") // int key vs long key
+    val e = intercept[IllegalArgumentException] {
+      AsOfJoin(l, r, Seq("k"), Seq("t"), Seq("t"))
+    }
+    assert(e.getMessage.contains("key column types"))
+  }
+}
