@@ -4,11 +4,12 @@ import java.util.concurrent.atomic.AtomicInteger
 
 import scala.collection.parallel.CollectionConverters._
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{DataFrame, Observation, SparkSession}
+import org.apache.spark.sql.functions.{count, lit}
 
 import graft.cdc.{CdcColumns, CdcMerge, Manifest, Savepoints}
 import graft.config.GraftConfig
-import graft.sinks.{FileSink, SchemaDoc}
+import graft.sinks.{FileSink, JdbcDdl, JdbcMergedApply, JdbcSink, JdbcTableManager, SchemaDoc}
 import graft.sources.CdcBatchReader
 
 /** The end-to-end client run loop — graft's equivalent of the
@@ -61,28 +62,86 @@ class GraftClient(spark: SparkSession, cfg: GraftConfig) {
           val present = seqCols.filter(batch.columns.contains)
           if (present.nonEmpty) present else Seq(CdcColumns.TimestampFolderCol)
         }
-        val out = mergeIfRequested(batch, merged, keyCols, usableSeq)
-        val fingerprint = entry.schemaHistory.keys.toSeq.sorted.mkString("+")
-        val layout = FileSink.Layout(cfg.outputLocation.path, tableName, fingerprint,
-          if (cfg.outputSettings.saveIntoTimestampDirectory)
-            Some(entry.lastSuccessfulWriteTimestamp) else None)
-        val path = cfg.outputSettings.fileFormat.toLowerCase match {
-          case "csv" =>
-            val p = FileSink.writeCsv(out, layout,
-              header = cfg.outputSettings.includeColumnNames,
-              singleFile = cfg.outputSettings.saveAsSingleFile)
-            SchemaDoc.writeSchemaYaml(out, p)
-            p
-          case "json" => FileSink.writeJson(out, layout, cfg.outputSettings.saveAsSingleFile)
-          case _ => FileSink.writeParquet(out, layout, cfg.outputSettings.saveAsSingleFile)
+        // rows written are harvested from the write job itself via an
+        // observed count — no re-execution, no persist
+        val obs = Observation()
+        val path =
+          if (cfg.outputSettings.exportTarget.toLowerCase.startsWith("jdbc"))
+            writeJdbc(tableName, batch.observe(obs, count(lit(1)).as("rows")),
+              keyCols, usableSeq)
+          else {
+            val out = mergeIfRequested(batch, merged, keyCols, usableSeq)
+              .observe(obs, count(lit(1)).as("rows"))
+            val fingerprint = entry.schemaHistory.keys.toSeq.sorted.mkString("+")
+            val layout = FileSink.Layout(cfg.outputLocation.path, tableName, fingerprint,
+              if (cfg.outputSettings.saveIntoTimestampDirectory)
+                Some(entry.lastSuccessfulWriteTimestamp) else None)
+            cfg.outputSettings.fileFormat.toLowerCase match {
+              case "csv" =>
+                val p = FileSink.writeCsv(out, layout,
+                  header = cfg.outputSettings.includeColumnNames,
+                  singleFile = cfg.outputSettings.saveAsSingleFile)
+                SchemaDoc.writeSchemaYaml(out, p)
+                p
+              case "json" => FileSink.writeJson(out, layout, cfg.outputSettings.saveAsSingleFile)
+              case _ => FileSink.writeParquet(out, layout, cfg.outputSettings.saveAsSingleFile)
+            }
+          }
+        val rows = obs.get("rows") match {
+          case n: Long => n
+          case n: Number => n.longValue()
         }
-        // count the frame itself: re-reading the folder would also pick
-        // up the schema.yaml sidecar (csv reader parses it as rows)
-        val rows = out.count()
         val newSp = entry.lastSuccessfulWriteTimestamp
         savepoints.write(tableName, newSp)
         TableResult(tableName, rows, path, Some(newSp))
     }
+  }
+
+  /** Live JDBC export: ensure target tables (create / gate-evolve),
+    * then raw append and/or incremental merged apply — the reference's
+    * writeJdbcRaw/writeJdbcMerged flow (JdbcOutputWriter.scala:285-497)
+    * with the merge staying distributed. A gate Bypass skips the batch
+    * for that target, like the reference's warn-and-skip.
+    */
+  private def writeJdbc(tableName: String, batch: DataFrame,
+                        keyCols: Seq[String], usableSeq: Seq[String]): String = {
+    val os = cfg.outputSettings
+    val written = new scala.collection.mutable.ArrayBuffer[String]
+    if (os.saveIntoJdbcRaw) cfg.jdbcConnectionRaw.foreach { conn =>
+      val raw = JdbcSink.rawFrame(batch)
+      JdbcTableManager.ensureTable(conn, raw.schema, tableName,
+        JdbcDdl.Raw, keyCols, cfg.largeTextFieldSet) match {
+        case JdbcTableManager.Bypassed(reasons) =>
+          System.err.println(s"[graft] '$tableName' raw jdbc batch bypassed: ${reasons.mkString("; ")}")
+        case _ =>
+          JdbcSink.writeRaw(batch, conn, tableName, os.jdbcBatchSize)
+          written += s"${conn.jdbcUrl}/${conn.jdbcSchema}.$tableName"
+      }
+    }
+    if (os.saveIntoJdbcMerged) cfg.jdbcConnectionMerged.foreach { conn =>
+      // merged tables keep business columns + the seqval watermark and
+      // the op marker drives the apply (dropped before storage)
+      val keep = Set(CdcColumns.OperationCol, CdcColumns.SeqValCol) ++ usableSeq
+      val mergedIn = JdbcSink.rawFrame(batch).drop(batch.columns.filter { c =>
+        val lc = c.toLowerCase
+        (lc.startsWith(CdcColumns.InternalPrefix) || lc.startsWith(CdcColumns.ClientPrefix)) &&
+          !keep.contains(lc)
+      }.toIndexedSeq: _*)
+      val storedSchema = org.apache.spark.sql.types.StructType(
+        mergedIn.schema.fields.filterNot(_.name == CdcColumns.OperationCol))
+      JdbcTableManager.ensureTable(conn, storedSchema, tableName,
+        JdbcDdl.Merged, keyCols, cfg.largeTextFieldSet) match {
+        case JdbcTableManager.Bypassed(reasons) =>
+          System.err.println(s"[graft] '$tableName' merged jdbc batch bypassed: ${reasons.mkString("; ")}")
+        case _ =>
+          JdbcMergedApply(mergedIn, conn, tableName, keyCols,
+            seqCol = usableSeq.head, batchSize = os.jdbcBatchSize.toInt)
+          written += s"${conn.jdbcUrl}/${conn.jdbcSchema}.$tableName"
+      }
+    }
+    require(written.nonEmpty,
+      s"jdbc export for '$tableName' wrote no target (check saveIntoJdbcRaw/Merged + gate bypasses)")
+    written.mkString(",")
   }
 
   /** Run all (included) tables; returns per-table results. */

@@ -38,7 +38,11 @@ object Cdc {
       |     WHEN event_type = 'error' AND CAST(regexp_extract(props, '"k": (\d+)', 1) AS INT) < 10 THEN 1
       |     ELSE 4 END""".stripMargin
 
-  private def codedEvents(s: SparkSession, d: String): DataFrame =
+  /** The shared CDC fixture: events coded with operation + seqval
+    * columns (public so the Derby round-trip spec replays the exact
+    * frame behind the oracle-checked cdc_* queries).
+    */
+  def codedEvents(s: SparkSession, d: String): DataFrame =
     events(s, d).withColumn(CdcColumns.OperationCol, opCol)
       .withColumn(CdcColumns.SeqValCol,
         lpad(lower(hex(col("event_id"))), 16, "0"))

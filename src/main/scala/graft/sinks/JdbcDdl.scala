@@ -15,6 +15,10 @@ object JdbcDdl {
   case object SqlServer extends DbPlatform { val name = "Microsoft SQL Server" }
   case object Postgres extends DbPlatform { val name = "PostgreSQL" }
   case object OracleDb extends DbPlatform { val name = "Oracle" }
+  /** Embedded platform used for in-process end-to-end verification of
+    * the whole JDBC path (DDL → raw append → merged apply → read-back).
+    */
+  case object Derby extends DbPlatform { val name = "Apache Derby" }
 
   sealed trait WriteType
   case object Raw extends WriteType
@@ -25,6 +29,7 @@ object JdbcDdl {
     if (u.contains("sqlserver")) SqlServer
     else if (u.contains("postgresql")) Postgres
     else if (u.contains("oracle")) OracleDb
+    else if (u.contains("derby")) Derby
     else throw new IllegalArgumentException(s"Unsupported database platform url: $url")
   }
 
@@ -34,18 +39,19 @@ object JdbcDdl {
     * (JdbcOutputWriter.scala:575-593).
     */
   private def stringType(p: DbPlatform): String = p match {
-    case SqlServer | Postgres => "VARCHAR(1333)"
+    case SqlServer | Postgres | Derby => "VARCHAR(1333)"
     case OracleDb => "VARCHAR2(1333)"
   }
   private def largeStringType(p: DbPlatform): String = p match {
     case SqlServer => "VARCHAR(max)"
     case Postgres => "VARCHAR"
     case OracleDb => "VARCHAR2(32767)"
+    case Derby => "CLOB"
   }
   private def binaryType(p: DbPlatform): String = p match {
     case SqlServer => "VARBINARY(max)"
     case Postgres => "bytea"
-    case OracleDb => "BLOB"
+    case OracleDb | Derby => "BLOB"
   }
 
   /** Scalar type mapping for the remaining Spark SQL types. */
@@ -55,8 +61,12 @@ object JdbcDdl {
     case DoubleType => "DOUBLE PRECISION"
     case FloatType => "REAL"
     case ShortType => "INTEGER"
-    case ByteType => "BYTE"
-    case BooleanType => if (p == OracleDb) "NUMBER(1)" else "BIT(1)"
+    case ByteType => if (p == Derby) "SMALLINT" else "BYTE"
+    case BooleanType => p match {
+      case OracleDb => "NUMBER(1)"
+      case Derby => "BOOLEAN"
+      case _ => "BIT(1)"
+    }
     case TimestampType => if (p == SqlServer) "DATETIME2" else "TIMESTAMP"
     case DateType => "DATE"
     case t: DecimalType =>
@@ -128,6 +138,15 @@ object JdbcDdl {
     }
     s"ALTER TABLE $qualifiedTable ADD CONSTRAINT ${tableNoSchema}_pk PRIMARY KEY " +
       cols.map(quote).mkString("(", ", ", ")")
+  }
+
+  /** PK over caller-chosen key columns — for merged tables whose
+    * entity key is not the reference's literal `id`.
+    */
+  def primaryKeyDdl(qualifiedTable: String, keyCols: Seq[String]): String = {
+    val tableNoSchema = qualifiedTable.substring(qualifiedTable.indexOf('.') + 1)
+    s"ALTER TABLE $qualifiedTable ADD CONSTRAINT ${tableNoSchema}_pk PRIMARY KEY " +
+      keyCols.map(quote).mkString("(", ", ", ")")
   }
 
   /** Secondary index for merged tables: typecode for typelist tables,
