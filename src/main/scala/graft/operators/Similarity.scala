@@ -1,8 +1,8 @@
 package graft.operators
 
 import org.apache.spark.sql.DataFrame
-import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.graft.TopKPerKey
 
 import graft.functions._
 import graft.plans.GraftFunctions
@@ -15,8 +15,24 @@ import graft.plans.GraftFunctions
   * against the in-memory query set and emits only per-partition
   * candidates. Scale path: hyperplane-LSH bucketing, so each base
   * vector is scored only against queries sharing its bucket.
+  *
+  * Top-k selection goes through the [[TopKPerKey]] exec, not
+  * `row_number().over(Window.partitionBy(query_id))`: the window form
+  * ships EVERY scored candidate to at most |queries| reducers and
+  * sorts them — a fixed-width bottleneck no cluster size fixes. The
+  * exec's map-side partial pass reduces each scan partition to k rows
+  * per query before the exchange, so only |partitions|·|queries|·k
+  * candidate rows ever move.
   */
 object Similarity {
+
+  /** Shared tail: scored candidates → k best per query with rank. */
+  private def topKPerQuery(scored: DataFrame, k: Int): DataFrame = {
+    val candidates = scored.select(col("query_id"), col("base_id"), col("cosine"))
+    TopKPerKey(candidates, Seq("query_id"),
+      Seq("cosine" -> true, "base_id" -> false), k, rankCol = Some("rank"))
+      .select(col("query_id"), col("base_id"), col("rank"), col("cosine"))
+  }
 
   /** Exact top-k neighbors per query vector by cosine similarity.
     * `queries` is expected to be small (it is broadcast); ties break
@@ -30,11 +46,7 @@ object Similarity {
     val scored = b.crossJoin(broadcast(q))
       .filter(col("base_id") =!= col("query_id"))
       .withColumn("cosine", GraftFunctions.cosineFast(col("base_v"), col("query_v")))
-    val w = Window.partitionBy(col("query_id"))
-      .orderBy(col("cosine").desc, col("base_id").asc)
-    scored.withColumn("rank", row_number().over(w).cast("bigint"))
-      .filter(col("rank") <= k)
-      .select(col("query_id"), col("base_id"), col("rank"), col("cosine"))
+    topKPerQuery(scored, k)
   }
 
   /** LSH-bucketed ANN: base and queries are hashed into hyperplane
@@ -53,11 +65,7 @@ object Similarity {
     val scored = b.join(broadcast(q), Seq("bucket"))
       .filter(col("base_id") =!= col("query_id"))
       .withColumn("cosine", GraftFunctions.cosineFast(col("base_v"), col("query_v")))
-    val w = Window.partitionBy(col("query_id"))
-      .orderBy(col("cosine").desc, col("base_id").asc)
-    scored.withColumn("rank", row_number().over(w).cast("bigint"))
-      .filter(col("rank") <= k)
-      .select(col("query_id"), col("base_id"), col("rank"), col("cosine"))
+    topKPerQuery(scored, k)
   }
 
 }

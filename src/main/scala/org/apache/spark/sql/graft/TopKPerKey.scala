@@ -5,12 +5,13 @@ import scala.collection.mutable
 import org.apache.spark.rdd.RDD
 import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.catalyst.InternalRow
-import org.apache.spark.sql.catalyst.expressions.{Ascending, Attribute, Descending, SortOrder, UnsafeProjection, UnsafeRow}
+import org.apache.spark.sql.catalyst.expressions.{Ascending, Attribute, AttributeReference, Descending, GenericInternalRow, JoinedRow, SortOrder, UnsafeProjection, UnsafeRow}
 import org.apache.spark.sql.catalyst.expressions.codegen.GenerateOrdering
 import org.apache.spark.sql.catalyst.plans.logical.{LogicalPlan, UnaryNode}
-import org.apache.spark.sql.catalyst.plans.physical.{ClusteredDistribution, Distribution, Partitioning}
+import org.apache.spark.sql.catalyst.plans.physical.{ClusteredDistribution, Distribution, Partitioning, UnspecifiedDistribution}
 import org.apache.spark.sql.classic.{DataFrame => ClassicDataFrame, Dataset, SparkSession => ClassicSparkSession}
 import org.apache.spark.sql.execution.{SparkPlan, SparkStrategy, UnaryExecNode}
+import org.apache.spark.sql.types.LongType
 import org.apache.spark.sql.SparkSessionExtensions
 
 /** Top-K-per-key as a first-class operator (SURVEY.md §4:
@@ -18,19 +19,28 @@ import org.apache.spark.sql.SparkSessionExtensions
   *
   * The DataFrame idiom — `row_number().over(Window.partitionBy(key)
   * .orderBy(ord))` then `filter(rn <= k)` — SORTS every partition in
-  * full before discarding all but k rows per key. This operator keeps
-  * a bounded heap per key instead: one shuffle on the key (enforced
-  * via `requiredChildDistribution`), zero sort, O(keys·k) memory.
-  * At 100 TB the difference is a full sort of the fact table vs a
-  * streaming pass.
+  * full before discarding all but k rows per key, and ships EVERY
+  * input row to at most |keys| reducers first. This operator plans as
+  * TWO passes, mirroring partial aggregation:
+  *
+  *  1. a map-side partial pass keeps a bounded heap per key within
+  *     each input partition, so at most |partitions|·|keys|·k rows
+  *     ever reach the exchange — with low-cardinality keys (ANN
+  *     query ids) that is the difference between shuffling the
+  *     scored corpus and shuffling k rows per partition;
+  *  2. a final pass after the key exchange merges the partial heaps
+  *     and optionally emits a dense 1..k rank column.
+  *
+  * Zero sort in either pass, O(keys·k) memory per task.
   *
   * This file lives under `org.apache.spark.sql` for access to
   * `Dataset.ofRows` (package-private plan→DataFrame constructor) —
   * the standard extension-library technique.
   */
 case class TopKPerKeyNode(keyCols: Seq[String], orderCols: Seq[(String, Boolean)],
-                          k: Int, child: LogicalPlan) extends UnaryNode {
-  override def output: Seq[Attribute] = child.output
+                          k: Int, rankAttr: Option[AttributeReference],
+                          child: LogicalPlan) extends UnaryNode {
+  override def output: Seq[Attribute] = child.output ++ rankAttr
   // key/order columns are carried by name, so they must be declared
   // as references or ColumnPruning removes them from the child
   override def references: org.apache.spark.sql.catalyst.expressions.AttributeSet =
@@ -42,9 +52,11 @@ case class TopKPerKeyNode(keyCols: Seq[String], orderCols: Seq[(String, Boolean)
 }
 
 case class TopKPerKeyExec(keyCols: Seq[String], orderCols: Seq[(String, Boolean)],
-                          k: Int, child: SparkPlan) extends UnaryExecNode {
+                          k: Int, rankAttr: Option[AttributeReference],
+                          partial: Boolean, child: SparkPlan) extends UnaryExecNode {
 
-  override def output: Seq[Attribute] = child.output
+  override def output: Seq[Attribute] =
+    if (partial) child.output else child.output ++ rankAttr
   override def outputPartitioning: Partitioning = child.outputPartitioning
 
   private def attr(name: String): Attribute =
@@ -57,13 +69,25 @@ case class TopKPerKeyExec(keyCols: Seq[String], orderCols: Seq[(String, Boolean)
   }
 
   override def requiredChildDistribution: Seq[Distribution] =
-    ClusteredDistribution(keyCols.map(attr)) :: Nil
+    if (partial) UnspecifiedDistribution :: Nil
+    else ClusteredDistribution(keyCols.map(attr)) :: Nil
+
+  /** Partial-pass memory bound: once the retained row count crosses
+    * this, the current heaps are flushed downstream and rebuilt — the
+    * final pass re-reduces, so over-emission is always safe. Keeps
+    * high-cardinality keys from buffering a whole input partition.
+    */
+  private val partialFlushRows = 1 << 20
 
   override protected def doExecute(): RDD[InternalRow] = {
     val keyExprs = keyCols.map(attr)
     val orders = sortOrders
     val childOutput = child.output
     val kLocal = k
+    val isPartial = partial
+    val emitRank = !partial && rankAttr.isDefined
+    val finalOutput = output
+    val flushLimit = partialFlushRows
     child.execute().mapPartitionsInternal { iter =>
       val keyProj = UnsafeProjection.create(keyExprs, childOutput)
       val rowOrdering = GenerateOrdering.generate(orders, childOutput)
@@ -73,18 +97,52 @@ case class TopKPerKeyExec(keyCols: Seq[String], orderCols: Seq[(String, Boolean)
         (a: UnsafeRow, b: UnsafeRow) => rowOrdering.compare(a, b)
       val heaps = mutable.LinkedHashMap.empty[UnsafeRow, mutable.PriorityQueue[UnsafeRow]]
       val converter = UnsafeProjection.create(childOutput, childOutput)
-      iter.foreach { row =>
+      var retained = 0L
+
+      def insert(row: InternalRow): Unit = {
         val unsafe = converter(row)
         val key = keyProj(unsafe)
         val heap = heaps.getOrElseUpdate(key.copy(),
           mutable.PriorityQueue.empty[UnsafeRow](heapOrd))
-        if (heap.size < kLocal) heap.enqueue(unsafe.copy())
+        if (heap.size < kLocal) { heap.enqueue(unsafe.copy()); retained += 1 }
         else if (rowOrdering.compare(unsafe, heap.head) < 0) {
           heap.dequeue(); heap.enqueue(unsafe.copy())
         }
       }
-      heaps.iterator.flatMap { case (_, heap) =>
-        heap.dequeueAll.reverseIterator // emit best-first per key
+
+      def drain(): Iterator[InternalRow] = {
+        val snapshot = heaps.values.toIndexedSeq
+        heaps.clear(); retained = 0L
+        snapshot.iterator.flatMap(_.dequeueAll.reverseIterator) // best-first per key
+      }
+
+      if (isPartial) {
+        // incremental: consume input until the flush limit, emit, repeat
+        new Iterator[InternalRow] {
+          private var cur: Iterator[InternalRow] = Iterator.empty
+          @annotation.tailrec
+          override def hasNext: Boolean = cur.hasNext || (iter.hasNext && {
+            while (iter.hasNext && retained < flushLimit) insert(iter.next())
+            cur = drain()
+            hasNext
+          })
+          override def next(): InternalRow = cur.next()
+        }
+      } else {
+        iter.foreach(insert)
+        if (!emitRank) drain()
+        else {
+          val joined = new JoinedRow
+          val rankRow = new GenericInternalRow(1)
+          val project = UnsafeProjection.create(finalOutput, finalOutput)
+          heaps.iterator.flatMap { case (_, heap) =>
+            val best: Seq[UnsafeRow] = heap.dequeueAll
+            best.reverseIterator.zipWithIndex.map { case (row, i) =>
+              rankRow.setLong(0, i + 1L)
+              project(joined(row, rankRow))
+            }
+          }
+        }
       }
     }
   }
@@ -95,15 +153,17 @@ case class TopKPerKeyExec(keyCols: Seq[String], orderCols: Seq[(String, Boolean)
 
 object TopKPerKeyStrategy extends SparkStrategy {
   override def apply(plan: LogicalPlan): Seq[SparkPlan] = plan match {
-    case TopKPerKeyNode(keys, orders, k, child) =>
-      TopKPerKeyExec(keys, orders, k, planLater(child)) :: Nil
+    case TopKPerKeyNode(keys, orders, k, rankAttr, child) =>
+      val partialPass = TopKPerKeyExec(keys, orders, k, None, partial = true, planLater(child))
+      TopKPerKeyExec(keys, orders, k, rankAttr, partial = false, partialPass) :: Nil
     case _ => Nil
   }
 }
 
 /** Public handle: `TopKPerKey(df, Seq("query_id"), Seq("cosine" -> true,
   * "base_id" -> false), 5)` → the k best rows per key under the given
-  * (column, descending?) ordering, best-first within each key.
+  * (column, descending?) ordering, best-first within each key;
+  * `rankCol = Some("rank")` appends the 1..k position as a bigint.
   *
   * Note: the node passes through ALL child columns (`output =
   * child.output`), so projections above it do not prune the child
@@ -112,12 +172,14 @@ object TopKPerKeyStrategy extends SparkStrategy {
 object TopKPerKey {
 
   def apply(df: DataFrame, keyCols: Seq[String],
-            orderCols: Seq[(String, Boolean)], k: Int): DataFrame = {
+            orderCols: Seq[(String, Boolean)], k: Int,
+            rankCol: Option[String] = None): DataFrame = {
     require(k > 0, "k must be positive")
     val classic = df.asInstanceOf[ClassicDataFrame]
     val spark = classic.sparkSession
     ensureStrategy(spark)
-    Dataset.ofRows(spark, TopKPerKeyNode(keyCols, orderCols, k, classic.logicalPlan))
+    val rankAttr = rankCol.map(n => AttributeReference(n, LongType, nullable = false)())
+    Dataset.ofRows(spark, TopKPerKeyNode(keyCols, orderCols, k, rankAttr, classic.logicalPlan))
   }
 
   /** Idempotently add the planning strategy to a session. */

@@ -1,0 +1,111 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.execution.ExplainMode
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Plan-shape regression gate: the headline queries must keep the
+  * physical plans they were tuned to — pushdown reaching the scan,
+  * dimension joins broadcast, single-exchange merges, heap-based
+  * top-k with no Window/Sort. A failure here means a rewrite
+  * regressed the 100 TB story even if results still match.
+  *
+  * Assertions run on the sf0.001 data (plan shape is data-size
+  * independent apart from AQE broadcast decisions, which these
+  * queries pin via explicit `broadcast()` hints).
+  */
+class PlanShapeSpec extends AnyFunSuite {
+  lazy val spark: SparkSession = SparkTestSession.spark
+
+  private val sf = "/root/testdata/sf0.001"
+
+  /** Simple-mode physical plan: one line per node, so node names can
+    * be counted (formatted mode lists every node twice — tree + detail).
+    */
+  private def plan(name: String): String = {
+    val df = SparkEntry.queries(name)(spark, sf)
+    df.queryExecution.explainString(ExplainMode.fromString("simple"))
+  }
+
+  private def planFormatted(name: String): String = {
+    val df = SparkEntry.queries(name)(spark, sf)
+    df.queryExecution.explainString(ExplainMode.fromString("formatted"))
+  }
+
+  /** Shuffle exchanges only (excludes BroadcastExchange). */
+  private def shuffles(p: String): Int =
+    "(?<!Broadcast)Exchange ".r.findAllIn(p).size
+
+  /** Physical Sort operators (excludes SortAggregate/SortMergeJoin and
+    * sort expression names like array_sort).
+    */
+  private def sorts(p: String): Int = "\\bSort \\[".r.findAllIn(p).size
+
+  private def count(hay: String, needle: String): Int =
+    needle.r.findAllIn(hay).size
+
+  test("q2: filters are pushed to the parquet scan") {
+    val p = planFormatted("q2_filter_pushdown")
+    assert(p.contains("PushedFilters: ["), p)
+    assert("PushedFilters: \\[[A-Z]".r.findFirstIn(p).isDefined,
+      s"scan has empty pushdown:\n$p")
+  }
+
+  test("dimension joins broadcast: q3, q5, q15") {
+    Seq("q3_top_orders", "q5_region_revenue", "q15_enrich").foreach { q =>
+      val p = plan(q)
+      assert(p.contains("BroadcastHashJoin"), s"$q lost its broadcast join:\n$p")
+      assert(!p.contains("SortMergeJoin"), s"$q fell back to SMJ:\n$p")
+    }
+  }
+
+  test("cdc_merge_latest: exactly one shuffle, map-side partial max_by") {
+    val p = plan("cdc_merge_latest")
+    assert(shuffles(p) == 1, s"merge must shuffle exactly once:\n$p")
+    assert(p.contains("partial_max_by"), s"merge lost map-side partials:\n$p")
+    assert(!p.contains("Window"), p)
+  }
+
+  test("q28 custom as-of join: two exchanges, no window, no broadcast NL join") {
+    val p = plan("q28_asof_custom")
+    assert(shuffles(p) == 2, s"as-of join must shuffle each side once:\n$p")
+    assert(!p.contains("Window"), p)
+    assert(!p.contains("BroadcastNestedLoopJoin"), p)
+  }
+
+  test("ANN top-k paths: heap exec with map-side partial, no Window, no Sort") {
+    Seq("ann_topk", "ann_lsh", "ann_ivf").foreach { q =>
+      val p = plan(q)
+      assert(!p.contains("Window"), s"$q regressed to a window top-k:\n$p")
+      assert(sorts(p) == 0, s"$q sorts candidates:\n$p")
+      assert(count(p, "TopKPerKey") == 2,
+        s"$q must plan partial+final TopKPerKey passes:\n$p")
+    }
+  }
+
+  test("q21 custom top-k: partial+final TopKPerKey, single exchange, no sort") {
+    val p = plan("q21_topk_custom")
+    assert(count(p, "TopKPerKey") == 2, p)
+    assert(shuffles(p) == 1, p)
+    assert(!p.contains("Window"), p)
+    assert(sorts(p) == 0, p)
+  }
+
+  test("exact dedup: hash aggregates, no extra shuffles") {
+    val p = plan("dedup_exact")
+    assert(shuffles(p) <= 2, p) // group-by-hash + count-distinct rollup
+    assert(p.contains("HashAggregate"), p)
+  }
+
+  test("q1 aggregate keeps map-side partial aggregation") {
+    val p = plan("q1_pricing_summary")
+    // partial + final HashAggregate pair around a single exchange
+    assert(count(p, "HashAggregate") >= 2, p)
+    assert(shuffles(p) == 1, p)
+  }
+
+  test("q14 top-k global sort-limit plans as TakeOrderedAndProject") {
+    val p = plan("q14_topk")
+    assert(p.contains("TakeOrderedAndProject"), p)
+  }
+}

@@ -33,6 +33,26 @@ class TopKSpec extends AnyFunSuite {
     assert(byKey(2L).map(_._2).toSeq == Seq(5.0))
   }
 
+  test("rank column matches window row_number ranks exactly") {
+    val topk = TopKPerKey(orders, Seq("o_custkey"),
+      Seq("o_totalprice" -> true, "o_orderkey" -> false), 3, rankCol = Some("rank"))
+      .select("o_custkey", "o_orderkey", "rank").as[(Long, Long, Long)].collect().toSet
+    val w = Window.partitionBy($"o_custkey").orderBy($"o_totalprice".desc, $"o_orderkey".asc)
+    val ref = orders.withColumn("rank", row_number().over(w).cast("long")).filter($"rank" <= 3)
+      .select("o_custkey", "o_orderkey", "rank").as[(Long, Long, Long)].collect().toSet
+    assert(topk == ref && topk.nonEmpty)
+  }
+
+  test("partial pass result is invariant to input partitioning") {
+    val one = TopKPerKey(orders.repartition(1), Seq("o_custkey"),
+      Seq("o_totalprice" -> true, "o_orderkey" -> false), 2, rankCol = Some("rank"))
+      .select("o_custkey", "o_orderkey", "rank").as[(Long, Long, Long)].collect().toSet
+    val many = TopKPerKey(orders.repartition(13), Seq("o_custkey"),
+      Seq("o_totalprice" -> true, "o_orderkey" -> false), 2, rankCol = Some("rank"))
+      .select("o_custkey", "o_orderkey", "rank").as[(Long, Long, Long)].collect().toSet
+    assert(one == many && one.nonEmpty)
+  }
+
   test("TopKPerKey plan contains the custom exec and exactly one exchange") {
     val plan = TopKPerKey(orders, Seq("o_custkey"), Seq("o_totalprice" -> true), 1)
       .queryExecution.executedPlan.toString
