@@ -9,7 +9,8 @@ import org.apache.spark.sql.functions.{count, lit}
 
 import graft.cdc.{CdcColumns, CdcMerge, Manifest, Savepoints}
 import graft.config.GraftConfig
-import graft.sinks.{FileSink, JdbcDdl, JdbcMergedApply, JdbcSink, JdbcTableManager, SchemaDoc}
+import graft.sinks.{FileSink, JdbcDdl, JdbcMergedApply, JdbcSink, JdbcTableManager,
+  ObjectStoreClient, SchemaDoc, StorageLayout}
 import graft.sources.CdcBatchReader
 
 /** The end-to-end client run loop — graft's equivalent of the
@@ -29,13 +30,22 @@ import graft.sources.CdcBatchReader
   * internally as well, so the driver-side pool just keeps the
   * scheduler fed.
   */
-class GraftClient(spark: SparkSession, cfg: GraftConfig) {
+class GraftClient(spark: SparkSession, cfg: GraftConfig,
+                  store: Option[ObjectStoreClient] = None) {
 
   case class TableResult(tableName: String, rowsWritten: Long,
                          outputPath: String, newSavepoint: Option[String],
                          skipped: Boolean = false)
 
   private val savepoints = new Savepoints(cfg.savepointsLocation.path)
+
+  /** Output destination: local directory or `s3://` object-store
+    * layout (scheme-dispatched like the reference,
+    * FileBasedOutputWriter.scala:193-198). Spark data writes go to
+    * `storage.dataPrefix` (s3a-fixed for object stores); the schema
+    * sidecar goes through the layout's own write path.
+    */
+  val storage: StorageLayout = StorageLayout.forPath(cfg.outputLocation.path, store)
 
   /** Merge policy applied before file writes when the caller wants
     * state rather than the raw log.
@@ -73,15 +83,16 @@ class GraftClient(spark: SparkSession, cfg: GraftConfig) {
             val out = mergeIfRequested(batch, merged, keyCols, usableSeq)
               .observe(obs, count(lit(1)).as("rows"))
             val fingerprint = entry.schemaHistory.keys.toSeq.sorted.mkString("+")
-            val layout = FileSink.Layout(cfg.outputLocation.path, tableName, fingerprint,
-              if (cfg.outputSettings.saveIntoTimestampDirectory)
-                Some(entry.lastSuccessfulWriteTimestamp) else None)
+            val ts = if (cfg.outputSettings.saveIntoTimestampDirectory)
+              Some(entry.lastSuccessfulWriteTimestamp) else None
+            val layout = FileSink.Layout(storage.dataPrefix, tableName, fingerprint, ts)
             cfg.outputSettings.fileFormat.toLowerCase match {
               case "csv" =>
                 val p = FileSink.writeCsv(out, layout,
                   header = cfg.outputSettings.includeColumnNames,
                   singleFile = cfg.outputSettings.saveAsSingleFile)
-                SchemaDoc.writeSchemaYaml(out, p)
+                storage.writeSchemaText(tableName, fingerprint, ts,
+                  SchemaDoc.schemaYamlString(out))
                 p
               case "json" => FileSink.writeJson(out, layout, cfg.outputSettings.saveAsSingleFile)
               case _ => FileSink.writeParquet(out, layout, cfg.outputSettings.saveAsSingleFile)

@@ -68,13 +68,17 @@ object Dedup {
     val byShingle = posting.groupBy("sh")
       .agg(collect_list("doc").as("docs"))
       .filter(size(col("docs")).between(2, maxShinglePosting))
-    val pairArray = filter(
-      flatten(transform(col("docs"), a =>
-        transform(col("docs"), b => struct(a.as("a"), b.as("b"))))),
-      p => p.getField("a") < p.getField("b"))
+    // pair generation stays incremental: posexplode the posting, then
+    // explode each element's tail slice — peak row size is ONE posting
+    // list (<= maxShinglePosting ids), never its square. (The earlier
+    // flatten(transform x transform) form materialized up to cap^2
+    // structs in a single row at the skew cap.)
     val pairs = byShingle
-      .select(explode(pairArray).as("p"))
-      .select(col("p.a").as("doc_a"), col("p.b").as("doc_b"))
+      .select(col("docs"), posexplode(col("docs")).as(Seq("i", "a")))
+      .select(col("a"), explode(
+        slice(col("docs"), col("i") + lit(2), size(col("docs")) - col("i") - lit(1))).as("b"))
+      .select(least(col("a"), col("b")).as("doc_a"),
+        greatest(col("a"), col("b")).as("doc_b"))
       .groupBy("doc_a", "doc_b")
       .agg(count(lit(1)).cast("bigint").as("n_common"))
     pairs

@@ -469,6 +469,20 @@ object Relational {
       approx_count_distinct(col("l_orderkey"), 0.02).cast("bigint").as("approx_orders"),
       approx_count_distinct(col("l_partkey"), 0.02).cast("bigint").as("approx_parts"))
 
+  // ---- q25e: the SQL-expressible half of the sketch query, split
+  //      out so it hash-checks against the oracle (the HLL estimates
+  //      above stay rows-only with an error-bound spec) ----
+  val q25ExactDistinct: Q = (s, d) =>
+    lineitem(s, d).groupBy(col("l_returnflag")).agg(
+      countDistinct(col("l_orderkey")).cast("bigint").as("exact_orders"),
+      countDistinct(col("l_partkey")).cast("bigint").as("exact_parts"))
+
+  val q25ExactOracle: String =
+    """SELECT l_returnflag,
+      |  CAST(COUNT(DISTINCT l_orderkey) AS BIGINT) AS exact_orders,
+      |  CAST(COUNT(DISTINCT l_partkey) AS BIGINT) AS exact_parts
+      |FROM lineitem GROUP BY l_returnflag""".stripMargin
+
   // ---- q27: incremental aggregate maintenance — two delta batches
   //      merged into a running state equal the full recompute exactly
   //      (decimal partials; materialized-view-maintenance pattern) ----
@@ -544,6 +558,7 @@ object Relational {
     "q23_range_window" -> q23RangeWindow,
     "q24_salted_join" -> q24SaltedJoin,
     "q25_approx_distinct" -> q25ApproxDistinct,
+    "q25_exact_distinct" -> q25ExactDistinct,
     "q27_incremental_agg" -> q27IncrementalAgg,
     "q28_asof_custom" -> q28AsofCustom)
 
@@ -571,6 +586,7 @@ object Relational {
     "q22_correlated" -> q22Oracle,
     "q23_range_window" -> q23Oracle,
     "q24_salted_join" -> q24Oracle,
+    "q25_exact_distinct" -> q25ExactOracle,
     "q27_incremental_agg" -> q27Oracle,
     "q28_asof_custom" -> q28Oracle)
 }

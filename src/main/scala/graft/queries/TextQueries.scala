@@ -302,6 +302,37 @@ object TextQueries {
       |  CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
       |FROM events GROUP BY 1, 2""".stripMargin
 
+  // ---- q_stream_sessionize: the stateful streaming sessionizer
+  //      (flatMapGroupsWithState + event-time timeout) replayed over
+  //      the full event set — closed AND timeout-flushed sessions
+  //      together must equal the batch q17 result. sum_value rounds
+  //      to 2dp on both sides (the stream accumulates doubles in
+  //      arrival order; values are exact 2-decimal amounts). ----
+  val streamSessionize: Q = (s, d) => {
+    val all = graft.streaming.Sessionize.replayAll(s, events(s, d), gapSeconds = 1800)
+    all.withColumn("sum_value", round(col("sum_value"), 2))
+  }
+
+  val streamSessionizeOracle: String =
+    """WITH g AS (
+      |  SELECT user_id, event_id, value, CAST(ts AS TIMESTAMP) AS ts,
+      |    LAG(epoch_us(CAST(ts AS TIMESTAMP)), 1) OVER
+      |      (PARTITION BY user_id ORDER BY ts ASC, event_id ASC) AS prev_us
+      |  FROM events),
+      |m AS (
+      |  SELECT *, CASE WHEN prev_us IS NULL
+      |    OR epoch_us(ts) - prev_us > 1800 * 1000000 THEN 1 ELSE 0 END AS new_sess
+      |  FROM g),
+      |s AS (
+      |  SELECT *, SUM(new_sess) OVER (PARTITION BY user_id ORDER BY ts ASC, event_id ASC
+      |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_no
+      |  FROM m)
+      |SELECT user_id, CAST(session_no AS BIGINT) AS session_no,
+      |  CAST(COUNT(*) AS BIGINT) AS n_events,
+      |  MIN(ts) AS session_start, MAX(ts) AS session_end,
+      |  ROUND(CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE), 2) AS sum_value
+      |FROM s GROUP BY user_id, session_no""".stripMargin
+
   val queries: Map[String, Q] = Map(
     "text_token_stats" -> tokenStats,
     "text_quality" -> quality,
@@ -321,7 +352,8 @@ object TextQueries {
     "dedup_components" -> dedupComponents,
     "dedup_drop_neardups" -> dedupDrop,
     "q26_funnel" -> funnel,
-    "q_stream_window" -> streamWindow)
+    "q_stream_window" -> streamWindow,
+    "q_stream_sessionize" -> streamSessionize)
 
   val oracles: Map[String, String] = Map(
     "text_token_stats" -> tokenStatsOracle,
@@ -335,5 +367,6 @@ object TextQueries {
     "dedup_components" -> dedupComponentsOracle,
     "dedup_drop_neardups" -> dedupDropOracle,
     "q26_funnel" -> funnelOracle,
-    "q_stream_window" -> streamWindowOracle)
+    "q_stream_window" -> streamWindowOracle,
+    "q_stream_sessionize" -> streamSessionizeOracle)
 }

@@ -31,21 +31,35 @@ object Sessionize {
                            session_start: Timestamp, session_end: Timestamp,
                            sum_value: Double)
 
+  /** Timestamp ⇄ epoch-micros without losing sub-millisecond digits
+    * (`getTime` is ms-truncated; the fraction lives in `getNanos`).
+    * Micros fidelity matters: the batch q17 oracle compares session
+    * bounds exactly.
+    */
+  def tsToUs(t: Timestamp): Long =
+    math.floorDiv(t.getTime, 1000L) * 1000000L + t.getNanos / 1000L
+
+  def usToTs(us: Long): Timestamp = {
+    val t = new Timestamp(math.floorDiv(us, 1000000L) * 1000L)
+    t.setNanos((math.floorMod(us, 1000000L) * 1000L).toInt)
+    t
+  }
+
   def fold(gapUs: Long)(userId: Long, events: Iterator[SessionEvent],
                         state: GroupState[OpenSession]): Iterator[ClosedSession] = {
-    val sorted = events.toSeq.sortBy(e => (e.ts.getTime, e.event_id))
+    val sorted = events.toSeq.sortBy(e => (tsToUs(e.ts), e.event_id))
     if (sorted.isEmpty) return Iterator.empty
     var open = state.getOption
     val closed = Seq.newBuilder[ClosedSession]
     sorted.foreach { e =>
-      val us = e.ts.getTime * 1000L
+      val us = tsToUs(e.ts)
       open match {
         case Some(s) if us - s.endUs <= gapUs =>
           open = Some(s.copy(endUs = us, nEvents = s.nEvents + 1,
             sumValue = s.sumValue + e.value))
         case Some(s) =>
           closed += ClosedSession(userId, s.sessionNo, s.nEvents,
-            new Timestamp(s.startUs / 1000L), new Timestamp(s.endUs / 1000L), s.sumValue)
+            usToTs(s.startUs), usToTs(s.endUs), s.sumValue)
           open = Some(OpenSession(s.sessionNo + 1, us, us, 1L, e.value))
         case None =>
           open = Some(OpenSession(1L, us, us, 1L, e.value))
@@ -75,7 +89,7 @@ object Sessionize {
       val s = state.get
       state.remove()
       return Iterator.single(ClosedSession(userId, s.sessionNo, s.nEvents,
-        new Timestamp(s.startUs / 1000L), new Timestamp(s.endUs / 1000L), s.sumValue))
+        usToTs(s.startUs), usToTs(s.endUs), s.sumValue))
     }
     val out = fold(gapUs)(userId, events, state)
     state.getOption.foreach { s =>
@@ -106,5 +120,40 @@ object Sessionize {
     q.processAllAvailable()
     q.stop()
     spark.table(queryName).as[ClosedSession]
+  }
+
+  /** Full-parity replay: run the WHOLE event set through the
+    * timeout-flushing stream and return every session. The replay is
+    * two chronological file batches plus a sentinel event far past the
+    * data — the sentinel pushes the watermark, so the no-data batch
+    * after it flushes every still-open session. Output therefore
+    * equals the batch q17 sessionization exactly (oracle-checked as
+    * `q_stream_sessionize`).
+    */
+  def replayAll(spark: SparkSession,
+                events: org.apache.spark.sql.DataFrame,
+                gapSeconds: Long): org.apache.spark.sql.DataFrame = {
+    import org.apache.spark.sql.functions._
+    import spark.implicits._
+    val ev = events.select(col("user_id"), col("event_id"), col("ts"), col("value"))
+    val r = ev.agg(min(col("ts")), max(col("ts"))).head()
+    val minUs = tsToUs(r.getTimestamp(0))
+    val maxUs = tsToUs(r.getTimestamp(1))
+    val midUs = minUs + (maxUs - minUs) / 2
+    // single file per batch → deterministic trigger order (mtime asc)
+    val dir = java.nio.file.Files.createTempDirectory("graft-sess-replay").toString
+    ev.filter(unix_micros(col("ts")) <= midUs).coalesce(1).write.parquet(s"$dir/b1")
+    ev.filter(unix_micros(col("ts")) > midUs).coalesce(1).write.parquet(s"$dir/b2")
+    Seq((-1L, -1L, usToTs(maxUs + 365L * 24 * 3600 * 1000000L), 0.0))
+      .toDF("user_id", "event_id", "ts", "value").coalesce(1).write.parquet(s"$dir/b3")
+    val stream = spark.readStream.schema(ev.schema)
+      .option("maxFilesPerTrigger", "1").parquet(s"$dir/*")
+      .withWatermark("ts", "1 minute")
+      .as[SessionEvent]
+    val name = "qss_" + java.util.UUID.randomUUID().toString.replace("-", "")
+    runToMemory(spark, sessionsWithTimeout(stream, gapSeconds), name)
+      .filter(col("user_id") >= 0) // drop the sentinel
+      .select(col("user_id"), col("session_no"), col("n_events"),
+        col("session_start"), col("session_end"), col("sum_value"))
   }
 }

@@ -153,4 +153,37 @@ class OperatorsSpec extends AnyFunSuite {
     assert(rows.forall(_._3 <= 64))
     assert(rows.groupBy(_._1).forall(_._2.length <= 4))
   }
+
+  test("ngramJaccard survives a hot-shingle corpus without a quadratic row") {
+    // 300 identical docs: every doc shares every shingle; pair
+    // generation must emit C(300,2) pairs incrementally, not one
+    // 90000-struct array row
+    val docs300 = (1 to 300).map(i => (i.toLong, "the quick brown fox jumps over"))
+      .toDF("doc_id", "text")
+    val pairs = Dedup.ngramJaccard(docs300, "doc_id", "text", threshold = 0.99)
+    assert(pairs.count() == 300L * 299 / 2)
+    assert(pairs.select(min($"jaccard")).as[Double].head() == 1.0)
+    // beyond the posting cap the shingle is dropped entirely
+    val capped = Dedup.ngramJaccard(docs300, "doc_id", "text",
+      threshold = 0.99, maxShinglePosting = 100)
+    assert(capped.count() == 0)
+  }
+
+  test("connected components: chain graph converges in O(log diameter) iterations") {
+    // path 0-1-...-15: plain min propagation needs ~15 iterations;
+    // pointer jumping doubles labelled distance per iteration
+    val chain = (0 until 15).map(i => (i.toLong, (i + 1).toLong)).toDF("a", "b")
+    val (labels, iters) = graft.operators.Components
+      .connectedComponentsWithStats(chain, "a", "b")
+    val comps = labels.as[(Long, Long)].collect().toMap
+    assert(comps.size == 16 && comps.values.forall(_ == 0L))
+    assert(iters <= 7, s"chain-16 should converge in ~log iterations, took $iters")
+  }
+
+  test("connected components: two cliques sharing no edge stay separate") {
+    val pairs = Seq((10L, 11L), (11L, 12L), (10L, 12L), (20L, 21L)).toDF("a", "b")
+    val comps = graft.operators.Components.connectedComponents(pairs, "a", "b")
+      .as[(Long, Long)].collect().toMap
+    assert(comps == Map(10L -> 10L, 11L -> 10L, 12L -> 10L, 20L -> 20L, 21L -> 20L))
+  }
 }

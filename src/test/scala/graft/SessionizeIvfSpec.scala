@@ -83,6 +83,20 @@ class SessionizeIvfSpec extends AnyFunSuite {
     assert(s1.n_events == 2 && math.abs(s1.sum_value - 3.0) < 1e-9)
   }
 
+  test("full replay with timeout flush equals the batch q17 sessionization exactly") {
+    def norm(df: org.apache.spark.sql.DataFrame) = df
+      .select($"user_id", $"session_no", $"n_events",
+        date_format($"session_start", "yyyy-MM-dd HH:mm:ss.SSSSSS").as("s"),
+        date_format($"session_end", "yyyy-MM-dd HH:mm:ss.SSSSSS").as("e"),
+        round($"sum_value", 2).as("v"))
+      .as[(Long, Long, Long, String, String, Double)].collect().toSet
+    val got = norm(SparkEntry.queries("q_stream_sessionize")(spark, sfDir))
+    val want = norm(SparkEntry.queries("q17_sessionize")(spark, sfDir))
+    assert(got.nonEmpty)
+    assert(got == want, s"stream != batch; only-stream=${(got -- want).take(3)} " +
+      s"only-batch=${(want -- got).take(3)}")
+  }
+
   test("IVF ANN: trained centroids partition the corpus; probes recall brute-force hits") {
     val e = spark.read.parquet(s"$sfDir/embeddings.parquet")
     val queries = e.filter($"vec_id" < 5)
