@@ -49,18 +49,23 @@ object Components {
       val stepped = labels.join(prop, Seq("id"), "left")
         .select(col("id"), col("component").as("__old"),
           least(col("component"), coalesce(col("nbr"), col("component"))).as("component"))
-      // hop 2: pointer jump through the PREVIOUS labels — composes the
-      // last iteration's reach onto this one, doubling labelled
-      // distance per iteration. Any label is an id within the same
-      // component, so the min stays a same-component id.
-      val reps = labels.select(col("id").as("rep_id"), col("component").as("rep_comp"))
+      // hop 2 (iteration 3+ only): pointer jump through the PREVIOUS
+      // labels — composes the last iteration's reach onto this one,
+      // doubling labelled distance per iteration. Any label is an id
+      // within the same component, so the min stays a same-component
+      // id. Tiny-clique graphs converge within the first plain
+      // iterations and never pay for the extra join; chains go
+      // exponential once the jump kicks in.
+      val jumped = if (i < 2) stepped else {
+        val reps = labels.select(col("id").as("rep_id"), col("component").as("rep_comp"))
+        stepped.join(reps, col("component") === col("rep_id"), "left")
+          .select(col("id"), col("__old"),
+            least(col("component"), coalesce(col("rep_comp"), col("component"))).as("component"))
+      }
       // carry the previous label through the projection so the
       // convergence check is a filter on the SAME cached result —
       // one action per iteration
-      val next = stepped.join(reps, col("component") === col("rep_id"), "left")
-        .select(col("id"), col("__old"),
-          least(col("component"), coalesce(col("rep_comp"), col("component"))).as("component"))
-        .cache()
+      val next = jumped.cache()
       val changed = next.filter(col("component") =!= col("__old")).limit(1).count() > 0
       labels.unpersist()
       labels = next.select("id", "component")

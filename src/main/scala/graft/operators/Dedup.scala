@@ -65,20 +65,21 @@ object Dedup {
     val posting = shingled
       .select(col("doc"), explode(tokenHashes(col("shingles"))).as("sh"))
     // inverted index: keep only shingles that can produce a pair
-    val byShingle = posting.groupBy("sh")
-      .agg(collect_list("doc").as("docs"))
-      .filter(size(col("docs")).between(2, maxShinglePosting))
-    // pair generation stays incremental: posexplode the posting, then
-    // explode each element's tail slice — peak row size is ONE posting
-    // list (<= maxShinglePosting ids), never its square. (The earlier
-    // flatten(transform x transform) form materialized up to cap^2
-    // structs in a single row at the skew cap.)
-    val pairs = byShingle
-      .select(col("docs"), posexplode(col("docs")).as(Seq("i", "a")))
-      .select(col("a"), explode(
-        slice(col("docs"), col("i") + lit(2), size(col("docs")) - col("i") - lit(1))).as("b"))
-      .select(least(col("a"), col("b")).as("doc_a"),
-        greatest(col("a"), col("b")).as("doc_b"))
+    // inverted index: keep only shingles that can produce a pair and
+    // are under the skew cap; then pair via a co-partitioned self-join
+    // WITHIN each shingle. Pairs stream out of the sort-merge join
+    // into the map-side partial count — no per-shingle array is ever
+    // materialized, and join-side buffering is bounded by the cap.
+    // (Earlier forms built the posting cross-product inside one row:
+    // up to cap^2 structs in a single row at the skew cap.)
+    val postingCnt = posting.groupBy("sh")
+      .agg(count(lit(1)).as("cnt"))
+      .filter(col("cnt").between(2, maxShinglePosting))
+      .select("sh")
+    val kept = posting.join(postingCnt, Seq("sh"))
+    val pairs = kept.select(col("sh"), col("doc").as("doc_a"))
+      .join(kept.select(col("sh"), col("doc").as("doc_b")), Seq("sh"))
+      .filter(col("doc_a") < col("doc_b"))
       .groupBy("doc_a", "doc_b")
       .agg(count(lit(1)).cast("bigint").as("n_common"))
     pairs
