@@ -302,6 +302,46 @@ object TextQueries {
       |  CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
       |FROM events GROUP BY 1, 2""".stripMargin
 
+  // ---- text_line_dedup: CCNet-style corpus-wide line dedup over
+  //      deterministic 8-token chunks (first occurrence wins, docs
+  //      reassembled from surviving lines) ----
+  val lineDedup: Q = (s, d) => {
+    val lines = graft.operators.LineDedup.chunkedLines(documents(s, d), "doc_id", "text", 8)
+    graft.operators.LineDedup.dedupFromLines(lines, "doc_id", " ")
+  }
+
+  val lineDedupOracle: String =
+    """WITH t AS (SELECT doc_id, str_split(text, ' ') AS toks FROM documents),
+      |l0 AS (SELECT doc_id, toks,
+      |        unnest(range(1, CAST(ceil(len(toks)/8.0) AS INT) + 1)) AS i FROM t),
+      |l AS (SELECT doc_id, i - 1 AS line_no,
+      |        array_to_string(toks[((i-1)*8+1):(i*8)], ' ') AS line FROM l0),
+      |k AS (SELECT doc_id, line_no, line,
+      |        ROW_NUMBER() OVER (PARTITION BY line ORDER BY doc_id, line_no) AS rn
+      |      FROM l)
+      |SELECT doc_id,
+      |  COALESCE(string_agg(CASE WHEN rn = 1 THEN line END, ' ' ORDER BY line_no), '') AS clean_text,
+      |  CAST(SUM(CASE WHEN rn = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_kept,
+      |  CAST(SUM(CASE WHEN rn = 1 THEN 0 ELSE 1 END) AS BIGINT) AS n_dropped
+      |FROM k GROUP BY doc_id""".stripMargin
+
+  // ---- text_seq_pack: token-budget sequence packing (prefix-sum
+  //      bin assignment within language groups, budget 256) ----
+  val seqPack: Q = (s, d) =>
+    graft.operators.SequencePack.packByPrefixSum(documents(s, d), "doc_id", "text", "lang", 256)
+
+  val seqPackOracle: String =
+    """WITH t AS (SELECT doc_id, lang,
+      |        CAST(len(str_split(text, ' ')) AS BIGINT) AS n_tokens FROM documents),
+      |c AS (SELECT doc_id, lang, n_tokens,
+      |        CAST(COALESCE(SUM(n_tokens) OVER (PARTITION BY lang ORDER BY doc_id
+      |          ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT) AS cum_before
+      |      FROM t)
+      |SELECT doc_id, lang, n_tokens, cum_before,
+      |  CAST(FLOOR(cum_before / 256.0) AS BIGINT) AS bin,
+      |  (cum_before % 256 = 0) AS bin_start
+      |FROM c""".stripMargin
+
   // ---- q_stream_sessionize: the stateful streaming sessionizer
   //      (flatMapGroupsWithState + event-time timeout) replayed over
   //      the full event set — closed AND timeout-flushed sessions
@@ -353,7 +393,9 @@ object TextQueries {
     "dedup_drop_neardups" -> dedupDrop,
     "q26_funnel" -> funnel,
     "q_stream_window" -> streamWindow,
-    "q_stream_sessionize" -> streamSessionize)
+    "q_stream_sessionize" -> streamSessionize,
+    "text_line_dedup" -> lineDedup,
+    "text_seq_pack" -> seqPack)
 
   val oracles: Map[String, String] = Map(
     "text_token_stats" -> tokenStatsOracle,
@@ -368,5 +410,7 @@ object TextQueries {
     "dedup_drop_neardups" -> dedupDropOracle,
     "q26_funnel" -> funnelOracle,
     "q_stream_window" -> streamWindowOracle,
-    "q_stream_sessionize" -> streamSessionizeOracle)
+    "q_stream_sessionize" -> streamSessionizeOracle,
+    "text_line_dedup" -> lineDedupOracle,
+    "text_seq_pack" -> seqPackOracle)
 }

@@ -169,6 +169,36 @@ class OperatorsSpec extends AnyFunSuite {
     assert(capped.count() == 0)
   }
 
+  test("line dedup keeps first occurrences and reassembles in order") {
+    val df = Seq(
+      (1L, "alpha\nshared\nbeta"),
+      (2L, "shared\ngamma"),
+      (3L, "shared")).toDF("id", "text")
+    val got = graft.operators.LineDedup.dedupLines(df, "id", "text").orderBy("id")
+      .as[(Long, String, Long, Long)].collect().toSeq
+    assert(got == Seq(
+      (1L, "alpha\nshared\nbeta", 3L, 0L), // first occurrence keeps everything
+      (2L, "gamma", 1L, 1L),               // 'shared' dropped, order kept
+      (3L, "", 0L, 1L)))                   // fully-deduped doc keeps a row
+  }
+
+  test("greedy packing: bins never overflow, runs are contiguous, oversize doc isolated") {
+    val docs = ((1 to 100).map(i => (i.toLong, Seq.fill(i % 7 + 1)("w").mkString(" "))) :+
+      (101L, Seq.fill(15)("w").mkString(" "))).toDF("id", "text")
+    val rows = graft.operators.SequencePack
+      .packGreedy(docs, "id", "text", budget = 10, numPartitions = 4)
+      .as[(Long, Long, Long)].collect()
+    assert(rows.length == 101)
+    val byBin = rows.groupBy(_._3)
+    byBin.foreach { case (bin, rs) =>
+      val total = rs.map(_._2).sum
+      assert(total <= 10 || rs.length == 1, s"bin $bin overflows with ${rs.length} docs: $total")
+      val ids = rs.map(_._1).sorted
+      assert(ids.last - ids.head == ids.length - 1, s"bin $bin is not a contiguous run")
+    }
+    assert(byBin(rows.find(_._1 == 101L).get._3).length == 1) // oversize doc alone
+  }
+
   test("connected components: chain graph converges in O(log diameter) iterations") {
     // path 0-1-...-15: plain min propagation needs ~15 iterations;
     // pointer jumping doubles labelled distance per iteration
