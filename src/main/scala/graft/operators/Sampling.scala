@@ -32,6 +32,20 @@ object Sampling {
     (df.filter(b >= cut), df.filter(b < cut))
   }
 
+  /** Engine-portable deterministic bucket: first 8 hex digits of
+    * md5(id-as-string) mod `buckets`. Slower than the xxhash64 bucket
+    * but recomputable bit-for-bit in any engine (the DuckDB oracle
+    * recomputes it for `text_sample_det`), so a sample drawn here can
+    * be reproduced by external tooling.
+    */
+  def portableBucket(idCol: Column, buckets: Long = 100L): Column =
+    conv(substring(md5(idCol.cast("string").cast("binary")), 1, 8), 16, 10)
+      .cast("long") % buckets
+
+  /** Deterministic `percent`% sample by portable bucket. */
+  def portableSample(df: DataFrame, idCol: String, percent: Int): DataFrame =
+    df.filter(portableBucket(col(idCol)) < percent)
+
   /** Deterministic stratified sample: keep ~`fractions(stratum)` of
     * each stratum (default fraction for unlisted strata).
     */

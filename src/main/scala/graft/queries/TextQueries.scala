@@ -342,6 +342,19 @@ object TextQueries {
       |  (cum_before % 256 = 0) AS bin_start
       |FROM c""".stripMargin
 
+  // ---- text_sample_det: engine-portable deterministic 10% sample
+  //      (md5 bucket — the oracle recomputes the same bucket) ----
+  val sampleDet: Q = (s, d) =>
+    graft.operators.Sampling.portableSample(documents(s, d), "doc_id", percent = 10)
+      .select(col("doc_id"), col("lang"), col("n_chars"),
+        graft.operators.Sampling.portableBucket(col("doc_id")).as("bucket"))
+
+  val sampleDetOracle: String =
+    """SELECT doc_id, lang, n_chars,
+      |  CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8)) AS BIGINT) % 100 AS bucket
+      |FROM documents
+      |WHERE CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8)) AS BIGINT) % 100 < 10""".stripMargin
+
   // ---- q_stream_sessionize: the stateful streaming sessionizer
   //      (flatMapGroupsWithState + event-time timeout) replayed over
   //      the full event set — closed AND timeout-flushed sessions
@@ -395,7 +408,8 @@ object TextQueries {
     "q_stream_window" -> streamWindow,
     "q_stream_sessionize" -> streamSessionize,
     "text_line_dedup" -> lineDedup,
-    "text_seq_pack" -> seqPack)
+    "text_seq_pack" -> seqPack,
+    "text_sample_det" -> sampleDet)
 
   val oracles: Map[String, String] = Map(
     "text_token_stats" -> tokenStatsOracle,
@@ -412,5 +426,6 @@ object TextQueries {
     "q_stream_window" -> streamWindowOracle,
     "q_stream_sessionize" -> streamSessionizeOracle,
     "text_line_dedup" -> lineDedupOracle,
-    "text_seq_pack" -> seqPackOracle)
+    "text_seq_pack" -> seqPackOracle,
+    "text_sample_det" -> sampleDetOracle)
 }
