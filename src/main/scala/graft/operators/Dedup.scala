@@ -59,32 +59,35 @@ object Dedup {
                    maxShinglePosting: Int = 1000): DataFrame = {
     val shingled = spread(df).select(col(idCol).as("doc"),
       wordShingles(wsTokens(col(textCol)), n).as("shingles"))
-    val sizes = shingled.select(col("doc"), size(col("shingles")).as("n_sh"))
     // shuffle 8-byte shingle hashes, not shingle strings (a word
-    // n-gram averages ~20 bytes and the posting shuffle dominates)
+    // n-gram averages ~20 bytes and the posting shuffle dominates).
+    // The doc's shingle count RIDES ALONG each posting row (+8 bytes)
+    // so the jaccard denominator needs no second shingling pass and
+    // no size joins afterwards — shingling is interpreted-HOF work,
+    // the most expensive per-row step in this operator.
     val posting = shingled
-      .select(col("doc"), explode(tokenHashes(col("shingles"))).as("sh"))
-    // inverted index: keep only shingles that can produce a pair
+      .select(col("doc"), size(col("shingles")).as("n_sh"),
+        explode(tokenHashes(col("shingles"))).as("sh"))
     // inverted index: keep only shingles that can produce a pair and
     // are under the skew cap; then pair via a co-partitioned self-join
-    // WITHIN each shingle. Pairs stream out of the sort-merge join
-    // into the map-side partial count — no per-shingle array is ever
-    // materialized, and join-side buffering is bounded by the cap.
-    // (Earlier forms built the posting cross-product inside one row:
-    // up to cap^2 structs in a single row at the skew cap.)
+    // WITHIN each shingle (both sides reuse one exchange). Pairs
+    // stream out of the sort-merge join into the map-side partial
+    // count — no per-shingle array is ever materialized, and
+    // join-side buffering is bounded by the cap. (Earlier forms built
+    // the posting cross-product inside one row: up to cap^2 structs
+    // in a single row at the skew cap.)
     val postingCnt = posting.groupBy("sh")
       .agg(count(lit(1)).as("cnt"))
       .filter(col("cnt").between(2, maxShinglePosting))
       .select("sh")
     val kept = posting.join(postingCnt, Seq("sh"))
-    val pairs = kept.select(col("sh"), col("doc").as("doc_a"))
-      .join(kept.select(col("sh"), col("doc").as("doc_b")), Seq("sh"))
+    val pairs = kept
+      .select(col("sh"), col("doc").as("doc_a"), col("n_sh").as("n_a"))
+      .join(kept.select(col("sh"), col("doc").as("doc_b"), col("n_sh").as("n_b")), Seq("sh"))
       .filter(col("doc_a") < col("doc_b"))
-      .groupBy("doc_a", "doc_b")
+      .groupBy("doc_a", "doc_b", "n_a", "n_b") // n_* functionally determined by doc_*
       .agg(count(lit(1)).cast("bigint").as("n_common"))
     pairs
-      .join(sizes.withColumnRenamed("doc", "doc_a").withColumnRenamed("n_sh", "n_a"), "doc_a")
-      .join(sizes.withColumnRenamed("doc", "doc_b").withColumnRenamed("n_sh", "n_b"), "doc_b")
       .withColumn("jaccard",
         col("n_common").cast("double") /
           (col("n_a") + col("n_b") - col("n_common")).cast("double"))

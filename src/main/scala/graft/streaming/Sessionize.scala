@@ -151,7 +151,16 @@ object Sessionize {
       .withWatermark("ts", "1 minute")
       .as[SessionEvent]
     val name = "qss_" + java.util.UUID.randomUUID().toString.replace("-", "")
-    runToMemory(spark, sessionsWithTimeout(stream, gapSeconds), name)
+    // the state store allocates one state partition per shuffle
+    // partition PER MICROBATCH — at replay scale fewer, fuller state
+    // tasks beat many near-empty ones (a long-running production
+    // stream would size this to the key cardinality instead)
+    val prevParts = spark.conf.get("spark.sql.shuffle.partitions")
+    val drained = try {
+      spark.conf.set("spark.sql.shuffle.partitions", "8")
+      runToMemory(spark, sessionsWithTimeout(stream, gapSeconds), name)
+    } finally spark.conf.set("spark.sql.shuffle.partitions", prevParts)
+    drained
       .filter(col("user_id") >= 0) // drop the sentinel
       .select(col("user_id"), col("session_no"), col("n_events"),
         col("session_start"), col("session_end"), col("sum_value"))
