@@ -57,17 +57,20 @@ object Dedup {
   def ngramJaccard(df: DataFrame, idCol: String, textCol: String,
                    n: Int = 3, threshold: Double = 0.8,
                    maxShinglePosting: Int = 1000): DataFrame = {
-    val shingled = spread(df).select(col(idCol).as("doc"),
-      wordShingles(wsTokens(col(textCol)), n).as("shingles"))
+    GraftFunctions.register(df.sparkSession)
     // shuffle 8-byte shingle hashes, not shingle strings (a word
     // n-gram averages ~20 bytes and the posting shuffle dominates).
-    // The doc's shingle count RIDES ALONG each posting row (+8 bytes)
-    // so the jaccard denominator needs no second shingling pass and
-    // no size joins afterwards — shingling is interpreted-HOF work,
-    // the most expensive per-row step in this operator.
+    // Shingle identities come from the codegen'd graft_shingles
+    // expression — one fused hash loop per row, no intermediate
+    // n-gram strings (the interpreted HOF pipeline built and then
+    // hashed one string per window). The doc's shingle count RIDES
+    // ALONG each posting row (+8 bytes) so the jaccard denominator
+    // needs no second shingling pass and no size joins afterwards.
+    val shingled = spread(df).select(col(idCol).as("doc"),
+      GraftFunctions.shingleFast(wsTokens(col(textCol)), n).as("sh_hashes"))
     val posting = shingled
-      .select(col("doc"), size(col("shingles")).as("n_sh"),
-        explode(tokenHashes(col("shingles"))).as("sh"))
+      .select(col("doc"), size(col("sh_hashes")).as("n_sh"),
+        explode(col("sh_hashes")).as("sh"))
     // inverted index: keep only shingles that can produce a pair and
     // are under the skew cap; then pair via a co-partitioned self-join
     // WITHIN each shingle (both sides reuse one exchange). Pairs

@@ -14,6 +14,7 @@ object GraftFunctions {
   val CosineName = "graft_cosine"
   val MinHashName = "graft_minhash"
   val SimHashName = "graft_simhash"
+  val ShingleName = "graft_shingles"
 
   private def minhashBuilder(exprs: Seq[Expression]): Expression = {
     val k = exprs(1) match {
@@ -24,10 +25,20 @@ object GraftFunctions {
     MinHashSig(exprs(0), k)
   }
 
+  private def shingleBuilder(exprs: Seq[Expression]): Expression = {
+    val n = exprs(1) match {
+      case org.apache.spark.sql.catalyst.expressions.Literal(v: Int, _) => v
+      case other => throw new IllegalArgumentException(
+        s"$ShingleName: n must be an integer literal, got $other")
+    }
+    ShingleHash64(exprs(0), n)
+  }
+
   private def builders: Seq[(String, Seq[Expression] => Expression)] = Seq(
     CosineName -> (exprs => CosineSimilarity(exprs(0), exprs(1))),
     MinHashName -> (minhashBuilder _),
-    SimHashName -> (exprs => SimHashSig(exprs(0))))
+    SimHashName -> (exprs => SimHashSig(exprs(0))),
+    ShingleName -> (shingleBuilder _))
 
   /** Idempotently register the functions on a session. Operators call
     * this before building plans that use the fast expressions.
@@ -46,6 +57,10 @@ object GraftFunctions {
 
   /** Codegen'd SimHash sketch (requires `register(spark)`). */
   def simhashFast(tokens: Column): Column = call_function(SimHashName, tokens)
+
+  /** Codegen'd distinct n-gram shingle hashes (requires `register`). */
+  def shingleFast(tokens: Column, n: Int): Column =
+    call_function(ShingleName, tokens, org.apache.spark.sql.functions.lit(n))
 }
 
 /** Session extension injecting graft functions at session build time:

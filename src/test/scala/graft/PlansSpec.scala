@@ -97,6 +97,28 @@ class PlansSpec extends AnyFunSuite {
     assert(e.getMessage.contains("array<string>"))
   }
 
+  test("graft_shingles counts distinct shingles exactly like the HOF pipeline") {
+    GraftFunctions.register(spark)
+    import org.apache.spark.sql.functions._
+    import graft.functions._
+    val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    val both = docs.select(
+      size(GraftFunctions.shingleFast(wsTokens(col("text")), 3)).as("fast_n"),
+      size(array_distinct(wordShingles(wsTokens(col("text")), 3))).as("hof_n"),
+      GraftFunctions.shingleFast(wsTokens(col("text")), 3).as("hashes"))
+    val rows = both.collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      assert(r.getInt(0) == r.getInt(1), "distinct shingle count mismatch")
+      val hs = r.getSeq[Long](2)
+      assert(hs == hs.sorted && hs.distinct.size == hs.size, "must be sorted distinct")
+    }
+    // short texts yield empty shingle sets, not descending-seq artifacts
+    val empty = spark.sql("SELECT graft_shingles(array('one', 'two'), 3) AS s")
+      .collect()(0).getSeq[Long](0)
+    assert(empty.isEmpty)
+  }
+
   test("graft_cosine is exposed to SQL after registration") {
     // NOTE: building a second SparkSession with .withExtensions in the
     // shared-context test JVM would not apply extensions (and closing
