@@ -111,11 +111,12 @@ object Dedup {
     require(numHashes % rowsPerBand == 0, "numHashes must be divisible by rowsPerBand")
     val numBands = numHashes / rowsPerBand
     GraftFunctions.register(df.sparkSession)
-    // native codegen'd signature (graft.plans.MinHashSig): one fused
-    // loop per row; same hash family as functions.minhashSignature
+    // fully hash-based: codegen'd shingle identities feed the codegen
+    // signature (MinHashSig consumes the pre-hashed array<long>
+    // directly) — no n-gram string ever exists, in any stage
     val shingled = spread(df).select(col(idCol).as("doc"),
-      wordShingles(wsTokens(col(textCol)), n).as("shingles"))
-      .withColumn("sig", GraftFunctions.minhashFast(col("shingles"), numHashes))
+      GraftFunctions.shingleFast(wsTokens(col(textCol)), n).as("sh_hashes"))
+      .withColumn("sig", GraftFunctions.minhashFast(col("sh_hashes"), numHashes))
     // (band, hash-of-band-slice) bucket keys carry ONLY the doc id —
     // shuffling the shingle arrays numBands times would dominate the
     // job; candidates re-fetch their shingles by id afterwards
@@ -130,15 +131,16 @@ object Dedup {
     val candidates = a.join(b, Seq("band", "bh"))
       .filter(col("doc_a") < col("doc_b"))
       .select("doc_a", "doc_b").dropDuplicates("doc_a", "doc_b")
-    // exact-Jaccard verification on candidates only (shingles joined
-    // back by id — candidate count << corpus size)
-    val shOnly = shingled.select(col("doc"), col("shingles"))
+    // exact-Jaccard verification on candidates only (hashed shingle
+    // sets joined back by id — candidate count << corpus size; the
+    // intersect runs on sorted 8-byte arrays, not strings)
+    val shOnly = shingled.select(col("doc"), col("sh_hashes"))
     candidates
-      .join(shOnly.select(col("doc").as("doc_a"), col("shingles").as("sh_a")), "doc_a")
-      .join(shOnly.select(col("doc").as("doc_b"), col("shingles").as("sh_b")), "doc_b")
+      .join(shOnly.select(col("doc").as("doc_a"), col("sh_hashes").as("sh_a")), "doc_a")
+      .join(shOnly.select(col("doc").as("doc_b"), col("sh_hashes").as("sh_b")), "doc_b")
       .withColumn("n_common", size(array_intersect(col("sh_a"), col("sh_b"))).cast("bigint"))
       .withColumn("jaccard", col("n_common").cast("double") /
-        size(array_union(col("sh_a"), col("sh_b"))).cast("double"))
+        (size(col("sh_a")) + size(col("sh_b")) - col("n_common")).cast("double"))
       .filter(col("jaccard") >= threshold)
       .select(col("doc_a"), col("doc_b"), col("n_common"), col("jaccard"))
   }

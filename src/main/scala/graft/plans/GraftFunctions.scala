@@ -61,6 +61,10 @@ object GraftFunctions {
   /** Codegen'd distinct n-gram shingle hashes (requires `register`). */
   def shingleFast(tokens: Column, n: Int): Column =
     call_function(ShingleName, tokens, org.apache.spark.sql.functions.lit(n))
+
+  /** Builder handles for SparkSessionExtensions registration. */
+  private[plans] def minhashBuilderPublic: Seq[Expression] => Expression = minhashBuilder
+  private[plans] def shingleBuilderPublic: Seq[Expression] => Expression = shingleBuilder
 }
 
 /** Session extension injecting graft functions at session build time:
@@ -69,9 +73,16 @@ object GraftFunctions {
   */
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
   override def apply(ext: SparkSessionExtensions): Unit = {
-    ext.injectFunction((
-      FunctionIdentifier(GraftFunctions.CosineName),
-      new ExpressionInfo(classOf[CosineSimilarity].getName, GraftFunctions.CosineName),
-      (exprs: Seq[Expression]) => CosineSimilarity(exprs(0), exprs(1))))
+    def inject(name: String, clazz: Class[_], builder: Seq[Expression] => Expression): Unit =
+      ext.injectFunction((FunctionIdentifier(name),
+        new ExpressionInfo(clazz.getName, name), builder))
+    inject(GraftFunctions.CosineName, classOf[CosineSimilarity],
+      exprs => CosineSimilarity(exprs(0), exprs(1)))
+    inject(GraftFunctions.MinHashName, classOf[MinHashSig],
+      GraftFunctions.minhashBuilderPublic)
+    inject(GraftFunctions.SimHashName, classOf[SimHashSig],
+      exprs => SimHashSig(exprs(0)))
+    inject(GraftFunctions.ShingleName, classOf[ShingleHash64],
+      GraftFunctions.shingleBuilderPublic)
   }
 }

@@ -6,14 +6,16 @@ import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCo
 import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
 import org.apache.spark.sql.types._
 
-/** Codegen'd MinHash signature over an array<string> of shingles.
+/** Codegen'd MinHash signature over shingles — array<string> (hash
+  * the string) or array<long> (pre-hashed shingle identities from
+  * [[ShingleHash64]], skipping the string hash entirely).
   *
   * Same hash family as graft.functions.minhashSignature (verified by
-  * spec): per element, h1 = floorMod(xxhash64(s), 2^31-1) and
-  * h2 = floorMod(xxhash64(s, 7), 2^31-1) — where xxhash64(s, 7)
-  * chains XXH64.hashInt(7, hashUTF8String(s, 42)) exactly like
-  * Spark's XxHash64 expression folds its children — and
-  * sig_i = min over elements of h1 + (i+1)*h2.
+  * spec): per element, h1 = floorMod(a, 2^31-1) and
+  * h2 = floorMod(xxhash64(a, 7), 2^31-1) — where for strings
+  * a = XXH64.hashUTF8String(s, 42) and xxhash64(a, 7) chains
+  * XXH64.hashInt(7, a) exactly like Spark's XxHash64 expression
+  * folds its children — and sig_i = min over elements of h1+(i+1)*h2.
   *
   * The HOF formulation runs interpreted with a fresh signature-array
   * allocation per element; this expression is one fused primitive
@@ -24,13 +26,19 @@ case class MinHashSig(child: Expression, numHashes: Int) extends UnaryExpression
 
   private val M31 = 2147483647L
 
+  private def fromHashes: Boolean = child.dataType match {
+    case ArrayType(LongType, _) => true
+    case _ => false
+  }
+
   override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
-    case ArrayType(StringType, _) if numHashes > 0 => TypeCheckResult.TypeCheckSuccess
-    case ArrayType(StringType, _) =>
+    case ArrayType(StringType, _) | ArrayType(LongType, _) if numHashes > 0 =>
+      TypeCheckResult.TypeCheckSuccess
+    case ArrayType(StringType, _) | ArrayType(LongType, _) =>
       TypeCheckResult.TypeCheckFailure(s"numHashes must be positive, got $numHashes")
     case other =>
       TypeCheckResult.TypeCheckFailure(
-        s"$prettyName requires array<string>, got ${other.simpleString}")
+        s"$prettyName requires array<string> or array<long>, got ${other.simpleString}")
   }
 
   override def dataType: DataType = ArrayType(LongType, containsNull = false)
@@ -38,12 +46,14 @@ case class MinHashSig(child: Expression, numHashes: Int) extends UnaryExpression
 
   override def nullSafeEval(input: Any): Any = {
     val arr = input.asInstanceOf[ArrayData]
+    val hashed = fromHashes
     val sig = Array.fill(numHashes)(Long.MaxValue)
     var i = 0
     val n = arr.numElements()
     while (i < n) {
       if (!arr.isNullAt(i)) {
-        val a = XXH64.hashUTF8String(arr.getUTF8String(i), 42L)
+        val a = if (hashed) arr.getLong(i)
+          else XXH64.hashUTF8String(arr.getUTF8String(i), 42L)
         val h1 = java.lang.Math.floorMod(a, M31)
         val h2 = java.lang.Math.floorMod(XXH64.hashInt(7, a), M31)
         var v = h1
@@ -61,6 +71,8 @@ case class MinHashSig(child: Expression, numHashes: Int) extends UnaryExpression
 
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
     val xxh = classOf[XXH64].getName
+    val getElem = if (fromHashes) (a: String, i: String) => s"$a.getLong($i)"
+      else (a: String, i: String) => s"$xxh.hashUTF8String($a.getUTF8String($i), 42L)"
     nullSafeCodeGen(ctx, ev, arr => {
       val sig = ctx.freshName("sig"); val i = ctx.freshName("i")
       val n = ctx.freshName("n"); val a = ctx.freshName("a")
@@ -72,7 +84,7 @@ case class MinHashSig(child: Expression, numHashes: Int) extends UnaryExpression
          |int $n = $arr.numElements();
          |for (int $i = 0; $i < $n; $i++) {
          |  if (!$arr.isNullAt($i)) {
-         |    long $a = $xxh.hashUTF8String($arr.getUTF8String($i), 42L);
+         |    long $a = ${getElem(arr, i)};
          |    long $h1 = java.lang.Math.floorMod($a, ${M31}L);
          |    long $h2 = java.lang.Math.floorMod($xxh.hashInt(7, $a), ${M31}L);
          |    long $v = $h1;
