@@ -15,6 +15,7 @@ object GraftFunctions {
   val MinHashName = "graft_minhash"
   val SimHashName = "graft_simhash"
   val ShingleName = "graft_shingles"
+  val ShingleLookupName = "graft_shingle_lookup"
 
   private def minhashBuilder(exprs: Seq[Expression]): Expression = {
     val k = exprs(1) match {
@@ -34,11 +35,28 @@ object GraftFunctions {
     ShingleHash64(exprs(0), n)
   }
 
+  private def lookupBuilder(exprs: Seq[Expression]): Expression = {
+    import org.apache.spark.sql.catalyst.expressions.Literal
+    import org.apache.spark.sql.catalyst.util.ArrayData
+    val n = exprs(1) match {
+      case Literal(v: Int, _) => v
+      case other => throw new IllegalArgumentException(
+        s"$ShingleLookupName: n must be an integer literal, got $other")
+    }
+    val wanted = exprs(2) match {
+      case Literal(v: ArrayData, _) => v.toLongArray.toSeq
+      case other => throw new IllegalArgumentException(
+        s"$ShingleLookupName: wanted must be an array<long> literal, got $other")
+    }
+    ShingleLookup(exprs(0), n, wanted)
+  }
+
   private def builders: Seq[(String, Seq[Expression] => Expression)] = Seq(
     CosineName -> (exprs => CosineSimilarity(exprs(0), exprs(1))),
     MinHashName -> (minhashBuilder _),
     SimHashName -> (exprs => SimHashSig(exprs(0))),
-    ShingleName -> (shingleBuilder _))
+    ShingleName -> (shingleBuilder _),
+    ShingleLookupName -> (lookupBuilder _))
 
   /** Idempotently register the functions on a session. Operators call
     * this before building plans that use the fast expressions.
@@ -61,6 +79,15 @@ object GraftFunctions {
   /** Codegen'd distinct n-gram shingle hashes (requires `register`). */
   def shingleFast(tokens: Column, n: Int): Column =
     call_function(ShingleName, tokens, org.apache.spark.sql.functions.lit(n))
+
+  /** Reverse lookup: strings of windows whose shingle hash is in
+    * `wanted` (requires `register`). `wanted` is model-sized (a
+    * collected candidate set), passed as a literal array.
+    */
+  def shingleLookup(tokens: Column, n: Int, wanted: Seq[Long]): Column =
+    call_function(ShingleLookupName, tokens,
+      org.apache.spark.sql.functions.lit(n),
+      org.apache.spark.sql.functions.lit(wanted.toArray))
 
   /** Builder handles for SparkSessionExtensions registration. */
   private[plans] def minhashBuilderPublic: Seq[Expression] => Expression = minhashBuilder

@@ -267,16 +267,43 @@ object TextQueries {
       |    '\b555-[0-9]+\b', '<PHONE>', 'g') AS redacted
       |FROM b""".stripMargin
 
-  // ---- text_top_ngrams: corpus-level top bigrams (explode + count
-  //      + deterministic top-k) ----
+  // ---- text_top_ngrams: corpus-level top bigrams, hash-first.
+  //      Phase 1 counts 8-byte shingle hashes (no n-gram string is
+  //      built or shuffled) and keeps every hash whose count reaches
+  //      the provisional 20th-highest count — a model-sized candidate
+  //      superset of the true top 20. Phase 2 re-scans recovering
+  //      strings ONLY for candidate windows and recounts exactly on
+  //      strings, so a (astronomically unlikely) hash collision can
+  //      only widen the candidate set, never corrupt a count. Falls
+  //      back to the direct string pipeline if the tie set at the
+  //      cut is implausibly large. ----
   val topNgrams: Q = (s, d) => {
     import graft.functions.{wordShingles, wsTokens}
-    documents(s, d)
-      .select(explode(wordShingles(wsTokens(col("text")), 2)).as("bigram"))
-      .groupBy(col("bigram"))
-      .agg(count(lit(1)).cast("bigint").as("n_docs"))
-      .orderBy(col("n_docs").desc, col("bigram").asc)
-      .limit(20)
+    import graft.plans.GraftFunctions
+    GraftFunctions.register(s)
+    val docs0 = documents(s, d)
+    val toks = wsTokens(col("text"))
+    val cnts = docs0.select(explode(GraftFunctions.shingleFast(toks, 2)).as("sh"))
+      .groupBy(col("sh")).agg(count(lit(1)).as("n"))
+    val cutoff = cnts.orderBy(col("n").desc).limit(20)
+      .agg(min(col("n")).as("m"))
+    val candidates = cnts.join(broadcast(cutoff), col("n") >= col("m"))
+      .select("sh").limit(10001)
+      .collect().map(_.getLong(0)).toSeq // model-sized (top-20 + ties)
+    if (candidates.size > 10000) {
+      // degenerate tie plateau: count strings directly
+      docs0.select(explode(wordShingles(toks, 2)).as("bigram"))
+        .groupBy(col("bigram"))
+        .agg(count(lit(1)).cast("bigint").as("n_docs"))
+        .orderBy(col("n_docs").desc, col("bigram").asc)
+        .limit(20)
+    } else {
+      docs0.select(explode(GraftFunctions.shingleLookup(toks, 2, candidates)).as("bigram"))
+        .groupBy(col("bigram"))
+        .agg(count(lit(1)).cast("bigint").as("n_docs"))
+        .orderBy(col("n_docs").desc, col("bigram").asc)
+        .limit(20)
+    }
   }
 
   val topNgramsOracle: String =

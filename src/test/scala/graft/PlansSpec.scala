@@ -119,6 +119,27 @@ class PlansSpec extends AnyFunSuite {
     assert(empty.isEmpty)
   }
 
+  test("graft_shingle_lookup recovers exactly the wanted windows as strings") {
+    GraftFunctions.register(spark)
+    import org.apache.spark.sql.functions._
+    import graft.functions._
+    val df = spark.createDataFrame(Seq(Tuple1("the quick brown fox the quick brown"))).toDF("text")
+    val hashes = df.select(GraftFunctions.shingleFast(wsTokens(col("text")), 3).as("h"))
+      .collect()(0).getSeq[Long](0)
+    // ask for two specific windows: full set round-trips, subset filters
+    val all = df.select(GraftFunctions.shingleLookup(wsTokens(col("text")), 3, hashes).as("s"))
+      .collect()(0).getSeq[String](0)
+    assert(all.toSet == Set("the quick brown", "quick brown fox", "brown fox the", "fox the quick"))
+    val wanted = df.select(GraftFunctions.shingleLookup(wsTokens(col("text")), 3,
+        hashes.take(1)).as("s"))
+      .collect()(0).getSeq[String](0)
+    assert(wanted.size == 1 && all.contains(wanted.head))
+    // empty candidate set → empty result
+    val none = df.select(GraftFunctions.shingleLookup(wsTokens(col("text")), 3, Nil).as("s"))
+      .collect()(0).getSeq[String](0)
+    assert(none.isEmpty)
+  }
+
   test("graft_cosine is exposed to SQL after registration") {
     // NOTE: building a second SparkSession with .withExtensions in the
     // shared-context test JVM would not apply extensions (and closing
