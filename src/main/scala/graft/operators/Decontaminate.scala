@@ -1,0 +1,55 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+import graft.functions._
+import graft.plans.GraftFunctions
+
+/** Benchmark decontamination — the training-pipeline step that finds
+  * corpus documents overlapping an evaluation/benchmark set by shared
+  * word n-grams, so they can be dropped before training.
+  *
+  * Shape: the corpus side explodes to (doc, shingle-hash) postings
+  * with the doc's shingle count riding along; the probe side reduces
+  * to its DISTINCT shingle hashes (benchmark sets are small — the set
+  * broadcasts). One left join + one aggregate per doc; no strings
+  * shuffle (codegen [[graft.plans.ShingleHash64]] identities), zero
+  * hits still produce a row.
+  */
+object Decontaminate {
+
+  /** Per corpus document: total distinct shingles, how many appear
+    * anywhere in `probes`, and the contaminated fraction. Documents
+    * with fewer than n tokens (no shingles) are excluded — they
+    * cannot overlap.
+    */
+  def contamination(corpus: DataFrame, probes: DataFrame,
+                    idCol: String, textCol: String, n: Int = 3): DataFrame = {
+    GraftFunctions.register(corpus.sparkSession)
+    def shingles(df: DataFrame) =
+      df.select(col(idCol).as("doc"),
+        GraftFunctions.shingleFast(wsTokens(col(textCol)), n).as("sh_hashes"))
+    val posting = shingles(corpus)
+      .select(col("doc"), size(col("sh_hashes")).as("n_sh"),
+        explode(col("sh_hashes")).as("sh"))
+    val probeSet = shingles(probes)
+      .select(explode(col("sh_hashes")).as("sh")).distinct()
+      .withColumn("hit", lit(1L))
+    posting.join(broadcast(probeSet), Seq("sh"), "left")
+      .groupBy(col("doc").as(idCol), col("n_sh").cast("bigint").as("n_shingles"))
+      .agg(coalesce(sum(col("hit")), lit(0L)).cast("bigint").as("n_contaminated"))
+      .withColumn("contamination",
+        col("n_contaminated").cast("double") / col("n_shingles").cast("double"))
+  }
+
+  /** Corpus minus documents whose contamination is >= `maxFraction`. */
+  def decontaminate(corpus: DataFrame, probes: DataFrame,
+                    idCol: String, textCol: String,
+                    maxFraction: Double = 0.2, n: Int = 3): DataFrame = {
+    val dirty = contamination(corpus, probes, idCol, textCol, n)
+      .filter(col("contamination") >= maxFraction)
+      .select(col(idCol))
+    corpus.join(dirty, Seq(idCol), "left_anti")
+  }
+}

@@ -90,4 +90,24 @@ object TextAnalysis {
       aggregate(wordShingles(toks, 3), lit(Long.MaxValue),
         (acc, s) => least(acc, xxhash64(s))).as("shingle_fp"))
   }
+
+  /** Repetition signals for quality filtering (the duplicate-n-gram
+    * fractions of the published web-corpus filtering recipes): a
+    * document whose n-grams repeat heavily is boilerplate or spam.
+    * Distinct counts come from the codegen'd shingle-hash expression,
+    * so this too runs at scan speed.
+    */
+  def repetition(df: DataFrame, idCol: String, textCol: String): DataFrame = {
+    graft.plans.GraftFunctions.register(df.sparkSession)
+    val toks = wsTokens(col(textCol))
+    val nTok = size(toks).cast("bigint")
+    def dupFrac(n: Int): Column = {
+      val total = nTok - (n - 1)
+      val distinctN = size(graft.plans.GraftFunctions.shingleFast(toks, n)).cast("bigint")
+      when(total > 0, lit(1.0) - distinctN.cast("double") / total.cast("double"))
+        .otherwise(0.0)
+    }
+    df.select(col(idCol), nTok.as("n_tokens"),
+      dupFrac(2).as("dup_2gram_frac"), dupFrac(3).as("dup_3gram_frac"))
+  }
 }

@@ -369,6 +369,49 @@ object TextQueries {
       |  (cum_before % 256 = 0) AS bin_start
       |FROM c""".stripMargin
 
+  // ---- text_repetition: duplicate-n-gram quality-filter signals ----
+  val repetition: Q = (s, d) =>
+    graft.operators.TextAnalysis.repetition(documents(s, d), "doc_id", "text")
+
+  val repetitionOracle: String =
+    """WITH t AS (SELECT doc_id, regexp_split_to_array(trim(text), '\s+') toks FROM documents)
+      |SELECT doc_id, CAST(len(toks) AS BIGINT) AS n_tokens,
+      |  CASE WHEN len(toks) >= 2 THEN
+      |    1.0 - CAST(len(list_distinct([toks[i]||' '||toks[i+1]
+      |                                  for i in range(1, len(toks))])) AS DOUBLE)
+      |        / CAST(len(toks) - 1 AS DOUBLE)
+      |  ELSE 0.0 END AS dup_2gram_frac,
+      |  CASE WHEN len(toks) >= 3 THEN
+      |    1.0 - CAST(len(list_distinct([toks[i]||' '||toks[i+1]||' '||toks[i+2]
+      |                                  for i in range(1, len(toks)-1)])) AS DOUBLE)
+      |        / CAST(len(toks) - 2 AS DOUBLE)
+      |  ELSE 0.0 END AS dup_3gram_frac
+      |FROM t""".stripMargin
+
+  // ---- text_decontaminate: benchmark-overlap detection (docs from
+  //      sources != src0 scored against the src0 "benchmark" set) ----
+  val decontaminate: Q = (s, d) => {
+    val docs0 = documents(s, d)
+    graft.operators.Decontaminate.contamination(
+      docs0.filter(col("source") =!= "src0"),
+      docs0.filter(col("source") === "src0"), "doc_id", "text", n = 3)
+  }
+
+  val decontaminateOracle: String =
+    """WITH docs AS (SELECT doc_id, source,
+      |        regexp_split_to_array(trim(text), '\s+') toks FROM documents),
+      |sh AS (SELECT doc_id, source, list_distinct([toks[i]||' '||toks[i+1]||' '||toks[i+2]
+      |                                 for i in range(1, len(toks)-1)]) g FROM docs),
+      |corpus AS (SELECT doc_id, g FROM sh WHERE source <> 'src0' AND len(g) > 0),
+      |probe AS (SELECT DISTINCT unnest(g) s FROM sh WHERE source = 'src0'),
+      |ex AS (SELECT doc_id, unnest(g) s FROM corpus),
+      |hits AS (SELECT e.doc_id, CAST(count(p.s) AS BIGINT) AS n_hits
+      |         FROM ex e LEFT JOIN probe p ON e.s = p.s GROUP BY e.doc_id),
+      |sz AS (SELECT doc_id, CAST(len(g) AS BIGINT) AS n FROM corpus)
+      |SELECT sz.doc_id, sz.n AS n_shingles, hits.n_hits AS n_contaminated,
+      |  CAST(hits.n_hits AS DOUBLE) / CAST(sz.n AS DOUBLE) AS contamination
+      |FROM sz JOIN hits ON hits.doc_id = sz.doc_id""".stripMargin
+
   // ---- text_sample_det: engine-portable deterministic 10% sample
   //      (md5 bucket — the oracle recomputes the same bucket) ----
   val sampleDet: Q = (s, d) =>
@@ -436,7 +479,9 @@ object TextQueries {
     "q_stream_sessionize" -> streamSessionize,
     "text_line_dedup" -> lineDedup,
     "text_seq_pack" -> seqPack,
-    "text_sample_det" -> sampleDet)
+    "text_sample_det" -> sampleDet,
+    "text_repetition" -> repetition,
+    "text_decontaminate" -> decontaminate)
 
   val oracles: Map[String, String] = Map(
     "text_token_stats" -> tokenStatsOracle,
@@ -454,5 +499,7 @@ object TextQueries {
     "q_stream_sessionize" -> streamSessionizeOracle,
     "text_line_dedup" -> lineDedupOracle,
     "text_seq_pack" -> seqPackOracle,
-    "text_sample_det" -> sampleDetOracle)
+    "text_sample_det" -> sampleDetOracle,
+    "text_repetition" -> repetitionOracle,
+    "text_decontaminate" -> decontaminateOracle)
 }

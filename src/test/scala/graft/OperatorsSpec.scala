@@ -169,6 +169,22 @@ class OperatorsSpec extends AnyFunSuite {
     assert(capped.count() == 0)
   }
 
+  test("decontaminate drops overlapping docs and keeps clean ones") {
+    val corpus = Seq(
+      (1L, "alpha beta gamma delta epsilon"),   // fully contaminated
+      (2L, "one two three four five six")).toDF("doc_id", "text")
+    val probes = Seq((100L, "alpha beta gamma delta epsilon zeta")).toDF("doc_id", "text")
+    val scored = graft.operators.Decontaminate
+      .contamination(corpus, probes, "doc_id", "text")
+      .as[(Long, Long, Long, Double)].collect().map(r => r._1 -> r).toMap
+    assert(scored(1L)._4 == 1.0) // every 3-gram of doc 1 is in the probe
+    assert(scored(2L)._4 == 0.0 && scored(2L)._3 == 0L)
+    val clean = graft.operators.Decontaminate
+      .decontaminate(corpus, probes, "doc_id", "text", maxFraction = 0.5)
+      .select("doc_id").as[Long].collect().toSeq
+    assert(clean == Seq(2L))
+  }
+
   test("line dedup keeps first occurrences and reassembles in order") {
     val df = Seq(
       (1L, "alpha\nshared\nbeta"),
