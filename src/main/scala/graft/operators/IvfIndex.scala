@@ -78,22 +78,82 @@ object IvfIndex {
 
   private def rowToVec(r: Row): Seq[Double] = r.getSeq[Double](0).toSeq
 
-  /** Top-k per query probing `nProbe` centroid lists. */
+  /** Persist a trained index: `<dir>/centroids` (model) and
+    * `<dir>/lists` — the inverted file itself, PARTITIONED BY the
+    * centroid id, so a probe of nProbe lists reads exactly nProbe
+    * partition directories (partition pruning, verified by spec).
+    * Build once, search many — the assignment pass over the corpus is
+    * paid at build time, not per query batch.
+    */
+  def save(base: DataFrame, idCol: String, vecCol: String,
+           model: Model, dir: String): Unit = {
+    val spark = base.sparkSession
+    GraftFunctions.register(spark)
+    import spark.implicits._
+    model.centroids.zipWithIndex.map { case (v, i) => (i, v) }
+      .toDF("c", "v").coalesce(1)
+      .write.mode("overwrite").parquet(s"$dir/centroids")
+    base.select(col(idCol).as("base_id"), col(vecCol).as("base_v"))
+      .withColumn("c", nearestCentroid(transform(col("base_v"), _.cast("double")), model))
+      .write.mode("overwrite").partitionBy("c").parquet(s"$dir/lists")
+  }
+
+  /** Load the model half of a saved index. */
+  def load(spark: org.apache.spark.sql.SparkSession, dir: String): Model = {
+    val rows = spark.read.parquet(s"$dir/centroids")
+      .orderBy("c").select("v").collect().map(rowToVec)
+    Model(rows.toSeq)
+  }
+
+  /** Top-k per query against a SAVED index: probe lists resolve to
+    * partition directories, so the scan touches only the probed
+    * fraction of the corpus — no assignment recompute, no full scan.
+    */
+  def topKIndexed(spark: org.apache.spark.sql.SparkSession, dir: String,
+                  queries: DataFrame, idCol: String, vecCol: String,
+                  k: Int = 5, nProbe: Int = 4): DataFrame = {
+    GraftFunctions.register(spark)
+    val model = load(spark, dir)
+    val lists = spark.read.parquet(s"$dir/lists")
+    val probes = probeLists(queries, idCol, vecCol, model, nProbe)
+    // static partition pruning: the probed list ids are model-sized
+    // (≤ |queries|·nProbe), so an isin literal filter on the
+    // partition column guarantees the scan reads only probed lists
+    // (PartitionFilters asserted by spec)
+    val probedCs = probes.select("c").distinct().collect().map(_.getInt(0)).toSeq
+    val scored = lists
+      .filter(col("c").isin(probedCs: _*))
+      .join(broadcast(probes), Seq("c"))
+      .filter(col("base_id") =!= col("query_id"))
+      .withColumn("cosine", GraftFunctions.cosineFast(col("base_v"), col("query_v")))
+      .select(col("query_id"), col("base_id"), col("cosine"))
+    TopKPerKey(scored, Seq("query_id"),
+      Seq("cosine" -> true, "base_id" -> false), k, rankCol = Some("rank"))
+      .select(col("query_id"), col("base_id"), col("rank"), col("cosine"))
+  }
+
+  /** Each query exploded to its `nProbe` nearest centroid ids. */
+  private def probeLists(queries: DataFrame, idCol: String, vecCol: String,
+                         model: Model, nProbe: Int): DataFrame = {
+    val qv = transform(col("query_v"), _.cast("double"))
+    val sims = array(model.centroids.zipWithIndex.map { case (c, i) =>
+      struct((-GraftFunctions.cosineFast(qv, centroidLit(c))).as("ns"), lit(i).as("i"))
+    }: _*)
+    queries.select(col(idCol).as("query_id"), col(vecCol).as("query_v"))
+      .withColumn("ranked", slice(array_sort(sims), 1, nProbe))
+      .select(col("query_id"), col("query_v"),
+        explode(transform(col("ranked"), r => r.getField("i"))).as("c"))
+  }
+
+  /** Top-k per query probing `nProbe` centroid lists (assignment
+    * computed on the fly; use [[save]]/[[topKIndexed]] to amortize it).
+    */
   def topK(base: DataFrame, queries: DataFrame, idCol: String, vecCol: String,
            model: Model, k: Int = 5, nProbe: Int = 4): DataFrame = {
     GraftFunctions.register(base.sparkSession)
     val b = base.select(col(idCol).as("base_id"), col(vecCol).as("base_v"))
       .withColumn("c", nearestCentroid(transform(col("base_v"), _.cast("double")), model))
-    // queries explode to their nProbe nearest centroids: per-centroid
-    // codegen'd cosine, then a literal-size sort of (−sim, idx) pairs
-    val qv = transform(col("query_v"), _.cast("double"))
-    val sims = array(model.centroids.zipWithIndex.map { case (c, i) =>
-      struct((-GraftFunctions.cosineFast(qv, centroidLit(c))).as("ns"), lit(i).as("i"))
-    }: _*)
-    val probes = queries.select(col(idCol).as("query_id"), col(vecCol).as("query_v"))
-      .withColumn("ranked", slice(array_sort(sims), 1, nProbe))
-      .select(col("query_id"), col("query_v"),
-        explode(transform(col("ranked"), r => r.getField("i"))).as("c"))
+    val probes = probeLists(queries, idCol, vecCol, model, nProbe)
     val scored = b.join(broadcast(probes), Seq("c"))
       .filter(col("base_id") =!= col("query_id"))
       .withColumn("cosine", GraftFunctions.cosineFast(col("base_v"), col("query_v")))

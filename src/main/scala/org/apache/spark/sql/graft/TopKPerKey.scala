@@ -39,7 +39,8 @@ import org.apache.spark.sql.SparkSessionExtensions
   */
 case class TopKPerKeyNode(keyCols: Seq[String], orderCols: Seq[(String, Boolean)],
                           k: Int, rankAttr: Option[AttributeReference],
-                          child: LogicalPlan) extends UnaryNode {
+                          child: LogicalPlan,
+                          flushRows: Int = TopKPerKey.DefaultFlushRows) extends UnaryNode {
   override def output: Seq[Attribute] = child.output ++ rankAttr
   // key/order columns are carried by name, so they must be declared
   // as references or ColumnPruning removes them from the child
@@ -53,7 +54,8 @@ case class TopKPerKeyNode(keyCols: Seq[String], orderCols: Seq[(String, Boolean)
 
 case class TopKPerKeyExec(keyCols: Seq[String], orderCols: Seq[(String, Boolean)],
                           k: Int, rankAttr: Option[AttributeReference],
-                          partial: Boolean, child: SparkPlan) extends UnaryExecNode {
+                          partial: Boolean, child: SparkPlan,
+                          flushRows: Int = TopKPerKey.DefaultFlushRows) extends UnaryExecNode {
 
   override def output: Seq[Attribute] =
     if (partial) child.output else child.output ++ rankAttr
@@ -72,13 +74,6 @@ case class TopKPerKeyExec(keyCols: Seq[String], orderCols: Seq[(String, Boolean)
     if (partial) UnspecifiedDistribution :: Nil
     else ClusteredDistribution(keyCols.map(attr)) :: Nil
 
-  /** Partial-pass memory bound: once the retained row count crosses
-    * this, the current heaps are flushed downstream and rebuilt — the
-    * final pass re-reduces, so over-emission is always safe. Keeps
-    * high-cardinality keys from buffering a whole input partition.
-    */
-  private val partialFlushRows = 1 << 20
-
   override protected def doExecute(): RDD[InternalRow] = {
     val keyExprs = keyCols.map(attr)
     val orders = sortOrders
@@ -87,7 +82,7 @@ case class TopKPerKeyExec(keyCols: Seq[String], orderCols: Seq[(String, Boolean)
     val isPartial = partial
     val emitRank = !partial && rankAttr.isDefined
     val finalOutput = output
-    val flushLimit = partialFlushRows
+    val flushLimit = flushRows
     child.execute().mapPartitionsInternal { iter =>
       val keyProj = UnsafeProjection.create(keyExprs, childOutput)
       val rowOrdering = GenerateOrdering.generate(orders, childOutput)
@@ -153,9 +148,10 @@ case class TopKPerKeyExec(keyCols: Seq[String], orderCols: Seq[(String, Boolean)
 
 object TopKPerKeyStrategy extends SparkStrategy {
   override def apply(plan: LogicalPlan): Seq[SparkPlan] = plan match {
-    case TopKPerKeyNode(keys, orders, k, rankAttr, child) =>
-      val partialPass = TopKPerKeyExec(keys, orders, k, None, partial = true, planLater(child))
-      TopKPerKeyExec(keys, orders, k, rankAttr, partial = false, partialPass) :: Nil
+    case TopKPerKeyNode(keys, orders, k, rankAttr, child, flushRows) =>
+      val partialPass = TopKPerKeyExec(keys, orders, k, None,
+        partial = true, planLater(child), flushRows)
+      TopKPerKeyExec(keys, orders, k, rankAttr, partial = false, partialPass, flushRows) :: Nil
     case _ => Nil
   }
 }
@@ -171,15 +167,24 @@ object TopKPerKeyStrategy extends SparkStrategy {
   */
 object TopKPerKey {
 
+  /** Partial-pass memory bound: once the retained row count crosses
+    * this, the current heaps are flushed downstream and rebuilt — the
+    * final pass re-reduces, so over-emission is always safe. Keeps
+    * high-cardinality keys from buffering a whole input partition.
+    */
+  val DefaultFlushRows: Int = 1 << 20
+
   def apply(df: DataFrame, keyCols: Seq[String],
             orderCols: Seq[(String, Boolean)], k: Int,
-            rankCol: Option[String] = None): DataFrame = {
+            rankCol: Option[String] = None,
+            flushRows: Int = DefaultFlushRows): DataFrame = {
     require(k > 0, "k must be positive")
     val classic = df.asInstanceOf[ClassicDataFrame]
     val spark = classic.sparkSession
     ensureStrategy(spark)
     val rankAttr = rankCol.map(n => AttributeReference(n, LongType, nullable = false)())
-    Dataset.ofRows(spark, TopKPerKeyNode(keyCols, orderCols, k, rankAttr, classic.logicalPlan))
+    Dataset.ofRows(spark,
+      TopKPerKeyNode(keyCols, orderCols, k, rankAttr, classic.logicalPlan, flushRows))
   }
 
   /** Idempotently add the planning strategy to a session. */

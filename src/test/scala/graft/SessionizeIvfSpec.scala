@@ -97,6 +97,28 @@ class SessionizeIvfSpec extends AnyFunSuite {
       s"only-batch=${(want -- got).take(3)}")
   }
 
+  test("IVF index persists: saved-index search == fresh search, scan prunes to probed lists") {
+    val e = spark.read.parquet(s"$sfDir/embeddings.parquet")
+    val queries = e.filter($"vec_id" < 5)
+    val model = IvfIndex.train(e, "vec_id", "embedding", numCentroids = 8, iters = 2)
+    val dir = Files.createTempDirectory("ivf").toString
+    IvfIndex.save(e, "vec_id", "embedding", model, dir)
+
+    // model round-trips exactly
+    assert(IvfIndex.load(spark, dir).centroids == model.centroids)
+
+    val fresh = IvfIndex.topK(e, queries, "vec_id", "embedding", model, k = 5, nProbe = 4)
+      .select("query_id", "base_id", "rank").as[(Long, Long, Long)].collect().toSet
+    val indexed = IvfIndex.topKIndexed(spark, dir, queries, "vec_id", "embedding",
+      k = 5, nProbe = 4)
+    val got = indexed.select("query_id", "base_id", "rank").as[(Long, Long, Long)].collect().toSet
+    assert(got == fresh && got.nonEmpty)
+
+    // probing must prune the inverted file to the probed partitions
+    val plan = indexed.queryExecution.executedPlan.toString
+    assert(plan.contains("PartitionFilters: [c"), s"no partition pruning on lists:\n$plan")
+  }
+
   test("IVF ANN: trained centroids partition the corpus; probes recall brute-force hits") {
     val e = spark.read.parquet(s"$sfDir/embeddings.parquet")
     val queries = e.filter($"vec_id" < 5)

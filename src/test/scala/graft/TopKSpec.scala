@@ -53,6 +53,19 @@ class TopKSpec extends AnyFunSuite {
     assert(one == many && one.nonEmpty)
   }
 
+  test("partial-pass flush path (tiny flush limit) still yields exact results") {
+    // flushRows=4 forces many heap flushes per partition; the final
+    // pass must re-reduce the over-emitted rows to the exact answer
+    val topk = TopKPerKey(orders.repartition(3), Seq("o_custkey"),
+      Seq("o_totalprice" -> true, "o_orderkey" -> false), 2,
+      rankCol = Some("rank"), flushRows = 4)
+      .select("o_custkey", "o_orderkey", "rank").as[(Long, Long, Long)].collect().toSet
+    val w = Window.partitionBy($"o_custkey").orderBy($"o_totalprice".desc, $"o_orderkey".asc)
+    val ref = orders.withColumn("rank", row_number().over(w).cast("long")).filter($"rank" <= 2)
+      .select("o_custkey", "o_orderkey", "rank").as[(Long, Long, Long)].collect().toSet
+    assert(topk == ref && topk.nonEmpty)
+  }
+
   test("TopKPerKey plan contains the custom exec and exactly one exchange") {
     val plan = TopKPerKey(orders, Seq("o_custkey"), Seq("o_totalprice" -> true), 1)
       .queryExecution.executedPlan.toString
