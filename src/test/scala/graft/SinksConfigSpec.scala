@@ -98,8 +98,13 @@ class SinksConfigSpec extends AnyFunSuite {
     val o = spark.read.parquet("/root/testdata/sf0.001/orders.parquet")
     val p = FileSink.writeParquetPartitioned(o,
       FileSink.Layout(dir, "orders", "fp"), Seq("o_orderstatus"),
-      compression = "gzip", maxRecordsPerFile = 500)
+      compression = "zstd", maxRecordsPerFile = 500)
     assert(Files.isDirectory(Paths.get(s"$p/o_orderstatus=O")))
+    // codec reaches the files (zstd is the size-tuned default at scale)
+    val part = Files.list(Paths.get(s"$p/o_orderstatus=O")).iterator()
+    var sawZstd = false
+    while (part.hasNext) { if (part.next().toString.endsWith(".zstd.parquet")) sawZstd = true }
+    assert(sawZstd, "expected .zstd.parquet part files")
     val pruned = spark.read.parquet(p).filter($"o_orderstatus" === "O")
     val scan = pruned.queryExecution.executedPlan.toString
     assert(scan.contains("PartitionFilters: [isnotnull(o_orderstatus"), scan)
