@@ -32,7 +32,11 @@ object Dedup {
     */
   private def spread(df: DataFrame): DataFrame = {
     val target = df.sparkSession.sparkContext.defaultParallelism
-    if (df.rdd.getNumPartitions < math.max(2, target / 2)) df.repartition(target) else df
+    // probe via toRdd: QueryExecution caches it lazily, so the same
+    // RDD backs the eventual action — unlike df.rdd, which builds a
+    // fresh deserializer RDD per call just to read the partition count
+    val parts = df.queryExecution.toRdd.getNumPartitions
+    if (parts < math.max(2, target / 2)) df.repartition(target) else df
   }
 
   /** Canonical whitespace/case normalization for exact dedup. */
