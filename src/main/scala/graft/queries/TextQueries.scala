@@ -333,8 +333,8 @@ object TextQueries {
   //      deterministic 8-token chunks (first occurrence wins, docs
   //      reassembled from surviving lines) ----
   val lineDedup: Q = (s, d) => {
-    val lines = graft.operators.LineDedup.chunkedLines(documents(s, d), "doc_id", "text", 8)
-    graft.operators.LineDedup.dedupFromLines(lines, "doc_id", " ")
+    val chunked = graft.operators.LineDedup.chunkedLines(documents(s, d), "doc_id", "text", 8)
+    graft.operators.LineDedup.dedupFromLineArrays(chunked, "doc_id", "__lines", " ")
   }
 
   val lineDedupOracle: String =

@@ -108,4 +108,37 @@ class PlanShapeSpec extends AnyFunSuite {
     val p = plan("q14_topk")
     assert(p.contains("TakeOrderedAndProject"), p)
   }
+
+  test("text_line_dedup: no line string crosses an exchange; text moves once") {
+    import org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec
+    import org.apache.spark.sql.execution.exchange.ShuffleExchangeExec
+    import org.apache.spark.sql.types.{ArrayType, DataType, StringType, StructType}
+    val df = SparkEntry.queries("text_line_dedup")(spark, sf)
+    val physical = df.queryExecution.executedPlan match {
+      case a: AdaptiveSparkPlanExec => a.executedPlan
+      case p                        => p
+    }
+    val exchanges = physical.collect {
+      case e: ShuffleExchangeExec => e
+    }
+    assert(exchanges.nonEmpty)
+    def hasString(dt: DataType): Boolean = dt match {
+      case StringType        => true
+      case ArrayType(et, _)  => hasString(et)
+      case st: StructType    => st.fields.exists(f => hasString(f.dataType))
+      case _                 => false
+    }
+    // per-line exchanges carry (id, line_no, xxhash64) — never the line
+    exchanges.foreach { e =>
+      assert(e.output.forall(a => a.name != "line" && a.name != "__line"),
+        s"an exchange carries the line string: ${e.output.mkString(", ")}")
+    }
+    // document text (the __lines array) crosses at most one exchange —
+    // the id-keyed reassembly join (at small SF the kept-positions side
+    // broadcasts instead and text never shuffles at all)
+    val textBearing = exchanges.filter(_.output.exists(a => hasString(a.dataType)))
+    assert(textBearing.size <= 1,
+      s"expected at most one text-bearing exchange, got ${textBearing.size}:\n" +
+        textBearing.map(_.output.mkString(", ")).mkString("\n"))
+  }
 }
