@@ -53,28 +53,32 @@ object SequencePack {
   def packGreedy(df: DataFrame, idCol: String, textCol: String,
                  budget: Int, numPartitions: Int = 0): DataFrame = {
     val spark = df.sparkSession
+    require(df.schema.fieldNames.contains(idCol),
+      s"packGreedy: id column '$idCol' not in schema ${df.schema.fieldNames.mkString(", ")}")
+    // id keeps its ORIGINAL type end-to-end (string/long/decimal doc
+    // ids all pack); the external-row path reads it generically
+    val idType = df.schema(idCol).dataType
     val parts = if (numPartitions > 0) numPartitions
       else spark.sparkContext.defaultParallelism
     val sized = df.select(col(idCol).as("id"),
       size(split(col(textCol), " ")).cast("bigint").as("n_tokens"))
       .repartitionByRange(parts, col("id"))
       .sortWithinPartitions("id")
-    val out = sized.queryExecution.toRdd.mapPartitionsWithIndex { (pid, iter) =>
+    val out = sized.rdd.mapPartitionsWithIndex { (pid, iter) =>
       var bin = 0L
       var used = 0L
       var first = true
-      iter.map { internal =>
-        val id = internal.getLong(0)
-        val n = internal.getLong(1)
+      iter.map { r =>
+        val n = r.getLong(1)
         if (!first && used + n > budget) { bin += 1; used = 0L }
         first = false
         used += n
-        Row(id, n, pid.toLong * 1000000000L + bin)
+        Row(r.get(0), n, pid.toLong * 1000000000L + bin)
       }
     }
     spark.createDataFrame(out,
       org.apache.spark.sql.types.StructType(Seq(
-        org.apache.spark.sql.types.StructField("id", org.apache.spark.sql.types.LongType),
+        org.apache.spark.sql.types.StructField("id", idType),
         org.apache.spark.sql.types.StructField("n_tokens", org.apache.spark.sql.types.LongType),
         org.apache.spark.sql.types.StructField("bin", org.apache.spark.sql.types.LongType))))
       .withColumnRenamed("id", idCol)

@@ -133,6 +133,27 @@ object TextQueries {
     Similarity.lshTopK(e, e.filter(col("vec_id") < 20), "vec_id", "embedding", k = 5)
   }
 
+  // ---- ann_ivf_indexed (rows-only): the persisted inverted-file
+  //      index path — build once per JVM+SF (train + partitioned list
+  //      write), then search via partition-pruned probe reads. The
+  //      timed cost is the search, matching the build-once/search-many
+  //      production shape. ----
+  private val builtIvf = new java.util.concurrent.ConcurrentHashMap[String, String]()
+  val annIvfIndexed: Q = (s, d) => {
+    val dir = builtIvf.computeIfAbsent(d, _ => {
+      val e = embeddings(s, d)
+      val model = graft.operators.IvfIndex.train(e, "vec_id", "embedding",
+        numCentroids = 16, iters = 2)
+      val out = new java.io.File(sys.props("java.io.tmpdir"),
+        "graft-ivf-index-" + java.lang.Integer.toHexString(d.hashCode)).getAbsolutePath
+      graft.operators.IvfIndex.save(e, "vec_id", "embedding", model, out)
+      out
+    })
+    graft.operators.IvfIndex.topKIndexed(s, dir,
+      embeddings(s, d).filter(col("vec_id") < 20), "vec_id", "embedding",
+      k = 5, nProbe = 4)
+  }
+
   // ---- multimodal_meta ----
   val multimodalMeta: Q = (s, d) =>
     Multimodal.metaColumns(
@@ -203,20 +224,35 @@ object TextQueries {
       |WHERE doc_id NOT IN (SELECT id FROM losers)""".stripMargin
 
   // ---- q26_funnel: conversion funnel over the event stream
-  //      (signup → first view after → first purchase after that) ----
+  //      (signup → first view after → first purchase after that).
+  //      Single scan: a cumulative-min window chain stages the funnel
+  //      exactly — a view qualifies iff it follows the user's first
+  //      signup, a purchase iff it follows the first qualifying view;
+  //      at any row the running min of qualifying predecessors equals
+  //      the per-user first-occurrence time whenever the strict `>`
+  //      comparison can pass, so tie order never changes the result.
+  //      One exchange on user_id, one sort, bounded window state —
+  //      no per-user arrays, no rescans, no rejoins. ----
   val funnel: Q = (s, d) => {
+    import org.apache.spark.sql.expressions.Window
     val e = events(s, d)
-    val t1 = e.filter(col("event_type") === "signup")
-      .groupBy(col("user_id")).agg(min(col("ts")).as("t_signup"))
-    val t2 = e.filter(col("event_type") === "view")
-      .join(t1, "user_id").filter(col("ts") > col("t_signup"))
-      .groupBy(col("user_id"), col("t_signup")).agg(min(col("ts")).as("t_view"))
-    val t3 = e.filter(col("event_type") === "purchase")
-      .join(t2, "user_id").filter(col("ts") > col("t_view"))
-      .groupBy(col("user_id")).agg(min(col("ts")).as("t_purchase"))
-    t1.agg(count(lit(1)).cast("bigint").as("n_signed_up"))
-      .crossJoin(t2.agg(count(lit(1)).cast("bigint").as("n_viewed_after")))
-      .crossJoin(t3.agg(count(lit(1)).cast("bigint").as("n_purchased_after")))
+    val w = Window.partitionBy("user_id").orderBy("ts")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val runSignup = min(when(col("event_type") === "signup", col("ts"))).over(w)
+    val staged = e.select(col("user_id"), col("event_type"), col("ts"))
+      .withColumn("view_after",
+        when(col("event_type") === "view" && col("ts") > runSignup, col("ts")))
+      .withColumn("purch_after",
+        when(col("event_type") === "purchase" &&
+          col("ts") > min(col("view_after")).over(w), col("ts")))
+    // t_view non-null implies a signup preceded it; t_purchase a view
+    staged.groupBy(col("user_id"))
+      .agg(min(when(col("event_type") === "signup", col("ts"))).as("t_signup"),
+        min(col("view_after")).as("t_view"),
+        min(col("purch_after")).as("t_purchase"))
+      .agg(count(col("t_signup")).cast("bigint").as("n_signed_up"),
+        count(col("t_view")).cast("bigint").as("n_viewed_after"),
+        count(col("t_purchase")).cast("bigint").as("n_purchased_after"))
   }
 
   val funnelOracle: String =
@@ -469,6 +505,7 @@ object TextQueries {
     "ann_topk" -> annTopK,
     "ann_lsh" -> annLsh,
     "ann_ivf" -> annIvf,
+    "ann_ivf_indexed" -> annIvfIndexed,
     "multimodal_meta" -> multimodalMeta,
     "text_pii_redact" -> piiRedact,
     "text_top_ngrams" -> topNgrams,

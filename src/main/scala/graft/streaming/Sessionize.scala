@@ -141,15 +141,8 @@ object Sessionize {
     val maxUs = tsToUs(r.getTimestamp(1))
     val midUs = minUs + (maxUs - minUs) / 2
     // single file per batch → deterministic trigger order (mtime asc)
-    val dir = java.nio.file.Files.createTempDirectory("graft-sess-replay").toString
-    ev.filter(unix_micros(col("ts")) <= midUs).coalesce(1).write.parquet(s"$dir/b1")
-    ev.filter(unix_micros(col("ts")) > midUs).coalesce(1).write.parquet(s"$dir/b2")
-    Seq((-1L, -1L, usToTs(maxUs + 365L * 24 * 3600 * 1000000L), 0.0))
-      .toDF("user_id", "event_id", "ts", "value").coalesce(1).write.parquet(s"$dir/b3")
-    val stream = spark.readStream.schema(ev.schema)
-      .option("maxFilesPerTrigger", "1").parquet(s"$dir/*")
-      .withWatermark("ts", "1 minute")
-      .as[SessionEvent]
+    val dirPath = java.nio.file.Files.createTempDirectory("graft-sess-replay")
+    val dir = dirPath.toString
     val name = "qss_" + java.util.UUID.randomUUID().toString.replace("-", "")
     // the state store allocates one state partition per shuffle
     // partition PER MICROBATCH — at replay scale fewer, fuller state
@@ -157,12 +150,36 @@ object Sessionize {
     // stream would size this to the key cardinality instead)
     val prevParts = spark.conf.get("spark.sql.shuffle.partitions")
     val drained = try {
+      ev.filter(unix_micros(col("ts")) <= midUs).coalesce(1).write.parquet(s"$dir/b1")
+      ev.filter(unix_micros(col("ts")) > midUs).coalesce(1).write.parquet(s"$dir/b2")
+      Seq((-1L, -1L, usToTs(maxUs + 365L * 24 * 3600 * 1000000L), 0.0))
+        .toDF("user_id", "event_id", "ts", "value").coalesce(1).write.parquet(s"$dir/b3")
+      val stream = spark.readStream.schema(ev.schema)
+        .option("maxFilesPerTrigger", "1").parquet(s"$dir/*")
+        .withWatermark("ts", "1 minute")
+        .as[SessionEvent]
       spark.conf.set("spark.sql.shuffle.partitions", "8")
       runToMemory(spark, sessionsWithTimeout(stream, gapSeconds), name)
-    } finally spark.conf.set("spark.sql.shuffle.partitions", prevParts)
+    } finally {
+      spark.conf.set("spark.sql.shuffle.partitions", prevParts)
+      // the memory sink holds the drained rows; the replay files are dead
+      deleteRecursively(dirPath)
+    }
+    // the plan is already bound to the memory sink — the catalog name
+    // can go (and must, or each replay leaks a temp view)
+    spark.catalog.dropTempView(name)
     drained
       .filter(col("user_id") >= 0) // drop the sentinel
       .select(col("user_id"), col("session_no"), col("n_events"),
         col("session_start"), col("session_end"), col("sum_value"))
+  }
+
+  private def deleteRecursively(p: java.nio.file.Path): Unit = {
+    import java.nio.file.Files
+    import scala.jdk.CollectionConverters._
+    if (Files.exists(p)) {
+      Files.walk(p).iterator().asScala.toSeq.reverseIterator
+        .foreach(f => Files.deleteIfExists(f))
+    }
   }
 }

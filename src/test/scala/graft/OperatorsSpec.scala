@@ -215,6 +215,29 @@ class OperatorsSpec extends AnyFunSuite {
     assert(byBin(rows.find(_._1 == 101L).get._3).length == 1) // oversize doc alone
   }
 
+  test("greedy packing works with non-long (string) doc ids") {
+    val docs = (1 to 20).map(i => (f"doc_$i%03d", Seq.fill(i % 5 + 1)("w").mkString(" ")))
+      .toDF("id", "text")
+    val rows = graft.operators.SequencePack
+      .packGreedy(docs, "id", "text", budget = 6, numPartitions = 2)
+      .as[(String, Long, Long)].collect()
+    assert(rows.length == 20)
+    assert(rows.map(_._1).toSet == (1 to 20).map(i => f"doc_$i%03d").toSet)
+    rows.groupBy(_._3).foreach { case (bin, rs) =>
+      assert(rs.map(_._2).sum <= 6 || rs.length == 1, s"bin $bin overflows")
+      val ids = rs.map(_._1).sorted
+      // contiguous run in id order
+      val all = rows.map(_._1).sorted
+      val lo = all.indexOf(ids.head)
+      assert(all.slice(lo, lo + ids.length).toSeq == ids.toSeq, s"bin $bin not contiguous")
+    }
+    // missing id column fails fast with a clear message
+    val err = intercept[IllegalArgumentException] {
+      graft.operators.SequencePack.packGreedy(docs, "nope", "text", budget = 6)
+    }
+    assert(err.getMessage.contains("id column 'nope'"))
+  }
+
   test("connected components: chain graph converges in O(log diameter) iterations") {
     // path 0-1-...-15: plain min propagation needs ~15 iterations;
     // pointer jumping doubles labelled distance per iteration
