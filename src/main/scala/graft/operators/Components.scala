@@ -34,11 +34,16 @@ object Components {
   def connectedComponentsWithStats(pairs: DataFrame, srcCol: String, dstCol: String,
                                    maxIter: Int = 20): (DataFrame, Int) = {
     val edges = pairs.select(col(srcCol).as("src"), col(dstCol).as("dst"))
+    // cache sym hash-partitioned on src and labels on id: the cached
+    // partitioning survives into every iteration, so the neighbor join
+    // and the label-update join are co-partitioned against the caches
+    // (no per-iteration exchange on the cached sides; at small SF AQE
+    // broadcasts the aggregate side instead — either way the cached
+    // data never re-shuffles)
     val sym = edges.union(edges.select(col("dst").as("src"), col("src").as("dst")))
-      .distinct().cache()
+      .distinct().repartition(col("src")).cache()
     var labels = sym.select(col("src").as("id")).distinct()
       .withColumn("component", col("id")).cache()
-    labels.count()
     var converged = false
     var i = 0
     while (!converged && i < maxIter) {
