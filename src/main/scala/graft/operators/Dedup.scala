@@ -108,10 +108,15 @@ object Dedup {
     * @param numHashes signature length; bands of `rowsPerBand` hashes
     *        each — a pair collides in a band iff that band of the
     *        signature matches exactly.
+    * @param maxBucketSize drop band buckets holding more than this
+    *        many docs before pairing (the analog of ngramJaccard's
+    *        maxShinglePosting: a degenerate corpus where thousands of
+    *        docs share a signature band would otherwise turn one
+    *        bucket quadratic; such groups are exact-dedup's job).
     */
   def minhashLsh(df: DataFrame, idCol: String, textCol: String,
                  n: Int = 3, numHashes: Int = 32, rowsPerBand: Int = 4,
-                 threshold: Double = 0.8): DataFrame = {
+                 threshold: Double = 0.8, maxBucketSize: Int = 1000): DataFrame = {
     require(numHashes % rowsPerBand == 0, "numHashes must be divisible by rowsPerBand")
     val numBands = numHashes / rowsPerBand
     GraftFunctions.register(df.sparkSession)
@@ -130,8 +135,16 @@ object Dedup {
           xxhash64(slice(col("sig"), b * rowsPerBand + lit(1), lit(rowsPerBand)), b).as("bh"))))
         .as("bucket"))
       .select(col("doc"), col("bucket.band"), col("bucket.bh"))
-    val a = banded.select(col("band"), col("bh"), col("doc").as("doc_a"))
-    val b = banded.select(col("band"), col("bh"), col("doc").as("doc_b"))
+    // skew cap: only buckets that can produce a pair and are under the
+    // cap enter the self-join (the co-partitioned join then buffers at
+    // most maxBucketSize rows per key)
+    val bucketCnt = banded.groupBy("band", "bh")
+      .agg(count(lit(1)).as("cnt"))
+      .filter(col("cnt").between(2, maxBucketSize))
+      .select("band", "bh")
+    val kept = banded.join(bucketCnt, Seq("band", "bh"))
+    val a = kept.select(col("band"), col("bh"), col("doc").as("doc_a"))
+    val b = kept.select(col("band"), col("bh"), col("doc").as("doc_b"))
     val candidates = a.join(b, Seq("band", "bh"))
       .filter(col("doc_a") < col("doc_b"))
       .select("doc_a", "doc_b").dropDuplicates("doc_a", "doc_b")

@@ -31,6 +31,23 @@ class OperatorsSpec extends AnyFunSuite {
     assert(lsh == truth, s"missed pairs: ${truth -- lsh}")
   }
 
+  test("minhash LSH bucket cap bounds a degenerate all-identical corpus") {
+    // 1000 identical docs put all 1000 in every band bucket: without a
+    // cap the bucket self-join is quadratic (8M candidate rows). With
+    // the cap the hot buckets drop out and the job stays bounded,
+    // while a small under-cap near-dup group is still found.
+    val text = "alpha beta gamma delta epsilon zeta eta theta iota kappa"
+    val hot = (1 to 1000).map(i => (i.toLong, text))
+    val smallGroup = Seq((2001L, "one two three four five six seven eight nine ten"),
+      (2002L, "one two three four five six seven eight nine ten"))
+    val corpus = (hot ++ smallGroup).toDF("doc_id", "text")
+    val pairs = Dedup.minhashLsh(corpus, "doc_id", "text",
+      threshold = 0.8, maxBucketSize = 50)
+      .select("doc_a", "doc_b").as[(Long, Long)].collect().toSet
+    assert(pairs == Set((2001L, 2002L)),
+      s"expected only the under-cap pair, got ${pairs.size} pairs")
+  }
+
   test("simhash pairs are token-set near-dups with verified hamming <= 3") {
     val pairs = Dedup.simhashPairs(docs, "doc_id", "text", maxHamming = 3)
     val collected = pairs.select("doc_a", "doc_b", "hamming").as[(Long, Long, Long)].collect()
