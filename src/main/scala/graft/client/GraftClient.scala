@@ -75,11 +75,32 @@ class GraftClient(spark: SparkSession, cfg: GraftConfig,
         // rows written are harvested from the write job itself via an
         // observed count — no re-execution, no persist
         val obs = Observation()
-        val path =
-          if (cfg.outputSettings.exportTarget.toLowerCase.startsWith("jdbc"))
-            writeJdbc(tableName, batch.observe(obs, count(lit(1)).as("rows")),
-              keyCols, usableSeq)
-          else {
+        if (cfg.outputSettings.exportTarget.toLowerCase.startsWith("jdbc")) {
+          val outcome = writeJdbc(tableName,
+            batch.observe(obs, count(lit(1)).as("rows")), keyCols, usableSeq)
+          if (outcome.paths.isEmpty) {
+            // every target gate-bypassed: warn-and-skip like the
+            // reference — savepoint untouched so the batch re-applies
+            // once the schema gate clears. (obs is never read here:
+            // no write job ran, so it would block forever.)
+            TableResult(tableName, 0L, "", None, skipped = true)
+          } else {
+            val rows = observedRows(obs)
+            if (outcome.anyBypassed) {
+              // partial bypass: hold the savepoint back so the
+              // bypassed target still sees this batch on a future run
+              // (merged replay is idempotent via the seqval guard; raw
+              // replay surfaces through the PK instead of silently
+              // losing the batch)
+              TableResult(tableName, rows, outcome.paths.mkString(","), None)
+            } else {
+              val newSp = entry.lastSuccessfulWriteTimestamp
+              savepoints.write(tableName, newSp)
+              TableResult(tableName, rows, outcome.paths.mkString(","), Some(newSp))
+            }
+          }
+        } else {
+          val path = {
             val out = mergeIfRequested(batch, merged, keyCols, usableSeq)
               .observe(obs, count(lit(1)).as("rows"))
             val fingerprint = entry.schemaHistory.keys.toSeq.sorted.mkString("+")
@@ -98,31 +119,40 @@ class GraftClient(spark: SparkSession, cfg: GraftConfig,
               case _ => FileSink.writeParquet(out, layout, cfg.outputSettings.saveAsSingleFile)
             }
           }
-        val rows = obs.get("rows") match {
-          case n: Long => n
-          case n: Number => n.longValue()
+          val rows = observedRows(obs)
+          val newSp = entry.lastSuccessfulWriteTimestamp
+          savepoints.write(tableName, newSp)
+          TableResult(tableName, rows, path, Some(newSp))
         }
-        val newSp = entry.lastSuccessfulWriteTimestamp
-        savepoints.write(tableName, newSp)
-        TableResult(tableName, rows, path, Some(newSp))
     }
   }
+
+  private def observedRows(obs: Observation): Long = obs.get("rows") match {
+    case n: Long => n
+    case n: Number => n.longValue()
+  }
+
+  private case class JdbcOutcome(paths: Seq[String], anyBypassed: Boolean)
 
   /** Live JDBC export: ensure target tables (create / gate-evolve),
     * then raw append and/or incremental merged apply — the reference's
     * writeJdbcRaw/writeJdbcMerged flow (JdbcOutputWriter.scala:285-497)
     * with the merge staying distributed. A gate Bypass skips the batch
-    * for that target, like the reference's warn-and-skip.
+    * for that target, like the reference's warn-and-skip; the caller
+    * holds the savepoint back so a bypassed target is never silently
+    * starved of the batch.
     */
   private def writeJdbc(tableName: String, batch: DataFrame,
-                        keyCols: Seq[String], usableSeq: Seq[String]): String = {
+                        keyCols: Seq[String], usableSeq: Seq[String]): JdbcOutcome = {
     val os = cfg.outputSettings
     val written = new scala.collection.mutable.ArrayBuffer[String]
+    var anyBypassed = false
     if (os.saveIntoJdbcRaw) cfg.jdbcConnectionRaw.foreach { conn =>
       val raw = JdbcSink.rawFrame(batch)
       JdbcTableManager.ensureTable(conn, raw.schema, tableName,
         JdbcDdl.Raw, keyCols, cfg.largeTextFieldSet) match {
         case JdbcTableManager.Bypassed(reasons) =>
+          anyBypassed = true
           System.err.println(s"[graft] '$tableName' raw jdbc batch bypassed: ${reasons.mkString("; ")}")
         case _ =>
           JdbcSink.writeRaw(batch, conn, tableName, os.jdbcBatchSize)
@@ -143,6 +173,7 @@ class GraftClient(spark: SparkSession, cfg: GraftConfig,
       JdbcTableManager.ensureTable(conn, storedSchema, tableName,
         JdbcDdl.Merged, keyCols, cfg.largeTextFieldSet) match {
         case JdbcTableManager.Bypassed(reasons) =>
+          anyBypassed = true
           System.err.println(s"[graft] '$tableName' merged jdbc batch bypassed: ${reasons.mkString("; ")}")
         case _ =>
           JdbcMergedApply(mergedIn, conn, tableName, keyCols,
@@ -150,9 +181,7 @@ class GraftClient(spark: SparkSession, cfg: GraftConfig,
           written += s"${conn.jdbcUrl}/${conn.jdbcSchema}.$tableName"
       }
     }
-    require(written.nonEmpty,
-      s"jdbc export for '$tableName' wrote no target (check saveIntoJdbcRaw/Merged + gate bypasses)")
-    written.mkString(",")
+    JdbcOutcome(written.toSeq, anyBypassed)
   }
 
   /** Run all (included) tables; returns per-table results. */

@@ -1,6 +1,6 @@
 package graft.sinks
 
-import java.sql.{Connection, DriverManager, PreparedStatement, SQLException, Types}
+import java.sql.{Connection, DriverManager, PreparedStatement, SQLException, Statement, Types}
 
 import org.apache.spark.sql.{DataFrame, Row}
 import org.apache.spark.sql.types._
@@ -124,10 +124,16 @@ object JdbcMergedApply {
     }
     val counts = if (upserts.nonEmpty) upd.executeBatch() else Array.empty[Int]
 
-    // pass 2: insert the misses row-at-a-time so a duplicate key
-    // (= guard correctly blocked a stale replay) can be swallowed
-    // without poisoning the rest of the chunk
-    upserts.zip(counts).filter(_._2 == 0).foreach { case (r, _) =>
+    // pass 2: rows the update provably missed (count 0) AND rows whose
+    // driver refused per-statement counts (SUCCESS_NO_INFO — Oracle
+    // returns it for every batched statement) go through the insert
+    // path row-at-a-time. A duplicate key there means the row already
+    // exists (update applied, or the guard blocked a stale replay) and
+    // is swallowed — correct in every branch, so batch update counts
+    // are never load-bearing for data completeness.
+    upserts.zip(counts)
+      .filter { case (_, n) => n == 0 || n == Statement.SUCCESS_NO_INFO }
+      .foreach { case (r, _) =>
       var p = 1
       storedIdxs.foreach { fi => setValue(ins, p, r, fi, schema); p += 1 }
       try ins.executeUpdate()
@@ -135,9 +141,13 @@ object JdbcMergedApply {
     }
   }
 
-  /** SQLState 23505 = unique-constraint violation (SQL standard). */
-  private def isDuplicateKey(e: SQLException): Boolean =
-    e.getSQLState != null && e.getSQLState == "23505"
+  /** SQLState class 23 = integrity-constraint violation. Derby and
+    * Postgres report member 23505 for duplicate keys; Oracle and SQL
+    * Server report the class code 23000 — match the class, not one
+    * vendor's member.
+    */
+  private[graft] def isDuplicateKey(e: SQLException): Boolean =
+    e.getSQLState != null && e.getSQLState.startsWith("23")
 
   /** Set one Row field on a PreparedStatement by Spark SQL type. */
   private def setValue(ps: PreparedStatement, pos: Int, row: Row,

@@ -74,7 +74,9 @@ final case class ObjectStoreLayout(outputUri: String,
   }
 
   /** Hadoop writes through the s3a connector, not the s3 one. */
-  override def dataPrefix: String = outputUri.replaceFirst("^s3", "s3a")
+  // anchored to the full scheme so an s3a:// uri passes through
+  // unchanged (a bare "^s3" rewrite would mangle it to s3aa://)
+  override def dataPrefix: String = outputUri.replaceFirst("^s3://", "s3a://")
 
   /** Sidecar goes through the object API with the raw KEY prefix. */
   override def writeSchemaText(tableName: String, fingerprint: String,
@@ -105,15 +107,22 @@ final case class ObjectStoreLayout(outputUri: String,
 }
 
 object StorageLayout {
-  /** Scheme dispatch (FileBasedOutputWriter.scala:193-198): `s3://` →
-    * object-store layout (requires a client), anything else → local.
+  /** Scheme dispatch (FileBasedOutputWriter.scala:193-198): `s3://`
+    * or `s3a://` → object-store layout (requires a client), anything
+    * else → local. Dispatches on the PARSED scheme, not a string
+    * prefix, so `s3a://` does not fall through to the local layout.
     */
-  def forPath(outputPath: String, client: Option[ObjectStoreClient] = None): StorageLayout =
-    if (outputPath.startsWith("s3:"))
+  def forPath(outputPath: String, client: Option[ObjectStoreClient] = None): StorageLayout = {
+    // unparseable-as-URI strings (e.g. local paths with spaces) are
+    // local paths, not object URIs
+    val scheme = scala.util.Try(Option(new java.net.URI(outputPath).getScheme))
+      .toOption.flatten.getOrElse("")
+    if (scheme == "s3" || scheme == "s3a")
       ObjectStoreLayout(outputPath, client.getOrElse(
         throw new IllegalArgumentException(
           s"object-store output '$outputPath' needs an ObjectStoreClient")))
     else LocalLayout(outputPath)
+  }
 }
 
 /** Bucket/key pair of an object URI (the reference's AmazonS3URI). */

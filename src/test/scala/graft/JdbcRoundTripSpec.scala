@@ -209,4 +209,62 @@ class JdbcRoundTripSpec extends AnyFunSuite {
     assert(ex.getSQLState == "23505")
     assert(readTable("policy").count() == 1)
   }
+
+  test("gate bypass: all-bypassed run skips without crashing; partial bypass holds the savepoint") {
+    import graft.client.GraftClient
+    import graft.config.GraftConfig
+    val work = Files.createTempDirectory("clientbypass").toString
+    Files.createDirectories(java.nio.file.Paths.get(s"$work/sp"))
+    Seq((1L, 2, "01", "a"), (2L, 2, "02", "b"))
+      .toDF("id", "gwcbi___operation", "gwcbi___seqval_hex", "v")
+      .write.parquet(s"$work/cdc/t1/fpA/100")
+    Files.write(java.nio.file.Paths.get(s"$work/cdc/manifest.json"),
+      s"""{"t1": {"lastSuccessfulWriteTimestamp": "100",
+         |  "dataFilesPath": "$work/cdc/t1", "schemaHistory": {"fpA": "100"}}}""".stripMargin.getBytes)
+    exec("CREATE SCHEMA RAWB", "CREATE SCHEMA MERGEDB",
+      // pre-existing merged table where v is BIGINT: the string batch
+      // is a type change -> gate Bypass
+      "CREATE TABLE MERGEDB.t1 (\"id\" BIGINT, \"gwcbi___seqval_hex\" VARCHAR(64), \"v\" BIGINT)")
+    def cfgFor(raw: Boolean): GraftConfig = GraftConfig.fromYaml(
+      s"""sourceLocation: {baseDir: $work/cdc, manifestPath: $work/cdc/manifest.json}
+         |outputLocation: {path: $work/out}
+         |savepointsLocation: {path: $work/sp}
+         |outputSettings:
+         |  exportTarget: jdbc
+         |  saveIntoJdbcRaw: $raw
+         |  saveIntoJdbcMerged: true
+         |jdbcConnectionRaw:
+         |  jdbcUrl: "$url"
+         |  jdbcUsername: app
+         |  jdbcPassword: x
+         |  jdbcSchema: RAWB
+         |jdbcConnectionMerged:
+         |  jdbcUrl: "$url"
+         |  jdbcUsername: app
+         |  jdbcPassword: x
+         |  jdbcSchema: MERGEDB
+         |""".stripMargin)
+
+    // run 1: merged-only, bypassed -> warn-and-skip, savepoint untouched
+    val res1 = new GraftClient(spark, cfgFor(raw = false)).run()
+    assert(res1.size == 1 && res1.head.skipped && res1.head.rowsWritten == 0)
+    assert(new graft.cdc.Savepoints(s"$work/sp").getAsLong("t1").isEmpty)
+
+    // run 2: raw succeeds, merged still bypassed -> rows written but the
+    // savepoint is held back so the merged target can catch up later
+    val res2 = new GraftClient(spark, cfgFor(raw = true)).run()
+    assert(res2.head.rowsWritten == 2 && res2.head.newSavepoint.isEmpty)
+    assert(spark.read.format("jdbc").option("url", url)
+      .option("dbtable", "RAWB.t1").load().count() == 2)
+    assert(new graft.cdc.Savepoints(s"$work/sp").getAsLong("t1").isEmpty)
+  }
+
+  test("duplicate-key detection spans vendor SQLStates (class 23, not just 23505)") {
+    import java.sql.SQLException
+    // Derby/Postgres member code, Oracle/SQL Server class code
+    assert(graft.sinks.JdbcMergedApply.isDuplicateKey(new SQLException("dup", "23505")))
+    assert(graft.sinks.JdbcMergedApply.isDuplicateKey(new SQLException("dup", "23000")))
+    assert(!graft.sinks.JdbcMergedApply.isDuplicateKey(new SQLException("syntax", "42X01")))
+    assert(!graft.sinks.JdbcMergedApply.isDuplicateKey(new SQLException("no state")))
+  }
 }

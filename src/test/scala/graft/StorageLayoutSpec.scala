@@ -30,7 +30,10 @@ class StorageLayoutSpec extends AnyFunSuite {
     val (_, store) = newStore()
     assert(StorageLayout.forPath("/tmp/x").isInstanceOf[LocalLayout])
     assert(StorageLayout.forPath("s3://b/p", Some(store)).isInstanceOf[ObjectStoreLayout])
+    assert(StorageLayout.forPath("s3a://b/p", Some(store)).isInstanceOf[ObjectStoreLayout])
     assertThrows[IllegalArgumentException](StorageLayout.forPath("s3://b/p"))
+    // odd local paths never reach the URI parser's exceptions
+    assert(StorageLayout.forPath("/tmp/with space/x").isInstanceOf[LocalLayout])
   }
 
   test("local validate: existing dir ok, missing dir or file throws") {
@@ -56,6 +59,8 @@ class StorageLayoutSpec extends AnyFunSuite {
     Files.createDirectories(root.resolve("bkt"))
     val s3 = ObjectStoreLayout("s3://bkt/cda/out", store)
     assert(s3.dataPrefix == "s3a://bkt/cda/out")
+    // an s3a input stays s3a (not s3aa)
+    assert(ObjectStoreLayout("s3a://bkt/cda/out", store).dataPrefix == "s3a://bkt/cda/out")
     assert(s3.folderFor("taccount", "fpA") == "s3a://bkt/cda/out/taccount/fpA")
     assert(s3.folderFor("taccount", "fpA", Some("170")) == "s3a://bkt/cda/out/taccount/fpA/170")
     val local = LocalLayout("/data/out")
