@@ -24,19 +24,31 @@ object Decontaminate {
     * with fewer than n tokens (no shingles) are excluded — they
     * cannot overlap.
     */
+  /** Distinct shingle hashes of the probe/benchmark set — compute it
+    * once (and cache) when probing repeatedly, e.g. per microbatch in
+    * [[graft.streaming.StreamDecontaminate]].
+    */
+  def probeSet(probes: DataFrame, textCol: String, n: Int = 3): DataFrame = {
+    GraftFunctions.register(probes.sparkSession)
+    probes.select(explode(
+        GraftFunctions.shingleFast(wsTokens(col(textCol)), n)).as("sh"))
+      .distinct()
+      .withColumn("hit", lit(1L))
+  }
+
   def contamination(corpus: DataFrame, probes: DataFrame,
-                    idCol: String, textCol: String, n: Int = 3): DataFrame = {
+                    idCol: String, textCol: String, n: Int = 3): DataFrame =
+    contaminationAgainst(corpus, probeSet(probes, textCol, n), idCol, textCol, n)
+
+  /** As [[contamination]], against a pre-computed [[probeSet]]. */
+  def contaminationAgainst(corpus: DataFrame, probeShingles: DataFrame,
+                           idCol: String, textCol: String, n: Int = 3): DataFrame = {
     GraftFunctions.register(corpus.sparkSession)
-    def shingles(df: DataFrame) =
-      df.select(col(idCol).as("doc"),
+    val posting = corpus.select(col(idCol).as("doc"),
         GraftFunctions.shingleFast(wsTokens(col(textCol)), n).as("sh_hashes"))
-    val posting = shingles(corpus)
       .select(col("doc"), size(col("sh_hashes")).as("n_sh"),
         explode(col("sh_hashes")).as("sh"))
-    val probeSet = shingles(probes)
-      .select(explode(col("sh_hashes")).as("sh")).distinct()
-      .withColumn("hit", lit(1L))
-    posting.join(broadcast(probeSet), Seq("sh"), "left")
+    posting.join(broadcast(probeShingles), Seq("sh"), "left")
       .groupBy(col("doc").as(idCol), col("n_sh").cast("bigint").as("n_shingles"))
       .agg(coalesce(sum(col("hit")), lit(0L)).cast("bigint").as("n_contaminated"))
       .withColumn("contamination",
@@ -46,8 +58,15 @@ object Decontaminate {
   /** Corpus minus documents whose contamination is >= `maxFraction`. */
   def decontaminate(corpus: DataFrame, probes: DataFrame,
                     idCol: String, textCol: String,
-                    maxFraction: Double = 0.2, n: Int = 3): DataFrame = {
-    val dirty = contamination(corpus, probes, idCol, textCol, n)
+                    maxFraction: Double = 0.2, n: Int = 3): DataFrame =
+    decontaminateAgainst(corpus, probeSet(probes, textCol, n),
+      idCol, textCol, maxFraction, n)
+
+  /** As [[decontaminate]], against a pre-computed [[probeSet]]. */
+  def decontaminateAgainst(corpus: DataFrame, probeShingles: DataFrame,
+                           idCol: String, textCol: String,
+                           maxFraction: Double = 0.2, n: Int = 3): DataFrame = {
+    val dirty = contaminationAgainst(corpus, probeShingles, idCol, textCol, n)
       .filter(col("contamination") >= maxFraction)
       .select(col(idCol))
     corpus.join(dirty, Seq(idCol), "left_anti")

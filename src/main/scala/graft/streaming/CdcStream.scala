@@ -7,6 +7,8 @@ import org.apache.spark.sql.functions.col
 import org.apache.spark.sql.streaming.StreamingQuery
 
 import graft.cdc.{CdcColumns, CdcMerge}
+import graft.config.JdbcConnection
+import graft.sinks.JdbcMergedApply
 
 /** Continuous CDC apply (SURVEY.md §2a row 17): the reference's batch
   * copy-loop (TableReader.scala:191) becomes a Structured Streaming
@@ -62,6 +64,30 @@ object CdcStream {
         val next = currentVersion(stateDir).getOrElse(-1L) + 1
         merged.write.mode("overwrite").parquet(s"$stateDir/state_v$next")
         Files.write(versionFile(stateDir), next.toString.getBytes("UTF-8"))
+        ()
+      }
+      .start()
+  }
+
+  /** Continuous CDC apply into a LIVE JDBC merged table: every
+    * micro-batch goes through [[graft.sinks.JdbcMergedApply]] —
+    * one `max_by` exchange then executor-parallel guarded
+    * UPDATE/INSERT/DELETE. Exactly-once END STATE without sink-side
+    * transactions: the seqval guard makes a replayed micro-batch a
+    * no-op (stale updates blocked, duplicate inserts swallowed), so
+    * at-least-once delivery from the checkpoint still converges to
+    * the latest-wins table.
+    */
+  def startJdbc(codedStream: DataFrame, conn: JdbcConnection, table: String,
+                keyCols: Seq[String],
+                seqCol: String = CdcColumns.SeqValCol,
+                checkpointDir: String = "",
+                batchSize: Int = 500): StreamingQuery = {
+    val w = codedStream.writeStream
+    val withCk = if (checkpointDir.nonEmpty) w.option("checkpointLocation", checkpointDir) else w
+    withCk.foreachBatch { (batch: DataFrame, _: Long) =>
+        JdbcMergedApply(batch, conn, table, keyCols,
+          seqCol = seqCol, batchSize = batchSize)
         ()
       }
       .start()

@@ -210,6 +210,40 @@ class JdbcRoundTripSpec extends AnyFunSuite {
     assert(readTable("policy").count() == 1)
   }
 
+  test("CDC-to-JDBC stream: microbatched merged apply converges; fresh-checkpoint replay is a no-op") {
+    import graft.streaming.CdcStream
+    val full = coded // seqval = zero-padded hex(event_id)
+    val storedSchema = StructType(full.schema.fields
+      .filterNot(_.name == CdcColumns.OperationCol)
+      .map(f => if (f.name == "user_id") f.copy(nullable = false) else f))
+    exec(
+      JdbcDdl.createTableDdl(JdbcDdl.Derby, storedSchema, "APP.events_cdcs", JdbcDdl.Merged),
+      JdbcDdl.primaryKeyDdl("APP.events_cdcs", Seq("user_id")))
+    val work = Files.createTempDirectory("cdcjdbc")
+    full.filter($"event_id" < 500).coalesce(1).write.parquet(s"$work/in/b=1")
+    full.filter($"event_id" >= 500).coalesce(1).write.parquet(s"$work/in/b=2")
+    def run(ck: String): Unit = {
+      val stream = spark.readStream.schema(full.schema)
+        .option("maxFilesPerTrigger", "1").parquet(s"$work/in/*")
+      val q = CdcStream.startJdbc(stream, conn, "events_cdcs", Seq("user_id"),
+        checkpointDir = ck)
+      q.processAllAvailable(); q.stop()
+    }
+    run(s"$work/ck1")
+    val expected = CdcMerge.latestByKey(full, Seq("user_id"), Seq(CdcColumns.SeqValCol))
+      .filter(col(CdcColumns.OperationCol) =!= CdcMerge.DeleteOp)
+      .drop(CdcColumns.OperationCol)
+    def norm(df: DataFrame) = df.select($"user_id", $"event_id", $"value",
+        col(CdcColumns.SeqValCol))
+      .as[(Long, Long, Double, String)].collect().sorted.toSeq
+    val after = norm(readTable("events_cdcs"))
+    assert(after == norm(expected))
+    // replay the WHOLE stream with a fresh checkpoint: every microbatch
+    // re-applies; the seqval guard + PK make it a no-op
+    run(s"$work/ck2")
+    assert(norm(readTable("events_cdcs")) == after)
+  }
+
   test("gate bypass: all-bypassed run skips without crashing; partial bypass holds the savepoint") {
     import graft.client.GraftClient
     import graft.config.GraftConfig

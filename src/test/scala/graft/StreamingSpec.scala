@@ -54,6 +54,40 @@ class StreamingSpec extends AnyFunSuite {
     assert(got.select("event_id").distinct().count() == 200)
   }
 
+  test("streaming decontamination equals the batch decontaminate, replays idempotently") {
+    val work = Files.createTempDirectory("sdecon")
+    val docs = spark.read.parquet(s"$sfDir/documents.parquet")
+      .select($"doc_id", $"text")
+    val probes = docs.filter($"doc_id" % 97 === 0)
+      .select($"doc_id".as("probe_id"), $"text")
+    // the corpus arrives as three files = three microbatches
+    docs.filter($"doc_id" % 3 === 0).write.parquet(s"$work/in/part=0")
+    docs.filter($"doc_id" % 3 === 1).write.parquet(s"$work/in/part=1")
+    docs.filter($"doc_id" % 3 === 2).write.parquet(s"$work/in/part=2")
+    val stream = spark.readStream.schema(docs.schema)
+      .option("maxFilesPerTrigger", "1").parquet(s"$work/in/*")
+    val q = graft.streaming.StreamDecontaminate.start(stream, probes,
+      "doc_id", "text", s"$work/out", s"$work/ck", maxFraction = 0.5)
+    q.processAllAvailable(); q.stop()
+
+    val streamed = graft.streaming.StreamDecontaminate.survivors(spark, s"$work/out")
+      .select("doc_id").as[Long].collect().toSet
+    val batch = graft.operators.Decontaminate
+      .decontaminate(docs, probes, "doc_id", "text", maxFraction = 0.5)
+      .select("doc_id").as[Long].collect().toSet
+    assert(streamed == batch)
+    assert(streamed.size < 500, "probe members must be dropped")
+
+    // a replayed microbatch overwrites its own directory, not appends
+    val before = graft.streaming.StreamDecontaminate.survivors(spark, s"$work/out").count()
+    graft.operators.Decontaminate
+      .decontaminateAgainst(docs.filter($"doc_id" % 3 === 0),
+        graft.operators.Decontaminate.probeSet(probes, "text"),
+        "doc_id", "text", maxFraction = 0.5)
+      .write.mode("overwrite").parquet(s"$work/out/batch_0")
+    assert(graft.streaming.StreamDecontaminate.survivors(spark, s"$work/out").count() == before)
+  }
+
   test("continuous CDC merge converges to sequence-ordered latest state") {
     val work = Files.createTempDirectory("cdcstream")
     val inDir = s"$work/in"; val stateDir = s"$work/state"; val ckDir = s"$work/ck"
