@@ -98,6 +98,25 @@ object IvfIndex {
       .write.mode("overwrite").partitionBy("c").parquet(s"$dir/lists")
   }
 
+  /** Incrementally refresh a SAVED index with a delta of NEW vectors,
+    * without retraining: each delta vector is assigned to its nearest
+    * centroid under the saved model and APPENDED into that centroid's
+    * parquet list partition — the probe path sees it immediately and
+    * partition pruning is unchanged. Centroids stay fixed (IVF recall
+    * degrades only when the data distribution drifts; retrain+save
+    * then). Append-only by design: an updated vector should arrive
+    * under a new id, or the index rebuilt — parquet partitions don't
+    * support in-place deletes.
+    */
+  def refresh(delta: DataFrame, idCol: String, vecCol: String, dir: String): Unit = {
+    val spark = delta.sparkSession
+    GraftFunctions.register(spark)
+    val model = load(spark, dir)
+    delta.select(col(idCol).as("base_id"), col(vecCol).as("base_v"))
+      .withColumn("c", nearestCentroid(transform(col("base_v"), _.cast("double")), model))
+      .write.mode("append").partitionBy("c").parquet(s"$dir/lists")
+  }
+
   /** Load the model half of a saved index. */
   def load(spark: org.apache.spark.sql.SparkSession, dir: String): Model = {
     val rows = spark.read.parquet(s"$dir/centroids")

@@ -119,6 +119,31 @@ class SessionizeIvfSpec extends AnyFunSuite {
     assert(plan.contains("PartitionFilters: [c"), s"no partition pruning on lists:\n$plan")
   }
 
+  test("IVF incremental refresh: save(half) + refresh(rest) == save(full)") {
+    val e = spark.read.parquet(s"$sfDir/embeddings.parquet")
+    val queries = e.filter($"vec_id" < 5)
+    val model = IvfIndex.train(e, "vec_id", "embedding", numCentroids = 8, iters = 2)
+
+    val fullDir = Files.createTempDirectory("ivf_full").toString
+    IvfIndex.save(e, "vec_id", "embedding", model, fullDir)
+
+    val incDir = Files.createTempDirectory("ivf_inc").toString
+    IvfIndex.save(e.filter($"vec_id" % 2 === 0), "vec_id", "embedding", model, incDir)
+    IvfIndex.refresh(e.filter($"vec_id" % 2 =!= 0), "vec_id", "embedding", incDir)
+
+    def search(dir: String) =
+      IvfIndex.topKIndexed(spark, dir, queries, "vec_id", "embedding", k = 5, nProbe = 4)
+        .select("query_id", "base_id", "rank").as[(Long, Long, Long)].collect().toSet
+    val full = search(fullDir)
+    val refreshed = search(incDir)
+    assert(refreshed == full && refreshed.nonEmpty)
+
+    // refreshed index still prunes to probed partitions
+    val plan = IvfIndex.topKIndexed(spark, incDir, queries, "vec_id", "embedding",
+      k = 5, nProbe = 4).queryExecution.executedPlan.toString
+    assert(plan.contains("PartitionFilters: [c"), s"no partition pruning after refresh:\n$plan")
+  }
+
   test("IVF ANN: trained centroids partition the corpus; probes recall brute-force hits") {
     val e = spark.read.parquet(s"$sfDir/embeddings.parquet")
     val queries = e.filter($"vec_id" < 5)

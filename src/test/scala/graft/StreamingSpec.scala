@@ -88,6 +88,37 @@ class StreamingSpec extends AnyFunSuite {
     assert(graft.streaming.StreamDecontaminate.survivors(spark, s"$work/out").count() == before)
   }
 
+  test("streaming line dedup: id-ordered stream == batch operator; replay idempotent") {
+    val work = Files.createTempDirectory("slinededup")
+    val docs = Seq(
+      (1L, "alpha\nshared\nbeta"),
+      (2L, "shared\ngamma"),
+      (3L, "shared\ndelta"),
+      (4L, "gamma\nepsilon")).toDF("id", "text")
+    // two id-ordered microbatches: cross-batch dedup must drop
+    // 'shared' from doc 3 and 'gamma' from doc 4
+    docs.filter($"id" <= 2).coalesce(1).write.parquet(s"$work/in/b=1")
+    docs.filter($"id" > 2).coalesce(1).write.parquet(s"$work/in/b=2")
+    val stream = spark.readStream.schema(docs.schema)
+      .option("maxFilesPerTrigger", "1").parquet(s"$work/in/*")
+    val q = graft.streaming.StreamLineDedup.start(stream, "id", "text",
+      s"$work/out", s"$work/state", s"$work/ck")
+    q.processAllAvailable(); q.stop()
+
+    def collect(df: org.apache.spark.sql.DataFrame) =
+      df.select("id", "clean_text", "n_kept", "n_dropped")
+        .as[(Long, String, Long, Long)].collect().sortBy(_._1).toSeq
+    val streamed = collect(graft.streaming.StreamLineDedup.results(spark, s"$work/out"))
+    val batch = collect(graft.operators.LineDedup.dedupLines(docs, "id", "text"))
+    assert(streamed == batch)
+    assert(streamed.find(_._1 == 4L).get._2 == "epsilon") // cross-batch drop
+
+    // a replayed microbatch regenerates identical output and state
+    graft.streaming.StreamLineDedup.applyBatch(docs.filter($"id" <= 2),
+      "id", "text", "\n", s"$work/out", s"$work/state", 0L)
+    assert(collect(graft.streaming.StreamLineDedup.results(spark, s"$work/out")) == streamed)
+  }
+
   test("continuous CDC merge converges to sequence-ordered latest state") {
     val work = Files.createTempDirectory("cdcstream")
     val inDir = s"$work/in"; val stateDir = s"$work/state"; val ckDir = s"$work/ck"
