@@ -533,6 +533,57 @@ object Relational {
       |  FROM events WHERE event_type IN ('view', 'purchase')) t
       |WHERE event_type = 'purchase'""".stripMargin
 
+  // ---- q29: CUBE grouping sets (all 4 combinations incl. grand
+  //      total) — the full-lattice OLAP rollup ----
+  val q29Cube: Q = (s, d) =>
+    lineitem(s, d)
+      .cube(col("l_returnflag"), col("l_linestatus"))
+      .agg(count(lit(1)).cast("bigint").as("n"),
+        dsum(col("l_quantity")).as("sum_qty"))
+
+  val q29Oracle: String =
+    """SELECT l_returnflag, l_linestatus, CAST(COUNT(*) AS BIGINT) AS n,
+      |  CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty
+      |FROM lineitem GROUP BY CUBE (l_returnflag, l_linestatus)""".stripMargin
+
+  // ---- q30: INTERSECT / EXCEPT set operations (distinct set
+  //      semantics on both engines) ----
+  val q30SetOps: Q = (s, d) => {
+    val o = orders(s, d)
+    def custsIn(y: Int) =
+      o.filter(year(col("o_orderdate")) === y).select(col("o_custkey"))
+    custsIn(1995).intersect(custsIn(1996))
+      .withColumn("set_op", lit("both_years"))
+      .unionByName(custsIn(1995).except(custsIn(1996))
+        .withColumn("set_op", lit("only_1995")))
+  }
+
+  val q30Oracle: String =
+    """WITH c95 AS (SELECT o_custkey FROM orders WHERE year(o_orderdate) = 1995),
+      |c96 AS (SELECT o_custkey FROM orders WHERE year(o_orderdate) = 1996)
+      |SELECT o_custkey, 'both_years' AS set_op FROM (SELECT o_custkey FROM c95 INTERSECT SELECT o_custkey FROM c96)
+      |UNION ALL
+      |SELECT o_custkey, 'only_1995' AS set_op FROM (SELECT o_custkey FROM c95 EXCEPT SELECT o_custkey FROM c96)""".stripMargin
+
+  // ---- q31: lead/lag navigation analytics (per-user event deltas;
+  //      deterministic tie-break on event_id) ----
+  val q31LeadLag: Q = (s, d) => {
+    val w = Window.partitionBy(col("user_id"))
+      .orderBy(col("ts").asc, col("event_id").asc)
+    events(s, d).select(col("user_id"), col("event_id"), col("value"),
+      lag(col("value"), 1).over(w).as("prev_value"),
+      lead(col("event_id"), 1).over(w).as("next_event_id"),
+      (col("value") - lag(col("value"), 1).over(w)).as("delta_value"))
+  }
+
+  val q31Oracle: String =
+    """SELECT user_id, event_id, value,
+      |  LAG(value, 1) OVER w AS prev_value,
+      |  LEAD(event_id, 1) OVER w AS next_event_id,
+      |  value - LAG(value, 1) OVER w AS delta_value
+      |FROM events
+      |WINDOW w AS (PARTITION BY user_id ORDER BY ts ASC, event_id ASC)""".stripMargin
+
   val queries: Map[String, Q] = Map(
     "q1_pricing_summary" -> q1PricingSummary,
     "q2_filter_pushdown" -> q2FilterPushdown,
@@ -560,7 +611,10 @@ object Relational {
     "q25_approx_distinct" -> q25ApproxDistinct,
     "q25_exact_distinct" -> q25ExactDistinct,
     "q27_incremental_agg" -> q27IncrementalAgg,
-    "q28_asof_custom" -> q28AsofCustom)
+    "q28_asof_custom" -> q28AsofCustom,
+    "q29_cube" -> q29Cube,
+    "q30_setops" -> q30SetOps,
+    "q31_lead_lag" -> q31LeadLag)
 
   val oracles: Map[String, String] = Map(
     "q1_pricing_summary" -> q1Oracle,
@@ -588,5 +642,8 @@ object Relational {
     "q24_salted_join" -> q24Oracle,
     "q25_exact_distinct" -> q25ExactOracle,
     "q27_incremental_agg" -> q27Oracle,
-    "q28_asof_custom" -> q28Oracle)
+    "q28_asof_custom" -> q28Oracle,
+    "q29_cube" -> q29Oracle,
+    "q30_setops" -> q30Oracle,
+    "q31_lead_lag" -> q31Oracle)
 }
