@@ -77,21 +77,23 @@ class GraftClient(spark: SparkSession, cfg: GraftConfig,
         val obs = Observation()
         if (cfg.outputSettings.exportTarget.toLowerCase.startsWith("jdbc")) {
           val outcome = writeJdbc(tableName,
-            batch.observe(obs, count(lit(1)).as("rows")), keyCols, usableSeq)
+            batch.observe(obs, count(lit(1)).as("rows")), keyCols, usableSeq,
+            entry.lastSuccessfulWriteTimestamp)
           if (outcome.paths.isEmpty) {
-            // every target gate-bypassed: warn-and-skip like the
-            // reference — savepoint untouched so the batch re-applies
-            // once the schema gate clears. (obs is never read here:
-            // no write job ran, so it would block forever.)
+            // every enabled target gate-bypassed (or none enabled):
+            // warn-and-skip like the reference — savepoint untouched so
+            // the batch re-applies once the schema gate clears. (obs is
+            // never read here: no write job ran, so it would block.)
             TableResult(tableName, 0L, "", None, skipped = true)
           } else {
-            val rows = observedRows(obs)
+            // obs only completes if a Spark write actually ran this run
+            val rows = if (outcome.wroteAny) observedRows(obs) else 0L
             if (outcome.anyBypassed) {
-              // partial bypass: hold the savepoint back so the
-              // bypassed target still sees this batch on a future run
-              // (merged replay is idempotent via the seqval guard; raw
-              // replay surfaces through the PK instead of silently
-              // losing the batch)
+              // partial bypass: hold the TABLE savepoint back so the
+              // bypassed target still sees this batch later; targets
+              // that DID write advanced their own watermark, so the
+              // replay run skips them (no raw double-append, no PK
+              // crash) and only retries the bypassed one
               TableResult(tableName, rows, outcome.paths.mkString(","), None)
             } else {
               val newSp = entry.lastSuccessfulWriteTimestamp
@@ -132,56 +134,91 @@ class GraftClient(spark: SparkSession, cfg: GraftConfig,
     case n: Number => n.longValue()
   }
 
-  private case class JdbcOutcome(paths: Seq[String], anyBypassed: Boolean)
+  private case class JdbcOutcome(paths: Seq[String], anyBypassed: Boolean,
+                                 wroteAny: Boolean)
 
   /** Live JDBC export: ensure target tables (create / gate-evolve),
     * then raw append and/or incremental merged apply — the reference's
     * writeJdbcRaw/writeJdbcMerged flow (JdbcOutputWriter.scala:285-497)
     * with the merge staying distributed. A gate Bypass skips the batch
     * for that target, like the reference's warn-and-skip; the caller
-    * holds the savepoint back so a bypassed target is never silently
-    * starved of the batch.
+    * holds the TABLE savepoint back so a bypassed target is never
+    * silently starved. Each target additionally keeps its OWN
+    * watermark (`table@raw` / `table@merged`): on the replay run a
+    * target that already applied this batch is skipped outright — a
+    * raw append is never repeated (its PK would reject the duplicate
+    * rows and wedge the table), and the merged apply isn't re-run
+    * needlessly even though its seqval guard would tolerate it.
     */
   private def writeJdbc(tableName: String, batch: DataFrame,
-                        keyCols: Seq[String], usableSeq: Seq[String]): JdbcOutcome = {
+                        keyCols: Seq[String], usableSeq: Seq[String],
+                        batchTs: String): JdbcOutcome = {
     val os = cfg.outputSettings
     val written = new scala.collection.mutable.ArrayBuffer[String]
     var anyBypassed = false
+    var wroteAny = false
+    val tsLong = scala.util.Try(batchTs.toLong).getOrElse(Long.MaxValue)
+    def watermark(kind: String): Option[Long] =
+      scala.util.Try(savepoints.getAsLong(s"$tableName@$kind")).toOption.flatten
+    def alreadyApplied(kind: String): Boolean = watermark(kind).exists(_ >= tsLong)
+    // rows this target has NOT applied yet: the batch re-read after a
+    // held-back savepoint may span folders a target already wrote, so
+    // each target filters to folders past its own watermark
+    def newSince(kind: String): DataFrame = watermark(kind) match {
+      case Some(w) if batch.columns.contains(CdcColumns.TimestampFolderCol) =>
+        batch.filter(
+          org.apache.spark.sql.functions.col(CdcColumns.TimestampFolderCol)
+            .cast("long") > w)
+      case _ => batch
+    }
     if (os.saveIntoJdbcRaw) cfg.jdbcConnectionRaw.foreach { conn =>
-      val raw = JdbcSink.rawFrame(batch)
-      JdbcTableManager.ensureTable(conn, raw.schema, tableName,
-        JdbcDdl.Raw, keyCols, cfg.largeTextFieldSet) match {
-        case JdbcTableManager.Bypassed(reasons) =>
-          anyBypassed = true
-          System.err.println(s"[graft] '$tableName' raw jdbc batch bypassed: ${reasons.mkString("; ")}")
-        case _ =>
-          JdbcSink.writeRaw(batch, conn, tableName, os.jdbcBatchSize)
-          written += s"${conn.jdbcUrl}/${conn.jdbcSchema}.$tableName"
+      if (alreadyApplied("raw"))
+        written += s"${conn.jdbcUrl}/${conn.jdbcSchema}.$tableName"
+      else {
+        val rawIn = newSince("raw")
+        val raw = JdbcSink.rawFrame(rawIn)
+        JdbcTableManager.ensureTable(conn, raw.schema, tableName,
+          JdbcDdl.Raw, keyCols, cfg.largeTextFieldSet) match {
+          case JdbcTableManager.Bypassed(reasons) =>
+            anyBypassed = true
+            System.err.println(s"[graft] '$tableName' raw jdbc batch bypassed: ${reasons.mkString("; ")}")
+          case _ =>
+            JdbcSink.writeRaw(rawIn, conn, tableName, os.jdbcBatchSize)
+            wroteAny = true
+            savepoints.write(s"$tableName@raw", batchTs)
+            written += s"${conn.jdbcUrl}/${conn.jdbcSchema}.$tableName"
+        }
       }
     }
     if (os.saveIntoJdbcMerged) cfg.jdbcConnectionMerged.foreach { conn =>
-      // merged tables keep business columns + the seqval watermark and
-      // the op marker drives the apply (dropped before storage)
-      val keep = Set(CdcColumns.OperationCol, CdcColumns.SeqValCol) ++ usableSeq
-      val mergedIn = JdbcSink.rawFrame(batch).drop(batch.columns.filter { c =>
-        val lc = c.toLowerCase
-        (lc.startsWith(CdcColumns.InternalPrefix) || lc.startsWith(CdcColumns.ClientPrefix)) &&
-          !keep.contains(lc)
-      }.toIndexedSeq: _*)
-      val storedSchema = org.apache.spark.sql.types.StructType(
-        mergedIn.schema.fields.filterNot(_.name == CdcColumns.OperationCol))
-      JdbcTableManager.ensureTable(conn, storedSchema, tableName,
-        JdbcDdl.Merged, keyCols, cfg.largeTextFieldSet) match {
-        case JdbcTableManager.Bypassed(reasons) =>
-          anyBypassed = true
-          System.err.println(s"[graft] '$tableName' merged jdbc batch bypassed: ${reasons.mkString("; ")}")
-        case _ =>
-          JdbcMergedApply(mergedIn, conn, tableName, keyCols,
-            seqCol = usableSeq.head, batchSize = os.jdbcBatchSize.toInt)
-          written += s"${conn.jdbcUrl}/${conn.jdbcSchema}.$tableName"
+      if (alreadyApplied("merged"))
+        written += s"${conn.jdbcUrl}/${conn.jdbcSchema}.$tableName"
+      else {
+        // merged tables keep business columns + the seqval watermark and
+        // the op marker drives the apply (dropped before storage)
+        val keep = Set(CdcColumns.OperationCol, CdcColumns.SeqValCol) ++ usableSeq
+        val mergedIn = JdbcSink.rawFrame(newSince("merged")).drop(batch.columns.filter { c =>
+          val lc = c.toLowerCase
+          (lc.startsWith(CdcColumns.InternalPrefix) || lc.startsWith(CdcColumns.ClientPrefix)) &&
+            !keep.contains(lc)
+        }.toIndexedSeq: _*)
+        val storedSchema = org.apache.spark.sql.types.StructType(
+          mergedIn.schema.fields.filterNot(_.name == CdcColumns.OperationCol))
+        JdbcTableManager.ensureTable(conn, storedSchema, tableName,
+          JdbcDdl.Merged, keyCols, cfg.largeTextFieldSet) match {
+          case JdbcTableManager.Bypassed(reasons) =>
+            anyBypassed = true
+            System.err.println(s"[graft] '$tableName' merged jdbc batch bypassed: ${reasons.mkString("; ")}")
+          case _ =>
+            JdbcMergedApply(mergedIn, conn, tableName, keyCols,
+              seqCol = usableSeq.head, batchSize = os.jdbcBatchSize.toInt)
+            wroteAny = true
+            savepoints.write(s"$tableName@merged", batchTs)
+            written += s"${conn.jdbcUrl}/${conn.jdbcSchema}.$tableName"
+        }
       }
     }
-    JdbcOutcome(written.toSeq, anyBypassed)
+    JdbcOutcome(written.toSeq, anyBypassed, wroteAny)
   }
 
   /** Run all (included) tables; returns per-table results. */

@@ -144,6 +144,10 @@ object GraftConfig {
     if (os.exportTarget == "file" && !ValidFileFormats.contains(os.fileFormat.toLowerCase))
       throw InvalidConfigException(
         s"fileFormat must be one of ${ValidFileFormats.mkString(", ")}: got '${os.fileFormat}'")
+    if (os.exportTarget == "jdbc" && !os.saveIntoJdbcRaw && !os.saveIntoJdbcMerged)
+      throw InvalidConfigException(
+        "exportTarget jdbc needs saveIntoJdbcRaw and/or saveIntoJdbcMerged — " +
+          "with neither, every batch would be skipped silently")
     if (os.exportTarget == "jdbc" && os.saveIntoJdbcRaw && cfg.jdbcConnectionRaw.isEmpty)
       throw InvalidConfigException("saveIntoJdbcRaw requires jdbcConnectionRaw")
     if (os.exportTarget == "jdbc" && os.saveIntoJdbcMerged && cfg.jdbcConnectionMerged.isEmpty)

@@ -34,19 +34,37 @@ object LineDedup {
     * row with empty text. Output: (id, clean_text, n_kept, n_dropped).
     */
   def dedupFromLineArrays(docs: DataFrame, idCol: String, linesCol: String,
-                          sep: String): DataFrame = {
-    // (id, line_no, hash) — the line string is projected away BEFORE
-    // any exchange; everything below this point moves longs only.
-    val keys = docs
+                          sep: String): DataFrame =
+    reassemble(docs, keepers(lineKeys(docs, idCol, linesCol), idCol),
+      idCol, linesCol, sep)
+
+  /** (id, line_no, xxhash64(line)) per line — the line string is
+    * projected away BEFORE any exchange; everything downstream moves
+    * longs only.
+    */
+  private[graft] def lineKeys(docs: DataFrame, idCol: String,
+                              linesCol: String): DataFrame =
+    docs
       .select(col(idCol), posexplode(col(linesCol)).as(Seq("line_no", "__line")))
       .select(col(idCol), col("line_no"), xxhash64(col("__line")).as("__lh"))
-    val keepers = keys.groupBy("__lh")
+
+  /** One row per distinct line hash: its keeper `__keep = (d, n)` =
+    * smallest (doc, line_no). Keeper rows ARE the kept positions.
+    */
+  private[graft] def keepers(keys: DataFrame, idCol: String): DataFrame =
+    keys.groupBy("__lh")
       .agg(min(struct(col(idCol).as("d"), col("line_no").as("n"))).as("__keep"))
-    // keeper rows are exactly the kept (doc, line_no) pairs
-    val keptNos = keepers.groupBy(col("__keep.d").as("__d"))
+
+  /** Rebuild documents from keeper rows: aggregate kept positions per
+    * doc, then index each doc's line array. The only text-bearing
+    * exchange is the id-keyed join (at small SF the positions side
+    * broadcasts and text never shuffles).
+    */
+  private[graft] def reassemble(docs: DataFrame, keeperRows: DataFrame,
+                                idCol: String, linesCol: String,
+                                sep: String): DataFrame = {
+    val keptNos = keeperRows.groupBy(col("__keep.d").as("__d"))
       .agg(sort_array(collect_list(col("__keep.n"))).as("__kept_nos"))
-    // The only text-bearing exchange: docs move once on the id key
-    // (at small SF keptNos broadcasts and text never shuffles).
     docs.join(keptNos, col(idCol) === col("__d"), "left")
       .select(col(idCol),
         concat_ws(sep, transform(coalesce(col("__kept_nos"), array()),

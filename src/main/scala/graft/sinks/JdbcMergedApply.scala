@@ -141,13 +141,26 @@ object JdbcMergedApply {
     }
   }
 
-  /** SQLState class 23 = integrity-constraint violation. Derby and
-    * Postgres report member 23505 for duplicate keys; Oracle and SQL
-    * Server report the class code 23000 — match the class, not one
-    * vendor's member.
+  /** Duplicate-key detection across platforms. Derby/Postgres report
+    * SQLState 23505 (unique violation). Oracle, SQL Server and MySQL
+    * report the generic class code 23000 for EVERY integrity
+    * violation, so on 23000 the vendor error code disambiguates
+    * (ORA-00001, MSSQL 2627/2601, MySQL 1062). Anything else — NOT
+    * NULL (23502), FK (23503), CHECK (23514), or an unknown 23000 —
+    * must NOT be swallowed: it does not mean "row already exists" and
+    * swallowing it would silently drop data.
     */
-  private[graft] def isDuplicateKey(e: SQLException): Boolean =
-    e.getSQLState != null && e.getSQLState.startsWith("23")
+  private[graft] def isDuplicateKey(e: SQLException): Boolean = {
+    val state = e.getSQLState
+    if (state == null) false
+    else if (state == "23505") true
+    else if (state == "23000")
+      e.getErrorCode match {
+        case 1 | 2627 | 2601 | 1062 => true // ORA-00001, MSSQL, MySQL
+        case _ => false
+      }
+    else false
+  }
 
   /** Set one Row field on a PreparedStatement by Spark SQL type. */
   private def setValue(ps: PreparedStatement, pos: Int, row: Row,

@@ -25,8 +25,9 @@ object StreamDecontaminate {
             idCol: String, textCol: String,
             outDir: String, checkpointDir: String,
             maxFraction: Double = 0.2, n: Int = 3): StreamingQuery = {
+    val spark = corpusStream.sparkSession
     val probeShingles = Decontaminate.probeSet(probes, textCol, n).cache()
-    corpusStream.writeStream
+    val q = corpusStream.writeStream
       .option("checkpointLocation", checkpointDir)
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
         Decontaminate
@@ -35,6 +36,20 @@ object StreamDecontaminate {
         ()
       }
       .start()
+    // release the probe cache when the query ends — without this every
+    // start() pins a cached DataFrame for the life of the session
+    val listener = new org.apache.spark.sql.streaming.StreamingQueryListener {
+      import org.apache.spark.sql.streaming.StreamingQueryListener._
+      override def onQueryStarted(event: QueryStartedEvent): Unit = ()
+      override def onQueryProgress(event: QueryProgressEvent): Unit = ()
+      override def onQueryTerminated(event: QueryTerminatedEvent): Unit =
+        if (event.id == q.id) {
+          probeShingles.unpersist()
+          spark.streams.removeListener(this)
+        }
+    }
+    spark.streams.addListener(listener)
+    q
   }
 
   /** Read back everything the stream has kept so far. */

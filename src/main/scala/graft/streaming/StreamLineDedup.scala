@@ -4,6 +4,8 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.streaming.StreamingQuery
 
+import graft.operators.LineDedup
+
 /** Corpus-wide line dedup over a document STREAM: a line is kept in
   * the first document that ARRIVES carrying it and dropped from every
   * later document — the incremental form of
@@ -51,40 +53,40 @@ object StreamLineDedup {
     val spark = batch.sparkSession
     val docs = batch.select(col(idCol),
       split(col(textCol), java.util.regex.Pattern.quote(sep)).as("__lines"))
-    val keys = docs
-      .select(col(idCol), posexplode(col("__lines")).as(Seq("line_no", "__line")))
-      .select(col(idCol), col("line_no"), xxhash64(col("__line")).as("__lh"))
-    val prior = priorHashes(spark, stateDir, batchId)
-    val unseen = prior match {
+    val keys = LineDedup.lineKeys(docs, idCol, "__lines")
+    val unseen = priorHashes(spark, stateDir, batchId) match {
       case Some(p) => keys.join(p, Seq("__lh"), "left_anti")
       case None    => keys
     }
     // first occurrence WITHIN the batch among unseen lines — the
-    // batch operator's keeper rule against (prior-state ∪ this batch)
-    val keepers = unseen.groupBy("__lh")
-      .agg(min(struct(col(idCol).as("d"), col("line_no").as("n"))).as("__keep"))
-    val keptNos = keepers.groupBy(col("__keep.d").as("__d"))
-      .agg(sort_array(collect_list(col("__keep.n"))).as("__kept_nos"))
-    docs.join(keptNos, col(idCol) === col("__d"), "left")
-      .select(col(idCol),
-        concat_ws(sep, transform(coalesce(col("__kept_nos"), array()),
-          i => element_at(col("__lines"), i + 1))).as("clean_text"),
-        coalesce(size(col("__kept_nos")), lit(0)).cast("bigint").as("n_kept"),
-        (size(col("__lines")) - coalesce(size(col("__kept_nos")), lit(0)))
-          .cast("bigint").as("n_dropped"))
-      .write.mode("overwrite").parquet(s"$outDir/batch_$batchId")
-    keepers.select(col("__lh"))
-      .write.mode("overwrite").parquet(s"$stateDir/batch_$batchId")
+    // batch operator's keeper rule against (prior-state ∪ this batch).
+    // Persisted: both the state write and the reassembly read it, and
+    // recomputing it would re-run the anti-join against the whole
+    // prior-state union twice per microbatch.
+    val keeperRows = LineDedup.keepers(unseen, idCol).persist()
+    try {
+      keeperRows.select(col("__lh"))
+        .write.mode("overwrite").parquet(s"$stateDir/batch_$batchId")
+      LineDedup.reassemble(docs, keeperRows, idCol, "__lines", sep)
+        .write.mode("overwrite").parquet(s"$outDir/batch_$batchId")
+    } finally keeperRows.unpersist()
   }
 
-  /** Union of hash sets committed by batches strictly before `batchId`. */
+  /** Union of hash sets committed by batches strictly before `batchId`.
+    * Listed through the Hadoop filesystem of `stateDir`, so state can
+    * live on any supported store (local, hdfs, s3a), not just the
+    * driver's local disk.
+    */
   private def priorHashes(spark: SparkSession, stateDir: String,
                           batchId: Long): Option[DataFrame] = {
-    val dirs = Option(new java.io.File(stateDir).listFiles()).getOrElse(Array.empty)
-      .filter(f => f.isDirectory && f.getName.startsWith("batch_"))
-      .filter(_.getName.stripPrefix("batch_").toLong < batchId)
-      .map(_.getAbsolutePath)
-    if (dirs.isEmpty) None else Some(spark.read.parquet(dirs.toIndexedSeq: _*))
+    val path = new org.apache.hadoop.fs.Path(stateDir)
+    val fs = path.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (!fs.exists(path)) return None
+    val dirs = fs.listStatus(path).toSeq
+      .filter(st => st.isDirectory && st.getPath.getName.startsWith("batch_"))
+      .filter(_.getPath.getName.stripPrefix("batch_").toLong < batchId)
+      .map(_.getPath.toString)
+    if (dirs.isEmpty) None else Some(spark.read.parquet(dirs: _*))
   }
 
   /** Read back everything the stream has emitted so far. */

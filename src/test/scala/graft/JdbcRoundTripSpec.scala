@@ -288,17 +288,43 @@ class JdbcRoundTripSpec extends AnyFunSuite {
     // savepoint is held back so the merged target can catch up later
     val res2 = new GraftClient(spark, cfgFor(raw = true)).run()
     assert(res2.head.rowsWritten == 2 && res2.head.newSavepoint.isEmpty)
-    assert(spark.read.format("jdbc").option("url", url)
-      .option("dbtable", "RAWB.t1").load().count() == 2)
+    def rawCount() = spark.read.format("jdbc").option("url", url)
+      .option("dbtable", "RAWB.t1").load().count()
+    assert(rawCount() == 2)
     assert(new graft.cdc.Savepoints(s"$work/sp").getAsLong("t1").isEmpty)
+
+    // run 3: the replay must NOT re-append raw (its per-target
+    // watermark advanced) and must not crash — merged retried, still
+    // bypassed, savepoint still held
+    val res3 = new GraftClient(spark, cfgFor(raw = true)).run()
+    assert(!res3.head.skipped && res3.head.newSavepoint.isEmpty)
+    assert(rawCount() == 2, "raw batch was double-appended on replay")
+
+    // fix the merged table -> run 4 applies merged and finally
+    // advances the table savepoint
+    exec("DROP TABLE MERGEDB.t1")
+    val res4 = new GraftClient(spark, cfgFor(raw = true)).run()
+    assert(res4.head.newSavepoint.contains("100"))
+    assert(rawCount() == 2)
+    assert(spark.read.format("jdbc").option("url", url)
+      .option("dbtable", "MERGEDB.t1").load().count() == 2) // ids 1,2 latest state
+    assert(new graft.cdc.Savepoints(s"$work/sp").getAsLong("t1").contains(100L))
   }
 
-  test("duplicate-key detection spans vendor SQLStates (class 23, not just 23505)") {
+  test("duplicate-key detection spans vendors but never swallows other violations") {
     import java.sql.SQLException
-    // Derby/Postgres member code, Oracle/SQL Server class code
-    assert(graft.sinks.JdbcMergedApply.isDuplicateKey(new SQLException("dup", "23505")))
-    assert(graft.sinks.JdbcMergedApply.isDuplicateKey(new SQLException("dup", "23000")))
-    assert(!graft.sinks.JdbcMergedApply.isDuplicateKey(new SQLException("syntax", "42X01")))
-    assert(!graft.sinks.JdbcMergedApply.isDuplicateKey(new SQLException("no state")))
+    import graft.sinks.JdbcMergedApply.isDuplicateKey
+    assert(isDuplicateKey(new SQLException("dup", "23505")))          // Derby/Postgres
+    assert(isDuplicateKey(new SQLException("dup", "23000", 1)))       // ORA-00001
+    assert(isDuplicateKey(new SQLException("dup", "23000", 2627)))    // SQL Server PK
+    assert(isDuplicateKey(new SQLException("dup", "23000", 2601)))    // SQL Server unique idx
+    assert(isDuplicateKey(new SQLException("dup", "23000", 1062)))    // MySQL
+    // NOT NULL / FK / CHECK / unknown-23000 must propagate, not vanish
+    assert(!isDuplicateKey(new SQLException("not null", "23502")))
+    assert(!isDuplicateKey(new SQLException("fk", "23503")))
+    assert(!isDuplicateKey(new SQLException("check", "23514")))
+    assert(!isDuplicateKey(new SQLException("ora not null", "23000", 1400)))
+    assert(!isDuplicateKey(new SQLException("syntax", "42X01")))
+    assert(!isDuplicateKey(new SQLException("no state")))
   }
 }
