@@ -129,12 +129,19 @@ object Dedup {
     // (band, hash-of-band-slice) bucket keys carry ONLY the doc id —
     // shuffling the shingle arrays numBands times would dominate the
     // job; candidates re-fetch their shingles by id afterwards
+    // ONE explicit exchange on the bucket key: the bucket-size count,
+    // and BOTH sides of the capped self-join, are co-partitioned
+    // against it (ReuseExchange collapses them to a single shuffle of
+    // (doc, band, bh) rows), so the scan+shingle+signature subtree
+    // runs once for the whole banding stage instead of once per
+    // consumer — same shape as ngramJaccard's posting join.
     val banded = shingled.select(col("doc"),
       explode(transform(sequence(lit(0), lit(numBands - 1)), b =>
         struct(b.as("band"),
           xxhash64(slice(col("sig"), b * rowsPerBand + lit(1), lit(rowsPerBand)), b).as("bh"))))
         .as("bucket"))
       .select(col("doc"), col("bucket.band"), col("bucket.bh"))
+      .repartition(col("band"), col("bh"))
     // skew cap: only buckets that can produce a pair and are under the
     // cap enter the self-join (the co-partitioned join then buffers at
     // most maxBucketSize rows per key)
