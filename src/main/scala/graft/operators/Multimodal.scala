@@ -8,10 +8,16 @@ import org.apache.spark.sql.functions._
   *
   * Media payloads are opaque `binary` columns with typed metadata.
   * The Spark-side plumbing — schema, batch shape, partition-level
-  * processing — is real; the actual codec step is a clearly-marked
-  * deterministic STUB (`fakeDecode`) because no image/audio libraries
-  * exist in this environment. Swapping in a real decoder changes one
-  * function.
+  * processing — is real. The codec layer is split:
+  *
+  *  - REAL decoders for the library-free raster formats — binary PPM
+  *    (P6) and uncompressed 24-bit BMP — parsed with pure byte math
+  *    ([[decodeImage]]); real pixel-space nearest-neighbor resize
+  *    ([[resizeImage]]) and real channel-statistics features
+  *    ([[imageFeatures]]) run on the decoded pixels.
+  *  - a clearly-marked deterministic STUB (`fakeDecode`) for
+  *    compressed formats (PNG/JPEG/...) whose codecs don't exist in
+  *    this environment; swapping in a real one changes one function.
   *
   * Partition-level batch processing uses `mapPartitions` over a typed
   * Dataset — the Scala analogue of batched pandas UDFs: the decoder
@@ -21,6 +27,164 @@ import org.apache.spark.sql.functions._
   */
 object Multimodal {
 
+  /** A decoded raster: interleaved row-major pixels, `channels` bytes
+    * per pixel (3 = RGB), top-down row order.
+    */
+  case class DecodedImage(doc_id: Long, width: Int, height: Int,
+                          channels: Int, pixels: Array[Byte]) {
+    def pixel(x: Int, y: Int, c: Int): Int =
+      java.lang.Byte.toUnsignedInt(pixels((y * width + x) * channels + c))
+  }
+
+  /** REAL decode for the two formats parseable without any codec
+    * library. Returns None for anything else (callers fall back to
+    * the declared stub).
+    *
+    *  - PPM P6: ASCII header `P6 <w> <h> <maxval>` (whitespace- and
+    *    `#`-comment-tolerant) followed by raw interleaved RGB.
+    *  - BMP: 'BM' magic, little-endian header fields (pixel offset at
+    *    10, width 18, height 22, bpp 28, compression 30); supports
+    *    uncompressed 24-bit, rows stored bottom-up with 4-byte pad.
+    */
+  def decodeImage(row: MediaRow): Option[DecodedImage] = {
+    val p = row.payload
+    if (p.length >= 2 && p(0) == 'P' && p(1) == '6') decodePpm(row)
+    else if (p.length >= 54 && p(0) == 'B' && p(1) == 'M') decodeBmp(row)
+    else None
+  }
+
+  private def decodePpm(row: MediaRow): Option[DecodedImage] = {
+    val p = row.payload
+    var i = 2
+    def nextInt(): Long = {
+      // skip whitespace and '#' comments, then read an ASCII integer
+      while (i < p.length &&
+        (p(i).toChar.isWhitespace || p(i) == '#')) {
+        if (p(i) == '#') while (i < p.length && p(i) != '\n') i += 1
+        else i += 1
+      }
+      var v = -1L
+      while (i < p.length && p(i) >= '0' && p(i) <= '9') {
+        v = (if (v < 0) 0 else v) * 10 + (p(i) - '0'); i += 1
+      }
+      v
+    }
+    val (w, h, maxval) = (nextInt(), nextInt(), nextInt())
+    if (w <= 0 || h <= 0 || maxval <= 0 || maxval > 255) return None
+    i += 1 // single whitespace after maxval, then raw RGB
+    val need = w.toInt * h.toInt * 3
+    if (p.length - i < need) None
+    else Some(DecodedImage(row.doc_id, w.toInt, h.toInt, 3,
+      java.util.Arrays.copyOfRange(p, i, i + need)))
+  }
+
+  private def decodeBmp(row: MediaRow): Option[DecodedImage] = {
+    val p = row.payload
+    def le32(off: Int): Int =
+      (p(off) & 0xFF) | ((p(off + 1) & 0xFF) << 8) |
+        ((p(off + 2) & 0xFF) << 16) | ((p(off + 3) & 0xFF) << 24)
+    def le16(off: Int): Int = (p(off) & 0xFF) | ((p(off + 1) & 0xFF) << 8)
+    val dataOff = le32(10)
+    val w = le32(18)
+    val hRaw = le32(22)
+    val bpp = le16(28)
+    val compression = le32(30)
+    if (w <= 0 || hRaw == 0 || bpp != 24 || compression != 0) return None
+    val h = math.abs(hRaw)
+    val topDown = hRaw < 0
+    val rowBytes = ((w * 3 + 3) / 4) * 4 // rows pad to 4 bytes
+    if (p.length < dataOff + rowBytes * h) return None
+    val out = new Array[Byte](w * h * 3)
+    var y = 0
+    while (y < h) {
+      val srcRow = if (topDown) y else h - 1 - y // stored bottom-up
+      var x = 0
+      while (x < w) {
+        val s = dataOff + srcRow * rowBytes + x * 3
+        val d = (y * w + x) * 3
+        out(d) = p(s + 2)     // BGR -> RGB
+        out(d + 1) = p(s + 1)
+        out(d + 2) = p(s)
+        x += 1
+      }
+      y += 1
+    }
+    Some(DecodedImage(row.doc_id, w, h, 3, out))
+  }
+
+  /** REAL nearest-neighbor resize on decoded pixels. */
+  def resizeImage(img: DecodedImage, outW: Int, outH: Int): DecodedImage = {
+    val out = new Array[Byte](outW * outH * img.channels)
+    var y = 0
+    while (y < outH) {
+      val sy = math.min(img.height - 1, y * img.height / outH)
+      var x = 0
+      while (x < outW) {
+        val sx = math.min(img.width - 1, x * img.width / outW)
+        var c = 0
+        while (c < img.channels) {
+          out((y * outW + x) * img.channels + c) =
+            img.pixels((sy * img.width + sx) * img.channels + c)
+          c += 1
+        }
+        x += 1
+      }
+      y += 1
+    }
+    DecodedImage(img.doc_id, outW, outH, img.channels, out)
+  }
+
+  /** REAL image features from decoded pixels: per-channel means plus
+    * a normalized luminance histogram — ready for the ANN operators.
+    */
+  def imageFeatures(img: DecodedImage, lumaBins: Int = 13): Array[Float] = {
+    val means = new Array[Float](img.channels)
+    val hist = new Array[Float](lumaBins)
+    val nPix = img.width * img.height
+    var i = 0
+    while (i < nPix) {
+      var luma = 0
+      var c = 0
+      while (c < img.channels) {
+        val v = java.lang.Byte.toUnsignedInt(img.pixels(i * img.channels + c))
+        means(c) += v
+        luma += v
+        c += 1
+      }
+      hist(luma / img.channels * lumaBins / 256) += 1f
+      i += 1
+    }
+    var c = 0
+    while (c < img.channels) { means(c) /= nPix * 255f; c += 1 }
+    var b = 0
+    while (b < lumaBins) { hist(b) /= nPix; b += 1 }
+    means ++ hist
+  }
+
+  /** Batch decode of real images: payloads that parse as PPM/BMP
+    * become (meta, resized thumbnail, feature vector) rows;
+    * undecodable payloads are dropped. The per-partition init point
+    * is where a real compressed-format codec context would live.
+    */
+  def decodeImages(spark: SparkSession, df: DataFrame,
+                   idCol: String, payloadCol: String,
+                   thumbW: Int = 8, thumbH: Int = 8): DataFrame = {
+    import spark.implicits._
+    df.select(col(idCol).cast("long").as("doc_id"), col(payloadCol).as("payload"))
+      .as[MediaRow]
+      .mapPartitions { rows =>
+        rows.flatMap { r =>
+          decodeImage(r).map { img =>
+            val thumb = resizeImage(img, thumbW, thumbH)
+            (img.doc_id, img.width.toLong, img.height.toLong,
+              if (r.payload(0) == 'P') "ppm" else "bmp",
+              thumb.pixels, imageFeatures(img))
+          }
+        }
+      }
+      .toDF("doc_id", "width", "height", "format", "thumbnail", "features")
+  }
+
   /** A media row: id + opaque payload. */
   case class MediaRow(doc_id: Long, payload: Array[Byte])
 
@@ -28,10 +192,11 @@ object Multimodal {
   case class MediaMeta(doc_id: Long, n_bytes: Long, width: Long, height: Long,
                        format: String, checksum: Long)
 
-  /** STUB decoder — deterministic fake. A real implementation would
-    * parse the container header (PNG/JPEG/WAV...); this derives
+  /** STUB decoder for formats whose codecs are absent in this
+    * environment (PNG/JPEG/WAV...) — deterministic fake deriving
     * pseudo-metadata from the byte length and a rolling checksum so
-    * the pipeline shape is fully testable.
+    * the pipeline shape stays fully testable. PPM/BMP payloads never
+    * reach this: [[decodeImage]] parses them for real.
     */
   def fakeDecode(row: MediaRow): MediaMeta = {
     val n = row.payload.length.toLong
@@ -43,8 +208,9 @@ object Multimodal {
   }
 
   /** Batch decode: binary payload column → typed metadata Dataset.
-    * Per-partition initialization happens in `mapPartitions` (the
-    * place a real codec/model handle would be created once).
+    * Real header parse for PPM/BMP; declared stub for everything
+    * else. Per-partition initialization happens in `mapPartitions`
+    * (the place a real codec/model handle would be created once).
     */
   def decodeMeta(spark: SparkSession, df: DataFrame,
                  idCol: String, payloadCol: String): Dataset[MediaMeta] = {
@@ -53,7 +219,18 @@ object Multimodal {
       .as[MediaRow]
       .mapPartitions { rows =>
         // per-partition init point (codec context / model handle)
-        rows.map(fakeDecode)
+        rows.map { r =>
+          decodeImage(r) match {
+            case Some(img) =>
+              var ck = 0L
+              var i = 0
+              while (i < r.payload.length) { ck = ck * 31 + r.payload(i); i += 1 }
+              MediaMeta(r.doc_id, r.payload.length.toLong,
+                img.width.toLong, img.height.toLong,
+                if (r.payload(0) == 'P') "ppm" else "bmp", ck)
+            case None => fakeDecode(r)
+          }
+        }
       }
   }
 

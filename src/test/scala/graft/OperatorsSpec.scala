@@ -139,6 +139,61 @@ class OperatorsSpec extends AnyFunSuite {
     assert(colVariant == dsVariant)
   }
 
+  test("multimodal REAL decode: PPM and BMP parse to exact pixels, resize and features are real") {
+    import Multimodal.{MediaRow, decodeImage, imageFeatures, resizeImage}
+    // P6 PPM, 4x2, with a header comment; pixel (x,y) = (x*10, y*10, x+y)
+    val ppmHeader = "P6\n# test image\n4 2\n255\n".getBytes("US-ASCII")
+    val ppmPixels = (for (y <- 0 until 2; x <- 0 until 4)
+      yield Seq(x * 10, y * 10, x + y)).flatten.map(_.toByte).toArray
+    val ppm = ppmHeader ++ ppmPixels
+    val img = decodeImage(MediaRow(1L, ppm)).get
+    assert((img.width, img.height, img.channels) == (4, 2, 3))
+    assert(img.pixel(3, 1, 0) == 30 && img.pixel(3, 1, 1) == 10 && img.pixel(3, 1, 2) == 4)
+
+    // 2x2 24-bit BMP, bottom-up rows padded to 4 bytes, BGR storage:
+    // want top row RED GREEN / bottom row BLUE WHITE
+    def le32(v: Int) = Array[Byte](v.toByte, (v >> 8).toByte, (v >> 16).toByte, (v >> 24).toByte)
+    def le16(v: Int) = Array[Byte](v.toByte, (v >> 8).toByte)
+    val rowBot = Array[Byte](-1, 0, 0, /*blue*/ -1, -1, -1, /*white*/ 0, 0) // + pad
+    val rowTop = Array[Byte](0, 0, -1, /*red*/ 0, -1, 0, /*green*/ 0, 0)
+    val bmp = "BM".getBytes("US-ASCII") ++ le32(54 + 16) ++ le32(0) ++ le32(54) ++
+      le32(40) ++ le32(2) ++ le32(2) ++ le16(1) ++ le16(24) ++ le32(0) ++
+      le32(16) ++ le32(0) ++ le32(0) ++ le32(0) ++ le32(0) ++
+      rowBot ++ rowTop // stored bottom-up: file order = bottom row first...
+    // (bottom-up means the FIRST stored row is the BOTTOM of the image)
+    val bimg = decodeImage(MediaRow(2L, bmp)).get
+    assert((bimg.width, bimg.height) == (2, 2))
+    // first stored row (rowBot) is the image's bottom row
+    assert((bimg.pixel(0, 1, 0), bimg.pixel(0, 1, 1), bimg.pixel(0, 1, 2)) == (0, 0, 255)) // blue
+    assert((bimg.pixel(1, 1, 0), bimg.pixel(1, 1, 1), bimg.pixel(1, 1, 2)) == (255, 255, 255))
+    assert((bimg.pixel(0, 0, 0), bimg.pixel(0, 0, 1), bimg.pixel(0, 0, 2)) == (255, 0, 0)) // red
+    assert((bimg.pixel(1, 0, 0), bimg.pixel(1, 0, 1), bimg.pixel(1, 0, 2)) == (0, 255, 0))
+
+    // nearest-neighbor resize on real pixels: 4x2 -> 2x1 picks (0,0),(2,0)
+    val small = resizeImage(img, 2, 1)
+    assert(small.pixel(0, 0, 0) == 0 && small.pixel(1, 0, 0) == 20)
+
+    // features: uniform gray image has channel means v/255 and one luma bin = 1
+    val gray = Multimodal.DecodedImage(3L, 2, 2, 3, Array.fill(12)(100.toByte))
+    val f = imageFeatures(gray, lumaBins = 13)
+    assert(f.length == 3 + 13)
+    assert(math.abs(f(0) - 100f / 255f) < 1e-6)
+    assert(f(3 + 100 * 13 / 256) == 1.0f)
+
+    // DataFrame e2e: undecodable payloads drop, real ones carry
+    // thumbnail + features; decodeMeta reports REAL dims for ppm
+    val media = Seq((1L, ppm), (2L, bmp), (9L, "not an image".getBytes("US-ASCII")))
+      .toDF("doc_id", "payload")
+    val decoded = Multimodal.decodeImages(spark, media, "doc_id", "payload",
+      thumbW = 2, thumbH = 2).collect()
+    assert(decoded.map(_.getLong(0)).toSet == Set(1L, 2L))
+    val meta = Multimodal.decodeMeta(spark, media, "doc_id", "payload")
+      .collect().map(m => m.doc_id -> m).toMap
+    assert(meta(1L).width == 4 && meta(1L).height == 2 && meta(1L).format == "ppm")
+    assert(meta(2L).width == 2 && meta(2L).height == 2 && meta(2L).format == "bmp")
+    assert(meta(9L).format == "png" || meta(9L).format == "jpeg") // stub fallback
+  }
+
   test("multimodal feature extraction feeds ANN search end-to-end") {
     val media = docs.withColumn("payload", encode($"text", "UTF-8"))
     val feats = Multimodal.extractFeatures(spark, media, "doc_id", "payload").toDF()
