@@ -245,6 +245,101 @@ object Multimodal {
       (octet_length(col(payloadCol)).cast("bigint") * 7 % 480).as("height"),
       when(octet_length(col(payloadCol)) % 2 === 0, "png").otherwise("jpeg").as("format"))
 
+  /** Decoded PCM audio: interleaved 16-bit samples as doubles in
+    * [-1, 1].
+    */
+  case class DecodedAudio(doc_id: Long, sampleRate: Int, channels: Int,
+                          samples: Array[Double]) {
+    def durationSeconds: Double =
+      if (sampleRate == 0 || channels == 0) 0.0
+      else samples.length.toDouble / channels / sampleRate
+  }
+
+  /** REAL decode for RIFF/WAV with 16-bit PCM — the audio format
+    * parseable without any codec library. Walks the RIFF chunk list
+    * (fmt / data may be preceded by LIST etc.), little-endian fields.
+    * Returns None for anything else.
+    */
+  def decodeAudio(row: MediaRow): Option[DecodedAudio] = {
+    val p = row.payload
+    def le32(off: Int): Int =
+      (p(off) & 0xFF) | ((p(off + 1) & 0xFF) << 8) |
+        ((p(off + 2) & 0xFF) << 16) | ((p(off + 3) & 0xFF) << 24)
+    def le16(off: Int): Int = (p(off) & 0xFF) | ((p(off + 1) & 0xFF) << 8)
+    def tag(off: Int): String = new String(p, off, 4, "US-ASCII")
+    if (p.length < 44 || tag(0) != "RIFF" || tag(8) != "WAVE") return None
+    var off = 12
+    var sampleRate = 0
+    var channels = 0
+    var bits = 0
+    var samples: Array[Double] = null
+    while (off + 8 <= p.length) {
+      val id = tag(off)
+      val size = le32(off + 4)
+      if (id == "fmt " && off + 8 + 16 <= p.length) {
+        val fmt = le16(off + 8)
+        channels = le16(off + 10)
+        sampleRate = le32(off + 12)
+        bits = le16(off + 22)
+        if (fmt != 1 || bits != 16) return None // PCM 16-bit only
+      } else if (id == "data" && sampleRate > 0) {
+        val n = math.min(size, p.length - off - 8) / 2
+        val out = new Array[Double](n)
+        var i = 0
+        while (i < n) {
+          val lo = p(off + 8 + i * 2) & 0xFF
+          val hi = p(off + 8 + i * 2 + 1).toInt // sign-extends
+          out(i) = ((hi << 8) | lo) / 32768.0
+          i += 1
+        }
+        samples = out
+      }
+      off += 8 + size + (size & 1) // chunks pad to even length
+    }
+    if (samples == null || channels <= 0) None
+    else Some(DecodedAudio(row.doc_id, sampleRate, channels, samples))
+  }
+
+  /** REAL audio features from decoded samples: duration, RMS energy,
+    * zero-crossing rate, peak amplitude — the standard cheap audio
+    * quality/VAD signals.
+    */
+  def audioFeatures(a: DecodedAudio): (Double, Double, Double, Double) = {
+    var sumSq = 0.0
+    var peak = 0.0
+    var zc = 0L
+    var i = 0
+    while (i < a.samples.length) {
+      val v = a.samples(i)
+      sumSq += v * v
+      if (math.abs(v) > peak) peak = math.abs(v)
+      if (i > 0 && (a.samples(i - 1) >= 0) != (v >= 0)) zc += 1
+      i += 1
+    }
+    val n = math.max(1, a.samples.length)
+    (a.durationSeconds, math.sqrt(sumSq / n), zc.toDouble / n, peak)
+  }
+
+  /** Batch audio decode: WAV payloads become
+    * (doc_id, sample_rate, channels, duration_s, rms, zcr, peak)
+    * rows; undecodable payloads are dropped.
+    */
+  def decodeAudioBatch(spark: SparkSession, df: DataFrame,
+                       idCol: String, payloadCol: String): DataFrame = {
+    import spark.implicits._
+    df.select(col(idCol).cast("long").as("doc_id"), col(payloadCol).as("payload"))
+      .as[MediaRow]
+      .mapPartitions { rows =>
+        rows.flatMap { r =>
+          decodeAudio(r).map { a =>
+            val (dur, rms, zcr, peak) = audioFeatures(a)
+            (a.doc_id, a.sampleRate, a.channels, dur, rms, zcr, peak)
+          }
+        }
+      }
+      .toDF("doc_id", "sample_rate", "channels", "duration_s", "rms", "zcr", "peak")
+  }
+
   /** A media row with an extracted feature vector. */
   case class MediaFeatures(doc_id: Long, features: Array[Float])
 

@@ -584,6 +584,29 @@ object Relational {
       |FROM events
       |WINDOW w AS (PARTITION BY user_id ORDER BY ts ASC, event_id ASC)""".stripMargin
 
+  // ---- q32: FULL OUTER join of two aggregates (null-preserving
+  //      both sides, coalesced keys) ----
+  val q32FullOuter: Q = (s, d) => {
+    val c = customer(s, d).filter(col("c_mktsegment") === "BUILDING")
+      .groupBy(col("c_nationkey")).agg(count(lit(1)).cast("bigint").as("n_customers"))
+    val su = supplier(s, d)
+      .groupBy(col("s_nationkey")).agg(count(lit(1)).cast("bigint").as("n_suppliers"))
+    c.join(su, col("c_nationkey") === col("s_nationkey"), "full_outer")
+      .select(coalesce(col("c_nationkey"), col("s_nationkey")).as("nationkey"),
+        coalesce(col("n_customers"), lit(0L)).as("n_customers"),
+        coalesce(col("n_suppliers"), lit(0L)).as("n_suppliers"))
+  }
+
+  val q32Oracle: String =
+    """WITH c AS (SELECT c_nationkey AS k, CAST(COUNT(*) AS BIGINT) AS n_customers
+      |           FROM customer WHERE c_mktsegment = 'BUILDING' GROUP BY 1),
+      |s AS (SELECT s_nationkey AS k, CAST(COUNT(*) AS BIGINT) AS n_suppliers
+      |      FROM supplier GROUP BY 1)
+      |SELECT COALESCE(c.k, s.k) AS nationkey,
+      |  COALESCE(n_customers, 0) AS n_customers,
+      |  COALESCE(n_suppliers, 0) AS n_suppliers
+      |FROM c FULL OUTER JOIN s ON c.k = s.k""".stripMargin
+
   val queries: Map[String, Q] = Map(
     "q1_pricing_summary" -> q1PricingSummary,
     "q2_filter_pushdown" -> q2FilterPushdown,
@@ -614,7 +637,8 @@ object Relational {
     "q28_asof_custom" -> q28AsofCustom,
     "q29_cube" -> q29Cube,
     "q30_setops" -> q30SetOps,
-    "q31_lead_lag" -> q31LeadLag)
+    "q31_lead_lag" -> q31LeadLag,
+    "q32_full_outer" -> q32FullOuter)
 
   val oracles: Map[String, String] = Map(
     "q1_pricing_summary" -> q1Oracle,
@@ -645,5 +669,6 @@ object Relational {
     "q28_asof_custom" -> q28Oracle,
     "q29_cube" -> q29Oracle,
     "q30_setops" -> q30Oracle,
-    "q31_lead_lag" -> q31Oracle)
+    "q31_lead_lag" -> q31Oracle,
+    "q32_full_outer" -> q32Oracle)
 }

@@ -194,6 +194,34 @@ class OperatorsSpec extends AnyFunSuite {
     assert(meta(9L).format == "png" || meta(9L).format == "jpeg") // stub fallback
   }
 
+  test("multimodal REAL audio decode: WAV PCM parses with exact sample and feature math") {
+    import Multimodal.{MediaRow, audioFeatures, decodeAudio}
+    def le32(v: Int) = Array[Byte](v.toByte, (v >> 8).toByte, (v >> 16).toByte, (v >> 24).toByte)
+    def le16(v: Int) = Array[Byte](v.toByte, (v >> 8).toByte)
+    // mono 16-bit PCM at 8000 Hz: samples +16384 (0.5), -16384, 0, 32767-ish
+    val samples = Seq(16384, -16384, 0, 16384)
+    val data = samples.flatMap(le16).toArray
+    val wav = "RIFF".getBytes("US-ASCII") ++ le32(36 + data.length) ++
+      "WAVE".getBytes("US-ASCII") ++
+      "fmt ".getBytes("US-ASCII") ++ le32(16) ++ le16(1) ++ le16(1) ++
+      le32(8000) ++ le32(16000) ++ le16(2) ++ le16(16) ++
+      "data".getBytes("US-ASCII") ++ le32(data.length) ++ data
+    val a = decodeAudio(MediaRow(1L, wav)).get
+    assert(a.sampleRate == 8000 && a.channels == 1 && a.samples.length == 4)
+    assert(a.samples(0) == 0.5 && a.samples(1) == -0.5 && a.samples(2) == 0.0)
+    assert(math.abs(a.durationSeconds - 4.0 / 8000) < 1e-12)
+    val (dur, rms, zcr, peak) = audioFeatures(a)
+    assert(math.abs(rms - math.sqrt((0.25 + 0.25 + 0 + 0.25) / 4)) < 1e-12)
+    assert(zcr == 2.0 / 4) // sign changes at samples 1 and 3 (0 counts as >= 0)
+    assert(peak == 0.5 && dur == a.durationSeconds)
+    assert(decodeAudio(MediaRow(2L, "RIFFnope".getBytes("US-ASCII"))).isEmpty)
+
+    val media = Seq((1L, wav), (9L, "not audio".getBytes("US-ASCII")))
+      .toDF("doc_id", "payload")
+    val rows = Multimodal.decodeAudioBatch(spark, media, "doc_id", "payload").collect()
+    assert(rows.length == 1 && rows.head.getLong(0) == 1L && rows.head.getInt(1) == 8000)
+  }
+
   test("multimodal feature extraction feeds ANN search end-to-end") {
     val media = docs.withColumn("payload", encode($"text", "UTF-8"))
     val feats = Multimodal.extractFeatures(spark, media, "doc_id", "payload").toDF()

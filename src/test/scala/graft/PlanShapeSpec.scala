@@ -109,6 +109,13 @@ class PlanShapeSpec extends AnyFunSuite {
     assert(p.contains("TakeOrderedAndProject"), p)
   }
 
+  test("q26 funnel: events scanned exactly once (window chain, no rejoins)") {
+    val p = plan("q26_funnel")
+    assert(count(p, "FileScan") == 1,
+      s"funnel regressed to multiple event scans:\n$p")
+    assert(!p.contains("Join"), s"funnel should not join:\n$p")
+  }
+
   test("text_line_dedup: no line string crosses an exchange; text moves once") {
     import org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec
     import org.apache.spark.sql.execution.exchange.ShuffleExchangeExec
