@@ -14,6 +14,39 @@ class SinksConfigSpec extends AnyFunSuite {
   lazy val spark: SparkSession = SparkTestSession.spark
   import spark.implicits._
 
+  // ---------------- Compaction ----------------
+
+  test("compaction collapses small files, preserves rows and partition pruning") {
+    import graft.sinks.Compaction
+    // flat dir: 20 tiny files -> 1
+    val flat = Files.createTempDirectory("compact_flat").toString + "/t"
+    val df = (1 to 200).map(i => (i.toLong, s"v$i")).toDF("id", "v")
+    df.repartition(20).write.parquet(flat)
+    val s1 = Compaction.compact(spark, flat, maxRecordsPerFile = 1000)
+    assert(s1.filesBefore == 20 && s1.filesAfter == 1)
+    assert(s1.rowsBefore == 200 && s1.rowsAfter == 200)
+    assert(spark.read.parquet(flat).as[(Long, String)].collect().toSet ==
+      (1 to 200).map(i => (i.toLong, s"v$i")).toSet)
+
+    // partitioned dir: many files per partition -> one per partition,
+    // hive layout (and so partition pruning) preserved
+    val part = Files.createTempDirectory("compact_part").toString + "/t"
+    val pdf = (1 to 300).map(i => (i.toLong, i % 3, s"v$i")).toDF("id", "p", "v")
+    pdf.repartition(10).write.partitionBy("p").parquet(part)
+    val s2 = Compaction.compact(spark, part, maxRecordsPerFile = 1000, Seq("p"))
+    assert(s2.rowsBefore == 300 && s2.rowsAfter == 300)
+    assert(s2.filesAfter <= 3 && s2.filesAfter < s2.filesBefore)
+    assert(new java.io.File(s"$part/p=1").isDirectory)
+    val pruned = spark.read.parquet(part).filter($"p" === 1)
+    assert(pruned.count() == 100)
+    assert(pruned.queryExecution.executedPlan.toString.contains("PartitionFilters: [isnotnull(p"),
+      "pruning lost after compaction")
+
+    // oversized flat data splits on maxRecordsPerFile
+    val s3 = Compaction.compact(spark, flat, maxRecordsPerFile = 80)
+    assert(s3.filesAfter == 3 && s3.rowsAfter == 200)
+  }
+
   // ---------------- FileSink ----------------
 
   test("csv sink flattens structs to json and binary to base64, writes header") {
