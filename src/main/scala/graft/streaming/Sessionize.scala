@@ -151,9 +151,14 @@ object Sessionize {
     val prevParts = spark.conf.get("spark.sql.shuffle.partitions")
     val drained = try {
       ev.filter(unix_micros(col("ts")) <= midUs).coalesce(1).write.parquet(s"$dir/b1")
-      ev.filter(unix_micros(col("ts")) > midUs).coalesce(1).write.parquet(s"$dir/b2")
-      Seq((-1L, -1L, usToTs(maxUs + 365L * 24 * 3600 * 1000000L), 0.0))
-        .toDF("user_id", "event_id", "ts", "value").coalesce(1).write.parquet(s"$dir/b3")
+      // the far-future sentinel rides in the SECOND batch (its own key,
+      // max event time): the watermark computed from b2 already covers
+      // every real session, so the no-data batch after b2 fires all
+      // timeouts — two file microbatches + one flush, not three + one
+      ev.filter(unix_micros(col("ts")) > midUs)
+        .unionByName(Seq((-1L, -1L, usToTs(maxUs + 365L * 24 * 3600 * 1000000L), 0.0))
+          .toDF("user_id", "event_id", "ts", "value"))
+        .coalesce(1).write.parquet(s"$dir/b2")
       val stream = spark.readStream.schema(ev.schema)
         .option("maxFilesPerTrigger", "1").parquet(s"$dir/*")
         .withWatermark("ts", "1 minute")
