@@ -72,10 +72,10 @@ object Multimodal {
     val (w, h, maxval) = (nextInt(), nextInt(), nextInt())
     if (w <= 0 || h <= 0 || maxval <= 0 || maxval > 255) return None
     i += 1 // single whitespace after maxval, then raw RGB
-    val need = w.toInt * h.toInt * 3
-    if (p.length - i < need) None
+    val need = w * h * 3 // long math: absurd declared dims are
+    if (need > p.length - i || need > Int.MaxValue) None // malformed
     else Some(DecodedImage(row.doc_id, w.toInt, h.toInt, 3,
-      java.util.Arrays.copyOfRange(p, i, i + need)))
+      java.util.Arrays.copyOfRange(p, i, i + need.toInt)))
   }
 
   private def decodeBmp(row: MediaRow): Option[DecodedImage] = {
@@ -89,18 +89,22 @@ object Multimodal {
     val hRaw = le32(22)
     val bpp = le16(28)
     val compression = le32(30)
-    if (w <= 0 || hRaw == 0 || bpp != 24 || compression != 0) return None
+    if (w <= 0 || hRaw == 0 || hRaw == Int.MinValue ||
+      bpp != 24 || compression != 0) return None
     val h = math.abs(hRaw)
     val topDown = hRaw < 0
-    val rowBytes = ((w * 3 + 3) / 4) * 4 // rows pad to 4 bytes
-    if (p.length < dataOff + rowBytes * h) return None
+    val rowBytes = ((w.toLong * 3 + 3) / 4) * 4 // rows pad to 4 bytes
+    // long math: declared dimensions larger than the payload (or int
+    // range) are malformed, not an allocation request
+    if (dataOff < 0 || rowBytes * h + dataOff > p.length) return None
+    val rowBytesI = rowBytes.toInt
     val out = new Array[Byte](w * h * 3)
     var y = 0
     while (y < h) {
       val srcRow = if (topDown) y else h - 1 - y // stored bottom-up
       var x = 0
       while (x < w) {
-        val s = dataOff + srcRow * rowBytes + x * 3
+        val s = dataOff + srcRow * rowBytesI + x * 3
         val d = (y * w + x) * 3
         out(d) = p(s + 2)     // BGR -> RGB
         out(d + 1) = p(s + 1)
@@ -276,6 +280,7 @@ object Multimodal {
     while (off + 8 <= p.length) {
       val id = tag(off)
       val size = le32(off + 4)
+      if (size < 0) return None // malformed length must not loop
       if (id == "fmt " && off + 8 + 16 <= p.length) {
         val fmt = le16(off + 8)
         channels = le16(off + 10)

@@ -216,6 +216,21 @@ class OperatorsSpec extends AnyFunSuite {
     assert(peak == 0.5 && dur == a.durationSeconds)
     assert(decodeAudio(MediaRow(2L, "RIFFnope".getBytes("US-ASCII"))).isEmpty)
 
+    // malformed containers must return None, never loop or allocate:
+    // negative RIFF chunk size
+    val evilWav = "RIFF".getBytes("US-ASCII") ++ le32(100) ++
+      "WAVE".getBytes("US-ASCII") ++ "fmt ".getBytes("US-ASCII") ++ le32(-5) ++
+      Array.fill[Byte](32)(0)
+    assert(decodeAudio(MediaRow(3L, evilWav)).isEmpty)
+    // PPM declaring absurd dimensions with a tiny body
+    val evilPpm = "P6\n2000000 2000000\n255\n".getBytes("US-ASCII") ++ Array.fill[Byte](8)(1)
+    assert(Multimodal.decodeImage(MediaRow(4L, evilPpm)).isEmpty)
+    // BMP declaring dimensions far past the payload
+    val evilBmp = "BM".getBytes("US-ASCII") ++ le32(60) ++ le32(0) ++ le32(54) ++
+      le32(40) ++ le32(1000000) ++ le32(1000000) ++ le16(1) ++ le16(24) ++ le32(0) ++
+      le32(0) ++ le32(0) ++ le32(0) ++ le32(0) ++ le32(0) ++ Array.fill[Byte](8)(0)
+    assert(Multimodal.decodeImage(MediaRow(5L, evilBmp)).isEmpty)
+
     val media = Seq((1L, wav), (9L, "not audio".getBytes("US-ASCII")))
       .toDF("doc_id", "payload")
     val rows = Multimodal.decodeAudioBatch(spark, media, "doc_id", "payload").collect()
