@@ -39,6 +39,17 @@ class Savepoints(directoryPath: String) {
 
   def write(tableName: String, newSavepoint: String): Unit = synchronized {
     data.put(tableName, newSavepoint)
+    flush()
+  }
+
+  /** Drop an entry (no-op when absent) — used to retire per-target
+    * catch-up watermarks once a table is fully caught up.
+    */
+  def remove(tableName: String): Unit = synchronized {
+    if (data.remove(tableName).isDefined) flush()
+  }
+
+  private def flush(): Unit = {
     val json = mapper.writerWithDefaultPrettyPrinter()
       .writeValueAsString(new java.util.TreeMap[String, String](data.toMap.asJava))
     Files.write(savepointsFilePath, json.getBytes("UTF-8"))

@@ -72,36 +72,35 @@ class GraftClient(spark: SparkSession, cfg: GraftConfig,
           val present = seqCols.filter(batch.columns.contains)
           if (present.nonEmpty) present else Seq(CdcColumns.TimestampFolderCol)
         }
-        // rows written are harvested from the write job itself via an
-        // observed count — no re-execution, no persist
-        val obs = Observation()
         if (cfg.outputSettings.exportTarget.toLowerCase.startsWith("jdbc")) {
-          val outcome = writeJdbc(tableName,
-            batch.observe(obs, count(lit(1)).as("rows")), keyCols, usableSeq,
+          val outcome = writeJdbc(tableName, batch, keyCols, usableSeq,
             entry.lastSuccessfulWriteTimestamp)
           if (outcome.paths.isEmpty) {
-            // every enabled target gate-bypassed (or none enabled):
-            // warn-and-skip like the reference — savepoint untouched so
-            // the batch re-applies once the schema gate clears. (obs is
-            // never read here: no write job ran, so it would block.)
+            // every enabled target gate-bypassed: warn-and-skip like
+            // the reference — savepoint untouched so the batch
+            // re-applies once the schema gate clears
             TableResult(tableName, 0L, "", None, skipped = true)
+          } else if (outcome.anyBypassed) {
+            // partial bypass: hold the TABLE savepoint back so the
+            // bypassed target still sees this batch later; targets
+            // that DID write advanced their own watermark, so the
+            // replay run skips them (no raw double-append, no PK
+            // crash) and only retries the bypassed one
+            TableResult(tableName, outcome.rows, outcome.paths.mkString(","), None)
           } else {
-            // obs only completes if a Spark write actually ran this run
-            val rows = if (outcome.wroteAny) observedRows(obs) else 0L
-            if (outcome.anyBypassed) {
-              // partial bypass: hold the TABLE savepoint back so the
-              // bypassed target still sees this batch later; targets
-              // that DID write advanced their own watermark, so the
-              // replay run skips them (no raw double-append, no PK
-              // crash) and only retries the bypassed one
-              TableResult(tableName, rows, outcome.paths.mkString(","), None)
-            } else {
-              val newSp = entry.lastSuccessfulWriteTimestamp
-              savepoints.write(tableName, newSp)
-              TableResult(tableName, rows, outcome.paths.mkString(","), Some(newSp))
-            }
+            val newSp = entry.lastSuccessfulWriteTimestamp
+            savepoints.write(tableName, newSp)
+            // fully caught up: retire the catch-up watermarks so the
+            // savepoints file holds only table entries again (and a
+            // manual table-savepoint reset forces a true re-export)
+            savepoints.remove(s"$tableName@raw")
+            savepoints.remove(s"$tableName@merged")
+            TableResult(tableName, outcome.rows, outcome.paths.mkString(","), Some(newSp))
           }
         } else {
+          // rows written are harvested from the write job itself via
+          // an observed count — no re-execution, no persist
+          val obs = Observation()
           val path = {
             val out = mergeIfRequested(batch, merged, keyCols, usableSeq)
               .observe(obs, count(lit(1)).as("rows"))
@@ -134,8 +133,12 @@ class GraftClient(spark: SparkSession, cfg: GraftConfig,
     case n: Number => n.longValue()
   }
 
+  /** `rows` = observed input rows of the first write this run
+    * actually executed (post-watermark-filter, so replay runs report
+    * only what they really applied); 0 when nothing ran.
+    */
   private case class JdbcOutcome(paths: Seq[String], anyBypassed: Boolean,
-                                 wroteAny: Boolean)
+                                 wroteAny: Boolean, rows: Long)
 
   /** Live JDBC export: ensure target tables (create / gate-evolve),
     * then raw append and/or incremental merged apply — the reference's
@@ -157,6 +160,7 @@ class GraftClient(spark: SparkSession, cfg: GraftConfig,
     val written = new scala.collection.mutable.ArrayBuffer[String]
     var anyBypassed = false
     var wroteAny = false
+    var rows = 0L
     val tsLong = scala.util.Try(batchTs.toLong).getOrElse(Long.MaxValue)
     def watermark(kind: String): Option[Long] =
       scala.util.Try(savepoints.getAsLong(s"$tableName@$kind")).toOption.flatten
@@ -183,7 +187,12 @@ class GraftClient(spark: SparkSession, cfg: GraftConfig,
             anyBypassed = true
             System.err.println(s"[graft] '$tableName' raw jdbc batch bypassed: ${reasons.mkString("; ")}")
           case _ =>
-            JdbcSink.writeRaw(rawIn, conn, tableName, os.jdbcBatchSize)
+            // observed on the FILTERED frame, so a replay run reports
+            // only what it actually applied
+            val obs = Observation()
+            JdbcSink.writeRaw(rawIn.observe(obs, count(lit(1)).as("rows")),
+              conn, tableName, os.jdbcBatchSize)
+            if (!wroteAny) rows = observedRows(obs)
             wroteAny = true
             savepoints.write(s"$tableName@raw", batchTs)
             written += s"${conn.jdbcUrl}/${conn.jdbcSchema}.$tableName"
@@ -210,15 +219,18 @@ class GraftClient(spark: SparkSession, cfg: GraftConfig,
             anyBypassed = true
             System.err.println(s"[graft] '$tableName' merged jdbc batch bypassed: ${reasons.mkString("; ")}")
           case _ =>
-            JdbcMergedApply(mergedIn, conn, tableName, keyCols,
+            val obs = Observation()
+            JdbcMergedApply(mergedIn.observe(obs, count(lit(1)).as("rows")),
+              conn, tableName, keyCols,
               seqCol = usableSeq.head, batchSize = os.jdbcBatchSize.toInt)
+            if (!wroteAny) rows = observedRows(obs)
             wroteAny = true
             savepoints.write(s"$tableName@merged", batchTs)
             written += s"${conn.jdbcUrl}/${conn.jdbcSchema}.$tableName"
         }
       }
     }
-    JdbcOutcome(written.toSeq, anyBypassed, wroteAny)
+    JdbcOutcome(written.toSeq, anyBypassed, wroteAny, rows)
   }
 
   /** Run all (included) tables; returns per-table results. */

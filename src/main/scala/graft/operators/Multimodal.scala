@@ -71,7 +71,12 @@ object Multimodal {
     }
     val (w, h, maxval) = (nextInt(), nextInt(), nextInt())
     if (w <= 0 || h <= 0 || maxval <= 0 || maxval > 255) return None
-    i += 1 // single whitespace after maxval, then raw RGB
+    // single whitespace after maxval, then raw RGB; tolerate the
+    // CRLF that Windows-side writers emit (like other practical PPM
+    // readers — a strictly-read '\r'-terminated header would shift
+    // every pixel by one byte)
+    if (i + 1 < p.length && p(i) == '\r' && p(i + 1) == '\n') i += 2
+    else i += 1
     val need = w * h * 3 // long math: absurd declared dims are
     if (need > p.length - i || need > Int.MaxValue) None // malformed
     else Some(DecodedImage(row.doc_id, w.toInt, h.toInt, 3,
@@ -204,11 +209,16 @@ object Multimodal {
     */
   def fakeDecode(row: MediaRow): MediaMeta = {
     val n = row.payload.length.toLong
+    MediaMeta(row.doc_id, n, width = n % 640, height = (n * 7) % 480,
+      format = if (n % 2 == 0) "png" else "jpeg",
+      checksum = rollingChecksum(row.payload))
+  }
+
+  private def rollingChecksum(p: Array[Byte]): Long = {
     var ck = 0L
     var i = 0
-    while (i < row.payload.length) { ck = ck * 31 + row.payload(i); i += 1 }
-    MediaMeta(row.doc_id, n, width = n % 640, height = (n * 7) % 480,
-      format = if (n % 2 == 0) "png" else "jpeg", checksum = ck)
+    while (i < p.length) { ck = ck * 31 + p(i); i += 1 }
+    ck
   }
 
   /** Batch decode: binary payload column → typed metadata Dataset.
@@ -226,12 +236,10 @@ object Multimodal {
         rows.map { r =>
           decodeImage(r) match {
             case Some(img) =>
-              var ck = 0L
-              var i = 0
-              while (i < r.payload.length) { ck = ck * 31 + r.payload(i); i += 1 }
               MediaMeta(r.doc_id, r.payload.length.toLong,
                 img.width.toLong, img.height.toLong,
-                if (r.payload(0) == 'P') "ppm" else "bmp", ck)
+                if (r.payload(0) == 'P') "ppm" else "bmp",
+                rollingChecksum(r.payload))
             case None => fakeDecode(r)
           }
         }
@@ -280,7 +288,9 @@ object Multimodal {
     while (off + 8 <= p.length) {
       val id = tag(off)
       val size = le32(off + 4)
-      if (size < 0) return None // malformed length must not loop
+      // a negative size must not loop; one larger than the payload
+      // must not overflow the Int offset into a negative index
+      if (size < 0 || size > p.length) return None
       if (id == "fmt " && off + 8 + 16 <= p.length) {
         val fmt = le16(off + 8)
         channels = le16(off + 10)

@@ -68,10 +68,17 @@ object Compaction {
     (if (partitionCols.nonEmpty) writer.partitionBy(partitionCols: _*) else writer)
       .parquet(tmp.toString)
 
-    // guard: the rewrite must contain every row before the swap
+    // guard 1: the rewrite must contain every row before the swap
     val rowsAfter = spark.read.parquet(tmp.toString).count()
     require(rowsAfter == rowsBefore,
       s"compaction row mismatch for $dir: $rowsBefore -> $rowsAfter; aborting (tmp kept)")
+    // guard 2: a writer racing the compaction (a micro-batch landing a
+    // new file after the read snapshot) would be silently deleted by
+    // the swap — abort instead and let the caller retry in a quiet
+    // window
+    val nowFiles = dataFiles(fs, path).map(_.toString).toSet
+    require(nowFiles == before.map(_.toString).toSet,
+      s"$dir changed during compaction (concurrent writer); aborting, directory untouched")
 
     require(fs.rename(path, bak), s"could not move $path aside")
     if (!fs.rename(tmp, path)) { // restore on failure

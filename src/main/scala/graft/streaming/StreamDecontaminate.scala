@@ -27,15 +27,20 @@ object StreamDecontaminate {
             maxFraction: Double = 0.2, n: Int = 3): StreamingQuery = {
     val spark = corpusStream.sparkSession
     val probeShingles = Decontaminate.probeSet(probes, textCol, n).cache()
-    val q = corpusStream.writeStream
-      .option("checkpointLocation", checkpointDir)
-      .foreachBatch { (batch: DataFrame, batchId: Long) =>
-        Decontaminate
-          .decontaminateAgainst(batch, probeShingles, idCol, textCol, maxFraction, n)
-          .write.mode("overwrite").parquet(s"$outDir/batch_$batchId")
-        ()
-      }
-      .start()
+    val q = try {
+      corpusStream.writeStream
+        .option("checkpointLocation", checkpointDir)
+        .foreachBatch { (batch: DataFrame, batchId: Long) =>
+          Decontaminate
+            .decontaminateAgainst(batch, probeShingles, idCol, textCol, maxFraction, n)
+            .write.mode("overwrite").parquet(s"$outDir/batch_$batchId")
+          ()
+        }
+        .start()
+    } catch {
+      // a start() failure would otherwise leak the probe cache forever
+      case e: Throwable => probeShingles.unpersist(); throw e
+    }
     // release the probe cache when the query ends — without this every
     // start() pins a cached DataFrame for the life of the session
     val listener = new org.apache.spark.sql.streaming.StreamingQueryListener {

@@ -169,6 +169,11 @@ class OperatorsSpec extends AnyFunSuite {
     assert((bimg.pixel(0, 0, 0), bimg.pixel(0, 0, 1), bimg.pixel(0, 0, 2)) == (255, 0, 0)) // red
     assert((bimg.pixel(1, 0, 0), bimg.pixel(1, 0, 1), bimg.pixel(1, 0, 2)) == (0, 255, 0))
 
+    // Windows-written CRLF header parses to the same pixels
+    val crlf = "P6\r\n4 2\r\n255\r\n".getBytes("US-ASCII") ++ ppmPixels
+    val cimg = decodeImage(MediaRow(7L, crlf)).get
+    assert(cimg.pixel(3, 1, 0) == 30 && cimg.pixel(0, 0, 0) == 0)
+
     // nearest-neighbor resize on real pixels: 4x2 -> 2x1 picks (0,0),(2,0)
     val small = resizeImage(img, 2, 1)
     assert(small.pixel(0, 0, 0) == 0 && small.pixel(1, 0, 0) == 20)
