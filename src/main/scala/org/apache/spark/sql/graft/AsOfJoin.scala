@@ -28,7 +28,8 @@ import org.apache.spark.sql.execution.{BinaryExecNode, SparkPlan, SparkStrategy}
   */
 case class AsOfJoinNode(keyCols: Seq[String], leftTimeCols: Seq[String],
                         rightTimeCols: Seq[String],
-                        left: LogicalPlan, right: LogicalPlan) extends BinaryNode {
+                        left: LogicalPlan, right: LogicalPlan,
+                        tolerance: Option[Long] = None) extends BinaryNode {
   // the right side's key columns are equal to the left's (or null on
   // no-match) — drop them from the output like a USING join, so the
   // result has no ambiguous references
@@ -45,7 +46,8 @@ case class AsOfJoinNode(keyCols: Seq[String], leftTimeCols: Seq[String],
 
 case class AsOfJoinExec(keyCols: Seq[String], leftTimeCols: Seq[String],
                         rightTimeCols: Seq[String],
-                        left: SparkPlan, right: SparkPlan) extends BinaryExecNode {
+                        left: SparkPlan, right: SparkPlan,
+                        tolerance: Option[Long] = None) extends BinaryExecNode {
 
   override def output: Seq[Attribute] =
     left.output ++ right.output.filterNot(a => keyCols.contains(a.name))
@@ -88,16 +90,25 @@ case class AsOfJoinExec(keyCols: Seq[String], leftTimeCols: Seq[String],
       val timeOrd = GenerateOrdering.generate(
         lTimeAttrs.map(SortOrder(_, Ascending)), lTimeAttrs)
       // output excludes the right key columns; bind it against the
-      // full joined schema (left ++ right)
-      val outProj = UnsafeProjection.create(totalOutput, leftOutput ++ rightOutput)
+      // full joined schema (left ++ right). The right attrs MUST be
+      // re-marked nullable here: binding against the child's original
+      // non-nullable attrs compiles the null check away and an
+      // unmatched left row would read garbage zeros from nullRight
+      // instead of nulls.
+      val outProj = UnsafeProjection.create(totalOutput,
+        leftOutput ++ rightOutput.map(_.withNullability(true)))
       val nullRight = new GenericInternalRow(rightOutput.size)
       val joined = new JoinedRow
+
+      val tol = tolerance.getOrElse(Long.MaxValue)
+      val bounded = tolerance.isDefined
 
       new Iterator[InternalRow] {
         private var rHead: InternalRow = _
         private var rHeadValid = false
         private var lastMatch: InternalRow = _        // copied
         private var lastMatchKey: org.apache.spark.sql.catalyst.expressions.UnsafeRow = _
+        private var lastMatchTime = 0L                // first time col (micros)
 
         private def advanceRight(): Unit = {
           rHeadValid = rIter.hasNext
@@ -122,13 +133,15 @@ case class AsOfJoinExec(keyCols: Seq[String], leftTimeCols: Seq[String],
             } else if (ck == 0 && timeOrd.compare(rTimeProj(rHead), lTime) <= 0) {
               lastMatch = rHead.copy()
               lastMatchKey = rKey.copy()
+              if (bounded) lastMatchTime = rTimeProj(rHead).getLong(0)
               advanceRight()
               continue = rHeadValid
             } else {
               continue = false
             }
           }
-          val matched = lastMatch != null && keyOrd.compare(lastMatchKey, lKey) == 0
+          val matched = lastMatch != null && keyOrd.compare(lastMatchKey, lKey) == 0 &&
+            (!bounded || lTime.getLong(0) - lastMatchTime <= tol)
           outProj(joined(l, if (matched) lastMatch else nullRight))
         }
       }
@@ -142,8 +155,8 @@ case class AsOfJoinExec(keyCols: Seq[String], leftTimeCols: Seq[String],
 
 object AsOfJoinStrategy extends SparkStrategy {
   override def apply(plan: LogicalPlan): Seq[SparkPlan] = plan match {
-    case AsOfJoinNode(keys, lt, rt, l, r) =>
-      AsOfJoinExec(keys, lt, rt, planLater(l), planLater(r)) :: Nil
+    case AsOfJoinNode(keys, lt, rt, l, r, tol) =>
+      AsOfJoinExec(keys, lt, rt, planLater(l), planLater(r), tol) :: Nil
     case _ => Nil
   }
 }
@@ -152,8 +165,14 @@ object AsOfJoinStrategy extends SparkStrategy {
   * be resolved by the caller (alias the right side first).
   */
 object AsOfJoin {
+  /** @param toleranceUs when set, a match older than this many units
+    *        of the FIRST time column (which must be a long — e.g.
+    *        unix micros) is treated as no-match (right columns null):
+    *        pandas merge_asof's `tolerance`.
+    */
   def apply(left: DataFrame, right: DataFrame, keyCols: Seq[String],
-            leftTimeCols: Seq[String], rightTimeCols: Seq[String]): DataFrame = {
+            leftTimeCols: Seq[String], rightTimeCols: Seq[String],
+            toleranceUs: Option[Long] = None): DataFrame = {
     require(leftTimeCols.size == rightTimeCols.size && leftTimeCols.nonEmpty,
       "left/right time column lists must be non-empty and equal length")
     val l = left.asInstanceOf[ClassicDataFrame]
@@ -167,12 +186,16 @@ object AsOfJoin {
       "AsOfJoin: key column types must match on both sides")
     require(typesOf(l, leftTimeCols) == typesOf(r, rightTimeCols),
       "AsOfJoin: time column types must match on both sides")
+    if (toleranceUs.isDefined)
+      require(typesOf(l, leftTimeCols).head == org.apache.spark.sql.types.LongType,
+        "AsOfJoin: tolerance needs a long first time column (e.g. unix micros)")
     val spark = l.sparkSession
     if (!spark.experimental.extraStrategies.contains(AsOfJoinStrategy)) {
       spark.experimental.extraStrategies =
         spark.experimental.extraStrategies :+ AsOfJoinStrategy
     }
     Dataset.ofRows(spark,
-      AsOfJoinNode(keyCols, leftTimeCols, rightTimeCols, l.logicalPlan, r.logicalPlan))
+      AsOfJoinNode(keyCols, leftTimeCols, rightTimeCols,
+        l.logicalPlan, r.logicalPlan, toleranceUs))
   }
 }

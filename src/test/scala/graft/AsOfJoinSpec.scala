@@ -49,6 +49,29 @@ class AsOfJoinSpec extends AnyFunSuite {
     assert(!plan.contains("Window"), plan)
   }
 
+  test("as-of tolerance: stale matches null out, exact and in-window matches survive") {
+    val lefts = Seq((1L, 100L, 10L), (1L, 150L, 11L), (1L, 1000L, 12L),
+      (2L, 50L, 20L), (3L, 10L, 30L)).toDF("k", "l_us", "l_id")
+    val rights = Seq((1L, 90L, 900L), (1L, 140L, 901L), (2L, 40L, 902L))
+      .toDF("k", "r_us", "r_id")
+    def run(tol: Option[Long]) =
+      AsOfJoin(lefts, rights, Seq("k"), Seq("l_us", "l_id"), Seq("r_us", "r_id"), tol)
+        .select($"l_id", $"r_id").as[(Long, Option[Long])].collect().toMap
+    // unbounded: every left row keeps the latest earlier right row;
+    // a key with no right rows at all yields null, not garbage
+    assert(run(None) == Map(10L -> Some(900L), 11L -> Some(901L),
+      12L -> Some(901L), 20L -> Some(902L), 30L -> None))
+    // 20us window: the 860us-stale match for l_id=12 nulls out; the
+    // 10us-gap matches survive
+    assert(run(Some(20L)) == Map(10L -> Some(900L), 11L -> Some(901L),
+      12L -> None, 20L -> Some(902L), 30L -> None))
+    // tolerance demands a long first time column
+    val bad = Seq((1L, "x", 1L)).toDF("k", "l_us", "l_id")
+    assertThrows[IllegalArgumentException](
+      AsOfJoin(bad, bad.toDF("k", "r_us", "r_id"), Seq("k"),
+        Seq("l_us", "l_id"), Seq("r_us", "r_id"), Some(5L)))
+  }
+
   test("as-of join rejects mismatched key types") {
     val l = Seq((1L, 10L)).toDF("k", "t")
     val r = Seq((1, 5L)).toDF("k", "t") // int key vs long key
