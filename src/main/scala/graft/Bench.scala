@@ -41,10 +41,14 @@ object Bench {
       }.sorted
       name -> times(times.size / 2)
     }
-    val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
+    // 4 decimals (0.1 ms): keeps the one-line artifact inside the
+    // driver's bounded output-tail buffer (67 queries at full double
+    // precision overflow it and the line arrives front-truncated)
+    def fmt(v: Double): String = f"$v%.4f"
+    val qs = results.map { case (k, v) => s"\"" + k + "\":" + fmt(v) }
       .mkString("{", ",", "}")
     val total = if (results.nonEmpty) results.values.sum else 0.0
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+    println(s"""{"metric":"total","value":${fmt(total)},"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
     spark.stop()
   }
 }

@@ -1,0 +1,171 @@
+package graft.streaming
+
+import org.apache.hadoop.fs.{FileSystem, Path}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.cdc.CdcMerge
+import graft.sinks.TableVersions
+
+/** Incremental, hash-bucketed file state for a continuously-merged CDC
+  * table — the scale fix for the naive "re-merge everything per
+  * micro-batch" design: per-batch I/O must be O(|touched state| +
+  * |batch|), never O(|total state|), or a 1 GB micro-batch against
+  * 100 TB of merged state triggers a 100 TB rewrite.
+  *
+  * Layout: the state root is a [[TableVersions]] snapshot chain. Each
+  * committed version directory holds
+  *
+  *   - `buckets/__bucket=<b>/` — the FULL current data of every bucket
+  *     rewritten by that commit (hive layout; the bucket id is
+  *     `pmod(xxhash64(key), numBuckets)`), and
+  *   - `_BUCKET_MAP` — one line per LIVE bucket, `<bucket>,<version>`,
+  *     naming the version directory that holds the bucket's current
+  *     data.
+  *
+  * A micro-batch therefore (1) computes which buckets its keys hash
+  * into, (2) reads ONLY those buckets' current data, (3) latest-wins
+  * merges them with the batch (tombstones retained, reference
+  * semantics JdbcOutputWriter.scala:342-497), (4) writes the merged
+  * buckets into the next version directory, and (5) commits a bucket
+  * map that redirects just the touched buckets — every other bucket's
+  * files are physically untouched, still served from the older
+  * version directory they were last written to.
+  *
+  * Replay safety: the commit marker is the atomic visibility point.
+  * A crash before commit leaves the current version unchanged, and
+  * re-running the batch re-merges it against that same state —
+  * latest-wins is idempotent, so the replay converges to the identical
+  * table. Do NOT prune with [[TableVersions.prune]] directly (old
+  * versions can still hold live buckets); use [[prune]] here, which
+  * keeps every version the current bucket map references.
+  */
+object BucketedCdcState {
+
+  private val BucketCol = "__bucket"
+  private val MapFile = "_BUCKET_MAP"
+
+  def bucketOf(keyCols: Seq[String], numBuckets: Int): Column =
+    pmod(xxhash64(keyCols.map(col): _*), lit(numBuckets.toLong)).cast("int")
+
+  private def fsOf(spark: SparkSession, root: String): (FileSystem, Path) = {
+    val p = new Path(root)
+    (p.getFileSystem(spark.sparkContext.hadoopConfiguration), p)
+  }
+
+  // ---------------- bucket map ----------------
+
+  private def writeBucketMap(fs: FileSystem, versionDir: Path,
+                             map: Map[Int, Long]): Unit = {
+    val out = fs.create(new Path(versionDir, MapFile), true)
+    out.write(map.toSeq.sorted.map { case (b, v) => s"$b,$v" }
+      .mkString("", "\n", "\n").getBytes("UTF-8"))
+    out.close()
+  }
+
+  private def readBucketMap(fs: FileSystem, versionDir: Path): Map[Int, Long] = {
+    val p = new Path(versionDir, MapFile)
+    val in = fs.open(p)
+    val body = try {
+      val buf = new java.io.ByteArrayOutputStream()
+      val bytes = new Array[Byte](8192)
+      var n = in.read(bytes)
+      while (n >= 0) { buf.write(bytes, 0, n); n = in.read(bytes) }
+      new String(buf.toByteArray, "UTF-8")
+    } finally in.close()
+    body.split("\n").iterator.map(_.trim).filter(_.nonEmpty).map { line =>
+      val Array(b, v) = line.split(",")
+      b.toInt -> v.toLong
+    }.toMap
+  }
+
+  /** Current bucket → version map; empty before the first commit. */
+  def bucketMap(spark: SparkSession, root: String): Map[Int, Long] = {
+    val (fs, rootPath) = fsOf(spark, root)
+    TableVersions.current(fs, rootPath) match {
+      case Some(v) => readBucketMap(fs, TableVersions.dataDir(rootPath, v))
+      case None    => Map.empty
+    }
+  }
+
+  private def bucketPath(rootPath: Path, version: Long, bucket: Int): Path =
+    new Path(TableVersions.dataDir(rootPath, version), s"buckets/$BucketCol=$bucket")
+
+  // ---------------- reads ----------------
+
+  /** Data of the given buckets at the current commit. Buckets are
+    * grouped by owning version and each group read as one parquet
+    * scan; groups union by name so schema evolution across commits is
+    * tolerated (later commits may carry added columns).
+    */
+  private def readBuckets(spark: SparkSession, root: String,
+                          map: Map[Int, Long], buckets: Set[Int]): Option[DataFrame] = {
+    val (_, rootPath) = fsOf(spark, root)
+    val live = map.filter { case (b, _) => buckets.contains(b) }
+    if (live.isEmpty) return None
+    val groups = live.groupBy(_._2).toSeq.sortBy(_._1).map { case (v, bs) =>
+      spark.read.parquet(bs.keys.toSeq.sorted.map(b =>
+        bucketPath(rootPath, v, b).toString): _*)
+    }
+    Some(groups.reduce((a, b) => a.unionByName(b, allowMissingColumns = true)))
+  }
+
+  /** Full current state (tombstones included); None before the first
+    * commit.
+    */
+  def state(spark: SparkSession, root: String): Option[DataFrame] = {
+    val map = bucketMap(spark, root)
+    if (map.isEmpty) None else readBuckets(spark, root, map, map.keySet)
+  }
+
+  // ---------------- write path ----------------
+
+  /** Merge one CDC micro-batch into the state. Only the buckets the
+    * batch's keys hash into are read and rewritten.
+    */
+  def applyBatch(batch: DataFrame, root: String,
+                 keyCols: Seq[String], seqCols: Seq[String],
+                 numBuckets: Int): Unit = {
+    val spark = batch.sparkSession
+    val (fs, rootPath) = fsOf(spark, root)
+    val bucketed = batch.withColumn(BucketCol, bucketOf(keyCols, numBuckets))
+    // bucket ids only — at most numBuckets values, never data rows
+    val touched = bucketed.select(BucketCol).distinct()
+      .collect().map(_.getInt(0)).toSet
+    if (touched.isEmpty) return
+
+    val map = bucketMap(spark, root)
+    val prev = readBuckets(spark, root, map, touched)
+    val input = prev match {
+      case Some(p) => p.unionByName(batch, allowMissingColumns = true)
+      case None    => batch
+    }
+    val merged = CdcMerge.latestByKey(input, keyCols, seqCols)
+      .withColumn(BucketCol, bucketOf(keyCols, numBuckets))
+
+    val pending = TableVersions.begin(fs, rootPath)
+    merged
+      .repartition(col(BucketCol))
+      .write.mode("overwrite")
+      .partitionBy(BucketCol)
+      .parquet(new Path(pending.dir, "buckets").toString)
+    writeBucketMap(fs, pending.dir,
+      map ++ touched.map(_ -> pending.version))
+    TableVersions.commit(fs, rootPath, pending)
+  }
+
+  /** Drop version directories no longer referenced: a version is kept
+    * while the CURRENT bucket map still serves any bucket from it, or
+    * while it is one of the newest `keepHistory` commits (in-flight
+    * reader window).
+    */
+  def prune(spark: SparkSession, root: String, keepHistory: Int = 2): Unit = {
+    val (fs, rootPath) = fsOf(spark, root)
+    val versions = TableVersions.committedVersions(fs, rootPath)
+    if (versions.isEmpty) return
+    val referenced = bucketMap(spark, root).values.toSet
+    versions.dropRight(keepHistory)
+      .filterNot(referenced.contains)
+      .foreach(v => fs.delete(TableVersions.dataDir(rootPath, v), true))
+  }
+}

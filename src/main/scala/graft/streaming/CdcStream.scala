@@ -1,14 +1,14 @@
 package graft.streaming
 
-import java.nio.file.{Files, Paths}
-
+import org.apache.hadoop.conf.Configuration
+import org.apache.hadoop.fs.Path
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions.col
 import org.apache.spark.sql.streaming.StreamingQuery
 
 import graft.cdc.{CdcColumns, CdcMerge}
 import graft.config.JdbcConnection
-import graft.sinks.JdbcMergedApply
+import graft.sinks.{JdbcMergedApply, TableVersions}
 
 /** Continuous CDC apply (SURVEY.md §2a row 17): the reference's batch
   * copy-loop (TableReader.scala:191) becomes a Structured Streaming
@@ -16,26 +16,32 @@ import graft.sinks.JdbcMergedApply
   * key-latest state table; deletes are retained as tombstones so late
   * out-of-order ops resolve by sequence, not arrival.
   *
-  * State is versioned (`state_v<n>` + VERSION pointer) so a write
-  * never clobbers the version it is reading — the same
-  * read-stable/atomic-commit idea as a table format's snapshot chain,
-  * kept minimal for a local checkpoint.
+  * File state is INCREMENTAL and hash-bucketed
+  * ([[BucketedCdcState]]): a micro-batch reads and rewrites only the
+  * buckets its keys hash into, under a [[graft.sinks.TableVersions]]
+  * snapshot-chain commit — per-batch cost is O(|touched buckets| +
+  * |batch|), not O(|total state|), which is the difference between a
+  * streaming merge and a full table rewrite per batch at 100 TB.
   */
 object CdcStream {
 
-  private def versionFile(stateDir: String) = Paths.get(stateDir, "VERSION")
+  /** Default bucket count for the file state. Sized so one bucket's
+    * rewrite is a small fraction of total state; production tables
+    * size it to (total state / target rewrite unit).
+    */
+  val DefaultBuckets = 64
 
+  /** Latest committed state version; None before the first commit. */
   def currentVersion(stateDir: String): Option[Long] = {
-    val vf = versionFile(stateDir)
-    if (Files.exists(vf)) Some(new String(Files.readAllBytes(vf), "UTF-8").trim.toLong)
-    else None
+    val p = new Path(stateDir)
+    TableVersions.current(p.getFileSystem(new Configuration()), p)
   }
 
   /** Latest compacted state INCLUDING tombstones; None before the
     * first commit.
     */
   def stateWithTombstones(spark: SparkSession, stateDir: String): Option[DataFrame] =
-    currentVersion(stateDir).map(v => spark.read.parquet(s"$stateDir/state_v$v"))
+    BucketedCdcState.state(spark, stateDir)
 
   /** Live table view: latest state minus tombstoned keys. */
   def currentState(spark: SparkSession, stateDir: String,
@@ -43,27 +49,22 @@ object CdcStream {
     stateWithTombstones(spark, stateDir).map(_.filter(col(opCol) =!= CdcMerge.DeleteOp))
 
   /** Start the continuous merge of a coded CDC stream into `stateDir`.
+    * Unreferenced state versions beyond a 2-commit reader window are
+    * pruned as the stream advances, so state disk stays proportional
+    * to the table, not the stream's lifetime.
     *
     * @param codedStream streaming DataFrame carrying the entity
     *        columns plus `opCol` and the sequence columns.
     */
   def start(codedStream: DataFrame, stateDir: String,
             keyCols: Seq[String], seqCols: Seq[String],
-            checkpointDir: String): StreamingQuery = {
-    Files.createDirectories(Paths.get(stateDir))
+            checkpointDir: String,
+            numBuckets: Int = DefaultBuckets): StreamingQuery = {
     codedStream.writeStream
       .option("checkpointLocation", checkpointDir)
-      .foreachBatch { (batch: DataFrame, batchId: Long) =>
-        val spark = batch.sparkSession
-        val merged = stateWithTombstones(spark, stateDir) match {
-          case Some(prev) =>
-            CdcMerge.latestByKey(
-              prev.unionByName(batch, allowMissingColumns = true), keyCols, seqCols)
-          case None => CdcMerge.latestByKey(batch, keyCols, seqCols)
-        }
-        val next = currentVersion(stateDir).getOrElse(-1L) + 1
-        merged.write.mode("overwrite").parquet(s"$stateDir/state_v$next")
-        Files.write(versionFile(stateDir), next.toString.getBytes("UTF-8"))
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        BucketedCdcState.applyBatch(batch, stateDir, keyCols, seqCols, numBuckets)
+        BucketedCdcState.prune(batch.sparkSession, stateDir)
         ()
       }
       .start()
