@@ -88,4 +88,89 @@ object Compaction {
     fs.delete(bak, true)
     Stats(before.size.toLong, dataFiles(fs, path).size.toLong, rowsBefore, rowsAfter)
   }
+
+  // ------------- lock-free compaction on a versioned root -------------
+
+  private def versionData(dir: Path) = new Path(dir, "data")
+
+  /** Current committed (version, data path) of a [[TableVersions]]
+    * root written by [[writeVersioned]]/[[compactVersioned]].
+    */
+  def currentData(spark: SparkSession, root: String): Option[(Long, String)] = {
+    val rootPath = new Path(root)
+    val fs = rootPath.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    TableVersions.current(fs, rootPath).map(v =>
+      v -> versionData(TableVersions.dataDir(rootPath, v)).toString)
+  }
+
+  /** Read the current committed snapshot. */
+  def readCurrent(spark: SparkSession, root: String): org.apache.spark.sql.DataFrame =
+    spark.read.parquet(currentData(spark, root).getOrElse(
+      throw new java.util.NoSuchElementException(s"no committed version under $root"))._2)
+
+  /** Write `df` as the next committed snapshot of `root`; returns the
+    * new version. The initial load and every rewrite use the same
+    * path: data lands complete under `v<n>/data`, then the marker
+    * commit makes it visible.
+    */
+  def writeVersioned(df: org.apache.spark.sql.DataFrame, root: String,
+                     maxRecordsPerFile: Long = Long.MaxValue,
+                     partitionCols: Seq[String] = Nil,
+                     codec: String = "snappy"): Long = {
+    val rootPath = new Path(root)
+    val fs = rootPath.getFileSystem(df.sparkSession.sparkContext.hadoopConfiguration)
+    val pending = TableVersions.begin(fs, rootPath)
+    val writer = df.write.mode("overwrite")
+      .option("maxRecordsPerFile", maxRecordsPerFile)
+      .option("compression", codec)
+    (if (partitionCols.nonEmpty) writer.partitionBy(partitionCols: _*) else writer)
+      .parquet(versionData(pending.dir).toString)
+    TableVersions.commit(fs, rootPath, pending)
+    pending.version
+  }
+
+  /** Compact the current snapshot of a versioned root into the next
+    * version — the lock-free form of [[compact]]: racing readers
+    * resolve a committed version and read a directory that is never
+    * moved or deleted out from under them (old versions survive until
+    * `keepHistory` commits later), and the new data only becomes
+    * visible at the marker commit. The row-count guard still runs
+    * before the commit, and a writer committing a newer version while
+    * the compaction ran aborts it (the compacted copy would be stale).
+    */
+  def compactVersioned(spark: SparkSession, root: String,
+                       maxRecordsPerFile: Long,
+                       partitionCols: Seq[String] = Nil,
+                       codec: String = "snappy",
+                       keepHistory: Int = 2): Stats = {
+    val rootPath = new Path(root)
+    val fs = rootPath.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val (baseVersion, dataPath) = currentData(spark, root).getOrElse(
+      throw new java.util.NoSuchElementException(s"no committed version under $root"))
+    val before = dataFiles(fs, new Path(dataPath))
+    val df = spark.read.parquet(dataPath)
+    val rowsBefore = df.count()
+
+    val pending = TableVersions.begin(fs, rootPath)
+    val reshaped =
+      if (partitionCols.nonEmpty) df.repartition(partitionCols.map(col): _*)
+      else df.repartition(
+        math.max(1, math.ceil(rowsBefore.toDouble / maxRecordsPerFile).toInt))
+    val writer = reshaped.write.mode("overwrite")
+      .option("maxRecordsPerFile", maxRecordsPerFile)
+      .option("compression", codec)
+    (if (partitionCols.nonEmpty) writer.partitionBy(partitionCols: _*) else writer)
+      .parquet(versionData(pending.dir).toString)
+
+    val rowsAfter = spark.read.parquet(versionData(pending.dir).toString).count()
+    require(rowsAfter == rowsBefore,
+      s"compaction row mismatch for $root: $rowsBefore -> $rowsAfter; aborting (uncommitted)")
+    require(TableVersions.current(fs, rootPath).contains(baseVersion),
+      s"$root advanced past v$baseVersion during compaction (concurrent writer); " +
+        "aborting, nothing published")
+    TableVersions.commit(fs, rootPath, pending)
+    TableVersions.prune(fs, rootPath, keepHistory)
+    Stats(before.size.toLong,
+      dataFiles(fs, versionData(pending.dir)).size.toLong, rowsBefore, rowsAfter)
+  }
 }

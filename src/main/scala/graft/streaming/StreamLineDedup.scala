@@ -27,16 +27,27 @@ import graft.operators.LineDedup
   * only (the batch operator's hash-first plan); the prior-hash state
   * is a parquet scan of longs joined by hash — no driver-side state,
   * no state store growth beyond the distinct-line hash set itself.
+  * Per-batch state dirs are consolidated every `compactEvery` batches
+  * into one `compact_<n>` dir (covering batches 0..n), so the
+  * prior-hash scan stays O(compactEvery) directories on a long-lived
+  * stream instead of one small dir per microbatch forever.
   */
 object StreamLineDedup {
 
+  /** Default consolidation cadence: prior-state reads scan at most
+    * this many batch dirs plus one compacted dir.
+    */
+  val DefaultCompactEvery = 64
+
   def start(docsStream: DataFrame, idCol: String, textCol: String,
             outDir: String, stateDir: String, checkpointDir: String,
-            sep: String = "\n"): StreamingQuery = {
+            sep: String = "\n",
+            compactEvery: Int = DefaultCompactEvery): StreamingQuery = {
     docsStream.writeStream
       .option("checkpointLocation", checkpointDir)
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
-        applyBatch(batch, idCol, textCol, sep, outDir, stateDir, batchId)
+        applyBatch(batch, idCol, textCol, sep, outDir, stateDir, batchId,
+          compactEvery)
         ()
       }
       .start()
@@ -49,7 +60,10 @@ object StreamLineDedup {
     */
   def applyBatch(batch: DataFrame, idCol: String, textCol: String,
                  sep: String, outDir: String, stateDir: String,
-                 batchId: Long): Unit = {
+                 batchId: Long,
+                 compactEvery: Int = DefaultCompactEvery): Unit = {
+    if (compactEvery > 0 && batchId > 0 && batchId % compactEvery == 0)
+      consolidate(batch.sparkSession, stateDir, batchId)
     val spark = batch.sparkSession
     val docs = batch.select(col(idCol),
       split(col(textCol), java.util.regex.Pattern.quote(sep)).as("__lines"))
@@ -72,21 +86,80 @@ object StreamLineDedup {
     } finally keeperRows.unpersist()
   }
 
-  /** Union of hash sets committed by batches strictly before `batchId`.
-    * Listed through the Hadoop filesystem of `stateDir`, so state can
-    * live on any supported store (local, hdfs, s3a), not just the
-    * driver's local disk.
+  private def fsOf(spark: SparkSession, dir: String) = {
+    val path = new org.apache.hadoop.fs.Path(dir)
+    (path.getFileSystem(spark.sparkContext.hadoopConfiguration), path)
+  }
+
+  /** State dirs of the given prefix, as (covered batch id, path),
+    * complete ones only (`_SUCCESS` present — a consolidation killed
+    * mid-write leaves a dir that must be ignored and overwritten).
+    */
+  private def listState(fs: org.apache.hadoop.fs.FileSystem,
+                        path: org.apache.hadoop.fs.Path,
+                        prefix: String): Seq[(Long, String)] = {
+    if (!fs.exists(path)) return Nil
+    fs.listStatus(path).toSeq
+      .filter(st => st.isDirectory && st.getPath.getName.startsWith(prefix))
+      .filter(st => fs.exists(new org.apache.hadoop.fs.Path(st.getPath, "_SUCCESS")))
+      .map(st => st.getPath.getName.stripPrefix(prefix).toLong -> st.getPath.toString)
+      .sortBy(_._1)
+  }
+
+  /** Union of hash sets committed by batches strictly before `batchId`:
+    * the newest consolidated dir covering batches <= M, plus the
+    * per-batch dirs in (M, batchId). Listed through the Hadoop
+    * filesystem of `stateDir`, so state can live on any supported
+    * store (local, hdfs, s3a), not just the driver's local disk.
     */
   private def priorHashes(spark: SparkSession, stateDir: String,
                           batchId: Long): Option[DataFrame] = {
-    val path = new org.apache.hadoop.fs.Path(stateDir)
-    val fs = path.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    if (!fs.exists(path)) return None
-    val dirs = fs.listStatus(path).toSeq
-      .filter(st => st.isDirectory && st.getPath.getName.startsWith("batch_"))
-      .filter(_.getPath.getName.stripPrefix("batch_").toLong < batchId)
-      .map(_.getPath.toString)
+    val (fs, path) = fsOf(spark, stateDir)
+    val compactBase = listState(fs, path, "compact_")
+      .filter(_._1 < batchId).lastOption
+    val floor = compactBase.map(_._1).getOrElse(-1L)
+    val dirs = compactBase.map(_._2).toSeq ++
+      listState(fs, path, "batch_")
+        .filter { case (i, _) => i > floor && i < batchId }
+        .map(_._2)
     if (dirs.isEmpty) None else Some(spark.read.parquet(dirs: _*))
+  }
+
+  /** Consolidate every state dir covering batches < `uptoExclusive`
+    * into one `compact_<uptoExclusive-1>` dir, then drop the covered
+    * dirs. Idempotent and replay-safe: the target is keyed by the
+    * batch range it covers, a half-written target (no `_SUCCESS`) is
+    * rewritten from its still-present inputs, and a replay that finds
+    * the target complete only re-runs the (idempotent) cleanup. Never
+    * touches `uptoExclusive` itself, so replaying the consolidating
+    * batch still dedups against exactly the prior-batch hash set.
+    */
+  private[streaming] def consolidate(spark: SparkSession, stateDir: String,
+                                     uptoExclusive: Long): Unit = {
+    val (fs, path) = fsOf(spark, stateDir)
+    val target = uptoExclusive - 1
+    val targetPath = new org.apache.hadoop.fs.Path(path, s"compact_$target")
+
+    def cleanup(): Unit = {
+      listState(fs, path, "batch_").filter(_._1 < uptoExclusive)
+        .foreach { case (_, d) => fs.delete(new org.apache.hadoop.fs.Path(d), true) }
+      listState(fs, path, "compact_").filter(_._1 < target)
+        .foreach { case (_, d) => fs.delete(new org.apache.hadoop.fs.Path(d), true) }
+    }
+
+    if (fs.exists(new org.apache.hadoop.fs.Path(targetPath, "_SUCCESS"))) {
+      cleanup(); return
+    }
+    val compactBase = listState(fs, path, "compact_").filter(_._1 < target).lastOption
+    val floor = compactBase.map(_._1).getOrElse(-1L)
+    val inputs = compactBase.map(_._2).toSeq ++
+      listState(fs, path, "batch_")
+        .filter { case (i, _) => i > floor && i < uptoExclusive }
+        .map(_._2)
+    if (inputs.isEmpty) return
+    spark.read.parquet(inputs: _*).distinct()
+      .write.mode("overwrite").parquet(targetPath.toString)
+    cleanup()
   }
 
   /** Read back everything the stream has emitted so far. */

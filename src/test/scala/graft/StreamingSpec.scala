@@ -119,6 +119,42 @@ class StreamingSpec extends AnyFunSuite {
     assert(collect(graft.streaming.StreamLineDedup.results(spark, s"$work/out")) == streamed)
   }
 
+  test("streaming line dedup: long stream consolidates state, output unchanged, replay safe") {
+    val work = Files.createTempDirectory("slinecompact")
+    val docs = (1L to 28L).map(i =>
+      (i, s"l$i\nshared${i % 5}\ncommon")).toDF("id", "text")
+    // 14 microbatches of 2 docs, consolidation every 4 batches
+    val K = 4
+    (0L until 14L).foreach { b =>
+      graft.streaming.StreamLineDedup.applyBatch(
+        docs.filter($"id" > b * 2 && $"id" <= (b + 1) * 2),
+        "id", "text", "\n", s"$work/out", s"$work/state", b, compactEvery = K)
+    }
+    def collect(df: org.apache.spark.sql.DataFrame) =
+      df.select("id", "clean_text", "n_kept", "n_dropped")
+        .as[(Long, String, Long, Long)].collect().sortBy(_._1).toSeq
+    val streamed = collect(graft.streaming.StreamLineDedup.results(spark, s"$work/out"))
+    assert(streamed == collect(graft.operators.LineDedup.dedupLines(docs, "id", "text")))
+
+    // state stays bounded: one compacted dir + the post-compaction tail,
+    // never one dir per batch forever
+    def stateDirNames = new java.io.File(s"$work/state").listFiles()
+      .filter(_.isDirectory).map(_.getName).sorted.toSeq
+    assert(stateDirNames.count(_.startsWith("batch_")) <= K)
+    assert(stateDirNames.count(_.startsWith("compact_")) == 1)
+    assert(stateDirNames.contains("compact_11"))
+
+    // replay the consolidating batch (12) and the tail batch (13):
+    // identical output, consolidation skip path exercised
+    Seq(12L, 13L).foreach { b =>
+      graft.streaming.StreamLineDedup.applyBatch(
+        docs.filter($"id" > b * 2 && $"id" <= (b + 1) * 2),
+        "id", "text", "\n", s"$work/out", s"$work/state", b, compactEvery = K)
+    }
+    assert(collect(graft.streaming.StreamLineDedup.results(spark, s"$work/out")) == streamed)
+    assert(stateDirNames.count(_.startsWith("compact_")) == 1)
+  }
+
   test("continuous CDC merge converges to sequence-ordered latest state") {
     val work = Files.createTempDirectory("cdcstream")
     val inDir = s"$work/in"; val stateDir = s"$work/state"; val ckDir = s"$work/ck"

@@ -88,6 +88,45 @@ class VersionedStateSpec extends AnyFunSuite {
     assert(TableVersions.current(fs, rootPath).contains(0L), "markers stay authoritative")
   }
 
+  // ---------------- versioned compaction ----------------
+
+  test("versioned compaction: racing readers never see a missing or partial snapshot") {
+    import graft.sinks.Compaction
+    val root = Files.createTempDirectory("tv_compact").toString + "/t"
+    val df = (1 to 5000).map(i => (i.toLong, s"v$i")).toDF("id", "v")
+    Compaction.writeVersioned(df.repartition(20), root)
+    assert(Compaction.readCurrent(spark, root).count() == 5000)
+
+    @volatile var failure: Option[Throwable] = None
+    val stop = new java.util.concurrent.atomic.AtomicBoolean(false)
+    val reads = new java.util.concurrent.atomic.AtomicInteger(0)
+    val reader = new Thread(() => {
+      try {
+        while (!stop.get()) {
+          // resolve + read exactly like a consumer: must always be a
+          // complete committed snapshot, mid-compaction or not
+          val n = Compaction.readCurrent(spark, root).count()
+          assert(n == 5000, s"reader saw partial snapshot: $n rows")
+          reads.incrementAndGet()
+        }
+      } catch { case t: Throwable => failure = Some(t) }
+    })
+    reader.start()
+    val stats = try {
+      (1 to 3).map(_ =>
+        Compaction.compactVersioned(spark, root, maxRecordsPerFile = 10000,
+          keepHistory = 3)).last
+    } finally { stop.set(true); reader.join() }
+    assert(failure.isEmpty, s"racing reader failed: ${failure.map(_.getMessage)}")
+    assert(reads.get() > 0, "reader never completed a read")
+    assert(stats.rowsAfter == 5000 && stats.filesAfter == 1)
+    assert(Compaction.readCurrent(spark, root)
+      .as[(Long, String)].collect().toSet == (1 to 5000).map(i => (i.toLong, s"v$i")).toSet)
+    // history retained for in-flight readers, bounded by keepHistory
+    val (fs, rootPath) = hadoopFs(root)
+    assert(TableVersions.committedVersions(fs, rootPath).size <= 3)
+  }
+
   // ---------------- BucketedCdcState ----------------
 
   private val B = 8
