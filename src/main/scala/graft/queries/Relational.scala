@@ -607,6 +607,36 @@ object Relational {
       |  COALESCE(n_suppliers, 0) AS n_suppliers
       |FROM c FULL OUTER JOIN s ON c.k = s.k""".stripMargin
 
+  // ---- q33: FORWARD as-of join through the same custom exec — for
+  //      each purchase, the first view at-or-after it (pandas
+  //      merge_asof direction='forward' parity) ----
+  val q33AsofForward: Q = (s, d) => {
+    val e = events(s, d)
+    val purchases = e.filter(col("event_type") === "purchase")
+      .select(col("user_id"), col("event_id").as("p_id"),
+        unix_micros(col("ts")).as("p_us"))
+    val views = e.filter(col("event_type") === "view")
+      .select(col("user_id"), col("event_id").as("v_id"),
+        col("value").as("v_value"), unix_micros(col("ts")).as("v_us"))
+    org.apache.spark.sql.graft.AsOfJoin(purchases, views,
+        Seq("user_id"), Seq("p_us", "p_id"), Seq("v_us", "v_id"),
+        direction = org.apache.spark.sql.graft.AsOfJoin.Forward)
+      .select(col("p_id"), col("user_id"), col("v_id"), col("v_value"))
+  }
+
+  val q33Oracle: String =
+    """SELECT event_id AS p_id, user_id, asof_view_id AS v_id, asof_view_value AS v_value
+      |FROM (
+      |  SELECT event_id, user_id, event_type,
+      |    FIRST_VALUE(CASE WHEN event_type = 'view' THEN event_id END IGNORE NULLS)
+      |      OVER (PARTITION BY user_id ORDER BY ts ASC, event_id ASC
+      |            ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING) AS asof_view_id,
+      |    FIRST_VALUE(CASE WHEN event_type = 'view' THEN value END IGNORE NULLS)
+      |      OVER (PARTITION BY user_id ORDER BY ts ASC, event_id ASC
+      |            ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING) AS asof_view_value
+      |  FROM events WHERE event_type IN ('view', 'purchase')) t
+      |WHERE event_type = 'purchase'""".stripMargin
+
   val queries: Map[String, Q] = Map(
     "q1_pricing_summary" -> q1PricingSummary,
     "q2_filter_pushdown" -> q2FilterPushdown,
@@ -638,7 +668,8 @@ object Relational {
     "q29_cube" -> q29Cube,
     "q30_setops" -> q30SetOps,
     "q31_lead_lag" -> q31LeadLag,
-    "q32_full_outer" -> q32FullOuter)
+    "q32_full_outer" -> q32FullOuter,
+    "q33_asof_forward" -> q33AsofForward)
 
   val oracles: Map[String, String] = Map(
     "q1_pricing_summary" -> q1Oracle,
@@ -670,5 +701,6 @@ object Relational {
     "q29_cube" -> q29Oracle,
     "q30_setops" -> q30Oracle,
     "q31_lead_lag" -> q31Oracle,
-    "q32_full_outer" -> q32Oracle)
+    "q32_full_outer" -> q32Oracle,
+    "q33_asof_forward" -> q33Oracle)
 }

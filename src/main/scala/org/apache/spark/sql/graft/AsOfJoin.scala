@@ -29,7 +29,8 @@ import org.apache.spark.sql.execution.{BinaryExecNode, SparkPlan, SparkStrategy}
 case class AsOfJoinNode(keyCols: Seq[String], leftTimeCols: Seq[String],
                         rightTimeCols: Seq[String],
                         left: LogicalPlan, right: LogicalPlan,
-                        tolerance: Option[Long] = None) extends BinaryNode {
+                        tolerance: Option[Long] = None,
+                        direction: String = AsOfJoin.Backward) extends BinaryNode {
   // the right side's key columns are equal to the left's (or null on
   // no-match) — drop them from the output like a USING join, so the
   // result has no ambiguous references
@@ -47,7 +48,8 @@ case class AsOfJoinNode(keyCols: Seq[String], leftTimeCols: Seq[String],
 case class AsOfJoinExec(keyCols: Seq[String], leftTimeCols: Seq[String],
                         rightTimeCols: Seq[String],
                         left: SparkPlan, right: SparkPlan,
-                        tolerance: Option[Long] = None) extends BinaryExecNode {
+                        tolerance: Option[Long] = None,
+                        direction: String = AsOfJoin.Backward) extends BinaryExecNode {
 
   override def output: Seq[Attribute] =
     left.output ++ right.output.filterNot(a => keyCols.contains(a.name))
@@ -102,6 +104,11 @@ case class AsOfJoinExec(keyCols: Seq[String], leftTimeCols: Seq[String],
 
       val tol = tolerance.getOrElse(Long.MaxValue)
       val bounded = tolerance.isDefined
+      val fwd = direction == AsOfJoin.Forward
+      val nearest = direction == AsOfJoin.Nearest
+      // nearest/tolerance need a numeric distance → first time col is
+      // a long (enforced at the public API)
+      val needTimes = bounded || nearest
 
       new Iterator[InternalRow] {
         private var rHead: InternalRow = _
@@ -122,7 +129,13 @@ case class AsOfJoinExec(keyCols: Seq[String], leftTimeCols: Seq[String],
           val l = lIter.next()
           val lKey = lKeyProj(l)
           val lTime = lTimeProj(l).copy() // lTimeProj buffer is reused below
-          // consume right rows that are <= (lKey, lTime)
+          // Consume right rows strictly behind this left row. Left
+          // rows arrive in ascending (key, time), so a consumed row
+          // can never be the backward OR forward match of a later
+          // left row. backward/nearest record the trailing candidate
+          // as they pass it; forward stops one row earlier (a right
+          // row at exactly the left time IS the forward match and
+          // must stay as rHead — it may match several left rows).
           var continue = rHeadValid
           while (continue) {
             val rKey = rKeyProj(rHead)
@@ -130,19 +143,40 @@ case class AsOfJoinExec(keyCols: Seq[String], leftTimeCols: Seq[String],
             if (ck < 0) {
               advanceRight()
               continue = rHeadValid
-            } else if (ck == 0 && timeOrd.compare(rTimeProj(rHead), lTime) <= 0) {
-              lastMatch = rHead.copy()
-              lastMatchKey = rKey.copy()
-              if (bounded) lastMatchTime = rTimeProj(rHead).getLong(0)
-              advanceRight()
-              continue = rHeadValid
+            } else if (ck == 0) {
+              val ct = timeOrd.compare(rTimeProj(rHead), lTime)
+              if (if (fwd) ct < 0 else ct <= 0) {
+                if (!fwd) {
+                  lastMatch = rHead.copy()
+                  lastMatchKey = rKey.copy()
+                  if (needTimes) lastMatchTime = rTimeProj(rHead).getLong(0)
+                }
+                advanceRight()
+                continue = rHeadValid
+              } else continue = false
             } else {
               continue = false
             }
           }
-          val matched = lastMatch != null && keyOrd.compare(lastMatchKey, lKey) == 0 &&
+          val backOk = !fwd && lastMatch != null &&
+            keyOrd.compare(lastMatchKey, lKey) == 0 &&
             (!bounded || lTime.getLong(0) - lastMatchTime <= tol)
-          outProj(joined(l, if (matched) lastMatch else nullRight))
+          val fwdOk = (fwd || nearest) && rHeadValid &&
+            keyOrd.compare(rKeyProj(rHead), lKey) == 0 &&
+            (!bounded || rTimeProj(rHead).getLong(0) - lTime.getLong(0) <= tol)
+          val chosen =
+            if (nearest) {
+              if (backOk && fwdOk) {
+                // tie → backward (the earlier row), deterministic
+                val db = lTime.getLong(0) - lastMatchTime
+                val df = rTimeProj(rHead).getLong(0) - lTime.getLong(0)
+                if (db <= df) lastMatch else rHead
+              } else if (backOk) lastMatch
+              else if (fwdOk) rHead
+              else nullRight
+            } else if (fwd) { if (fwdOk) rHead else nullRight }
+            else { if (backOk) lastMatch else nullRight }
+          outProj(joined(l, chosen))
         }
       }
     }
@@ -155,8 +189,8 @@ case class AsOfJoinExec(keyCols: Seq[String], leftTimeCols: Seq[String],
 
 object AsOfJoinStrategy extends SparkStrategy {
   override def apply(plan: LogicalPlan): Seq[SparkPlan] = plan match {
-    case AsOfJoinNode(keys, lt, rt, l, r, tol) =>
-      AsOfJoinExec(keys, lt, rt, planLater(l), planLater(r), tol) :: Nil
+    case AsOfJoinNode(keys, lt, rt, l, r, tol, dir) =>
+      AsOfJoinExec(keys, lt, rt, planLater(l), planLater(r), tol, dir) :: Nil
     case _ => Nil
   }
 }
@@ -165,16 +199,33 @@ object AsOfJoinStrategy extends SparkStrategy {
   * be resolved by the caller (alias the right side first).
   */
 object AsOfJoin {
-  /** @param toleranceUs when set, a match older than this many units
+  /** Match the greatest right time <= the left time (the default). */
+  val Backward = "backward"
+  /** Match the smallest right time >= the left time. */
+  val Forward = "forward"
+  /** Match the right time minimizing |right - left| over the first
+    * time column (which must be a long); equidistant candidates
+    * resolve to the earlier (backward) row. pandas merge_asof's
+    * `direction='nearest'`.
+    */
+  val Nearest = "nearest"
+
+  /** @param toleranceUs when set, a match farther than this many units
     *        of the FIRST time column (which must be a long — e.g.
-    *        unix micros) is treated as no-match (right columns null):
-    *        pandas merge_asof's `tolerance`.
+    *        unix micros) from the left time is treated as no-match
+    *        (right columns null): pandas merge_asof's `tolerance`.
+    *        Applies in the match direction (both for `nearest`).
+    * @param direction [[Backward]] (default), [[Forward]], or
+    *        [[Nearest]].
     */
   def apply(left: DataFrame, right: DataFrame, keyCols: Seq[String],
             leftTimeCols: Seq[String], rightTimeCols: Seq[String],
-            toleranceUs: Option[Long] = None): DataFrame = {
+            toleranceUs: Option[Long] = None,
+            direction: String = Backward): DataFrame = {
     require(leftTimeCols.size == rightTimeCols.size && leftTimeCols.nonEmpty,
       "left/right time column lists must be non-empty and equal length")
+    require(Set(Backward, Forward, Nearest).contains(direction),
+      s"AsOfJoin: unknown direction '$direction'")
     val l = left.asInstanceOf[ClassicDataFrame]
     val r = right.asInstanceOf[ClassicDataFrame]
     // the generated orderings compare projections from both sides, so
@@ -186,9 +237,9 @@ object AsOfJoin {
       "AsOfJoin: key column types must match on both sides")
     require(typesOf(l, leftTimeCols) == typesOf(r, rightTimeCols),
       "AsOfJoin: time column types must match on both sides")
-    if (toleranceUs.isDefined)
+    if (toleranceUs.isDefined || direction == Nearest)
       require(typesOf(l, leftTimeCols).head == org.apache.spark.sql.types.LongType,
-        "AsOfJoin: tolerance needs a long first time column (e.g. unix micros)")
+        "AsOfJoin: tolerance/nearest need a long first time column (e.g. unix micros)")
     val spark = l.sparkSession
     if (!spark.experimental.extraStrategies.contains(AsOfJoinStrategy)) {
       spark.experimental.extraStrategies =
@@ -196,6 +247,6 @@ object AsOfJoin {
     }
     Dataset.ofRows(spark,
       AsOfJoinNode(keyCols, leftTimeCols, rightTimeCols,
-        l.logicalPlan, r.logicalPlan, toleranceUs))
+        l.logicalPlan, r.logicalPlan, toleranceUs, direction))
   }
 }
