@@ -96,7 +96,27 @@ object IvfIndex {
     base.select(col(idCol).as("base_id"), col(vecCol).as("base_v"))
       .withColumn("c", nearestCentroid(transform(col("base_v"), _.cast("double")), model))
       .write.mode("overwrite").partitionBy("c").parquet(s"$dir/lists")
+    // train-time list-size distribution: the drift baseline every
+    // refresh compares its delta against (model-sized: k rows)
+    spark.read.parquet(s"$dir/lists").groupBy("c").count()
+      .coalesce(1).write.mode("overwrite").parquet(s"$dir/stats")
   }
+
+  /** Outcome of an incremental [[refresh]].
+    *
+    * @param deltaRows      vectors appended
+    * @param drift          total-variation distance between the
+    *                       delta's centroid-assignment distribution
+    *                       and the train-time baseline (0 = same
+    *                       shape, 1 = disjoint)
+    * @param imbalance      max/mean current list size — how lopsided
+    *                       the inverted file has become
+    * @param retrainAdvised drift or imbalance crossed the caller's
+    *                       thresholds: the fixed centroids no longer
+    *                       fit the data; retrain + save
+    */
+  case class RefreshStats(deltaRows: Long, drift: Double,
+                          imbalance: Double, retrainAdvised: Boolean)
 
   /** Incrementally refresh a SAVED index with a delta of NEW vectors,
     * without retraining: each delta vector is assigned to its nearest
@@ -108,13 +128,43 @@ object IvfIndex {
     * under a new id, or the index rebuilt — parquet partitions don't
     * support in-place deletes.
     */
-  def refresh(delta: DataFrame, idCol: String, vecCol: String, dir: String): Unit = {
+  def refresh(delta: DataFrame, idCol: String, vecCol: String, dir: String,
+              driftThreshold: Double = 0.5,
+              imbalanceThreshold: Double = 4.0): RefreshStats = {
     val spark = delta.sparkSession
     GraftFunctions.register(spark)
     val model = load(spark, dir)
-    delta.select(col(idCol).as("base_id"), col(vecCol).as("base_v"))
+    val assigned = delta
+      .select(col(idCol).as("base_id"), col(vecCol).as("base_v"))
       .withColumn("c", nearestCentroid(transform(col("base_v"), _.cast("double")), model))
-      .write.mode("append").partitionBy("c").parquet(s"$dir/lists")
+      .persist() // appended AND counted; one assignment pass
+    try {
+      assigned.write.mode("append").partitionBy("c").parquet(s"$dir/lists")
+      // drift guard: model-sized aggregates only (k counts per side)
+      val deltaCounts = assigned.groupBy("c").count()
+        .collect().map(r => r.getInt(0) -> r.getLong(1)).toMap
+      val baseCounts = spark.read.parquet(s"$dir/stats")
+        .collect().map(r => r.getInt(0) -> r.getLong(1)).toMap
+      val deltaRows = deltaCounts.values.sum
+      val baseRows = math.max(1L, baseCounts.values.sum)
+      val drift = 0.5 * (0 until model.numCentroids).map { i =>
+        math.abs(deltaCounts.getOrElse(i, 0L).toDouble / math.max(1L, deltaRows) -
+          baseCounts.getOrElse(i, 0L).toDouble / baseRows)
+      }.sum
+      // current shape after the append: baseline + every appended delta
+      // (list re-count, still k rows; lists dir is partition-pruned map
+      // work, no shuffle beyond the k-row agg)
+      val current = spark.read.parquet(s"$dir/lists").groupBy("c").count()
+        .collect().map(r => r.getLong(1))
+      val imbalance =
+        if (current.isEmpty) 1.0
+        else current.max.toDouble / (current.sum.toDouble / current.length)
+      val advise = drift > driftThreshold || imbalance > imbalanceThreshold
+      if (advise) org.slf4j.LoggerFactory.getLogger(getClass).warn(
+        s"IvfIndex.refresh($dir): drift=$drift imbalance=$imbalance — " +
+          "centroids no longer fit the data; retrain and save")
+      RefreshStats(deltaRows, drift, imbalance, advise)
+    } finally assigned.unpersist()
   }
 
   /** Load the model half of a saved index. */

@@ -315,6 +315,95 @@ class JdbcRoundTripSpec extends AnyFunSuite {
     assert(!sp.snapshot.keySet.exists(_.contains("@")), sp.snapshot.toString)
   }
 
+  test("double bypass matrix: both targets bypassed over two batches, staggered recovery, no double-apply") {
+    import graft.client.GraftClient
+    import graft.config.GraftConfig
+    val work = Files.createTempDirectory("clientbypass2").toString
+    Files.createDirectories(java.nio.file.Paths.get(s"$work/sp"))
+    def writeBatch(folder: String, rows: Seq[(Long, Int, String, String)]): Unit =
+      rows.toDF("id", "gwcbi___operation", "gwcbi___seqval_hex", "v")
+        .write.parquet(s"$work/cdc/t2/fpA/$folder")
+    def writeManifest(ts: String): Unit =
+      Files.write(java.nio.file.Paths.get(s"$work/cdc/manifest.json"),
+        s"""{"t2": {"lastSuccessfulWriteTimestamp": "$ts",
+           |  "dataFilesPath": "$work/cdc/t2", "schemaHistory": {"fpA": "100"}}}""".stripMargin.getBytes)
+    // poison BOTH targets: pre-existing tables where v is BIGINT — the
+    // string batch is a type change, so the schema gate bypasses each
+    exec("CREATE SCHEMA RAWC", "CREATE SCHEMA MERGEDC",
+      "CREATE TABLE RAWC.t2 (\"id\" BIGINT, \"gwcbi___operation\" INTEGER, " +
+        "\"gwcbi___seqval_hex\" VARCHAR(64), \"v\" BIGINT)",
+      "CREATE TABLE MERGEDC.t2 (\"id\" BIGINT, \"gwcbi___seqval_hex\" VARCHAR(64), \"v\" BIGINT)")
+    val cfg = GraftConfig.fromYaml(
+      s"""sourceLocation: {baseDir: $work/cdc, manifestPath: $work/cdc/manifest.json}
+         |outputLocation: {path: $work/out}
+         |savepointsLocation: {path: $work/sp}
+         |outputSettings:
+         |  exportTarget: jdbc
+         |  saveIntoJdbcRaw: true
+         |  saveIntoJdbcMerged: true
+         |jdbcConnectionRaw:
+         |  jdbcUrl: "$url"
+         |  jdbcUsername: app
+         |  jdbcPassword: x
+         |  jdbcSchema: RAWC
+         |jdbcConnectionMerged:
+         |  jdbcUrl: "$url"
+         |  jdbcUsername: app
+         |  jdbcPassword: x
+         |  jdbcSchema: MERGEDC
+         |""".stripMargin)
+    def sp = new graft.cdc.Savepoints(s"$work/sp")
+    def count(schema: String) = spark.read.format("jdbc").option("url", url)
+      .option("dbtable", s"$schema.t2").load().count()
+
+    // batch 1 (ts 100): both targets bypassed -> warn-and-skip
+    writeBatch("100", Seq((1L, 2, "01", "a"), (2L, 2, "02", "b")))
+    writeManifest("100")
+    val r1 = new GraftClient(spark, cfg).run()
+    assert(r1.head.skipped && sp.getAsLong("t2").isEmpty)
+
+    // batch 2 (ts 200) arrives with both targets STILL bypassed
+    writeBatch("200", Seq((1L, 4, "03", "a2"), (3L, 2, "04", "c")))
+    writeManifest("200")
+    val r2 = new GraftClient(spark, cfg).run()
+    assert(r2.head.skipped && sp.getAsLong("t2").isEmpty,
+      "second consecutive double-bypass must hold the savepoint")
+    assert(sp.snapshot.keySet.forall(!_.contains("@")),
+      "no per-target watermark may advance on a bypassed run")
+
+    // staggered recovery 1: fix ONLY raw -> raw applies BOTH pending
+    // batches exactly once; merged still bypassed, savepoint held
+    exec("DROP TABLE RAWC.t2")
+    val r3 = new GraftClient(spark, cfg).run()
+    assert(!r3.head.skipped && r3.head.newSavepoint.isEmpty)
+    assert(count("RAWC") == 4, "raw must apply both pending batches once")
+    assert(sp.getAsLong("t2").isEmpty && sp.getAsLong("t2@raw").contains(200L))
+
+    // replay before merged recovers: raw must NOT re-append
+    val r4 = new GraftClient(spark, cfg).run()
+    assert(r4.head.newSavepoint.isEmpty)
+    assert(count("RAWC") == 4, "raw double-applied while merged lagged")
+
+    // staggered recovery 2: fix merged -> both caught up, savepoint
+    // advances, catch-up watermarks retire
+    exec("DROP TABLE MERGEDC.t2")
+    val r5 = new GraftClient(spark, cfg).run()
+    assert(r5.head.newSavepoint.contains("200"))
+    assert(count("RAWC") == 4, "raw re-appended during merged catch-up")
+    assert(count("MERGEDC") == 3, "merged latest state must hold ids 1,2,3")
+    assert(spark.read.format("jdbc").option("url", url)
+      .option("dbtable", "MERGEDC.t2").load()
+      .filter($"id" === 1L).select("v").as[String].collect().toSeq == Seq("a2"),
+      "merged must carry the batch-2 update")
+    assert(sp.getAsLong("t2").contains(200L))
+    assert(sp.snapshot.keySet.forall(!_.contains("@")),
+      "catch-up watermarks must retire once both targets are current")
+
+    // steady state: nothing new -> clean no-op
+    val r6 = new GraftClient(spark, cfg).run()
+    assert(r6.head.skipped && count("RAWC") == 4)
+  }
+
   test("duplicate-key detection spans vendors but never swallows other violations") {
     import java.sql.SQLException
     import graft.sinks.JdbcMergedApply.isDuplicateKey

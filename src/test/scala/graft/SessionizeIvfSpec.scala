@@ -144,6 +144,32 @@ class SessionizeIvfSpec extends AnyFunSuite {
     assert(plan.contains("PartitionFilters: [c"), s"no partition pruning after refresh:\n$plan")
   }
 
+  test("IVF refresh drift guard: same-shape delta passes, shifted delta flags retrain") {
+    val e = spark.read.parquet(s"$sfDir/embeddings.parquet")
+    val model = IvfIndex.train(e, "vec_id", "embedding", numCentroids = 8, iters = 2)
+    val dir = Files.createTempDirectory("ivf_drift").toString
+    IvfIndex.save(e.filter($"vec_id" % 2 === 0), "vec_id", "embedding", model, dir)
+
+    // delta drawn from the same corpus: distribution shape preserved
+    val same = IvfIndex.refresh(e.filter($"vec_id" % 2 =!= 0), "vec_id", "embedding", dir)
+    assert(same.deltaRows > 0)
+    assert(same.drift < 0.5, s"same-distribution delta reported drift ${same.drift}")
+    assert(!same.retrainAdvised)
+
+    // delta collapsed onto ONE existing vector's direction: every
+    // assignment lands in a single list — maximal distribution shift
+    val seedVec = e.filter($"vec_id" === 0).select($"embedding").collect()(0)
+      .getSeq[Float](0)
+    val skewDir = Files.createTempDirectory("ivf_drift_skew").toString
+    IvfIndex.save(e.filter($"vec_id" % 2 === 0), "vec_id", "embedding", model, skewDir)
+    val skewDelta = spark.range(100000, 100200).toDF("vec_id")
+      .withColumn("embedding", typedLit(seedVec))
+    val skew = IvfIndex.refresh(skewDelta, "vec_id", "embedding", skewDir)
+    assert(skew.drift > 0.5, s"single-list delta reported drift ${skew.drift}")
+    assert(skew.retrainAdvised, "shifted delta must flag a retrain")
+    assert(skew.drift > same.drift)
+  }
+
   test("IVF ANN: trained centroids partition the corpus; probes recall brute-force hits") {
     val e = spark.read.parquet(s"$sfDir/embeddings.parquet")
     val queries = e.filter($"vec_id" < 5)
