@@ -397,14 +397,16 @@ object Relational {
       |  FROM orders) t WHERE rn <= 2""".stripMargin
 
   // ---- q22: correlated scalar subquery (orders above their
-  //      customer's average) — decorrelated by Catalyst into an
-  //      aggregate + join; exact decimal avg both sides ----
+  //      customer's average) — expressed as an unbounded window over
+  //      the customer partition: ONE scan of orders and one exchange,
+  //      where the classic decorrelation (aggregate + self-join)
+  //      scans the fact table twice; exact decimal avg both sides ----
   val q22Correlated: Q = (s, d) => {
-    val o = orders(s, d)
-    val custAvg = o.groupBy(col("o_custkey").as("ck"))
-      .agg((sum(col("o_totalprice").cast("decimal(18,2)")).cast("double") /
-        count(lit(1)).cast("double")).as("avg_price"))
-    o.join(custAvg, col("o_custkey") === col("ck"))
+    val w = Window.partitionBy(col("o_custkey"))
+    orders(s, d)
+      .withColumn("avg_price",
+        sum(col("o_totalprice").cast("decimal(18,2)")).over(w).cast("double") /
+          count(lit(1)).over(w).cast("double"))
       .filter(col("o_totalprice") > col("avg_price") * 1.5)
       .select(col("o_orderkey"), col("o_custkey"), col("o_totalprice"), col("avg_price"))
   }

@@ -51,6 +51,14 @@ class PlanShapeSpec extends AnyFunSuite {
       s"scan has empty pushdown:\n$p")
   }
 
+  test("q22: window form scans orders once, no self-join") {
+    val p = plan("q22_correlated")
+    assert(count(p, "FileScan parquet") == 1,
+      s"q22 must read orders exactly once:\n$p")
+    assert(!p.contains("Join"), s"q22 regressed to the agg+self-join decorrelation:\n$p")
+    assert(shuffles(p) == 1, s"q22 needs exactly one customer-key exchange:\n$p")
+  }
+
   test("dimension joins broadcast: q3, q5, q15") {
     Seq("q3_top_orders", "q5_region_revenue", "q15_enrich").foreach { q =>
       val p = plan(q)
