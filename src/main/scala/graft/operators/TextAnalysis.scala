@@ -91,6 +91,40 @@ object TextAnalysis {
         (acc, s) => least(acc, xxhash64(s))).as("shingle_fp"))
   }
 
+  /** Top-k most distinctive terms per document by TF-IDF with a
+    * LINEAR smoothed inverse document frequency,
+    * `score = tf * (N + 1) / (df + 1)` — the linear idf keeps the
+    * score a pure +,*,/ double computation, bit-reproducible across
+    * engines (log's last-ulp varies by libm, which would break exact
+    * oracle comparison; the RANKING a log idf induces is identical
+    * because log is monotone).
+    *
+    * Scale shape: tokens explode map-side; term frequencies aggregate
+    * with map-side partials on (doc, term); document frequencies are
+    * one more partial agg on term (counting (doc, term) rows, already
+    * distinct); the corpus size joins in as a broadcast scalar; and
+    * the per-doc top-k goes through the heap-based TopKPerKey exec —
+    * no window sort over the full posting list.
+    */
+  def tfIdfTopK(df: DataFrame, idCol: String, textCol: String,
+                k: Int = 3): DataFrame = {
+    import org.apache.spark.sql.graft.TopKPerKey
+    val toks = df.select(col(idCol),
+      explode(regexp_extract_all(lower(col(textCol)), lit("[a-z0-9]+"), lit(0)))
+        .as("term"))
+    val tf = toks.groupBy(col(idCol), col("term"))
+      .agg(count(lit(1)).cast("bigint").as("tf"))
+    val dfreq = tf.groupBy("term").agg(count(lit(1)).cast("bigint").as("df"))
+    val n = df.agg(count(lit(1)).cast("double").as("n"))
+    val scored = tf.join(dfreq, "term").crossJoin(broadcast(n))
+      .withColumn("score",
+        col("tf").cast("double") *
+          ((col("n") + lit(1.0)) / (col("df").cast("double") + lit(1.0))))
+      .select(col(idCol), col("term"), col("tf"), col("df"), col("score"))
+    TopKPerKey(scored, Seq(idCol),
+      Seq("score" -> true, "term" -> false), k)
+  }
+
   /** Repetition signals for quality filtering (the duplicate-n-gram
     * fractions of the published web-corpus filtering recipes): a
     * document whose n-grams repeat heavily is boilerplate or spam.

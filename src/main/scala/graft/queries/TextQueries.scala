@@ -492,7 +492,52 @@ object TextQueries {
       |  ROUND(CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE), 2) AS sum_value
       |FROM s GROUP BY user_id, session_no""".stripMargin
 
+  // ---- text_tfidf: top-3 most distinctive terms per document by
+  //      tf-idf with a LINEAR smoothed idf ((N+1)/(df+1)): pure
+  //      +,*,/ double math, bit-reproducible against the oracle
+  //      (log idf ranks identically but its last ulp is libm-
+  //      dependent); per-doc top-k through the TopKPerKey heap exec ----
+  val tfidf: Q = (s, d) =>
+    graft.operators.TextAnalysis.tfIdfTopK(documents(s, d), "doc_id", "text", 3)
+
+  val tfidfOracle: String =
+    """WITH toks AS (
+      |  SELECT doc_id, unnest(regexp_extract_all(lower(text), '[a-z0-9]+')) AS term
+      |  FROM documents),
+      |tf AS (SELECT doc_id, term, CAST(COUNT(*) AS BIGINT) AS tf FROM toks GROUP BY 1, 2),
+      |dfx AS (SELECT term, CAST(COUNT(*) AS BIGINT) AS df FROM tf GROUP BY 1),
+      |n AS (SELECT CAST(COUNT(*) AS DOUBLE) AS n FROM documents),
+      |scored AS (
+      |  SELECT tf.doc_id, tf.term, tf.tf, dfx.df,
+      |    CAST(tf.tf AS DOUBLE) * ((n.n + 1.0) / (CAST(dfx.df AS DOUBLE) + 1.0)) AS score
+      |  FROM tf JOIN dfx ON tf.term = dfx.term CROSS JOIN n)
+      |SELECT doc_id, term, tf, df, score FROM (
+      |  SELECT *, ROW_NUMBER() OVER (PARTITION BY doc_id
+      |    ORDER BY score DESC, term ASC) AS rn FROM scored) t
+      |WHERE rn <= 3""".stripMargin
+
+  // ---- q_stream_join: watermarked stream-stream inner join —
+  //      purchases joined with the same user's views in the trailing
+  //      hour, run as a REAL two-microbatch stream (cross-batch
+  //      matches exercise the buffered join state); time-split
+  //      batches mean nothing is late, so the result equals the
+  //      batch join the oracle computes ----
+  val streamJoin: Q = (s, d) =>
+    graft.streaming.StreamStreamJoin.replayPurchaseViews(s, events(s, d), 3600L)
+
+  val streamJoinOracle: String =
+    """WITH p AS (SELECT user_id, event_id, CAST(ts AS TIMESTAMP) AS ts
+      |           FROM events WHERE event_type = 'purchase'),
+      |v AS (SELECT user_id, event_id, CAST(ts AS TIMESTAMP) AS ts
+      |      FROM events WHERE event_type = 'view')
+      |SELECT p.event_id AS p_id, p.user_id AS user_id, v.event_id AS v_id,
+      |  p.ts AS p_ts, v.ts AS v_ts
+      |FROM p JOIN v ON v.user_id = p.user_id
+      |  AND v.ts >= p.ts - INTERVAL 1 HOUR AND v.ts <= p.ts""".stripMargin
+
   val queries: Map[String, Q] = Map(
+    "text_tfidf" -> tfidf,
+    "q_stream_join" -> streamJoin,
     "text_token_stats" -> tokenStats,
     "text_quality" -> quality,
     "text_langid" -> langId,
@@ -521,6 +566,8 @@ object TextQueries {
     "text_decontaminate" -> decontaminate)
 
   val oracles: Map[String, String] = Map(
+    "text_tfidf" -> tfidfOracle,
+    "q_stream_join" -> streamJoinOracle,
     "text_token_stats" -> tokenStatsOracle,
     "text_quality" -> qualityOracle,
     "text_langid" -> langIdOracle,

@@ -375,4 +375,28 @@ class OperatorsSpec extends AnyFunSuite {
       .as[(Long, Long)].collect().toMap
     assert(comps == Map(10L -> 10L, 11L -> 10L, 12L -> 10L, 20L -> 20L, 21L -> 20L))
   }
+
+  test("tf-idf top-k: exact scores on a known corpus, heap exec in the plan") {
+    // N=3 docs. 'cat' df=3, 'sat' df=2, 'mat'/'dog'/'log' df=1
+    val docs = Seq(
+      (1L, "the cat sat, the cat!"),
+      (2L, "cat sat mat"),
+      (3L, "dog log cat")).toDF("doc_id", "text")
+    val got = graft.operators.TextAnalysis.tfIdfTopK(docs, "doc_id", "text", k = 2)
+      .select($"doc_id", $"term", $"tf", $"df", $"score")
+      .as[(Long, String, Long, Long, Double)].collect().toSet
+    // linear smoothed idf: (N+1)/(df+1) = 4/(df+1)
+    // doc1: the tf=2 df=1 -> 4.0; cat tf=2 df=3 -> 2.0; sat 1,2 -> 4/3
+    // doc2: mat 1,1 -> 2.0; sat 1,2 -> 4/3; cat 1,3 -> 1.0
+    // doc3: dog 1,1 -> 2.0; log 1,1 -> 2.0 (term asc keeps both over cat)
+    assert(got == Set(
+      (1L, "the", 2L, 1L, 4.0), (1L, "cat", 2L, 3L, 2.0),
+      (2L, "mat", 1L, 1L, 2.0), (2L, "sat", 1L, 2L, 4.0 / 3.0),
+      (3L, "dog", 1L, 1L, 2.0), (3L, "log", 1L, 1L, 2.0)))
+
+    val plan = graft.operators.TextAnalysis.tfIdfTopK(docs, "doc_id", "text", 2)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("TopKPerKey"), s"per-doc top-k must use the heap exec:\n$plan")
+    assert(!plan.contains("Window"), s"no window sort over the posting list:\n$plan")
+  }
 }

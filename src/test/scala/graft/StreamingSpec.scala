@@ -155,6 +155,28 @@ class StreamingSpec extends AnyFunSuite {
     assert(stateDirNames.count(_.startsWith("compact_")) == 1)
   }
 
+  test("stream-stream join: matches cross microbatch boundaries, bounds respected") {
+    import graft.streaming.StreamStreamJoin
+    def ts(sec: Long) = new java.sql.Timestamp(sec * 1000L)
+    // replay splits at mid event time (4000s here). The view at 1900s
+    // lands in batch 1, its matching purchase at 4001s in batch 2 —
+    // that match must come from buffered join state.
+    val events = Seq(
+      (1L, 10L, "view", ts(0)),        // 4001s gap: outside the 1h window
+      (1L, 11L, "view", ts(1900)),     // batch 1, matches purchase 21 across batches
+      (1L, 21L, "purchase", ts(4001)),
+      (1L, 12L, "view", ts(4100)),     // after purchase 21: no backward match
+      (2L, 13L, "view", ts(4200)),
+      (2L, 22L, "purchase", ts(4300)), // same-batch match
+      (3L, 23L, "purchase", ts(8000))  // user with no views
+    ).toDF("user_id", "event_id", "event_type", "ts")
+
+    val got = StreamStreamJoin.replayPurchaseViews(spark, events, 3600L)
+      .select($"p_id", $"v_id").as[(Long, Long)].collect().toSet
+    assert(got == Set((21L, 11L), (22L, 13L)),
+      s"expected the cross-batch and same-batch matches only, got $got")
+  }
+
   test("continuous CDC merge converges to sequence-ordered latest state") {
     val work = Files.createTempDirectory("cdcstream")
     val inDir = s"$work/in"; val stateDir = s"$work/state"; val ckDir = s"$work/ck"
