@@ -44,20 +44,24 @@ object StreamStreamJoin {
     */
   def replayPurchaseViews(spark: SparkSession, events: DataFrame,
                           maxLagSec: Long): DataFrame = {
-    val purchasesAll = events.filter(col("event_type") === "purchase")
+    // one narrow projection cached: the four batch-file writes and the
+    // min/max probe would otherwise each rescan the events source
+    val ev = events.filter(col("event_type").isin("purchase", "view"))
+      .select(col("user_id"), col("event_id"), col("ts"), col("event_type"))
+      .persist()
+    val purchasesAll = ev.filter(col("event_type") === "purchase")
       .select(col("user_id"), col("event_id").as("p_id"), col("ts").as("p_ts"))
-    val viewsAll = events.filter(col("event_type") === "view")
+    val viewsAll = ev.filter(col("event_type") === "view")
       .select(col("user_id").as("v_user"), col("event_id").as("v_id"),
         col("ts").as("v_ts"))
-
-    val r = events.agg(min(unix_micros(col("ts"))), max(unix_micros(col("ts")))).head()
-    val midUs = r.getLong(0) + (r.getLong(1) - r.getLong(0)) / 2
 
     val dirPath = java.nio.file.Files.createTempDirectory("graft-ssjoin-replay")
     val dir = dirPath.toString
     val name = "qsj_" + java.util.UUID.randomUUID().toString.replace("-", "")
     val prevParts = spark.conf.get("spark.sql.shuffle.partitions")
     val drained = try {
+      val r = ev.agg(min(unix_micros(col("ts"))), max(unix_micros(col("ts")))).head()
+      val midUs = r.getLong(0) + (r.getLong(1) - r.getLong(0)) / 2
       // one file per side per batch → deterministic two-trigger replay
       purchasesAll.filter(unix_micros(col("p_ts")) <= midUs)
         .coalesce(1).write.parquet(s"$dir/p/b1")
@@ -75,13 +79,17 @@ object StreamStreamJoin {
         "p_ts", "v_ts", maxLagSec)
         .select(col("p_id"), col("user_id"), col("v_id"),
           col("p_ts"), col("v_ts"))
-      spark.conf.set("spark.sql.shuffle.partitions", "8")
+      // stream-stream join state = one store PER shuffle partition PER
+      // side per microbatch: at replay scale fewer, fuller stores beat
+      // many near-empty commits (production sizes this to key volume)
+      spark.conf.set("spark.sql.shuffle.partitions", "4")
       val q = joined.writeStream.outputMode("append").format("memory")
         .queryName(name).start()
       q.processAllAvailable()
       q.stop()
       spark.table(name)
     } finally {
+      ev.unpersist()
       spark.conf.set("spark.sql.shuffle.partitions", prevParts)
       deleteRecursively(dirPath)
     }
