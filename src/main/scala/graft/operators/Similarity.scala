@@ -68,4 +68,47 @@ object Similarity {
     topKPerQuery(scored, k)
   }
 
+  // ------------------- int8 quantized corpus -------------------
+
+  /** Symmetric per-vector int8 quantization of an embedding column:
+    * `scale = maxAbs / 127`, `q[i] = round(v[i] / scale)` — the
+    * standard 4x (float32) memory/scan reduction for an ANN corpus at
+    * 100 TB, at the cost of ≤ scale/2 absolute error per component.
+    * Emits `<vec>_q` (array<tinyint>) + `<vec>_scale` (double);
+    * all-column passthrough. Fully codegen'd column math (transform/
+    * aggregate), no shuffle — runs at scan speed.
+    */
+  def quantize(df: DataFrame, vecCol: String): DataFrame = {
+    val v = transform(col(vecCol), _.cast("double"))
+    val maxAbs = aggregate(v, lit(0.0), (a, x) => greatest(a, abs(x)))
+    val scale = when(maxAbs > 0.0, maxAbs / 127.0).otherwise(lit(1.0))
+    df.withColumn(s"${vecCol}_scale", scale)
+      .withColumn(s"${vecCol}_q",
+        transform(v, x => round(x / col(s"${vecCol}_scale")).cast("tinyint")))
+  }
+
+  /** Dequantized double vector: `q[i] * scale`. */
+  def dequantize(qCol: org.apache.spark.sql.Column,
+                 scaleCol: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
+    transform(qCol, x => x.cast("double") * scaleCol)
+
+  /** Brute-force top-k over a QUANTIZED corpus: base vectors arrive as
+    * (int8 array, scale) — a quarter of the float corpus's bytes per
+    * scan — and dequantize on the fly inside the codegen'd cosine.
+    * Queries stay full precision (they are broadcast and tiny).
+    * Recall vs the exact [[bruteForceTopK]] is spec-bounded.
+    */
+  def bruteForceTopKQuantized(baseQ: DataFrame, queries: DataFrame,
+                              idCol: String, vecCol: String,
+                              k: Int = 5): DataFrame = {
+    GraftFunctions.register(baseQ.sparkSession)
+    val b = baseQ.select(col(idCol).as("base_id"),
+      dequantize(col(s"${vecCol}_q"), col(s"${vecCol}_scale")).as("base_v"))
+    val q = queries.select(col(idCol).as("query_id"), col(vecCol).as("query_v"))
+    val scored = b.crossJoin(broadcast(q))
+      .filter(col("base_id") =!= col("query_id"))
+      .withColumn("cosine", GraftFunctions.cosineFast(col("base_v"), col("query_v")))
+    topKPerQuery(scored, k)
+  }
+
 }

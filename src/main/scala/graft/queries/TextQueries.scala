@@ -120,6 +120,17 @@ object TextQueries {
     Similarity.bruteForceTopK(e, e.filter(col("vec_id") < 20), "vec_id", "embedding", k = 5)
   }
 
+  // ---- ann_quantized: brute-force top-k over the int8-quantized
+  //      corpus (4x fewer scan bytes at 100 TB); rows-only like the
+  //      other ANN queries — the recall bound vs exact brute force is
+  //      spec-verified ----
+  val annQuantized: Q = (s, d) => {
+    val e = embeddings(s, d)
+    Similarity.bruteForceTopKQuantized(
+      Similarity.quantize(e, "embedding"),
+      e.filter(col("vec_id") < 20), "vec_id", "embedding", k = 5)
+  }
+
   val annIvf: Q = (s, d) => {
     val e = embeddings(s, d)
     val model = graft.operators.IvfIndex.train(e, "vec_id", "embedding",
@@ -548,6 +559,7 @@ object TextQueries {
     "dedup_simhash" -> dedupSimhash,
     "dedup_embedding" -> dedupEmbedding,
     "ann_topk" -> annTopK,
+    "ann_quantized" -> annQuantized,
     "ann_lsh" -> annLsh,
     "ann_ivf" -> annIvf,
     "ann_ivf_indexed" -> annIvfIndexed,

@@ -376,6 +376,34 @@ class OperatorsSpec extends AnyFunSuite {
     assert(comps == Map(10L -> 10L, 11L -> 10L, 12L -> 10L, 20L -> 20L, 21L -> 20L))
   }
 
+  test("int8 quantization: per-component error bounded by scale/2, high top-k recall") {
+    import graft.operators.Similarity
+    val e = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    val q = Similarity.quantize(e, "embedding")
+
+    // error bound: |v - dequant(q)| <= scale/2 on every component
+    val violations = q.select(
+        Similarity.dequantize($"embedding_q", $"embedding_scale").as("dq"),
+        transform($"embedding", _.cast("double")).as("v"), $"embedding_scale")
+      .withColumn("bad", exists(zip_with($"v", $"dq", (a, b) => abs(a - b)),
+        diff => diff > $"embedding_scale" * 0.5 + lit(1e-12)))
+      .filter($"bad").count()
+    assert(violations == 0, s"$violations vectors exceed the scale/2 error bound")
+
+    // recall: quantized brute force recovers nearly all exact top-5
+    val queries = e.filter($"vec_id" < 20)
+    def hits(df: org.apache.spark.sql.DataFrame) =
+      df.select("query_id", "base_id").as[(Long, Long)].collect().toSet
+    val exact = hits(Similarity.bruteForceTopK(e, queries, "vec_id", "embedding", k = 5))
+    val quant = hits(Similarity.bruteForceTopKQuantized(q, queries, "vec_id", "embedding", k = 5))
+    val recall = (exact & quant).size.toDouble / exact.size
+    assert(recall >= 0.9, s"int8 quantization recall too low: $recall")
+
+    // memory story holds: the quantized column is tinyint, not double
+    assert(q.schema("embedding_q").dataType ==
+      org.apache.spark.sql.types.ArrayType(org.apache.spark.sql.types.ByteType, true))
+  }
+
   test("tf-idf top-k: exact scores on a known corpus, heap exec in the plan") {
     // N=3 docs. 'cat' df=3, 'sat' df=2, 'mat'/'dog'/'log' df=1
     val docs = Seq(
