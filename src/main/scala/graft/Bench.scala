@@ -43,8 +43,11 @@ object Bench {
     }
     // 4 decimals (0.1 ms): keeps the one-line artifact inside the
     // driver's bounded output-tail buffer (67 queries at full double
-    // precision overflow it and the line arrives front-truncated)
-    def fmt(v: Double): String = f"$v%.4f"
+    // precision overflow it and the line arrives front-truncated).
+    // Locale.ROOT: a comma-decimal default locale would emit "1,5000"
+    // and break the JSON
+    def fmt(v: Double): String =
+      String.format(java.util.Locale.ROOT, "%.4f", Double.box(v))
     val qs = results.map { case (k, v) => s"\"" + k + "\":" + fmt(v) }
       .mkString("{", ",", "}")
     val total = if (results.nonEmpty) results.values.sum else 0.0

@@ -134,18 +134,27 @@ object IvfIndex {
     val spark = delta.sparkSession
     GraftFunctions.register(spark)
     val model = load(spark, dir)
+    // indexes persisted before the stats baseline existed: backfill it
+    // from the CURRENT lists before this delta lands, so the first
+    // refresh on an old index measures drift instead of crashing
+    val statsPath = new org.apache.hadoop.fs.Path(s"$dir/stats")
+    val fs = statsPath.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (!fs.exists(statsPath))
+      spark.read.parquet(s"$dir/lists").groupBy("c").count()
+        .coalesce(1).write.mode("overwrite").parquet(s"$dir/stats")
     val assigned = delta
       .select(col(idCol).as("base_id"), col(vecCol).as("base_v"))
       .withColumn("c", nearestCentroid(transform(col("base_v"), _.cast("double")), model))
       .persist() // appended AND counted; one assignment pass
     try {
-      assigned.write.mode("append").partitionBy("c").parquet(s"$dir/lists")
       // drift guard: model-sized aggregates only (k counts per side)
       val deltaCounts = assigned.groupBy("c").count()
         .collect().map(r => r.getInt(0) -> r.getLong(1)).toMap
+      val deltaRows = deltaCounts.values.sum
+      if (deltaRows == 0L) return RefreshStats(0L, 0.0, 1.0, retrainAdvised = false)
+      assigned.write.mode("append").partitionBy("c").parquet(s"$dir/lists")
       val baseCounts = spark.read.parquet(s"$dir/stats")
         .collect().map(r => r.getInt(0) -> r.getLong(1)).toMap
-      val deltaRows = deltaCounts.values.sum
       val baseRows = math.max(1L, baseCounts.values.sum)
       val drift = 0.5 * (0 until model.numCentroids).map { i =>
         math.abs(deltaCounts.getOrElse(i, 0L).toDouble / math.max(1L, deltaRows) -

@@ -170,7 +170,9 @@ object Compaction {
         "aborting, nothing published")
     TableVersions.commit(fs, rootPath, pending)
     TableVersions.prune(fs, rootPath, keepHistory)
+    // commit RENAMED the staging dir into place — count the published files
+    val published = versionData(TableVersions.dataDir(rootPath, pending.version))
     Stats(before.size.toLong,
-      dataFiles(fs, versionData(pending.dir)).size.toLong, rowsBefore, rowsAfter)
+      dataFiles(fs, published).size.toLong, rowsBefore, rowsAfter)
   }
 }

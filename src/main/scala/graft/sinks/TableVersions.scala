@@ -9,25 +9,27 @@ import org.apache.hadoop.fs.{FileContext, FileSystem, Options, Path}
 /** Lock-free snapshot-chain commits for versioned table directories —
   * the minimal form of the pointer-file pattern table formats use
   * (Iceberg's version-hint, Delta's _last_checkpoint): data for
-  * version `n` is fully written under `root/v<n>/`, then a commit
-  * marker makes it visible, then a best-effort `VERSION` hint file is
-  * swapped in atomically for cheap lookup.
+  * version `n` is staged under a writer-private directory, atomically
+  * renamed to `root/v<n>/` at commit, made visible by a commit
+  * marker, and a best-effort `VERSION` hint file is swapped in for
+  * cheap lookup.
   *
   * Readers resolve the current version from the committed markers
-  * (authoritative — the hint is advisory), so a crash between data
-  * write and commit leaves an invisible version directory that the
-  * next [[begin]] reclaims, and a crash between marker and hint is
-  * harmless. Racing readers always see a complete committed
-  * directory; old versions stay readable until [[prune]] — callers
-  * retain enough history to cover in-flight reads.
+  * (authoritative — the hint is advisory), so a crash before commit
+  * leaves only an invisible staging directory (reclaimed later) and a
+  * crash between marker and hint is harmless. Racing readers always
+  * see a complete committed directory; old versions stay readable
+  * until [[prune]] — callers retain enough history to cover in-flight
+  * reads.
   *
   * Writers are expected to be SINGLE at a time (one compaction job,
-  * one streaming driver). That assumption is additionally fenced:
-  * [[begin]] stamps the reserved directory with a unique writer
-  * token, and [[commit]] refuses to publish unless the token still
-  * matches — so a zombie writer whose reservation was taken over by a
-  * newer writer (failover) cannot drop the commit marker into the new
-  * writer's half-written directory.
+  * one streaming driver), and the staging layout makes failover safe
+  * STRUCTURALLY: each writer stages into its own token-named
+  * directory (`.v<n>-<token>`), so a zombie writer that lost a
+  * takeover race can never scribble into the successor's files — the
+  * worst it can do is win the commit rename with its OWN complete,
+  * consistent directory, after which the loser's commit fails with a
+  * clear version-taken error.
   *
   * Shared by [[Compaction.compactVersioned]] (lock-free swap) and
   * [[graft.streaming.BucketedCdcState]] (incremental bucketed state).
@@ -38,9 +40,11 @@ object TableVersions {
   private val Marker = "_GRAFT_COMMITTED"
   private val WriterToken = "_GRAFT_WRITER"
   private val DirPattern = "^v(\\d+)$".r
+  private val StagingPattern = "^\\.v(\\d+)-.+$".r
 
-  /** A reserved, not-yet-committed version. `token` fences the commit
-    * against a takeover by a newer writer.
+  /** A reserved, not-yet-committed version. `dir` is this writer's
+    * PRIVATE staging directory (token-named): write the version's
+    * data into it, then [[commit]] renames it into place atomically.
     */
   case class Pending(version: Long, dir: Path, token: String)
 
@@ -69,45 +73,56 @@ object TableVersions {
   def current(fs: FileSystem, root: Path): Option[Long] =
     committedVersions(fs, root).lastOption
 
-  /** Reserve the next version directory: one past the last COMMITTED
-    * version. A stale uncommitted leftover at that number (crash
-    * before commit) is invisible to every reader and is reclaimed —
-    * under the single-writer assumption nothing live is lost, and if
-    * a zombie writer still holds the old reservation its commit is
-    * fenced off by the token check (it cannot publish OUR directory).
+  /** Reserve the next version: one past the last COMMITTED version.
+    * Data is staged in a fresh token-named private directory — other
+    * writers' staging dirs are never touched (a live zombie keeps
+    * writing harmlessly into its own dir). Staging leftovers for
+    * already-committed versions are provably dead and reclaimed here.
     */
   def begin(fs: FileSystem, root: Path): Pending = {
     fs.mkdirs(root)
-    val v = current(fs, root).getOrElse(-1L) + 1
-    val dir = dataDir(root, v)
-    fs.delete(dir, true)
-    fs.mkdirs(dir)
+    val cur = current(fs, root).getOrElse(-1L)
+    // dead staging dirs: their version is already committed, so their
+    // writer either won (dir renamed away) or can never win
+    fs.listStatus(root).toSeq.filter(_.isDirectory).foreach { s =>
+      s.getPath.getName match {
+        case StagingPattern(n) if n.toLong <= cur => fs.delete(s.getPath, true)
+        case _                                    => ()
+      }
+    }
+    val v = cur + 1
     val token = UUID.randomUUID().toString
+    val dir = new Path(root, s".v$v-$token")
+    fs.mkdirs(dir)
     val out = fs.create(new Path(dir, WriterToken), false)
     out.write(token.getBytes("UTF-8"))
     out.close()
     Pending(v, dir, token)
   }
 
-  /** Publish a reserved version: verify the directory still carries
-    * OUR writer token (fencing — a takeover by a newer writer aborts
-    * this commit instead of publishing the other writer's half-written
-    * data), then write the commit marker (the atomic visibility
-    * point — `create` of a new file), then refresh the advisory hint
-    * with an atomic overwrite-rename.
+  /** Publish a reserved version: atomically rename OUR staging
+    * directory to `v<n>` (the structural fence — only our own
+    * complete data can land there; a concurrent writer that committed
+    * the same version first makes this fail with version-taken), then
+    * write the commit marker (the visibility point), then refresh the
+    * advisory hint.
     */
   def commit(fs: FileSystem, root: Path, pending: Pending): Unit = {
-    val dir = dataDir(root, pending.version)
-    require(fs.exists(dir),
-      s"commit of v${pending.version}: directory $dir does not exist (taken over or never begun)")
-    require(!isCommitted(fs, root, pending.version),
-      s"commit of v${pending.version}: already committed")
-    val stamped = readSmall(fs, new Path(dir, WriterToken))
-    require(stamped.contains(pending.token),
-      s"commit of v${pending.version}: writer token mismatch " +
-        s"(${stamped.getOrElse("<missing>")} != ${pending.token}) — " +
-        "a newer writer took over this version; aborting")
-    val out = fs.create(new Path(dir, Marker), true)
+    require(fs.exists(pending.dir),
+      s"commit of v${pending.version}: staging dir ${pending.dir} is gone " +
+        "(version already committed and reclaimed, or never begun)")
+    val target = dataDir(root, pending.version)
+    if (fs.exists(target)) {
+      require(!isCommitted(fs, root, pending.version),
+        s"commit of v${pending.version}: already committed by another writer; " +
+          "re-run against the new current version")
+      // uncommitted leftover target (pre-staging layout or partial
+      // rename): invisible to readers, safe to clear
+      fs.delete(target, true)
+    }
+    require(fs.rename(pending.dir, target),
+      s"commit of v${pending.version}: rename ${pending.dir} -> $target failed")
+    val out = fs.create(new Path(target, Marker), true)
     out.close()
     writeHint(fs, root, pending.version)
   }
@@ -128,9 +143,9 @@ object TableVersions {
   }
 
   /** Full small-file read — Hadoop streams may short-read, so loop to
-    * EOF (these files are a few bytes).
+    * EOF (these files are a few bytes). None on any failure.
     */
-  private def readSmall(fs: FileSystem, p: Path): Option[String] = Try {
+  private[graft] def readSmall(fs: FileSystem, p: Path): Option[String] = Try {
     val in = fs.open(p)
     try {
       val buf = new java.io.ByteArrayOutputStream()
@@ -155,7 +170,9 @@ object TableVersions {
   /** Delete all but the newest `keep` committed versions. Callers
     * size `keep` to cover the longest in-flight read (a version is
     * only unsafe to delete while a reader resolved it before the
-    * newer commit).
+    * newer commit). Roots whose versions REFERENCE older versions'
+    * data (e.g. bucketed CDC state) must use their own
+    * reference-aware prune instead.
     */
   def prune(fs: FileSystem, root: Path, keep: Int): Unit = {
     require(keep >= 1, "must keep at least the current version")

@@ -64,15 +64,9 @@ object BucketedCdcState {
   }
 
   private def readBucketMap(fs: FileSystem, versionDir: Path): Map[Int, Long] = {
-    val p = new Path(versionDir, MapFile)
-    val in = fs.open(p)
-    val body = try {
-      val buf = new java.io.ByteArrayOutputStream()
-      val bytes = new Array[Byte](8192)
-      var n = in.read(bytes)
-      while (n >= 0) { buf.write(bytes, 0, n); n = in.read(bytes) }
-      new String(buf.toByteArray, "UTF-8")
-    } finally in.close()
+    val body = TableVersions.readSmall(fs, new Path(versionDir, MapFile))
+      .getOrElse(throw new java.io.IOException(
+        s"unreadable bucket map in committed version dir $versionDir"))
     body.split("\n").iterator.map(_.trim).filter(_.nonEmpty).map { line =>
       val Array(b, v) = line.split(",")
       b.toInt -> v.toLong
@@ -128,42 +122,54 @@ object BucketedCdcState {
                  numBuckets: Int): Unit = {
     val spark = batch.sparkSession
     val (fs, rootPath) = fsOf(spark, root)
+    // persisted once: the touched-bucket collect and the merge union
+    // would otherwise each rescan the micro-batch source
     val bucketed = batch.withColumn(BucketCol, bucketOf(keyCols, numBuckets))
-    // bucket ids only — at most numBuckets values, never data rows
-    val touched = bucketed.select(BucketCol).distinct()
-      .collect().map(_.getInt(0)).toSet
-    if (touched.isEmpty) return
+      .persist()
+    try {
+      // bucket ids only — at most numBuckets values, never data rows
+      val touched = bucketed.select(BucketCol).distinct()
+        .collect().map(_.getInt(0)).toSet
+      if (touched.isEmpty) return
 
-    val map = bucketMap(spark, root)
-    val prev = readBuckets(spark, root, map, touched)
-    val input = prev match {
-      case Some(p) => p.unionByName(batch, allowMissingColumns = true)
-      case None    => batch
-    }
-    val merged = CdcMerge.latestByKey(input, keyCols, seqCols)
-      .withColumn(BucketCol, bucketOf(keyCols, numBuckets))
+      val map = bucketMap(spark, root)
+      val prev = readBuckets(spark, root, map, touched)
+        .map(_.withColumn(BucketCol, bucketOf(keyCols, numBuckets)))
+      val input = prev match {
+        case Some(p) => p.unionByName(bucketed, allowMissingColumns = true)
+        case None    => bucketed
+      }
+      // the bucket column rides through the merge inside the payload
+      // (it is a key-derived function, identical on every row of a
+      // key), so no per-row re-hash after the aggregate
+      val merged = CdcMerge.latestByKey(input, keyCols, seqCols)
 
-    val pending = TableVersions.begin(fs, rootPath)
-    merged
-      .repartition(col(BucketCol))
-      .write.mode("overwrite")
-      .partitionBy(BucketCol)
-      .parquet(new Path(pending.dir, "buckets").toString)
-    writeBucketMap(fs, pending.dir,
-      map ++ touched.map(_ -> pending.version))
-    TableVersions.commit(fs, rootPath, pending)
+      val pending = TableVersions.begin(fs, rootPath)
+      merged
+        .repartition(col(BucketCol))
+        .write.mode("overwrite")
+        .partitionBy(BucketCol)
+        .parquet(new Path(pending.dir, "buckets").toString)
+      writeBucketMap(fs, pending.dir,
+        map ++ touched.map(_ -> pending.version))
+      TableVersions.commit(fs, rootPath, pending)
+    } finally bucketed.unpersist()
   }
 
-  /** Drop version directories no longer referenced: a version is kept
-    * while the CURRENT bucket map still serves any bucket from it, or
-    * while it is one of the newest `keepHistory` commits (in-flight
-    * reader window).
+  /** Drop version directories no longer referenced. The in-flight
+    * reader window is the newest `keepHistory` COMMITS: a reader may
+    * have resolved any of those versions, and what it reads is the
+    * data its version's bucket MAP points to — so a version survives
+    * while any of the newest `keepHistory` maps references it (not
+    * merely while its own directory is recent).
     */
   def prune(spark: SparkSession, root: String, keepHistory: Int = 2): Unit = {
     val (fs, rootPath) = fsOf(spark, root)
     val versions = TableVersions.committedVersions(fs, rootPath)
     if (versions.isEmpty) return
-    val referenced = bucketMap(spark, root).values.toSet
+    val window = versions.takeRight(keepHistory)
+    val referenced = window.flatMap(v =>
+      readBucketMap(fs, TableVersions.dataDir(rootPath, v)).values).toSet
     versions.dropRight(keepHistory)
       .filterNot(referenced.contains)
       .foreach(v => fs.delete(TableVersions.dataDir(rootPath, v), true))

@@ -1,6 +1,5 @@
 package graft.streaming
 
-import org.apache.hadoop.conf.Configuration
 import org.apache.hadoop.fs.Path
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions.col
@@ -31,10 +30,15 @@ object CdcStream {
     */
   val DefaultBuckets = 64
 
-  /** Latest committed state version; None before the first commit. */
-  def currentVersion(stateDir: String): Option[Long] = {
+  /** Latest committed state version; None before the first commit.
+    * Resolves the filesystem through the session's Hadoop conf, so
+    * state roots on stores configured via `spark.hadoop.*` (s3a,
+    * hdfs) resolve exactly like every other read of the same root.
+    */
+  def currentVersion(spark: SparkSession, stateDir: String): Option[Long] = {
     val p = new Path(stateDir)
-    TableVersions.current(p.getFileSystem(new Configuration()), p)
+    TableVersions.current(
+      p.getFileSystem(spark.sparkContext.hadoopConfiguration), p)
   }
 
   /** Latest compacted state INCLUDING tombstones; None before the

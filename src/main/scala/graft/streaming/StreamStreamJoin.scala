@@ -61,6 +61,10 @@ object StreamStreamJoin {
     val prevParts = spark.conf.get("spark.sql.shuffle.partitions")
     val drained = try {
       val r = ev.agg(min(unix_micros(col("ts"))), max(unix_micros(col("ts")))).head()
+      if (r.isNullAt(0)) { // no purchases/views at all: empty result, not an NPE
+        return purchasesAll.crossJoin(viewsAll).where(lit(false))
+          .select(col("p_id"), col("user_id"), col("v_id"), col("p_ts"), col("v_ts"))
+      }
       val midUs = r.getLong(0) + (r.getLong(1) - r.getLong(0)) / 2
       // one file per side per batch → deterministic two-trigger replay
       purchasesAll.filter(unix_micros(col("p_ts")) <= midUs)

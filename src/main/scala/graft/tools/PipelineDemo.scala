@@ -102,7 +102,7 @@ object PipelineDemo {
     q.processAllAvailable(); q.stop()
     val streamState = CdcStream.currentState(spark, s"$work/state").get.count()
     println(s"[demo] streaming merge: $streamState live entities in " +
-      s"${CdcStream.currentVersion(s"$work/state").get + 1} state versions")
+      s"${CdcStream.currentVersion(spark, s"$work/state").get + 1} state versions")
 
     spark.stop()
     println("[demo] PIPELINE COMPLETE")

@@ -203,7 +203,7 @@ class StreamingSpec extends AnyFunSuite {
     q.processAllAvailable()
     q.stop()
 
-    assert(CdcStream.currentVersion(stateDir).exists(_ >= 1), "should commit >1 state version")
+    assert(CdcStream.currentVersion(spark, stateDir).exists(_ >= 1), "should commit >1 state version")
     val state = CdcStream.currentState(spark, stateDir).get
       .select("id", "v").as[(Long, String)].collect().toMap
     assert(state == Map(1L -> "a2", 3L -> "c1"))

@@ -39,35 +39,63 @@ class VersionedStateSpec extends AnyFunSuite {
     assert(TableVersions.current(fs, rootPath).contains(0L))
     assert(TableVersions.hint(fs, rootPath).contains(0L))
 
-    // crash before commit: leftover v1 is reclaimed by the next begin
+    // crash before commit: the dead staging dir stays invisible and a
+    // fresh begin stages the same version number in its own dir
     val p1 = TableVersions.begin(fs, rootPath)
     fs.create(new Path(p1.dir, "halfwritten"), true).close()
     // (no commit — simulate crash)
     val p1b = TableVersions.begin(fs, rootPath)
     assert(p1b.version == 1L)
-    assert(!fs.exists(new Path(p1b.dir, "halfwritten")), "reclaim clears leftovers")
+    assert(p1b.dir != p1.dir)
     TableVersions.commit(fs, rootPath, p1b)
     assert(TableVersions.committedVersions(fs, rootPath) == Seq(0L, 1L))
+    // once v1 is committed, the crashed writer's staging dir is
+    // provably dead and the next begin reclaims it
+    assert(fs.exists(p1.dir))
+    val p2 = TableVersions.begin(fs, rootPath)
+    assert(!fs.exists(p1.dir), "dead staging dir must be reclaimed")
+    fs.delete(p2.dir, true)
 
     TableVersions.prune(fs, rootPath, keep = 1)
     assert(TableVersions.committedVersions(fs, rootPath) == Seq(1L))
     assert(!fs.exists(TableVersions.dataDir(rootPath, 0L)))
   }
 
-  test("writer-token fencing: a zombie writer cannot publish a successor's directory") {
+  test("staging fence: concurrent writers never mix data; the loser gets version-taken") {
     val root = Files.createTempDirectory("tv_fence").toString + "/t"
     val (fs, rootPath) = hadoopFs(root)
     val zombie = TableVersions.begin(fs, rootPath) // writer A reserves v0
-    // failover: writer B takes over the same version number
+    // failover: writer B takes over the same version number; each
+    // stages in its OWN token-named dir, so neither can scribble into
+    // the other's files — the half-written-mix hazard is structural
     val successor = TableVersions.begin(fs, rootPath)
     assert(successor.version == zombie.version)
-    // A wakes up and tries to commit — must NOT publish B's half-written data
-    val e = intercept[IllegalArgumentException](TableVersions.commit(fs, rootPath, zombie))
-    assert(e.getMessage.contains("token mismatch"))
-    assert(TableVersions.current(fs, rootPath).isEmpty, "nothing published by the zombie")
-    // B's own commit is unaffected
+    assert(zombie.dir != successor.dir)
+    fs.create(new Path(zombie.dir, "a-data"), true).close()
+    fs.create(new Path(successor.dir, "b-data"), true).close()
+
+    // B commits first: v0 is B's complete directory
     TableVersions.commit(fs, rootPath, successor)
     assert(TableVersions.current(fs, rootPath).contains(0L))
+    assert(fs.exists(new Path(TableVersions.dataDir(rootPath, 0L), "b-data")))
+    assert(!fs.exists(new Path(TableVersions.dataDir(rootPath, 0L), "a-data")),
+      "zombie data must never appear in the successor's published version")
+
+    // the zombie's late commit fails version-taken instead of clobbering
+    val e = intercept[IllegalArgumentException](TableVersions.commit(fs, rootPath, zombie))
+    assert(e.getMessage.contains("already committed"))
+    assert(fs.exists(new Path(TableVersions.dataDir(rootPath, 0L), "b-data")))
+
+    // first-commit-wins the other way round: on a fresh root the
+    // zombie publishes its OWN complete dir and the successor aborts
+    val root2 = Files.createTempDirectory("tv_fence2").toString + "/t"
+    val (fs2, rootPath2) = hadoopFs(root2)
+    val a2 = TableVersions.begin(fs2, rootPath2)
+    val b2 = TableVersions.begin(fs2, rootPath2)
+    fs2.create(new Path(a2.dir, "a-data"), true).close()
+    TableVersions.commit(fs2, rootPath2, a2)
+    intercept[IllegalArgumentException](TableVersions.commit(fs2, rootPath2, b2))
+    assert(fs2.exists(new Path(TableVersions.dataDir(rootPath2, 0L), "a-data")))
   }
 
   test("commit guards: missing dir rejected; corrupt hint degrades to None") {
@@ -207,6 +235,34 @@ class VersionedStateSpec extends AnyFunSuite {
       s"unexpected rewrite outside bucket $bucket: $newFiles")
     // and the merge is still correct
     assert(bucketedState(root) == fullLogState(seed ++ delta))
+  }
+
+  test("prune keeps data referenced by EVERY map in the reader window, not just the newest") {
+    val root = Files.createTempDirectory("bstate_prune").toString + "/t"
+    val (fs, rootPath) = hadoopFs(root)
+    // v0: all buckets; v1: one key's bucket; v2: all buckets again
+    val seed = (1L to 40L).map(i => (i, 1L, 2, s"v$i"))
+    BucketedCdcState.applyBatch(mkLog(seed), root, Seq("id"), Seq("seq"), B)
+    BucketedCdcState.applyBatch(mkLog(Seq((1L, 5L, 4, "one"))), root, Seq("id"), Seq("seq"), B)
+    BucketedCdcState.applyBatch(mkLog(seed.map { case (i, _, _, _) => (i, 9L, 4, s"w$i") }),
+      root, Seq("id"), Seq("seq"), B)
+    assert(TableVersions.committedVersions(fs, rootPath) == Seq(0L, 1L, 2L))
+
+    // a reader that just resolved v1 still reads most buckets from v0:
+    // prune with a 2-commit window must keep v0 alive for it
+    BucketedCdcState.prune(spark, root, keepHistory = 2)
+    assert(fs.exists(TableVersions.dataDir(rootPath, 0L)),
+      "v0 is referenced by v1's bucket map and must survive a 2-commit window")
+    assert(bucketedState(root) == fullLogState(
+      seed ++ Seq((1L, 5L, 4, "one")) ++ seed.map { case (i, _, _, _) => (i, 9L, 4, s"w$i") }))
+
+    // with the window shrunk to the current commit only, v2 is
+    // self-contained and the older versions can go
+    BucketedCdcState.prune(spark, root, keepHistory = 1)
+    assert(!fs.exists(TableVersions.dataDir(rootPath, 0L)))
+    assert(!fs.exists(TableVersions.dataDir(rootPath, 1L)))
+    assert(bucketedState(root).view.mapValues(_._3).toMap ==
+      (1L to 40L).map(i => i -> s"w$i").toMap)
   }
 
   test("replay from a stale VERSION converges to the identical state") {
