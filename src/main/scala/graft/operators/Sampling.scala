@@ -59,4 +59,28 @@ object Sampling {
     }
     df.filter(bucket(col(idCol), salt) < cutExpr)
   }
+
+  /** EXACT deterministic stratified sample: exactly
+    * `floor(fraction * |stratum|)` rows from every stratum — the
+    * training-data-mix contract where a 10% slice must be 10% of
+    * EVERY language/source, not 10% in expectation. Rows are chosen
+    * by engine-portable hash order ([[portableBucket]], ties by id),
+    * so the selection is reproducible bit-for-bit by external tooling
+    * and stable under re-partitioning. Costs one shuffle + per-group
+    * sort (a window over the stratum) — exact quotas are inherently a
+    * per-group rank; use [[stratifiedSample]] when approximate
+    * fractions are acceptable at scan speed.
+    */
+  def stratifiedSampleExact(df: DataFrame, idCol: String, stratumCol: String,
+                            fraction: Double): DataFrame = {
+    require(fraction > 0 && fraction <= 1, "fraction must be in (0,1]")
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col(stratumCol))
+      .orderBy(portableBucket(col(idCol)), col(idCol))
+    val wAll = org.apache.spark.sql.expressions.Window.partitionBy(col(stratumCol))
+    df.withColumn("__rn", row_number().over(w))
+      .withColumn("__quota", floor(count(lit(1)).over(wAll) * fraction).cast("bigint"))
+      .filter(col("__rn") <= col("__quota"))
+      .drop("__rn", "__quota")
+  }
 }

@@ -472,6 +472,26 @@ object TextQueries {
       |FROM documents
       |WHERE CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8)) AS BIGINT) % 100 < 10""".stripMargin
 
+  // ---- text_sample_stratified: EXACT per-stratum quota sampling —
+  //      floor(0.1 * |lang|) docs from every language, chosen in
+  //      engine-portable md5-hash order (the oracle recomputes the
+  //      identical selection) ----
+  val sampleStratified: Q = (s, d) =>
+    graft.operators.Sampling.stratifiedSampleExact(
+        documents(s, d).select(col("doc_id"), col("lang"), col("n_chars")),
+        "doc_id", "lang", fraction = 0.1)
+
+  val sampleStratifiedOracle: String =
+    """WITH r AS (
+      |  SELECT doc_id, lang, n_chars,
+      |    ROW_NUMBER() OVER (PARTITION BY lang
+      |      ORDER BY CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8)) AS BIGINT) % 100,
+      |               doc_id) AS rn,
+      |    COUNT(*) OVER (PARTITION BY lang) AS n
+      |  FROM documents)
+      |SELECT doc_id, lang, n_chars FROM r
+      |WHERE rn <= CAST(FLOOR(n * 0.1) AS BIGINT)""".stripMargin
+
   // ---- q_stream_sessionize: the stateful streaming sessionizer
   //      (flatMapGroupsWithState + event-time timeout) replayed over
   //      the full event set — closed AND timeout-flushed sessions
@@ -574,6 +594,7 @@ object TextQueries {
     "text_line_dedup" -> lineDedup,
     "text_seq_pack" -> seqPack,
     "text_sample_det" -> sampleDet,
+    "text_sample_stratified" -> sampleStratified,
     "text_repetition" -> repetition,
     "text_decontaminate" -> decontaminate)
 
@@ -596,6 +617,7 @@ object TextQueries {
     "text_line_dedup" -> lineDedupOracle,
     "text_seq_pack" -> seqPackOracle,
     "text_sample_det" -> sampleDetOracle,
+    "text_sample_stratified" -> sampleStratifiedOracle,
     "text_repetition" -> repetitionOracle,
     "text_decontaminate" -> decontaminateOracle)
 }

@@ -36,4 +36,22 @@ class SamplingSpec extends AnyFunSuite {
     val enFrac = byLang("en").toDouble / totals("en")
     assert(math.abs(enFrac - 0.5) < 0.15, s"en fraction $enFrac")
   }
+
+  test("exact stratified sample hits floor(frac*n) in EVERY stratum, deterministically") {
+    import graft.operators.Sampling
+    val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+      .select($"doc_id", $"lang")
+    val totals = docs.groupBy("lang").count()
+      .as[(String, Long)].collect().toMap
+    val sampled = Sampling.stratifiedSampleExact(docs, "doc_id", "lang", 0.25)
+    val byLang = sampled.groupBy("lang").count().as[(String, Long)].collect().toMap
+    totals.foreach { case (lang, n) =>
+      assert(byLang.getOrElse(lang, 0L) == n / 4,
+        s"stratum $lang: expected exactly ${n / 4} of $n, got ${byLang.getOrElse(lang, 0L)}")
+    }
+    // deterministic: same selection under a different physical layout
+    val again = Sampling.stratifiedSampleExact(docs.repartition(13), "doc_id", "lang", 0.25)
+    assert(again.select("doc_id").as[Long].collect().toSet ==
+      sampled.select("doc_id").as[Long].collect().toSet)
+  }
 }
