@@ -39,13 +39,22 @@ object RangeJoin {
     * be name-disjoint (callers project/alias first, as with any
     * natural join). Empty or inverted intervals match nothing.
     */
+  /** With `spreadProbe`, the binned probe is hash-repartitioned on
+    * the bucket id before the join. Pair generation parallelism is
+    * otherwise bound to the probe's scan splits — the right default
+    * at scale (no extra exchange), but a probe read from few splits
+    * (a compacted single file, a small filtered table) funnels the
+    * entire candidate fan-out through those few tasks; one narrow
+    * exchange of (time, bin) rows then buys full-cluster fan-out.
+    */
   def intervalJoin(
       probe: DataFrame,
       probeTime: String,
       intervals: DataFrame,
       startCol: String,
       endCol: String,
-      bucketSeconds: Long): DataFrame = {
+      bucketSeconds: Long,
+      spreadProbe: Boolean = false): DataFrame = {
     require(bucketSeconds > 0, "bucketSeconds must be positive")
     val width = bucketSeconds * 1000000L // micros
     // NTZ-tolerant epoch: unix_micros only takes TIMESTAMP, and the
@@ -54,7 +63,8 @@ object RangeJoin {
     // is unaffected; the exact range check below compares the
     // original untouched columns.
     def us(c: String) = unix_micros(col(c).cast("timestamp_ltz"))
-    val p = probe.withColumn(Bin, floor(us(probeTime) / width))
+    val binned = probe.withColumn(Bin, floor(us(probeTime) / width))
+    val p = if (spreadProbe) binned.repartition(col(Bin)) else binned
     val iv = intervals
       .filter(col(startCol) < col(endCol))
       .withColumn(Bin, explode(sequence(
