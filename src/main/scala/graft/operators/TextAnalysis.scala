@@ -131,6 +131,44 @@ object TextAnalysis {
     * Distinct counts come from the codegen'd shingle-hash expression,
     * so this too runs at scan speed.
     */
+  /** Compression-ratio quality signal (the deflate filter of the
+    * published web-corpus pipelines: highly compressible text is
+    * boilerplate/template/spam; near-incompressible text is noise or
+    * binary junk). Pure JDK `Deflater` — one instance REUSED across a
+    * partition via `mapPartitions` (allocation-free steady state),
+    * raw-deflate at default level for determinism across JVMs.
+    * Per-row narrow work: no shuffle, cost is the deflate pass over
+    * the scan.
+    */
+  def compressionRatio(df: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    df.select(col(idCol).cast("long").as("doc_id"), col(textCol).as("text"))
+      .as[(Long, String)]
+      .mapPartitions { rows =>
+        val deflater = new java.util.zip.Deflater(
+          java.util.zip.Deflater.DEFAULT_COMPRESSION, true)
+        val tc = org.apache.spark.TaskContext.get()
+        if (tc != null)
+          tc.addTaskCompletionListener[Unit](_ => deflater.end())
+        val buf = new Array[Byte](64 * 1024)
+        val out = rows.map { case (id, text) =>
+          val bytes = (if (text == null) "" else text).getBytes("UTF-8")
+          deflater.reset()
+          deflater.setInput(bytes)
+          deflater.finish()
+          var compressed = 0L
+          while (!deflater.finished()) compressed += deflater.deflate(buf)
+          val ratio =
+            if (bytes.length == 0) 1.0
+            else compressed.toDouble / bytes.length.toDouble
+          (id, bytes.length.toLong, compressed, ratio)
+        }
+        out
+      }
+      .toDF("doc_id", "n_bytes", "deflate_bytes", "compression_ratio")
+  }
+
   def repetition(df: DataFrame, idCol: String, textCol: String): DataFrame = {
     graft.plans.GraftFunctions.register(df.sparkSession)
     val toks = wsTokens(col(textCol))

@@ -584,7 +584,14 @@ object TextQueries {
       |  array_to_string(t[start + 1:start + 32], ' ') AS chunk
       |FROM c""".stripMargin
 
+  // ---- text_compress_ratio: deflate compressibility quality signal
+  //      (rows-only: zlib output is not reproducible in the oracle
+  //      engine; bounds + monotonicity are spec'd) ----
+  val textCompressRatio: Q = (s, d) =>
+    graft.operators.TextAnalysis.compressionRatio(documents(s, d), "doc_id", "text")
+
   val queries: Map[String, Q] = Map(
+    "text_compress_ratio" -> textCompressRatio,
     "text_chunk" -> textChunk,
     "text_tfidf" -> tfidf,
     "q_stream_join" -> streamJoin,

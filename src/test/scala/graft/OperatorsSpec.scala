@@ -511,4 +511,28 @@ class OperatorsSpec extends AnyFunSuite {
     assert(plan.contains("TopKPerKey"), s"per-doc top-k must use the heap exec:\n$plan")
     assert(!plan.contains("Window"), s"no window sort over the posting list:\n$plan")
   }
+
+  test("compression ratio: repetitive text compresses, noise does not; layout-invariant") {
+    val rnd = new scala.util.Random(7)
+    val noisy = (0 until 400).map(_ => rnd.nextPrintableChar()).mkString
+    val in = Seq(
+      (1L, "spam phrase " * 200),   // boilerplate
+      (2L, noisy),                  // near-incompressible
+      (3L, ""),                     // empty
+      (4L, null.asInstanceOf[String])
+    ).toDF("doc_id", "text")
+    val got = TextAnalysis.compressionRatio(in, "doc_id", "text")
+      .as[(Long, Long, Long, Double)].collect().map(r => r._1 -> r).toMap
+    assert(got(1L)._4 < 0.1, s"boilerplate should compress hard: ${got(1L)}")
+    assert(got(2L)._4 > 0.5, s"noise should not compress: ${got(2L)}")
+    assert(got(3L)._2 == 0L && got(3L)._4 == 1.0)
+    assert(got(4L)._2 == 0L && got(4L)._4 == 1.0)
+    assert(got(1L)._2 == 2400L) // utf-8 byte count
+
+    // deflate output is deterministic for a given input: partitioning
+    // must not change any row
+    val repart = TextAnalysis.compressionRatio(in.repartition(7), "doc_id", "text")
+      .as[(Long, Long, Long, Double)].collect().map(r => r._1 -> r).toMap
+    assert(repart == got)
+  }
 }
