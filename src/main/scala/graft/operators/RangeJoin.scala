@@ -38,6 +38,14 @@ object RangeJoin {
     * Output columns are probe's then intervals'; the two schemas must
     * be name-disjoint (callers project/alias first, as with any
     * natural join). Empty or inverted intervals match nothing.
+    *
+    * An interval spanning far more than `bucketSeconds` explodes to
+    * one row per overlapped bucket — a single year-long interval at
+    * 1-second buckets is a 31M-element `sequence` in one row. Size
+    * `bucketSeconds` to the typical interval (outliers are then a few
+    * extra rows, not millions); `maxBucketsPerInterval` fails fast
+    * with a clear message instead of letting a malformed end date
+    * OOM an executor mid-job.
     */
   /** With `spreadProbe`, the binned probe is hash-repartitioned on
     * the bucket id before the join. Pair generation parallelism is
@@ -54,8 +62,10 @@ object RangeJoin {
       startCol: String,
       endCol: String,
       bucketSeconds: Long,
-      spreadProbe: Boolean = false): DataFrame = {
+      spreadProbe: Boolean = false,
+      maxBucketsPerInterval: Int = 65536): DataFrame = {
     require(bucketSeconds > 0, "bucketSeconds must be positive")
+    require(maxBucketsPerInterval > 0, "maxBucketsPerInterval must be positive")
     val width = bucketSeconds * 1000000L // micros
     // NTZ-tolerant epoch: unix_micros only takes TIMESTAMP, and the
     // cast from TIMESTAMP_NTZ applies one fixed session-TZ offset —
@@ -65,12 +75,20 @@ object RangeJoin {
     def us(c: String) = unix_micros(col(c).cast("timestamp_ltz"))
     val binned = probe.withColumn(Bin, floor(us(probeTime) / width))
     val p = if (spreadProbe) binned.repartition(col(Bin)) else binned
+    val startBin = floor(us(startCol) / width)
+    // end is exclusive: the bucket of the last contained instant
+    val endBin = floor((us(endCol) - 1) / width)
+    // fail fast (with the knob to turn) instead of materializing a
+    // multi-million-element sequence in one row
+    val endChecked = when(endBin - startBin < lit(maxBucketsPerInterval.toLong),
+      endBin).otherwise(raise_error(format_string(
+        s"RangeJoin: interval spans %s buckets at bucketSeconds=$bucketSeconds " +
+          s"(max $maxBucketsPerInterval) — raise bucketSeconds, raise " +
+          "maxBucketsPerInterval, or repair the interval bounds",
+        endBin - startBin + 1)).cast("long"))
     val iv = intervals
       .filter(col(startCol) < col(endCol))
-      .withColumn(Bin, explode(sequence(
-        floor(us(startCol) / width),
-        // end is exclusive: the bucket of the last contained instant
-        floor((us(endCol) - 1) / width))))
+      .withColumn(Bin, explode(sequence(startBin, endChecked)))
     p.join(iv, Seq(Bin))
       .filter(col(probeTime) >= col(startCol) && col(probeTime) < col(endCol))
       .drop(Bin)

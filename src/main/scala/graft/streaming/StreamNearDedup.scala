@@ -202,6 +202,15 @@ object StreamNearDedup {
     }
     dirs.filterNot(_.stripSuffix("/").endsWith(s"compact_$covered"))
       .foreach(d => fs.delete(new Path(d), true))
+    // a crash between the compact write and these deletes leaves
+    // batch/compact dirs at or below the floor that stateDirsBefore
+    // no longer lists — sweep them here so they cannot leak forever
+    listState(fs, new Path(stateDir), "batch_")
+      .filter(_._1 <= covered)
+      .foreach { case (_, d) => fs.delete(new Path(d), true) }
+    listState(fs, new Path(stateDir), "compact_")
+      .filter(_._1 < covered)
+      .foreach { case (_, d) => fs.delete(new Path(d), true) }
   }
 
   /** All surviving documents written so far. */

@@ -245,6 +245,7 @@ object AsOfJoin {
       spark.experimental.extraStrategies =
         spark.experimental.extraStrategies :+ AsOfJoinStrategy
     }
+    GraftOptimizations.ensureRule(spark)
     Dataset.ofRows(spark,
       AsOfJoinNode(keyCols, leftTimeCols, rightTimeCols,
         l.logicalPlan, r.logicalPlan, toleranceUs, direction))

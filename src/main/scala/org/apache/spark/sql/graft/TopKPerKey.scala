@@ -187,16 +187,19 @@ object TopKPerKey {
       TopKPerKeyNode(keyCols, orderCols, k, rankAttr, classic.logicalPlan, flushRows))
   }
 
-  /** Idempotently add the planning strategy to a session. */
+  /** Idempotently add the planning strategy + pushdown rule to a session. */
   def ensureStrategy(spark: ClassicSparkSession): Unit = {
     val ss = spark.sessionState
     if (!ss.planner.extraPlanningStrategies.contains(TopKPerKeyStrategy)) {
       spark.experimental.extraStrategies =
         spark.experimental.extraStrategies :+ TopKPerKeyStrategy
     }
+    GraftOptimizations.ensureRule(spark)
   }
 
   /** For SparkSessionExtensions-based registration. */
-  def inject(ext: SparkSessionExtensions): Unit =
+  def inject(ext: SparkSessionExtensions): Unit = {
     ext.injectPlannerStrategy(_ => TopKPerKeyStrategy)
+    ext.injectOptimizerRule(_ => PushFilterThroughGraftNodes)
+  }
 }

@@ -54,6 +54,20 @@ class RangeJoinChunkingSpec extends AnyFunSuite {
     assert(got == Seq(1L))
   }
 
+  test("RangeJoin: oversized interval fails fast with the guard message") {
+    import spark.implicits._
+    val probe = Seq((1L, ts("2024-01-01 10:00:00"))).toDF("p_id", "t")
+    val iv = Seq((1L, ts("2020-01-01 00:00:00"), ts("2030-01-01 00:00:00")))
+      .toDF("iv_id", "w_start", "w_end")
+    val ex = intercept[Exception] {
+      RangeJoin.intervalJoin(probe, "t", iv, "w_start", "w_end",
+        bucketSeconds = 60L, maxBucketsPerInterval = 1000).count()
+    }
+    def messages(t: Throwable): Seq[String] =
+      Option(t).toSeq.flatMap(e => Option(e.getMessage).toSeq ++ messages(e.getCause))
+    assert(messages(ex).exists(_.contains("RangeJoin: interval spans")), ex.getMessage)
+  }
+
   test("q34 plan: no nested-loop or cartesian join anywhere") {
     val p = SparkEntry.queries("q34_range_join")(spark, "/root/testdata/sf0.001")
       .queryExecution.executedPlan.toString()
