@@ -796,6 +796,26 @@ object Relational {
         array(lit(0.25), lit(0.5), lit(0.75)), lit(10000)).as("approx_quartiles"))
   }
 
+  // ---- q40: semi-structured JSON extraction + aggregation (the
+  //      props column is a JSON payload; extraction happens in the
+  //      scan projection — no UDF, codegen'd path expression) ----
+  val q40JsonExtract: Q = (s, d) => {
+    val k = get_json_object(col("props"), "$.k").cast("bigint")
+    events(s, d)
+      .select(col("event_type"), k.as("k"))
+      .groupBy(col("event_type"))
+      .agg(sum(col("k")).cast("bigint").as("sum_k"),
+        count(lit(1)).cast("bigint").as("n"),
+        max(col("k")).cast("bigint").as("max_k"))
+  }
+
+  val q40Oracle: String =
+    """SELECT event_type,
+      |  CAST(SUM(CAST(json_extract(props, '$.k') AS BIGINT)) AS BIGINT) AS sum_k,
+      |  CAST(COUNT(*) AS BIGINT) AS n,
+      |  CAST(MAX(CAST(json_extract(props, '$.k') AS BIGINT)) AS BIGINT) AS max_k
+      |FROM events GROUP BY event_type""".stripMargin
+
   val queries: Map[String, Q] = Map(
     "q1_pricing_summary" -> q1PricingSummary,
     "q2_filter_pushdown" -> q2FilterPushdown,
@@ -834,7 +854,8 @@ object Relational {
     "q36_grouping_sets" -> q36GroupingSets,
     "q37_histogram" -> q37Histogram,
     "q38_outliers" -> q38Outliers,
-    "q39_approx_quantile" -> q39ApproxQuantile)
+    "q39_approx_quantile" -> q39ApproxQuantile,
+    "q40_json_extract" -> q40JsonExtract)
 
   val oracles: Map[String, String] = Map(
     "q1_pricing_summary" -> q1Oracle,
@@ -872,5 +893,6 @@ object Relational {
     "q35_gap_fill" -> q35Oracle,
     "q36_grouping_sets" -> q36Oracle,
     "q37_histogram" -> q37Oracle,
-    "q38_outliers" -> q38Oracle)
+    "q38_outliers" -> q38Oracle,
+    "q40_json_extract" -> q40Oracle)
 }

@@ -590,7 +590,31 @@ object TextQueries {
   val textCompressRatio: Q = (s, d) =>
     graft.operators.TextAnalysis.compressionRatio(documents(s, d), "doc_id", "text")
 
+  // ---- text_hof_stats: per-doc token-length stats computed entirely
+  //      with higher-order array functions (transform/filter/
+  //      aggregate — codegen'd lambda pipeline, zero UDFs, zero
+  //      explode; the array never leaves its scan task) ----
+  val textHofStats: Q = (s, d) => {
+    val toks = split(col("text"), "\\s+")
+    val lens = transform(toks, t => length(t).cast("long"))
+    documents(s, d).select(col("doc_id"),
+      aggregate(lens, lit(0L), (acc, x) => acc + x).as("sum_tok_len"),
+      size(filter(toks, t => length(t) > 5)).cast("bigint").as("n_long"),
+      array_max(lens).as("max_tok_len"))
+  }
+
+  val textHofStatsOracle: String =
+    """SELECT doc_id,
+      |  CAST(list_sum(list_transform(string_split_regex(text, '\s+'),
+      |    t -> length(t))) AS BIGINT) AS sum_tok_len,
+      |  CAST(len(list_filter(string_split_regex(text, '\s+'),
+      |    t -> length(t) > 5)) AS BIGINT) AS n_long,
+      |  CAST(list_max(list_transform(string_split_regex(text, '\s+'),
+      |    t -> length(t))) AS BIGINT) AS max_tok_len
+      |FROM documents""".stripMargin
+
   val queries: Map[String, Q] = Map(
+    "text_hof_stats" -> textHofStats,
     "text_compress_ratio" -> textCompressRatio,
     "text_chunk" -> textChunk,
     "text_tfidf" -> tfidf,
@@ -625,6 +649,7 @@ object TextQueries {
     "text_decontaminate" -> decontaminate)
 
   val oracles: Map[String, String] = Map(
+    "text_hof_stats" -> textHofStatsOracle,
     "text_chunk" -> textChunkOracle,
     "text_tfidf" -> tfidfOracle,
     "q_stream_join" -> streamJoinOracle,
