@@ -50,8 +50,13 @@ object Bench {
     // Locale.ROOT: a comma-decimal default locale would emit "1,50"
     // and break the JSON. The sf value is the directory basename for
     // the same length reason.
-    def fmt(v: Double): String =
-      String.format(java.util.Locale.ROOT, "%.2f", Double.box(v))
+    // trailing zeros stripped ("0.10" -> "0.1", "0.00" -> "0"):
+    // ~40 more chars of headroom across 80+ queries
+    def fmt(v: Double): String = {
+      val s = String.format(java.util.Locale.ROOT, "%.2f", Double.box(v))
+      if (s.contains('.')) s.reverse.dropWhile(_ == '0').reverse.stripSuffix(".")
+      else s
+    }
     val qs = results.map { case (k, v) => s"\"" + k + "\":" + fmt(v) }
       .mkString("{", ",", "}")
     val total = if (results.nonEmpty) results.values.sum else 0.0

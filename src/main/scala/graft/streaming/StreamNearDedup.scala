@@ -52,17 +52,29 @@ object StreamNearDedup {
   val DefaultStateBuckets = 64
   val DefaultCompactEvery = 64
 
+  /** Over-cap band buckets (more members than this, batch-side or
+    * state-side) are skipped during candidate generation — the
+    * analog of the batch operator's `maxBucketSize`: a degenerate
+    * batch of thousands of identical documents must not go quadratic
+    * in one band bucket. (Identical documents still collide in their
+    * OTHER bands; a corpus pathological in every band is exact
+    * dedup's job, as in batch.)
+    */
+  val DefaultMaxBucketSize = 1000
+
   def start(docsStream: DataFrame, idCol: String, textCol: String,
             outDir: String, stateDir: String, checkpointDir: String,
             n: Int = 3, numHashes: Int = 32, rowsPerBand: Int = 4,
             threshold: Double = 0.8,
             stateBuckets: Int = DefaultStateBuckets,
-            compactEvery: Int = DefaultCompactEvery): StreamingQuery = {
+            compactEvery: Int = DefaultCompactEvery,
+            maxBucketSize: Int = DefaultMaxBucketSize): StreamingQuery = {
     docsStream.writeStream
       .option("checkpointLocation", checkpointDir)
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
         applyBatch(batch, idCol, textCol, outDir, stateDir, batchId,
-          n, numHashes, rowsPerBand, threshold, stateBuckets, compactEvery)
+          n, numHashes, rowsPerBand, threshold, stateBuckets, compactEvery,
+          maxBucketSize)
         ()
       }
       .start()
@@ -76,7 +88,8 @@ object StreamNearDedup {
                  n: Int = 3, numHashes: Int = 32, rowsPerBand: Int = 4,
                  threshold: Double = 0.8,
                  stateBuckets: Int = DefaultStateBuckets,
-                 compactEvery: Int = DefaultCompactEvery): Unit = {
+                 compactEvery: Int = DefaultCompactEvery,
+                 maxBucketSize: Int = DefaultMaxBucketSize): Unit = {
     require(numHashes % rowsPerBand == 0, "numHashes must be divisible by rowsPerBand")
     val spark = batch.sparkSession
     if (compactEvery > 0 && batchId > 0 && batchId % compactEvery == 0)
@@ -95,12 +108,20 @@ object StreamNearDedup {
         aggregate(zip_with(a, b, (x, y) => (x === y).cast("long")),
           lit(0L), (acc, v) => acc + v)
 
+      // skew cap on the batch side: only under-cap buckets enter
+      // candidate generation (self- and cross-join both)
+      val underCap = posts.groupBy("band", "bh")
+        .agg(count(lit(1)).as("cnt"))
+        .filter(col("cnt") <= maxBucketSize)
+        .select("band", "bh")
+      val capped = posts.join(underCap, Seq("band", "bh"))
+
       // within-batch: a doc matching ANY earlier-id member (kept or
       // not) is dropped — mirrors the batch operator's component rule
       // on chains inside one batch
-      val a = posts.select(col("band"), col("bh"),
+      val a = capped.select(col("band"), col("bh"),
         col("doc").as("doc_a"), col("sig").as("sig_a"))
-      val b = posts.select(col("band"), col("bh"),
+      val b = capped.select(col("band"), col("bh"),
         col("doc").as("doc_b"), col("sig").as("sig_b"))
       val batchDropped = a.join(b, Seq("band", "bh"))
         .filter(col("doc_a") < col("doc_b"))
@@ -108,11 +129,18 @@ object StreamNearDedup {
         .select(col("doc_b").as("doc")).distinct()
 
       // cross-history candidates: batch bands ⋈ prior kept postings,
-      // read partition-pruned to the touched buckets
+      // read partition-pruned to the touched buckets; hot state-side
+      // buckets (accumulated over the stream's life) are capped the
+      // same way
       val dropped = (priorPostings(spark, stateDir, batchId, touched) match {
         case Some(prior) =>
-          posts.join(
-              prior.select(col("band"), col("bh"), col("sig").as("h_sig")),
+          val priorUnderCap = prior.groupBy("band", "bh")
+            .agg(count(lit(1)).as("hcnt"))
+            .filter(col("hcnt") <= maxBucketSize)
+            .select("band", "bh")
+          capped.join(
+              prior.join(priorUnderCap, Seq("band", "bh"))
+                .select(col("band"), col("bh"), col("sig").as("h_sig")),
               Seq("band", "bh"))
             .filter(agree(col("sig"), col("h_sig")) >= minMatches)
             .select(col("doc")).distinct()

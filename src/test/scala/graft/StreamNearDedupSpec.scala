@@ -78,6 +78,20 @@ class StreamNearDedupSpec extends AnyFunSuite {
     assert(prior.select("bkt").distinct().as[Int].collect().toSeq == Seq(one))
   }
 
+  test("degenerate identical-doc batch: over-cap buckets skipped, under cap they dedup") {
+    val work = Files.createTempDirectory("sneardedupcap").toString
+    val same = (1L to 50L).map(i => (i, text(9))).toDF("doc_id", "text")
+    // cap below the bucket population: every band bucket is skipped,
+    // nothing goes quadratic, nothing is dropped (exact dedup's job)
+    StreamNearDedup.applyBatch(same, "doc_id", "text",
+      s"$work/out_capped", s"$work/state_capped", 0L, maxBucketSize = 10)
+    assert(spark.read.parquet(s"$work/out_capped/batch_0").count() == 50L)
+    // default cap admits the buckets: one survivor
+    StreamNearDedup.applyBatch(same, "doc_id", "text",
+      s"$work/out", s"$work/state", 0L)
+    assert(spark.read.parquet(s"$work/out/batch_0").count() == 1L)
+  }
+
   test("long stream consolidates state dirs; dedup vs compacted state still works") {
     val work = Files.createTempDirectory("sneardedupcompact").toString
     // 6 batches of one fresh doc each, then a 7th batch duplicating doc 0
