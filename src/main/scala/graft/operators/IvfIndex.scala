@@ -93,8 +93,7 @@ object IvfIndex {
     model.centroids.zipWithIndex.map { case (v, i) => (i, v) }
       .toDF("c", "v").coalesce(1)
       .write.mode("overwrite").parquet(s"$dir/centroids")
-    base.select(col(idCol).as("base_id"), col(vecCol).as("base_v"))
-      .withColumn("c", nearestCentroid(transform(col("base_v"), _.cast("double")), model))
+    assign(base, idCol, vecCol, model)
       .write.mode("overwrite").partitionBy("c").parquet(s"$dir/lists")
     // train-time list-size distribution: the drift baseline every
     // refresh compares its delta against (model-sized: k rows)
@@ -142,9 +141,7 @@ object IvfIndex {
     if (!fs.exists(statsPath))
       spark.read.parquet(s"$dir/lists").groupBy("c").count()
         .coalesce(1).write.mode("overwrite").parquet(s"$dir/stats")
-    val assigned = delta
-      .select(col(idCol).as("base_id"), col(vecCol).as("base_v"))
-      .withColumn("c", nearestCentroid(transform(col("base_v"), _.cast("double")), model))
+    val assigned = assign(delta, idCol, vecCol, model)
       .persist() // appended AND counted; one assignment pass
     try {
       // drift guard: model-sized aggregates only (k counts per side)
@@ -163,7 +160,8 @@ object IvfIndex {
       // current shape after the append: baseline + every appended delta
       // (list re-count, still k rows; lists dir is partition-pruned map
       // work, no shuffle beyond the k-row agg)
-      val current = spark.read.parquet(s"$dir/lists").groupBy("c").count()
+      val current = listRoots(spark, dir).map(spark.read.parquet(_))
+        .reduce(_ unionByName _).groupBy("c").count()
         .collect().map(r => r.getLong(1))
       val imbalance =
         if (current.isEmpty) 1.0
@@ -183,6 +181,45 @@ object IvfIndex {
     Model(rows.toSeq)
   }
 
+  /** Assign each vector its nearest-centroid list id — the shared
+    * projection behind [[save]], [[refresh]] and the streaming
+    * refresher.
+    */
+  private[graft] def assign(df: DataFrame, idCol: String, vecCol: String,
+                            model: Model): DataFrame =
+    df.select(col(idCol).as("base_id"), col(vecCol).as("base_v"))
+      .withColumn("c", nearestCentroid(transform(col("base_v"), _.cast("double")), model))
+
+  /** Every root directory holding inverted-file partitions: the base
+    * `lists` plus any complete streaming delta dirs
+    * (`delta/compact_<m>` newest first, then `delta/batch_<i>` past
+    * it) written by `streaming.StreamIvfRefresh`. Marker-less or
+    * file-less dirs (a crashed or all-empty batch) are skipped.
+    */
+  private[graft] def listRoots(spark: org.apache.spark.sql.SparkSession,
+                               dir: String): Seq[String] = {
+    val deltaPath = new org.apache.hadoop.fs.Path(s"$dir/delta")
+    val fs = deltaPath.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    def complete(prefix: String): Seq[(Long, String)] =
+      if (!fs.exists(deltaPath)) Nil
+      else fs.listStatus(deltaPath).toSeq
+        .filter(st => st.isDirectory && st.getPath.getName.startsWith(prefix))
+        .filter(st => fs.exists(new org.apache.hadoop.fs.Path(st.getPath, "_SUCCESS")))
+        .filter { st =>
+          val it = fs.listFiles(st.getPath, true)
+          var found = false
+          while (!found && it.hasNext)
+            found = it.next().getPath.getName.endsWith(".parquet")
+          found
+        }
+        .map(st => st.getPath.getName.stripPrefix(prefix).toLong -> st.getPath.toString)
+        .sortBy(_._1)
+    val compacts = complete("compact_")
+    val floor = compacts.lastOption.map(_._1).getOrElse(-1L)
+    val batches = complete("batch_").filter(_._1 > floor)
+    (s"$dir/lists" +: compacts.lastOption.map(_._2).toSeq) ++ batches.map(_._2)
+  }
+
   /** Top-k per query against a SAVED index: probe lists resolve to
     * partition directories, so the scan touches only the probed
     * fraction of the corpus — no assignment recompute, no full scan.
@@ -192,7 +229,10 @@ object IvfIndex {
                   k: Int = 5, nProbe: Int = 4): DataFrame = {
     GraftFunctions.register(spark)
     val model = load(spark, dir)
-    val lists = spark.read.parquet(s"$dir/lists")
+    // base lists plus any streaming delta roots; each root is its own
+    // scan, so the isin partition filter below prunes every one
+    val lists = listRoots(spark, dir).map(spark.read.parquet(_))
+      .reduce(_ unionByName _)
     val probes = probeLists(queries, idCol, vecCol, model, nProbe)
     // static partition pruning: the probed list ids are model-sized
     // (≤ |queries|·nProbe), so an isin literal filter on the
