@@ -51,6 +51,28 @@ class PlanShapeSpec extends AnyFunSuite {
       s"scan has empty pushdown:\n$p")
   }
 
+  test("q34: range join broadcasts intervals — no nested loop, two exchanges") {
+    val p = plan("q34_range_join")
+    assert(!p.contains("BroadcastNestedLoopJoin") && !p.contains("CartesianProduct"), p)
+    assert(p.contains("BroadcastHashJoin"), p)
+    // probe spread + final per-order aggregation; a third exchange
+    // means the bin equi-join stopped lining up
+    assert(shuffles(p) == 2, s"expected 2 shuffles:\n$p")
+  }
+
+  test("q35: LOCF window reuses the grid partitioning — no extra exchange") {
+    val p = plan("q35_gap_fill")
+    assert(p.contains("Window"), p)
+    // grid agg + daily agg only; the window must NOT add a third
+    assert(shuffles(p) == 2, s"expected 2 shuffles:\n$p")
+  }
+
+  test("q38: group stats broadcast back to the scan — single exchange") {
+    val p = plan("q38_outliers")
+    assert(p.contains("BroadcastHashJoin"), p)
+    assert(shuffles(p) == 1, s"expected 1 shuffle (stats agg only):\n$p")
+  }
+
   test("q22: window form scans orders once, no self-join") {
     val p = plan("q22_correlated")
     assert(count(p, "FileScan parquet") == 1,
