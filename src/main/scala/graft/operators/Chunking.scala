@@ -32,7 +32,9 @@ object Chunking {
       "stride must be in [1, chunkSize] (larger would drop tokens)")
     val id: Column = col(idCol)
     docs
-      .select(id, split(col(textCol), "\\s+").as("toks"))
+      // null text behaves as empty: split(null) is null and
+      // size(null) = -1, which would feed sequence() illegal bounds
+      .select(id, split(coalesce(col(textCol), lit("")), "\\s+").as("toks"))
       .withColumn("n_doc", size(col("toks")))
       .select(id, col("toks"), col("n_doc"),
         explode(sequence(lit(0), col("n_doc") - 1, lit(stride))).as("start"))

@@ -105,6 +105,25 @@ class RangeJoinChunkingSpec extends AnyFunSuite {
     assert(out(1L).map(_._2).toSeq == (0L until 5L))
   }
 
+  test("Chunking: null text behaves as empty, no crash") {
+    import spark.implicits._
+    val docs = Seq((1L, null.asInstanceOf[String]), (2L, "a b c")).toDF("doc_id", "text")
+    val out = Chunking.chunk(docs, "doc_id", "text", 8, 8)
+      .as[(Long, Long, Long, String)].collect().sortBy(r => (r._1, r._2))
+    assert(out.map(_._1).toSeq == Seq(1L, 2L))
+    assert(out(0)._4 == "" && out(1)._4 == "a b c")
+  }
+
+  test("text_chunk and text_hof_stats stay scan-local: zero exchanges") {
+    for (name <- Seq("text_chunk", "text_hof_stats")) {
+      val p = SparkEntry.queries(name)(spark, "/root/testdata/sf0.001")
+        .queryExecution.explainString(
+          org.apache.spark.sql.execution.ExplainMode.fromString("simple"))
+      assert("(?<!Broadcast)Exchange ".r.findAllIn(p).isEmpty,
+        s"$name must not shuffle:\n$p")
+    }
+  }
+
   test("Chunking: invalid size/stride rejected") {
     import spark.implicits._
     val docs = Seq((1L, "a b")).toDF("doc_id", "text")
