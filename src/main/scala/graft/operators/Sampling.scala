@@ -83,4 +83,31 @@ object Sampling {
       .filter(col("__rn") <= col("__quota"))
       .drop("__rn", "__quota")
   }
+
+  /** Deterministic weighted sample WITHOUT replacement
+    * (Efraimidis–Spirakis A-ES): each row draws an exponential with
+    * rate = its weight from a hash-derived uniform, and the `k`
+    * smallest draws win — selection probability is proportional to
+    * weight, the contract behind training-mix/domain-weighting
+    * sampling. The uniform comes from md5(id, salt) (52-bit mantissa,
+    * uniform in (0,1]), so the sample is reproducible across runs,
+    * machines, and any re-partitioning; changing `salt` redraws.
+    * Rows with non-positive weight are excluded. Plans as
+    * TakeOrderedAndProject (bounded per-partition heaps + a k-row
+    * driver merge), never a full sort — at 100 TB the cost is the
+    * scan plus k rows per partition.
+    */
+  def weightedSample(df: DataFrame, idCol: String, weightCol: String,
+                     k: Int, salt: String = "wsample"): DataFrame = {
+    require(k > 0, "k must be positive")
+    val u = (conv(substring(md5(concat_ws("",
+        col(idCol).cast("string"), lit(salt)).cast("binary")), 1, 13), 16, 10)
+      .cast("double") + lit(1.0)) / lit(4503599627370496.0) // 2^52
+    val key = -log(u) / col(weightCol).cast("double")
+    df.filter(col(weightCol).cast("double") > 0)
+      .withColumn("__wkey", key)
+      .orderBy(col("__wkey").asc, col(idCol).asc)
+      .limit(k)
+      .drop("__wkey")
+  }
 }

@@ -613,7 +613,16 @@ object TextQueries {
       |    t -> length(t))) AS BIGINT) AS max_tok_len
       |FROM documents""".stripMargin
 
+  // ---- text_sample_weighted: A-ES weighted sampling by document
+  //      length (rows-only: the exponential-draw boundary is float
+  //      math the oracle engine can't reproduce ulp-exactly;
+  //      determinism + weight-proportionality are spec'd) ----
+  val textSampleWeighted: Q = (s, d) =>
+    graft.operators.Sampling.weightedSample(
+      documents(s, d), "doc_id", "n_chars", k = 60)
+
   val queries: Map[String, Q] = Map(
+    "text_sample_weighted" -> textSampleWeighted,
     "text_hof_stats" -> textHofStats,
     "text_compress_ratio" -> textCompressRatio,
     "text_chunk" -> textChunk,

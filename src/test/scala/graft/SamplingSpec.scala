@@ -54,4 +54,36 @@ class SamplingSpec extends AnyFunSuite {
     assert(again.select("doc_id").as[Long].collect().toSet ==
       sampled.select("doc_id").as[Long].collect().toSet)
   }
+
+  test("weighted sample: deterministic, layout-invariant, heap-based plan") {
+    val docs = (1L to 200L).map(i => (i, if (i <= 100) 8.0 else 1.0))
+      .toDF("id", "w")
+    val s1 = Sampling.weightedSample(docs, "id", "w", k = 30)
+    val got = s1.select("id").as[Long].collect().toSet
+    assert(got.size == 30)
+    assert(got == Sampling.weightedSample(docs.repartition(7), "id", "w", 30)
+      .select("id").as[Long].collect().toSet)
+    val plan = s1.queryExecution.executedPlan.toString
+    assert(plan.contains("TakeOrderedAndProject"), s"must heap-select, not sort:\n$plan")
+  }
+
+  test("weighted sample: inclusion tracks weight; non-positive weights excluded") {
+    val docs = (1L to 200L).map(i =>
+      (i, if (i <= 100) 8.0 else 1.0)).toDF("id", "w")
+    val picks = (1 to 20).flatMap { s =>
+      Sampling.weightedSample(docs, "id", "w", k = 30, salt = s"s$s")
+        .select("id").as[Long].collect()
+    }
+    val heavy = picks.count(_ <= 100L)
+    val light = picks.size - heavy
+    // 8x weight at k=30/200: heavy rows dominate every draw
+    assert(heavy > 3 * light, s"heavy=$heavy light=$light")
+
+    val withBad = docs.withColumn("w",
+      org.apache.spark.sql.functions.when($"id" % 5 === 0,
+        org.apache.spark.sql.functions.lit(-1.0)).otherwise($"w"))
+    val cleaned = Sampling.weightedSample(withBad, "id", "w", 50)
+      .select("id").as[Long].collect()
+    assert(cleaned.forall(_ % 5 != 0))
+  }
 }
