@@ -41,27 +41,40 @@ object Bench {
       }.sorted
       name -> times(times.size / 2)
     }
-    // 2 decimals (10 ms): the driver keeps only the last 2000 chars of
-    // output, and the sbt "[success] ..." epilogue eats ~75 of them. At
-    // 72+ queries, 4-decimal values push the one-line artifact past
-    // that budget and it arrives front-truncated (r3/r4 artifacts both
-    // record parsed:null for exactly this reason). Centisecond
-    // precision is ample for the judge's >2x-regression comparisons.
-    // Locale.ROOT: a comma-decimal default locale would emit "1,50"
-    // and break the JSON. The sf value is the directory basename for
-    // the same length reason.
-    // trailing zeros stripped ("0.10" -> "0.1", "0.00" -> "0"):
-    // ~40 more chars of headroom across 80+ queries
+    // The driver keeps only the last 2000 chars of output and the sbt
+    // "[success] ..." epilogue eats ~75 of them; a front-truncated
+    // line is unparseable (r3/r4 artifacts record parsed:null for
+    // exactly this reason). Defenses, in order: centisecond values
+    // (ample for >2x-regression comparisons), trailing zeros stripped
+    // ("0.10" -> "0.1"), sf as the directory basename, and — as query
+    // count grows past what ~1900 chars can hold — the FASTEST
+    // queries are dropped from the map with an explicit
+    // queries_omitted/omitted_sec marker (never silently; the full
+    // per-query coverage evidence is the correctness artifact, and
+    // the slowest queries are the ones regression analysis needs).
+    // Locale.ROOT: a comma-decimal locale would emit "1,50".
     def fmt(v: Double): String = {
       val s = String.format(java.util.Locale.ROOT, "%.2f", Double.box(v))
       if (s.contains('.')) s.reverse.dropWhile(_ == '0').reverse.stripSuffix(".")
       else s
     }
-    val qs = results.map { case (k, v) => s"\"" + k + "\":" + fmt(v) }
-      .mkString("{", ",", "}")
     val total = if (results.nonEmpty) results.values.sum else 0.0
     val sfName = new java.io.File(sfDir).getName
-    println(s"""{"metric":"total","value":${fmt(total)},"unit":"sec","queries":$qs,"sf":"$sfName"}""")
+    val bySlowest = results.toSeq.sortBy { case (n, v) => (-v, n) }
+    def render(keep: Int): String = {
+      val (kept, dropped) = bySlowest.splitAt(keep)
+      val qs = kept.sortBy(_._1)
+        .map { case (k, v) => "\"" + k + "\":" + fmt(v) }
+        .mkString("{", ",", "}")
+      val omit =
+        if (dropped.isEmpty) ""
+        else s""","queries_omitted":${dropped.size},"omitted_sec":${fmt(dropped.map(_._2).sum)}"""
+      s"""{"metric":"total","value":${fmt(total)},"unit":"sec","queries":$qs$omit,"sf":"$sfName"}"""
+    }
+    val budget = 1900
+    val keep = (bySlowest.size to 1 by -1)
+      .find(k => render(k).length <= budget).getOrElse(1)
+    println(render(keep))
     spark.stop()
   }
 }
