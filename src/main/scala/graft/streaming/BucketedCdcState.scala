@@ -112,14 +112,60 @@ object BucketedCdcState {
     if (map.isEmpty) None else readBuckets(spark, root, map, map.keySet)
   }
 
+  /** Current state of the given buckets only — the incremental read
+    * for consumers that, like [[applyBatch]] itself, touch a known
+    * bucket subset per micro-batch (e.g. [[StreamGapFill]]). None
+    * before the first commit or when none of the buckets are live.
+    */
+  def statePartial(spark: SparkSession, root: String,
+                   buckets: Set[Int]): Option[DataFrame] = {
+    val map = bucketMap(spark, root)
+    if (map.isEmpty) None else readBuckets(spark, root, map, buckets)
+  }
+
   // ---------------- write path ----------------
 
+  private val TagFile = "_GRAFT_BATCH"
+
+  private def readTag(fs: FileSystem, versionDir: Path): Option[Long] =
+    TableVersions.readSmall(fs, new Path(versionDir, TagFile))
+      .flatMap(s => scala.util.Try(s.trim.toLong).toOption)
+
+  /** Newest committed version whose batch tag is strictly below
+    * `beforeTag` (untagged versions never match). The replay anchor:
+    * a re-run of batch N must see the state AS OF batch N-1, not the
+    * state its own first attempt already committed.
+    */
+  private def versionBefore(fs: FileSystem, rootPath: Path,
+                            beforeTag: Long): Option[Long] =
+    TableVersions.committedVersions(fs, rootPath)
+      .filter(v => readTag(fs, TableVersions.dataDir(rootPath, v))
+        .exists(_ < beforeTag))
+      .lastOption
+
+  /** Like [[statePartial]], but as of the newest commit TAGGED before
+    * `beforeTag` — None when no such commit exists.
+    */
+  def statePartialBefore(spark: SparkSession, root: String,
+                         buckets: Set[Int], beforeTag: Long): Option[DataFrame] = {
+    val (fs, rootPath) = fsOf(spark, root)
+    versionBefore(fs, rootPath, beforeTag).flatMap { v =>
+      val map = readBucketMap(fs, TableVersions.dataDir(rootPath, v))
+      readBuckets(spark, root, map, buckets)
+    }
+  }
+
   /** Merge one CDC micro-batch into the state. Only the buckets the
-    * batch's keys hash into are read and rewritten.
+    * batch's keys hash into are read and rewritten. `tag` stamps the
+    * committed version with the caller's batch id so replays can
+    * anchor reads to the pre-batch snapshot ([[statePartialBefore]]);
+    * re-merging under the same tag converges (latest-wins) and
+    * produces a second version with the same tag — readers take the
+    * newest match, so convergence is unaffected.
     */
   def applyBatch(batch: DataFrame, root: String,
                  keyCols: Seq[String], seqCols: Seq[String],
-                 numBuckets: Int): Unit = {
+                 numBuckets: Int, tag: Option[Long] = None): Unit = {
     val spark = batch.sparkSession
     val (fs, rootPath) = fsOf(spark, root)
     // persisted once: the touched-bucket collect and the merge union
@@ -152,6 +198,11 @@ object BucketedCdcState {
         .parquet(new Path(pending.dir, "buckets").toString)
       writeBucketMap(fs, pending.dir,
         map ++ touched.map(_ -> pending.version))
+      tag.foreach { t =>
+        val out = fs.create(new Path(pending.dir, TagFile), true)
+        out.write(t.toString.getBytes("UTF-8"))
+        out.close()
+      }
       TableVersions.commit(fs, rootPath, pending)
     } finally bucketed.unpersist()
   }
@@ -167,10 +218,21 @@ object BucketedCdcState {
     val (fs, rootPath) = fsOf(spark, root)
     val versions = TableVersions.committedVersions(fs, rootPath)
     if (versions.isEmpty) return
-    val window = versions.takeRight(keepHistory)
+    // tagged versions within one batch of the newest tag stay: they
+    // are the replay anchors of statePartialBefore (a re-run of batch
+    // N reads the newest version tagged < N, however many times N
+    // itself has committed)
+    val tags = versions.map(v =>
+      v -> readTag(fs, TableVersions.dataDir(rootPath, v))).toMap
+    val maxTag = tags.values.flatten.reduceOption(_ max _)
+    val anchorKeep = maxTag match {
+      case Some(m) => versions.filter(v => tags(v).exists(_ >= m - 1)).toSet
+      case None    => Set.empty[Long]
+    }
+    val window = versions.takeRight(keepHistory).toSet ++ anchorKeep
     val referenced = window.flatMap(v =>
-      readBucketMap(fs, TableVersions.dataDir(rootPath, v)).values).toSet
-    versions.dropRight(keepHistory)
+      readBucketMap(fs, TableVersions.dataDir(rootPath, v)).values)
+    versions.filterNot(window.contains)
       .filterNot(referenced.contains)
       .foreach(v => fs.delete(TableVersions.dataDir(rootPath, v), true))
   }

@@ -1,0 +1,74 @@
+package graft
+
+import java.nio.file.Files
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.streaming.StreamGapFill
+
+/** Streaming gap fill == batch q35 under day-ordered batches; replay
+  * idempotent; state stays bucket-incremental (BucketedCdcState).
+  */
+class StreamGapFillSpec extends AnyFunSuite {
+  lazy val spark: SparkSession = SparkTestSession.spark
+  import spark.implicits._
+
+  private val sf = "/root/testdata/sf0.001"
+
+  test("two day-ordered batches == batch gap fill; replay reproduces the increment") {
+    val work = Files.createTempDirectory("sgapfill").toString
+    val e = graft.sources.TableCatalog.events(spark, sf)
+    val midDay = e.agg(to_date(min(col("ts"))).as("d0"), to_date(max(col("ts"))).as("d1"))
+      .select(date_add(col("d0"), (datediff(col("d1"), col("d0")) / 2).cast("int")))
+      .head().getDate(0)
+    val b1 = e.filter(to_date(col("ts")) <= lit(midDay))
+    val b2 = e.filter(to_date(col("ts")) > lit(midDay))
+
+    StreamGapFill.applyBatch(b1, "user_id", "ts", "value",
+      s"$work/out", s"$work/state", 0L)
+    StreamGapFill.applyBatch(b2, "user_id", "ts", "value",
+      s"$work/out", s"$work/state", 1L)
+
+    def streamed = StreamGapFill.results(spark, s"$work/out")
+      .select("user_id", "day", "value_filled")
+      .as[(Long, java.sql.Date, Double)].collect().toSet
+    val batch = graft.queries.Relational.q35GapFill(spark, sf)
+      .as[(Long, java.sql.Date, Double)].collect().toSet
+    val got = streamed
+    assert(got == batch && got.nonEmpty)
+    // no duplicate (key, day) across increments
+    assert(got.size == got.map(t => (t._1, t._2)).size)
+
+    // replayed micro-batch overwrites its own increment: union unchanged
+    StreamGapFill.applyBatch(b2, "user_id", "ts", "value",
+      s"$work/out", s"$work/state", 1L)
+    assert(streamed == batch)
+  }
+
+  test("a key absent from a later batch is not extended past its own last day") {
+    val work = Files.createTempDirectory("sgapfill2").toString
+    val b1 = Seq(
+      (1L, java.sql.Timestamp.valueOf("2024-01-01 10:00:00"), 5.0),
+      (1L, java.sql.Timestamp.valueOf("2024-01-04 10:00:00"), 7.0),
+      (2L, java.sql.Timestamp.valueOf("2024-01-02 10:00:00"), 1.0)
+    ).toDF("user_id", "ts", "value")
+    val b2 = Seq( // only key 2 continues
+      (2L, java.sql.Timestamp.valueOf("2024-01-06 10:00:00"), 2.0)
+    ).toDF("user_id", "ts", "value")
+    StreamGapFill.applyBatch(b1, "user_id", "ts", "value",
+      s"$work/out", s"$work/state", 0L)
+    StreamGapFill.applyBatch(b2, "user_id", "ts", "value",
+      s"$work/out", s"$work/state", 1L)
+    val got = StreamGapFill.results(spark, s"$work/out")
+      .select("user_id", "day", "value_filled")
+      .as[(Long, java.sql.Date, Double)].collect()
+      .groupBy(_._1).view.mapValues(_.sortBy(_._2.toString)).toMap
+    // key 1: 01-01..01-04 LOCF 5,5,5,7 — nothing past 01-04
+    assert(got(1L).map(_._3).toSeq == Seq(5.0, 5.0, 5.0, 7.0))
+    assert(got(1L).last._2.toString == "2024-01-04")
+    // key 2: 01-02 then filled 01-03..01-05 with 1.0, then 01-06 with 2.0
+    assert(got(2L).map(_._3).toSeq == Seq(1.0, 1.0, 1.0, 1.0, 2.0))
+  }
+}
