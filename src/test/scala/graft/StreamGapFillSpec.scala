@@ -47,6 +47,28 @@ class StreamGapFillSpec extends AnyFunSuite {
     assert(streamed == batch)
   }
 
+  test("double replay then next batch: prune keeps the anchors, output stays exact") {
+    val work = Files.createTempDirectory("sgapfill3").toString
+    def b(rows: (Long, String, Double)*) = rows
+      .map { case (k, d, v) => (k, java.sql.Timestamp.valueOf(d + " 10:00:00"), v) }
+      .toDF("user_id", "ts", "value")
+    def apply(df: org.apache.spark.sql.DataFrame, id: Long) =
+      StreamGapFill.applyBatch(df, "user_id", "ts", "value",
+        s"$work/out", s"$work/state", id)
+    val b1 = b((1L, "2024-02-01", 1.0), (1L, "2024-02-03", 3.0))
+    val b2 = b((1L, "2024-02-06", 6.0))
+    val b3 = b((1L, "2024-02-08", 8.0))
+    apply(b1, 0L)
+    apply(b2, 1L); apply(b2, 1L); apply(b2, 1L) // two replays after the original
+    apply(b3, 2L)
+    val got = StreamGapFill.results(spark, s"$work/out")
+      .select("day", "value_filled").as[(java.sql.Date, Double)]
+      .collect().sortBy(_._1.toString).toSeq
+    assert(got.map(_._2) == Seq(1.0, 1.0, 3.0, 3.0, 3.0, 6.0, 6.0, 8.0),
+      got.mkString(","))
+    assert(got.map(_._1.toString) == (1 to 8).map(d => f"2024-02-0$d%d"))
+  }
+
   test("a key absent from a later batch is not extended past its own last day") {
     val work = Files.createTempDirectory("sgapfill2").toString
     val b1 = Seq(
