@@ -26,22 +26,37 @@ import org.apache.spark.sql.streaming.StreamingQuery
   *
   * Emissions land in per-batch-id output dirs (overwrite → a replay
   * reproduces its own increment; the state merge is latest-wins and
-  * therefore also replay-idempotent). With day-ordered batches the
-  * union of all increments equals the batch gap-fill exactly
-  * (spec'd); out-of-order days within a key are merged by the
-  * latest-wins sequence, matching the batch operator's max-per-day
-  * semantics.
+  * therefore also replay-idempotent). A day present in BOTH carried
+  * state and the current batch (normal when several micro-batches
+  * cover one day) is merged per (key, day) to the larger value BEFORE
+  * the fill window — q35's max-per-day semantics — and, when the
+  * merged value exceeds what was already emitted, the day is
+  * re-emitted as a correction; [[results]] resolves per (key, day) to
+  * the newest batch's row, so the union of increments stays
+  * duplicate-free and equals the batch gap-fill (spec'd, including
+  * batches sharing a day). Days arriving AFTER a later day was
+  * already emitted (out-of-order across batches) are latest-wins
+  * approximate: the late batch's fill overwrites the span it covers,
+  * which matches batch semantics unless an intermediate point between
+  * the late day and the state's day had already been emitted —
+  * exactness there needs retraction, which no consumer requires yet.
   */
 object StreamGapFill {
 
+  /** Consolidation cadence for the per-batch OUTPUT dirs (state is a
+    * [[BucketedCdcState]] snapshot chain with its own prune).
+    */
+  val DefaultCompactEvery = 64
+
   def start(eventsStream: DataFrame, keyCol: String, tsCol: String,
             valCol: String, outDir: String, stateRoot: String,
-            checkpointDir: String, numBuckets: Int = 64): StreamingQuery = {
+            checkpointDir: String, numBuckets: Int = 64,
+            compactEvery: Int = DefaultCompactEvery): StreamingQuery = {
     eventsStream.writeStream
       .option("checkpointLocation", checkpointDir)
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
         applyBatch(batch, keyCol, tsCol, valCol, outDir, stateRoot,
-          batchId, numBuckets)
+          batchId, numBuckets, compactEvery)
         ()
       }
       .start()
@@ -50,8 +65,12 @@ object StreamGapFill {
   /** One micro-batch; factored out for replay and direct use. */
   def applyBatch(batch: DataFrame, keyCol: String, tsCol: String,
                  valCol: String, outDir: String, stateRoot: String,
-                 batchId: Long, numBuckets: Int = 64): Unit = {
+                 batchId: Long, numBuckets: Int = 64,
+                 compactEvery: Int = DefaultCompactEvery): Unit = {
     val spark = batch.sparkSession
+    if (compactEvery > 0 && batchId > 0 && batchId % compactEvery == 0)
+      BatchDirs.consolidate(spark, outDir, batchId,
+        merge = resolve, idCol = Some(BatchCol))
     val daily = batch
       .groupBy(col(keyCol), to_date(col(tsCol)).as("day"))
       .agg(max(col(valCol)).as("day_value"))
@@ -69,20 +88,38 @@ object StreamGapFill {
       // keys absent from this batch ride along but emit nothing
       val prev = BucketedCdcState
         .statePartialBefore(spark, stateRoot, touched, beforeTag = batchId)
-        .map(_.select(col(keyCol), col("day"), col("day_value"))
-          .withColumn("from_state", lit(true)))
+        .map(_.select(col(keyCol), col("day"),
+          col("day_value").as("state_value")))
+
+      // merge state and batch points per (key, day) BEFORE the fill
+      // window — a day in both resolves deterministically to the
+      // larger value (q35's max-per-day rule) instead of a
+      // nondeterministic window tie that either loses the update or
+      // emits conflicting duplicates. `state_value` records what was
+      // already emitted for the day (null = nothing).
+      val valueType = daily.schema("day_value").dataType
       val pts = prev match {
-        case Some(p) => p.unionByName(daily.withColumn("from_state", lit(false)))
-        case None    => daily.withColumn("from_state", lit(false))
+        case Some(p) =>
+          daily.join(p, Seq(keyCol, "day"), "full_outer")
+            .select(col(keyCol), col("day"),
+              greatest(coalesce(col("day_value"), col("state_value")),
+                coalesce(col("state_value"), col("day_value")))
+                .as("day_value"),
+              col("state_value"))
+        case None =>
+          daily.withColumn("state_value", lit(null).cast(valueType))
       }
 
       val w = Window.partitionBy(col(keyCol)).orderBy(col("day").asc)
       val nxt = lead(col("day"), 1).over(w)
-      // a state point's day is already emitted: its fill starts the
-      // day after; a batch point emits itself and fills to the day
-      // before the next point
+      // days are now unique per key, so the window order is total. A
+      // day whose merged value equals what state already emitted
+      // starts filling the day after; a new day — or an already-
+      // emitted day whose value grew (correction) — emits itself too
+      val alreadyEmitted =
+        col("state_value").isNotNull && col("day_value") === col("state_value")
       val filled = pts
-        .withColumn("start", when(col("from_state"), date_add(col("day"), 1))
+        .withColumn("start", when(alreadyEmitted, date_add(col("day"), 1))
           .otherwise(col("day")))
         .withColumn("stop", when(nxt.isNull, col("day"))
           .otherwise(date_sub(nxt, 1)))
@@ -92,31 +129,32 @@ object StreamGapFill {
           col("day_value").as("value_filled"))
 
       filled.write.mode("overwrite").parquet(s"$outDir/batch_$batchId")
-      // latest-wins by day: the state table's sequence IS the day;
+      // latest-wins by (day, day_value): the value tiebreak makes a
+      // same-day re-merge deterministic (keep the max, q35 semantics);
       // the commit is tagged with this batch id (the replay anchor)
       BucketedCdcState.applyBatch(daily, stateRoot,
-        keyCols = Seq(keyCol), seqCols = Seq("day"), numBuckets = numBuckets,
-        tag = Some(batchId))
+        keyCols = Seq(keyCol), seqCols = Seq("day", "day_value"),
+        numBuckets = numBuckets, tag = Some(batchId))
       BucketedCdcState.prune(spark, stateRoot)
     } finally daily.unpersist()
   }
 
-  /** All filled rows emitted so far. */
-  def results(spark: org.apache.spark.sql.SparkSession, outDir: String): DataFrame = {
-    val path = new org.apache.hadoop.fs.Path(outDir)
-    val fs = path.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    val dirs = fs.listStatus(path).toSeq
-      .filter(st => st.isDirectory && st.getPath.getName.startsWith("batch_"))
-      .filter(st => fs.exists(new org.apache.hadoop.fs.Path(st.getPath, "_SUCCESS")))
-      .filter { st =>
-        val it = fs.listFiles(st.getPath, true)
-        var found = false
-        while (!found && it.hasNext)
-          found = it.next().getPath.getName.endsWith(".parquet")
-        found
-      }
-      .map(_.getPath.toString)
-    require(dirs.nonEmpty, s"no output batches under $outDir")
-    dirs.map(spark.read.parquet(_)).reduce(_ unionByName _)
+  private val BatchCol = "__batch"
+
+  /** Latest-wins per (key, day) across batch increments: a correction
+    * row emitted by a later batch (same-day value grew) supersedes the
+    * original emission, so the result is duplicate-free.
+    */
+  private def resolve(df: DataFrame): DataFrame = {
+    val keys = df.columns
+      .filterNot(Set("day", "value_filled", BatchCol).contains).toSeq
+    df.groupBy((keys :+ "day").map(col): _*)
+      .agg(max(struct(col(BatchCol), col("value_filled"))).as("__m"))
+      .select((keys.map(col) :+ col("day") :+
+        col(s"__m.value_filled").as("value_filled")): _*)
   }
+
+  /** All filled rows emitted so far, corrections resolved. */
+  def results(spark: org.apache.spark.sql.SparkSession, outDir: String): DataFrame =
+    resolve(BatchDirs.read(spark, outDir, idCol = Some(BatchCol)))
 }

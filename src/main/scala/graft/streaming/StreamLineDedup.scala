@@ -62,8 +62,12 @@ object StreamLineDedup {
                  sep: String, outDir: String, stateDir: String,
                  batchId: Long,
                  compactEvery: Int = DefaultCompactEvery): Unit = {
-    if (compactEvery > 0 && batchId > 0 && batchId % compactEvery == 0)
+    if (compactEvery > 0 && batchId > 0 && batchId % compactEvery == 0) {
       consolidate(batch.sparkSession, stateDir, batchId)
+      // output side: append-only survivors, plain-union merge — keeps
+      // a long stream's results() read bounded in directory count
+      BatchDirs.consolidate(batch.sparkSession, outDir, batchId)
+    }
     val spark = batch.sparkSession
     val docs = batch.select(col(idCol),
       split(col(textCol), java.util.regex.Pattern.quote(sep)).as("__lines"))
@@ -162,7 +166,9 @@ object StreamLineDedup {
     cleanup()
   }
 
-  /** Read back everything the stream has emitted so far. */
+  /** Read back everything the stream has emitted so far (consolidated
+    * dirs included).
+    */
   def results(spark: SparkSession, outDir: String): DataFrame =
-    spark.read.parquet(s"$outDir/batch_*")
+    BatchDirs.read(spark, outDir)
 }

@@ -92,8 +92,14 @@ object StreamNearDedup {
                  maxBucketSize: Int = DefaultMaxBucketSize): Unit = {
     require(numHashes % rowsPerBand == 0, "numHashes must be divisible by rowsPerBand")
     val spark = batch.sparkSession
-    if (compactEvery > 0 && batchId > 0 && batchId % compactEvery == 0)
+    if (compactEvery > 0 && batchId > 0 && batchId % compactEvery == 0) {
       consolidate(spark, stateDir, batchId)
+      // output side too: survivors are append-only (each doc lands in
+      // exactly one batch dir, replays overwrite), so the merge is a
+      // plain union — without this a long stream's results() read
+      // lists one dir per microbatch forever
+      BatchDirs.consolidate(spark, outDir, batchId)
+    }
 
     val posts = postings(batch, idCol, textCol, n, numHashes, rowsPerBand,
       stateBuckets).persist()
@@ -241,13 +247,11 @@ object StreamNearDedup {
       .foreach { case (_, d) => fs.delete(new Path(d), true) }
   }
 
-  /** All surviving documents written so far. */
-  def results(spark: SparkSession, outDir: String): DataFrame = {
-    val (fs, path) = fsOf(spark, outDir)
-    val dirs = listState(fs, path, "batch_").map(_._2)
-    require(dirs.nonEmpty, s"no output batches under $outDir")
-    dirs.map(d => spark.read.parquet(d)).reduce(_ unionByName _)
-  }
+  /** All surviving documents written so far (consolidated dirs
+    * included).
+    */
+  def results(spark: SparkSession, outDir: String): DataFrame =
+    BatchDirs.read(spark, outDir)
 
   private def fsOf(spark: SparkSession, dir: String): (FileSystem, Path) = {
     val path = new Path(dir)

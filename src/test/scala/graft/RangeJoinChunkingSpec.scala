@@ -136,7 +136,8 @@ class RangeJoinChunkingSpec extends AnyFunSuite {
     import spark.implicits._
     val sf = "/root/testdata/sf0.01"
     val approx = SparkEntry.queries("q39_approx_quantile")(spark, sf)
-      .as[(String, Seq[Double])].collect().toMap
+      .as[(String, Double, Double, Double)].collect()
+      .map { case (f, p25, p50, p75) => f -> Seq(p25, p50, p75) }.toMap
     val li = spark.read.parquet(s"$sf/lineitem.parquet")
       .select(col("l_returnflag"), col("l_extendedprice").as("x"))
       .as[(String, Double)].collect().groupBy(_._1).view

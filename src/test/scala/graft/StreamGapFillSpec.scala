@@ -69,6 +69,85 @@ class StreamGapFillSpec extends AnyFunSuite {
     assert(got.map(_._1.toString) == (1 to 8).map(d => f"2024-02-0$d%d"))
   }
 
+  test("consecutive batches sharing a day: larger value corrects the emission deterministically") {
+    val work = Files.createTempDirectory("sgapshare").toString
+    def b(rows: (Long, String, Double)*) = rows
+      .map { case (k, d, v) => (k, java.sql.Timestamp.valueOf(d + " 10:00:00"), v) }
+      .toDF("user_id", "ts", "value")
+    def apply(df: org.apache.spark.sql.DataFrame, id: Long) =
+      StreamGapFill.applyBatch(df, "user_id", "ts", "value",
+        s"$work/out", s"$work/state", id)
+    apply(b((1L, "2024-03-01", 5.0), (1L, "2024-03-02", 2.0)), 0L)
+    // day 03-02 arrives again with a LARGER value (several
+    // micro-batches covering one day) plus a later day
+    apply(b((1L, "2024-03-02", 9.0), (1L, "2024-03-05", 1.0)), 1L)
+
+    def got = StreamGapFill.results(spark, s"$work/out")
+      .select("day", "value_filled").as[(java.sql.Date, Double)]
+      .collect().sortBy(_._1.toString).toSeq
+    // q35 max-per-day semantics over the union: 5, max(2,9)=9, LOCF 9,9, then 1
+    assert(got.map(_._1.toString) == (1 to 5).map(d => s"2024-03-0$d"))
+    assert(got.map(_._2) == Seq(5.0, 9.0, 9.0, 9.0, 1.0), got.mkString(","))
+    // no duplicate (key, day) rows despite the correction
+    assert(got.size == got.map(_._1).distinct.size)
+
+    // replaying the correcting batch changes nothing
+    apply(b((1L, "2024-03-02", 9.0), (1L, "2024-03-05", 1.0)), 1L)
+    assert(got.map(_._2) == Seq(5.0, 9.0, 9.0, 9.0, 1.0))
+  }
+
+  test("consecutive batches sharing a day: smaller value leaves the emission alone") {
+    val work = Files.createTempDirectory("sgapshare2").toString
+    def b(rows: (Long, String, Double)*) = rows
+      .map { case (k, d, v) => (k, java.sql.Timestamp.valueOf(d + " 10:00:00"), v) }
+      .toDF("user_id", "ts", "value")
+    def apply(df: org.apache.spark.sql.DataFrame, id: Long) =
+      StreamGapFill.applyBatch(df, "user_id", "ts", "value",
+        s"$work/out", s"$work/state", id)
+    apply(b((1L, "2024-03-01", 5.0), (1L, "2024-03-02", 2.0)), 0L)
+    apply(b((1L, "2024-03-02", 1.0), (1L, "2024-03-05", 7.0)), 1L)
+    val got = StreamGapFill.results(spark, s"$work/out")
+      .select("day", "value_filled").as[(java.sql.Date, Double)]
+      .collect().sortBy(_._1.toString).toSeq
+    // day 2 keeps its already-emitted max (2.0); the fill forward
+    // carries 2.0 to the next point
+    assert(got.map(_._2) == Seq(5.0, 2.0, 2.0, 2.0, 7.0), got.mkString(","))
+    assert(got.size == got.map(_._1).distinct.size)
+  }
+
+  test("output consolidation bounds the dir count, preserves results, and keeps replay exact") {
+    val work = Files.createTempDirectory("sgapcompact").toString
+    def b(rows: (Long, String, Double)*) = rows
+      .map { case (k, d, v) => (k, java.sql.Timestamp.valueOf(d + " 10:00:00"), v) }
+      .toDF("user_id", "ts", "value")
+    def apply(df: org.apache.spark.sql.DataFrame, id: Long) =
+      StreamGapFill.applyBatch(df, "user_id", "ts", "value",
+        s"$work/out", s"$work/state", id, compactEvery = 2)
+    // batch 1 corrects batch 0's day — the correction must survive
+    // being folded into a compact dir
+    apply(b((1L, "2024-04-01", 5.0), (1L, "2024-04-02", 2.0)), 0L)
+    apply(b((1L, "2024-04-02", 9.0)), 1L)
+    apply(b((1L, "2024-04-04", 4.0)), 2L) // triggers consolidate(<2)
+    apply(b((1L, "2024-04-06", 6.0)), 3L)
+    apply(b((1L, "2024-04-08", 8.0)), 4L) // triggers consolidate(<4)
+
+    val dir = new java.io.File(s"$work/out")
+    val names = dir.listFiles().map(_.getName).filterNot(_.startsWith("_")).sorted.toSeq
+    assert(names == Seq("batch_4", "compact_3"), names.mkString(","))
+
+    def got = StreamGapFill.results(spark, s"$work/out")
+      .select("day", "value_filled").as[(java.sql.Date, Double)]
+      .collect().sortBy(_._1.toString).toSeq
+    assert(got.map(_._2) == Seq(5.0, 9.0, 9.0, 4.0, 4.0, 6.0, 6.0, 8.0),
+      got.mkString(","))
+    assert(got.map(_._1.toString) == (1 to 8).map(d => s"2024-04-0$d"))
+
+    // a replay of the newest batch post-consolidation reproduces its
+    // exact increment (state anchor + overwrite of its own dir)
+    apply(b((1L, "2024-04-08", 8.0)), 4L)
+    assert(got.map(_._2) == Seq(5.0, 9.0, 9.0, 4.0, 4.0, 6.0, 6.0, 8.0))
+  }
+
   test("a key absent from a later batch is not extended past its own last day") {
     val work = Files.createTempDirectory("sgapfill2").toString
     val b1 = Seq(

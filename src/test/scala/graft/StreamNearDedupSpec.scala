@@ -105,6 +105,11 @@ class StreamNearDedupSpec extends AnyFunSuite {
       .filter(n => n.startsWith("batch_") || n.startsWith("compact_")).sorted
     assert(stateDirs.count(_.startsWith("batch_")) <= 2, stateDirs.mkString(","))
     assert(stateDirs.exists(_.startsWith("compact_")), stateDirs.mkString(","))
+    // the OUTPUT side consolidates on the same cadence
+    val outDirs = new java.io.File(s"$work/out").listFiles().map(_.getName)
+      .filter(n => n.startsWith("batch_") || n.startsWith("compact_")).sorted
+    assert(outDirs.count(_.startsWith("batch_")) <= 2, outDirs.mkString(","))
+    assert(outDirs.exists(_.startsWith("compact_")), outDirs.mkString(","))
 
     Seq((200L, text(100))).toDF("doc_id", "text")
       .write.mode("overwrite").parquet(s"$work/tmp_dup")

@@ -143,6 +143,11 @@ class StreamingSpec extends AnyFunSuite {
     assert(stateDirNames.count(_.startsWith("batch_")) <= K)
     assert(stateDirNames.count(_.startsWith("compact_")) == 1)
     assert(stateDirNames.contains("compact_11"))
+    // the OUTPUT side consolidates on the same cadence
+    def outDirNames = new java.io.File(s"$work/out").listFiles()
+      .filter(_.isDirectory).map(_.getName).sorted.toSeq
+    assert(outDirNames.count(_.startsWith("batch_")) <= K)
+    assert(outDirNames.contains("compact_11"), outDirNames.mkString(","))
 
     // replay the consolidating batch (12) and the tail batch (13):
     // identical output, consolidation skip path exercised
