@@ -54,6 +54,11 @@ object RangeJoin {
     * (a compacted single file, a small filtered table) funnels the
     * entire candidate fan-out through those few tasks; one narrow
     * exchange of (time, bin) rows then buys full-cluster fan-out.
+    * `spreadIntervals` is the symmetric knob for the interval side:
+    * an intervals table read from few splits funnels the POST-explode
+    * fan-out (spans / width rows per interval) through those same
+    * tasks; repartitioning on the bucket id after the explode spreads
+    * the exploded rows cluster-wide.
     */
   def intervalJoin(
       probe: DataFrame,
@@ -63,21 +68,33 @@ object RangeJoin {
       endCol: String,
       bucketSeconds: Long,
       spreadProbe: Boolean = false,
+      spreadIntervals: Boolean = false,
       maxBucketsPerInterval: Int = 65536): DataFrame = {
     require(bucketSeconds > 0, "bucketSeconds must be positive")
     require(maxBucketsPerInterval > 0, "maxBucketsPerInterval must be positive")
     val width = bucketSeconds * 1000000L // micros
-    // NTZ-tolerant epoch: unix_micros only takes TIMESTAMP, and the
-    // cast from TIMESTAMP_NTZ applies one fixed session-TZ offset —
-    // a constant shift, so bucket co-membership (all binning needs)
-    // is unaffected; the exact range check below compares the
-    // original untouched columns.
-    def us(c: String) = unix_micros(col(c).cast("timestamp_ltz"))
-    val binned = probe.withColumn(Bin, floor(us(probeTime) / width))
+    // Epoch micros for binning. TIMESTAMP_NTZ must NOT go through a
+    // session-TZ cast: with a DST zone the offset varies by instant,
+    // so two distinct NTZ values inside a spring-forward gap would
+    // collapse to the same epoch and a probe on an exact bucket
+    // boundary could miss its interval. Instead the NTZ wall clock is
+    // mapped to micros as if UTC — date and time-of-day fields are
+    // TZ-independent on NTZ, so the mapping is strictly monotone in
+    // the value, which is all binning needs. The exact range check
+    // below still compares the original untouched columns.
+    def us(df: DataFrame, c: String): Column = df.schema(c).dataType match {
+      case org.apache.spark.sql.types.TimestampNTZType =>
+        unix_date(col(c).cast("date")).cast("long") * lit(86400000000L) +
+          hour(col(c)).cast("long") * lit(3600000000L) +
+          minute(col(c)).cast("long") * lit(60000000L) +
+          (date_part(lit("SECOND"), col(c)) * lit(1000000L)).cast("long")
+      case _ => unix_micros(col(c).cast("timestamp_ltz"))
+    }
+    val binned = probe.withColumn(Bin, floor(us(probe, probeTime) / width))
     val p = if (spreadProbe) binned.repartition(col(Bin)) else binned
-    val startBin = floor(us(startCol) / width)
+    val startBin = floor(us(intervals, startCol) / width)
     // end is exclusive: the bucket of the last contained instant
-    val endBin = floor((us(endCol) - 1) / width)
+    val endBin = floor((us(intervals, endCol) - 1) / width)
     // fail fast (with the knob to turn) instead of materializing a
     // multi-million-element sequence in one row
     val endChecked = when(endBin - startBin < lit(maxBucketsPerInterval.toLong),
@@ -86,9 +103,10 @@ object RangeJoin {
           s"(max $maxBucketsPerInterval) — raise bucketSeconds, raise " +
           "maxBucketsPerInterval, or repair the interval bounds",
         endBin - startBin + 1)).cast("long"))
-    val iv = intervals
+    val exploded = intervals
       .filter(col(startCol) < col(endCol))
       .withColumn(Bin, explode(sequence(startBin, endChecked)))
+    val iv = if (spreadIntervals) exploded.repartition(col(Bin)) else exploded
     p.join(iv, Seq(Bin))
       .filter(col(probeTime) >= col(startCol) && col(probeTime) < col(endCol))
       .drop(Bin)
