@@ -1,6 +1,6 @@
 package graft.operators
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 
 /** Interval (range) join expressed as a bucketed equi-join.
@@ -72,6 +72,24 @@ object RangeJoin {
       maxBucketsPerInterval: Int = 65536): DataFrame = {
     require(bucketSeconds > 0, "bucketSeconds must be positive")
     require(maxBucketsPerInterval > 0, "maxBucketsPerInterval must be positive")
+    // Binning epoch is type-dependent (see `us` below): NTZ maps wall
+    // clock as-if-UTC, LTZ maps the instant through the session TZ.
+    // A probe/interval mix of the two would bin on different epochs
+    // under a non-UTC session TZ and silently drop boundary matches —
+    // and the residual NTZ-vs-LTZ comparison itself would hinge on an
+    // implicit session-TZ coercion. Reject the mix outright.
+    val ntzness = Seq(
+      probeTime -> probe.schema(probeTime).dataType,
+      startCol -> intervals.schema(startCol).dataType,
+      endCol -> intervals.schema(endCol).dataType
+    ).map { case (n, t) =>
+      n -> (t == org.apache.spark.sql.types.TimestampNTZType)
+    }
+    require(ntzness.map(_._2).distinct.size == 1,
+      s"RangeJoin: probe/interval time columns mix TIMESTAMP_NTZ with " +
+        s"session-TZ timestamps (${ntzness.map { case (n, z) =>
+          s"$n=${if (z) "NTZ" else "LTZ"}" }.mkString(", ")}); cast them " +
+        "to one timestamp family first")
     val width = bucketSeconds * 1000000L // micros
     // Epoch micros for binning. TIMESTAMP_NTZ must NOT go through a
     // session-TZ cast: with a DST zone the offset varies by instant,

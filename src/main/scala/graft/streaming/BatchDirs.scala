@@ -8,22 +8,38 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
   * emissions).
   *
   * Layout under a root: `batch_<id>` dirs, one per micro-batch
-  * (overwritten on replay → effectively-once), plus at most a couple
-  * of `compact_<c>` dirs, each holding the merged contents of every
-  * batch id <= c. Without consolidation a year-long stream makes any
-  * downstream read list tens of thousands of directories — the same
-  * small-file pathology the batch [[graft.sinks.Compaction]] exists to
-  * fix — so callers invoke [[consolidate]] every K batches, exactly as
-  * the operators' STATE sides already do.
+  * (overwritten on replay → effectively-once), plus a logarithmic
+  * chain of `compact_<id>[.<floor>]` dirs, each holding the merged
+  * contents of every batch id in `(floor, id]` (`floor` omitted when
+  * -1, i.e. the compact covers everything below it). Without
+  * consolidation a year-long stream makes any downstream read list
+  * tens of thousands of directories — the same small-file pathology
+  * the batch [[graft.sinks.Compaction]] exists to fix — so callers
+  * invoke [[consolidate]] every K batches, exactly as the operators'
+  * STATE sides already do.
+  *
+  * Consolidation is TIERED (the classic logarithmic method): each
+  * call folds only the batch dirs above the newest compact into a new
+  * compact, then absorbs older compacts geometrically — the newest
+  * existing compact joins the merge whenever its covered width is at
+  * most the accumulated width being written (a binary-counter merge
+  * schedule). Every row is therefore rewritten O(log T) times over a
+  * T-batch stream (not O(T/K) as a single ever-growing compact would
+  * be) and at most O(log T) compacts coexist. StreamGapFill's dense
+  * daily emissions are the motivating case: an ever-growing series
+  * re-merged on every consolidation is O(T²/K) lifetime I/O.
   *
   * Replay safety: consolidation at batch N only covers ids < N, and a
   * checkpointed stream only ever replays its newest uncommitted batch,
   * so a replayed batch N still overwrites its own `batch_N` (never a
   * consolidated id) and reproduces its increment byte-for-byte. The
-  * compact target is keyed by the newest id it covers, making a
-  * replayed consolidation idempotent: if the target is complete it
-  * only re-runs the (idempotent) cleanup; if half-written (no
-  * `_SUCCESS`) it is rebuilt from its still-present inputs.
+  * compact target is keyed by the newest id it covers AND the floor it
+  * stops at, making a replayed consolidation idempotent: if the target
+  * is complete it only re-runs the (idempotent) cleanup — the floor in
+  * the name identifies exactly which absorbed inputs to sweep; if
+  * half-written (no `_SUCCESS`) it is rebuilt from its still-present
+  * inputs (inputs are deleted only after a successful write, and the
+  * rebuild recomputes the same input set from the unchanged listing).
   */
 object BatchDirs {
 
@@ -43,8 +59,63 @@ object BatchDirs {
       .filter(st => st.isDirectory && st.getPath.getName.startsWith(prefix))
       .filter(st => fs.exists(new Path(st.getPath, "_SUCCESS")))
       .filter(st => hasParquetFile(fs, st.getPath))
-      .map(st => st.getPath.getName.stripPrefix(prefix).toLong -> st.getPath.toString)
+      .flatMap(st => parseId(st.getPath.getName, prefix)
+        .map(_ -> st.getPath.toString))
       .sortBy(_._1)
+  }
+
+  /** Complete compact dirs as (id, floor, path) ascending by id. */
+  private def listCompacts(fs: FileSystem,
+                           root: Path): Seq[(Long, Long, String)] = {
+    if (!fs.exists(root)) return Nil
+    fs.listStatus(root).toSeq
+      .filter(st => st.isDirectory && st.getPath.getName.startsWith("compact_"))
+      .filter(st => fs.exists(new Path(st.getPath, "_SUCCESS")))
+      .filter(st => hasParquetFile(fs, st.getPath))
+      .flatMap { st =>
+        parseCompact(st.getPath.getName)
+          .map { case (id, fl) => (id, fl, st.getPath.toString) }
+      }
+      .sortBy(_._1)
+  }
+
+  /** `compact_<id>` → (id, -1); `compact_<id>.<floor>` → (id, floor). */
+  private def parseCompact(name: String): Option[(Long, Long)] = {
+    val s = name.stripPrefix("compact_")
+    val (idPart, floorPart) = s.indexOf('.') match {
+      case -1 => (s, "-1")
+      case i  => (s.substring(0, i), s.substring(i + 1))
+    }
+    try Some((idPart.toLong, floorPart.toLong))
+    catch { case _: NumberFormatException => None }
+  }
+
+  private def parseId(name: String, prefix: String): Option[Long] = {
+    if (prefix == "compact_") parseCompact(name).map(_._1)
+    else {
+      try Some(name.stripPrefix(prefix).toLong)
+      catch { case _: NumberFormatException => None }
+    }
+  }
+
+  private def compactName(id: Long, floor: Long): String =
+    if (floor < 0) s"compact_$id" else s"compact_$id.$floor"
+
+  /** The effective tiled chain: walking from the newest compact down,
+    * keep a compact only if its id is at or below the floor of the
+    * last kept one. Filters out absorbed-but-not-yet-swept inputs (a
+    * consolidation crashed between its write and its deletes) whose
+    * content a newer compact already contains — reading both would
+    * double-count.
+    */
+  private def tiledChain(
+      cs: Seq[(Long, Long, String)]): Seq[(Long, Long, String)] = {
+    var bound = Long.MaxValue
+    val kept = scala.collection.mutable.ListBuffer.empty[(Long, Long, String)]
+    cs.sortBy(-_._1).foreach { c =>
+      if (c._1 <= bound) { kept.prepend(c); bound = c._2 }
+    }
+    kept.toSeq
   }
 
   def hasParquetFile(fs: FileSystem, dir: Path): Boolean = {
@@ -55,15 +126,14 @@ object BatchDirs {
     false
   }
 
-  /** The current read set: the newest compact dir (effective id = the
-    * newest batch it covers) plus every per-batch dir above it, as
-    * (effective id, path) ascending.
+  /** The current read set: the tiled compact chain plus every
+    * per-batch dir above its head, as (effective id, path) ascending.
     */
   def current(spark: SparkSession, root: String): Seq[(Long, String)] = {
     val (fs, path) = fsOf(spark, root)
-    val newest = list(fs, path, "compact_").lastOption
-    val floor = newest.map(_._1).getOrElse(-1L)
-    newest.toSeq ++ list(fs, path, "batch_").filter(_._1 > floor)
+    val chain = tiledChain(listCompacts(fs, path))
+    val floor = chain.lastOption.map(_._1).getOrElse(-1L)
+    chain.map(c => (c._1, c._3)) ++ list(fs, path, "batch_").filter(_._1 > floor)
   }
 
   /** Read set strictly before `batchId` — the prior-state view used by
@@ -72,20 +142,29 @@ object BatchDirs {
   def before(spark: SparkSession, root: String,
              batchId: Long): Seq[(Long, String)] = {
     val (fs, path) = fsOf(spark, root)
-    val newest = list(fs, path, "compact_").filter(_._1 < batchId).lastOption
-    val floor = newest.map(_._1).getOrElse(-1L)
-    newest.toSeq ++ list(fs, path, "batch_")
+    val chain = tiledChain(listCompacts(fs, path).filter(_._1 < batchId))
+    val floor = chain.lastOption.map(_._1).getOrElse(-1L)
+    chain.map(c => (c._1, c._3)) ++ list(fs, path, "batch_")
       .filter { case (id, _) => id > floor && id < batchId }
   }
 
-  /** Merge every dir covering ids < `upTo` into `compact_<upTo-1>`,
-    * then delete the merged inputs (plus any leaked dirs at or below
-    * the new floor — the crash-sweep for a consolidation killed
-    * between its write and its deletes). `merge` sees the union of the
-    * inputs and returns what the compact dir should hold — identity
-    * for append-only outputs, a latest-wins resolve for corrected
-    * ones. Each input carries its effective id in `idCol` while
-    * merging (dropped if `merge` drops it).
+  /** Tiered consolidation at `upTo`: fold the batch dirs above the
+    * newest compact (and below `upTo`) into `compact_<upTo-1>`,
+    * absorbing older compacts per the geometric rule in the class doc.
+    * Then delete the merged inputs, plus any leaked dirs the new
+    * compact covers — the crash-sweep for a consolidation killed
+    * between its write and its deletes. The sweep enumerates RAW
+    * directory names by parsed id (no `_SUCCESS`/parquet completeness
+    * filter), so marker-only dirs from zero-row batches and
+    * half-written leftovers at or below the floor are also removed
+    * instead of accumulating and being re-listed forever.
+    *
+    * `merge` sees the union of the inputs and returns what the compact
+    * dir should hold — identity for append-only outputs, a latest-wins
+    * resolve for corrected ones. Each input carries its effective id
+    * in `idCol` while merging (dropped if `merge` drops it); absorbed
+    * compacts are stamped with the newest id they cover, lower than
+    * any live batch dir, so a later correction still wins.
     */
   def consolidate(spark: SparkSession, root: String, upTo: Long,
                   merge: DataFrame => DataFrame = identity,
@@ -93,18 +172,54 @@ object BatchDirs {
                   partitionCols: Seq[String] = Nil): Unit = {
     val (fs, path) = fsOf(spark, root)
     val covered = upTo - 1
-    val target = new Path(path, s"compact_$covered")
 
-    def cleanup(): Unit = {
-      list(fs, path, "batch_").filter(_._1 <= covered)
-        .foreach { case (_, d) => fs.delete(new Path(d), true) }
-      list(fs, path, "compact_").filter(_._1 < covered)
-        .foreach { case (_, d) => fs.delete(new Path(d), true) }
+    /** Raw dirs with the prefix, as (id, path): NO completeness
+      * filter — this enumerates sweep candidates, not read inputs.
+      */
+    def raw(prefix: String): Seq[(Long, Path)] = {
+      if (!fs.exists(path)) return Nil
+      fs.listStatus(path).toSeq
+        .filter(st => st.isDirectory && st.getPath.getName.startsWith(prefix))
+        .flatMap(st => parseId(st.getPath.getName, prefix).map(_ -> st.getPath))
     }
 
-    if (fs.exists(new Path(target, "_SUCCESS"))) { cleanup(); return }
-    val inputs = before(spark, root, upTo)
+    def cleanup(floor: Long): Unit = {
+      raw("batch_").filter(_._1 <= covered)
+        .foreach { case (_, d) => fs.delete(d, true) }
+      raw("compact_").filter { case (id, _) => id > floor && id < covered }
+        .foreach { case (_, d) => fs.delete(d, true) }
+    }
+
+    // complete target from a prior (possibly crashed-after-write)
+    // attempt: its name records the floor — re-run only the sweep
+    listCompacts(fs, path).find(_._1 == covered) match {
+      case Some((_, floor, _)) => cleanup(floor); return
+      case None                =>
+    }
+
+    val chain = tiledChain(listCompacts(fs, path).filter(_._1 < upTo))
+    val newestId = chain.lastOption.map(_._1).getOrElse(-1L)
+    val batches = list(fs, path, "batch_")
+      .filter { case (id, _) => id > newestId && id < upTo }
+    if (batches.isEmpty) return // compact-merging piggybacks on new data
+
+    // geometric absorb: binary-counter merge schedule over covered widths
+    var acc = covered - newestId
+    var keep = chain.size
+    while (keep > 0 && chain(keep - 1)._1 - chain(keep - 1)._2 <= acc) {
+      acc += chain(keep - 1)._1 - chain(keep - 1)._2
+      keep -= 1
+    }
+    val absorbed = chain.drop(keep)
+    val newFloor = if (keep > 0) chain(keep - 1)._1 else -1L
+    val inputs = absorbed.map(c => (c._1, c._3)) ++ batches
     if (inputs.size <= 1) return
+
+    // a half-written same-id target from an interrupted attempt may
+    // carry a stale floor in its name — clear any id collision first
+    raw("compact_").filter(_._1 == covered)
+      .foreach { case (_, d) => fs.delete(d, true) }
+    val target = new Path(path, compactName(covered, newFloor))
     val unioned = inputs.map { case (id, d) =>
       val df = spark.read.parquet(d)
       idCol.fold(df)(c => df.withColumn(c,
@@ -113,7 +228,7 @@ object BatchDirs {
     val writer = merge(unioned).write.mode("overwrite")
     (if (partitionCols.nonEmpty) writer.partitionBy(partitionCols: _*)
      else writer).parquet(target.toString)
-    cleanup()
+    cleanup(newFloor)
   }
 
   /** Union of the current read set, each dir stamped with its

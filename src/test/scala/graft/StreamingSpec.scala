@@ -147,7 +147,9 @@ class StreamingSpec extends AnyFunSuite {
     def outDirNames = new java.io.File(s"$work/out").listFiles()
       .filter(_.isDirectory).map(_.getName).sorted.toSeq
     assert(outDirNames.count(_.startsWith("batch_")) <= K)
-    assert(outDirNames.contains("compact_11"), outDirNames.mkString(","))
+    // tiered consolidation: the newest compact covers up to batch 11
+    // (its name may carry a floor suffix), older tiers may remain
+    assert(outDirNames.exists(_.startsWith("compact_11")), outDirNames.mkString(","))
 
     // replay the consolidating batch (12) and the tail batch (13):
     // identical output, consolidation skip path exercised
