@@ -758,14 +758,43 @@ object Relational {
   val q38Outliers: Q = (s, d) => {
     val cents = col("value").cast("decimal(18,2)")
       .multiply(lit(100)).cast("decimal(38,0)")
-    val e = events(s, d).select(col("event_id"), col("event_type"), col("value"),
-      cents.as("cents"))
+    zScoreOutliers(events(s, d).select(col("event_id"), col("event_type"),
+      col("value"), cents.as("cents")))
+  }
+
+  /** The exact-integer z-score filter behind q38, on a frame of
+    * (event_id, event_type, value, cents: decimal(38,0)).
+    *
+    * Overflow envelope: the largest intermediate is
+    * `(n*cents - s)^2 <= (2 * n * max|cents|)^2`, and decimal(38,0)
+    * holds < 1e38, so the math is exact while `n * max|cents| < 1e18`
+    * (then dev^2 <= 4e36 and 9*(n*ss - s^2) <= 9e36, both in range).
+    * Beyond it, Spark's non-ANSI decimal overflow yields null and the
+    * filter would silently DROP rows a 128-bit engine keeps — so each
+    * group carries a guard that fails fast with the offending
+    * magnitude instead. The guard itself fails closed: if
+    * `n * max|cents|` is already unrepresentable, the null comparison
+    * routes to the error branch.
+    */
+  private[graft] def zScoreOutliers(e: org.apache.spark.sql.DataFrame)
+      : org.apache.spark.sql.DataFrame = {
+    val bound = lit(BigDecimal("1000000000000000000")) // 1e18
     val st = e.groupBy(col("event_type")).agg(
       count(lit(1)).cast("decimal(38,0)").as("n"),
       sum(col("cents")).cast("decimal(38,0)").as("s"),
-      sum(col("cents") * col("cents")).cast("decimal(38,0)").as("ss"))
+      sum(col("cents") * col("cents")).cast("decimal(38,0)").as("ss"),
+      max(abs(col("cents"))).as("maxc"))
+    val guarded = st.withColumn("n",
+        when(col("n") * col("maxc") < bound, col("n"))
+          .otherwise(raise_error(format_string(
+            "q38_outliers: group %s has n*max|cents| = %s >= 1e18 — " +
+              "decimal(38,0) would overflow and silently drop rows; " +
+              "rescale the value column or split the group",
+            col("event_type"), col("n") * col("maxc")))
+            .cast("decimal(38,0)")))
+      .drop("maxc")
     val dev = col("n") * col("cents") - col("s")
-    e.join(broadcast(st), Seq("event_type"))
+    e.join(broadcast(guarded), Seq("event_type"))
       .filter(dev * dev > lit(9) * (col("n") * col("ss") - col("s") * col("s")))
       .select(col("event_id"), col("event_type"), col("value"))
   }

@@ -132,16 +132,29 @@ object BucketedCdcState {
       .flatMap(s => scala.util.Try(s.trim.toLong).toOption)
 
   /** Newest committed version whose batch tag is strictly below
-    * `beforeTag` (untagged versions never match). The replay anchor:
-    * a re-run of batch N must see the state AS OF batch N-1, not the
-    * state its own first attempt already committed.
+    * `beforeTag`. The replay anchor: a re-run of batch N must see the
+    * state AS OF batch N-1, not the state its own first attempt
+    * already committed.
+    *
+    * Fails fast on a MIXED root: untagged commits (legacy
+    * [[applyBatch]] calls without a tag) can never be an anchor, so
+    * silently skipping them would anchor a replay past real state and
+    * corrupt quietly. Tag-anchored readers and untagged writers must
+    * not share a root.
     */
   private def versionBefore(fs: FileSystem, rootPath: Path,
-                            beforeTag: Long): Option[Long] =
-    TableVersions.committedVersions(fs, rootPath)
-      .filter(v => readTag(fs, TableVersions.dataDir(rootPath, v))
-        .exists(_ < beforeTag))
-      .lastOption
+                            beforeTag: Long): Option[Long] = {
+    val tagged = TableVersions.committedVersions(fs, rootPath)
+      .map(v => v -> readTag(fs, TableVersions.dataDir(rootPath, v)))
+    val untagged = tagged.collect { case (v, None) => v }
+    require(untagged.isEmpty,
+      s"BucketedCdcState: $rootPath holds committed versions without a " +
+        s"batch tag (v${untagged.mkString(", v")}); tag-anchored reads " +
+        "(statePartialBefore) cannot see that state and would silently " +
+        "anchor past it — write this root exclusively with tagged " +
+        "applyBatch calls, or read it with state()/statePartial()")
+    tagged.collect { case (v, Some(t)) if t < beforeTag => v }.lastOption
+  }
 
   /** Like [[statePartial]], but as of the newest commit TAGGED before
     * `beforeTag` — None when no such commit exists.
@@ -162,15 +175,33 @@ object BucketedCdcState {
     * re-merging under the same tag converges (latest-wins) and
     * produces a second version with the same tag — readers take the
     * newest match, so convergence is unaffected.
+    *
+    * `bucketCols` (default: `keyCols`) lets the merge key be FINER
+    * than the placement key — e.g. [[StreamGapFill]] merges per
+    * (series key, day) but buckets by series key alone, so one key's
+    * whole history stays co-bucketed and a batch's touched-bucket set
+    * is still computable from its keys. Must be a subset of `keyCols`
+    * so every row of a merge key lands in one bucket.
+    *
+    * `postMerge` runs on the merged bucket data before the write —
+    * the hook for state-retention policies (e.g. trimming points
+    * older than a lateness horizon). It must be per-key-local and
+    * idempotent on its own output, or replay convergence breaks.
     */
   def applyBatch(batch: DataFrame, root: String,
                  keyCols: Seq[String], seqCols: Seq[String],
-                 numBuckets: Int, tag: Option[Long] = None): Unit = {
+                 numBuckets: Int, tag: Option[Long] = None,
+                 bucketCols: Seq[String] = Nil,
+                 postMerge: DataFrame => DataFrame = identity): Unit = {
     val spark = batch.sparkSession
     val (fs, rootPath) = fsOf(spark, root)
+    val bcols = if (bucketCols.nonEmpty) bucketCols else keyCols
+    require(bcols.forall(keyCols.contains),
+      s"bucketCols (${bcols.mkString(",")}) must be a subset of " +
+        s"keyCols (${keyCols.mkString(",")})")
     // persisted once: the touched-bucket collect and the merge union
     // would otherwise each rescan the micro-batch source
-    val bucketed = batch.withColumn(BucketCol, bucketOf(keyCols, numBuckets))
+    val bucketed = batch.withColumn(BucketCol, bucketOf(bcols, numBuckets))
       .persist()
     try {
       // bucket ids only — at most numBuckets values, never data rows
@@ -180,7 +211,7 @@ object BucketedCdcState {
 
       val map = bucketMap(spark, root)
       val prev = readBuckets(spark, root, map, touched)
-        .map(_.withColumn(BucketCol, bucketOf(keyCols, numBuckets)))
+        .map(_.withColumn(BucketCol, bucketOf(bcols, numBuckets)))
       val input = prev match {
         case Some(p) => p.unionByName(bucketed, allowMissingColumns = true)
         case None    => bucketed
@@ -188,7 +219,7 @@ object BucketedCdcState {
       // the bucket column rides through the merge inside the payload
       // (it is a key-derived function, identical on every row of a
       // key), so no per-row re-hash after the aggregate
-      val merged = CdcMerge.latestByKey(input, keyCols, seqCols)
+      val merged = postMerge(CdcMerge.latestByKey(input, keyCols, seqCols))
 
       val pending = TableVersions.begin(fs, rootPath)
       merged

@@ -12,17 +12,30 @@ import org.apache.spark.sql.streaming.StreamingQuery
   * sees a gapless series without ever recomputing history.
   *
   * Per micro-batch: the batch collapses to per-(key, day) points; the
-  * per-key LAST emitted point is fetched from a [[BucketedCdcState]]
-  * table (reading ONLY the buckets the batch's keys hash into), the
-  * batch's new days are emitted — gaps between consecutive points
-  * carry the earlier point's value forward, and the span between the
-  * state point and the batch's first day is filled the same way —
-  * and the state table latest-wins merges the batch's points
-  * (rewriting only touched buckets, snapshot-chain commit). Per-batch
-  * cost is O(batch + touched buckets), never O(all keys): the
-  * naive "keep a last-value map for every key and rewrite it per
-  * batch" design this replaces is the same scale-killer the bucketed
-  * CDC state exists to fix.
+  * key's EMITTED POINTS (one state row per (key, day), bucketed by
+  * key so a series' history stays co-bucketed) are fetched from a
+  * [[BucketedCdcState]] table reading ONLY the buckets the batch's
+  * keys hash into, then only the UNSETTLED spans are emitted — a
+  * point's forward fill is emitted when the point is new or corrected,
+  * or when a new point lands right after it (shortening its open
+  * span); spans between two previously-known points were already
+  * emitted and are skipped. The state table latest-wins merges the
+  * batch's points per (key, day) (rewriting only touched buckets,
+  * snapshot-chain commit). Per-batch cost is O(batch + touched
+  * buckets' retained history), never O(all keys).
+  *
+  * OUT-OF-ORDER arrivals are EXACT within `latenessHorizonDays`:
+  * because state keeps each emitted point (not just the newest), a
+  * day arriving after later days were emitted fills only up to its
+  * true next neighbor, and the spans of older neighbors stay
+  * untouched — no retraction needed, the consumer-facing [[results]]
+  * resolve already takes the newest emission per (key, day). Points
+  * older than the horizon (relative to their key's newest day) are
+  * trimmed from state to bound bucket-rewrite I/O; a straggler older
+  * than THAT degrades to the previous latest-wins-approximate fill
+  * (it may overwrite intermediate days the trimmed points would have
+  * bounded). Size the horizon to the pipeline's real allowed
+  * lateness, exactly like a watermark.
   *
   * Emissions land in per-batch-id output dirs (overwrite → a replay
   * reproduces its own increment; the state merge is latest-wins and
@@ -34,12 +47,7 @@ import org.apache.spark.sql.streaming.StreamingQuery
   * re-emitted as a correction; [[results]] resolves per (key, day) to
   * the newest batch's row, so the union of increments stays
   * duplicate-free and equals the batch gap-fill (spec'd, including
-  * batches sharing a day). Days arriving AFTER a later day was
-  * already emitted (out-of-order across batches) are latest-wins
-  * approximate: the late batch's fill overwrites the span it covers,
-  * which matches batch semantics unless an intermediate point between
-  * the late day and the state's day had already been emitted —
-  * exactness there needs retraction, which no consumer requires yet.
+  * batches sharing a day and out-of-order days across batches).
   */
 object StreamGapFill {
 
@@ -51,23 +59,32 @@ object StreamGapFill {
   def start(eventsStream: DataFrame, keyCol: String, tsCol: String,
             valCol: String, outDir: String, stateRoot: String,
             checkpointDir: String, numBuckets: Int = 64,
-            compactEvery: Int = DefaultCompactEvery): StreamingQuery = {
+            compactEvery: Int = DefaultCompactEvery,
+            latenessHorizonDays: Int = DefaultLatenessHorizonDays): StreamingQuery = {
     eventsStream.writeStream
       .option("checkpointLocation", checkpointDir)
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
         applyBatch(batch, keyCol, tsCol, valCol, outDir, stateRoot,
-          batchId, numBuckets, compactEvery)
+          batchId, numBuckets, compactEvery, latenessHorizonDays)
         ()
       }
       .start()
   }
 
+  /** State keeps each key's emitted points for this many days behind
+    * the key's newest day — the exactness window for out-of-order
+    * arrivals AND the bound on per-bucket state size.
+    */
+  val DefaultLatenessHorizonDays = 365
+
   /** One micro-batch; factored out for replay and direct use. */
   def applyBatch(batch: DataFrame, keyCol: String, tsCol: String,
                  valCol: String, outDir: String, stateRoot: String,
                  batchId: Long, numBuckets: Int = 64,
-                 compactEvery: Int = DefaultCompactEvery): Unit = {
+                 compactEvery: Int = DefaultCompactEvery,
+                 latenessHorizonDays: Int = DefaultLatenessHorizonDays): Unit = {
     val spark = batch.sparkSession
+    require(latenessHorizonDays >= 0, "latenessHorizonDays must be >= 0")
     if (compactEvery > 0 && batchId > 0 && batchId % compactEvery == 0)
       BatchDirs.consolidate(spark, outDir, batchId,
         merge = resolve, idCol = Some(BatchCol))
@@ -81,15 +98,18 @@ object StreamGapFill {
         .distinct().collect().map(_.getInt(0)).toSet
       if (touched.isEmpty) return
 
-      // last emitted point per key AS OF the previous batch (versions
-      // are tagged with their batch id, so a REPLAY of this batch
-      // anchors to the same pre-batch snapshot its first attempt saw,
-      // not to the state that attempt already committed); co-bucketed
-      // keys absent from this batch ride along but emit nothing
+      // the emitted points of this batch's keys AS OF the previous
+      // batch (versions are tagged with their batch id, so a REPLAY of
+      // this batch anchors to the same pre-batch snapshot its first
+      // attempt saw, not to the state that attempt already committed);
+      // co-bucketed keys absent from this batch ride along in the
+      // bucket read but are dropped here — with per-(key, day) state
+      // they would otherwise re-enter the fill window every batch
       val prev = BucketedCdcState
         .statePartialBefore(spark, stateRoot, touched, beforeTag = batchId)
         .map(_.select(col(keyCol), col("day"),
-          col("day_value").as("state_value")))
+          col("day_value").as("state_value"))
+          .join(daily.select(keyCol).distinct(), Seq(keyCol), "left_semi"))
 
       // merge state and batch points per (key, day) BEFORE the fill
       // window — a day in both resolves deterministically to the
@@ -112,29 +132,50 @@ object StreamGapFill {
 
       val w = Window.partitionBy(col(keyCol)).orderBy(col("day").asc)
       val nxt = lead(col("day"), 1).over(w)
-      // days are now unique per key, so the window order is total. A
-      // day whose merged value equals what state already emitted
-      // starts filling the day after; a new day — or an already-
-      // emitted day whose value grew (correction) — emits itself too
-      val alreadyEmitted =
-        col("state_value").isNotNull && col("day_value") === col("state_value")
+      // days are unique per key, so the window order is total. A point
+      // is "fresh" when it is new to state or its merged value grew (a
+      // correction); a known, unchanged point starts filling the day
+      // after itself. Only UNSETTLED spans are emitted: a fresh point
+      // always emits its span; a known point's span was already
+      // emitted the moment its next neighbor arrived, so it re-emits
+      // only when that neighbor is fresh (the span between two known
+      // points is settled; the open span past the newest known point
+      // is closed exactly once, by the batch that lands after it).
+      // This is what makes out-of-order arrival exact: a late day
+      // fills only up to its true next neighbor, and settled spans of
+      // older points stay untouched.
       val filled = pts
-        .withColumn("start", when(alreadyEmitted, date_add(col("day"), 1))
-          .otherwise(col("day")))
+        .withColumn("__fresh",
+          col("state_value").isNull || col("day_value") =!= col("state_value"))
+        .withColumn("__next_fresh",
+          coalesce(lead(col("__fresh"), 1).over(w), lit(false)))
+        .withColumn("start", when(col("__fresh"), col("day"))
+          .otherwise(date_add(col("day"), 1)))
         .withColumn("stop", when(nxt.isNull, col("day"))
           .otherwise(date_sub(nxt, 1)))
+        .filter(col("__fresh") || col("__next_fresh"))
         .filter(col("start") <= col("stop"))
         .select(col(keyCol),
           explode(sequence(col("start"), col("stop"))).as("day"),
           col("day_value").as("value_filled"))
 
       filled.write.mode("overwrite").parquet(s"$outDir/batch_$batchId")
-      // latest-wins by (day, day_value): the value tiebreak makes a
-      // same-day re-merge deterministic (keep the max, q35 semantics);
-      // the commit is tagged with this batch id (the replay anchor)
+      // one state row per (key, day), max value per day (q35
+      // semantics), bucketed by key so a series' points stay
+      // co-bucketed; points older than the lateness horizon (relative
+      // to their key's newest day) are trimmed so a bucket rewrite is
+      // O(keys x horizon), not O(all history). The commit is tagged
+      // with this batch id (the replay anchor).
+      val trim: DataFrame => DataFrame = merged => {
+        val wk = Window.partitionBy(col(keyCol))
+        merged.withColumn("__maxd", max(col("day")).over(wk))
+          .filter(datediff(col("__maxd"), col("day")) <= latenessHorizonDays)
+          .drop("__maxd")
+      }
       BucketedCdcState.applyBatch(daily, stateRoot,
-        keyCols = Seq(keyCol), seqCols = Seq("day", "day_value"),
-        numBuckets = numBuckets, tag = Some(batchId))
+        keyCols = Seq(keyCol, "day"), seqCols = Seq("day_value"),
+        numBuckets = numBuckets, tag = Some(batchId),
+        bucketCols = Seq(keyCol), postMerge = trim)
       BucketedCdcState.prune(spark, stateRoot)
     } finally daily.unpersist()
   }

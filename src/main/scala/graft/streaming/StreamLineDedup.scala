@@ -15,22 +15,25 @@ import graft.operators.LineDedup
   * which is the only definable "first" on an unbounded stream.
   *
   * State is the set of line hashes seen in PRIOR batches, stored as
-  * append-only parquet of 8-byte longs in per-batch-id directories:
-  * batch N dedups against `state/batch_<i<N>` only and OVERWRITES its
-  * own `state/batch_N` + `out/batch_N`, so a replayed microbatch
-  * reproduces identical output instead of dropping everything against
-  * its own first attempt's state (effectively-once, same discipline
-  * as [[StreamDecontaminate]]). Within a batch, first occurrence =
-  * smallest (id, line_no), exactly like the batch operator.
+  * append-only parquet of 8-byte longs in a [[VersionedDeltaState]]
+  * snapshot chain (the same fenced [[graft.sinks.TableVersions]]
+  * protocol [[BucketedCdcState]] uses): batch N dedups against the
+  * state anchored at the newest commit TAGGED < N, so a replayed
+  * microbatch reproduces identical output instead of dropping
+  * everything against its own first attempt's state (effectively-once,
+  * same discipline as [[StreamDecontaminate]]); a zombie driver that
+  * lost a failover race is fenced at commit. Within a batch, first
+  * occurrence = smallest (id, line_no), exactly like the batch
+  * operator.
   *
   * Scale shape: per-batch exchanges carry line hashes and positions
   * only (the batch operator's hash-first plan); the prior-hash state
   * is a parquet scan of longs joined by hash — no driver-side state,
   * no state store growth beyond the distinct-line hash set itself.
-  * Per-batch state dirs are consolidated every `compactEvery` batches
-  * into one `compact_<n>` dir (covering batches 0..n), so the
-  * prior-hash scan stays O(compactEvery) directories on a long-lived
-  * stream instead of one small dir per microbatch forever.
+  * State segments are consolidated (and superseded versions pruned)
+  * every `compactEvery` batches, so the prior-hash scan stays
+  * O(compactEvery) directories on a long-lived stream instead of one
+  * small dir per microbatch forever.
   */
 object StreamLineDedup {
 
@@ -83,87 +86,34 @@ object StreamLineDedup {
     // prior-state union twice per microbatch.
     val keeperRows = LineDedup.keepers(unseen, idCol).persist()
     try {
-      keeperRows.select(col("__lh"))
-        .write.mode("overwrite").parquet(s"$stateDir/batch_$batchId")
+      VersionedDeltaState.append(spark, stateDir,
+        keeperRows.select(col("__lh")), tag = batchId)
       LineDedup.reassemble(docs, keeperRows, idCol, "__lines", sep)
         .write.mode("overwrite").parquet(s"$outDir/batch_$batchId")
     } finally keeperRows.unpersist()
   }
 
-  private def fsOf(spark: SparkSession, dir: String) = {
-    val path = new org.apache.hadoop.fs.Path(dir)
-    (path.getFileSystem(spark.sparkContext.hadoopConfiguration), path)
-  }
-
-  /** State dirs of the given prefix, as (covered batch id, path),
-    * complete ones only (`_SUCCESS` present — a consolidation killed
-    * mid-write leaves a dir that must be ignored and overwritten).
-    */
-  private def listState(fs: org.apache.hadoop.fs.FileSystem,
-                        path: org.apache.hadoop.fs.Path,
-                        prefix: String): Seq[(Long, String)] = {
-    if (!fs.exists(path)) return Nil
-    fs.listStatus(path).toSeq
-      .filter(st => st.isDirectory && st.getPath.getName.startsWith(prefix))
-      .filter(st => fs.exists(new org.apache.hadoop.fs.Path(st.getPath, "_SUCCESS")))
-      .map(st => st.getPath.getName.stripPrefix(prefix).toLong -> st.getPath.toString)
-      .sortBy(_._1)
-  }
-
-  /** Union of hash sets committed by batches strictly before `batchId`:
-    * the newest consolidated dir covering batches <= M, plus the
-    * per-batch dirs in (M, batchId). Listed through the Hadoop
-    * filesystem of `stateDir`, so state can live on any supported
-    * store (local, hdfs, s3a), not just the driver's local disk.
+  /** Union of hash sets committed by batches strictly before `batchId`
+    * — the [[VersionedDeltaState]] replay anchor, read through the
+    * Hadoop filesystem of `stateDir`, so state can live on any
+    * supported store (local, hdfs, s3a), not just the driver's local
+    * disk.
     */
   private def priorHashes(spark: SparkSession, stateDir: String,
-                          batchId: Long): Option[DataFrame] = {
-    val (fs, path) = fsOf(spark, stateDir)
-    val compactBase = listState(fs, path, "compact_")
-      .filter(_._1 < batchId).lastOption
-    val floor = compactBase.map(_._1).getOrElse(-1L)
-    val dirs = compactBase.map(_._2).toSeq ++
-      listState(fs, path, "batch_")
-        .filter { case (i, _) => i > floor && i < batchId }
-        .map(_._2)
-    if (dirs.isEmpty) None else Some(spark.read.parquet(dirs: _*))
-  }
+                          batchId: Long): Option[DataFrame] =
+    VersionedDeltaState.stateBefore(spark, stateDir, batchId)
 
-  /** Consolidate every state dir covering batches < `uptoExclusive`
-    * into one `compact_<uptoExclusive-1>` dir, then drop the covered
-    * dirs. Idempotent and replay-safe: the target is keyed by the
-    * batch range it covers, a half-written target (no `_SUCCESS`) is
-    * rewritten from its still-present inputs, and a replay that finds
-    * the target complete only re-runs the (idempotent) cleanup. Never
-    * touches `uptoExclusive` itself, so replaying the consolidating
-    * batch still dedups against exactly the prior-batch hash set.
+  /** Merge the state segments visible to batch `uptoExclusive` into
+    * one distinct hash set, then reclaim superseded versions. Replay
+    * safe: a re-run anchors to its first attempt's merged commit and
+    * no-ops; the consolidating batch still dedups against exactly the
+    * prior-batch hash set.
     */
   private[streaming] def consolidate(spark: SparkSession, stateDir: String,
                                      uptoExclusive: Long): Unit = {
-    val (fs, path) = fsOf(spark, stateDir)
-    val target = uptoExclusive - 1
-    val targetPath = new org.apache.hadoop.fs.Path(path, s"compact_$target")
-
-    def cleanup(): Unit = {
-      listState(fs, path, "batch_").filter(_._1 < uptoExclusive)
-        .foreach { case (_, d) => fs.delete(new org.apache.hadoop.fs.Path(d), true) }
-      listState(fs, path, "compact_").filter(_._1 < target)
-        .foreach { case (_, d) => fs.delete(new org.apache.hadoop.fs.Path(d), true) }
-    }
-
-    if (fs.exists(new org.apache.hadoop.fs.Path(targetPath, "_SUCCESS"))) {
-      cleanup(); return
-    }
-    val compactBase = listState(fs, path, "compact_").filter(_._1 < target).lastOption
-    val floor = compactBase.map(_._1).getOrElse(-1L)
-    val inputs = compactBase.map(_._2).toSeq ++
-      listState(fs, path, "batch_")
-        .filter { case (i, _) => i > floor && i < uptoExclusive }
-        .map(_._2)
-    if (inputs.isEmpty) return
-    spark.read.parquet(inputs: _*).distinct()
-      .write.mode("overwrite").parquet(targetPath.toString)
-    cleanup()
+    VersionedDeltaState.consolidate(spark, stateDir, uptoExclusive,
+      merge = _.distinct())
+    VersionedDeltaState.prune(spark, stateDir)
   }
 
   /** Read back everything the stream has emitted so far (consolidated

@@ -1,6 +1,5 @@
 package graft.streaming
 
-import org.apache.hadoop.fs.{FileSystem, Path}
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.streaming.StreamingQuery
@@ -27,15 +26,20 @@ import graft.plans.GraftFunctions
   *
   * State layout (the scale story): kept documents' band postings
   * `(band, bh, doc, sig)` as parquet PARTITIONED by
-  * `bkt = pmod(xxhash64(band, bh), stateBuckets)` under per-batch-id
-  * directories. A microbatch computes the bucket set its own bands
-  * hash into and reads ONLY those partitions of prior state — the
-  * same partition-pruned incremental discipline as
-  * [[BucketedCdcState]], so per-batch I/O is O(touched buckets +
-  * batch), not O(all state). Replays overwrite their own
-  * `out/batch_N` + `state/batch_N` (effectively-once, as
-  * [[StreamLineDedup]]); per-batch state dirs are consolidated every
-  * `compactEvery` batches to keep the directory count bounded.
+  * `bkt = pmod(xxhash64(band, bh), stateBuckets)` in a
+  * [[VersionedDeltaState]] snapshot chain (the fenced
+  * [[graft.sinks.TableVersions]] protocol [[BucketedCdcState]] uses).
+  * A microbatch computes the bucket set its own bands hash into and
+  * reads ONLY those partitions of prior state — every state segment
+  * is hive-partitioned by `bkt`, so the `isin` filter prunes each
+  * segment's file listing and per-batch I/O is O(touched buckets +
+  * batch), not O(all state). Replays anchor to the newest commit
+  * TAGGED before their batch id (never their own first attempt's
+  * state) and overwrite their own `out/batch_N` (effectively-once, as
+  * [[StreamLineDedup]]); state segments are consolidated and
+  * superseded versions pruned every `compactEvery` batches to keep
+  * the directory count bounded, and a zombie driver that lost a
+  * failover race is fenced at commit.
   *
   * Only SURVIVORS' postings enter the state: a dropped document is
   * within `threshold` of something already in state, so its bands
@@ -157,9 +161,9 @@ object StreamNearDedup {
         Seq(idCol), "left_anti")
 
       survivors.write.mode("overwrite").parquet(s"$outDir/batch_$batchId")
-      posts.join(dropped, Seq("doc"), "left_anti")
-        .write.mode("overwrite").partitionBy("bkt")
-        .parquet(s"$stateDir/batch_$batchId")
+      VersionedDeltaState.append(spark, stateDir,
+        posts.join(dropped, Seq("doc"), "left_anti"),
+        tag = batchId, partitionCols = Seq("bkt"))
     } finally posts.unpersist()
   }
 
@@ -186,65 +190,27 @@ object StreamNearDedup {
 
   /** Union of kept postings from batches strictly before `batchId`,
     * read partition-pruned to `touched` buckets; None before the
-    * first batch. Each state dir is read with its own root so
+    * first batch. Each state segment is read with its own root so
     * partition discovery maps `bkt=<k>` subdirectories, and the
-    * `isin` filter prunes file listing per dir.
+    * `isin` filter prunes file listing per segment.
     */
   private[graft] def priorPostings(spark: SparkSession, stateDir: String,
       batchId: Long, touched: Seq[Int]): Option[DataFrame] = {
-    val dirs = stateDirsBefore(spark, stateDir, batchId)
-    if (dirs.isEmpty || touched.isEmpty) None
-    else Some(dirs.map(d => spark.read.parquet(d))
-      .reduce(_ unionByName _)
-      .filter(col("bkt").isin(touched: _*)))
+    if (touched.isEmpty) return None
+    VersionedDeltaState.stateBefore(spark, stateDir, batchId)
+      .map(_.filter(col("bkt").isin(touched: _*)))
   }
 
-  /** Newest complete consolidated dir covering batches <= M, plus
-    * per-batch dirs in (M, batchId).
-    */
-  private def stateDirsBefore(spark: SparkSession, stateDir: String,
-      batchId: Long): Seq[String] = {
-    val (fs, path) = fsOf(spark, stateDir)
-    val compacts = listState(fs, path, "compact_").filter(_._1 < batchId)
-    val newest = compacts.lastOption
-    val floor = newest.map(_._1).getOrElse(-1L)
-    val batches = listState(fs, path, "batch_")
-      .filter { case (id, _) => id > floor && id < batchId }
-    newest.map(_._2).toSeq ++ batches.map(_._2)
-  }
-
-  /** Merge every state dir covering batches < upTo into one
-    * `compact_<upTo-1>` dir (idempotent: keyed by the newest batch it
-    * covers; a replay rewrites the same dir), then delete the merged
-    * inputs.
+  /** Merge the state segments visible to batch `upTo` into one
+    * (postings deduped per (doc, band)), then reclaim superseded
+    * versions. A replayed consolidation anchors to its first
+    * attempt's merged commit and no-ops.
     */
   private[graft] def consolidate(spark: SparkSession, stateDir: String,
       upTo: Long): Unit = {
-    val dirs = stateDirsBefore(spark, stateDir, upTo)
-    if (dirs.size <= 1) return
-    val covered = upTo - 1
-    val target = s"$stateDir/compact_$covered"
-    // a replayed consolidation finds its own complete output among the
-    // inputs; re-writing it from a plan that reads it would destroy
-    // the source mid-write, so only the leftover inputs are deleted
-    val (fs, _) = fsOf(spark, stateDir)
-    val alreadyDone = fs.exists(new Path(target, "_SUCCESS"))
-    if (!alreadyDone) {
-      dirs.map(d => spark.read.parquet(d)).reduce(_ unionByName _)
-        .dropDuplicates("doc", "band")
-        .write.mode("overwrite").partitionBy("bkt").parquet(target)
-    }
-    dirs.filterNot(_.stripSuffix("/").endsWith(s"compact_$covered"))
-      .foreach(d => fs.delete(new Path(d), true))
-    // a crash between the compact write and these deletes leaves
-    // batch/compact dirs at or below the floor that stateDirsBefore
-    // no longer lists — sweep them here so they cannot leak forever
-    listState(fs, new Path(stateDir), "batch_")
-      .filter(_._1 <= covered)
-      .foreach { case (_, d) => fs.delete(new Path(d), true) }
-    listState(fs, new Path(stateDir), "compact_")
-      .filter(_._1 < covered)
-      .foreach { case (_, d) => fs.delete(new Path(d), true) }
+    VersionedDeltaState.consolidate(spark, stateDir, upTo,
+      merge = _.dropDuplicates("doc", "band"), partitionCols = Seq("bkt"))
+    VersionedDeltaState.prune(spark, stateDir)
   }
 
   /** All surviving documents written so far (consolidated dirs
@@ -252,36 +218,4 @@ object StreamNearDedup {
     */
   def results(spark: SparkSession, outDir: String): DataFrame =
     BatchDirs.read(spark, outDir)
-
-  private def fsOf(spark: SparkSession, dir: String): (FileSystem, Path) = {
-    val path = new Path(dir)
-    (path.getFileSystem(spark.sparkContext.hadoopConfiguration), path)
-  }
-
-  /** Complete (`_SUCCESS`-marked) state dirs with the given prefix
-    * that hold at least one parquet file, as (batch id, path)
-    * ascending. A batch whose documents were ALL dropped (or whose
-    * survivors all matched existing state) commits a marker-only
-    * directory with zero part files; `spark.read.parquet` cannot
-    * infer a schema from it, and it contributes nothing, so it is
-    * skipped rather than poisoning every later batch's state read.
-    */
-  private def listState(fs: FileSystem, path: Path,
-      prefix: String): Seq[(Long, String)] = {
-    if (!fs.exists(path)) return Nil
-    fs.listStatus(path).toSeq
-      .filter(st => st.isDirectory && st.getPath.getName.startsWith(prefix))
-      .filter(st => fs.exists(new Path(st.getPath, "_SUCCESS")))
-      .filter(st => hasParquetFile(fs, st.getPath))
-      .map(st => st.getPath.getName.stripPrefix(prefix).toLong -> st.getPath.toString)
-      .sortBy(_._1)
-  }
-
-  private def hasParquetFile(fs: FileSystem, dir: Path): Boolean = {
-    val it = fs.listFiles(dir, true)
-    while (it.hasNext) {
-      if (it.next().getPath.getName.endsWith(".parquet")) return true
-    }
-    false
-  }
 }

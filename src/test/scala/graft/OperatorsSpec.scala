@@ -535,4 +535,30 @@ class OperatorsSpec extends AnyFunSuite {
       .as[(Long, Long, Long, Double)].collect().map(r => r._1 -> r).toMap
     assert(repart == got)
   }
+
+  test("z-score outliers: exact inside the 1e18 envelope, fail-fast beyond it") {
+    import org.apache.spark.sql.functions.{col, lit}
+    def frame(cents: Seq[BigDecimal]) = cents.zipWithIndex.map { case (c, i) =>
+      (i.toLong, "g", c.toDouble / 100, c)
+    }.toDF("event_id", "event_type", "value", "cents")
+      .withColumn("cents", col("cents").cast("decimal(38,0)"))
+
+    // inside the envelope: 11 small values + one far outlier → exactly
+    // the outlier flagged, even with magnitudes near the guard (a
+    // single extreme among n has z^2 <= n-1, so n must exceed 10 for
+    // the 3-sigma test to fire at all)
+    val small = (0 until 11).map(i => BigDecimal(1 + i % 2))
+    val big = BigDecimal("50000000000000000") // 5e16; n=12 → n*max = 6e17 < 1e18
+    val ok = graft.queries.Relational.zScoreOutliers(frame(small :+ big))
+      .select("event_id").as[Long].collect().toSeq
+    assert(ok == Seq(11L))
+
+    // beyond it: n*max|cents| >= 1e18 must raise, not silently drop
+    val over = BigDecimal("100000000000000000") // 1e17; n=12 → 1.2e18
+    val e = intercept[Exception] {
+      graft.queries.Relational.zScoreOutliers(frame(small :+ over)).collect()
+    }
+    assert(e.getMessage != null && e.getMessage.contains("1e18"),
+      s"expected the overflow guard, got: ${e.getMessage}")
+  }
 }

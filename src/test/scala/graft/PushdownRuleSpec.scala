@@ -46,6 +46,39 @@ class PushdownRuleSpec extends AnyFunSuite {
     assert(f.collect().toSet == direct.collect().toSet)
   }
 
+  test("key filter survives an intervening projection (even a rename) above TopKPerKey") {
+    // Filter-over-Project-over-GraftNode: Catalyst's own
+    // PushDownPredicates moves the (alias-substituted) filter below a
+    // deterministic Project in the main batch, leaving
+    // Filter-over-GraftNode for this rule — the two compose, so the
+    // scan still prunes
+    val renamed = topk(li).select(col("l_returnflag").as("flag"),
+      col("l_orderkey"), col("l_quantity"))
+      .filter(col("flag") === "A")
+    val plan = renamed.queryExecution.executedPlan.toString
+    assert(plan.contains("EqualTo(l_returnflag,A)"),
+      s"key filter lost through the projection:\n$plan")
+    val direct = topk(li.filter(col("l_returnflag") === "A"))
+      .select(col("l_returnflag").as("flag"), col("l_orderkey"), col("l_quantity"))
+    assert(renamed.collect().toSet == direct.collect().toSet)
+  }
+
+  test("nondeterministic projection blocks the pushdown (Spark-aligned), results still correct") {
+    // a rand() column between the filter and the operator: Catalyst
+    // never moves deterministic filters below nondeterministic
+    // projections (the evaluation set would change), and this rule
+    // keeps that contract rather than trading reproducibility for
+    // pruning — pinned so a future 'optimization' can't silently
+    // change semantics
+    val f = topk(li).withColumn("r", rand(7)).filter(col("l_returnflag") === "A")
+    // the scan-pushed form (PushedFilters syntax) must be absent; the
+    // filter instead evaluates above the projection
+    val plan = f.queryExecution.executedPlan.toString
+    assert(!plan.contains("EqualTo(l_returnflag,A)"),
+      s"filter pushed through a nondeterministic projection:\n$plan")
+    assert(f.select("l_returnflag").distinct().collect().map(_.getString(0)).toSeq == Seq("A"))
+  }
+
   test("key filter above AsOfJoin pushes to BOTH sides' scans; results unchanged") {
     val e = graft.sources.TableCatalog.events(spark, sf)
     def purchases = e.filter(col("event_type") === "purchase")

@@ -115,6 +115,57 @@ class StreamGapFillSpec extends AnyFunSuite {
     assert(got.size == got.map(_._1).distinct.size)
   }
 
+  test("out-of-order day across batches is EXACT: settled intermediate spans keep their value") {
+    val work = Files.createTempDirectory("sgapooo").toString
+    def b(rows: (Long, String, Double)*) = rows
+      .map { case (k, d, v) => (k, java.sql.Timestamp.valueOf(d + " 10:00:00"), v) }
+      .toDF("user_id", "ts", "value")
+    def apply(df: org.apache.spark.sql.DataFrame, id: Long) =
+      StreamGapFill.applyBatch(df, "user_id", "ts", "value",
+        s"$work/out", s"$work/state", id)
+    apply(b((1L, "2024-04-07", 7.0)), 0L)   // emits {7}
+    apply(b((1L, "2024-04-10", 10.0)), 1L)  // closes 7's span: {8,9}=7.0, {10}
+    // a LATE day between two already-emitted points: it must fill only
+    // up to its true next neighbor (day 7); days 8-9, emitted from the
+    // intermediate point, must keep 7.0 — the case the old last-point
+    // state overwrote
+    apply(b((1L, "2024-04-03", 3.0)), 2L)
+    def got = StreamGapFill.results(spark, s"$work/out")
+      .select("day", "value_filled").as[(java.sql.Date, Double)]
+      .collect().sortBy(_._1.toString).toSeq
+    assert(got.map(_._1.toString) == (3 to 10).map(d => f"2024-04-$d%02d"))
+    assert(got.map(_._2) == Seq(3.0, 3.0, 3.0, 3.0, 7.0, 7.0, 7.0, 10.0),
+      got.mkString(","))
+    // == the batch gap fill over the union of all arrivals (q35 rule)
+    // and replaying the late batch changes nothing
+    apply(b((1L, "2024-04-03", 3.0)), 2L)
+    assert(got.map(_._2) == Seq(3.0, 3.0, 3.0, 3.0, 7.0, 7.0, 7.0, 10.0))
+    // a fourth, in-order batch still closes the newest span only
+    apply(b((1L, "2024-04-12", 12.0)), 3L)
+    assert(got.map(_._2) == Seq(3.0, 3.0, 3.0, 3.0, 7.0, 7.0, 7.0, 10.0, 10.0, 12.0))
+  }
+
+  test("a straggler older than the lateness horizon degrades to the approximate fill") {
+    val work = Files.createTempDirectory("sgaphorizon").toString
+    def b(rows: (Long, String, Double)*) = rows
+      .map { case (k, d, v) => (k, java.sql.Timestamp.valueOf(d + " 10:00:00"), v) }
+      .toDF("user_id", "ts", "value")
+    def apply(df: org.apache.spark.sql.DataFrame, id: Long) =
+      StreamGapFill.applyBatch(df, "user_id", "ts", "value",
+        s"$work/out", s"$work/state", id, latenessHorizonDays = 2)
+    apply(b((1L, "2024-04-07", 7.0)), 0L)
+    apply(b((1L, "2024-04-10", 10.0)), 1L) // trims day 7 (3 days behind > 2)
+    apply(b((1L, "2024-04-03", 3.0)), 2L)  // beyond the horizon
+    val got = StreamGapFill.results(spark, s"$work/out")
+      .select("day", "value_filled").as[(java.sql.Date, Double)]
+      .collect().sortBy(_._1.toString).toSeq
+    // day 7's point is outside the retained window, so the late fill
+    // runs to the next RETAINED point (day 10) — the documented
+    // latest-wins-approximate degradation, pinned here
+    assert(got.map(_._2) == Seq(3.0, 3.0, 3.0, 3.0, 3.0, 3.0, 3.0, 10.0),
+      got.mkString(","))
+  }
+
   test("output consolidation bounds the dir count, preserves results, and keeps replay exact") {
     val work = Files.createTempDirectory("sgapcompact").toString
     def b(rows: (Long, String, Double)*) = rows

@@ -50,8 +50,8 @@ class StreamNearDedupSpec extends AnyFunSuite {
     assert(surviving == Seq(1L, 3L, 5L))
 
     // state holds survivors only (dropped docs add no postings)
-    val stateDocs = spark.read.parquet(s"$work/state/batch_0")
-      .unionByName(spark.read.parquet(s"$work/state/batch_1"))
+    val stateDocs = StreamNearDedup.priorPostings(spark, s"$work/state", 2L,
+        (0 until StreamNearDedup.DefaultStateBuckets).toSeq).get
       .select("doc").distinct().as[Long].collect().sorted.toSeq
     assert(stateDocs == Seq(1L, 3L, 5L))
 
@@ -68,7 +68,8 @@ class StreamNearDedupSpec extends AnyFunSuite {
       s"$work/out", s"$work/state", 0L)
     // probe with a single bucket id that exists in state: the pruned
     // read must plan a partition filter and return only that bucket
-    val one = new java.io.File(s"$work/state/batch_0").listFiles()
+    // (batch 0's delta committed as version 0 of the state chain)
+    val one = new java.io.File(s"$work/state/v0/seg").listFiles()
       .map(_.getName).filter(_.startsWith("bkt=")).map(_.stripPrefix("bkt=").toInt)
       .min
     val prior = StreamNearDedup.priorPostings(spark, s"$work/state", 1L, Seq(one)).get
@@ -101,10 +102,16 @@ class StreamNearDedupSpec extends AnyFunSuite {
       StreamNearDedup.applyBatch(spark.read.parquet(s"$work/tmp_$i"),
         "doc_id", "text", s"$work/out", s"$work/state", i, compactEvery = 2)
     }
-    val stateDirs = new java.io.File(s"$work/state").listFiles().map(_.getName)
-      .filter(n => n.startsWith("batch_") || n.startsWith("compact_")).sorted
-    assert(stateDirs.count(_.startsWith("batch_")) <= 2, stateDirs.mkString(","))
-    assert(stateDirs.exists(_.startsWith("compact_")), stateDirs.mkString(","))
+    // state reads stay bounded: the segment list visible to the next
+    // batch holds the consolidated segment plus the post-compaction
+    // tail, never one segment per batch forever — and prune keeps the
+    // version-dir count bounded too
+    val segs = graft.streaming.VersionedDeltaState
+      .segmentsBefore(spark, s"$work/state", 6L)
+    assert(segs.size <= 3, segs.mkString(","))
+    val versionDirs = new java.io.File(s"$work/state").listFiles()
+      .map(_.getName).filter(_.startsWith("v")).sorted
+    assert(versionDirs.size <= 6, versionDirs.mkString(","))
     // the OUTPUT side consolidates on the same cadence
     val outDirs = new java.io.File(s"$work/out").listFiles().map(_.getName)
       .filter(n => n.startsWith("batch_") || n.startsWith("compact_")).sorted

@@ -136,13 +136,15 @@ class StreamingSpec extends AnyFunSuite {
     val streamed = collect(graft.streaming.StreamLineDedup.results(spark, s"$work/out"))
     assert(streamed == collect(graft.operators.LineDedup.dedupLines(docs, "id", "text")))
 
-    // state stays bounded: one compacted dir + the post-compaction tail,
-    // never one dir per batch forever
-    def stateDirNames = new java.io.File(s"$work/state").listFiles()
-      .filter(_.isDirectory).map(_.getName).sorted.toSeq
-    assert(stateDirNames.count(_.startsWith("batch_")) <= K)
-    assert(stateDirNames.count(_.startsWith("compact_")) == 1)
-    assert(stateDirNames.contains("compact_11"))
+    // state stays bounded: the prior-hash read unions the compacted
+    // segment + the post-compaction tail (never one segment per batch
+    // forever), and pruned version dirs don't accumulate
+    def stateSegments = graft.streaming.VersionedDeltaState
+      .segmentsBefore(spark, s"$work/state", 14L)
+    def stateVersionDirs = new java.io.File(s"$work/state").listFiles()
+      .filter(_.isDirectory).map(_.getName).filter(_.matches("v\\d+")).sorted.toSeq
+    assert(stateSegments.size <= K, stateSegments.mkString(","))
+    assert(stateVersionDirs.size <= 2 * K, stateVersionDirs.mkString(","))
     // the OUTPUT side consolidates on the same cadence
     def outDirNames = new java.io.File(s"$work/out").listFiles()
       .filter(_.isDirectory).map(_.getName).sorted.toSeq
@@ -159,7 +161,9 @@ class StreamingSpec extends AnyFunSuite {
         "id", "text", "\n", s"$work/out", s"$work/state", b, compactEvery = K)
     }
     assert(collect(graft.streaming.StreamLineDedup.results(spark, s"$work/out")) == streamed)
-    assert(stateDirNames.count(_.startsWith("compact_")) == 1)
+    // the replayed batches' superseded commits don't widen the read set
+    assert(graft.streaming.VersionedDeltaState
+      .segmentsBefore(spark, s"$work/state", 14L).size <= K)
   }
 
   test("stream-stream join: matches cross microbatch boundaries, bounds respected") {

@@ -284,6 +284,33 @@ class VersionedStateSpec extends AnyFunSuite {
     assert(bucketedState(root) == expected)
   }
 
+  test("tag-anchored reads fail fast on a root mixing tagged and untagged commits") {
+    val root = Files.createTempDirectory("bstate_mixed").toString + "/t"
+    // legacy untagged commit, then a tagged one share the root
+    BucketedCdcState.applyBatch(mkLog(Seq((1L, 1L, 2, "a"))),
+      root, Seq("id"), Seq("seq"), B)
+    BucketedCdcState.applyBatch(mkLog(Seq((2L, 2L, 2, "b"))),
+      root, Seq("id"), Seq("seq"), B, tag = Some(5L))
+    // anchoring would silently skip the untagged v0 — must throw instead
+    val e = intercept[IllegalArgumentException] {
+      BucketedCdcState.statePartialBefore(spark, root,
+        (0 until B).toSet, beforeTag = 6L)
+    }
+    assert(e.getMessage.contains("without a batch tag"), e.getMessage)
+    // non-anchored reads of the same root keep working
+    assert(BucketedCdcState.state(spark, root).get.count() == 2L)
+
+    // a purely tagged root anchors normally
+    val root2 = Files.createTempDirectory("bstate_tagged").toString + "/t"
+    BucketedCdcState.applyBatch(mkLog(Seq((1L, 1L, 2, "a"))),
+      root2, Seq("id"), Seq("seq"), B, tag = Some(0L))
+    BucketedCdcState.applyBatch(mkLog(Seq((1L, 2L, 4, "a2"))),
+      root2, Seq("id"), Seq("seq"), B, tag = Some(1L))
+    val st = BucketedCdcState.statePartialBefore(spark, root2,
+      (0 until B).toSet, beforeTag = 1L).get
+    assert(st.select("v").as[String].collect().toSeq == Seq("a"))
+  }
+
   test("schema evolution across commits: later batches may add columns") {
     val root = Files.createTempDirectory("bstate_evo").toString + "/t"
     val b1 = Seq((1L, 1L, 2, "a1"), (2L, 1L, 2, "b1"))
