@@ -84,6 +84,25 @@ object Sampling {
       .drop("__rn", "__quota")
   }
 
+  /** Per-group document CAP — the domain-balancing primitive of
+    * web-corpus pipelines: keep at most `n` rows from every group
+    * (source/domain/shard), chosen in engine-portable hash order
+    * ([[portableBucket]], ties by id) so the kept set is reproducible
+    * bit-for-bit and stable under re-partitioning. Unlike the quota
+    * sampler's per-group window sort, the cap runs through the
+    * TopKPerKey heap exec: partial per-partition heaps bound memory
+    * and the exchange carries at most |partitions| x |groups| x n
+    * rows — a hot domain with a billion documents never sorts, it
+    * heap-selects.
+    */
+  def capPerGroup(df: DataFrame, idCol: String, groupCol: String,
+                  n: Int): DataFrame = {
+    require(n > 0, "cap must be positive")
+    val withBucket = df.withColumn("__pb", portableBucket(col(idCol)))
+    org.apache.spark.sql.graft.TopKPerKey(withBucket, Seq(groupCol),
+      Seq("__pb" -> false, idCol -> false), n).drop("__pb")
+  }
+
   /** Deterministic weighted sample WITHOUT replacement
     * (Efraimidis–Spirakis A-ES): each row draws an exponential with
     * rate = its weight from a hash-derived uniform, and the `k`

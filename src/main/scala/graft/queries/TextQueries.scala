@@ -179,6 +179,39 @@ object TextQueries {
       |  CASE WHEN octet_length(encode(text)) % 2 = 0 THEN 'png' ELSE 'jpeg' END AS format
       |FROM documents""".stripMargin
 
+  // ---- multimodal_phash_dedup: perceptual-hash near-dup IMAGE
+  //      pairs. The corpus ships no images, so deterministic 16x16
+  //      PPMs are rendered per doc (docs sharing doc_id % 20 draw the
+  //      same smooth pattern with a one-pixel perturbation): the REAL
+  //      P6 decode → 32x32 DCT pHash → 8-band bucket join runs end to
+  //      end and must pair exactly the intra-class documents.
+  //      Rows-only: hash internals are engine-specific. ----
+  val phashDedup: Q = (s, d) => {
+    import s.implicits._
+    val imgs = documents(s, d).filter(col("doc_id") < 100)
+      .select(col("doc_id")).as[Long]
+      .mapPartitions(_.map(id => (id, Multimodal.syntheticPpm(id))))
+      .toDF("doc_id", "payload")
+    Multimodal.phashPairs(s, imgs, "doc_id", "payload", maxHamming = 6)
+  }
+
+  // ---- text_source_cap: per-source domain balancing — keep at most
+  //      15 docs per source in engine-portable md5 order (the oracle
+  //      recomputes the same selection); the cap runs through the
+  //      TopKPerKey heap exec, not a per-group window sort ----
+  val sourceCap: Q = (s, d) =>
+    graft.operators.Sampling.capPerGroup(
+      documents(s, d).select(col("doc_id"), col("source")),
+      "doc_id", "source", 15)
+
+  val sourceCapOracle: String =
+    """SELECT doc_id, source FROM (
+      |  SELECT doc_id, source, ROW_NUMBER() OVER (PARTITION BY source
+      |    ORDER BY CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8)) AS BIGINT) % 100,
+      |             doc_id) AS rn
+      |  FROM documents) t
+      |WHERE rn <= 15""".stripMargin
+
   // ---- dedup_components: transitive near-dup clusters (connected
   //      components over the jaccard-0.8 pair graph; representative
   //      = min doc id). Oracle: recursive-CTE reachability. ----
@@ -655,7 +688,9 @@ object TextQueries {
     "text_sample_det" -> sampleDet,
     "text_sample_stratified" -> sampleStratified,
     "text_repetition" -> repetition,
-    "text_decontaminate" -> decontaminate)
+    "text_decontaminate" -> decontaminate,
+    "text_source_cap" -> sourceCap,
+    "multimodal_phash_dedup" -> phashDedup)
 
   val oracles: Map[String, String] = Map(
     "text_hof_stats" -> textHofStatsOracle,
@@ -680,5 +715,6 @@ object TextQueries {
     "text_sample_det" -> sampleDetOracle,
     "text_sample_stratified" -> sampleStratifiedOracle,
     "text_repetition" -> repetitionOracle,
-    "text_decontaminate" -> decontaminateOracle)
+    "text_decontaminate" -> decontaminateOracle,
+    "text_source_cap" -> sourceCapOracle)
 }

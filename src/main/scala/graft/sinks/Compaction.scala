@@ -108,6 +108,23 @@ object Compaction {
     spark.read.parquet(currentData(spark, root).getOrElse(
       throw new java.util.NoSuchElementException(s"no committed version under $root"))._2)
 
+  /** TIME TRAVEL: read a specific committed snapshot of the chain.
+    * Every version [[compactVersioned]]/[[writeVersioned]] has not yet
+    * pruned stays readable — the audit/debug/reproducibility read the
+    * pointer-file table formats expose as `VERSION AS OF`. Fails with
+    * the available versions when `version` is gone or never existed.
+    */
+  def readVersion(spark: SparkSession, root: String,
+                  version: Long): org.apache.spark.sql.DataFrame = {
+    val rootPath = new Path(root)
+    val fs = rootPath.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val committed = TableVersions.committedVersions(fs, rootPath)
+    require(committed.contains(version),
+      s"v$version is not a committed version of $root " +
+        s"(available: ${committed.map("v" + _).mkString(", ")})")
+    spark.read.parquet(versionData(TableVersions.dataDir(rootPath, version)).toString)
+  }
+
   /** Write `df` as the next committed snapshot of `root`; returns the
     * new version. The initial load and every rewrite use the same
     * path: data lands complete under `v<n>/data`, then the marker

@@ -536,6 +536,67 @@ class OperatorsSpec extends AnyFunSuite {
     assert(repart == got)
   }
 
+  test("pHash: identical images collide, a pixel nudge stays close, distinct patterns diverge") {
+    def img(id: Long, cls: Int) = Multimodal.decodeImage(
+      Multimodal.MediaRow(id, Multimodal.syntheticPpm(id, classes = cls))).get
+    // same class, different perturbation pixel → tiny hamming
+    val a = Multimodal.phash64(img(3L, 10))
+    val a2 = Multimodal.phash64(img(13L, 10)) // 13 % 10 == 3 % 10
+    assert(a == Multimodal.phash64(img(3L, 10))) // deterministic
+    assert(java.lang.Long.bitCount(a ^ a2) <= 6,
+      s"perturbed near-dup drifted ${java.lang.Long.bitCount(a ^ a2)} bits")
+    // different class patterns → far apart
+    val b = Multimodal.phash64(img(4L, 10))
+    assert(java.lang.Long.bitCount(a ^ b) > 10,
+      s"distinct patterns too close: ${java.lang.Long.bitCount(a ^ b)} bits")
+    // brightness shift alone must not saturate the hash (median
+    // excludes DC): +20 on every channel keeps the hash identical
+    val base = img(3L, 10)
+    val brighter = base.copy(pixels = base.pixels.map(p =>
+      math.min(255, java.lang.Byte.toUnsignedInt(p) + 20).toByte))
+    assert(Multimodal.phash64(brighter) == a)
+  }
+
+  test("phashPairs == brute-force pHash pairs; candidate join is an equi-join") {
+    val n = 40
+    val imgs = (0L until n).map(id => (id, Multimodal.syntheticPpm(id, classes = 8)))
+      .toDF("doc_id", "payload")
+    val got = Multimodal.phashPairs(spark, imgs, "doc_id", "payload", maxHamming = 6)
+      .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    // truth: all pairs within 6 bits of each other (any band config)
+    val hashes = (0L until n).map(id => id -> Multimodal.phash64(
+      Multimodal.decodeImage(Multimodal.MediaRow(id,
+        Multimodal.syntheticPpm(id, classes = 8))).get)).toMap
+    val want = (for {
+      i <- 0L until n; j <- (i + 1) until n
+      if java.lang.Long.bitCount(hashes(i) ^ hashes(j)) <= 6
+    } yield (i, j)).toSet
+    assert(got == want, s"missing=${want -- got} extra=${got -- want}")
+    assert(want.nonEmpty && want.forall { case (i, j) => i % 8 == j % 8 },
+      "intra-class pairs expected")
+    val plan = Multimodal.phashPairs(spark, imgs, "doc_id", "payload")
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("CartesianProduct") && !plan.contains("BroadcastNestedLoop"),
+      s"pair generation must be an equi-join:\n$plan")
+  }
+
+  test("capPerGroup == window-form selection, through the heap exec not a window sort") {
+    val docs = (1L to 200L).map(i => (i, s"s${i % 5}")).toDF("doc_id", "source")
+    val capped = graft.operators.Sampling.capPerGroup(docs, "doc_id", "source", 7)
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy($"source")
+      .orderBy(graft.operators.Sampling.portableBucket($"doc_id"), $"doc_id")
+    val want = docs.withColumn("rn", row_number().over(w))
+      .filter($"rn" <= 7).select("doc_id", "source")
+      .as[(Long, String)].collect().toSet
+    assert(capped.as[(Long, String)].collect().toSet == want)
+    assert(capped.groupBy("source").count()
+      .select("count").as[Long].collect().forall(_ == 7L))
+    val plan = capped.queryExecution.executedPlan.toString
+    assert(plan.contains("TopKPerKey"), s"heap exec missing:\n$plan")
+    assert(!plan.contains("Window"), s"window sort crept in:\n$plan")
+  }
+
   test("z-score outliers: exact inside the 1e18 envelope, fail-fast beyond it") {
     import org.apache.spark.sql.functions.{col, lit}
     def frame(cents: Seq[BigDecimal]) = cents.zipWithIndex.map { case (c, i) =>

@@ -155,6 +155,27 @@ class VersionedStateSpec extends AnyFunSuite {
     assert(TableVersions.committedVersions(fs, rootPath).size <= 3)
   }
 
+  test("time travel: every unpruned version reads back as its own committed snapshot") {
+    import graft.sinks.Compaction
+    val root = Files.createTempDirectory("tv_travel").toString + "/t"
+    val v0 = Compaction.writeVersioned(
+      Seq((1L, "a"), (2L, "b")).toDF("id", "v"), root)
+    val v1 = Compaction.writeVersioned(
+      Seq((1L, "a2"), (2L, "b"), (3L, "c")).toDF("id", "v"), root)
+    assert(Compaction.readVersion(spark, root, v0)
+      .as[(Long, String)].collect().toSet == Set((1L, "a"), (2L, "b")))
+    assert(Compaction.readVersion(spark, root, v1)
+      .as[(Long, String)].collect().toSet ==
+      Set((1L, "a2"), (2L, "b"), (3L, "c")))
+    // current == newest; a missing version fails with the available list
+    assert(Compaction.readCurrent(spark, root)
+      .as[(Long, String)].collect().toSet ==
+      Compaction.readVersion(spark, root, v1).as[(Long, String)].collect().toSet)
+    val e = intercept[IllegalArgumentException](
+      Compaction.readVersion(spark, root, 99L))
+    assert(e.getMessage.contains("v99") && e.getMessage.contains("v0"))
+  }
+
   // ---------------- BucketedCdcState ----------------
 
   private val B = 8
