@@ -27,6 +27,22 @@ object TextAnalysis {
     size(filter(tokens, t => t.isin(words.map(lit): _*)))
       .cast("bigint")
 
+  /** Sentence segmentation: split on terminal-punctuation runs
+    * followed by whitespace (`[.!?]+\s+` — deliberately inside the
+    * RE2-compatible subset, no lookbehind, so external engines
+    * reproduce the exact same boundaries), blanks dropped, sentences
+    * renumbered from 0. Entirely scan-local: split → trim → filter →
+    * posexplode inside the projection, no token crosses an exchange —
+    * the segmentation front end of chunking/packing pipelines.
+    */
+  def sentences(df: DataFrame, idCol: String, textCol: String): DataFrame =
+    df.select(col(idCol),
+        posexplode(filter(transform(split(col(textCol), "[.!?]+\\s+"),
+          s => trim(s)), s => length(s) > 0)))
+      .select(col(idCol), col("pos").cast("bigint").as("sentence_no"),
+        col("col").as("sentence"),
+        length(col("col")).cast("bigint").as("n_chars"))
+
   /** doc_id + token statistics: chars, whitespace tokens, distinct
     * types, BPE-ish lexer tokens.
     */

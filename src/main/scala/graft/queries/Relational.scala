@@ -851,6 +851,60 @@ object Relational {
       |  CAST(MAX(CAST(json_extract(props, '$.k') AS BIGINT)) AS BIGINT) AS max_k
       |FROM events GROUP BY event_type""".stripMargin
 
+  // ---- q41: UNPIVOT (wide measures → long (measure, value) rows —
+  //      the melt step feeding generic per-measure pipelines). Spark's
+  //      native unpivot/melt keeps it one scan, no union-of-scans;
+  //      aggregated afterwards so the contract output stays small.
+  //      DuckDB has UNPIVOT too, but the UNION ALL oracle form is the
+  //      portable ANSI statement of the same semantics. ----
+  val q41Unpivot: Q = (s, d) =>
+    lineitem(s, d)
+      .select(col("l_returnflag"),
+        col("l_quantity").cast("double").as("quantity"),
+        col("l_extendedprice").cast("double").as("extendedprice"),
+        col("l_discount").cast("double").as("discount"))
+      .unpivot(Array(col("l_returnflag")),
+        Array(col("quantity"), col("extendedprice"), col("discount")),
+        "measure", "value")
+      .groupBy(col("l_returnflag"), col("measure"))
+      .agg(round(sum(col("value")), 2).as("sum_value"),
+        count(lit(1)).cast("bigint").as("n"))
+
+  val q41Oracle: String =
+    """WITH m AS (
+      |  SELECT l_returnflag, 'quantity' AS measure,
+      |         CAST(l_quantity AS DOUBLE) AS value FROM lineitem
+      |  UNION ALL
+      |  SELECT l_returnflag, 'extendedprice',
+      |         CAST(l_extendedprice AS DOUBLE) FROM lineitem
+      |  UNION ALL
+      |  SELECT l_returnflag, 'discount',
+      |         CAST(l_discount AS DOUBLE) FROM lineitem)
+      |SELECT l_returnflag, measure,
+      |  ROUND(SUM(value), 2) AS sum_value,
+      |  CAST(COUNT(*) AS BIGINT) AS n
+      |FROM m GROUP BY 1, 2""".stripMargin
+
+  // ---- q42: distribution-rank window functions (ntile / percent_rank
+  //      / cume_dist) — the quartile/percentile-bucketing step of
+  //      feature pipelines, one shuffle per window partition set ----
+  val q42WindowNav: Q = (s, d) => {
+    val w = Window.partitionBy(col("c_nationkey"))
+      .orderBy(col("c_acctbal").asc, col("c_custkey").asc)
+    customer(s, d).select(col("c_custkey"), col("c_nationkey"), col("c_acctbal"),
+      ntile(4).over(w).cast("bigint").as("balance_quartile"),
+      round(percent_rank().over(w), 6).as("pct_rank"),
+      round(cume_dist().over(w), 6).as("cume"))
+  }
+
+  val q42Oracle: String =
+    """SELECT c_custkey, c_nationkey, c_acctbal,
+      |  CAST(NTILE(4) OVER w AS BIGINT) AS balance_quartile,
+      |  ROUND(PERCENT_RANK() OVER w, 6) AS pct_rank,
+      |  ROUND(CUME_DIST() OVER w, 6) AS cume
+      |FROM customer
+      |WINDOW w AS (PARTITION BY c_nationkey ORDER BY c_acctbal ASC, c_custkey ASC)""".stripMargin
+
   val queries: Map[String, Q] = Map(
     "q1_pricing_summary" -> q1PricingSummary,
     "q2_filter_pushdown" -> q2FilterPushdown,
@@ -890,9 +944,13 @@ object Relational {
     "q37_histogram" -> q37Histogram,
     "q38_outliers" -> q38Outliers,
     "q39_approx_quantile" -> q39ApproxQuantile,
-    "q40_json_extract" -> q40JsonExtract)
+    "q40_json_extract" -> q40JsonExtract,
+    "q41_unpivot" -> q41Unpivot,
+    "q42_window_nav" -> q42WindowNav)
 
   val oracles: Map[String, String] = Map(
+    "q41_unpivot" -> q41Oracle,
+    "q42_window_nav" -> q42Oracle,
     "q1_pricing_summary" -> q1Oracle,
     "q2_filter_pushdown" -> q2Oracle,
     "q3_top_orders" -> q3Oracle,

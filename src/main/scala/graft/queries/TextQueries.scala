@@ -212,6 +212,32 @@ object TextQueries {
       |  FROM documents) t
       |WHERE rn <= 15""".stripMargin
 
+  // ---- text_sentences: sentence segmentation — the corpus has no
+  //      terminal punctuation, so deterministic sentence boundaries
+  //      are appended per doc first (the pii_redact pattern); both
+  //      engines build and split the same string with the same
+  //      RE2-subset regex ----
+  val sentenceSplit: Q = (s, d) => {
+    val built = concat(col("text"), lit(". Lang is "), col("lang"),
+      lit("! Source was "), col("source"), lit("? The end"))
+    graft.operators.TextAnalysis.sentences(
+      documents(s, d).select(col("doc_id"), built.as("built")),
+      "doc_id", "built")
+  }
+
+  val sentenceSplitOracle: String =
+    """WITH b AS (SELECT doc_id,
+      |  text || '. Lang is ' || lang || '! Source was ' || source
+      |       || '? The end' AS built FROM documents),
+      |l AS (SELECT doc_id,
+      |  [trim(x) for x in regexp_split_to_array(built, '[.!?]+\s+')
+      |   if len(trim(x)) > 0] AS parts FROM b),
+      |e AS (SELECT doc_id,
+      |  CAST(unnest(generate_series(1, len(parts))) AS BIGINT) - 1 AS sentence_no,
+      |  unnest(parts) AS sentence FROM l)
+      |SELECT doc_id, sentence_no, sentence,
+      |  CAST(len(sentence) AS BIGINT) AS n_chars FROM e""".stripMargin
+
   // ---- dedup_components: transitive near-dup clusters (connected
   //      components over the jaccard-0.8 pair graph; representative
   //      = min doc id). Oracle: recursive-CTE reachability. ----
@@ -690,6 +716,7 @@ object TextQueries {
     "text_repetition" -> repetition,
     "text_decontaminate" -> decontaminate,
     "text_source_cap" -> sourceCap,
+    "text_sentences" -> sentenceSplit,
     "multimodal_phash_dedup" -> phashDedup)
 
   val oracles: Map[String, String] = Map(
@@ -716,5 +743,6 @@ object TextQueries {
     "text_sample_stratified" -> sampleStratifiedOracle,
     "text_repetition" -> repetitionOracle,
     "text_decontaminate" -> decontaminateOracle,
-    "text_source_cap" -> sourceCapOracle)
+    "text_source_cap" -> sourceCapOracle,
+    "text_sentences" -> sentenceSplitOracle)
 }
