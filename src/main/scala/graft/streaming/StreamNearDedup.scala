@@ -118,45 +118,15 @@ object StreamNearDedup {
         aggregate(zip_with(a, b, (x, y) => (x === y).cast("long")),
           lit(0L), (acc, v) => acc + v)
 
-      // skew cap on the batch side: only under-cap buckets enter
-      // candidate generation (self- and cross-join both)
-      val underCap = posts.groupBy("band", "bh")
-        .agg(count(lit(1)).as("cnt"))
-        .filter(col("cnt") <= maxBucketSize)
-        .select("band", "bh")
-      val capped = posts.join(underCap, Seq("band", "bh"))
-
-      // within-batch: a doc matching ANY earlier-id member (kept or
-      // not) is dropped — mirrors the batch operator's component rule
-      // on chains inside one batch
-      val a = capped.select(col("band"), col("bh"),
-        col("doc").as("doc_a"), col("sig").as("sig_a"))
-      val b = capped.select(col("band"), col("bh"),
-        col("doc").as("doc_b"), col("sig").as("sig_b"))
-      val batchDropped = a.join(b, Seq("band", "bh"))
-        .filter(col("doc_a") < col("doc_b"))
-        .filter(agree(col("sig_a"), col("sig_b")) >= minMatches)
-        .select(col("doc_b").as("doc")).distinct()
-
-      // cross-history candidates: batch bands ⋈ prior kept postings,
-      // read partition-pruned to the touched buckets; hot state-side
-      // buckets (accumulated over the stream's life) are capped the
-      // same way
-      val dropped = (priorPostings(spark, stateDir, batchId, touched) match {
-        case Some(prior) =>
-          val priorUnderCap = prior.groupBy("band", "bh")
-            .agg(count(lit(1)).as("hcnt"))
-            .filter(col("hcnt") <= maxBucketSize)
-            .select("band", "bh")
-          capped.join(
-              prior.join(priorUnderCap, Seq("band", "bh"))
-                .select(col("band"), col("bh"), col("sig").as("h_sig")),
-              Seq("band", "bh"))
-            .filter(agree(col("sig"), col("h_sig")) >= minMatches)
-            .select(col("doc")).distinct()
-            .unionByName(batchDropped)
-        case None => batchDropped
-      }).distinct()
+      // within-batch rule (any earlier-id member, mirroring the batch
+      // operator's component rule on chains inside one batch) +
+      // cross-history candidates against prior kept postings, read
+      // partition-pruned to the touched buckets; over-cap buckets
+      // skipped both sides — all via the shared BandedDedup core
+      val dropped = BandedDedup.droppedDocs(posts,
+        priorPostings(spark, stateDir, batchId, touched),
+        similar = (x, y) => agree(x, y) >= minMatches,
+        maxBucketSize = maxBucketSize)
       val survivors = batch.join(dropped.withColumnRenamed("doc", idCol),
         Seq(idCol), "left_anti")
 
