@@ -238,6 +238,54 @@ object TextQueries {
       |SELECT doc_id, sentence_no, sentence,
       |  CAST(len(sentence) AS BIGINT) AS n_chars FROM e""".stripMargin
 
+  // ---- jsonl_roundtrip / orc_roundtrip: format-surface fidelity.
+  //      The corpus is exported to JSONL / ORC and read back through
+  //      the graft readers; the aggregate over the round-tripped data
+  //      must equal the oracle's aggregate over the original parquet —
+  //      any loss, coercion, or duplication in either direction shows
+  //      up as a value mismatch ----
+  private def fmtDir(d: String, leaf: String): String =
+    s"/tmp/graft_fmt_${new java.io.File(d).getName}/$leaf"
+
+  val jsonlRoundtrip: Q = (s, d) => {
+    val docs = documents(s, d)
+    val out = graft.sources.CorpusFormats.writeJsonl(
+      docs.select("doc_id", "lang", "source", "n_chars"), fmtDir(d, "docs_jsonl"))
+    val (clean, rejects) = graft.sources.CorpusFormats.splitCorrupt(
+      graft.sources.CorpusFormats.readJsonl(s, out,
+        org.apache.spark.sql.types.StructType(
+          docs.select("doc_id", "lang", "source", "n_chars").schema.fields)))
+    require(rejects.isEmpty, "self-written JSONL must have no corrupt lines")
+    clean.groupBy(col("lang"))
+      .agg(count(lit(1)).cast("bigint").as("n_docs"),
+        sum(col("n_chars")).cast("bigint").as("sum_chars"),
+        min(col("doc_id")).cast("bigint").as("min_id"))
+  }
+
+  val jsonlRoundtripOracle: String =
+    """SELECT lang, CAST(COUNT(*) AS BIGINT) AS n_docs,
+      |  CAST(SUM(n_chars) AS BIGINT) AS sum_chars,
+      |  CAST(MIN(doc_id) AS BIGINT) AS min_id
+      |FROM documents GROUP BY 1""".stripMargin
+
+  val orcRoundtrip: Q = (s, d) => {
+    val li = s.read.parquet(s"$d/lineitem.parquet")
+      .select("l_returnflag", "l_linestatus", "l_quantity", "l_extendedprice")
+    val out = graft.sources.CorpusFormats.writeOrc(li, fmtDir(d, "lineitem_orc"))
+    graft.sources.CorpusFormats.readOrc(s, out)
+      .groupBy(col("l_returnflag"), col("l_linestatus"))
+      .agg(count(lit(1)).cast("bigint").as("n"),
+        sum(col("l_quantity").cast("decimal(18,2)")).cast("double").as("sum_qty"),
+        round(sum(col("l_extendedprice").cast("decimal(18,2)")), 2)
+          .cast("double").as("sum_price"))
+  }
+
+  val orcRoundtripOracle: String =
+    """SELECT l_returnflag, l_linestatus, CAST(COUNT(*) AS BIGINT) AS n,
+      |  CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty,
+      |  CAST(ROUND(SUM(CAST(l_extendedprice AS DECIMAL(18,2))), 2) AS DOUBLE) AS sum_price
+      |FROM lineitem GROUP BY 1, 2""".stripMargin
+
   // ---- dedup_components: transitive near-dup clusters (connected
   //      components over the jaccard-0.8 pair graph; representative
   //      = min doc id). Oracle: recursive-CTE reachability. ----
@@ -717,6 +765,8 @@ object TextQueries {
     "text_decontaminate" -> decontaminate,
     "text_source_cap" -> sourceCap,
     "text_sentences" -> sentenceSplit,
+    "jsonl_roundtrip" -> jsonlRoundtrip,
+    "orc_roundtrip" -> orcRoundtrip,
     "multimodal_phash_dedup" -> phashDedup)
 
   val oracles: Map[String, String] = Map(
@@ -744,5 +794,7 @@ object TextQueries {
     "text_repetition" -> repetitionOracle,
     "text_decontaminate" -> decontaminateOracle,
     "text_source_cap" -> sourceCapOracle,
-    "text_sentences" -> sentenceSplitOracle)
+    "text_sentences" -> sentenceSplitOracle,
+    "jsonl_roundtrip" -> jsonlRoundtripOracle,
+    "orc_roundtrip" -> orcRoundtripOracle)
 }

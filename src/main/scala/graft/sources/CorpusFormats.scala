@@ -1,0 +1,77 @@
+package graft.sources
+
+import org.apache.spark.sql.{DataFrame, SaveMode, SparkSession}
+import org.apache.spark.sql.functions.col
+import org.apache.spark.sql.types.{StringType, StructType}
+
+/** Ingestion/export surfaces for the corpus formats beyond parquet:
+  * JSON-lines (the lingua franca of published LLM corpora) and ORC
+  * (the other splittable columnar format Spark reads natively).
+  *
+  * Scale rules encoded here rather than left to callers:
+  *
+  *  - the JSONL schema is REQUIRED — schema inference is a full extra
+  *    pass over the data (at 100 TB, a second 100 TB scan before the
+  *    first real one);
+  *  - malformed lines are never fatal and never silent: PERMISSIVE
+  *    parsing routes them to a corrupt-record column, and
+  *    [[splitCorrupt]] separates the good rows from an auditable
+  *    reject set (web-scale JSONL always has a torn line somewhere —
+  *    a job that dies at 99% on one of them, or silently drops it,
+  *    is operationally wrong);
+  *  - JSONL is line-splittable and ORC stripe-splittable, so both
+  *    reads parallelize per input split like the parquet paths.
+  */
+object CorpusFormats {
+
+  val CorruptCol = "_corrupt_record"
+
+  /** Read a JSONL corpus with an explicit schema; malformed lines
+    * surface in [[CorruptCol]] (null for clean rows), carrying the
+    * raw line for the reject audit. Parsed as a line-splittable text
+    * scan + codegen'd `from_json` rather than the JSON data source:
+    * same parallelism, and the reject set stays queryable on its own
+    * (the data source forbids plans that touch only its internal
+    * corrupt-record column).
+    */
+  def readJsonl(spark: SparkSession, path: String,
+                schema: StructType): DataFrame = {
+    require(!schema.fieldNames.contains(CorruptCol),
+      s"schema already contains $CorruptCol")
+    import org.apache.spark.sql.functions.{from_json, lit, when}
+    // the corrupt-record column lives INSIDE the from_json schema:
+    // PERMISSIVE from_json yields an all-null row (not a null struct)
+    // for a torn line, so struct-nullness alone cannot tell a reject
+    // from a record of legitimate nulls
+    val withCorrupt = schema.add(CorruptCol, StringType)
+    val opts = Map("mode" -> "PERMISSIVE",
+      "columnNameOfCorruptRecord" -> CorruptCol)
+    spark.read.text(path)
+      .select(from_json(col("value"), withCorrupt, opts).as("__r"), col("value"))
+      .select(schema.fieldNames.map(f => col(s"__r.`$f`")) :+
+        when(col("__r").isNull || col(s"__r.`$CorruptCol`").isNotNull,
+          col("value")).otherwise(lit(null).cast(StringType))
+          .as(CorruptCol): _*)
+  }
+
+  /** (clean rows without the corrupt column, reject rows' raw lines). */
+  def splitCorrupt(df: DataFrame): (DataFrame, DataFrame) = (
+    df.filter(col(CorruptCol).isNull).drop(CorruptCol),
+    df.filter(col(CorruptCol).isNotNull).select(col(CorruptCol).as("raw_line"))
+  )
+
+  def writeJsonl(df: DataFrame, path: String): String = {
+    df.write.mode(SaveMode.Overwrite).json(path)
+    path
+  }
+
+  def readOrc(spark: SparkSession, path: String): DataFrame =
+    spark.read.orc(path)
+
+  def writeOrc(df: DataFrame, path: String,
+               compression: String = "zstd"): String = {
+    df.write.mode(SaveMode.Overwrite)
+      .option("compression", compression).orc(path)
+    path
+  }
+}

@@ -597,6 +597,41 @@ class OperatorsSpec extends AnyFunSuite {
     assert(!plan.contains("Window"), s"window sort crept in:\n$plan")
   }
 
+  test("JSONL reader: torn lines are rejected with the raw line, never fatal or silent") {
+    import org.apache.spark.sql.types._
+    val dir = java.nio.file.Files.createTempDirectory("jsonl").toString
+    val lines = Seq(
+      """{"doc_id": 1, "text": "alpha"}""",
+      """{"doc_id": 2, "text": "beta"}""",
+      """{"doc_id": 3, "text": "torn""", // truncated mid-record
+      """not json at all""",
+      """{"doc_id": 4, "text": "gamma"}""")
+    java.nio.file.Files.write(
+      java.nio.file.Paths.get(dir, "part-0.jsonl"),
+      lines.mkString("\n").getBytes("UTF-8"))
+    val schema = StructType(Seq(
+      StructField("doc_id", LongType), StructField("text", StringType)))
+    val (clean, rejects) = graft.sources.CorpusFormats.splitCorrupt(
+      graft.sources.CorpusFormats.readJsonl(spark, dir, schema))
+    assert(clean.as[(Long, String)].collect().toSet ==
+      Set((1L, "alpha"), (2L, "beta"), (4L, "gamma")))
+    // the reject set is auditable standalone and carries the raw lines
+    assert(rejects.as[String].collect().toSet ==
+      Set("""{"doc_id": 3, "text": "torn""", "not json at all"))
+  }
+
+  test("ORC round-trip preserves rows and types") {
+    val df = Seq((1L, "a", 1.5), (2L, "b", -2.25)).toDF("id", "s", "v")
+    val dir = java.nio.file.Files.createTempDirectory("orc").toString + "/t"
+    graft.sources.CorpusFormats.writeOrc(df, dir)
+    val back = graft.sources.CorpusFormats.readOrc(spark, dir)
+    // names and types survive; nullability legitimately widens on read
+    assert(back.schema.fields.map(f => (f.name, f.dataType)).toSeq ==
+      df.schema.fields.map(f => (f.name, f.dataType)).toSeq)
+    assert(back.as[(Long, String, Double)].collect().toSet ==
+      Set((1L, "a", 1.5), (2L, "b", -2.25)))
+  }
+
   test("z-score outliers: exact inside the 1e18 envelope, fail-fast beyond it") {
     import org.apache.spark.sql.functions.{col, lit}
     def frame(cents: Seq[BigDecimal]) = cents.zipWithIndex.map { case (c, i) =>
