@@ -62,6 +62,50 @@ object Decontaminate {
     decontaminateAgainst(corpus, probeSet(probes, textCol, n),
       idCol, textCol, maxFraction, n)
 
+  /** [[contamination]] for probe sets too large to broadcast exactly:
+    * a Bloom filter over the probe shingle hashes (built distributed,
+    * shipped as ONE broadcast variable, ~1.2 bytes/shingle at 1% fpp)
+    * prefilters corpus postings inside whole-stage codegen, so the
+    * exact-verify join shuffles only the might-contain candidates —
+    * O(contaminated tail + fpp x corpus), not O(every posting in the
+    * corpus). False positives cannot leak into the result: surviving
+    * candidates are still joined against the exact probe set (which
+    * shuffles at O(probe), never broadcasts). Per-doc totals come from
+    * a separate explode-free pass, so zero-hit documents keep their
+    * row exactly as in the broadcast form.
+    */
+  def contaminationBloom(corpus: DataFrame, probeShingles: DataFrame,
+                         idCol: String, textCol: String, n: Int = 3,
+                         fpp: Double = 0.01): DataFrame = {
+    GraftFunctions.register(corpus.sparkSession)
+    val spark = corpus.sparkSession
+    val expected = math.max(1L, probeShingles.count())
+    val filter = probeShingles.stat.bloomFilter("sh", expected, fpp)
+    val bc = spark.sparkContext.broadcast(filter)
+    def mightContain(c: org.apache.spark.sql.Column) =
+      org.apache.spark.sql.graft.ColumnBridge.column(
+        graft.plans.BloomMightContainLong(
+          org.apache.spark.sql.graft.ColumnBridge.expression(c), bc))
+
+    val withSh = corpus.select(col(idCol).as("doc"),
+      GraftFunctions.shingleFast(wsTokens(col(textCol)), n).as("sh_hashes"))
+    val totals = withSh
+      .select(col("doc"), size(col("sh_hashes")).cast("bigint").as("n_shingles"))
+      .filter(col("n_shingles") > 0)
+    val candidates = withSh
+      .select(col("doc"), explode(col("sh_hashes")).as("sh"))
+      .filter(mightContain(col("sh")))
+    val hits = candidates
+      .join(probeShingles.select("sh"), Seq("sh"), "left_semi")
+      .groupBy(col("doc"))
+      .agg(count(lit(1)).cast("bigint").as("n_contaminated"))
+    totals.join(hits, Seq("doc"), "left")
+      .select(col("doc").as(idCol), col("n_shingles"),
+        coalesce(col("n_contaminated"), lit(0L)).as("n_contaminated"))
+      .withColumn("contamination",
+        col("n_contaminated").cast("double") / col("n_shingles").cast("double"))
+  }
+
   /** As [[decontaminate]], against a pre-computed [[probeSet]]. */
   def decontaminateAgainst(corpus: DataFrame, probeShingles: DataFrame,
                            idCol: String, textCol: String,

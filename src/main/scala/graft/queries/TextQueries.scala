@@ -551,6 +551,20 @@ object TextQueries {
       docs0.filter(col("source") === "src0"), "doc_id", "text", n = 3)
   }
 
+  // ---- text_decontaminate_bloom: the broadcast-free scale path —
+  //      a Bloom filter over the probe shingles prefilters corpus
+  //      postings in codegen, exact join verifies candidates. Output
+  //      is bit-identical to text_decontaminate (false positives are
+  //      re-verified), so the SAME oracle SQL grades it. ----
+  val decontaminateBloom: Q = (s, d) => {
+    val docs0 = documents(s, d)
+    graft.operators.Decontaminate.contaminationBloom(
+      docs0.filter(col("source") =!= "src0"),
+      graft.operators.Decontaminate.probeSet(
+        docs0.filter(col("source") === "src0"), "text", n = 3),
+      "doc_id", "text", n = 3)
+  }
+
   val decontaminateOracle: String =
     """WITH docs AS (SELECT doc_id, source,
       |        regexp_split_to_array(trim(text), '\s+') toks FROM documents),
@@ -763,6 +777,7 @@ object TextQueries {
     "text_sample_stratified" -> sampleStratified,
     "text_repetition" -> repetition,
     "text_decontaminate" -> decontaminate,
+    "text_decontaminate_bloom" -> decontaminateBloom,
     "text_source_cap" -> sourceCap,
     "text_sentences" -> sentenceSplit,
     "jsonl_roundtrip" -> jsonlRoundtrip,
@@ -793,6 +808,7 @@ object TextQueries {
     "text_sample_stratified" -> sampleStratifiedOracle,
     "text_repetition" -> repetitionOracle,
     "text_decontaminate" -> decontaminateOracle,
+    "text_decontaminate_bloom" -> decontaminateOracle,
     "text_source_cap" -> sourceCapOracle,
     "text_sentences" -> sentenceSplitOracle,
     "jsonl_roundtrip" -> jsonlRoundtripOracle,

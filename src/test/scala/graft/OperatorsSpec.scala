@@ -620,6 +620,41 @@ class OperatorsSpec extends AnyFunSuite {
       Set("""{"doc_id": 3, "text": "torn""", "not json at all"))
   }
 
+  test("bloom-prefiltered contamination == exact broadcast form; probe runs in codegen") {
+    // parquet-backed (a LocalRelation would be constant-folded by the
+    // optimizer and the plan assertion below would see no filter)
+    val corpusDir = java.nio.file.Files.createTempDirectory("bloomdec").toString + "/c"
+    Seq(
+      (1L, "the quick brown fox jumps over the lazy dog near the river bank"),
+      (2L, "completely unrelated text about spark physical plans and shuffles"),
+      (3L, "the quick brown fox appears again jumping over another lazy dog"),
+      (4L, "tiny")
+    ).toDF("doc_id", "text").write.parquet(corpusDir)
+    val corpus = spark.read.parquet(corpusDir)
+    val probes = Seq(
+      (10L, "the quick brown fox jumps over the lazy dog")
+    ).toDF("bench_id", "text")
+    val probeSet = graft.operators.Decontaminate.probeSet(probes, "text").cache()
+    def rows(df: org.apache.spark.sql.DataFrame) =
+      df.select("doc_id", "n_shingles", "n_contaminated")
+        .as[(Long, Long, Long)].collect().toSet
+    val exact = rows(graft.operators.Decontaminate
+      .contaminationAgainst(corpus, probeSet, "doc_id", "text"))
+    val bloom = graft.operators.Decontaminate
+      .contaminationBloom(corpus, probeSet, "doc_id", "text")
+    assert(rows(bloom) == exact)
+    assert(exact.map(_._1) == Set(1L, 2L, 3L)) // doc 4 has no shingles
+    bloom.collect() // finalize AQE stages so codegen spans are visible
+    val plan = bloom.queryExecution.executedPlan.toString
+    assert(plan.contains("graft_bloom_might_contain"),
+      s"bloom prefilter missing from the plan:\n$plan")
+    // AQE renders whole-stage-codegen spans as "*(n)" node prefixes;
+    // the probe filter must sit inside one, not fall back to eval
+    assert(plan.linesIterator.exists(l =>
+      l.contains("graft_bloom_might_contain") && l.contains("*(")),
+      s"bloom probe fell out of codegen:\n$plan")
+  }
+
   test("ORC round-trip preserves rows and types") {
     val df = Seq((1L, "a", 1.5), (2L, "b", -2.25)).toDF("id", "s", "v")
     val dir = java.nio.file.Files.createTempDirectory("orc").toString + "/t"
