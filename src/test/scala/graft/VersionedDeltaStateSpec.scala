@@ -69,6 +69,40 @@ class VersionedDeltaStateSpec extends AnyFunSuite {
     assert(hashes(root, 9L) == (0L until 8L).toSeq) // still readable after prune
   }
 
+  test("property: arbitrary replay schedules converge to the unique-batch union") {
+    import org.scalacheck.{Gen, Prop, Test => ScTest}
+    // a checkpointed stream replays only its newest uncommitted batch,
+    // so a schedule is: for each batch id in order, 1..3 applications
+    // (original + replays), with consolidation at a random cadence.
+    // Whatever the schedule, the visible state must equal the union of
+    // one delta per batch id.
+    val gen = for {
+      nBatches <- Gen.choose(3, 7)
+      repeats <- Gen.listOfN(nBatches, Gen.choose(1, 3))
+      every <- Gen.choose(2, 4)
+    } yield (nBatches, repeats, every)
+    val prop = Prop.forAll(gen) { case (nBatches, repeats, every) =>
+      val root = Files.createTempDirectory("vds_prop").toString
+      (0 until nBatches).foreach { b =>
+        if (b > 0 && b % every == 0) {
+          VersionedDeltaState.consolidate(spark, root, b, merge = _.distinct())
+          VersionedDeltaState.prune(spark, root)
+        }
+        (0 until repeats(b)).foreach { _ =>
+          VersionedDeltaState.append(spark, root,
+            Seq(b.toLong * 10, b.toLong * 10 + 1).toDF("__lh"), tag = b.toLong)
+        }
+      }
+      val want = (0 until nBatches)
+        .flatMap(b => Seq(b.toLong * 10, b.toLong * 10 + 1)).sorted
+      hashes(root, nBatches.toLong) == want
+    }
+    val res = ScTest.check(ScTest.Parameters.default
+      .withMinSuccessfulTests(8)
+      .withInitialSeed(org.scalacheck.rng.Seed(7L)), prop)
+    assert(res.passed, res.status.toString)
+  }
+
   test("zombie writer is fenced: late commit fails version-taken, state intact") {
     val root = Files.createTempDirectory("vds_zombie").toString
     VersionedDeltaState.append(spark, root, Seq(1L).toDF("__lh"), tag = 0L)
