@@ -905,6 +905,51 @@ object Relational {
       |FROM customer
       |WINDOW w AS (PARTITION BY c_nationkey ORDER BY c_acctbal ASC, c_custkey ASC)""".stripMargin
 
+  // ---- q43: correlation / covariance aggregates per group — the
+  //      co-moment family (corr, covar_samp, covar_pop), rounded so
+  //      the last double ulp (libm-dependent) cannot flip the
+  //      comparison ----
+  val q43Corr: Q = (s, d) =>
+    lineitem(s, d).groupBy(col("l_returnflag"))
+      .agg(
+        round(corr(col("l_quantity"), col("l_extendedprice")), 6)
+          .as("corr_qty_price"),
+        round(covar_samp(col("l_quantity"), col("l_extendedprice")), 2)
+          .as("covar_s"),
+        round(covar_pop(col("l_quantity"), col("l_discount")), 6)
+          .as("covar_p"))
+
+  val q43Oracle: String =
+    """SELECT l_returnflag,
+      |  ROUND(CORR(l_quantity, l_extendedprice), 6) AS corr_qty_price,
+      |  ROUND(COVAR_SAMP(l_quantity, l_extendedprice), 2) AS covar_s,
+      |  ROUND(COVAR_POP(l_quantity, l_discount), 6) AS covar_p
+      |FROM lineitem GROUP BY 1""".stripMargin
+
+  // ---- q44: fuzzy lookup — edit-distance match of a SMALL probe
+  //      list (misspelled product names) against the part dimension.
+  //      The scale shape is probe-side broadcast: |probes| comparisons
+  //      per scanned row, all inside the scan task — the
+  //      entity-resolution primitive without the O(n^2) self-join
+  //      (a corpus-scale fuzzy SELF-join needs blocking first; the
+  //      near-dup operators are that path) ----
+  val q44FuzzyLookup: Q = (s, d) => {
+    import s.implicits._
+    val probes = Seq("smal ring", "red widgit", "blue blot", "hot gaer")
+      .toDF("probe")
+    part(s, d).join(broadcast(probes),
+        levenshtein(col("p_name"), col("probe")) <= 2)
+      .select(col("p_partkey"), col("p_name"), col("probe"),
+        levenshtein(col("p_name"), col("probe")).cast("bigint").as("dist"))
+  }
+
+  val q44Oracle: String =
+    """WITH probes(probe) AS (VALUES ('smal ring'), ('red widgit'),
+      |                             ('blue blot'), ('hot gaer'))
+      |SELECT p_partkey, p_name, probe,
+      |  CAST(levenshtein(p_name, probe) AS BIGINT) AS dist
+      |FROM part JOIN probes ON levenshtein(p_name, probe) <= 2""".stripMargin
+
   val queries: Map[String, Q] = Map(
     "q1_pricing_summary" -> q1PricingSummary,
     "q2_filter_pushdown" -> q2FilterPushdown,
@@ -946,11 +991,15 @@ object Relational {
     "q39_approx_quantile" -> q39ApproxQuantile,
     "q40_json_extract" -> q40JsonExtract,
     "q41_unpivot" -> q41Unpivot,
-    "q42_window_nav" -> q42WindowNav)
+    "q42_window_nav" -> q42WindowNav,
+    "q43_corr" -> q43Corr,
+    "q44_fuzzy_lookup" -> q44FuzzyLookup)
 
   val oracles: Map[String, String] = Map(
     "q41_unpivot" -> q41Oracle,
     "q42_window_nav" -> q42Oracle,
+    "q43_corr" -> q43Oracle,
+    "q44_fuzzy_lookup" -> q44Oracle,
     "q1_pricing_summary" -> q1Oracle,
     "q2_filter_pushdown" -> q2Oracle,
     "q3_top_orders" -> q3Oracle,
