@@ -905,6 +905,28 @@ object Relational {
       |FROM customer
       |WINDOW w AS (PARTITION BY c_nationkey ORDER BY c_acctbal ASC, c_custkey ASC)""".stripMargin
 
+  // ---- q45: MERGEABLE distinct-count sketches (Datasketches HLL) —
+  //      the rollup pattern a 100 TB warehouse stores: per-nation
+  //      sketches are the pre-aggregation (one pass over raw data);
+  //      region counts come from UNIONING sketches, never rescanning —
+  //      what plain approx_count_distinct cannot do. Rows-only
+  //      (sketch internals are engine-specific); an error-bound spec
+  //      pins the estimates against exact counts. ----
+  val q45HllMerge: Q = (s, d) => {
+    val perNation = customer(s, d)
+      .groupBy(col("c_nationkey"))
+      .agg(hll_sketch_agg(col("c_custkey"), lit(14)).as("sk"),
+        count(lit(1)).as("n_rows"))
+    val regions = nation(s, d)
+      .select(col("n_nationkey"), col("n_regionkey"))
+    perNation
+      .join(broadcast(regions), col("c_nationkey") === col("n_nationkey"))
+      .groupBy(col("n_regionkey"))
+      .agg(hll_sketch_estimate(hll_union_agg(col("sk")))
+          .cast("bigint").as("approx_customers"),
+        sum(col("n_rows")).cast("bigint").as("n_rows"))
+  }
+
   // ---- q43: correlation / covariance aggregates per group — the
   //      co-moment family (corr, covar_samp, covar_pop), rounded so
   //      the last double ulp (libm-dependent) cannot flip the
@@ -993,7 +1015,8 @@ object Relational {
     "q41_unpivot" -> q41Unpivot,
     "q42_window_nav" -> q42WindowNav,
     "q43_corr" -> q43Corr,
-    "q44_fuzzy_lookup" -> q44FuzzyLookup)
+    "q44_fuzzy_lookup" -> q44FuzzyLookup,
+    "q45_hll_merge" -> q45HllMerge)
 
   val oracles: Map[String, String] = Map(
     "q41_unpivot" -> q41Oracle,

@@ -655,6 +655,24 @@ class OperatorsSpec extends AnyFunSuite {
       s"bloom probe fell out of codegen:\n$plan")
   }
 
+  test("HLL sketch merge: region estimates within rel. error of exact distinct counts") {
+    val sf = "/root/testdata/sf0.001"
+    val got = graft.queries.Relational.q45HllMerge(spark, sf)
+      .as[(Long, Long, Long)].collect().map(r => r._1 -> r._2).toMap
+    val exact = spark.read.parquet(s"$sf/customer.parquet")
+      .join(spark.read.parquet(s"$sf/nation.parquet"),
+        col("c_nationkey") === col("n_nationkey"))
+      .groupBy("n_regionkey").agg(countDistinct("c_custkey").as("n"))
+      .as[(Long, Long)].collect().toMap
+    assert(got.keySet == exact.keySet && got.nonEmpty)
+    exact.foreach { case (region, n) =>
+      val est = got(region)
+      // lgK=14 keeps HLL error ~1%; allow 5% + small-count slack
+      assert(math.abs(est - n) <= math.max(2L, (n * 0.05).toLong),
+        s"region $region: est $est vs exact $n")
+    }
+  }
+
   test("ORC round-trip preserves rows and types") {
     val df = Seq((1L, "a", 1.5), (2L, "b", -2.25)).toDF("id", "s", "v")
     val dir = java.nio.file.Files.createTempDirectory("orc").toString + "/t"
