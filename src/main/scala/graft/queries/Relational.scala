@@ -972,6 +972,37 @@ object Relational {
       |  CAST(levenshtein(p_name, probe) AS BIGINT) AS dist
       |FROM part JOIN probes ON levenshtein(p_name, probe) <= 2""".stripMargin
 
+  // ---- q46: cohort retention — the warehouse activity-retention
+  //      matrix: each customer's first-order month is their cohort;
+  //      every later order lands in (cohort, month offset); distinct
+  //      customers per cell. Shape at scale: ONE shuffle by customer
+  //      (window min picks the cohort without a self-join), then the
+  //      cell aggregation; countDistinct's expand is bounded by the
+  //      cell count × customers, same as the exact-distinct family ----
+  val q46CohortRetention: Q = (s, d) => {
+    val o = orders(s, d).select(col("o_custkey"),
+      date_trunc("month", col("o_orderdate")).as("m"))
+    val byCust = Window.partitionBy(col("o_custkey"))
+    o.withColumn("cohort", min(col("m")).over(byCust))
+      .withColumn("month_offset",
+        months_between(col("m"), col("cohort")).cast("bigint"))
+      .groupBy(col("cohort"), col("month_offset"))
+      .agg(countDistinct(col("o_custkey")).cast("bigint").as("n_customers"))
+  }
+
+  val q46Oracle: String =
+    """WITH o AS (
+      |  SELECT o_custkey, date_trunc('month', o_orderdate) AS m FROM orders
+      |), c AS (
+      |  SELECT o_custkey, m,
+      |         min(m) OVER (PARTITION BY o_custkey) AS cohort
+      |  FROM o
+      |)
+      |SELECT cohort,
+      |  CAST(datediff('month', cohort, m) AS BIGINT) AS month_offset,
+      |  CAST(count(DISTINCT o_custkey) AS BIGINT) AS n_customers
+      |FROM c GROUP BY 1, 2""".stripMargin
+
   val queries: Map[String, Q] = Map(
     "q1_pricing_summary" -> q1PricingSummary,
     "q2_filter_pushdown" -> q2FilterPushdown,
@@ -1016,7 +1047,8 @@ object Relational {
     "q42_window_nav" -> q42WindowNav,
     "q43_corr" -> q43Corr,
     "q44_fuzzy_lookup" -> q44FuzzyLookup,
-    "q45_hll_merge" -> q45HllMerge)
+    "q45_hll_merge" -> q45HllMerge,
+    "q46_cohort_retention" -> q46CohortRetention)
 
   val oracles: Map[String, String] = Map(
     "q41_unpivot" -> q41Oracle,
@@ -1059,5 +1091,6 @@ object Relational {
     "q36_grouping_sets" -> q36Oracle,
     "q37_histogram" -> q37Oracle,
     "q38_outliers" -> q38Oracle,
-    "q40_json_extract" -> q40Oracle)
+    "q40_json_extract" -> q40Oracle,
+    "q46_cohort_retention" -> q46Oracle)
 }
