@@ -1003,6 +1003,36 @@ object Relational {
       |  CAST(count(DISTINCT o_custkey) AS BIGINT) AS n_customers
       |FROM c GROUP BY 1, 2""".stripMargin
 
+  // ---- layout_zorder: z-order clustered layout quality, measured.
+  //      Writes orders z-clustered by (customer, price) and reports
+  //      the file-skipping a parquet footer gets from the layout:
+  //      files touched by a mid-decile band on EACH dimension vs the
+  //      file count. The single-sort-column layout this replaces
+  //      cannot prune the second dimension at all; the numbers here
+  //      are the evidence the 100 TB scan-planning story rests on.
+  //      Rows-only: the stats depend on sampled quantile cutpoints ----
+  val q47ZorderLayout: Q = (s, d) => {
+    import s.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graft_zorder")
+      .toString + "/orders"
+    val o = orders(s, d).select(
+      col("o_custkey").cast("double").as("ck"),
+      col("o_totalprice").cast("double").as("tp"))
+    graft.operators.ZOrder.write(o, Seq("ck", "tp"), dir,
+      numFiles = 16, bits = 6)
+    val q = o.stat.approxQuantile(
+      Array("ck", "tp"), Array(0.45, 0.55), 0.01)
+    val files = graft.operators.ZOrder.fileStats(s, dir, Seq("ck", "tp"))
+      .count()
+    val ckBand = graft.operators.ZOrder.filesTouched(
+      s, dir, Seq(("ck", q(0)(0), q(0)(1))))
+    val tpBand = graft.operators.ZOrder.filesTouched(
+      s, dir, Seq(("tp", q(1)(0), q(1)(1))))
+    Seq(("zorder_files", files),
+      ("ck_band_files_touched", ckBand),
+      ("tp_band_files_touched", tpBand)).toDF("stat", "value")
+  }
+
   val queries: Map[String, Q] = Map(
     "q1_pricing_summary" -> q1PricingSummary,
     "q2_filter_pushdown" -> q2FilterPushdown,
@@ -1048,7 +1078,8 @@ object Relational {
     "q43_corr" -> q43Corr,
     "q44_fuzzy_lookup" -> q44FuzzyLookup,
     "q45_hll_merge" -> q45HllMerge,
-    "q46_cohort_retention" -> q46CohortRetention)
+    "q46_cohort_retention" -> q46CohortRetention,
+    "layout_zorder" -> q47ZorderLayout)
 
   val oracles: Map[String, String] = Map(
     "q41_unpivot" -> q41Oracle,

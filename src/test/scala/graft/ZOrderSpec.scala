@@ -1,0 +1,132 @@
+package graft
+
+import org.apache.spark.sql.catalyst.util.GenericArrayData
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.operators.ZOrder
+import graft.plans.ZValue
+
+class ZOrderSpec extends AnyFunSuite {
+
+  private lazy val spark = SparkTestSession.spark
+  import spark.implicits._
+
+  private def tmp(prefix: String): String =
+    java.nio.file.Files.createTempDirectory(prefix).toString
+
+  // ---- ZValue expression semantics ----
+
+  test("ZValue interleaves rank-bucket bits (hand-computed Morton codes)") {
+    // 2 dims, bits=2: cuts split each dim into buckets {0,1,2,3}
+    val cuts = Seq(Array(10.0, 20.0, 30.0), Array(10.0, 20.0, 30.0))
+    val zv = ZValue(null, cuts, 2)
+    def z(x: Double, y: Double): Long =
+      zv.compute(new GenericArrayData(Array[Any](x, y)))
+    // bucket(5)=0 bucket(15)=1 bucket(25)=2 bucket(35)=3
+    // interleave x→even bits, y→odd bits (dim d at bit i*ndims+d)
+    assert(z(5, 5) == 0L)    // (00, 00)
+    assert(z(15, 5) == 1L)   // x=01 → bit0
+    assert(z(5, 15) == 2L)   // y=01 → bit1
+    assert(z(25, 5) == 4L)   // x=10 → bit2
+    assert(z(5, 25) == 8L)   // y=10 → bit3
+    assert(z(35, 35) == 15L) // (11, 11) → 1111
+    // boundary: cut value itself goes UP (bucket = #cuts <= v)
+    assert(z(10, 5) == 1L)
+    // monotone tile locality: both dims in top bucket → top tile
+    assert(z(1e9, 1e9) == 15L)
+  }
+
+  test("ZValue null handling: null dim → bucket 0, null array → null, arity checked") {
+    val cuts = Seq(Array(10.0), Array(10.0))
+    val zv = ZValue(null, cuts, 1)
+    assert(zv.compute(new GenericArrayData(Array[Any](null, 15.0))) == 2L)
+    assert(zv.nullSafeEval(new GenericArrayData(Array[Any](5.0, 5.0))) == 0L)
+    intercept[IllegalArgumentException] {
+      zv.compute(new GenericArrayData(Array[Any](5.0)))
+    }
+  }
+
+  test("ZValue through the column API matches direct compute, survives codegen") {
+    val cuts = Seq(Array(500.0), Array(500.0))
+    val df = Seq((100.0, 900.0), (900.0, 100.0), (900.0, 900.0))
+      .toDF("x", "y")
+      .withColumn("z", ZOrder.zvalue(Seq(col("x"), col("y")), cuts, 1))
+    assert(df.select("z").as[Long].collect().toSeq == Seq(2L, 1L, 3L))
+  }
+
+  // ---- layout quality: multi-dimensional file skipping ----
+
+  test("z-order layout prunes on the non-sort dimension; linear layout cannot") {
+    val n = 20000
+    // two deterministic, independent, uniform-ish dims in [0, 1000):
+    // a full-avalanche mixer, NOT affine scrambles of i (two affine
+    // maps mod the same modulus are correlated and an x-sort would
+    // accidentally prune y)
+    def mix(v: Long): Long = {
+      var z = v + 0x9E3779B97F4A7C15L
+      z = (z ^ (z >>> 30)) * 0xBF58476D1CE4E5B9L
+      z = (z ^ (z >>> 27)) * 0x94D049BB133111EBL
+      z ^ (z >>> 31)
+    }
+    val df = (0 until n).map { i =>
+      val x = java.lang.Math.floorMod(mix(i.toLong), 1000)
+      val y = java.lang.Math.floorMod(mix(i.toLong + 777777L), 1000)
+      (i.toLong, x.toDouble, y.toDouble)
+    }.toDF("id", "x", "y")
+
+    val zDir = tmp("zorder")
+    val linDir = tmp("linear")
+    ZOrder.write(df, Seq("x", "y"), zDir, numFiles = 64, bits = 8)
+    // the single-column baseline layout: range-sorted by x only
+    df.repartitionByRange(64, col("x")).sortWithinPartitions("x")
+      .write.mode("overwrite").parquet(linDir)
+
+    val zFiles = ZOrder.fileStats(spark, zDir, Seq("x", "y")).count()
+    val linFiles = ZOrder.fileStats(spark, linDir, Seq("x", "y")).count()
+    assert(zFiles >= 32 && linFiles >= 32, s"z=$zFiles lin=$linFiles")
+
+    // filter on y ONLY: linear-by-x layout reads everything, z-order
+    // reads only the z-tiles whose y-envelope intersects the band
+    val yBox = Seq(("y", 100.0, 199.0))
+    val zTouched = ZOrder.filesTouched(spark, zDir, yBox)
+    val linTouched = ZOrder.filesTouched(spark, linDir, yBox)
+    assert(linTouched >= linFiles * 9 / 10,
+      s"x-sorted layout should not prune a y filter: $linTouched/$linFiles")
+    assert(zTouched * 2 <= linTouched,
+      s"z-order should halve (at least) the y-filter read set: " +
+        s"$zTouched vs $linTouched")
+
+    // conjunctive box on both dims: z-order touches a small corner
+    val box = Seq(("x", 100.0, 199.0), ("y", 100.0, 199.0))
+    val zBox = ZOrder.filesTouched(spark, zDir, box)
+    assert(zBox * 4 <= zFiles, s"box read set not local: $zBox/$zFiles")
+
+    // layout never changes content: filtered read == filtered source
+    val got = spark.read.parquet(zDir)
+      .filter(col("x").between(100.0, 199.0) && col("y").between(100.0, 199.0))
+      .select("id").as[Long].collect().toSet
+    val want = df
+      .filter(col("x").between(100.0, 199.0) && col("y").between(100.0, 199.0))
+      .select("id").as[Long].collect().toSet
+    assert(got == want && got.nonEmpty)
+  }
+
+  test("skewed dimension: rank buckets keep spreading, layout round-trips") {
+    val n = 5000
+    // y: 90% constant, 10% spread — value-linear binning would collapse
+    val df = (0 until n).map { i =>
+      val x = (i.toLong * 48271L) % 1000
+      val y = if (i % 10 == 0) (i.toLong * 69621L) % 1000 else 7L
+      (i.toLong, x.toDouble, y.toDouble)
+    }.toDF("id", "x", "y")
+    val dir = tmp("zskew")
+    ZOrder.write(df, Seq("x", "y"), dir, numFiles = 16, bits = 6)
+    val back = spark.read.parquet(dir)
+    assert(back.count() == n)
+    // the x dimension still tiles: an x band touches a minority of files
+    val total = ZOrder.fileStats(spark, dir, Seq("x")).count()
+    val touched = ZOrder.filesTouched(spark, dir, Seq(("x", 0.0, 99.0)))
+    assert(touched * 2 <= total, s"$touched/$total")
+  }
+}
