@@ -1033,6 +1033,31 @@ object Relational {
       ("tp_band_files_touched", tpBand)).toDF("stat", "value")
   }
 
+  // ---- q48: MERGEABLE frequency sketches (count-min) — the
+  //      frequency twin of q45's HLL pair: per-nation sketches are
+  //      the stored pre-aggregation, region frequencies come from
+  //      sketch UNION + point estimates, never rescanning raw rows.
+  //      Rows-only (sketch internals are hash-dependent); the spec
+  //      pins the CMS overcount bound against exact counts ----
+  val q48CmsMerge: Q = (s, d) => {
+    import s.implicits._
+    import graft.plans.Cms
+    val perNation = customer(s, d)
+      .groupBy(col("c_nationkey"))
+      .agg(Cms.sketch(col("c_mktsegment")).as("sk"))
+    val regions = nation(s, d)
+      .select(col("n_nationkey"), col("n_regionkey"))
+    val regional = perNation
+      .join(broadcast(regions), col("c_nationkey") === col("n_nationkey"))
+      .groupBy(col("n_regionkey"))
+      .agg(Cms.union(col("sk")).as("sk"))
+    val segments = Seq("AUTOMOBILE", "BUILDING", "FURNITURE",
+      "HOUSEHOLD", "MACHINERY").toDF("segment")
+    regional.crossJoin(broadcast(segments))
+      .select(col("n_regionkey"), col("segment"),
+        Cms.estimate(col("sk"), col("segment")).as("est_customers"))
+  }
+
   val queries: Map[String, Q] = Map(
     "q1_pricing_summary" -> q1PricingSummary,
     "q2_filter_pushdown" -> q2FilterPushdown,
@@ -1079,7 +1104,8 @@ object Relational {
     "q44_fuzzy_lookup" -> q44FuzzyLookup,
     "q45_hll_merge" -> q45HllMerge,
     "q46_cohort_retention" -> q46CohortRetention,
-    "layout_zorder" -> q47ZorderLayout)
+    "layout_zorder" -> q47ZorderLayout,
+    "q48_cms_merge" -> q48CmsMerge)
 
   val oracles: Map[String, String] = Map(
     "q41_unpivot" -> q41Oracle,

@@ -673,6 +673,34 @@ class OperatorsSpec extends AnyFunSuite {
     }
   }
 
+  test("CMS sketch merge: union estimates obey the count-min bounds vs exact") {
+    val sf = "/root/testdata/sf0.001"
+    val got = graft.queries.Relational.q48CmsMerge(spark, sf)
+      .as[(Long, String, Long)].collect()
+      .map(r => (r._1, r._2) -> r._3).toMap
+    val exact = spark.read.parquet(s"$sf/customer.parquet")
+      .join(spark.read.parquet(s"$sf/nation.parquet"),
+        col("c_nationkey") === col("n_nationkey"))
+      .groupBy("n_regionkey", "c_mktsegment").count()
+      .as[(Long, String, Long)].collect()
+      .map(r => (r._1, r._2) -> r._3).toMap
+    val totalN = exact.values.sum
+    assert(got.nonEmpty && exact.keySet.subsetOf(got.keySet))
+    exact.foreach { case (k, n) =>
+      val est = got(k)
+      // CMS never undercounts; overcount <= eps*N (eps=0.005) w.h.p.
+      assert(est >= n, s"$k: est $est under exact $n")
+      assert(est - n <= math.max(2L, (totalN * 0.005).toLong),
+        s"$k: est $est vs exact $n (N=$totalN)")
+    }
+    // absent key: estimate is pure collision mass, bounded by eps*N
+    val ghost = spark.read.parquet(s"$sf/customer.parquet")
+      .agg(graft.plans.Cms.sketch(col("c_mktsegment")).as("sk"))
+      .select(graft.plans.Cms.estimate(col("sk"), lit("NO_SUCH_SEGMENT")))
+      .as[Long].head()
+    assert(ghost <= math.max(2L, (totalN * 0.005).toLong), s"ghost=$ghost")
+  }
+
   test("ORC round-trip preserves rows and types") {
     val df = Seq((1L, "a", 1.5), (2L, "b", -2.25)).toDF("id", "s", "v")
     val dir = java.nio.file.Files.createTempDirectory("orc").toString + "/t"
