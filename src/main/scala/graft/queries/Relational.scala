@@ -1058,6 +1058,21 @@ object Relational {
         Cms.estimate(col("sk"), col("segment")).as("est_customers"))
   }
 
+  // ---- q49: full global ORDER BY — the total-order export shape
+  //      (write a ranked file, feed a rank-sensitive consumer).
+  //      Spark's answer is a sampled range exchange + per-partition
+  //      sort: every partition sorts in parallel and partition i
+  //      wholly precedes partition i+1 — no single-task sort, no
+  //      driver collect. The plan gate pins rangepartitioning ----
+  val q49GlobalSort: Q = (s, d) =>
+    orders(s, d)
+      .select(col("o_orderkey"), col("o_totalprice"))
+      .orderBy(col("o_totalprice").desc, col("o_orderkey").asc)
+
+  val q49Oracle: String =
+    """SELECT o_orderkey, o_totalprice
+      |FROM orders ORDER BY o_totalprice DESC, o_orderkey""".stripMargin
+
   val queries: Map[String, Q] = Map(
     "q1_pricing_summary" -> q1PricingSummary,
     "q2_filter_pushdown" -> q2FilterPushdown,
@@ -1105,7 +1120,8 @@ object Relational {
     "q45_hll_merge" -> q45HllMerge,
     "q46_cohort_retention" -> q46CohortRetention,
     "layout_zorder" -> q47ZorderLayout,
-    "q48_cms_merge" -> q48CmsMerge)
+    "q48_cms_merge" -> q48CmsMerge,
+    "q49_global_sort" -> q49GlobalSort)
 
   val oracles: Map[String, String] = Map(
     "q41_unpivot" -> q41Oracle,
@@ -1149,5 +1165,6 @@ object Relational {
     "q37_histogram" -> q37Oracle,
     "q38_outliers" -> q38Oracle,
     "q40_json_extract" -> q40Oracle,
-    "q46_cohort_retention" -> q46Oracle)
+    "q46_cohort_retention" -> q46Oracle,
+    "q49_global_sort" -> q49Oracle)
 }

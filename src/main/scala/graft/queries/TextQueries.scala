@@ -28,6 +28,35 @@ object TextQueries {
       |  CAST(len(regexp_extract_all(lower(text), '[a-z]+|[0-9]+|[^a-z0-9\s]')) AS BIGINT) AS n_bpe_tokens
       |FROM documents""".stripMargin
 
+  // ---- text_lm_score: unigram-LM cross-entropy quality signal, the
+  //      shape of CCNet/Gopher-style LM filtering with the model
+  //      trained on the corpus itself in the same job: token counts
+  //      are ONE explode+agg (map-side combined), the scalar total
+  //      rides a one-row broadcast, and scoring joins tokens to the
+  //      count table on the token shuffle key — no driver state, no
+  //      per-doc loops. Low score = generic text, high = rare-token
+  //      text; both tails are the filter's business ----
+  val lmScore: Q = (s, d) => {
+    val t = documents(s, d).select(col("doc_id"),
+      explode(split(col("text"), " ", -1)).as("tok"))
+    val c = t.groupBy(col("tok")).agg(count(lit(1)).as("cnt"))
+    val n = c.agg(sum(col("cnt")).cast("double").as("total"))
+    t.join(c, "tok")
+      .crossJoin(broadcast(n))
+      .groupBy(col("doc_id"))
+      .agg(round(avg(-log(col("cnt").cast("double") / col("total"))), 6)
+        .as("lm_score"))
+  }
+
+  val lmScoreOracle: String =
+    """WITH t AS (SELECT doc_id, unnest(str_split(text, ' ')) AS tok
+      |           FROM documents),
+      |n AS (SELECT CAST(count(*) AS DOUBLE) AS total FROM t),
+      |c AS (SELECT tok, CAST(count(*) AS DOUBLE) AS cnt FROM t GROUP BY 1)
+      |SELECT doc_id, ROUND(AVG(-LN(cnt / total)), 6) AS lm_score
+      |FROM t JOIN c USING (tok) CROSS JOIN n
+      |GROUP BY doc_id""".stripMargin
+
   // ---- text_quality ----
   val quality: Q = (s, d) =>
     TextAnalysis.quality(documents(s, d), "doc_id", "text")
@@ -751,6 +780,7 @@ object TextQueries {
     "q_stream_join" -> streamJoin,
     "text_token_stats" -> tokenStats,
     "text_quality" -> quality,
+    "text_lm_score" -> lmScore,
     "text_langid" -> langId,
     "text_fingerprint" -> fingerprint,
     "dedup_exact" -> dedupExact,
@@ -791,6 +821,7 @@ object TextQueries {
     "q_stream_join" -> streamJoinOracle,
     "text_token_stats" -> tokenStatsOracle,
     "text_quality" -> qualityOracle,
+    "text_lm_score" -> lmScoreOracle,
     "text_langid" -> langIdOracle,
     "dedup_exact" -> dedupExactOracle,
     "dedup_ngram_jaccard" -> dedupNgramOracle,

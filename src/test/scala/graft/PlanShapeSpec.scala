@@ -146,6 +146,24 @@ class PlanShapeSpec extends AnyFunSuite {
     assert(!p.contains("Join"), s"funnel should not join:\n$p")
   }
 
+  test("q49 global sort: parallel range-partitioned sort, no single-task collapse") {
+    val p = plan("q49_global_sort")
+    assert(p.toLowerCase.contains("rangepartitioning"),
+      s"expected a range exchange:\n$p")
+    assert(sorts(p) >= 1, s"expected a Sort node:\n$p")
+    assert(!p.contains("SinglePartition"), s"sort collapsed to one task:\n$p")
+  }
+
+  test("text_lm_score: token counts combine map-side; scalar total broadcasts") {
+    val p = plan("text_lm_score")
+    assert(p.contains("partial_count") || p.contains("partial"),
+      s"token counting lost map-side partial aggregation:\n$p")
+    assert(count(p, "BroadcastExchange") >= 1,
+      s"the one-row total should broadcast, not shuffle:\n$p")
+    assert(!p.contains("CartesianProduct"),
+      s"scalar cross join must stay broadcast:\n$p")
+  }
+
   test("text_line_dedup: no line string crosses an exchange; text moves once") {
     import org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec
     import org.apache.spark.sql.execution.exchange.ShuffleExchangeExec
