@@ -112,6 +112,49 @@ class ZOrderSpec extends AnyFunSuite {
     assert(got == want && got.nonEmpty)
   }
 
+  test("skipping index: pruned read == full filtered read, fewer files scanned, stale index refused") {
+    val n = 8000
+    def mix(v: Long): Long = {
+      var z = v + 0x9E3779B97F4A7C15L
+      z = (z ^ (z >>> 30)) * 0xBF58476D1CE4E5B9L
+      z = (z ^ (z >>> 27)) * 0x94D049BB133111EBL
+      z ^ (z >>> 31)
+    }
+    val df = (0 until n).map { i =>
+      val x = java.lang.Math.floorMod(mix(i.toLong), 1000)
+      val y = java.lang.Math.floorMod(mix(i.toLong + 55L), 1000)
+      (i.toLong, x.toDouble, y.toDouble)
+    }.toDF("id", "x", "y")
+    val dataDir = tmp("skipdata")
+    val idxDir = tmp("skipidx")
+    graft.operators.ZOrder.write(df, Seq("x", "y"), dataDir,
+      numFiles = 32, bits = 7)
+    graft.operators.SkippingIndex.build(spark, dataDir, idxDir, Seq("x", "y"))
+
+    val box = Seq(("x", 200.0, 299.0), ("y", 600.0, 699.0))
+    val pruned = graft.operators.SkippingIndex.read(spark, dataDir, idxDir, box)
+    val full = spark.read.parquet(dataDir)
+      .filter(col("x").between(200.0, 299.0) && col("y").between(600.0, 699.0))
+    assert(pruned.select("id").as[Long].collect().toSet ==
+      full.select("id").as[Long].collect().toSet)
+    assert(pruned.count() > 0)
+    val totalFiles = spark.read.parquet(dataDir).inputFiles.length
+    assert(pruned.inputFiles.length * 2 <= totalFiles,
+      s"${pruned.inputFiles.length}/$totalFiles")
+
+    // empty-box fast path keeps the schema
+    val none = graft.operators.SkippingIndex.read(spark, dataDir, idxDir,
+      Seq(("x", 5000.0, 6000.0)))
+    assert(none.count() == 0 && none.columns.toSeq == Seq("id", "x", "y"))
+
+    // appending a file the index never saw must refuse, not skip it
+    df.limit(10).write.mode("append").parquet(dataDir)
+    val e = intercept[IllegalArgumentException] {
+      graft.operators.SkippingIndex.read(spark, dataDir, idxDir, box)
+    }
+    assert(e.getMessage.contains("stale"))
+  }
+
   test("skewed dimension: rank buckets keep spreading, layout round-trips") {
     val n = 5000
     // y: 90% constant, 10% spread — value-linear binning would collapse
