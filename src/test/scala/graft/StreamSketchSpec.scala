@@ -1,0 +1,107 @@
+package graft
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.plans.Cms
+import graft.streaming.StreamSketch
+
+class StreamSketchSpec extends AnyFunSuite {
+
+  private lazy val spark = SparkTestSession.spark
+  import spark.implicits._
+
+  private def tmp(): String =
+    java.nio.file.Files.createTempDirectory("streamsketch").toString
+
+  private def batchOf(rows: (String, String)*): DataFrame =
+    rows.toDF("k", "v")
+
+  private def estimateMap(spark0: org.apache.spark.sql.SparkSession,
+                          root: String, items: Seq[String]): Map[(String, String), Long] =
+    StreamSketch.estimates(spark0, root, Seq("k"),
+        items.toDF("item"), "item")
+      .as[(String, String, Long)].collect()
+      .map(r => (r._1, r._2) -> r._3).toMap
+
+  test("incremental CMS rollup == one-shot batch sketch; replay idempotent") {
+    val root = tmp()
+    val b0 = batchOf("a" -> "x", "a" -> "x", "b" -> "y")
+    val b1 = batchOf("a" -> "y", "b" -> "y", "b" -> "y")
+    val b2 = batchOf("a" -> "x", "b" -> "z")
+    Seq(b0, b1, b2).zipWithIndex.foreach { case (b, i) =>
+      StreamSketch.applyBatch(spark, b, root, i, Seq("k"), col("v"))
+    }
+    val items = Seq("x", "y", "z", "missing")
+    val got = estimateMap(spark, root, items)
+
+    val oneShot = b0.union(b1).union(b2)
+      .groupBy("k").agg(Cms.sketch(col("v")).as("sk"))
+      .crossJoin(broadcast(items.toDF("item")))
+      .select(col("k"), col("item"), Cms.estimate(col("sk"), col("item")))
+      .as[(String, String, Long)].collect()
+      .map(r => (r._1, r._2) -> r._3).toMap
+    assert(got == oneShot)
+    // tiny data, no collisions: estimates are the exact counts
+    assert(got(("a", "x")) == 3L && got(("b", "y")) == 3L &&
+      got(("b", "z")) == 1L && got(("a", "missing")) == 0L)
+
+    // replaying an already-applied batch must not double-count
+    StreamSketch.applyBatch(spark, b1, root, 1, Seq("k"), col("v"))
+    assert(estimateMap(spark, root, items) == got)
+  }
+
+  test("consolidation folds dirs by sketch union: bounded dirs, unchanged estimates") {
+    val root = tmp()
+    val perBatch = (0 until 10).map { i =>
+      batchOf("a" -> s"v${i % 3}", "b" -> s"v${i % 2}")
+    }
+    perBatch.zipWithIndex.foreach { case (b, i) =>
+      StreamSketch.applyBatch(spark, b, root, i, Seq("k"), col("v"),
+        consolidateEvery = 4)
+    }
+    def dirNames = new java.io.File(root).listFiles()
+      .filter(_.isDirectory).map(_.getName).sorted.toSeq
+    assert(dirNames.count(_.startsWith("batch_")) <= 4,
+      dirNames.mkString(","))
+    assert(dirNames.exists(_.startsWith("compact_")), dirNames.mkString(","))
+
+    val items = Seq("v0", "v1", "v2")
+    val got = estimateMap(spark, root, items)
+    val oneShot = perBatch.reduce(_ union _)
+      .groupBy("k").agg(Cms.sketch(col("v")).as("sk"))
+      .crossJoin(broadcast(items.toDF("item")))
+      .select(col("k"), col("item"), Cms.estimate(col("sk"), col("item")))
+      .as[(String, String, Long)].collect()
+      .map(r => (r._1, r._2) -> r._3).toMap
+    assert(got == oneShot)
+
+    // replaying the consolidating batch re-runs only the idempotent sweep
+    StreamSketch.applyBatch(spark, perBatch(8), root, 8, Seq("k"), col("v"),
+      consolidateEvery = 4)
+    assert(estimateMap(spark, root, items) == got)
+  }
+
+  test("sketch family is pluggable: HLL distinct-count rollup == one-shot") {
+    val root = tmp()
+    val batches = (0 until 4).map { i =>
+      (0 until 50).map(j => ("g" + (j % 2), s"u${i * 37 + j}")).toDF("k", "v")
+    }
+    batches.zipWithIndex.foreach { case (b, i) =>
+      StreamSketch.applyBatch(spark, b, root, i, Seq("k"), col("v"),
+        build = hll_sketch_agg(_, lit(12)),
+        union = hll_union_agg(_),
+        consolidateEvery = 2)
+    }
+    val got = StreamSketch.state(spark, root, Seq("k"), hll_union_agg(_))
+      .select(col("k"),
+        hll_sketch_estimate(col(StreamSketch.SketchCol)).as("n"))
+      .as[(String, Long)].collect().toMap
+    val oneShot = batches.reduce(_ union _)
+      .groupBy("k").agg(hll_sketch_estimate(
+        hll_sketch_agg(col("v"), lit(12))).as("n"))
+      .as[(String, Long)].collect().toMap
+    assert(got == oneShot && got.values.sum > 150)
+  }
+}
