@@ -1073,6 +1073,54 @@ object Relational {
     """SELECT o_orderkey, o_totalprice
       |FROM orders ORDER BY o_totalprice DESC, o_orderkey""".stripMargin
 
+  // ---- q50: MERGEABLE quantile sketches (Greenwald–Khanna) — the
+  //      third sketch family next to q45 (distinct/HLL) and q48
+  //      (frequency/CMS): per-nation GK summaries are the stored
+  //      pre-aggregation; region quantiles come from summary MERGE,
+  //      never rescanning raw rows — what percentile_approx cannot
+  //      give you after the scan is gone. Rows-only; the spec pins
+  //      the GK rank-error bound through the merge tree ----
+  val q50QuantileMerge: Q = (s, d) => {
+    import graft.plans.Gk
+    val perNation = customer(s, d)
+      .groupBy(col("c_nationkey"))
+      .agg(Gk.sketch(col("c_acctbal")).as("sk"))
+    val regions = nation(s, d)
+      .select(col("n_nationkey"), col("n_regionkey"))
+    perNation
+      .join(broadcast(regions), col("c_nationkey") === col("n_nationkey"))
+      .groupBy(col("n_regionkey"))
+      .agg(Gk.union(col("sk")).as("sk"))
+      .select(col("n_regionkey"),
+        round(Gk.quantile(col("sk"), lit(0.25)), 2).as("p25"),
+        round(Gk.quantile(col("sk"), lit(0.5)), 2).as("p50"),
+        round(Gk.quantile(col("sk"), lit(0.95)), 2).as("p95"))
+  }
+
+  // ---- q51: one-scan table profile (the ANALYZE TABLE shape):
+  //      every column's counts/ndv in ONE aggregate over ONE scan,
+  //      unpivoted to a row per column. Exact ndv here for the
+  //      oracle; the operator defaults to HLL at scale. min/max stay
+  //      in the operator API (string-cast parity across engines is
+  //      type-dependent; the spec covers them) ----
+  val q51Profile: Q = (s, d) =>
+    graft.operators.TableStats.profile(customer(s, d),
+      Seq("c_custkey", "c_name", "c_nationkey", "c_acctbal",
+        "c_mktsegment"), exactNdv = true)
+      .select(col("column_name"), col("n_rows"), col("n_nonnull"),
+        col("n_nulls"), col("n_distinct"))
+
+  val q51Oracle: String = Seq(
+    "c_custkey", "c_name", "c_nationkey", "c_acctbal", "c_mktsegment")
+    .map { c =>
+      s"""SELECT '$c' AS column_name,
+         |  CAST(count(*) AS BIGINT) AS n_rows,
+         |  CAST(count($c) AS BIGINT) AS n_nonnull,
+         |  CAST(count(*) - count($c) AS BIGINT) AS n_nulls,
+         |  CAST(count(DISTINCT $c) AS BIGINT) AS n_distinct
+         |FROM customer""".stripMargin
+    }.mkString("\nUNION ALL\n")
+
   val queries: Map[String, Q] = Map(
     "q1_pricing_summary" -> q1PricingSummary,
     "q2_filter_pushdown" -> q2FilterPushdown,
@@ -1121,7 +1169,9 @@ object Relational {
     "q46_cohort_retention" -> q46CohortRetention,
     "layout_zorder" -> q47ZorderLayout,
     "q48_cms_merge" -> q48CmsMerge,
-    "q49_global_sort" -> q49GlobalSort)
+    "q49_global_sort" -> q49GlobalSort,
+    "q50_quantile_merge" -> q50QuantileMerge,
+    "q51_profile" -> q51Profile)
 
   val oracles: Map[String, String] = Map(
     "q41_unpivot" -> q41Oracle,
@@ -1166,5 +1216,6 @@ object Relational {
     "q38_outliers" -> q38Oracle,
     "q40_json_extract" -> q40Oracle,
     "q46_cohort_retention" -> q46Oracle,
-    "q49_global_sort" -> q49Oracle)
+    "q49_global_sort" -> q49Oracle,
+    "q51_profile" -> q51Oracle)
 }

@@ -701,6 +701,65 @@ class OperatorsSpec extends AnyFunSuite {
     assert(ghost <= math.max(2L, (totalN * 0.005).toLong), s"ghost=$ghost")
   }
 
+  test("GK quantile merge: rank error within eps*n through the rollup merge tree") {
+    val sf = "/root/testdata/sf0.001"
+    val got = graft.queries.Relational.q50QuantileMerge(spark, sf)
+      .as[(Long, Double, Double, Double)].collect()
+      .map(r => r._1 -> Seq(0.25 -> r._2, 0.5 -> r._3, 0.95 -> r._4)).toMap
+    val byRegion = spark.read.parquet(s"$sf/customer.parquet")
+      .join(spark.read.parquet(s"$sf/nation.parquet"),
+        col("c_nationkey") === col("n_nationkey"))
+      .select(col("n_regionkey"), col("c_acctbal").cast("double"))
+      .as[(Long, Double)].collect().groupBy(_._1)
+      .view.mapValues(_.map(_._2).sorted).toMap
+    assert(got.keySet == byRegion.keySet && got.nonEmpty)
+    got.foreach { case (region, phis) =>
+      val xs = byRegion(region)
+      val n = xs.length
+      phis.foreach { case (phi, est) =>
+        // GK bound: the estimate's true rank is within eps*n of phi*n
+        // (est is rounded to 2 decimals in the query — rank via <=)
+        val rank = xs.count(_ <= est + 0.005)
+        val loRank = xs.count(_ < est - 0.005)
+        val target = phi * n
+        val slack = 0.01 * n + 1
+        assert(loRank - slack <= target && target <= rank + slack,
+          s"region $region phi=$phi est=$est rank∈[$loRank,$rank] " +
+            s"target=$target n=$n")
+      }
+    }
+    // empty sketch → null quantile
+    val empty = spark.emptyDataFrame.select(lit(1).as("x"))
+      .filter(lit(false))
+      .agg(graft.plans.Gk.sketch(col("x")).as("sk"))
+      .select(graft.plans.Gk.quantile(col("sk"), lit(0.5)))
+      .collect()
+    assert(empty.length == 1 && empty(0).isNullAt(0))
+  }
+
+  test("table profile: per-column stats from one scan, min/max/nulls exact") {
+    val df = Seq[(java.lang.Long, String, java.lang.Double)](
+      (1L, "b", 2.5), (2L, "a", null), (3L, null, -1.5), (3L, "a", 9.0)
+    ).toDF("id", "s", "v")
+    val p = graft.operators.TableStats.profile(df, Seq("id", "s", "v"),
+        exactNdv = true)
+      .collect().map(r => r.getString(0) -> r).toMap
+    def row(c: String) = p(c)
+    assert(row("id").getLong(1) == 4 && row("id").getLong(2) == 4 &&
+      row("id").getLong(3) == 0 && row("id").getLong(4) == 3)
+    assert(row("s").getLong(3) == 1 && row("s").getLong(4) == 2)
+    assert(row("s").getString(5) == "a" && row("s").getString(6) == "b")
+    assert(row("v").getString(5) == "-1.5" && row("v").getString(6) == "9.0")
+    // one scan: a single leaf node feeds the whole profile
+    val scans = graft.queries.Relational.q51Profile(spark, sfDir)
+      .queryExecution.executedPlan.collectLeaves().size
+    assert(scans == 1, s"profile should read the table once, saw $scans leaves")
+    // approx path stays within HLL error on the oracle-checked column
+    val approx = graft.operators.TableStats.profile(df, Seq("id"))
+      .collect()(0).getLong(4)
+    assert(math.abs(approx - 3) <= 1)
+  }
+
   test("ORC round-trip preserves rows and types") {
     val df = Seq((1L, "a", 1.5), (2L, "b", -2.25)).toDF("id", "s", "v")
     val dir = java.nio.file.Files.createTempDirectory("orc").toString + "/t"
