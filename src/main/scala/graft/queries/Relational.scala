@@ -1121,6 +1121,54 @@ object Relational {
          |FROM customer""".stripMargin
     }.mkString("\nUNION ALL\n")
 
+  // ---- q52: declarative data-quality contract (Deequ/dbt-tests
+  //      shape): six named constraints — nullability, key
+  //      uniqueness, range, enum membership, pattern, volume — all
+  //      compiled into ONE aggregate over ONE scan; the range bound
+  //      is set below max(o_totalprice) so the report carries real
+  //      violations, not just green rows ----
+  val q52Expectations: Q = (s, d) => {
+    import graft.operators.Expectations._
+    validate(orders(s, d), Seq(
+      NotNull("o_custkey"),
+      Unique(Seq("o_orderkey")),
+      InRange("o_totalprice", 0, 300000),
+      InSet("o_orderstatus", Seq("O", "F", "P")),
+      Matches("o_orderpriority", "^[1-5]-"),
+      RowCountAtLeast(100)))
+  }
+
+  val q52Oracle: String =
+    """SELECT 'not_null(o_custkey)' AS check_name,
+      |  CAST(count(*) FILTER (WHERE o_custkey IS NULL) AS BIGINT) AS n_violations,
+      |  count(*) FILTER (WHERE o_custkey IS NULL) = 0 AS passed FROM orders
+      |UNION ALL
+      |SELECT 'unique(o_orderkey)',
+      |  CAST(count(o_orderkey) - count(DISTINCT o_orderkey) AS BIGINT),
+      |  count(o_orderkey) = count(DISTINCT o_orderkey) FROM orders
+      |UNION ALL
+      |SELECT 'in_range(o_totalprice,0.0,300000.0)',
+      |  CAST(count(*) FILTER (WHERE o_totalprice IS NOT NULL
+      |    AND (o_totalprice < 0 OR o_totalprice > 300000)) AS BIGINT),
+      |  count(*) FILTER (WHERE o_totalprice IS NOT NULL
+      |    AND (o_totalprice < 0 OR o_totalprice > 300000)) = 0 FROM orders
+      |UNION ALL
+      |SELECT 'in_set(o_orderstatus)',
+      |  CAST(count(*) FILTER (WHERE o_orderstatus IS NOT NULL
+      |    AND o_orderstatus NOT IN ('O','F','P')) AS BIGINT),
+      |  count(*) FILTER (WHERE o_orderstatus IS NOT NULL
+      |    AND o_orderstatus NOT IN ('O','F','P')) = 0 FROM orders
+      |UNION ALL
+      |SELECT 'matches(o_orderpriority)',
+      |  CAST(count(*) FILTER (WHERE o_orderpriority IS NOT NULL
+      |    AND NOT regexp_matches(o_orderpriority, '^[1-5]-')) AS BIGINT),
+      |  count(*) FILTER (WHERE o_orderpriority IS NOT NULL
+      |    AND NOT regexp_matches(o_orderpriority, '^[1-5]-')) = 0 FROM orders
+      |UNION ALL
+      |SELECT 'row_count_at_least(100)',
+      |  CAST(greatest(100 - count(*), 0) AS BIGINT),
+      |  count(*) >= 100 FROM orders""".stripMargin
+
   val queries: Map[String, Q] = Map(
     "q1_pricing_summary" -> q1PricingSummary,
     "q2_filter_pushdown" -> q2FilterPushdown,
@@ -1171,7 +1219,8 @@ object Relational {
     "q48_cms_merge" -> q48CmsMerge,
     "q49_global_sort" -> q49GlobalSort,
     "q50_quantile_merge" -> q50QuantileMerge,
-    "q51_profile" -> q51Profile)
+    "q51_profile" -> q51Profile,
+    "q52_expectations" -> q52Expectations)
 
   val oracles: Map[String, String] = Map(
     "q41_unpivot" -> q41Oracle,
@@ -1217,5 +1266,6 @@ object Relational {
     "q40_json_extract" -> q40Oracle,
     "q46_cohort_retention" -> q46Oracle,
     "q49_global_sort" -> q49Oracle,
-    "q51_profile" -> q51Oracle)
+    "q51_profile" -> q51Oracle,
+    "q52_expectations" -> q52Oracle)
 }

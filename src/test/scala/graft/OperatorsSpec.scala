@@ -760,6 +760,39 @@ class OperatorsSpec extends AnyFunSuite {
     assert(math.abs(approx - 3) <= 1)
   }
 
+  test("expectations: per-check edge cases and one-scan plan") {
+    import graft.operators.Expectations._
+    val df = Seq[(java.lang.Long, String, java.lang.Double)](
+      (1L, "A", 5.0), (1L, "A", 50.0), (2L, "B", -3.0),
+      (null, "zz", null), (3L, null, 7.0)
+    ).toDF("id", "s", "v")
+    val rep = validate(df, Seq(
+      NotNull("id"),           // one null id
+      Unique(Seq("id")),       // ids 1,1,2,3 → 1 surplus duplicate
+      InRange("v", 0, 10),     // 50.0 and -3.0 out; null skipped
+      InSet("s", Seq("A", "B")), // "zz" out; null skipped
+      Matches("s", "^[A-Z]+$"),  // "zz" fails; null skipped
+      RowCountAtLeast(10)))    // 5 rows → shortfall 5
+      .collect().map(r => r.getString(0) -> (r.getLong(1), r.getBoolean(2)))
+      .toMap
+    assert(rep("not_null(id)") == (1L, false))
+    assert(rep("unique(id)") == (1L, false))
+    assert(rep("in_range(v,0.0,10.0)") == (2L, false))
+    assert(rep("in_set(s)") == (1L, false))
+    assert(rep("matches(s)") == (1L, false))
+    assert(rep("row_count_at_least(10)") == (5L, false))
+    // all-green contract on clean data
+    val ok = validate(df.filter(col("id") === 2L), Seq(
+      NotNull("id"), Unique(Seq("id")), RowCountAtLeast(1)))
+      .collect()
+    assert(ok.forall(_.getBoolean(2)))
+    // one scan feeds the whole contract
+    val leaves = graft.queries.Relational
+      .q52Expectations(spark, sfDir)
+      .queryExecution.executedPlan.collectLeaves().size
+    assert(leaves == 1, s"expected a single scan, saw $leaves leaves")
+  }
+
   test("ORC round-trip preserves rows and types") {
     val df = Seq((1L, "a", 1.5), (2L, "b", -2.25)).toDF("id", "s", "v")
     val dir = java.nio.file.Files.createTempDirectory("orc").toString + "/t"

@@ -83,6 +83,28 @@ class StreamSketchSpec extends AnyFunSuite {
     assert(estimateMap(spark, root, items) == got)
   }
 
+  test("GK plug-in: streaming quantile state matches the one-shot bound") {
+    import graft.plans.Gk
+    val root = tmp()
+    // 4 batches of 250 values each: a deterministic scramble of 0..999
+    val batches = (0 until 4).map { b =>
+      (0 until 250).map { j =>
+        val v = (b * 250 + j) * 611 % 1000
+        ("k", v.toDouble)
+      }.toDF("k", "v")
+    }
+    batches.zipWithIndex.foreach { case (df, i) =>
+      StreamSketch.applyBatch(spark, df, root, i, Seq("k"), col("v"),
+        build = Gk.sketch(_), union = Gk.union(_), consolidateEvery = 2)
+    }
+    val est = StreamSketch.state(spark, root, Seq("k"), Gk.union(_))
+      .select(Gk.quantile(col(StreamSketch.SketchCol), lit(0.5)))
+      .as[Double].head()
+    // 1000 distinct values 0..999: the true median is ~500; the GK
+    // bound at eps=0.01 over a 4-way merge tree allows ±(0.01*1000+1)
+    assert(math.abs(est - 500.0) <= 25.0, s"median estimate $est")
+  }
+
   test("sketch family is pluggable: HLL distinct-count rollup == one-shot") {
     val root = tmp()
     val batches = (0 until 4).map { i =>
