@@ -211,6 +211,46 @@ object Dedup {
       .select(col("doc_a"), col("doc_b"), col("hamming"))
   }
 
+  /** SemDeDup-style semantic deduplication (cluster-then-dedup; the
+    * published pipeline k-means clusters the embedding space and
+    * compares pairs WITHIN clusters only — arXiv:2303.09540). Reuses
+    * the IVF trainer ([[IvfIndex.train]]) for centroids and the
+    * codegen cosine for verification; pair generation is a
+    * co-partitioned self-join on the cluster id, so work is
+    * sum-of-squares over cluster sizes, never corpus-quadratic. At
+    * scale, `numClusters` grows with the corpus to keep clusters
+    * modest (the paper's regime); as a hard guard, clusters larger
+    * than `maxClusterSize` opt out of pair generation entirely — the
+    * same skip-the-degenerate-bucket convention the LSH operators
+    * use batch- and state-side.
+    *
+    * Keeps the smallest id of each duplicate pair chain; returns the
+    * surviving corpus. Approximate by design: a true pair split
+    * across clusters is missed (recall), but every drop is verified
+    * by exact cosine (precision is exact — spec-pinned).
+    */
+  def semanticDedup(df: DataFrame, idCol: String, vecCol: String,
+                    threshold: Double = 0.95, numClusters: Int = 16,
+                    maxClusterSize: Int = 10000): DataFrame = {
+    GraftFunctions.register(df.sparkSession)
+    val model = IvfIndex.train(df, idCol, vecCol, numClusters)
+    val assigned = IvfIndex.assign(spread(df), idCol, vecCol, model)
+    val smallClusters = assigned.groupBy(col("c"))
+      .agg(count(lit(1)).as("__n"))
+      .filter(col("__n") <= maxClusterSize)
+      .select(col("c"))
+    val ok = assigned.join(broadcast(smallClusters), Seq("c"))
+    val a = ok.select(col("c"), col("base_id").as("id_a"),
+      col("base_v").as("v_a"))
+    val b = ok.select(col("c"), col("base_id").as("id_b"),
+      col("base_v").as("v_b"))
+    val drops = a.join(b, Seq("c"))
+      .filter(col("id_a") < col("id_b"))
+      .filter(GraftFunctions.cosineFast(col("v_a"), col("v_b")) >= threshold)
+      .select(col("id_b").as(idCol)).distinct()
+    df.join(drops, Seq(idCol), "left_anti")
+  }
+
   /** Near-duplicate embedding pairs: hyperplane-LSH bucket join +
     * exact cosine verification within buckets.
     */

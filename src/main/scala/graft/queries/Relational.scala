@@ -1169,6 +1169,59 @@ object Relational {
       |  CAST(greatest(100 - count(*), 0) AS BIGINT),
       |  count(*) >= 100 FROM orders""".stripMargin
 
+  // ---- q53: SCD2 temporal dimension lookup — the slowly-changing-
+  //      dimension join every warehouse fact load runs: each fact row
+  //      picks the dimension VERSION whose validity interval covers
+  //      its event time (key equality + half-open containment). The
+  //      dim is version-rows-per-key and broadcast-small by nature;
+  //      the plan is a BroadcastHashJoin on the key with the interval
+  //      containment as residual — no range-join machinery needed
+  //      when versions-per-key is small. (Interval joins against
+  //      LARGE interval sets route through q34's bucketed RangeJoin.)
+  //      Deterministic literal dim so the oracle is exact ----
+  val q53Scd2: Q = (s, d) => {
+    import s.implicits._
+    val dim = Seq(
+      // (priority_class, valid_from, valid_to, handling_fee)
+      ("1-URGENT", "1990-01-01", "1997-06-01", 25.0),
+      ("1-URGENT", "1997-06-01", "9999-12-31", 40.0),
+      ("2-HIGH", "1990-01-01", "1998-01-01", 15.0),
+      ("2-HIGH", "1998-01-01", "9999-12-31", 20.0),
+      ("3-MEDIUM", "1990-01-01", "9999-12-31", 10.0),
+      ("4-NOT SPECIFIED", "1990-01-01", "9999-12-31", 5.0),
+      ("5-LOW", "1990-01-01", "1999-03-15", 2.0),
+      ("5-LOW", "1999-03-15", "9999-12-31", 3.0)
+    ).toDF("prio", "valid_from", "valid_to", "fee")
+      .select(col("prio"),
+        col("valid_from").cast("timestamp").as("valid_from"),
+        col("valid_to").cast("timestamp").as("valid_to"), col("fee"))
+    orders(s, d)
+      .join(broadcast(dim),
+        col("o_orderpriority") === col("prio") &&
+          col("o_orderdate") >= col("valid_from") &&
+          col("o_orderdate") < col("valid_to"))
+      .groupBy(col("prio"), col("valid_from"), col("fee"))
+      .agg(count(lit(1)).as("n_orders"),
+        dsum(col("o_totalprice")).as("revenue"))
+  }
+
+  val q53Oracle: String =
+    """WITH dim(prio, valid_from, valid_to, fee) AS (VALUES
+      |  ('1-URGENT', TIMESTAMP '1990-01-01', TIMESTAMP '1997-06-01', 25.0),
+      |  ('1-URGENT', TIMESTAMP '1997-06-01', TIMESTAMP '9999-12-31', 40.0),
+      |  ('2-HIGH', TIMESTAMP '1990-01-01', TIMESTAMP '1998-01-01', 15.0),
+      |  ('2-HIGH', TIMESTAMP '1998-01-01', TIMESTAMP '9999-12-31', 20.0),
+      |  ('3-MEDIUM', TIMESTAMP '1990-01-01', TIMESTAMP '9999-12-31', 10.0),
+      |  ('4-NOT SPECIFIED', TIMESTAMP '1990-01-01', TIMESTAMP '9999-12-31', 5.0),
+      |  ('5-LOW', TIMESTAMP '1990-01-01', TIMESTAMP '1999-03-15', 2.0),
+      |  ('5-LOW', TIMESTAMP '1999-03-15', TIMESTAMP '9999-12-31', 3.0))
+      |SELECT prio, valid_from, CAST(fee AS DOUBLE) AS fee,
+      |  CAST(count(*) AS BIGINT) AS n_orders,
+      |  CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS revenue
+      |FROM orders JOIN dim ON o_orderpriority = prio
+      |  AND o_orderdate >= valid_from AND o_orderdate < valid_to
+      |GROUP BY 1, 2, 3""".stripMargin
+
   val queries: Map[String, Q] = Map(
     "q1_pricing_summary" -> q1PricingSummary,
     "q2_filter_pushdown" -> q2FilterPushdown,
@@ -1220,7 +1273,8 @@ object Relational {
     "q49_global_sort" -> q49GlobalSort,
     "q50_quantile_merge" -> q50QuantileMerge,
     "q51_profile" -> q51Profile,
-    "q52_expectations" -> q52Expectations)
+    "q52_expectations" -> q52Expectations,
+    "q53_scd2" -> q53Scd2)
 
   val oracles: Map[String, String] = Map(
     "q41_unpivot" -> q41Oracle,
@@ -1267,5 +1321,6 @@ object Relational {
     "q46_cohort_retention" -> q46Oracle,
     "q49_global_sort" -> q49Oracle,
     "q51_profile" -> q51Oracle,
-    "q52_expectations" -> q52Oracle)
+    "q52_expectations" -> q52Oracle,
+    "q53_scd2" -> q53Oracle)
 }

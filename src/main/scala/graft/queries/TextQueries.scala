@@ -143,6 +143,13 @@ object TextQueries {
     Dedup.embeddingNearDup(embeddings(s, d), "vec_id", "embedding",
       threshold = 0.3, numPlanes = 4)
 
+  // the same no-true-near-dups corpus: a 0.3 threshold keeps the
+  // semantic pass honest (it must drop the "suspicious" tail only)
+  val dedupSemantic: Q = (s, d) =>
+    Dedup.semanticDedup(embeddings(s, d), "vec_id", "embedding",
+        threshold = 0.3, numClusters = 8)
+      .select(col("vec_id"), col("label"))
+
   // ---- ann_topk / ann_lsh (rows-only) ----
   val annTopK: Q = (s, d) => {
     val e = embeddings(s, d)
@@ -788,6 +795,7 @@ object TextQueries {
     "dedup_minhash_lsh" -> dedupMinhash,
     "dedup_simhash" -> dedupSimhash,
     "dedup_embedding" -> dedupEmbedding,
+    "dedup_semantic" -> dedupSemantic,
     "ann_topk" -> annTopK,
     "ann_quantized" -> annQuantized,
     "ann_lsh" -> annLsh,

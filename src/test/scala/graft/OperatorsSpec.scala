@@ -793,6 +793,67 @@ class OperatorsSpec extends AnyFunSuite {
     assert(leaves == 1, s"expected a single scan, saw $leaves leaves")
   }
 
+  test("semantic dedup: exact precision, full recall on clustered groups, cap opt-out") {
+    // 4 well-separated direction groups; members of a group are the
+    // same unit direction with a tiny deterministic wobble on one
+    // coordinate — within-group cosine ~1, cross-group ~0
+    val dims = 8
+    def vec(group: Int, member: Int): Array[Float] = {
+      val v = Array.fill(dims)(0.001f * (member % 3))
+      v(group * 2) = 1.0f
+      v(group * 2 + 1) = 0.02f * member
+      v
+    }
+    val rows = for (g <- 0 until 4; m <- 0 until 5)
+      yield (g * 100L + m, vec(g, m))
+    val df = rows.toDF("vec_id", "embedding")
+
+    // (1) identical vectors per group: assignment is a pure function
+    // of the vector, so a duplicate set can NEVER split across
+    // clusters — recall is exact, survivors = min id per group
+    val identRows = for (g <- 0 until 4; m <- 0 until 5)
+      yield (g * 100L + m, vec(g, 0))
+    val identKept = graft.operators.Dedup
+      .semanticDedup(identRows.toDF("vec_id", "embedding"),
+        "vec_id", "embedding",
+        threshold = 0.99, numClusters = 4, maxClusterSize = 100)
+      .select("vec_id").as[Long].collect().toSet
+    assert(identKept == Set(0L, 100L, 200L, 300L), identKept.toString)
+
+    // (2) wobbled vectors: a group may straddle a cluster boundary
+    // (the documented recall approximation) but PRECISION is exact —
+    // everything dropped must have a genuine smaller-id near-dup
+    def cos(a: Array[Float], b: Array[Float]): Double = {
+      val dot = a.zip(b).map { case (x, y) => x.toDouble * y }.sum
+      val na = math.sqrt(a.map(x => x.toDouble * x).sum)
+      val nb = math.sqrt(b.map(x => x.toDouble * x).sum)
+      if (na == 0 || nb == 0) 0 else dot / (na * nb)
+    }
+    val kept = graft.operators.Dedup
+      .semanticDedup(df, "vec_id", "embedding",
+        threshold = 0.99, numClusters = 4, maxClusterSize = 100)
+      .select("vec_id").as[Long].collect().toSet
+    val byId = rows.toMap
+    val dropped = rows.map(_._1).toSet -- kept
+    dropped.foreach { id =>
+      assert(rows.exists { case (o, _) =>
+        o < id && cos(byId(o), byId(id)) >= 0.99 },
+        s"dropped $id has no true smaller-id near-dup")
+    }
+    // and the pass is not vacuous: most true dups are still caught
+    assert(dropped.size >= 12, s"recall collapsed: dropped=$dropped")
+
+    // cap opt-out: identical-vector groups give clusters of exactly 5
+    // members; a cap of 3 must skip them all → nothing dropped
+    val uncapped = graft.operators.Dedup
+      .semanticDedup(identRows.toDF("vec_id", "embedding"),
+        "vec_id", "embedding",
+        threshold = 0.99, numClusters = 4, maxClusterSize = 3)
+      .select("vec_id").as[Long].collect().toSet
+    assert(uncapped == identRows.map(_._1).toSet,
+      "over-cap clusters must be skipped, not deduped")
+  }
+
   test("ORC round-trip preserves rows and types") {
     val df = Seq((1L, "a", 1.5), (2L, "b", -2.25)).toDF("id", "s", "v")
     val dir = java.nio.file.Files.createTempDirectory("orc").toString + "/t"
