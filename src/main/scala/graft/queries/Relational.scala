@@ -1222,6 +1222,54 @@ object Relational {
       |  AND o_orderdate >= valid_from AND o_orderdate < valid_to
       |GROUP BY 1, 2, 3""".stripMargin
 
+  // ---- q54: hierarchy flattening / transitive closure — the
+  //      recursive-CTE workload (org charts, BOM explosions) Spark
+  //      has no native operator for. Iterative frontier expansion:
+  //      each step joins the frontier to the edge set, the driver
+  //      loop runs DEPTH times (the only driver-side state is the
+  //      emptiness check — a scalar), every step is a distributed
+  //      join. A deterministic decimal-digit tree over custkeys
+  //      (parent = k/10) gives ~log10(n) depth; the DuckDB oracle is
+  //      the literal WITH RECURSIVE ----
+  val q54Hierarchy: Q = (s, d) => {
+    val edges = customer(s, d)
+      .filter(col("c_custkey") > 0)
+      .select(col("c_custkey").as("node"),
+        expr("c_custkey div 10").as("parent"))
+    var frontier = edges
+      .select(col("node"), col("parent").as("ancestor"),
+        lit(1L).as("depth"))
+    var acc = frontier
+    var depth = 1L
+    while (depth < 16 && !frontier.isEmpty) {
+      frontier = frontier.filter(col("ancestor") > 0)
+        .join(edges.select(col("node").as("ancestor"),
+          col("parent").as("next")), Seq("ancestor"))
+        .select(col("node"), col("next").as("ancestor"),
+          (col("depth") + 1).as("depth"))
+      // custkeys are dense: parent k/10 is itself a customer (or 0),
+      // so the join above IS the parent walk — no missing-edge leaks
+      acc = acc.unionByName(frontier)
+      depth += 1
+    }
+    require(depth < 16, "hierarchy deeper than the safety cap")
+    acc.groupBy(col("depth"))
+      .agg(count(lit(1)).as("n_pairs"),
+        sum(col("ancestor")).as("ancestor_sum"))
+  }
+
+  val q54Oracle: String =
+    """WITH RECURSIVE anc(node, ancestor, depth) AS (
+      |  SELECT c_custkey, CAST(c_custkey // 10 AS BIGINT), CAST(1 AS BIGINT)
+      |  FROM customer WHERE c_custkey > 0
+      |  UNION ALL
+      |  SELECT a.node, CAST(a.ancestor // 10 AS BIGINT), depth + 1
+      |  FROM anc a WHERE a.ancestor > 0)
+      |SELECT depth,
+      |  CAST(count(*) AS BIGINT) AS n_pairs,
+      |  CAST(sum(ancestor) AS HUGEINT)::BIGINT AS ancestor_sum
+      |FROM anc GROUP BY 1""".stripMargin
+
   val queries: Map[String, Q] = Map(
     "q1_pricing_summary" -> q1PricingSummary,
     "q2_filter_pushdown" -> q2FilterPushdown,
@@ -1274,7 +1322,8 @@ object Relational {
     "q50_quantile_merge" -> q50QuantileMerge,
     "q51_profile" -> q51Profile,
     "q52_expectations" -> q52Expectations,
-    "q53_scd2" -> q53Scd2)
+    "q53_scd2" -> q53Scd2,
+    "q54_hierarchy" -> q54Hierarchy)
 
   val oracles: Map[String, String] = Map(
     "q41_unpivot" -> q41Oracle,
@@ -1322,5 +1371,6 @@ object Relational {
     "q49_global_sort" -> q49Oracle,
     "q51_profile" -> q51Oracle,
     "q52_expectations" -> q52Oracle,
-    "q53_scd2" -> q53Oracle)
+    "q53_scd2" -> q53Oracle,
+    "q54_hierarchy" -> q54Oracle)
 }
