@@ -83,6 +83,41 @@ class StreamSketchSpec extends AnyFunSuite {
     assert(estimateMap(spark, root, items) == got)
   }
 
+  test("real stream: foreachBatch-driven sketch state equals the one-shot, survives restart") {
+    val work = java.nio.file.Files.createTempDirectory("ss_e2e").toString
+    val root = s"$work/state"
+    val all = (0 until 300).map(i => ("k" + (i % 2), "v" + (i % 7)))
+    // three files = three micro-batches
+    (0 until 3).foreach { p =>
+      all.filter(t => math.floorMod(t._2.hashCode, 3) == p).toDF("k", "v")
+        .write.parquet(s"$work/in/part=$p")
+    }
+    val schema = all.take(1).toDF("k", "v").schema
+    def runStream(): Unit = {
+      val stream = spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", "1").parquet(s"$work/in/*")
+      val q = stream.writeStream
+        .option("checkpointLocation", s"$work/ck")
+        .foreachBatch { (b: DataFrame, id: Long) =>
+          StreamSketch.applyBatch(spark, b, root, id, Seq("k"), col("v"),
+            consolidateEvery = 2)
+        }.start()
+      q.processAllAvailable(); q.stop()
+    }
+    runStream()
+    // restart against the same checkpoint: nothing new → state unchanged
+    runStream()
+    val items = (0 until 7).map("v" + _)
+    val got = estimateMap(spark, root, items)
+    val oneShot = all.toDF("k", "v")
+      .groupBy("k").agg(Cms.sketch(col("v")).as("sk"))
+      .crossJoin(broadcast(items.toDF("item")))
+      .select(col("k"), col("item"), Cms.estimate(col("sk"), col("item")))
+      .as[(String, String, Long)].collect()
+      .map(r => (r._1, r._2) -> r._3).toMap
+    assert(got == oneShot && got.values.sum >= 300)
+  }
+
   test("GK plug-in: streaming quantile state matches the one-shot bound") {
     import graft.plans.Gk
     val root = tmp()
