@@ -1239,23 +1239,36 @@ object Relational {
     var frontier = edges
       .select(col("node"), col("parent").as("ancestor"),
         lit(1L).as("depth"))
+      .persist()
     var acc = frontier
+    val persisted = scala.collection.mutable.ListBuffer(frontier)
     var depth = 1L
+    // each frontier is persisted so the emptiness probe, the union,
+    // and the next expansion all reuse one materialization — without
+    // it the k-th iteration replays all k prior joins (O(d^2) work)
     while (depth < 16 && !frontier.isEmpty) {
       frontier = frontier.filter(col("ancestor") > 0)
         .join(edges.select(col("node").as("ancestor"),
           col("parent").as("next")), Seq("ancestor"))
         .select(col("node"), col("next").as("ancestor"),
           (col("depth") + 1).as("depth"))
+        .persist()
+      persisted += frontier
       // custkeys are dense: parent k/10 is itself a customer (or 0),
       // so the join above IS the parent walk — no missing-edge leaks
       acc = acc.unionByName(frontier)
       depth += 1
     }
     require(depth < 16, "hierarchy deeper than the safety cap")
-    acc.groupBy(col("depth"))
+    val out = acc.groupBy(col("depth"))
       .agg(count(lit(1)).as("n_pairs"),
         sum(col("ancestor")).as("ancestor_sum"))
+    // materialize before releasing the iteration caches
+    val rows = out.collect()
+    persisted.foreach(_.unpersist(blocking = false))
+    val schema = out.schema
+    s.createDataFrame(new java.util.ArrayList(
+      java.util.Arrays.asList(rows: _*)), schema)
   }
 
   val q54Oracle: String =

@@ -164,6 +164,13 @@ class PlanShapeSpec extends AnyFunSuite {
       s"scalar cross join must stay broadcast:\n$p")
   }
 
+  test("q53 SCD2 lookup: broadcast hash join with interval residual, no nested loop") {
+    val p = plan("q53_scd2")
+    assert(p.contains("BroadcastHashJoin"), p)
+    assert(!p.contains("BroadcastNestedLoopJoin") &&
+      !p.contains("CartesianProduct"), p)
+  }
+
   test("text_line_dedup: no line string crosses an exchange; text moves once") {
     import org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec
     import org.apache.spark.sql.execution.exchange.ShuffleExchangeExec
