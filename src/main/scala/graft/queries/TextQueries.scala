@@ -57,6 +57,47 @@ object TextQueries {
       |FROM t JOIN c USING (tok) CROSS JOIN n
       |GROUP BY doc_id""".stripMargin
 
+  // ---- text_drift: token-distribution drift per source vs the
+  //      corpus — KL(source ‖ corpus) over unigram distributions,
+  //      the detector for "this crawl slice/source changed under
+  //      us" before a bad mix poisons a training run. No smoothing
+  //      needed: the corpus marginal strictly dominates every
+  //      source's support. Shape: counts aggregate hash-first on
+  //      (source, tok), corpus marginal derives FROM the source
+  //      counts (no rescan), small per-source totals broadcast ----
+  val textDrift: Q = (s, d) => {
+    val t = documents(s, d).select(col("source"),
+      explode(split(col("text"), " ", -1)).as("tok"))
+    val st = t.groupBy(col("source"), col("tok"))
+      .agg(count(lit(1)).cast("double").as("c_st"))
+    val ct = st.groupBy(col("tok")).agg(sum(col("c_st")).as("c_t"))
+    val ns = st.groupBy(col("source")).agg(sum(col("c_st")).as("n_s"))
+    val n = ct.agg(sum(col("c_t")).as("n"))
+    st.join(ct, "tok")
+      .join(broadcast(ns), "source")
+      .crossJoin(broadcast(n))
+      .groupBy(col("source"))
+      .agg(
+        round(sum((col("c_st") / col("n_s")) *
+          log((col("c_st") / col("n_s")) / (col("c_t") / col("n")))), 6)
+          .as("kl_divergence"),
+        max(col("n_s")).cast("bigint").as("n_tokens"))
+  }
+
+  val textDriftOracle: String =
+    """WITH t AS (SELECT source, unnest(str_split(text, ' ')) AS tok
+      |           FROM documents),
+      |st AS (SELECT source, tok, CAST(count(*) AS DOUBLE) AS c_st
+      |       FROM t GROUP BY 1, 2),
+      |ct AS (SELECT tok, sum(c_st) AS c_t FROM st GROUP BY 1),
+      |ns AS (SELECT source, sum(c_st) AS n_s FROM st GROUP BY 1),
+      |n AS (SELECT sum(c_t) AS n FROM ct)
+      |SELECT source,
+      |  ROUND(SUM((c_st/n_s) * LN((c_st/n_s)/(c_t/n))), 6) AS kl_divergence,
+      |  CAST(max(n_s) AS BIGINT) AS n_tokens
+      |FROM st JOIN ct USING (tok) JOIN ns USING (source) CROSS JOIN n
+      |GROUP BY source""".stripMargin
+
   // ---- text_quality ----
   val quality: Q = (s, d) =>
     TextAnalysis.quality(documents(s, d), "doc_id", "text")
@@ -788,6 +829,7 @@ object TextQueries {
     "text_token_stats" -> tokenStats,
     "text_quality" -> quality,
     "text_lm_score" -> lmScore,
+    "text_drift" -> textDrift,
     "text_langid" -> langId,
     "text_fingerprint" -> fingerprint,
     "dedup_exact" -> dedupExact,
@@ -830,6 +872,7 @@ object TextQueries {
     "text_token_stats" -> tokenStatsOracle,
     "text_quality" -> qualityOracle,
     "text_lm_score" -> lmScoreOracle,
+    "text_drift" -> textDriftOracle,
     "text_langid" -> langIdOracle,
     "dedup_exact" -> dedupExactOracle,
     "dedup_ngram_jaccard" -> dedupNgramOracle,

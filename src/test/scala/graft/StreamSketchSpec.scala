@@ -140,6 +140,39 @@ class StreamSketchSpec extends AnyFunSuite {
     assert(math.abs(est - 500.0) <= 25.0, s"median estimate $est")
   }
 
+  test("streaming expectations: per-batch reports, attributable failures, replay idempotent") {
+    import graft.operators.Expectations._
+    import graft.streaming.StreamExpectations
+    val root = tmp()
+    val checks = Seq(NotNull("v"), InRange("n", 0, 100))
+    val b0 = Seq(("a", 5L), ("b", 50L)).toDF("v", "n")
+    val b1 = Seq(("c", 500L), (null.asInstanceOf[String], 7L))
+      .toDF("v", "n") // the bad batch: one null, one out-of-range
+    val b2 = Seq(("d", 1L)).toDF("v", "n")
+    Seq(b0, b1, b2).zipWithIndex.foreach { case (b, i) =>
+      StreamExpectations.applyBatch(spark, b, root, i, checks,
+        consolidateEvery = 2)
+    }
+    val sum0 = StreamExpectations.summary(spark, root)
+      .as[(String, Long, Long, Long, Boolean)].collect()
+      .map(r => r._1 -> r).toMap
+    assert(sum0("not_null(v)") == (("not_null(v)", 1L, 3L, 1L, false)))
+    assert(sum0("in_range(n,0.0,100.0)") ==
+      (("in_range(n,0.0,100.0)", 1L, 3L, 1L, false)))
+    // the failure is attributable to batch 1
+    val failing = StreamExpectations.reports(spark, root)
+      .filter(!col("passed")).select("batch_id").distinct()
+      .as[Long].collect().toSeq
+    assert(failing == Seq(1L))
+    // replay of the bad batch overwrites, never double-reports
+    StreamExpectations.applyBatch(spark, b1, root, 1, checks,
+      consolidateEvery = 2)
+    val sum1 = StreamExpectations.summary(spark, root)
+      .as[(String, Long, Long, Long, Boolean)].collect()
+      .map(r => r._1 -> r).toMap
+    assert(sum1 == sum0)
+  }
+
   test("sketch family is pluggable: HLL distinct-count rollup == one-shot") {
     val root = tmp()
     val batches = (0 until 4).map { i =>
