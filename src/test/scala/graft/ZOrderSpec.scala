@@ -55,6 +55,36 @@ class ZOrderSpec extends AnyFunSuite {
     assert(df.select("z").as[Long].collect().toSeq == Seq(2L, 1L, 3L))
   }
 
+  test("property: z-values preserve componentwise dominance (u <= v pointwise => z(u) <= z(v))") {
+    // the invariant file pruning rests on: a box's min corner cannot
+    // out-sort its max corner, so a file's [zmin, zmax] range always
+    // brackets the z-values of the points inside its envelope
+    def mix(v: Long): Long = {
+      var z = v + 0x9E3779B97F4A7C15L
+      z = (z ^ (z >>> 30)) * 0xBF58476D1CE4E5B9L
+      z = (z ^ (z >>> 27)) * 0x94D049BB133111EBL
+      z ^ (z >>> 31)
+    }
+    for (ndims <- 2 to 4; bits <- Seq(3, 8)) {
+      val cuts = Seq.tabulate(ndims)(d =>
+        Array.tabulate((1 << bits) - 1)(i => (i + 1) * (d + 1) * 0.37))
+      val zv = ZValue(null, cuts, bits)
+      for (case0 <- 0 until 200) {
+        val a = Array.tabulate(ndims)(d =>
+          java.lang.Math.floorMod(mix(case0 * 31 + d), 4096) * 0.1)
+        val b = Array.tabulate(ndims)(d =>
+          java.lang.Math.floorMod(mix(case0 * 37 + d + 7), 4096) * 0.1)
+        val lo = a.zip(b).map { case (x, y) => math.min(x, y) }
+        val hi = a.zip(b).map { case (x, y) => math.max(x, y) }
+        val zl = zv.compute(new GenericArrayData(lo.map(_.asInstanceOf[Any])))
+        val zh = zv.compute(new GenericArrayData(hi.map(_.asInstanceOf[Any])))
+        assert(zl <= zh,
+          s"dominance violated: ndims=$ndims bits=$bits case=$case0 " +
+            s"lo=${lo.toSeq} hi=${hi.toSeq} zl=$zl zh=$zh")
+      }
+    }
+  }
+
   // ---- layout quality: multi-dimensional file skipping ----
 
   test("z-order layout prunes on the non-sort dimension; linear layout cannot") {
