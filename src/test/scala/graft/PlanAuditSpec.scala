@@ -1,0 +1,60 @@
+package graft
+
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.plans.PlanAudit
+
+class PlanAuditSpec extends AnyFunSuite {
+
+  private lazy val spark = SparkTestSession.spark
+  import spark.implicits._
+
+  private val sf = "/root/testdata/sf0.001"
+
+  private def rules(df: org.apache.spark.sql.DataFrame): Set[String] =
+    PlanAudit.audit(df).map(f => s"${f.severity}:${f.rule}").toSet
+
+  test("flags cartesian/nested-loop joins") {
+    val a = spark.read.parquet(s"$sf/nation.parquet")
+    val b = spark.read.parquet(s"$sf/region.parquet")
+    val r = rules(a.crossJoin(b))
+    assert(r.exists(x => x == "critical:cartesian-product" ||
+      x == "critical:broadcast-nested-loop"), r.toString)
+  }
+
+  test("flags an unpartitioned window and its one-task exchange") {
+    val df = spark.read.parquet(s"$sf/customer.parquet")
+      .withColumn("rk", row_number().over(Window.orderBy("c_acctbal")))
+    val r = rules(df)
+    assert(r.contains("critical:unpartitioned-window"), r.toString)
+    assert(r.contains("critical:single-partition-bottleneck"), r.toString)
+  }
+
+  test("flags a filter the reader cannot see; passes one it can") {
+    val scan = spark.read.parquet(s"$sf/customer.parquet")
+    val opaque = rules(scan.filter(length(col("c_name")) > 12))
+    assert(opaque.contains("warn:missing-pushdown"), opaque.toString)
+    val pushed = rules(scan.filter(col("c_custkey") > 100))
+    assert(!pushed.contains("warn:missing-pushdown"), pushed.toString)
+  }
+
+  test("contract queries audit clean: no critical findings") {
+    for (name <- Seq("q1_pricing_summary", "q3_top_orders",
+        "q5_region_revenue", "q21_topk_custom", "dedup_exact")) {
+      val crit = PlanAudit
+        .audit(SparkEntry.queries(name)(spark, sf))
+        .filter(_.severity == "critical")
+      assert(crit.isEmpty, s"$name: $crit")
+    }
+  }
+
+  test("report emits findings as rows") {
+    val a = spark.read.parquet(s"$sf/nation.parquet")
+    val rep = PlanAudit.report(spark, a.crossJoin(a.select(col("n_name").as("m"))))
+    assert(rep.columns.toSeq ==
+      Seq("rule", "severity", "node", "detail"))
+    assert(rep.filter(col("severity") === "critical").count() >= 1)
+  }
+}
