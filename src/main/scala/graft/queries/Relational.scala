@@ -1283,6 +1283,26 @@ object Relational {
       |  CAST(sum(ancestor) AS HUGEINT)::BIGINT AS ancestor_sum
       |FROM anc GROUP BY 1""".stripMargin
 
+  // ---- q55: modern aggregate surface — exact median, exact
+  //      interpolated percentile, and ordered LISTAGG (deterministic
+  //      WITHIN GROUP ordering; an unordered listagg would be
+  //      hash-unstable across engines and partitionings) ----
+  val q55ModernAggs: Q = (s, d) =>
+    lineitem(s, d).groupBy(col("l_returnflag"))
+      .agg(
+        round(median(col("l_quantity")), 6).as("median_qty"),
+        round(percentile(col("l_extendedprice"), lit(0.9)), 2)
+          .as("p90_price"),
+        expr("listagg(DISTINCT l_linestatus, ',') " +
+          "WITHIN GROUP (ORDER BY l_linestatus)").as("statuses"))
+
+  val q55Oracle: String =
+    """SELECT l_returnflag,
+      |  ROUND(median(l_quantity), 6) AS median_qty,
+      |  ROUND(quantile_cont(l_extendedprice, 0.9), 2) AS p90_price,
+      |  string_agg(DISTINCT l_linestatus, ',' ORDER BY l_linestatus) AS statuses
+      |FROM lineitem GROUP BY 1""".stripMargin
+
   val queries: Map[String, Q] = Map(
     "q1_pricing_summary" -> q1PricingSummary,
     "q2_filter_pushdown" -> q2FilterPushdown,
@@ -1336,7 +1356,8 @@ object Relational {
     "q51_profile" -> q51Profile,
     "q52_expectations" -> q52Expectations,
     "q53_scd2" -> q53Scd2,
-    "q54_hierarchy" -> q54Hierarchy)
+    "q54_hierarchy" -> q54Hierarchy,
+    "q55_modern_aggs" -> q55ModernAggs)
 
   val oracles: Map[String, String] = Map(
     "q41_unpivot" -> q41Oracle,
@@ -1385,5 +1406,6 @@ object Relational {
     "q51_profile" -> q51Oracle,
     "q52_expectations" -> q52Oracle,
     "q53_scd2" -> q53Oracle,
-    "q54_hierarchy" -> q54Oracle)
+    "q54_hierarchy" -> q54Oracle,
+    "q55_modern_aggs" -> q55Oracle)
 }
