@@ -67,8 +67,13 @@ object Expectations {
       sum(when(allSet, 1L).otherwise(0L)) -
         countDistinct(cols0.head, cols0.tail: _*)
     case InRange(col0, lo, hi) =>
+      // a non-null value that does not PARSE as a number violates the
+      // range too (try_cast-to-null must not silently pass the check;
+      // try_cast, not cast — ANSI mode would abort the whole contract
+      // on the first malformed value instead of counting it)
+      val asNum = expr(s"try_cast(`$col0` AS double)")
       sum(when(col(col0).isNotNull &&
-        !col(col0).cast("double").between(lo, hi), 1L).otherwise(0L))
+        (asNum.isNull || !asNum.between(lo, hi)), 1L).otherwise(0L))
     case InSet(col0, values) =>
       sum(when(col(col0).isNotNull &&
         !col(col0).isin(values: _*), 1L).otherwise(0L))

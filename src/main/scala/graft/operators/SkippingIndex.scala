@@ -49,6 +49,12 @@ object SkippingIndex {
            box: Seq[(String, Double, Double)]): DataFrame = {
     require(box.nonEmpty, "SkippingIndex.read needs at least one bound")
     val idx = spark.read.parquet(indexPath)
+    val unindexed = box.map(_._1).filterNot(d =>
+      idx.columns.contains(s"min_$d") && idx.columns.contains(s"max_$d"))
+    require(unindexed.isEmpty,
+      s"SkippingIndex: dimension(s) ${unindexed.mkString(", ")} not in " +
+        s"the index at $indexPath (indexed: ${idx.columns.filter(_
+          .startsWith("min_")).map(_.stripPrefix("min_")).mkString(", ")})")
     val indexed = idx.select("file")
       .collect().map(r => new java.net.URI(r.getString(0)).getPath).toSet
     val current = dataFiles(spark, dataPath)

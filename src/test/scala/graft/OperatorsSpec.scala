@@ -786,6 +786,11 @@ class OperatorsSpec extends AnyFunSuite {
       NotNull("id"), Unique(Seq("id")), RowCountAtLeast(1)))
       .collect()
     assert(ok.forall(_.getBoolean(2)))
+    // a non-null value that cannot parse as a number VIOLATES a range
+    // check — cast-to-null must not silently pass
+    val garbage = validate(Seq("5", "junk", "7").toDF("g"),
+      Seq(InRange("g", 0, 10))).collect()(0)
+    assert(garbage.getLong(1) == 1 && !garbage.getBoolean(2))
     // one scan feeds the whole contract
     val leaves = graft.queries.Relational
       .q52Expectations(spark, sfDir)

@@ -177,6 +177,14 @@ class ZOrderSpec extends AnyFunSuite {
       Seq(("x", 5000.0, 6000.0)))
     assert(none.count() == 0 && none.columns.toSeq == Seq("id", "x", "y"))
 
+    // probing an unindexed dimension names the problem
+    val eDim = intercept[IllegalArgumentException] {
+      graft.operators.SkippingIndex.read(spark, dataDir, idxDir,
+        Seq(("zz", 0.0, 1.0)))
+    }
+    assert(eDim.getMessage.contains("zz") &&
+      eDim.getMessage.contains("not in"))
+
     // appending a file the index never saw must refuse, not skip it
     df.limit(10).write.mode("append").parquet(dataDir)
     val e = intercept[IllegalArgumentException] {
