@@ -55,8 +55,22 @@ object PlanAudit {
         findings += Finding("cartesian-product", "critical",
           j.nodeName, "unconstrained O(n*m) join")
       case j: BroadcastNestedLoopJoinExec =>
-        findings += Finding("broadcast-nested-loop", "critical",
-          j.nodeName, s"per-row scan of the broadcast side (${j.joinType})")
+        // a BNLJ against a provably tiny broadcast side is the RIGHT
+        // plan (scalar cross joins, literal probe lists): a
+        // no-grouping aggregate guarantees one row, a LocalTableScan
+        // is a driver literal — neither grows with the data
+        val build = if (j.buildSide.toString == "BuildLeft") j.left else j.right
+        val tiny = build.exists {
+          case a: org.apache.spark.sql.execution.aggregate.BaseAggregateExec =>
+            a.groupingExpressions.isEmpty
+          case _: org.apache.spark.sql.execution.LocalTableScanExec => true
+          case _ => false
+        }
+        findings += Finding("broadcast-nested-loop",
+          if (tiny) "info" else "warn", j.nodeName,
+          if (tiny) s"tiny broadcast side (scalar/literal) — intended (${j.joinType})"
+          else "per-row scan of the broadcast side — fine ONLY if that " +
+            s"side is contractually small (${j.joinType})")
       case e: ShuffleExchangeExec if e.outputPartitioning == SinglePartition =>
         val wide = e.find {
           case _: SortExec | _: WindowExec => true
@@ -70,15 +84,19 @@ object PlanAudit {
       case w: WindowExec if w.partitionSpec.isEmpty =>
         findings += Finding("unpartitioned-window", "critical",
           w.nodeName, "window with no PARTITION BY — one task does all rows")
-      case s: FileSourceScanExec if s.dataFilters.nonEmpty &&
-        !s.metadata.get("PushedFilters").exists(p =>
+      case s: FileSourceScanExec if {
+        // join-generated IsNotNull guards don't count on EITHER side:
+        // flag only when a REAL predicate exists and nothing real
+        // reached the reader
+        val real = s.dataFilters.filterNot(
+          _.isInstanceOf[org.apache.spark.sql.catalyst.expressions.IsNotNull])
+        real.nonEmpty && !s.metadata.get("PushedFilters").exists(p =>
           p.stripPrefix("[").stripSuffix("]").split(",")
-            .map(_.trim).exists(f => f.nonEmpty && !f.startsWith("IsNotNull"))) =>
-        // bare IsNotNull pushes don't count: the real predicate is
-        // still evaluated row-by-row above a full decode
+            .map(_.trim).exists(f => f.nonEmpty && !f.startsWith("IsNotNull")))
+      } =>
         findings += Finding("missing-pushdown", "warn", s.nodeName,
-          s"${s.dataFilters.size} data filter(s) evaluated above the " +
-            "reader; usually a non-pushable expression wraps the column")
+          "data filter(s) evaluated above the reader; usually a " +
+            "non-pushable expression wraps the column")
       case _ =>
     }
 

@@ -16,12 +16,17 @@ class PlanAuditSpec extends AnyFunSuite {
   private def rules(df: org.apache.spark.sql.DataFrame): Set[String] =
     PlanAudit.audit(df).map(f => s"${f.severity}:${f.rule}").toSet
 
-  test("flags cartesian/nested-loop joins") {
+  test("flags cartesian/nested-loop joins; scalar cross joins pass as info") {
     val a = spark.read.parquet(s"$sf/nation.parquet")
     val b = spark.read.parquet(s"$sf/region.parquet")
     val r = rules(a.crossJoin(b))
     assert(r.exists(x => x == "critical:cartesian-product" ||
-      x == "critical:broadcast-nested-loop"), r.toString)
+      x == "warn:broadcast-nested-loop"), r.toString)
+    // a one-row aggregate broadcast (the scalar-join idiom) is intended
+    val scalar = a.crossJoin(broadcast(b.agg(count(lit(1)).as("n"))))
+    val rs = rules(scalar)
+    assert(!rs.exists(_.startsWith("critical")), rs.toString)
+    assert(!rs.contains("warn:broadcast-nested-loop"), rs.toString)
   }
 
   test("flags an unpartitioned window and its one-task exchange") {
@@ -55,6 +60,6 @@ class PlanAuditSpec extends AnyFunSuite {
     val rep = PlanAudit.report(spark, a.crossJoin(a.select(col("n_name").as("m"))))
     assert(rep.columns.toSeq ==
       Seq("rule", "severity", "node", "detail"))
-    assert(rep.filter(col("severity") === "critical").count() >= 1)
+    assert(rep.filter(col("severity").isin("critical", "warn")).count() >= 1)
   }
 }
