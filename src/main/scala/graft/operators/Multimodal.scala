@@ -497,6 +497,35 @@ object Multimodal {
     header ++ px
   }
 
+  /** Deterministic 16-bit mono PCM WAV: a pure tone whose frequency
+    * is a function of `id % classes` (same class → same tone) — the
+    * audio analog of [[syntheticPpm]], for driving the REAL WAV
+    * decode + feature path when the corpus ships no audio.
+    */
+  def syntheticWav(id: Long, samples: Int = 800, rate: Int = 8000,
+                   classes: Int = 20): Array[Byte] = {
+    val cls = ((id % classes) + classes) % classes
+    val freq = 200.0 + cls * 50.0
+    val data = new Array[Byte](samples * 2)
+    var i = 0
+    while (i < samples) {
+      val v = (math.sin(2 * math.Pi * freq * i / rate) * 16000.0).toInt
+      data(2 * i) = (v & 0xFF).toByte
+      data(2 * i + 1) = ((v >> 8) & 0xFF).toByte
+      i += 1
+    }
+    def le32(v: Int): Array[Byte] =
+      Array((v & 0xFF).toByte, ((v >> 8) & 0xFF).toByte,
+        ((v >> 16) & 0xFF).toByte, ((v >> 24) & 0xFF).toByte)
+    def le16(v: Int): Array[Byte] =
+      Array((v & 0xFF).toByte, ((v >> 8) & 0xFF).toByte)
+    "RIFF".getBytes("US-ASCII") ++ le32(36 + data.length) ++
+      "WAVE".getBytes("US-ASCII") ++
+      "fmt ".getBytes("US-ASCII") ++ le32(16) ++ le16(1) ++ le16(1) ++
+      le32(rate) ++ le32(rate * 2) ++ le16(2) ++ le16(16) ++
+      "data".getBytes("US-ASCII") ++ le32(data.length) ++ data
+  }
+
   /** A media row: id + opaque payload. */
   case class MediaRow(doc_id: Long, payload: Array[Byte])
 

@@ -256,6 +256,25 @@ object TextQueries {
       |  CASE WHEN octet_length(encode(text)) % 2 = 0 THEN 'png' ELSE 'jpeg' END AS format
       |FROM documents""".stripMargin
 
+  // ---- multimodal_audio: REAL WAV decode + audio features over the
+  //      batch plumbing (mapPartitions decode, typed rows). The
+  //      corpus ships no audio, so deterministic pure-tone PCM WAVs
+  //      are synthesized per doc (doc_id % 20 picks the frequency);
+  //      the RIFF parse, sample math, RMS/ZCR/peak features, and the
+  //      per-partition batch shape are all real. Rows-only ----
+  val multimodalAudio: Q = (s, d) => {
+    import s.implicits._
+    val wavs = documents(s, d).filter(col("doc_id") < 200)
+      .select(col("doc_id")).as[Long]
+      .mapPartitions(_.map(id => (id, Multimodal.syntheticWav(id))))
+      .toDF("doc_id", "payload")
+    Multimodal.decodeAudioBatch(s, wavs, "doc_id", "payload")
+      .select(col("doc_id"), col("sample_rate"), col("channels"),
+        round(col("duration_s"), 4).as("duration_s"),
+        round(col("rms"), 4).as("rms"),
+        round(col("zcr"), 4).as("zcr"))
+  }
+
   // ---- multimodal_phash_dedup: perceptual-hash near-dup IMAGE
   //      pairs. The corpus ships no images, so deterministic 16x16
   //      PPMs are rendered per doc (docs sharing doc_id % 20 draw the
@@ -844,6 +863,7 @@ object TextQueries {
     "ann_ivf" -> annIvf,
     "ann_ivf_indexed" -> annIvfIndexed,
     "multimodal_meta" -> multimodalMeta,
+    "multimodal_audio" -> multimodalAudio,
     "text_pii_redact" -> piiRedact,
     "text_top_ngrams" -> topNgrams,
     "dedup_components" -> dedupComponents,

@@ -859,6 +859,26 @@ class OperatorsSpec extends AnyFunSuite {
       "over-cap clusters must be skipped, not deduped")
   }
 
+  test("synthetic WAV tones decode with the expected physics") {
+    import graft.operators.Multimodal
+    // 8 kHz mono, 800 samples = 0.1 s; class 0 → 200 Hz tone
+    val a = Multimodal.decodeAudio(
+      Multimodal.MediaRow(0L, Multimodal.syntheticWav(0L))).get
+    assert(a.sampleRate == 8000 && a.channels == 1)
+    val (dur, rms, zcr, peak) = Multimodal.audioFeatures(a)
+    assert(math.abs(dur - 0.1) < 1e-9)
+    // sine RMS = A/sqrt(2); A = 16000/32768
+    assert(math.abs(rms - 16000.0 / 32768 / math.sqrt(2)) < 0.01, rms)
+    // zero crossings per sample ≈ 2 * f / rate
+    assert(math.abs(zcr - 2 * 200.0 / 8000) < 0.01, zcr)
+    assert(peak <= 1.0 && peak > 0.4)
+    // the contract query decodes every synthesized payload
+    val q = graft.queries.TextQueries.multimodalAudio(spark, sfDir)
+    val n = spark.read.parquet(s"$sfDir/documents.parquet")
+      .filter(col("doc_id") < 200).count()
+    assert(q.count() == n && q.columns.contains("rms"))
+  }
+
   test("ORC round-trip preserves rows and types") {
     val df = Seq((1L, "a", 1.5), (2L, "b", -2.25)).toDF("id", "s", "v")
     val dir = java.nio.file.Files.createTempDirectory("orc").toString + "/t"
