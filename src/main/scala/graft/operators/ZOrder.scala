@@ -29,12 +29,21 @@ object ZOrder {
   /** Per-dimension quantile cutpoints: 2^bits - 1 interior quantiles
     * (equal-population buckets; duplicates from skew collapse into
     * fewer effective buckets, which only widens tiles — never wrong).
+    *
+    * Dimensions are projected through the SAME double cast the
+    * z-value uses before sampling, so timestamp/date dims — the most
+    * common clustering keys — work out of the box (approxQuantile
+    * itself accepts only numerics).
     */
   def cutpoints(df: DataFrame, dims: Seq[String], bits: Int,
                 relErr: Double = 0.001): Seq[Array[Double]] = {
     val nb = 1 << bits
     val probs = (1 until nb).map(_.toDouble / nb).toArray
-    df.stat.approxQuantile(dims.toArray, probs, relErr)
+    val names = dims.indices.map(i => s"__zdim_$i")
+    val cast = df.select(dims.zip(names).map { case (d, n) =>
+      col(d).cast("double").as(n)
+    }: _*)
+    cast.stat.approxQuantile(names.toArray, probs, relErr)
       .map(_.distinct.sorted)
       .toSeq
   }

@@ -193,6 +193,35 @@ class ZOrderSpec extends AnyFunSuite {
     assert(e.getMessage.contains("stale"))
   }
 
+  test("timestamp dimension: clustering and pruning work on (time, key) layouts") {
+    val n = 4000
+    val base = 1700000000000L
+    val df = (0 until n).map { i =>
+      val ts = new java.sql.Timestamp(base + (i % 97) * 3600000L)
+      val k = (i.toLong * 48271L) % 1000
+      (i.toLong, ts, k.toDouble)
+    }.toDF("id", "ts", "k")
+    val dir = tmp("ztime")
+    graft.operators.ZOrder.write(df, Seq("ts", "k"), dir,
+      numFiles = 16, bits = 6)
+    assert(spark.read.parquet(dir).count() == n)
+    // a time band prunes files even though the key dim is clustered too
+    val total = graft.operators.ZOrder.fileStats(spark, dir, Seq("k")).count()
+    val loSec = (base + 10 * 3600000L) / 1000.0
+    val hiSec = (base + 20 * 3600000L) / 1000.0
+    val touched = graft.operators.ZOrder.filesTouched(spark, dir,
+      Seq(("ts", loSec, hiSec)))
+    assert(touched * 2 <= total, s"$touched/$total")
+    // and the time filter returns exactly the right rows
+    val got = spark.read.parquet(dir)
+      .filter(col("ts").cast("double").between(loSec, hiSec))
+      .count()
+    val want = df
+      .filter(col("ts").cast("double").between(loSec, hiSec))
+      .count()
+    assert(got == want && got > 0)
+  }
+
   test("skewed dimension: rank buckets keep spreading, layout round-trips") {
     val n = 5000
     // y: 90% constant, 10% spread — value-linear binning would collapse
