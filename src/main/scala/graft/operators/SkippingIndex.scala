@@ -55,6 +55,13 @@ object SkippingIndex {
       s"SkippingIndex: dimension(s) ${unindexed.mkString(", ")} not in " +
         s"the index at $indexPath (indexed: ${idx.columns.filter(_
           .startsWith("min_")).map(_.stripPrefix("min_")).mkString(", ")})")
+    val stringDims = box.map(_._1).filter(d =>
+      idx.schema(s"min_$d").dataType ==
+        org.apache.spark.sql.types.StringType)
+    require(stringDims.isEmpty,
+      s"SkippingIndex: dimension(s) ${stringDims.mkString(", ")} are " +
+        "strings — numeric boxes cannot prune them; encode or cast the " +
+        "column before indexing")
     val indexed = idx.select("file")
       .collect().map(r => new java.net.URI(r.getString(0)).getPath).toSet
     val current = dataFiles(spark, dataPath)

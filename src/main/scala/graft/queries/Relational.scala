@@ -891,17 +891,22 @@ object Relational {
   val q42WindowNav: Q = (s, d) => {
     val w = Window.partitionBy(col("c_nationkey"))
       .orderBy(col("c_acctbal").asc, col("c_custkey").asc)
+    // FLOOR of the 1e6-scaled rank, not ROUND: percent_rank/cume_dist
+    // are exact ratios k/n, and for round numbers of group rows (n a
+    // multiple of 64 at sf0.1) the 6-decimal ROUND lands exactly on a
+    // .5 midpoint where Spark (HALF_UP) and DuckDB disagree; floor of
+    // the same IEEE double is midpoint-free and engine-stable
     customer(s, d).select(col("c_custkey"), col("c_nationkey"), col("c_acctbal"),
       ntile(4).over(w).cast("bigint").as("balance_quartile"),
-      round(percent_rank().over(w), 6).as("pct_rank"),
-      round(cume_dist().over(w), 6).as("cume"))
+      floor(percent_rank().over(w) * 1000000).cast("bigint").as("pct_rank_ppm"),
+      floor(cume_dist().over(w) * 1000000).cast("bigint").as("cume_ppm"))
   }
 
   val q42Oracle: String =
     """SELECT c_custkey, c_nationkey, c_acctbal,
       |  CAST(NTILE(4) OVER w AS BIGINT) AS balance_quartile,
-      |  ROUND(PERCENT_RANK() OVER w, 6) AS pct_rank,
-      |  ROUND(CUME_DIST() OVER w, 6) AS cume
+      |  CAST(FLOOR(PERCENT_RANK() OVER w * 1000000) AS BIGINT) AS pct_rank_ppm,
+      |  CAST(FLOOR(CUME_DIST() OVER w * 1000000) AS BIGINT) AS cume_ppm
       |FROM customer
       |WINDOW w AS (PARTITION BY c_nationkey ORDER BY c_acctbal ASC, c_custkey ASC)""".stripMargin
 
