@@ -230,10 +230,19 @@ object Dedup {
     * by exact cosine (precision is exact — spec-pinned).
     */
   def semanticDedup(df: DataFrame, idCol: String, vecCol: String,
-                    threshold: Double = 0.95, numClusters: Int = 16,
+                    threshold: Double = 0.95, numClusters: Int = 0,
                     maxClusterSize: Int = 10000): DataFrame = {
     GraftFunctions.register(df.sparkSession)
-    val model = IvfIndex.train(df, idCol, vecCol, numClusters)
+    // numClusters <= 0 → auto-size to the corpus (the paper's regime:
+    // clusters stay modest as data grows): one cheap count, then
+    // k = n / (maxClusterSize/4), clamped to [4, 4096]. Quadratic
+    // work per cluster is then bounded by (maxClusterSize/4)^2
+    // regardless of corpus size.
+    val k = if (numClusters > 0) numClusters else {
+      val n = df.count()
+      math.min(4096L, math.max(4L, n / math.max(1, maxClusterSize / 4))).toInt
+    }
+    val model = IvfIndex.train(df, idCol, vecCol, k)
     val assigned = IvfIndex.assign(spread(df), idCol, vecCol, model)
     val smallClusters = assigned.groupBy(col("c"))
       .agg(count(lit(1)).as("__n"))

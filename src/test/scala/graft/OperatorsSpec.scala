@@ -848,6 +848,13 @@ class OperatorsSpec extends AnyFunSuite {
     // and the pass is not vacuous: most true dups are still caught
     assert(dropped.size >= 12, s"recall collapsed: dropped=$dropped")
 
+    // auto-k (numClusters <= 0): sizes from the corpus, same result
+    val autoKept = graft.operators.Dedup
+      .semanticDedup(identRows.toDF("vec_id", "embedding"),
+        "vec_id", "embedding", threshold = 0.99, maxClusterSize = 100)
+      .select("vec_id").as[Long].collect().toSet
+    assert(autoKept == Set(0L, 100L, 200L, 300L), autoKept.toString)
+
     // cap opt-out: identical-vector groups give clusters of exactly 5
     // members; a cap of 3 must skip them all → nothing dropped
     val uncapped = graft.operators.Dedup
