@@ -14,10 +14,53 @@ import org.apache.spark.sql.SparkSession
   * which is what a long-running cluster job sees.
   */
 object Bench {
+
+  /** Pids of java processes that are NOT this JVM, its ancestors (the
+    * sbt launcher chain), or its descendants. Any such process is a
+    * contention source that median-of-3 cannot defend against when it
+    * runs for longer than a whole query window — the r7 artifact read
+    * 7.2s for a 0.2s query exactly this way.
+    */
+  private def foreignJvmPids(): Seq[Long] = {
+    import scala.jdk.CollectionConverters._
+    import scala.jdk.OptionConverters._
+    val self = ProcessHandle.current()
+    val family = scala.collection.mutable.Set[Long](self.pid)
+    var p = self.parent()
+    while (p.isPresent) { family += p.get.pid; p = p.get.parent() }
+    self.descendants().iterator().asScala.foreach(d => family += d.pid)
+    ProcessHandle.allProcesses().iterator().asScala
+      .filter { h =>
+        !family.contains(h.pid) &&
+        h.info().command().toScala
+          .exists(c => c.endsWith("/java") || c == "java")
+      }
+      .map(_.pid).toSeq
+  }
+
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val warmDir = sfDir
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
+    // Contention pre-flight: a co-running JVM invalidates wall-clock
+    // numbers. Grace-wait (bounded) for it to exit, then proceed but
+    // record what was seen — an annotated artifact beats a missing one.
+    val waitBudgetSec =
+      sys.env.getOrElse("SPARK_GRAFT_BENCH_WAIT", "120").toInt.max(0)
+    val waitStart = System.nanoTime()
+    var foreignAtStart = foreignJvmPids()
+    while (foreignAtStart.nonEmpty &&
+           (System.nanoTime() - waitStart) / 1e9 < waitBudgetSec) {
+      System.err.println(
+        s"[bench] waiting: foreign JVMs ${foreignAtStart.mkString(",")}")
+      Thread.sleep(5000)
+      foreignAtStart = foreignJvmPids()
+    }
+    if (foreignAtStart.nonEmpty)
+      System.err.println(
+        s"[bench] WARNING: benchmarking with foreign JVMs present: " +
+          foreignAtStart.mkString(","))
+    var foreignMax = foreignAtStart.size
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
@@ -26,21 +69,41 @@ object Bench {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    // Fixed CPU-bound sentinel. Interleaved through the timed loop, it
+    // makes ambient contention visible IN the artifact: a skewed
+    // window shows up as an inflated sentinel sample next to the
+    // inflated query times, so a poisoned artifact self-identifies.
+    def sentinelOnce(): Double = {
+      val t0 = System.nanoTime()
+      spark.range(20000000L).selectExpr("sum(id % 97)").collect()
+      (System.nanoTime() - t0) / 1e9
+    }
     // warmup pass (untimed): JIT, codegen caches, parquet footers
+    sentinelOnce()
     SparkEntry.queries.foreach { case (_, fn) =>
       try fn(spark, warmDir).count() catch { case _: Throwable => () }
     }
     // Median of n timed passes per query: one contended pass (GC, a
     // stray background JVM, scheduler noise) cannot poison the artifact.
     val reps = sys.env.getOrElse("SPARK_GRAFT_BENCH_REPS", "3").toInt.max(1)
+    val sentinels = scala.collection.mutable.ArrayBuffer(sentinelOnce())
+    var sinceSentinel = 0
     val results = SparkEntry.queries.map { case (name, fn) =>
       val times = (1 to reps).map { _ =>
         val t0 = System.nanoTime()
         try { fn(spark, sfDir).count() } catch { case _: Throwable => () }
         (System.nanoTime() - t0) / 1e9
       }.sorted
+      sinceSentinel += 1
+      if (sinceSentinel >= 10) {
+        sinceSentinel = 0
+        sentinels += sentinelOnce()
+        foreignMax = foreignMax.max(foreignJvmPids().size)
+      }
       name -> times(times.size / 2)
     }
+    sentinels += sentinelOnce()
+    foreignMax = foreignMax.max(foreignJvmPids().size)
     // The driver keeps only the last 2000 chars of output and the sbt
     // "[success] ..." epilogue eats ~75 of them; a front-truncated
     // line is unparseable (r3/r4 artifacts record parsed:null for
@@ -69,7 +132,9 @@ object Bench {
       val omit =
         if (dropped.isEmpty) ""
         else s""","queries_omitted":${dropped.size},"omitted_sec":${fmt(dropped.map(_._2).sum)}"""
-      s"""{"metric":"total","value":${fmt(total)},"unit":"sec","queries":$qs$omit,"sf":"$sfName"}"""
+      val guard =
+        s""","sentinel":[${sentinels.map(fmt).mkString(",")}],"foreign_jvms":$foreignMax"""
+      s"""{"metric":"total","value":${fmt(total)},"unit":"sec","queries":$qs$omit$guard,"sf":"$sfName"}"""
     }
     val budget = 1900
     val keep = (bySlowest.size to 1 by -1)
