@@ -55,6 +55,52 @@ class PlanAuditSpec extends AnyFunSuite {
     }
   }
 
+  test("AQE-final audit: runtime re-plan is visible and both plans are graded") {
+    // two aggregated sides: the initial plan can't know the join
+    // inputs are tiny (post-agg sizes are unknown on paper), so AQE
+    // re-plans at runtime once real stage statistics arrive — the
+    // exact class of decision the initial-plan audit can't see
+    val o = spark.read.parquet(s"$sf/orders.parquet")
+      .groupBy(col("o_custkey")).agg(sum(col("o_totalprice")).as("tot"))
+    val c = spark.read.parquet(s"$sf/customer.parquet")
+      .groupBy(col("c_custkey")).agg(count(lit(1)).as("n"))
+    val rep = PlanAudit.auditAdaptive(
+      o.join(c, col("o_custkey") === col("c_custkey")))
+    assert(rep.planChanged,
+      s"AQE made no runtime change: joins ${rep.joinMixInitial} -> " +
+        s"${rep.joinMixFinal}, skew=${rep.skewSplits}, coalesced=${rep.coalescedReads}")
+    // both audit points produced a gradable report
+    assert(rep.decisions.nonEmpty, "plan changed but no decision rows")
+    assert(rep.finalFindings.count(_.severity == "critical") == 0,
+      rep.finalFindings.toString)
+  }
+
+  test("AQE-final audit: broadcast demotions would surface as warn") {
+    // decisions() grading: a BroadcastHashJoin count that DROPS at
+    // runtime is a warn (the avoided shuffle is back); synthesized
+    // here because AQE on tiny test data only ever promotes
+    val rep = PlanAudit.AdaptiveAudit(
+      initial = Nil, finalFindings = Nil,
+      joinMixInitial = Map("BroadcastHashJoin" -> 2),
+      joinMixFinal = Map("BroadcastHashJoin" -> 1, "SortMergeJoin" -> 1),
+      skewSplits = 0, coalescedReads = 0)
+    val d = rep.decisions
+    assert(d.exists(f => f.rule == "aqe-join-change" && f.severity == "warn"),
+      d.toString)
+  }
+
+  test("contract queries re-audit clean on the AQE-FINAL plan") {
+    for (name <- Seq("q1_pricing_summary", "q3_top_orders",
+        "q5_region_revenue", "q21_topk_custom", "dedup_exact",
+        "q24_salted_join", "text_drift")) {
+      val rep = PlanAudit.auditAdaptive(SparkEntry.queries(name)(spark, sf))
+      val crit = rep.finalFindings.filter(_.severity == "critical")
+      assert(crit.isEmpty, s"$name final plan: $crit")
+      val demoted = rep.decisions.filter(_.severity == "warn")
+      assert(demoted.isEmpty, s"$name: runtime broadcast demotion: $demoted")
+    }
+  }
+
   test("report emits findings as rows") {
     val a = spark.read.parquet(s"$sf/nation.parquet")
     val rep = PlanAudit.report(spark, a.crossJoin(a.select(col("n_name").as("m"))))
