@@ -66,8 +66,16 @@ object TextQueries {
   //      (source, tok), corpus marginal derives FROM the source
   //      counts (no rescan), small per-source totals broadcast ----
   val textDrift: Q = (s, d) => {
-    val t = documents(s, d).select(col("source"),
-      explode(split(col("text"), " ", -1)).as("tok"))
+    // the explicit IsNotNull matters for plan shape, not semantics
+    // (a NULL source can't survive the inner join on source anyway):
+    // without it, InferFiltersFromConstraints adds isnotnull(source)
+    // to the join-probe copy of st but NOT to the ct copy, the two
+    // subtrees stop canonicalizing identically, and AQE stage reuse
+    // splits — a SECOND full corpus scan. With it, all four st
+    // consumers share ONE scan+explode+agg stage (PlanShapeSpec gates
+    // the executed scan count at exactly 1)
+    val t = documents(s, d).where(col("source").isNotNull)
+      .select(col("source"), explode(split(col("text"), " ", -1)).as("tok"))
     val st = t.groupBy(col("source"), col("tok"))
       .agg(count(lit(1)).cast("double").as("c_st"))
     val ct = st.groupBy(col("tok")).agg(sum(col("c_st")).as("c_t"))
@@ -86,7 +94,7 @@ object TextQueries {
 
   val textDriftOracle: String =
     """WITH t AS (SELECT source, unnest(str_split(text, ' ')) AS tok
-      |           FROM documents),
+      |           FROM documents WHERE source IS NOT NULL),
       |st AS (SELECT source, tok, CAST(count(*) AS DOUBLE) AS c_st
       |       FROM t GROUP BY 1, 2),
       |ct AS (SELECT tok, sum(c_st) AS c_t FROM st GROUP BY 1),

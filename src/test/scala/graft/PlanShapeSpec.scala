@@ -164,6 +164,32 @@ class PlanShapeSpec extends AnyFunSuite {
       s"scalar cross join must stay broadcast:\n$p")
   }
 
+  test("text_drift: corpus scanned exactly ONCE in the executed final plan") {
+    // the drift query fans st out to four consumers (join side, ct,
+    // ns, n) with no persist; exchange/stage reuse is what keeps that
+    // ONE corpus scan. Nothing in the optimizer CONTRACTUALLY
+    // guarantees that reuse — this gate pins it, because the silent
+    // fallback at 100 TB is four full corpus explodes
+    val df = SparkEntry.queries("text_drift")(spark, sf)
+    df.queryExecution.toRdd.count()
+    val scans = graft.plans.PlanAudit.executedScansOf(df, "documents")
+    assert(scans == 1,
+      s"text_drift executed $scans scans of documents — exchange reuse broke")
+  }
+
+  test("text_lm_score: at most two corpus scans; count subtree reused by the total") {
+    // lmScore's probe side (scan+explode) and count side (scan+
+    // explode+partial agg) are structurally different subtrees, so
+    // two scans is this query's floor; the scalar total must REUSE
+    // the count subtree rather than add a third scan
+    val df = SparkEntry.queries("text_lm_score")(spark, sf)
+    df.queryExecution.toRdd.count()
+    val scans = graft.plans.PlanAudit.executedScansOf(df, "documents")
+    assert(scans <= 2,
+      s"text_lm_score executed $scans scans of documents — the scalar " +
+        "total stopped reusing the token-count subtree")
+  }
+
   test("q53 SCD2 lookup: broadcast hash join with interval residual, no nested loop") {
     val p = plan("q53_scd2")
     assert(p.contains("BroadcastHashJoin"), p)
