@@ -231,8 +231,23 @@ object Dedup {
     */
   def semanticDedup(df: DataFrame, idCol: String, vecCol: String,
                     threshold: Double = 0.95, numClusters: Int = 0,
-                    maxClusterSize: Int = 10000): DataFrame = {
-    GraftFunctions.register(df.sparkSession)
+                    maxClusterSize: Int = 10000): DataFrame =
+    semanticDedupWithReport(df, idCol, vecCol, threshold, numClusters,
+      maxClusterSize)._1
+
+  /** [[semanticDedup]] plus its cap-opt-out report: `(survivors,
+    * report)` where the report is ONE row — (clusters_skipped,
+    * docs_skipped, corpus_fraction) — quantifying the over-cap
+    * clusters that kept all members. Skipping the degenerate bucket
+    * is the right scale behavior, but it must never be silent (a
+    * corpus whose embeddings collapse to one cluster would otherwise
+    * report "deduped" while comparing nothing). The report is lazy:
+    * it costs one aggregate over the cluster-size table (k rows)
+    * when the caller materializes it.
+    */
+  def semanticDedupWithReport(df: DataFrame, idCol: String, vecCol: String,
+                              threshold: Double = 0.95, numClusters: Int = 0,
+                              maxClusterSize: Int = 10000): (DataFrame, DataFrame) = {
     // numClusters <= 0 → auto-size to the corpus (the paper's regime:
     // clusters stay modest as data grows): one cheap count, then
     // k = n / (maxClusterSize/4), clamped to [4, 4096]. Quadratic
@@ -243,11 +258,43 @@ object Dedup {
       math.min(4096L, math.max(4L, n / math.max(1, maxClusterSize / 4))).toInt
     }
     val model = IvfIndex.train(df, idCol, vecCol, k)
+    semanticDedupWithModel(df, idCol, vecCol, model, threshold, maxClusterSize)
+  }
+
+  /** [[semanticDedup]] against a PRE-TRAINED (typically persisted)
+    * k-means model — the production path: training pays a full corpus
+    * pass plus centroid iterations, so a scheduled dedup over a
+    * slowly-drifting corpus should reuse a saved model
+    * ([[IvfIndex.save]]/[[IvfIndex.load]], with
+    * [[IvfIndex.refresh]]'s drift guard advising retrains) instead of
+    * re-clustering per run — the `ann_ivf_indexed` pattern applied to
+    * dedup. Same output as the fresh-train form given the same model
+    * (parity spec-pinned).
+    */
+  def semanticDedupIndexed(df: DataFrame, idCol: String, vecCol: String,
+                           modelDir: String, threshold: Double = 0.95,
+                           maxClusterSize: Int = 10000): DataFrame = {
+    val model = IvfIndex.load(df.sparkSession, modelDir)
+    semanticDedupWithModel(df, idCol, vecCol, model, threshold,
+      maxClusterSize)._1
+  }
+
+  private def semanticDedupWithModel(
+      df: DataFrame, idCol: String, vecCol: String, model: IvfIndex.Model,
+      threshold: Double, maxClusterSize: Int): (DataFrame, DataFrame) = {
+    GraftFunctions.register(df.sparkSession)
     val assigned = IvfIndex.assign(spread(df), idCol, vecCol, model)
-    val smallClusters = assigned.groupBy(col("c"))
-      .agg(count(lit(1)).as("__n"))
-      .filter(col("__n") <= maxClusterSize)
+    val sizes = assigned.groupBy(col("c")).agg(count(lit(1)).as("__n"))
+    val smallClusters = sizes.filter(col("__n") <= maxClusterSize)
       .select(col("c"))
+    val report = sizes.agg(
+      coalesce(sum(when(col("__n") > maxClusterSize, 1L)), lit(0L))
+        .as("clusters_skipped"),
+      coalesce(sum(when(col("__n") > maxClusterSize, col("__n"))), lit(0L))
+        .as("docs_skipped"),
+      sum(col("__n")).as("__total"))
+      .select(col("clusters_skipped"), col("docs_skipped"),
+        round(col("docs_skipped") / col("__total"), 6).as("corpus_fraction"))
     val ok = assigned.join(broadcast(smallClusters), Seq("c"))
     val a = ok.select(col("c"), col("base_id").as("id_a"),
       col("base_v").as("v_a"))
@@ -257,7 +304,7 @@ object Dedup {
       .filter(col("id_a") < col("id_b"))
       .filter(GraftFunctions.cosineFast(col("v_a"), col("v_b")) >= threshold)
       .select(col("id_b").as(idCol)).distinct()
-    df.join(drops, Seq(idCol), "left_anti")
+    (df.join(drops, Seq(idCol), "left_anti"), report)
   }
 
   /** Near-duplicate embedding pairs: hyperplane-LSH bucket join +

@@ -85,14 +85,23 @@ object IvfIndex {
     * Build once, search many — the assignment pass over the corpus is
     * paid at build time, not per query batch.
     */
-  def save(base: DataFrame, idCol: String, vecCol: String,
-           model: Model, dir: String): Unit = {
-    val spark = base.sparkSession
-    GraftFunctions.register(spark)
+  /** Persist just the centroid model (no inverted lists) — enough
+    * for assignment-only consumers ([[graft.operators.Dedup.semanticDedupIndexed]]);
+    * readable by [[load]].
+    */
+  def saveModel(spark: org.apache.spark.sql.SparkSession, model: Model,
+                dir: String): Unit = {
     import spark.implicits._
     model.centroids.zipWithIndex.map { case (v, i) => (i, v) }
       .toDF("c", "v").coalesce(1)
       .write.mode("overwrite").parquet(s"$dir/centroids")
+  }
+
+  def save(base: DataFrame, idCol: String, vecCol: String,
+           model: Model, dir: String): Unit = {
+    val spark = base.sparkSession
+    GraftFunctions.register(spark)
+    saveModel(spark, model, dir)
     assign(base, idCol, vecCol, model)
       .write.mode("overwrite").partitionBy("c").parquet(s"$dir/lists")
     // train-time list-size distribution: the drift baseline every
