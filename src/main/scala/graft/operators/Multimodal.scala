@@ -405,8 +405,13 @@ object Multimodal {
     }
     val sorted = block.drop(1).sorted // median excludes the DC term
     val median = (sorted(31) + sorted(32)) / 2.0
+    // DC (index 0) is excluded from the HASH too, not just the
+    // median: it sits above the AC median for almost every image, so
+    // including it would pin bit 0 near-constant and waste one of the
+    // 64 bits of Hamming discrimination (classic DCT pHash drops DC).
+    // Bit 0 stays a fixed 0 — 63 informative AC bits.
     var bits = 0L
-    i = 0
+    i = 1
     while (i < 64) {
       if (block(i) > median) bits |= (1L << i)
       i += 1

@@ -87,7 +87,20 @@ abstract class GkAggBase extends TypedImperativeAggregate[QuantileSummaries]
     if (r.count == 0) Gk.compressed(buffer)
     else {
       val l = Gk.compressed(buffer)
-      if (l.count == 0) r else l.merge(r)
+      if (l.count == 0) r
+      else {
+        // the eps·n rank guarantee only survives a merge tree whose
+        // sketches share a geometry; QuantileSummaries.merge never
+        // checks, so unioning mixed-eps sketches would SILENTLY yield
+        // mixed-accuracy answers. Fail like CmsUnionAgg does on
+        // mismatched width/depth
+        if (l.relativeError != r.relativeError)
+          throw new IllegalArgumentException(
+            s"$prettyName: cannot merge GK sketches with different " +
+              s"relative errors (${l.relativeError} vs ${r.relativeError}); " +
+              "rebuild with a shared eps")
+        l.merge(r)
+      }
     }
   }
 

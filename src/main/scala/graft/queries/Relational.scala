@@ -1016,15 +1016,29 @@ object Relational {
   //      cannot prune the second dimension at all; the numbers here
   //      are the evidence the 100 TB scan-planning story rests on.
   //      Rows-only: the stats depend on sampled quantile cutpoints ----
+  private val builtZorder = new java.util.concurrent.ConcurrentHashMap[String, String]()
   val q47ZorderLayout: Q = (s, d) => {
     import s.implicits._
-    val dir = java.nio.file.Files.createTempDirectory("graft_zorder")
-      .toString + "/orders"
     val o = orders(s, d).select(
       col("o_custkey").cast("double").as("ck"),
       col("o_totalprice").cast("double").as("tp"))
-    graft.operators.ZOrder.write(o, Seq("ck", "tp"), dir,
-      numFiles = 16, bits = 6)
+    // layout written once per JVM per scale factor (the pattern
+    // q56BucketedJoin uses): repeated bench/verify invocations reuse
+    // it instead of leaking a fresh temp dir + 16-file write each
+    // time; the shutdown hook clears the dir on JVM exit
+    val dir = builtZorder.computeIfAbsent(d, _ => {
+      val tmp = java.nio.file.Files.createTempDirectory("graft_zorder")
+      Runtime.getRuntime.addShutdownHook(new Thread(() => {
+        def rm(f: java.io.File): Unit = {
+          Option(f.listFiles()).foreach(_.foreach(rm)); f.delete(); ()
+        }
+        rm(tmp.toFile)
+      }))
+      val target = tmp.toString + "/orders"
+      graft.operators.ZOrder.write(o, Seq("ck", "tp"), target,
+        numFiles = 16, bits = 6)
+      target
+    })
     val q = o.stat.approxQuantile(
       Array("ck", "tp"), Array(0.45, 0.55), 0.01)
     val files = graft.operators.ZOrder.fileStats(s, dir, Seq("ck", "tp"))

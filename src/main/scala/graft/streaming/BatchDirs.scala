@@ -191,10 +191,19 @@ object BatchDirs {
     }
 
     // complete target from a prior (possibly crashed-after-write)
-    // attempt: its name records the floor — re-run only the sweep
-    listCompacts(fs, path).find(_._1 == covered) match {
-      case Some((_, floor, _)) => cleanup(floor); return
-      case None                =>
+    // attempt: its name records the floor — re-run only the sweep.
+    // Completeness here is the _SUCCESS marker ALONE, not parquet
+    // presence: a merge callback may legitimately map non-empty
+    // inputs to zero rows, leaving a marker-only compact; requiring
+    // a parquet file would make that compact unrecognizable once its
+    // inputs are swept, and the covered range would be lost
+    fs.listStatus(path).toSeq
+      .filter(st => st.isDirectory && st.getPath.getName.startsWith("compact_"))
+      .filter(st => fs.exists(new Path(st.getPath, "_SUCCESS")))
+      .flatMap(st => parseCompact(st.getPath.getName))
+      .find(_._1 == covered) match {
+      case Some((_, floor)) => cleanup(floor); return
+      case None             =>
     }
 
     val chain = tiledChain(listCompacts(fs, path).filter(_._1 < upTo))

@@ -102,6 +102,40 @@ class BatchDirsSpec extends AnyFunSuite {
     assert(got == Seq((2L, 2L), (3L, 3L)))
   }
 
+  test("marker-only compact (merge emptied its inputs) is recognized as complete") {
+    import spark.implicits._
+    val root = Files.createTempDirectory("bd_empty").toString
+    // a merge callback may legitimately map non-empty inputs to zero
+    // rows (a resolve that filters all tombstones)
+    val dropAll: org.apache.spark.sql.DataFrame => org.apache.spark.sql.DataFrame =
+      df => df.filter(lit(false))
+    (0 until 4).foreach(b => writeBatch(root, b, Seq((b.toLong, b.toLong))))
+    BatchDirs.consolidate(spark, root, 4, merge = dropAll)
+    // force the marker-only shape regardless of whether this Spark
+    // version writes an empty schema-carrying part file
+    val compact = Option(new java.io.File(root).listFiles()).get
+      .find(_.getName.startsWith("compact_")).get
+    compact.listFiles().filter(f => f.getName.endsWith(".parquet") ||
+      f.getName.endsWith(".crc")).foreach(_.delete())
+    val success = new java.io.File(compact, "_SUCCESS")
+    assert(success.exists())
+    // crash window: inputs re-appear next to the complete marker-only
+    // target (consolidation killed between write and sweep)
+    (1 until 3).foreach(b => writeBatch(root, b, Seq((b.toLong, b.toLong))))
+    val mtime = success.lastModified()
+    Thread.sleep(20)
+    BatchDirs.consolidate(spark, root, 4, merge = dropAll)
+    // recognized → sweep-only: leftovers removed, target NOT rebuilt
+    val names = dirNames(root)
+    assert(!names.exists(_.startsWith("batch_")), names.mkString(","))
+    assert(success.exists() && success.lastModified() == mtime,
+      "marker-only compact was rebuilt instead of recognized")
+    // later batches continue normally on top of the marker
+    (4 until 6).foreach(b => writeBatch(root, b, Seq((b.toLong, b.toLong))))
+    val got = BatchDirs.read(spark, root).as[(Long, Long)].collect().toSeq.sorted
+    assert(got == Seq((4L, 4L), (5L, 5L)))
+  }
+
   test("crash-sweep: a complete target with still-present inputs only re-runs cleanup") {
     import spark.implicits._
     val root = Files.createTempDirectory("bd_crash").toString

@@ -737,6 +737,31 @@ class OperatorsSpec extends AnyFunSuite {
     assert(empty.length == 1 && empty(0).isNullAt(0))
   }
 
+  test("GK union rejects mixed-eps sketches; same-eps union still merges") {
+    val a = Seq.tabulate(100)(i => ("g", i.toDouble)).toDF("k", "x")
+      .groupBy(col("k")).agg(graft.plans.Gk.sketch(col("x"), 0.01).as("sk"))
+    val b = Seq.tabulate(100)(i => ("g", (i + 100).toDouble)).toDF("k", "x")
+      .groupBy(col("k")).agg(graft.plans.Gk.sketch(col("x"), 0.05).as("sk"))
+    // mixed eps: the eps*n guarantee doesn't survive — must fail, not
+    // silently produce a mixed-accuracy sketch
+    val ex = intercept[Exception] {
+      a.union(b).agg(graft.plans.Gk.union(col("sk")).as("m"))
+        .select(graft.plans.Gk.quantile(col("m"), lit(0.5))).collect()
+    }
+    def causes(t: Throwable): Seq[Throwable] =
+      if (t == null) Nil else t +: causes(t.getCause)
+    assert(causes(ex).exists(_.getMessage != null) &&
+      causes(ex).exists(c => Option(c.getMessage)
+        .exists(_.contains("different relative errors"))), ex.toString)
+    // same eps merges fine and covers the union's range
+    val sameB = Seq.tabulate(100)(i => ("g", (i + 100).toDouble)).toDF("k", "x")
+      .groupBy(col("k")).agg(graft.plans.Gk.sketch(col("x"), 0.01).as("sk"))
+    val med = a.union(sameB).agg(graft.plans.Gk.union(col("sk")).as("m"))
+      .select(graft.plans.Gk.quantile(col("m"), lit(0.5)))
+      .as[Double].head()
+    assert(med >= 90 && med <= 110, s"median of 0..199 was $med")
+  }
+
   test("table profile: per-column stats from one scan, min/max/nulls exact") {
     val df = Seq[(java.lang.Long, String, java.lang.Double)](
       (1L, "b", 2.5), (2L, "a", null), (3L, null, -1.5), (3L, "a", 9.0)
