@@ -891,6 +891,62 @@ class OperatorsSpec extends AnyFunSuite {
       "over-cap clusters must be skipped, not deduped")
   }
 
+  test("semantic dedup: indexed (saved-model) form matches fresh-train; cap report") {
+    val dims = 8
+    def vec(group: Int, member: Int): Array[Float] = {
+      val v = Array.fill(dims)(0.001f * (member % 3))
+      v(group * 2) = 1.0f
+      v(group * 2 + 1) = 0.02f * member
+      v
+    }
+    val rows = for (g <- 0 until 4; m <- 0 until 5)
+      yield (g * 100L + m, vec(g, m))
+    val df = rows.toDF("vec_id", "embedding")
+
+    // production split: train once, persist centroids, dedup against
+    // the saved model — must equal the fresh-train form (training is
+    // deterministic: seeded init, fixed Lloyd iterations)
+    val model = graft.operators.IvfIndex.train(df, "vec_id", "embedding",
+      numCentroids = 4)
+    val dir = java.nio.file.Files.createTempDirectory("semdedup_model").toString
+    graft.operators.IvfIndex.saveModel(spark, model, dir)
+    val fresh = graft.operators.Dedup
+      .semanticDedup(df, "vec_id", "embedding",
+        threshold = 0.99, numClusters = 4, maxClusterSize = 100)
+      .select("vec_id").as[Long].collect().toSet
+    val indexed = graft.operators.Dedup
+      .semanticDedupIndexed(df, "vec_id", "embedding", dir,
+        threshold = 0.99, maxClusterSize = 100)
+      .select("vec_id").as[Long].collect().toSet
+    assert(indexed == fresh, s"indexed=$indexed fresh=$fresh")
+    assert(indexed.size < rows.size, "parity is vacuous: nothing deduped")
+
+    // cap report: a degenerate corpus (identical vectors per group →
+    // every cluster has >= 5 members, all over a cap of 3) must say
+    // so — 100% of the corpus uncompared, nothing dropped
+    val identRows = for (g <- 0 until 4; m <- 0 until 5)
+      yield (g * 100L + m, vec(g, 0))
+    val (survivors, report) = graft.operators.Dedup
+      .semanticDedupWithReport(identRows.toDF("vec_id", "embedding"),
+        "vec_id", "embedding",
+        threshold = 0.99, numClusters = 4, maxClusterSize = 3)
+    assert(survivors.count() == identRows.size)
+    val r = report.collect().head
+    // groups may merge under the seeded init, but every non-empty
+    // cluster is over-cap: between 1 and 4 skipped, all 20 docs
+    assert(r.getLong(0) >= 1L && r.getLong(0) <= 4L,
+      s"clusters_skipped=${r.getLong(0)}")
+    assert(r.getLong(1) == 20L, s"docs_skipped=${r.getLong(1)}")
+    assert(r.getDouble(2) == 1.0, s"corpus_fraction=${r.getDouble(2)}")
+    // and a healthy corpus reports zero opt-outs
+    val (_, clean) = graft.operators.Dedup
+      .semanticDedupWithReport(df, "vec_id", "embedding",
+        threshold = 0.99, numClusters = 4, maxClusterSize = 100)
+    val c = clean.collect().head
+    assert(c.getLong(0) == 0L && c.getLong(1) == 0L && c.getDouble(2) == 0.0,
+      c.toString)
+  }
+
   test("synthetic WAV tones decode with the expected physics") {
     import graft.operators.Multimodal
     // 8 kHz mono, 800 samples = 0.1 s; class 0 → 200 Hz tone
