@@ -1,7 +1,8 @@
 package graft.operators
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
 
 /** Min/max file-skipping index — the read half of the Z-order story.
   *
@@ -15,12 +16,33 @@ import org.apache.spark.sql.functions._
   * which is how lakehouse table formats (Delta/Iceberg stats,
   * Hudi col_stats) plan 100 TB scans.
   *
+  * Dimensions may be numeric/date/timestamp ([[NumBound]], compared
+  * as doubles) or strings ([[StrBound]], pruned by lexicographic
+  * interval intersection over the UTF8 binary order Spark's own
+  * min/max and comparison operators share — the Delta/Iceberg
+  * col-stats behavior). Types with no practical total order (arrays,
+  * maps, structs, binary) are refused at read time.
+  *
   * Safety: [[read]] refuses a stale index. The data directory's
   * current parquet file set must equal the indexed set — an appended
   * or compacted file the index has never seen would otherwise be
-  * silently skipped (wrong results, not just slow ones).
+  * silently skipped (wrong results, not just slow ones). For tables
+  * that rewrite, the versioned form ([[buildVersioned]] /
+  * [[readVersioned]]) keys each index to a [[graft.sinks.TableVersions]]
+  * commit: a version's file set is immutable after its marker commit,
+  * so its index stays valid forever (until history pruning), and a
+  * compaction RE-POINTS queries at the new version's index instead of
+  * invalidating reads of the old one — time travel keeps working.
   */
 object SkippingIndex {
+
+  /** A conjunctive per-dimension interval for [[readBounds]]. */
+  sealed trait Bound { def dim: String }
+  /** Numeric/temporal interval; the column is compared as double
+    * (timestamps in epoch seconds, as elsewhere in the layout API). */
+  final case class NumBound(dim: String, lo: Double, hi: Double) extends Bound
+  /** Lexicographic string interval, inclusive on both ends. */
+  final case class StrBound(dim: String, lo: String, hi: String) extends Bound
 
   /** Build (overwrite) the index for `cols` over `dataPath`. */
   def build(spark: SparkSession, dataPath: String, indexPath: String,
@@ -41,27 +63,19 @@ object SkippingIndex {
     out.toSet
   }
 
-  /** Read `dataPath` filtered to the conjunctive `box`, scanning only
-    * files whose indexed envelope intersects it. The exact predicate
-    * is still applied — pruning is transparent.
+  /** Read `dataPath` filtered to the conjunctive numeric `box`,
+    * scanning only files whose indexed envelope intersects it. The
+    * exact predicate is still applied — pruning is transparent.
     */
   def read(spark: SparkSession, dataPath: String, indexPath: String,
-           box: Seq[(String, Double, Double)]): DataFrame = {
-    require(box.nonEmpty, "SkippingIndex.read needs at least one bound")
-    val idx = spark.read.parquet(indexPath)
-    val unindexed = box.map(_._1).filterNot(d =>
-      idx.columns.contains(s"min_$d") && idx.columns.contains(s"max_$d"))
-    require(unindexed.isEmpty,
-      s"SkippingIndex: dimension(s) ${unindexed.mkString(", ")} not in " +
-        s"the index at $indexPath (indexed: ${idx.columns.filter(_
-          .startsWith("min_")).map(_.stripPrefix("min_")).mkString(", ")})")
-    val stringDims = box.map(_._1).filter(d =>
-      idx.schema(s"min_$d").dataType ==
-        org.apache.spark.sql.types.StringType)
-    require(stringDims.isEmpty,
-      s"SkippingIndex: dimension(s) ${stringDims.mkString(", ")} are " +
-        "strings — numeric boxes cannot prune them; encode or cast the " +
-        "column before indexing")
+           box: Seq[(String, Double, Double)]): DataFrame =
+    readBounds(spark, dataPath, indexPath,
+      box.map { case (d, lo, hi) => NumBound(d, lo, hi) })
+
+  /** [[read]] generalized to mixed numeric + string dimensions. */
+  def readBounds(spark: SparkSession, dataPath: String, indexPath: String,
+                 bounds: Seq[Bound]): DataFrame = {
+    val idx = loadIndex(spark, indexPath, bounds)
     val indexed = idx.select("file")
       .collect().map(r => new java.net.URI(r.getString(0)).getPath).toSet
     val current = dataFiles(spark, dataPath)
@@ -69,15 +83,119 @@ object SkippingIndex {
       s"SkippingIndex: stale index for $dataPath — indexed ${indexed.size} " +
         s"files, directory holds ${current.size}; rebuild with build() " +
         "after any write or compaction")
-    val cond = box.map { case (d, lo, hi) =>
-      col(s"max_$d").cast("double") >= lo && col(s"min_$d").cast("double") <= hi
+    prunedRead(spark, dataPath, idx, bounds)
+  }
+
+  private def loadIndex(spark: SparkSession, indexPath: String,
+                        bounds: Seq[Bound]): DataFrame = {
+    require(bounds.nonEmpty, "SkippingIndex.read needs at least one bound")
+    val idx = spark.read.parquet(indexPath)
+    val unindexed = bounds.map(_.dim).filterNot(d =>
+      idx.columns.contains(s"min_$d") && idx.columns.contains(s"max_$d"))
+    require(unindexed.isEmpty,
+      s"SkippingIndex: dimension(s) ${unindexed.mkString(", ")} not in " +
+        s"the index at $indexPath (indexed: ${idx.columns.filter(_
+          .startsWith("min_")).map(_.stripPrefix("min_")).mkString(", ")})")
+    bounds.foreach { b =>
+      val t = idx.schema(s"min_${b.dim}").dataType
+      b match {
+        case _: StrBound => require(t == StringType,
+          s"SkippingIndex: StrBound on '${b.dim}' but the indexed type is " +
+            s"$t — use NumBound for numeric/temporal dimensions")
+        case _: NumBound => t match {
+          case _: NumericType | DateType | _: TimestampType | BooleanType => ()
+          case StringType => throw new IllegalArgumentException(
+            s"SkippingIndex: dimension(s) ${b.dim} are strings — numeric " +
+              "boxes cannot prune them; use StrBound for lexicographic " +
+              "pruning, or encode/cast the column before indexing")
+          case other => throw new IllegalArgumentException(
+            s"SkippingIndex: dimension '${b.dim}' has type $other, which " +
+              "has no usable total order for envelope pruning")
+        }
+      }
+    }
+    idx
+  }
+
+  private def pruneCond(bounds: Seq[Bound]): Column =
+    bounds.map {
+      case NumBound(d, lo, hi) =>
+        col(s"max_$d").cast("double") >= lo && col(s"min_$d").cast("double") <= hi
+      case StrBound(d, lo, hi) =>
+        col(s"max_$d") >= lit(lo) && col(s"min_$d") <= lit(hi)
     }.reduce(_ && _)
-    val keep = idx.filter(cond).select("file")
+
+  private def exactCond(bounds: Seq[Bound]): Column =
+    bounds.map {
+      case NumBound(d, lo, hi) => col(d).cast("double").between(lo, hi)
+      case StrBound(d, lo, hi) => col(d).between(lit(lo), lit(hi))
+    }.reduce(_ && _)
+
+  private def prunedRead(spark: SparkSession, dataPath: String,
+                         idx: DataFrame, bounds: Seq[Bound]): DataFrame = {
+    val keep = idx.filter(pruneCond(bounds)).select("file")
       .collect().map(r => new java.net.URI(r.getString(0)).getPath)
-    val exact = box.map { case (d, lo, hi) =>
-      col(d).cast("double").between(lo, hi)
-    }.reduce(_ && _)
     if (keep.isEmpty) spark.read.parquet(dataPath).filter(lit(false))
-    else spark.read.parquet(keep.toSeq: _*).filter(exact)
+    else spark.read.parquet(keep.toSeq: _*).filter(exactCond(bounds))
+  }
+
+  // ----------------- TableVersions-keyed indexes -----------------
+
+  private def indexDir(indexRoot: String, version: Long): String =
+    new org.apache.hadoop.fs.Path(indexRoot, s"v$version").toString
+
+  /** Build the index for the CURRENT committed version of a
+    * [[graft.sinks.Compaction.writeVersioned]] root, keyed under
+    * `indexRoot/v<version>`. Returns the version indexed. Indexes of
+    * earlier versions are left in place — their data dirs are
+    * immutable, so they remain exactly as valid as the snapshots
+    * themselves.
+    */
+  def buildVersioned(spark: SparkSession, root: String, indexRoot: String,
+                     cols: Seq[String]): Long = {
+    val (v, dataPath) = graft.sinks.Compaction.currentData(spark, root)
+      .getOrElse(throw new java.util.NoSuchElementException(
+        s"no committed version under $root"))
+    ZOrder.fileStats(spark, dataPath, cols)
+      .coalesce(1)
+      .write.mode("overwrite").parquet(indexDir(indexRoot, v))
+    v
+  }
+
+  /** Pruned read of a versioned root: the current committed version by
+    * default, or `VERSION AS OF` via `version`. Because each index is
+    * keyed to the immutable file set of one commit, appends and
+    * compactions never invalidate it — build the new version's index
+    * and current reads re-point, while pinned old-version reads keep
+    * their own index.
+    */
+  def readVersioned(spark: SparkSession, root: String, indexRoot: String,
+                    bounds: Seq[Bound],
+                    version: Option[Long] = None): DataFrame = {
+    val rootPath = new org.apache.hadoop.fs.Path(root)
+    val fs = rootPath.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val committed = graft.sinks.TableVersions.committedVersions(fs, rootPath)
+    require(committed.nonEmpty, s"no committed version under $root")
+    val v = version.getOrElse(committed.max)
+    require(committed.contains(v),
+      s"v$v is not a committed version of $root " +
+        s"(available: ${committed.map("v" + _).mkString(", ")})")
+    val dataPath = new org.apache.hadoop.fs.Path(
+      graft.sinks.TableVersions.dataDir(rootPath, v), "data").toString
+    val idxPath = indexDir(indexRoot, v)
+    require(fs.exists(new org.apache.hadoop.fs.Path(idxPath)),
+      s"SkippingIndex: no index for v$v of $root under $indexRoot — run " +
+        "buildVersioned after each commit (earlier versions keep their own " +
+        "indexes for time travel)")
+    val idx = loadIndex(spark, idxPath, bounds)
+    // a committed version's file set is immutable; mismatch = corruption
+    val indexed = idx.select("file")
+      .collect().map(r => new java.net.URI(r.getString(0)).getPath).toSet
+    val current = dataFiles(spark, dataPath)
+    require(indexed == current,
+      s"SkippingIndex: index for v$v of $root does not match its committed " +
+        s"file set (${indexed.size} indexed vs ${current.size} on disk) — " +
+        "the snapshot or index was modified out-of-band")
+    prunedRead(spark, dataPath, idx, bounds)
   }
 }

@@ -239,4 +239,97 @@ class ZOrderSpec extends AnyFunSuite {
     val touched = ZOrder.filesTouched(spark, dir, Seq(("x", 0.0, 99.0)))
     assert(touched * 2 <= total, s"$touched/$total")
   }
+
+  test("skipping index: string dimensions prune by lexicographic envelopes") {
+    import graft.operators.SkippingIndex
+    import graft.operators.SkippingIndex.{NumBound, StrBound}
+    val n = 4000
+    val df = (0 until n).map { i =>
+      val key = f"cat_${(i * 48271) % 26}%02d_$i%05d"
+      (i.toLong, key, (i % 100).toDouble)
+    }.toDF("id", "skey", "v")
+    val dataDir = tmp("zstr")
+    // range-lay out by the string key so files carry tight envelopes
+    df.repartitionByRange(16, col("skey"))
+      .sortWithinPartitions("skey")
+      .write.mode("overwrite").parquet(dataDir)
+    val idxDir = tmp("zstridx")
+    SkippingIndex.build(spark, dataDir, idxDir, Seq("skey", "v"))
+
+    val bounds = Seq(StrBound("skey", "cat_05", "cat_09~"))
+    val pruned = SkippingIndex.readBounds(spark, dataDir, idxDir, bounds)
+    val full = spark.read.parquet(dataDir)
+      .filter(col("skey").between("cat_05", "cat_09~"))
+    assert(pruned.select("id").as[Long].collect().toSet ==
+      full.select("id").as[Long].collect().toSet)
+    assert(pruned.count() > 0)
+    val totalFiles = spark.read.parquet(dataDir).inputFiles.length
+    assert(pruned.inputFiles.length * 2 <= totalFiles,
+      s"${pruned.inputFiles.length}/$totalFiles")
+
+    // mixed string + numeric bounds compose conjunctively
+    val both = SkippingIndex.readBounds(spark, dataDir, idxDir,
+      bounds :+ NumBound("v", 0.0, 49.0))
+    assert(both.select("id").as[Long].collect().toSet ==
+      full.filter(col("v").between(0.0, 49.0))
+        .select("id").as[Long].collect().toSet)
+
+    // a numeric box on a string dim refuses and points at StrBound
+    val eNum = intercept[IllegalArgumentException] {
+      SkippingIndex.read(spark, dataDir, idxDir, Seq(("skey", 0.0, 1.0)))
+    }
+    assert(eNum.getMessage.contains("StrBound"))
+    // a string bound on a numeric dim refuses the other way
+    val eStr = intercept[IllegalArgumentException] {
+      SkippingIndex.readBounds(spark, dataDir, idxDir,
+        Seq(StrBound("v", "a", "b")))
+    }
+    assert(eStr.getMessage.contains("NumBound"))
+    // stale refusal unchanged on the string path
+    df.limit(5).write.mode("append").parquet(dataDir)
+    val eStale = intercept[IllegalArgumentException] {
+      SkippingIndex.readBounds(spark, dataDir, idxDir, bounds)
+    }
+    assert(eStale.getMessage.contains("stale"))
+  }
+
+  test("versioned skipping index: compaction re-points; old versions stay pinned") {
+    import graft.operators.SkippingIndex
+    import graft.operators.SkippingIndex.NumBound
+    import graft.sinks.Compaction
+    val n = 3000
+    val df = (0 until n).map(i => (i.toLong, (i % 500).toDouble)).toDF("id", "x")
+    val root = tmp("vzroot")
+    val idxRoot = tmp("vzidx")
+    val v1 = Compaction.writeVersioned(
+      df.repartitionByRange(12, col("x")), root, maxRecordsPerFile = 300)
+    assert(SkippingIndex.buildVersioned(spark, root, idxRoot, Seq("x")) == v1)
+
+    val bounds = Seq(NumBound("x", 100.0, 149.0))
+    def ids(d: org.apache.spark.sql.DataFrame): Set[Long] =
+      d.select("id").as[Long].collect().toSet
+    val want = ids(Compaction.readCurrent(spark, root)
+      .filter(col("x").between(100.0, 149.0)))
+    val pruned1 = SkippingIndex.readVersioned(spark, root, idxRoot, bounds)
+    assert(ids(pruned1) == want && want.nonEmpty)
+    // the v1 read actually prunes (range layout → tight envelopes)
+    val v1Files = Compaction.readVersion(spark, root, v1).inputFiles.length
+    assert(pruned1.inputFiles.length * 2 <= v1Files,
+      s"${pruned1.inputFiles.length}/$v1Files")
+
+    // compact → v2; before rebuilding, the read names the fix
+    Compaction.compactVersioned(spark, root, maxRecordsPerFile = 2000)
+    val e = intercept[IllegalArgumentException] {
+      SkippingIndex.readVersioned(spark, root, idxRoot, bounds)
+    }
+    assert(e.getMessage.contains("buildVersioned"))
+
+    // rebuild for v2 → current reads re-point, same answer
+    val v2 = SkippingIndex.buildVersioned(spark, root, idxRoot, Seq("x"))
+    assert(v2 == v1 + 1)
+    assert(ids(SkippingIndex.readVersioned(spark, root, idxRoot, bounds)) == want)
+    // time travel: the pinned v1 read still works off its own index
+    assert(ids(SkippingIndex.readVersioned(
+      spark, root, idxRoot, bounds, version = Some(v1))) == want)
+  }
 }
