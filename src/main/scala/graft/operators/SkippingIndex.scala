@@ -17,7 +17,8 @@ import org.apache.spark.sql.types._
   * Hudi col_stats) plan 100 TB scans.
   *
   * Dimensions may be numeric/date/timestamp ([[NumBound]], compared
-  * as doubles) or strings ([[StrBound]], pruned by lexicographic
+  * through [[ZOrder.numView]]: timestamps in epoch seconds, DATEs in
+  * epoch DAYS) or strings ([[StrBound]], pruned by lexicographic
   * interval intersection over the UTF8 binary order Spark's own
   * min/max and comparison operators share — the Delta/Iceberg
   * col-stats behavior). Types with no practical total order (arrays,
@@ -38,18 +39,36 @@ object SkippingIndex {
 
   /** A conjunctive per-dimension interval for [[readBounds]]. */
   sealed trait Bound { def dim: String }
-  /** Numeric/temporal interval; the column is compared as double
-    * (timestamps in epoch seconds, as elsewhere in the layout API). */
+  /** Numeric/temporal interval; the column is compared through
+    * [[ZOrder.numView]] (timestamps in epoch seconds, DATEs in days
+    * since epoch, as elsewhere in the layout API). */
   final case class NumBound(dim: String, lo: Double, hi: Double) extends Bound
   /** Lexicographic string interval, inclusive on both ends. */
   final case class StrBound(dim: String, lo: String, hi: String) extends Bound
 
+  /** An index written INTO the tree it indexes would be listed as
+    * data (staleness chaos) — and worse, the overwrite on rebuild
+    * would DELETE committed table data if the roots nest the other
+    * way. Refuse both nestings up front.
+    */
+  private def requireDisjoint(dataRoot: String, indexRoot: String): Unit = {
+    def norm(p: String) =
+      new org.apache.hadoop.fs.Path(p).toUri.getPath.stripSuffix("/")
+    val d = norm(dataRoot); val i = norm(indexRoot)
+    require(i != d && !i.startsWith(d + "/") && !d.startsWith(i + "/"),
+      s"SkippingIndex: index location $indexRoot must be disjoint from " +
+        s"the table location $dataRoot — a nested index would be read " +
+        "as data, and an index overwrite could delete committed rows")
+  }
+
   /** Build (overwrite) the index for `cols` over `dataPath`. */
   def build(spark: SparkSession, dataPath: String, indexPath: String,
-            cols: Seq[String]): Unit =
+            cols: Seq[String]): Unit = {
+    requireDisjoint(dataPath, indexPath)
     ZOrder.fileStats(spark, dataPath, cols)
       .coalesce(1)
       .write.mode("overwrite").parquet(indexPath)
+  }
 
   private def dataFiles(spark: SparkSession, dataPath: String): Set[String] = {
     val path = new org.apache.hadoop.fs.Path(dataPath)
@@ -103,11 +122,16 @@ object SkippingIndex {
           s"SkippingIndex: StrBound on '${b.dim}' but the indexed type is " +
             s"$t — use NumBound for numeric/temporal dimensions")
         case _: NumBound => t match {
-          case _: NumericType | DateType | _: TimestampType | BooleanType => ()
+          case _: NumericType | DateType | TimestampType | BooleanType => ()
           case StringType => throw new IllegalArgumentException(
             s"SkippingIndex: dimension(s) ${b.dim} are strings — numeric " +
               "boxes cannot prune them; use StrBound for lexicographic " +
               "pruning, or encode/cast the column before indexing")
+          case TimestampNTZType => throw new IllegalArgumentException(
+            s"SkippingIndex: dimension '${b.dim}' is TIMESTAMP_NTZ, which " +
+              "has no fixed epoch mapping for a NumBound (a double epoch " +
+              "would depend on an assumed zone); cast the column to " +
+              "TIMESTAMP or to a numeric epoch before indexing")
           case other => throw new IllegalArgumentException(
             s"SkippingIndex: dimension '${b.dim}' has type $other, which " +
               "has no usable total order for envelope pruning")
@@ -117,26 +141,35 @@ object SkippingIndex {
     idx
   }
 
-  private def pruneCond(bounds: Seq[Bound]): Column =
+  // both conditions compare through ZOrder.numView, keyed by the
+  // INDEXED type (the data column has the same type the stats were
+  // aggregated from) — a DATE dim prunes in epoch days instead of
+  // hitting Spark 4's rejected DATE→DOUBLE cast
+  private def pruneCond(bounds: Seq[Bound],
+                        typeOf: String => DataType): Column =
     bounds.map {
       case NumBound(d, lo, hi) =>
-        col(s"max_$d").cast("double") >= lo && col(s"min_$d").cast("double") <= hi
+        ZOrder.numView(col(s"max_$d"), typeOf(d)) >= lo &&
+          ZOrder.numView(col(s"min_$d"), typeOf(d)) <= hi
       case StrBound(d, lo, hi) =>
         col(s"max_$d") >= lit(lo) && col(s"min_$d") <= lit(hi)
     }.reduce(_ && _)
 
-  private def exactCond(bounds: Seq[Bound]): Column =
+  private def exactCond(bounds: Seq[Bound],
+                        typeOf: String => DataType): Column =
     bounds.map {
-      case NumBound(d, lo, hi) => col(d).cast("double").between(lo, hi)
+      case NumBound(d, lo, hi) =>
+        ZOrder.numView(col(d), typeOf(d)).between(lo, hi)
       case StrBound(d, lo, hi) => col(d).between(lit(lo), lit(hi))
     }.reduce(_ && _)
 
   private def prunedRead(spark: SparkSession, dataPath: String,
                          idx: DataFrame, bounds: Seq[Bound]): DataFrame = {
-    val keep = idx.filter(pruneCond(bounds)).select("file")
+    val typeOf = (d: String) => idx.schema(s"min_$d").dataType
+    val keep = idx.filter(pruneCond(bounds, typeOf)).select("file")
       .collect().map(r => new java.net.URI(r.getString(0)).getPath)
     if (keep.isEmpty) spark.read.parquet(dataPath).filter(lit(false))
-    else spark.read.parquet(keep.toSeq: _*).filter(exactCond(bounds))
+    else spark.read.parquet(keep.toSeq: _*).filter(exactCond(bounds, typeOf))
   }
 
   // ----------------- TableVersions-keyed indexes -----------------
@@ -153,12 +186,63 @@ object SkippingIndex {
     */
   def buildVersioned(spark: SparkSession, root: String, indexRoot: String,
                      cols: Seq[String]): Long = {
-    val (v, dataPath) = graft.sinks.Compaction.currentData(spark, root)
+    val (v, _) = graft.sinks.Compaction.currentData(spark, root)
       .getOrElse(throw new java.util.NoSuchElementException(
         s"no committed version under $root"))
+    buildVersionedFor(spark, root, indexRoot, cols, v)
+    v
+  }
+
+  /** [[buildVersioned]] pinned to an EXPLICIT committed version — the
+    * race-free form [[compactVersioned]] uses: between a commit and
+    * "index the current version", a concurrent writer may advance the
+    * chain, and indexing whatever is current then would leave the
+    * just-committed version unindexed.
+    */
+  def buildVersionedFor(spark: SparkSession, root: String, indexRoot: String,
+                        cols: Seq[String], version: Long): Unit = {
+    requireDisjoint(root, indexRoot)
+    val dataPath = graft.sinks.Compaction
+      .dataPathFor(new org.apache.hadoop.fs.Path(root), version).toString
     ZOrder.fileStats(spark, dataPath, cols)
       .coalesce(1)
-      .write.mode("overwrite").parquet(indexDir(indexRoot, v))
+      .write.mode("overwrite").parquet(indexDir(indexRoot, version))
+  }
+
+  /** Compact the current snapshot of a versioned root AND index the
+    * new version in one step — the normal-operation lifecycle:
+    * `compactVersioned(root, indexRoot, cols, ...)` leaves
+    * [[readVersioned]] of the new current version pruning immediately,
+    * so the manual-rebuild refusal is only ever hit by out-of-band
+    * writes. Earlier versions keep their own indexes (time travel
+    * unaffected). Returns the compaction stats; `stats.version` is the
+    * newly committed (and indexed) version.
+    */
+  def compactVersioned(spark: SparkSession, root: String, indexRoot: String,
+                       cols: Seq[String], maxRecordsPerFile: Long,
+                       partitionCols: Seq[String] = Nil,
+                       codec: String = "snappy",
+                       keepHistory: Int = 2): graft.sinks.Compaction.Stats = {
+    requireDisjoint(root, indexRoot)
+    val stats = graft.sinks.Compaction.compactVersioned(spark, root,
+      maxRecordsPerFile, partitionCols, codec, keepHistory)
+    buildVersionedFor(spark, root, indexRoot, cols, stats.version)
+    stats
+  }
+
+  /** [[graft.sinks.Compaction.writeVersioned]] AND index the committed
+    * version in one step — the ingest-side twin of
+    * [[compactVersioned]]. Returns the committed version.
+    */
+  def writeVersioned(df: DataFrame, root: String, indexRoot: String,
+                     cols: Seq[String],
+                     maxRecordsPerFile: Long = Long.MaxValue,
+                     partitionCols: Seq[String] = Nil,
+                     codec: String = "snappy"): Long = {
+    requireDisjoint(root, indexRoot)
+    val v = graft.sinks.Compaction.writeVersioned(df, root,
+      maxRecordsPerFile, partitionCols, codec)
+    buildVersionedFor(df.sparkSession, root, indexRoot, cols, v)
     v
   }
 
@@ -180,13 +264,13 @@ object SkippingIndex {
     require(committed.contains(v),
       s"v$v is not a committed version of $root " +
         s"(available: ${committed.map("v" + _).mkString(", ")})")
-    val dataPath = new org.apache.hadoop.fs.Path(
-      graft.sinks.TableVersions.dataDir(rootPath, v), "data").toString
+    val dataPath = graft.sinks.Compaction.dataPathFor(rootPath, v).toString
     val idxPath = indexDir(indexRoot, v)
     require(fs.exists(new org.apache.hadoop.fs.Path(idxPath)),
       s"SkippingIndex: no index for v$v of $root under $indexRoot — run " +
-        "buildVersioned after each commit (earlier versions keep their own " +
-        "indexes for time travel)")
+        "buildVersioned after each commit, or commit+index in one step " +
+        "via SkippingIndex.compactVersioned/writeVersioned (earlier " +
+        "versions keep their own indexes for time travel)")
     val idx = loadIndex(spark, idxPath, bounds)
     // a committed version's file set is immutable; mismatch = corruption
     val indexed = idx.select("file")

@@ -26,11 +26,25 @@ object ZOrder {
 
   val ZCol = "__zvalue"
 
+  /** Numeric view of a dimension for clustering/pruning math: DATE
+    * compares in days since epoch (`unix_date` — Spark 4 rejects a
+    * direct DATE→DOUBLE cast), TIMESTAMP casts to fractional epoch
+    * seconds, BOOLEAN goes through int, numerics cast directly. The
+    * SAME view is used when sampling cutpoints, computing z-values,
+    * and probing envelopes, so the three always agree.
+    */
+  private[operators] def numView(
+      c: Column, t: org.apache.spark.sql.types.DataType): Column = t match {
+    case org.apache.spark.sql.types.DateType => unix_date(c).cast("double")
+    case org.apache.spark.sql.types.BooleanType => c.cast("int").cast("double")
+    case _ => c.cast("double")
+  }
+
   /** Per-dimension quantile cutpoints: 2^bits - 1 interior quantiles
     * (equal-population buckets; duplicates from skew collapse into
     * fewer effective buckets, which only widens tiles — never wrong).
     *
-    * Dimensions are projected through the SAME double cast the
+    * Dimensions are projected through the SAME [[numView]] the
     * z-value uses before sampling, so timestamp/date dims — the most
     * common clustering keys — work out of the box (approxQuantile
     * itself accepts only numerics).
@@ -41,7 +55,7 @@ object ZOrder {
     val probs = (1 until nb).map(_.toDouble / nb).toArray
     val names = dims.indices.map(i => s"__zdim_$i")
     val cast = df.select(dims.zip(names).map { case (d, n) =>
-      col(d).cast("double").as(n)
+      numView(col(d), df.schema(d).dataType).as(n)
     }: _*)
     cast.stat.approxQuantile(names.toArray, probs, relErr)
       .map(_.distinct.sorted)
@@ -57,7 +71,8 @@ object ZOrder {
   /** `df` with [[ZCol]] appended (cutpoints sampled from `df` itself). */
   def cluster(df: DataFrame, dims: Seq[String], bits: Int = 8): DataFrame =
     df.withColumn(ZCol,
-      zvalue(dims.map(col), cutpoints(df, dims, bits), bits))
+      zvalue(dims.map(d => numView(col(d), df.schema(d).dataType)),
+        cutpoints(df, dims, bits), bits))
 
   /** Write `df` into ~`numFiles` z-clustered parquet files. */
   def write(df: DataFrame, dims: Seq[String], path: String,
@@ -89,7 +104,8 @@ object ZOrder {
                    box: Seq[(String, Double, Double)]): Long = {
     val stats = fileStats(spark, path, box.map(_._1))
     val cond = box.map { case (d, lo, hi) =>
-      col(s"max_$d").cast("double") >= lo && col(s"min_$d").cast("double") <= hi
+      val t = stats.schema(s"min_$d").dataType
+      numView(col(s"max_$d"), t) >= lo && numView(col(s"min_$d"), t) <= hi
     }.reduce(_ && _)
     stats.filter(cond).count()
   }

@@ -22,8 +22,12 @@ import org.apache.spark.sql.functions.col
   */
 object Compaction {
 
+  /** `version` is the committed version a versioned rewrite produced
+    * (-1 for the in-place [[compact]], which has no version chain).
+    */
   case class Stats(filesBefore: Long, filesAfter: Long,
-                   rowsBefore: Long, rowsAfter: Long)
+                   rowsBefore: Long, rowsAfter: Long,
+                   version: Long = -1L)
 
   private def dataFiles(fs: org.apache.hadoop.fs.FileSystem, p: Path): Seq[Path] = {
     val it = fs.listFiles(p, true)
@@ -92,6 +96,15 @@ object Compaction {
   // ------------- lock-free compaction on a versioned root -------------
 
   private def versionData(dir: Path) = new Path(dir, "data")
+
+  /** Data directory of a committed version — THE layout authority for
+    * anything that reads a versioned root from outside this object
+    * (e.g. [[graft.operators.SkippingIndex.readVersioned]]); a layout
+    * change here propagates instead of silently breaking callers that
+    * would otherwise hardcode the `v<n>/data` shape.
+    */
+  def dataPathFor(rootPath: Path, version: Long): Path =
+    versionData(TableVersions.dataDir(rootPath, version))
 
   /** Current committed (version, data path) of a [[TableVersions]]
     * root written by [[writeVersioned]]/[[compactVersioned]].
@@ -190,6 +203,7 @@ object Compaction {
     // commit RENAMED the staging dir into place — count the published files
     val published = versionData(TableVersions.dataDir(rootPath, pending.version))
     Stats(before.size.toLong,
-      dataFiles(fs, published).size.toLong, rowsBefore, rowsAfter)
+      dataFiles(fs, published).size.toLong, rowsBefore, rowsAfter,
+      version = pending.version)
   }
 }

@@ -332,4 +332,94 @@ class ZOrderSpec extends AnyFunSuite {
     assert(ids(SkippingIndex.readVersioned(
       spark, root, idxRoot, bounds, version = Some(v1))) == want)
   }
+
+  test("one-step compact+index: readVersioned prunes without a manual rebuild") {
+    import graft.operators.SkippingIndex
+    import graft.operators.SkippingIndex.NumBound
+    import graft.sinks.Compaction
+    val n = 3000
+    val df = (0 until n).map(i => (i.toLong, (i % 500).toDouble)).toDF("id", "x")
+    val root = tmp("vciroot")
+    val idxRoot = tmp("vciidx")
+    // ingest-side one-step form indexes the initial commit too
+    val v1 = SkippingIndex.writeVersioned(
+      df.repartitionByRange(12, col("x")), root, idxRoot, Seq("x"),
+      maxRecordsPerFile = 300)
+    val bounds = Seq(NumBound("x", 100.0, 149.0))
+    def ids(d: org.apache.spark.sql.DataFrame): Set[Long] =
+      d.select("id").as[Long].collect().toSet
+    val want = ids(Compaction.readCurrent(spark, root)
+      .filter(col("x").between(100.0, 149.0)))
+    assert(ids(SkippingIndex.readVersioned(spark, root, idxRoot, bounds))
+      == want && want.nonEmpty)
+
+    // compact+index in one step: the new current version prunes
+    // immediately — no manual-rebuild refusal in normal operation
+    val stats = SkippingIndex.compactVersioned(spark, root, idxRoot,
+      Seq("x"), maxRecordsPerFile = 2000)
+    assert(stats.version == v1 + 1)
+    assert(ids(SkippingIndex.readVersioned(spark, root, idxRoot, bounds)) == want)
+    // the pinned old version still reads off its own index
+    assert(ids(SkippingIndex.readVersioned(
+      spark, root, idxRoot, bounds, version = Some(v1))) == want)
+  }
+
+  test("index location nested in the table location (or vice versa) is refused") {
+    import graft.operators.SkippingIndex
+    val df = (0 until 100).map(i => (i.toLong, i.toDouble)).toDF("id", "x")
+    val dataDir = tmp("guarddata")
+    df.write.mode("overwrite").parquet(dataDir)
+    for (idx <- Seq(dataDir, s"$dataDir/idx")) {
+      val e = intercept[IllegalArgumentException] {
+        SkippingIndex.build(spark, dataDir, idx, Seq("x"))
+      }
+      assert(e.getMessage.contains("disjoint"), e.getMessage)
+    }
+    // and a table root under the index root is the same footgun
+    val e2 = intercept[IllegalArgumentException] {
+      SkippingIndex.build(spark, s"$dataDir/sub", dataDir, Seq("x"))
+    }
+    assert(e2.getMessage.contains("disjoint"), e2.getMessage)
+  }
+
+  test("DATE dimension: NumBound prunes in epoch days; NTZ refusal names the type") {
+    import graft.operators.SkippingIndex
+    import graft.operators.SkippingIndex.NumBound
+    val n = 4000
+    val df = (0 until n).map { i =>
+      (i.toLong, java.sql.Date.valueOf(java.time.LocalDate
+        .of(2024, 1, 1).plusDays(i % 200)))
+    }.toDF("id", "d")
+    val dataDir = tmp("zdate")
+    df.repartitionByRange(16, col("d")).sortWithinPartitions("d")
+      .write.mode("overwrite").parquet(dataDir)
+    val idxDir = tmp("zdateidx")
+    SkippingIndex.build(spark, dataDir, idxDir, Seq("d"))
+    // [2024-02-10, 2024-03-10] in epoch DAYS — the numView convention
+    val lo = java.time.LocalDate.of(2024, 2, 10).toEpochDay.toDouble
+    val hi = java.time.LocalDate.of(2024, 3, 10).toEpochDay.toDouble
+    val pruned = SkippingIndex.read(spark, dataDir, idxDir,
+      Seq(("d", lo, hi)))
+    val full = spark.read.parquet(dataDir)
+      .filter(col("d").between("2024-02-10", "2024-03-10"))
+    assert(pruned.select("id").as[Long].collect().toSet ==
+      full.select("id").as[Long].collect().toSet)
+    assert(pruned.count() > 0)
+    val totalFiles = spark.read.parquet(dataDir).inputFiles.length
+    assert(pruned.inputFiles.length * 2 <= totalFiles,
+      s"${pruned.inputFiles.length}/$totalFiles")
+
+    // TIMESTAMP_NTZ: refused with a message that names the type and
+    // the fix, not the generic "no usable total order"
+    val ntz = spark.range(100)
+      .selectExpr("id", "timestamp_ntz'2024-01-01 00:00:00' + make_interval(0,0,0,0,0,0,id) as t")
+    val ntzDir = tmp("zntz")
+    ntz.write.mode("overwrite").parquet(ntzDir)
+    val ntzIdx = tmp("zntzidx")
+    SkippingIndex.build(spark, ntzDir, ntzIdx, Seq("t"))
+    val e = intercept[IllegalArgumentException] {
+      SkippingIndex.read(spark, ntzDir, ntzIdx, Seq(("t", 0.0, 1.0)))
+    }
+    assert(e.getMessage.contains("TIMESTAMP_NTZ"), e.getMessage)
+  }
 }
