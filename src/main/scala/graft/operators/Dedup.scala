@@ -248,18 +248,22 @@ object Dedup {
   def semanticDedupWithReport(df: DataFrame, idCol: String, vecCol: String,
                               threshold: Double = 0.95, numClusters: Int = 0,
                               maxClusterSize: Int = 10000): (DataFrame, DataFrame) = {
-    // numClusters <= 0 → auto-size to the corpus (the paper's regime:
-    // clusters stay modest as data grows): one cheap count, then
-    // k = n / (maxClusterSize/4), clamped to [4, 4096]. Quadratic
-    // work per cluster is then bounded by (maxClusterSize/4)^2
-    // regardless of corpus size.
-    val k = if (numClusters > 0) numClusters else {
-      val n = df.count()
-      math.min(4096L, math.max(4L, n / math.max(1, maxClusterSize / 4))).toInt
-    }
+    val k = if (numClusters > 0) numClusters
+            else autoClusterCount(df.count(), maxClusterSize)
     val model = IvfIndex.train(df, idCol, vecCol, k)
     semanticDedupWithModel(df, idCol, vecCol, model, threshold, maxClusterSize)
   }
+
+  /** The auto-k policy (the paper's regime: clusters stay modest as
+    * data grows): k = n / (maxClusterSize/4), clamped to [4, 4096].
+    * Quadratic work per cluster is then bounded by (maxClusterSize/4)^2
+    * regardless of corpus size. Shared by the fresh-train form and any
+    * caller training a model for [[semanticDedupIndexed]] — the
+    * persisted-model path must exercise the same k policy production
+    * would, not a fixture constant.
+    */
+  def autoClusterCount(n: Long, maxClusterSize: Int = 10000): Int =
+    math.min(4096L, math.max(4L, n / math.max(1, maxClusterSize / 4))).toInt
 
   /** [[semanticDedup]] against a PRE-TRAINED (typically persisted)
     * k-means model — the production path: training pays a full corpus
