@@ -102,9 +102,20 @@ object Bench {
       try { fn(spark, sfDir).count() } catch { case _: Throwable => () }
       (System.nanoTime() - t0) / 1e9
     }
+    // True median: averages the two middle elements for even sample
+    // counts (reachable via the reps env vars) instead of biasing high
+    // by picking the upper-middle element.
+    def medianOf(sorted: IndexedSeq[Double]): Double =
+      if (sorted.size % 2 == 1) sorted(sorted.size / 2)
+      else (sorted(sorted.size / 2 - 1) + sorted(sorted.size / 2)) / 2.0
     val measured = SparkEntry.queries.map { case (name, fn) =>
       var times = (1 to reps).map(_ => timeOnce(fn))
-      if (times.sorted.apply(times.size / 2) < 1.0 && cheapReps > reps)
+      // Extra-reps trigger keys off the MINIMUM of the initial samples:
+      // min is the contention-free floor. Keying off the median would
+      // let 2-of-3 contended samples of a genuinely sub-second query
+      // inflate the median past 1.0 and skip the extra reps — the exact
+      // jitter scenario the extra reps exist to defend against.
+      if (times.min < 1.0 && cheapReps > reps)
         times = times ++ (reps until cheapReps).map(_ => timeOnce(fn))
       val sorted = times.sorted
       sinceSentinel += 1
@@ -113,7 +124,7 @@ object Bench {
         sentinels += sentinelOnce()
         foreignMax = foreignMax.max(foreignJvmPids().size)
       }
-      name -> ((sorted(sorted.size / 2), sorted.head, sorted.size))
+      name -> ((medianOf(sorted), sorted.head, sorted.size))
     }
     val results = measured.map { case (n, (med, _, _)) => n -> med }
     sentinels += sentinelOnce()
@@ -164,10 +175,18 @@ object Bench {
       s"""{"metric":"total","value":${fmt(total)},"unit":"sec","queries":$full,""" +
       s""""sentinel":[${sentinels.map(fmt).mkString(",")}],""" +
       s""""foreign_jvms":$foreignMax,"sf":"$sfName"}"""
+    // Path is env-anchored (default: process CWD, where the driver
+    // collects it); a failed write logs rather than silently dropping
+    // the full-evidence artifact.
+    val fullPath = sys.env.getOrElse("SPARK_GRAFT_BENCH_FULL", "bench_full.json")
     try java.nio.file.Files.write(
-      java.nio.file.Paths.get("bench_full.json"),
+      java.nio.file.Paths.get(fullPath),
       fullLine.getBytes("UTF-8"))
-    catch { case _: Throwable => () }
+    catch {
+      case e: Throwable =>
+        System.err.println(
+          s"[bench] WARNING: could not write $fullPath: ${e.getMessage}")
+    }
     println(render(keep))
     spark.stop()
   }

@@ -211,16 +211,44 @@ object TextQueries {
   val dedupSemanticIndexed: Q = (s, d) => {
     val dir = builtSemModel.computeIfAbsent(d, _ => {
       val e = embeddings(s, d)
+      // Production k policy, not a fixture constant: the persisted-model
+      // path must train with the same auto-sized k the fresh-train form
+      // uses, or the contract query exercises a model shape production
+      // never would. Dir name embeds the sanitized data path — hashCode
+      // can collide across data dirs within one JVM and silently serve
+      // the wrong model.
+      val k = Dedup.autoClusterCount(e.count())
       val model = graft.operators.IvfIndex.train(e, "vec_id", "embedding",
-        numCentroids = 8)
+        numCentroids = k)
       val out = new java.io.File(sys.props("java.io.tmpdir"),
-        "graft-semdedup-model-" + java.lang.Integer.toHexString(d.hashCode)).getAbsolutePath
+        "graft-semdedup-model-" + d.replaceAll("[^A-Za-z0-9._-]", "_")).getAbsolutePath
       graft.operators.IvfIndex.saveModel(s, model, out)
       out
     })
     Dedup.semanticDedupIndexed(embeddings(s, d), "vec_id", "embedding",
         dir, threshold = 0.3)
       .select(col("vec_id"), col("label"))
+  }
+
+  // ---- dedup_semantic_report (rows-only): executes the cap-opt-out
+  //      report under the driver in BOTH regimes. "capped_small" runs
+  //      with a cluster cap engineered below the corpus/k ratio so
+  //      over-cap clusters MUST opt out (docs_skipped > 0 — proves the
+  //      report path fires); "production" runs the auto-k policy at
+  //      the default cap, where the synthetic corpus fits and the
+  //      report must read all-zeros (proves the cap is not silently
+  //      eating normal corpora). Two rows, schema
+  //      (regime, clusters_skipped, docs_skipped, corpus_fraction). ----
+  val dedupSemanticReport: Q = (s, d) => {
+    val e = embeddings(s, d)
+    val (_, capped) = Dedup.semanticDedupWithReport(e, "vec_id", "embedding",
+      threshold = 0.3, numClusters = 4, maxClusterSize = 20)
+    val (_, normal) = Dedup.semanticDedupWithReport(e, "vec_id", "embedding",
+      threshold = 0.3)
+    capped.withColumn("regime", lit("capped_small"))
+      .unionByName(normal.withColumn("regime", lit("production")))
+      .select(col("regime"), col("clusters_skipped"), col("docs_skipped"),
+        col("corpus_fraction"))
   }
 
   // ---- ann_topk / ann_lsh (rows-only) ----
@@ -890,6 +918,7 @@ object TextQueries {
     "dedup_embedding" -> dedupEmbedding,
     "dedup_semantic" -> dedupSemantic,
     "dedup_semantic_indexed" -> dedupSemanticIndexed,
+    "dedup_semantic_report" -> dedupSemanticReport,
     "ann_topk" -> annTopK,
     "ann_quantized" -> annQuantized,
     "ann_lsh" -> annLsh,

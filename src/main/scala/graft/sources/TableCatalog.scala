@@ -19,17 +19,32 @@ object TableCatalog {
   def table(spark: SparkSession, sfDir: String, name: String): DataFrame =
     spark.read.parquet(s"$sfDir/$name.parquet")
 
-  /** `events.ts` is parquet TIMESTAMP(NANOS), which Spark 4 rejects by
-    * default. Read it as a nanos long and convert losslessly to a
-    * micros timestamp (the generator emits micro-precision instants;
-    * `ts div 1000` drops only zero digits).
+  /** `events.ts` normalization. The generator has emitted two parquet
+    * shapes across rounds, and every downstream query expects a plain
+    * TIMESTAMP (LTZ; sessions run in UTC):
+    *  - TIMESTAMP(NANOS), which Spark 4 rejects by default — read as a
+    *    nanos long and convert losslessly to a micros timestamp (the
+    *    generator emits micro-precision instants; `ts div 1000` drops
+    *    only zero digits);
+    *  - TIMESTAMP(MICROS) with isAdjustedToUTC=false, which Spark 4
+    *    infers as TIMESTAMP_NTZ — cast to LTZ (a wall-clock
+    *    reinterpretation in the UTC session, so values match the
+    *    DuckDB oracle's naive reading). Without this cast every
+    *    `unix_micros(ts)` / time-window consumer fails to resolve.
     */
   private def eventsWithTimestamp(spark: SparkSession, sfDir: String): DataFrame = {
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     val raw = table(spark, sfDir, "events")
-    if (raw.schema("ts").dataType == org.apache.spark.sql.types.LongType)
-      raw.withColumn("ts", org.apache.spark.sql.functions.expr("timestamp_micros(ts div 1000)"))
-    else raw
+    raw.schema("ts").dataType match {
+      case org.apache.spark.sql.types.LongType =>
+        raw.withColumn("ts",
+          org.apache.spark.sql.functions.expr("timestamp_micros(ts div 1000)"))
+      case org.apache.spark.sql.types.TimestampNTZType =>
+        raw.withColumn("ts",
+          org.apache.spark.sql.functions.col("ts")
+            .cast(org.apache.spark.sql.types.TimestampType))
+      case _ => raw
+    }
   }
 
   def region(spark: SparkSession, d: String): DataFrame = table(spark, d, "region")

@@ -891,6 +891,22 @@ class OperatorsSpec extends AnyFunSuite {
       "over-cap clusters must be skipped, not deduped")
   }
 
+  test("dedup_semantic_report contract query: tight cap fires, production cap silent") {
+    val rows = graft.queries.TextQueries
+      .dedupSemanticReport(spark, "/root/testdata/sf0.001")
+      .collect().map(r => r.getAs[String]("regime") -> r).toMap
+    assert(rows.keySet == Set("capped_small", "production"))
+    def skipped(r: org.apache.spark.sql.Row): Long =
+      r.getAs[Number]("docs_skipped").longValue
+    // 500 vectors over k=4 clusters with cap 20: some cluster must
+    // exceed the cap, and the report must say so
+    assert(skipped(rows("capped_small")) > 0,
+      s"tight cap must trip on 500 rows / 4 clusters: ${rows("capped_small")}")
+    // auto-k + default cap on the same corpus: nothing skips
+    assert(skipped(rows("production")) == 0,
+      s"production regime must report zero skips: ${rows("production")}")
+  }
+
   test("semantic dedup: indexed (saved-model) form matches fresh-train; cap report") {
     val dims = 8
     def vec(group: Int, member: Int): Array[Float] = {
@@ -905,14 +921,19 @@ class OperatorsSpec extends AnyFunSuite {
 
     // production split: train once, persist centroids, dedup against
     // the saved model — must equal the fresh-train form (training is
-    // deterministic: seeded init, fixed Lloyd iterations)
+    // deterministic: seeded init, fixed Lloyd iterations). The model
+    // is sized by the same auto-k policy the fresh auto path
+    // (numClusters = 0) uses, so this parity covers the production k
+    // policy, not a fixture constant.
+    val autoK = graft.operators.Dedup.autoClusterCount(rows.size, maxClusterSize = 100)
+    assert(autoK == 4, s"expected floor k for a 20-row corpus, got $autoK")
     val model = graft.operators.IvfIndex.train(df, "vec_id", "embedding",
-      numCentroids = 4)
+      numCentroids = autoK)
     val dir = java.nio.file.Files.createTempDirectory("semdedup_model").toString
     graft.operators.IvfIndex.saveModel(spark, model, dir)
     val fresh = graft.operators.Dedup
       .semanticDedup(df, "vec_id", "embedding",
-        threshold = 0.99, numClusters = 4, maxClusterSize = 100)
+        threshold = 0.99, numClusters = 0, maxClusterSize = 100)
       .select("vec_id").as[Long].collect().toSet
     val indexed = graft.operators.Dedup
       .semanticDedupIndexed(df, "vec_id", "embedding", dir,

@@ -101,6 +101,29 @@ class PlanAuditSpec extends AnyFunSuite {
     }
   }
 
+  test("CORPUS: every contract query re-audits clean on the AQE-FINAL plan") {
+    // The named-subset test above keeps the strict no-demotion bar;
+    // this one is the corpus-wide gate the feature was built for:
+    // execute every contract query once, assert zero critical findings
+    // on the plan AQE actually pinned, and log (not fail) every
+    // runtime decision — join changes, skew splits, coalesced reads —
+    // so a round-over-round diff of the log shows when runtime
+    // behavior moved even though initial plans did not.
+    val decisions = scala.collection.mutable.ArrayBuffer[String]()
+    for ((name, fn) <- SparkEntry.queries.toSeq.sortBy(_._1)) {
+      val rep = PlanAudit.auditAdaptive(fn(spark, sf))
+      val crit = rep.finalFindings.filter(_.severity == "critical")
+      assert(crit.isEmpty, s"$name final plan: $crit")
+      rep.decisions.foreach(d =>
+        decisions += s"$name ${d.severity}:${d.rule} ${d.detail}")
+      if (rep.skewSplits > 0) decisions += s"$name skew-splits=${rep.skewSplits}"
+      if (rep.coalescedReads > 0)
+        decisions += s"$name coalesced-reads=${rep.coalescedReads}"
+    }
+    info(s"AQE runtime decisions (${decisions.size}):")
+    decisions.foreach(d => info(s"  $d"))
+  }
+
   test("report emits findings as rows") {
     val a = spark.read.parquet(s"$sf/nation.parquet")
     val rep = PlanAudit.report(spark, a.crossJoin(a.select(col("n_name").as("m"))))
