@@ -78,9 +78,16 @@ object Bench {
       spark.range(20000000L).selectExpr("sum(id % 97)").collect()
       (System.nanoTime() - t0) / 1e9
     }
+    // Optional subset (comma-separated names) for targeted runs — the
+    // sf0.1-vs-sf1 scale-exponent comparison times the expensive
+    // queries at both SFs without paying for the full corpus twice.
+    val only = sys.env.get("SPARK_GRAFT_BENCH_ONLY")
+      .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSet)
+    val benched = SparkEntry.queries
+      .filter { case (name, _) => only.forall(_.contains(name)) }
     // warmup pass (untimed): JIT, codegen caches, parquet footers
     sentinelOnce()
-    SparkEntry.queries.foreach { case (_, fn) =>
+    benched.foreach { case (_, fn) =>
       try fn(spark, warmDir).count() catch { case _: Throwable => () }
     }
     // Median of n timed passes per query: one contended pass (GC, a
@@ -108,7 +115,7 @@ object Bench {
     def medianOf(sorted: IndexedSeq[Double]): Double =
       if (sorted.size % 2 == 1) sorted(sorted.size / 2)
       else (sorted(sorted.size / 2 - 1) + sorted(sorted.size / 2)) / 2.0
-    val measured = SparkEntry.queries.map { case (name, fn) =>
+    val measured = benched.map { case (name, fn) =>
       var times = (1 to reps).map(_ => timeOnce(fn))
       // Extra-reps trigger keys off the MINIMUM of the initial samples:
       // min is the contention-free floor. Keying off the median would

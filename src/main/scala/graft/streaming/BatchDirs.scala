@@ -240,6 +240,145 @@ object BatchDirs {
     cleanup(newFloor)
   }
 
+  /** PARTITION-KEYED consolidation — the alternative to the tiered
+    * compact chain for DENSE APPEND-MOSTLY series (StreamGapFill's
+    * per-day output is the motivating case). Instead of folding batch
+    * dirs into ever-wider `compact_*` dirs — where the binary-counter
+    * schedule still periodically rewrites the whole series — the merged
+    * rows land in a `parts/` subtree partitioned by `partCol`, written
+    * with DYNAMIC partition overwrite: only the partitions the merged
+    * batches actually touch are rewritten. A ten-year daily series that
+    * only ever corrects the trailing lateness window rewrites a bounded
+    * set of day partitions per consolidation, never the history.
+    *
+    * `merge` receives the union of the new batch dirs (each row
+    * stamped with its batch id in `idCol`), PLUS the existing rows of
+    * the touched partitions (their stored `idCol` preserved), and must
+    * return one resolved row set that KEEPS `idCol` — the stored id is
+    * what makes a crash-interrupted consolidation self-healing: batch
+    * dirs are deleted only after the staged partitions are moved into
+    * place, so a crash leaves them in place and the next consolidation
+    * re-merges them into the same latest-wins result (duplicates
+    * collapse in `merge`). Absorbs and sweeps any legacy `compact_*`
+    * dirs below `upTo`, so a stream can migrate modes in place.
+    *
+    * Two-phase write: the merged rows (new batches + the current
+    * content of every touched partition) are written `partitionBy
+    * (partCol)` to a `parts_stage_<upTo>` dir, then each staged
+    * partition dir replaces its counterpart under `parts/` by
+    * delete+rename. Writing the union to a stage first (a) sidesteps
+    * Spark's cannot-overwrite-a-read-path rule for `parts/`, and (b)
+    * makes a crash recoverable with no data loss: a complete
+    * (`_SUCCESS`) stage holds old+new rows of every touched partition,
+    * so [[recoverStage]] just finishes the moves; an incomplete stage
+    * is discarded (the untouched `parts/` and still-present batch dirs
+    * reproduce it).
+    */
+  def consolidatePartitioned(spark: SparkSession, root: String, upTo: Long,
+                             partCol: String,
+                             merge: DataFrame => DataFrame,
+                             idCol: String): Unit = {
+    import org.apache.spark.sql.functions.{broadcast, col, lit}
+    val (fs, path) = fsOf(spark, root)
+    val partsRoot = new Path(path, "parts")
+    recoverStage(fs, path, partsRoot, partCol)
+    val inputs = before(spark, root, upTo)
+    if (inputs.isEmpty) return
+    val fresh = inputs.map { case (id, d) =>
+      spark.read.parquet(d).withColumn(idCol, lit(id))
+    }.reduce(_.unionByName(_, allowMissingColumns = true))
+    val existing =
+      if (hasPartitionDirs(fs, partsRoot, partCol))
+        Some(spark.read.parquet(partsRoot.toString)
+          .join(broadcast(fresh.select(partCol).distinct()),
+            Seq(partCol), "left_semi"))
+      else None
+    val merged = merge(existing.fold(fresh)(e =>
+      fresh.unionByName(e, allowMissingColumns = true)))
+    val stage = new Path(path, s"parts_stage_$upTo")
+    merged.write.mode("overwrite").partitionBy(partCol).parquet(stage.toString)
+    moveStagedPartitions(fs, stage, partsRoot, partCol)
+    // sweep AFTER the moves: raw listing (no completeness filter) so
+    // marker-only zero-row batches and half-written leftovers go too
+    if (fs.exists(path)) fs.listStatus(path).toSeq
+      .filter(st => st.isDirectory)
+      .foreach { st =>
+        val n = st.getPath.getName
+        val swept =
+          (n.startsWith("batch_") && parseId(n, "batch_").exists(_ < upTo)) ||
+          (n.startsWith("compact_") && parseCompact(n).exists(_._1 < upTo))
+        if (swept) fs.delete(st.getPath, true)
+      }
+  }
+
+  /** Replace each `partCol=...` dir under `partsRoot` with its staged
+    * counterpart, then drop the stage. Idempotent: re-running after a
+    * partial pass moves only the partitions still in the stage.
+    */
+  private def moveStagedPartitions(fs: FileSystem, stage: Path,
+                                   partsRoot: Path, partCol: String): Unit = {
+    fs.mkdirs(partsRoot)
+    fs.listStatus(stage).toSeq
+      .filter(st => st.isDirectory && st.getPath.getName.startsWith(partCol + "="))
+      .foreach { st =>
+        val dest = new Path(partsRoot, st.getPath.getName)
+        if (fs.exists(dest)) fs.delete(dest, true)
+        if (!fs.rename(st.getPath, dest))
+          throw new java.io.IOException(s"rename ${st.getPath} -> $dest failed")
+      }
+    fs.delete(stage, true)
+  }
+
+  /** Crash recovery for [[consolidatePartitioned]]: finish the moves of
+    * a complete stage, discard an incomplete one.
+    */
+  private def recoverStage(fs: FileSystem, path: Path, partsRoot: Path,
+                           partCol: String): Unit = {
+    if (!fs.exists(path)) return
+    fs.listStatus(path).toSeq
+      .filter(st => st.isDirectory && st.getPath.getName.startsWith("parts_stage_"))
+      .foreach { st =>
+        if (fs.exists(new Path(st.getPath, "_SUCCESS")))
+          moveStagedPartitions(fs, st.getPath, partsRoot, partCol)
+        else fs.delete(st.getPath, true)
+      }
+  }
+
+  /** At least one materialized `partCol=...` partition dir (ignores
+    * `_temporary` et al. from a crashed write, whose content
+    * `spark.read` would not see either).
+    */
+  private def hasPartitionDirs(fs: FileSystem, partsRoot: Path,
+                               partCol: String): Boolean =
+    fs.exists(partsRoot) && fs.listStatus(partsRoot).exists(st =>
+      st.isDirectory && st.getPath.getName.startsWith(partCol + "="))
+
+  /** Read set for the partition-keyed layout: the `parts/` subtree
+    * (rows carry their stored `idCol`) plus every live batch/compact
+    * dir, stamped per [[read]]. Empty-safe only if something exists.
+    * Finishes any interrupted stage first — mid-move, a touched
+    * partition's pre-merge rows exist only in the stage, and keys that
+    * happened to share the partition without appearing in the merged
+    * batches would otherwise be invisible.
+    */
+  def readPartitioned(spark: SparkSession, root: String, partCol: String,
+                      idCol: String): DataFrame = {
+    val (fs, path) = fsOf(spark, root)
+    val partsRoot = new Path(path, "parts")
+    recoverStage(fs, path, partsRoot, partCol)
+    val live = current(spark, root).map { case (id, d) =>
+      spark.read.parquet(d)
+        .withColumn(idCol, org.apache.spark.sql.functions.lit(id))
+    }
+    val parts =
+      if (hasPartitionDirs(fs, partsRoot, partCol))
+        Seq(spark.read.parquet(partsRoot.toString))
+      else Nil
+    val all = parts ++ live
+    require(all.nonEmpty, s"no output under $root")
+    all.reduce(_.unionByName(_, allowMissingColumns = true))
+  }
+
   /** Union of the current read set, each dir stamped with its
     * effective id in `idCol` when given (a compact dir's rows carry
     * the newest id it covers — lower than any live batch dir, so a

@@ -60,12 +60,14 @@ object StreamGapFill {
             valCol: String, outDir: String, stateRoot: String,
             checkpointDir: String, numBuckets: Int = 64,
             compactEvery: Int = DefaultCompactEvery,
-            latenessHorizonDays: Int = DefaultLatenessHorizonDays): StreamingQuery = {
+            latenessHorizonDays: Int = DefaultLatenessHorizonDays,
+            perDayCompaction: Boolean = false): StreamingQuery = {
     eventsStream.writeStream
       .option("checkpointLocation", checkpointDir)
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
         applyBatch(batch, keyCol, tsCol, valCol, outDir, stateRoot,
-          batchId, numBuckets, compactEvery, latenessHorizonDays)
+          batchId, numBuckets, compactEvery, latenessHorizonDays,
+          perDayCompaction)
         ()
       }
       .start()
@@ -77,17 +79,36 @@ object StreamGapFill {
     */
   val DefaultLatenessHorizonDays = 365
 
-  /** One micro-batch; factored out for replay and direct use. */
+  /** One micro-batch; factored out for replay and direct use.
+    *
+    * `perDayCompaction = true` selects [[BatchDirs.consolidatePartitioned]]
+    * for the output dirs: increments fold into a `parts/day=...` layout
+    * where a consolidation rewrites only the day partitions the merged
+    * batches touched. For a long-running dense daily series this bounds
+    * per-compact rewrite I/O by the lateness window (new days + the
+    * corrected tail), where the tiered compact chain still periodically
+    * rewrites the whole series; it also gives downstream day-range
+    * readers partition pruning for free. Default stays the tiered
+    * chain for compatibility with existing layouts (a stream can flip
+    * the flag in place — legacy compacts are absorbed on the next
+    * consolidation).
+    */
   def applyBatch(batch: DataFrame, keyCol: String, tsCol: String,
                  valCol: String, outDir: String, stateRoot: String,
                  batchId: Long, numBuckets: Int = 64,
                  compactEvery: Int = DefaultCompactEvery,
-                 latenessHorizonDays: Int = DefaultLatenessHorizonDays): Unit = {
+                 latenessHorizonDays: Int = DefaultLatenessHorizonDays,
+                 perDayCompaction: Boolean = false): Unit = {
     val spark = batch.sparkSession
     require(latenessHorizonDays >= 0, "latenessHorizonDays must be >= 0")
-    if (compactEvery > 0 && batchId > 0 && batchId % compactEvery == 0)
-      BatchDirs.consolidate(spark, outDir, batchId,
-        merge = resolve, idCol = Some(BatchCol))
+    if (compactEvery > 0 && batchId > 0 && batchId % compactEvery == 0) {
+      if (perDayCompaction)
+        BatchDirs.consolidatePartitioned(spark, outDir, batchId,
+          partCol = "day", merge = resolveKeepBatch, idCol = BatchCol)
+      else
+        BatchDirs.consolidate(spark, outDir, batchId,
+          merge = resolve, idCol = Some(BatchCol))
+    }
     val daily = batch
       .groupBy(col(keyCol), to_date(col(tsCol)).as("day"))
       .agg(max(col(valCol)).as("day_value"))
@@ -195,7 +216,32 @@ object StreamGapFill {
         col(s"__m.value_filled").as("value_filled")): _*)
   }
 
-  /** All filled rows emitted so far, corrections resolved. */
-  def results(spark: org.apache.spark.sql.SparkSession, outDir: String): DataFrame =
-    resolve(BatchDirs.read(spark, outDir, idCol = Some(BatchCol)))
+  /** [[resolve]] that KEEPS the winning batch id — the consolidated
+    * per-day partitions must retain each row's emission id so a later
+    * batch-dir row (higher id) still wins the next latest-wins pass.
+    */
+  private def resolveKeepBatch(df: DataFrame): DataFrame = {
+    val keys = df.columns
+      .filterNot(Set("day", "value_filled", BatchCol).contains).toSeq
+    df.groupBy((keys :+ "day").map(col): _*)
+      .agg(max(struct(col(BatchCol), col("value_filled"))).as("__m"))
+      .select((keys.map(col) :+ col("day") :+
+        col(s"__m.value_filled").as("value_filled") :+
+        col(s"__m.$BatchCol").as(BatchCol)): _*)
+  }
+
+  /** All filled rows emitted so far, corrections resolved. Reads
+    * whichever consolidation layout the stream uses (the per-day
+    * `parts/` subtree when present, else the tiered chain).
+    */
+  def results(spark: org.apache.spark.sql.SparkSession, outDir: String): DataFrame = {
+    val (fs, root) = BatchDirs.fsOf(spark, outDir)
+    val hasParts =
+      fs.exists(new org.apache.hadoop.fs.Path(root, "parts")) ||
+      fs.exists(root) && fs.listStatus(root)
+        .exists(_.getPath.getName.startsWith("parts_stage_"))
+    if (hasParts)
+      resolve(BatchDirs.readPartitioned(spark, outDir, "day", BatchCol))
+    else resolve(BatchDirs.read(spark, outDir, idCol = Some(BatchCol)))
+  }
 }

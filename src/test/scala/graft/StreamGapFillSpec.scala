@@ -199,6 +199,71 @@ class StreamGapFillSpec extends AnyFunSuite {
     assert(got.map(_._2) == Seq(5.0, 9.0, 9.0, 4.0, 4.0, 6.0, 6.0, 8.0))
   }
 
+  test("per-day consolidation: untouched day partitions are not rewritten; results stay exact") {
+    val work = Files.createTempDirectory("sgapdaily").toString
+    def b(rows: (Long, String, Double)*) = rows
+      .map { case (k, d, v) => (k, java.sql.Timestamp.valueOf(d + " 10:00:00"), v) }
+      .toDF("user_id", "ts", "value")
+    def apply(df: org.apache.spark.sql.DataFrame, id: Long) =
+      StreamGapFill.applyBatch(df, "user_id", "ts", "value",
+        s"$work/out", s"$work/state", id, compactEvery = 2,
+        perDayCompaction = true)
+    apply(b((1L, "2024-04-01", 5.0), (1L, "2024-04-02", 2.0)), 0L)
+    apply(b((1L, "2024-04-02", 9.0)), 1L)
+    apply(b((1L, "2024-04-04", 4.0)), 2L) // consolidate(<2): days 01-02
+
+    val out = new java.io.File(s"$work/out")
+    def entries = out.listFiles().map(_.getName)
+      .filterNot(_.startsWith("_")).sorted.toSeq
+    assert(entries == Seq("batch_2", "parts"), entries.mkString(","))
+    val partsDir = new java.io.File(s"$work/out/parts")
+    def dayDirs = partsDir.listFiles().map(_.getName)
+      .filter(_.startsWith("day=")).sorted.toSeq
+    assert(dayDirs == Seq("day=2024-04-01", "day=2024-04-02"),
+      dayDirs.mkString(","))
+    // fingerprint a consolidated day: parquet file names are unique per
+    // write job, so identical names+mtimes prove the partition dir was
+    // not rewritten by later consolidations
+    def sig(day: String) = new java.io.File(partsDir, day).listFiles()
+      .filter(_.getName.endsWith(".parquet"))
+      .map(f => (f.getName, f.lastModified)).sorted.toSeq
+    val day1Sig = sig("day=2024-04-01")
+    assert(day1Sig.nonEmpty)
+
+    apply(b((1L, "2024-04-06", 6.0)), 3L)
+    apply(b((1L, "2024-04-08", 8.0)), 4L) // consolidate(<4): days 03-06 only
+
+    assert(dayDirs == (1 to 6).map(d => s"day=2024-04-0$d"),
+      dayDirs.mkString(","))
+    assert(sig("day=2024-04-01") == day1Sig,
+      "an untouched day partition was rewritten — per-compact I/O is no " +
+        "longer bounded by the touched window")
+    // dir-count bound: the flat listing holds exactly the live batch
+    // dirs plus one parts subtree — no growing compact chain
+    assert(entries == Seq("batch_4", "parts"), entries.mkString(","))
+
+    def got = StreamGapFill.results(spark, s"$work/out")
+      .select("day", "value_filled").as[(java.sql.Date, Double)]
+      .collect().sortBy(_._1.toString).toSeq
+    assert(got.map(_._2) == Seq(5.0, 9.0, 9.0, 4.0, 4.0, 6.0, 6.0, 8.0),
+      got.mkString(","))
+    assert(got.map(_._1.toString) == (1 to 8).map(d => s"2024-04-0$d"))
+
+    // a replay of the newest batch post-consolidation reproduces its
+    // exact increment against the per-day layout too
+    apply(b((1L, "2024-04-08", 8.0)), 4L)
+    assert(got.map(_._2) == Seq(5.0, 9.0, 9.0, 4.0, 4.0, 6.0, 6.0, 8.0))
+
+    // a late correction to an already-consolidated day must win the
+    // next consolidation (higher batch id) and rewrite ONLY its day
+    apply(b((1L, "2024-04-02", 11.0)), 5L)
+    apply(b((1L, "2024-04-09", 1.0)), 6L) // consolidate(<6): days 02-04 (fill 03), 07-08
+    assert(sig("day=2024-04-01") == day1Sig,
+      "day=01 rewritten by a correction that touched only day 02+")
+    assert(got.map(_._2) == Seq(5.0, 11.0, 11.0, 4.0, 4.0, 6.0, 6.0, 8.0, 1.0),
+      got.mkString(","))
+  }
+
   test("a key absent from a later batch is not extended past its own last day") {
     val work = Files.createTempDirectory("sgapfill2").toString
     val b1 = Seq(
