@@ -46,6 +46,54 @@ object Sampling {
   def portableSample(df: DataFrame, idCol: String, percent: Int): DataFrame =
     df.filter(portableBucket(col(idCol)) < percent)
 
+  /** LEAKAGE-FREE train/val/test split: a near-duplicate COMPONENT is
+    * assigned to one split atomically, so an eval split can never
+    * contain a near-copy of a training document (hashing raw doc ids
+    * — `hashSplit` — scatters the members of a duplicate cluster
+    * across splits, which is train/test contamination by
+    * construction). Each document's split key is its connected
+    * component representative over the near-dup pair graph (min id;
+    * [[Components.connectedComponents]]), falling back to its own id
+    * for singletons; the key is mapped through the engine-portable
+    * md5 bucket, so external tooling (and the DuckDB oracle) can
+    * recompute any document's split bit-for-bit.
+    *
+    * At 100 TB: the pair graph is the (already bounded) output of the
+    * banded/bucketed dedup operators, components converge in
+    * O(log diameter) co-partitioned iterations, and the assignment
+    * itself is one broadcast-or-shuffle join plus a projection — no
+    * per-split passes, no driver state. Split fractions hold in
+    * expectation per COMPONENT, not per document: a corpus dominated
+    * by one giant duplicate family lands that family in one split by
+    * design (that is the leakage guarantee), so audit component-size
+    * skew with the dedup reports before relying on exact ratios.
+    *
+    * @param splits ordered (name, weight) with weights summing to 1
+    * @return (idCol, split)
+    */
+  def leakFreeSplit(docs: DataFrame, idCol: String,
+                    pairs: DataFrame, srcCol: String, dstCol: String,
+                    splits: Seq[(String, Double)]): DataFrame = {
+    require(splits.nonEmpty, "need at least one split")
+    require(math.abs(splits.map(_._2).sum - 1.0) < 1e-9,
+      s"split weights must sum to 1, got ${splits.map(_._2).sum}")
+    val buckets = 100L
+    val comp = Components.connectedComponents(pairs, srcCol, dstCol)
+      .select(col("id").as(idCol), col("component"))
+    val keyed = docs.select(col(idCol))
+      .join(comp, Seq(idCol), "left")
+      .select(col(idCol),
+        coalesce(col("component"), col(idCol)).as("__split_key"))
+    val b = portableBucket(col("__split_key"), buckets)
+    val cuts = splits.scanLeft(0.0) { case (acc, (_, w)) => acc + w }.tail
+      .map(c => math.round(c * buckets))
+    val assign = splits.map(_._1).zip(cuts).init
+      .foldRight(lit(splits.last._1)) { case ((name, cut), rest) =>
+        when(b < cut, name).otherwise(rest)
+      }
+    keyed.select(col(idCol), assign.as("split"))
+  }
+
   /** Deterministic stratified sample: keep ~`fractions(stratum)` of
     * each stratum (default fraction for unlisted strata).
     */

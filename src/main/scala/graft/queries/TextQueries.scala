@@ -470,6 +470,47 @@ object TextQueries {
       |  SELECT reach.id, e.d FROM reach JOIN edges e ON e.s = reach.r)
       |SELECT id AS doc_id, MIN(r) AS component FROM reach GROUP BY id""".stripMargin
 
+  // ---- text_split_leakfree: component-aware train/val/test split —
+  //      near-duplicate components are assigned to a split ATOMICALLY
+  //      (split key = component representative, md5-bucketed), so the
+  //      eval splits can never contain a near-copy of a training doc.
+  //      Oracle: the recursive-CTE component walk + the same portable
+  //      md5 bucket, recomputed end-to-end in DuckDB. ----
+  val splitLeakFree: Q = (s, d) => {
+    val pairs = Dedup.ngramJaccard(documents(s, d), "doc_id", "text", threshold = 0.8)
+    graft.operators.Sampling.leakFreeSplit(documents(s, d), "doc_id",
+      pairs, "doc_a", "doc_b",
+      Seq(("train", 0.8), ("val", 0.1), ("test", 0.1)))
+  }
+
+  val splitLeakFreeOracle: String =
+    """WITH RECURSIVE
+      |docs AS (SELECT doc_id, regexp_split_to_array(trim(text), '\s+') toks FROM documents),
+      |sh AS (SELECT doc_id, list_distinct([toks[i]||' '||toks[i+1]||' '||toks[i+2]
+      |                                     for i in range(1, len(toks)-1)]) g FROM docs),
+      |ex AS (SELECT doc_id, unnest(g) s FROM sh),
+      |sz AS (SELECT doc_id, CAST(len(g) AS BIGINT) n FROM sh),
+      |cnt AS (SELECT a.doc_id doc_a, b.doc_id doc_b, CAST(count(*) AS BIGINT) n_common
+      |        FROM ex a JOIN ex b ON a.s = b.s AND a.doc_id < b.doc_id GROUP BY 1, 2),
+      |pairs AS (SELECT doc_a, doc_b FROM cnt
+      |          JOIN sz sa ON sa.doc_id = doc_a JOIN sz sb ON sb.doc_id = doc_b
+      |          WHERE CAST(n_common AS DOUBLE)/CAST(sa.n + sb.n - n_common AS DOUBLE) >= 0.8),
+      |edges AS (SELECT doc_a s, doc_b d FROM pairs UNION SELECT doc_b, doc_a FROM pairs),
+      |reach AS (
+      |  SELECT s AS id, s AS r FROM edges
+      |  UNION
+      |  SELECT reach.id, e.d FROM reach JOIN edges e ON e.s = reach.r),
+      |comp AS (SELECT id, MIN(r) AS component FROM reach GROUP BY id),
+      |keyed AS (SELECT d.doc_id, COALESCE(c.component, d.doc_id) AS k
+      |          FROM documents d LEFT JOIN comp c ON c.id = d.doc_id),
+      |b AS (SELECT doc_id,
+      |        CAST(('0x' || substr(md5(CAST(k AS VARCHAR)), 1, 8)) AS BIGINT) % 100 AS bkt
+      |      FROM keyed)
+      |SELECT doc_id, CASE WHEN bkt < 80 THEN 'train'
+      |                    WHEN bkt < 90 THEN 'val'
+      |                    ELSE 'test' END AS split
+      |FROM b""".stripMargin
+
   // ---- dedup_drop_neardups: the materialized deduplicated corpus
   //      (survivors = unique docs + one representative per component)
   val dedupDrop: Q = (s, d) =>
@@ -929,6 +970,7 @@ object TextQueries {
     "text_pii_redact" -> piiRedact,
     "text_top_ngrams" -> topNgrams,
     "dedup_components" -> dedupComponents,
+    "text_split_leakfree" -> splitLeakFree,
     "dedup_drop_neardups" -> dedupDrop,
     "q26_funnel" -> funnel,
     "q_stream_window" -> streamWindow,
@@ -962,6 +1004,7 @@ object TextQueries {
     "text_pii_redact" -> piiRedactOracle,
     "text_top_ngrams" -> topNgramsOracle,
     "dedup_components" -> dedupComponentsOracle,
+    "text_split_leakfree" -> splitLeakFreeOracle,
     "dedup_drop_neardups" -> dedupDropOracle,
     "q26_funnel" -> funnelOracle,
     "q_stream_window" -> streamWindowOracle,

@@ -10,27 +10,40 @@ import org.apache.spark.sql.types._
   */
 object WindowedAgg {
 
-  /** File-source schema for the events table (ts arrives as parquet
-    * TIMESTAMP(NANOS) — read as a long and converted, see
-    * TableCatalog.events).
+  /** File-source schema for the events table; `ts` is declared with
+    * whatever physical type the files carry (see [[readEventsStream]]).
     */
-  val eventsRawSchema: StructType = StructType(Seq(
+  private def eventsRawSchema(tsType: DataType): StructType = StructType(Seq(
     StructField("event_id", LongType),
-    StructField("ts", LongType),
+    StructField("ts", tsType),
     StructField("user_id", LongType),
     StructField("event_type", StringType),
     StructField("value", DoubleType),
     StructField("props", StringType)))
 
-  /** Open the events parquet path as a stream with proper timestamps. */
+  /** Open the events parquet path as a stream with proper timestamps.
+    * A file stream needs its schema up front, and the generator has
+    * emitted two shapes across rounds (the same pair TableCatalog
+    * .events normalizes batch-side): TIMESTAMP(NANOS) — readable only
+    * as a long, converted via `div 1000` — and TIMESTAMP(MICROS)
+    * unadjusted-to-UTC, which Spark reads as TIMESTAMP_NTZ and a UTC
+    * session casts losslessly to LTZ. One batch-read footer probe of
+    * the path picks the branch; applying the nanos `div 1000` to
+    * micros data would shear every timestamp by 1000x.
+    */
   def readEventsStream(spark: SparkSession, path: String,
                        maxFilesPerTrigger: Option[Int] = None): DataFrame = {
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    val reader = spark.readStream.schema(eventsRawSchema)
+    val tsType = spark.read.parquet(path).schema("ts").dataType
+    val reader = spark.readStream.schema(eventsRawSchema(tsType))
     val withOpt = maxFilesPerTrigger.fold(reader)(n =>
       reader.option("maxFilesPerTrigger", n.toString))
-    withOpt.parquet(path)
-      .withColumn("ts", expr("timestamp_micros(ts div 1000)"))
+    val raw = withOpt.parquet(path)
+    tsType match {
+      case LongType => raw.withColumn("ts", expr("timestamp_micros(ts div 1000)"))
+      case TimestampNTZType => raw.withColumn("ts", col("ts").cast(TimestampType))
+      case _ => raw
+    }
   }
 
   /** Tumbling-window counts/sums with a watermark. Works on both

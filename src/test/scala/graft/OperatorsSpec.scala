@@ -891,6 +891,41 @@ class OperatorsSpec extends AnyFunSuite {
       "over-cap clusters must be skipped, not deduped")
   }
 
+  test("leak-free split: no near-dup pair straddles splits; ratios sane; deterministic") {
+    val sf = "/root/testdata/sf0.001"
+    val docs = graft.sources.TableCatalog.documents(spark, sf)
+    val pairs = graft.operators.Dedup
+      .ngramJaccard(docs, "doc_id", "text", threshold = 0.8).cache()
+    assert(pairs.count() > 0, "vacuous: corpus has no near-dup pairs")
+    val assign = graft.operators.Sampling.leakFreeSplit(docs, "doc_id",
+      pairs, "doc_a", "doc_b",
+      Seq(("train", 0.8), ("val", 0.1), ("test", 0.1))).cache()
+    // THE guarantee: both endpoints of every near-dup pair share a split
+    val straddling = pairs
+      .join(assign.select(col("doc_id").as("doc_a"), col("split").as("sa")), "doc_a")
+      .join(assign.select(col("doc_id").as("doc_b"), col("split").as("sb")), "doc_b")
+      .filter(col("sa") =!= col("sb"))
+    assert(straddling.count() == 0,
+      s"near-dup pairs across splits: ${straddling.collect().mkString(",")}")
+    // every doc assigned exactly once; ratios in a loose statistical band
+    val n = docs.count()
+    assert(assign.count() == n)
+    val bySplit = assign.groupBy("split").count()
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(bySplit.keySet == Set("train", "val", "test"), bySplit.toString)
+    assert(bySplit("train").toDouble / n > 0.7 && bySplit("train").toDouble / n < 0.9,
+      bySplit.toString)
+    for (s <- Seq("val", "test"))
+      assert(bySplit(s).toDouble / n > 0.03 && bySplit(s).toDouble / n < 0.2,
+        bySplit.toString)
+    // deterministic: a re-run reproduces the assignment exactly
+    val again = graft.operators.Sampling.leakFreeSplit(docs, "doc_id",
+      pairs, "doc_a", "doc_b",
+      Seq(("train", 0.8), ("val", 0.1), ("test", 0.1)))
+    assert(assign.except(again).isEmpty && again.except(assign).isEmpty)
+    pairs.unpersist(); assign.unpersist()
+  }
+
   test("dedup_semantic_report contract query: tight cap fires, production cap silent") {
     val rows = graft.queries.TextQueries
       .dedupSemanticReport(spark, "/root/testdata/sf0.001")
