@@ -60,46 +60,68 @@ object Dedup {
     */
   def ngramJaccard(df: DataFrame, idCol: String, textCol: String,
                    n: Int = 3, threshold: Double = 0.8,
-                   maxShinglePosting: Int = 1000): DataFrame = {
-    GraftFunctions.register(df.sparkSession)
-    // shuffle 8-byte shingle hashes, not shingle strings (a word
-    // n-gram averages ~20 bytes and the posting shuffle dominates).
-    // Shingle identities come from the codegen'd graft_shingles
-    // expression — one fused hash loop per row, no intermediate
-    // n-gram strings (the interpreted HOF pipeline built and then
-    // hashed one string per window). The doc's shingle count RIDES
-    // ALONG each posting row (+8 bytes) so the jaccard denominator
-    // needs no second shingling pass and no size joins afterwards.
-    val shingled = spread(df).select(col(idCol).as("doc"),
-      GraftFunctions.shingleFast(wsTokens(col(textCol)), n).as("sh_hashes"))
-    val posting = shingled
-      .select(col("doc"), size(col("sh_hashes")).as("n_sh"),
-        explode(col("sh_hashes")).as("sh"))
-    // inverted index: keep only shingles that can produce a pair and
-    // are under the skew cap; then pair via a co-partitioned self-join
-    // WITHIN each shingle (both sides reuse one exchange). Pairs
-    // stream out of the sort-merge join into the map-side partial
-    // count — no per-shingle array is ever materialized, and
-    // join-side buffering is bounded by the cap. (Earlier forms built
-    // the posting cross-product inside one row: up to cap^2 structs
-    // in a single row at the skew cap.)
-    val postingCnt = posting.groupBy("sh")
-      .agg(count(lit(1)).as("cnt"))
-      .filter(col("cnt").between(2, maxShinglePosting))
-      .select("sh")
-    val kept = posting.join(postingCnt, Seq("sh"))
-    val pairs = kept
-      .select(col("sh"), col("doc").as("doc_a"), col("n_sh").as("n_a"))
-      .join(kept.select(col("sh"), col("doc").as("doc_b"), col("n_sh").as("n_b")), Seq("sh"))
-      .filter(col("doc_a") < col("doc_b"))
-      .groupBy("doc_a", "doc_b", "n_a", "n_b") // n_* functionally determined by doc_*
-      .agg(count(lit(1)).cast("bigint").as("n_common"))
-    pairs
+                   maxShinglePosting: Int = 1000): DataFrame =
+    sharedWindowCounts(df, idCol, textCol, n, maxShinglePosting)
       .withColumn("jaccard",
         col("n_common").cast("double") /
           (col("n_a") + col("n_b") - col("n_common")).cast("double"))
       .filter(col("jaccard") >= threshold)
       .select(col("doc_a"), col("doc_b"), col("n_common"), col("jaccard"))
+
+  /** Doc pairs sharing at least `minShared` distinct `windowTokens`-token
+    * windows — SUBSTRING-level overlap, the copied-span signal
+    * (boilerplate reuse, quotation, benchmark contamination between
+    * documents that are NOT whole-document near-duplicates; the
+    * repeated-substring regime of Lee et al. 2022, arXiv:2107.06499).
+    * Long windows make a shared window strong evidence of copying
+    * where 3-gram Jaccard sees only diffuse similarity. Same scale
+    * discipline as [[ngramJaccard]]: 8-byte window hashes only,
+    * postings capped, co-partitioned pair join.
+    */
+  def overlapSpans(df: DataFrame, idCol: String, textCol: String,
+                   windowTokens: Int = 10, minShared: Long = 1,
+                   maxWindowPosting: Int = 1000): DataFrame =
+    sharedWindowCounts(df, idCol, textCol, windowTokens, maxWindowPosting)
+      .filter(col("n_common") >= minShared)
+      .select(col("doc_a"), col("doc_b"),
+        col("n_common").as("n_shared_windows"))
+
+  /** Shared pair-counting core: (doc_a, doc_b, n_a, n_b, n_common)
+    * where n_common = distinct n-token windows the pair shares.
+    *
+    * Shuffles 8-byte window hashes, never window strings (a word
+    * n-gram averages ~20 bytes and the posting shuffle dominates).
+    * Window identities come from the codegen'd graft_shingles
+    * expression — one fused hash loop per row, no intermediate
+    * n-gram strings. The doc's window count RIDES ALONG each posting
+    * row (+8 bytes) so a similarity denominator needs no second
+    * shingling pass. The inverted index keeps only windows that can
+    * produce a pair and are under the skew cap; pairing is a
+    * co-partitioned self-join WITHIN each window (both sides reuse
+    * one exchange), pairs streaming out of the sort-merge join into
+    * the map-side partial count — no per-window array materialized,
+    * join-side buffering bounded by the cap.
+    */
+  private def sharedWindowCounts(df: DataFrame, idCol: String,
+                                 textCol: String, n: Int,
+                                 maxPosting: Int): DataFrame = {
+    GraftFunctions.register(df.sparkSession)
+    val shingled = spread(df).select(col(idCol).as("doc"),
+      GraftFunctions.shingleFast(wsTokens(col(textCol)), n).as("sh_hashes"))
+    val posting = shingled
+      .select(col("doc"), size(col("sh_hashes")).as("n_sh"),
+        explode(col("sh_hashes")).as("sh"))
+    val postingCnt = posting.groupBy("sh")
+      .agg(count(lit(1)).as("cnt"))
+      .filter(col("cnt").between(2, maxPosting))
+      .select("sh")
+    val kept = posting.join(postingCnt, Seq("sh"))
+    kept
+      .select(col("sh"), col("doc").as("doc_a"), col("n_sh").as("n_a"))
+      .join(kept.select(col("sh"), col("doc").as("doc_b"), col("n_sh").as("n_b")), Seq("sh"))
+      .filter(col("doc_a") < col("doc_b"))
+      .groupBy("doc_a", "doc_b", "n_a", "n_b") // n_* functionally determined by doc_*
+      .agg(count(lit(1)).cast("bigint").as("n_common"))
   }
 
   /** Candidate near-duplicate pairs via MinHash + LSH banding,

@@ -470,6 +470,25 @@ object TextQueries {
       |  SELECT reach.id, e.d FROM reach JOIN edges e ON e.s = reach.r)
       |SELECT id AS doc_id, MIN(r) AS component FROM reach GROUP BY id""".stripMargin
 
+  // ---- text_overlap_spans: substring-level copied-span detection —
+  //      doc pairs sharing >= 3 distinct 8-token windows (long enough
+  //      that a shared window is evidence of copying, not diffuse
+  //      similarity). Oracle: DuckDB rebuilds the 8-gram windows as
+  //      strings and joins; the Spark side never materializes a
+  //      window string (8-byte hashes only). ----
+  val overlapSpans: Q = (s, d) =>
+    Dedup.overlapSpans(documents(s, d), "doc_id", "text",
+      windowTokens = 8, minShared = 3)
+
+  val overlapSpansOracle: String =
+    """WITH docs AS (SELECT doc_id, regexp_split_to_array(trim(text), '\s+') toks FROM documents),
+      |w AS (SELECT doc_id, list_distinct([list_aggregate(toks[i:i+7], 'string_agg', ' ')
+      |                                    for i in range(1, len(toks)-6)]) g FROM docs),
+      |ex AS (SELECT doc_id, unnest(g) s FROM w),
+      |cnt AS (SELECT a.doc_id doc_a, b.doc_id doc_b, CAST(count(*) AS BIGINT) n_shared_windows
+      |        FROM ex a JOIN ex b ON a.s = b.s AND a.doc_id < b.doc_id GROUP BY 1, 2)
+      |SELECT doc_a, doc_b, n_shared_windows FROM cnt WHERE n_shared_windows >= 3""".stripMargin
+
   // ---- text_split_leakfree: component-aware train/val/test split —
   //      near-duplicate components are assigned to a split ATOMICALLY
   //      (split key = component representative, md5-bucketed), so the
@@ -971,6 +990,7 @@ object TextQueries {
     "text_top_ngrams" -> topNgrams,
     "dedup_components" -> dedupComponents,
     "text_split_leakfree" -> splitLeakFree,
+    "text_overlap_spans" -> overlapSpans,
     "dedup_drop_neardups" -> dedupDrop,
     "q26_funnel" -> funnel,
     "q_stream_window" -> streamWindow,
@@ -1005,6 +1025,7 @@ object TextQueries {
     "text_top_ngrams" -> topNgramsOracle,
     "dedup_components" -> dedupComponentsOracle,
     "text_split_leakfree" -> splitLeakFreeOracle,
+    "text_overlap_spans" -> overlapSpansOracle,
     "dedup_drop_neardups" -> dedupDropOracle,
     "q26_funnel" -> funnelOracle,
     "q_stream_window" -> streamWindowOracle,

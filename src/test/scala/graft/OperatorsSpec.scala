@@ -891,6 +891,31 @@ class OperatorsSpec extends AnyFunSuite {
       "over-cap clusters must be skipped, not deduped")
   }
 
+  test("overlap spans: copied span found between docs Jaccard calls dissimilar") {
+    // two long, otherwise-unrelated docs sharing one 12-token span:
+    // whole-doc 3-gram Jaccard is far below any dedup threshold, but
+    // the span yields exactly (12 - 8 + 1) = 5 shared 8-token windows
+    val span = (1 to 12).map(i => s"copied$i").mkString(" ")
+    def filler(p: String) = (1 to 80).map(i => s"$p$i").mkString(" ")
+    val docs = Seq(
+      (1L, filler("alpha") + " " + span + " " + filler("omega")),
+      (2L, filler("beta") + " " + span + " " + filler("gamma")),
+      (3L, filler("delta"))
+    ).toDF("doc_id", "text")
+    val spans = graft.operators.Dedup
+      .overlapSpans(docs, "doc_id", "text", windowTokens = 8, minShared = 1)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    assert(spans.toSeq == Seq((1L, 2L, 5L)), spans.mkString(","))
+    // the same pair is invisible to whole-doc near-dup similarity
+    val jac = graft.operators.Dedup
+      .ngramJaccard(docs, "doc_id", "text", threshold = 0.3)
+    assert(jac.count() == 0, "jaccard should not fire on a 12-token span")
+    // minShared filters: demanding more windows than the span yields drops it
+    assert(graft.operators.Dedup
+      .overlapSpans(docs, "doc_id", "text", windowTokens = 8, minShared = 6)
+      .count() == 0)
+  }
+
   test("leak-free split: no near-dup pair straddles splits; ratios sane; deterministic") {
     val sf = "/root/testdata/sf0.001"
     val docs = graft.sources.TableCatalog.documents(spark, sf)
