@@ -12,6 +12,7 @@ import org.apache.spark.sql.functions.call_function
 object GraftFunctions {
 
   val CosineName = "graft_cosine"
+  val DotName = "graft_dot"
   val MinHashName = "graft_minhash"
   val SimHashName = "graft_simhash"
   val ShingleName = "graft_shingles"
@@ -53,6 +54,7 @@ object GraftFunctions {
 
   private def builders: Seq[(String, Seq[Expression] => Expression)] = Seq(
     CosineName -> (exprs => CosineSimilarity(exprs(0), exprs(1))),
+    DotName -> (exprs => DotProduct(exprs(0), exprs(1))),
     MinHashName -> (minhashBuilder _),
     SimHashName -> (exprs => SimHashSig(exprs(0))),
     ShingleName -> (shingleBuilder _),
@@ -68,6 +70,9 @@ object GraftFunctions {
 
   /** Column-API handle (requires `register(spark)` on the session). */
   def cosineFast(a: Column, b: Column): Column = call_function(CosineName, a, b)
+
+  /** Raw inner product (see [[DotProduct]]). */
+  def dotFast(a: Column, b: Column): Column = call_function(DotName, a, b)
 
   /** Codegen'd MinHash signature (requires `register(spark)`). */
   def minhashFast(shingles: Column, numHashes: Int): Column =
@@ -105,6 +110,8 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
         new ExpressionInfo(clazz.getName, name), builder))
     inject(GraftFunctions.CosineName, classOf[CosineSimilarity],
       exprs => CosineSimilarity(exprs(0), exprs(1)))
+    inject(GraftFunctions.DotName, classOf[DotProduct],
+      exprs => DotProduct(exprs(0), exprs(1)))
     inject(GraftFunctions.MinHashName, classOf[MinHashSig],
       GraftFunctions.minhashBuilderPublic)
     inject(GraftFunctions.SimHashName, classOf[SimHashSig],

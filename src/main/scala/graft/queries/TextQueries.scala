@@ -268,6 +268,23 @@ object TextQueries {
       e.filter(col("vec_id") < 20), "vec_id", "embedding", k = 5)
   }
 
+  // ---- ann_pq (rows-only): product-quantized corpus search — train
+  //      per-subspace codebooks once per JVM+SF, encode the corpus to
+  //      8 codes (8 bytes) per 64-dim vector, score queries against
+  //      the reconstruction (asymmetric). Recall vs exact brute force
+  //      is spec-measured. ----
+  private val builtPq =
+    new java.util.concurrent.ConcurrentHashMap[String, graft.operators.PqIndex.Model]()
+  val annPq: Q = (s, d) => {
+    val e = embeddings(s, d)
+    val model = builtPq.computeIfAbsent(d, _ =>
+      graft.operators.PqIndex.train(e, "vec_id", "embedding",
+        numSub = 8, codesPerSub = 64, iters = 3))
+    graft.operators.PqIndex.topK(
+      graft.operators.PqIndex.encode(e, "vec_id", "embedding", model),
+      e.filter(col("vec_id") < 20), "vec_id", "embedding", model, k = 5)
+  }
+
   val annIvf: Q = (s, d) => {
     val e = embeddings(s, d)
     val model = graft.operators.IvfIndex.train(e, "vec_id", "embedding",
@@ -981,6 +998,7 @@ object TextQueries {
     "dedup_semantic_report" -> dedupSemanticReport,
     "ann_topk" -> annTopK,
     "ann_quantized" -> annQuantized,
+    "ann_pq" -> annPq,
     "ann_lsh" -> annLsh,
     "ann_ivf" -> annIvf,
     "ann_ivf_indexed" -> annIvfIndexed,

@@ -104,7 +104,7 @@ class PlanShapeSpec extends AnyFunSuite {
   }
 
   test("ANN top-k paths: heap exec with map-side partial, no Window, no Sort") {
-    Seq("ann_topk", "ann_lsh", "ann_ivf", "ann_ivf_indexed").foreach { q =>
+    Seq("ann_topk", "ann_lsh", "ann_ivf", "ann_ivf_indexed", "ann_pq").foreach { q =>
       val p = plan(q)
       assert(!p.contains("Window"), s"$q regressed to a window top-k:\n$p")
       assert(sorts(p) == 0, s"$q sorts candidates:\n$p")

@@ -189,4 +189,63 @@ class SessionizeIvfSpec extends AnyFunSuite {
     val recall = ivf.count(brute.contains).toDouble / brute.size
     assert(recall >= 0.4, s"IVF recall too low: $recall")
   }
+
+  test("PQ ANN: codes are numSub bytes; exact on a codebook-sized corpus; recall on real one") {
+    import graft.operators.PqIndex
+    // a corpus with <= codesPerSub distinct subvector patterns per
+    // subspace is representable EXACTLY: every vector reconstructs to
+    // itself, so PQ top-k must equal brute-force top-k bit-for-bit
+    val dims = 8
+    def vec(group: Int, member: Int): Array[Float] = {
+      val v = Array.fill(dims)(0.1f)
+      v(group * 2) = 1.0f + 0.25f * member
+      v
+    }
+    val rows = for (g <- 0 until 4; m <- 0 until 4)
+      yield (g * 10L + m, vec(g, m))
+    val tiny = rows.toDF("vec_id", "embedding")
+    val tinyModel = PqIndex.train(tiny, "vec_id", "embedding",
+      numSub = 4, codesPerSub = 16, iters = 3)
+    val enc = PqIndex.encode(tiny, "vec_id", "embedding", tinyModel)
+    // stored form: numSub tinyint codes per vector
+    assert(enc.schema("codes").dataType ==
+      org.apache.spark.sql.types.ArrayType(org.apache.spark.sql.types.ByteType, false) ||
+      enc.schema("codes").dataType.simpleString.startsWith("array<tinyint>"),
+      enc.schema("codes").dataType.simpleString)
+    assert(enc.select(max(size(col("codes")))).head().getInt(0) == 4)
+    val q = tiny.filter($"vec_id" < 10)
+    val pq = PqIndex.topK(enc, q, "vec_id", "embedding", tinyModel, k = 3)
+      .select("query_id", "base_id").as[(Long, Long)].collect().toSet
+    val bf = Similarity.bruteForceTopK(tiny, q, "vec_id", "embedding", k = 3)
+      .select("query_id", "base_id").as[(Long, Long)].collect().toSet
+    assert(pq == bf, s"exactly-representable corpus must match brute force: $pq vs $bf")
+
+    // real corpus: 32x compression (64 floats -> 8 bytes) still
+    // recovers a usable fraction of the true top-5
+    val e = spark.read.parquet(s"$sfDir/embeddings.parquet")
+    val queries = e.filter($"vec_id" < 5)
+    val model = PqIndex.train(e, "vec_id", "embedding",
+      numSub = 8, codesPerSub = 64, iters = 3)
+    assert(model.codebooks.size == 8 && model.subDim == 8)
+    val encoded = PqIndex.encode(e, "vec_id", "embedding", model)
+    val got = PqIndex.topK(encoded, queries, "vec_id", "embedding", model, k = 5)
+      .select("query_id", "base_id").as[(Long, Long)].collect()
+    assert(got.groupBy(_._1).forall(_._2.length <= 5))
+    val brute = Similarity.bruteForceTopK(e, queries, "vec_id", "embedding", k = 5)
+      .select("query_id", "base_id").as[(Long, Long)].collect().toSet
+    // near-random synthetic vectors are PQ's worst case (neighbors
+    // separated by ~0.05 cosine, quantization noise comparable);
+    // 0.25+ is ~100x over the 5/2000 chance floor
+    val recall = got.count(brute.contains).toDouble / brute.size
+    assert(recall >= 0.25, s"PQ recall too low: $recall")
+
+    // persisted model round-trips and searches identically
+    val dir = java.nio.file.Files.createTempDirectory("pq_model").toString
+    PqIndex.saveModel(spark, model, dir)
+    val loaded = PqIndex.loadModel(spark, dir)
+    assert(loaded == model)
+    val again = PqIndex.topK(encoded, queries, "vec_id", "embedding", loaded, k = 5)
+      .select("query_id", "base_id").as[(Long, Long)].collect().toSet
+    assert(again == got.toSet)
+  }
 }
