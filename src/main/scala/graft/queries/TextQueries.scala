@@ -268,21 +268,30 @@ object TextQueries {
       e.filter(col("vec_id") < 20), "vec_id", "embedding", k = 5)
   }
 
-  // ---- ann_pq (rows-only): product-quantized corpus search — train
-  //      per-subspace codebooks once per JVM+SF, encode the corpus to
-  //      8 codes (8 bytes) per 64-dim vector, score queries against
-  //      the reconstruction (asymmetric). Recall vs exact brute force
-  //      is spec-measured. ----
+  // ---- ann_pq (rows-only): product-quantized corpus search in the
+  //      build-once/search-many production shape (the ann_ivf_indexed
+  //      convention): per JVM+SF, train the codebooks, persist them,
+  //      and write the encoded corpus (8 tinyint codes per vector —
+  //      32x fewer scan bytes) ONCE; the timed cost is the search
+  //      over the compressed codes. Recall vs exact brute force is
+  //      spec-measured. ----
   private val builtPq =
-    new java.util.concurrent.ConcurrentHashMap[String, graft.operators.PqIndex.Model]()
+    new java.util.concurrent.ConcurrentHashMap[String, (String, graft.operators.PqIndex.Model)]()
   val annPq: Q = (s, d) => {
-    val e = embeddings(s, d)
-    val model = builtPq.computeIfAbsent(d, _ =>
-      graft.operators.PqIndex.train(e, "vec_id", "embedding",
-        numSub = 8, codesPerSub = 64, iters = 3))
-    graft.operators.PqIndex.topK(
-      graft.operators.PqIndex.encode(e, "vec_id", "embedding", model),
-      e.filter(col("vec_id") < 20), "vec_id", "embedding", model, k = 5)
+    val (dir, model) = builtPq.computeIfAbsent(d, _ => {
+      val e = embeddings(s, d)
+      val m = graft.operators.PqIndex.train(e, "vec_id", "embedding",
+        numSub = 8, codesPerSub = 64, iters = 3)
+      val out = new java.io.File(sys.props("java.io.tmpdir"),
+        "graft-pq-" + d.replaceAll("[^A-Za-z0-9._-]", "_")).getAbsolutePath
+      graft.operators.PqIndex.saveModel(s, m, s"$out/model")
+      graft.operators.PqIndex.encode(e, "vec_id", "embedding", m)
+        .write.mode("overwrite").parquet(s"$out/codes")
+      (out, m)
+    })
+    graft.operators.PqIndex.topK(s.read.parquet(s"$dir/codes"),
+      embeddings(s, d).filter(col("vec_id") < 20),
+      "vec_id", "embedding", model, k = 5)
   }
 
   val annIvf: Q = (s, d) => {
