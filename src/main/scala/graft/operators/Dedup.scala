@@ -86,6 +86,33 @@ object Dedup {
       .select(col("doc_a"), col("doc_b"),
         col("n_common").as("n_shared_windows"))
 
+  /** Cross-SOURCE contamination matrix: for every (source, source)
+    * pair, how many document pairs share at least one
+    * `windowTokens`-token window, and how many distinct windows they
+    * share in total — the dataset-governance rollup of
+    * [[overlapSpans]] (which web dump leaked into which curated set;
+    * how much boilerplate two crawls share). Symmetric: sources are
+    * ordered within each pair, and same-source overlap is reported on
+    * the diagonal. Scale shape is the pair core's; the rollup itself
+    * is one aggregation over the (already bounded) pair table.
+    */
+  def sourceOverlapMatrix(df: DataFrame, idCol: String, textCol: String,
+                          sourceCol: String, windowTokens: Int = 8,
+                          maxWindowPosting: Int = 1000): DataFrame = {
+    val pairs = sharedWindowCounts(df, idCol, textCol, windowTokens,
+      maxWindowPosting)
+    val src = df.select(col(idCol), col(sourceCol))
+    pairs
+      .join(src.select(col(idCol).as("doc_a"), col(sourceCol).as("__sa")), "doc_a")
+      .join(src.select(col(idCol).as("doc_b"), col(sourceCol).as("__sb")), "doc_b")
+      .select(least(col("__sa"), col("__sb")).as("source_a"),
+        greatest(col("__sa"), col("__sb")).as("source_b"),
+        col("n_common"))
+      .groupBy("source_a", "source_b")
+      .agg(count(lit(1)).cast("bigint").as("n_doc_pairs"),
+        sum(col("n_common")).cast("bigint").as("n_shared_windows"))
+  }
+
   /** Shared pair-counting core: (doc_a, doc_b, n_a, n_b, n_common)
     * where n_common = distinct n-token windows the pair shares.
     *

@@ -515,6 +515,30 @@ object TextQueries {
       |        FROM ex a JOIN ex b ON a.s = b.s AND a.doc_id < b.doc_id GROUP BY 1, 2)
       |SELECT doc_a, doc_b, n_shared_windows FROM cnt WHERE n_shared_windows >= 3""".stripMargin
 
+  // ---- text_source_overlap: the governance rollup of overlap_spans —
+  //      per source pair, how many doc pairs share an 8-token window
+  //      and the total distinct shared windows (which source leaked
+  //      into which). Oracle: the 8-gram join + a source rollup. ----
+  val sourceOverlap: Q = (s, d) =>
+    Dedup.sourceOverlapMatrix(documents(s, d), "doc_id", "text", "source",
+      windowTokens = 8)
+
+  val sourceOverlapOracle: String =
+    """WITH docs AS (SELECT doc_id, regexp_split_to_array(trim(text), '\s+') toks FROM documents),
+      |w AS (SELECT doc_id, list_distinct([list_aggregate(toks[i:i+7], 'string_agg', ' ')
+      |                                    for i in range(1, len(toks)-6)]) g FROM docs),
+      |ex AS (SELECT doc_id, unnest(g) s FROM w),
+      |cnt AS (SELECT a.doc_id doc_a, b.doc_id doc_b, CAST(count(*) AS BIGINT) n_common
+      |        FROM ex a JOIN ex b ON a.s = b.s AND a.doc_id < b.doc_id GROUP BY 1, 2),
+      |m AS (SELECT least(da.source, db.source) AS source_a,
+      |             greatest(da.source, db.source) AS source_b, n_common
+      |      FROM cnt JOIN documents da ON da.doc_id = cnt.doc_a
+      |               JOIN documents db ON db.doc_id = cnt.doc_b)
+      |SELECT source_a, source_b,
+      |  CAST(count(*) AS BIGINT) AS n_doc_pairs,
+      |  CAST(sum(n_common) AS BIGINT) AS n_shared_windows
+      |FROM m GROUP BY 1, 2""".stripMargin
+
   // ---- text_split_leakfree: component-aware train/val/test split —
   //      near-duplicate components are assigned to a split ATOMICALLY
   //      (split key = component representative, md5-bucketed), so the
@@ -1018,6 +1042,7 @@ object TextQueries {
     "dedup_components" -> dedupComponents,
     "text_split_leakfree" -> splitLeakFree,
     "text_overlap_spans" -> overlapSpans,
+    "text_source_overlap" -> sourceOverlap,
     "dedup_drop_neardups" -> dedupDrop,
     "q26_funnel" -> funnel,
     "q_stream_window" -> streamWindow,
@@ -1053,6 +1078,7 @@ object TextQueries {
     "dedup_components" -> dedupComponentsOracle,
     "text_split_leakfree" -> splitLeakFreeOracle,
     "text_overlap_spans" -> overlapSpansOracle,
+    "text_source_overlap" -> sourceOverlapOracle,
     "dedup_drop_neardups" -> dedupDropOracle,
     "q26_funnel" -> funnelOracle,
     "q_stream_window" -> streamWindowOracle,

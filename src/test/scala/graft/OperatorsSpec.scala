@@ -916,6 +916,22 @@ class OperatorsSpec extends AnyFunSuite {
       .count() == 0)
   }
 
+  test("source overlap matrix: cross-source copied span attributed to the right pair") {
+    val span = (1 to 12).map(i => s"copied$i").mkString(" ")
+    def filler(p: String) = (1 to 80).map(i => s"$p$i").mkString(" ")
+    val docs = Seq(
+      (1L, filler("alpha") + " " + span + " " + filler("omega"), "crawl"),
+      (2L, filler("beta") + " " + span + " " + filler("gamma"), "curated"),
+      (3L, filler("delta"), "crawl")
+    ).toDF("doc_id", "text", "source")
+    val m = graft.operators.Dedup
+      .sourceOverlapMatrix(docs, "doc_id", "text", "source", windowTokens = 8)
+      .collect().map(r => (r.getString(0), r.getString(1), r.getLong(2), r.getLong(3)))
+    // one cross-source pair, 5 shared windows, sources ordered; no
+    // same-source rows because doc 3 shares nothing
+    assert(m.toSeq == Seq(("crawl", "curated", 1L, 5L)), m.mkString(","))
+  }
+
   test("leak-free split: no near-dup pair straddles splits; ratios sane; deterministic") {
     val sf = "/root/testdata/sf0.001"
     val docs = graft.sources.TableCatalog.documents(spark, sf)
