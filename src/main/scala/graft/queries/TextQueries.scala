@@ -1008,7 +1008,42 @@ object TextQueries {
     graft.operators.Sampling.weightedSample(
       documents(s, d), "doc_id", "n_chars", k = 60)
 
+  // ---- text_heavy_hitters: WHICH tokens are frequent, recovered
+  //      from mergeable frequent-items sketches (Datasketches
+  //      Misra-Gries) — the skew detector / hot-token monitor next
+  //      to q45 (HLL: how many distinct) and q48 (CMS: how often is
+  //      key X). Shape at 100 TB: per-source leaf sketches are the
+  //      stored pre-aggregation (one pass over raw tokens, hash
+  //      partial+final), the corpus answer is sketch UNION — never a
+  //      rescan, state O(sources × maxMapSize). The test corpus's
+  //      vocabulary is far below the sketch's counter budget, so the
+  //      sketch runs in its exact (never-purged) regime and the
+  //      top-k is fully oracle-checkable; the purge-regime
+  //      approximation guarantees (bounds contain truth, no false
+  //      negatives above maxError) are spec-pinned on a Zipf corpus
+  //      whose vocab overflows the sketch 400x ----
+  val heavyHitters: Q = (s, d) => {
+    import graft.plans.Freq
+    val toks = documents(s, d).select(col("source"),
+      explode(split(col("text"), " ", -1)).as("tok"))
+    val perSource = toks.groupBy(col("source"))
+      .agg(Freq.sketch(col("tok")).as("sk"))
+    perSource.agg(Freq.union(col("sk")).as("sk"))
+      .select(explode(Freq.topItems(col("sk"), 20)).as("hh"))
+      .select(col("hh.item").as("token"),
+        col("hh.estimate").as("est_count"))
+  }
+
+  val heavyHittersOracle: String =
+    """WITH t AS (SELECT unnest(str_split(text, ' ')) AS token
+      |           FROM documents),
+      |c AS (SELECT token, CAST(count(*) AS BIGINT) AS est_count
+      |      FROM t GROUP BY 1)
+      |SELECT token, est_count FROM c
+      |ORDER BY est_count DESC, token LIMIT 20""".stripMargin
+
   val queries: Map[String, Q] = Map(
+    "text_heavy_hitters" -> heavyHitters,
     "text_sample_weighted" -> textSampleWeighted,
     "text_hof_stats" -> textHofStats,
     "text_compress_ratio" -> textCompressRatio,
@@ -1061,6 +1096,7 @@ object TextQueries {
     "multimodal_phash_dedup" -> phashDedup)
 
   val oracles: Map[String, String] = Map(
+    "text_heavy_hitters" -> heavyHittersOracle,
     "text_hof_stats" -> textHofStatsOracle,
     "text_chunk" -> textChunkOracle,
     "text_tfidf" -> tfidfOracle,

@@ -737,6 +737,81 @@ class OperatorsSpec extends AnyFunSuite {
     assert(empty.length == 1 && empty(0).isNullAt(0))
   }
 
+  test("frequent-items sketch: purge-regime bounds contain truth, heavy items never missed") {
+    import graft.plans.Freq
+    // 10 heavy items (1000 occurrences each) in a 40k-item unit tail:
+    // vocab 40010 vs ~768 counters at maxMapSize=1024 — the sketch
+    // purges constantly. maxError <= 3.5*50000/1024 ~ 171 < 1000, so
+    // NO_FALSE_NEGATIVES guarantees every heavy item is returned.
+    val rows = (1 to 10).flatMap(i => Seq.fill(1000)(s"h$i")) ++
+      (1 to 40000).map(i => s"t$i")
+    val df = rows.toDF("tok").repartition(8)
+    val got = df.agg(Freq.sketch(col("tok"), 1024).as("sk"))
+      .select(explode(Freq.topItems(col("sk"), 50)).as("r"))
+      .select(col("r.item"), col("r.estimate"), col("r.lower"), col("r.upper"))
+      .as[(String, Long, Long, Long)].collect()
+    val exact = rows.groupBy(identity).view.mapValues(_.size.toLong).toMap
+    assert(got.nonEmpty)
+    got.foreach { case (item, est, lo, hi) =>
+      val truth = exact(item)
+      assert(lo <= truth && truth <= hi, s"$item: true $truth outside [$lo,$hi]")
+      assert(lo <= est && est <= hi, s"$item: est $est outside [$lo,$hi]")
+    }
+    val returned = got.map(_._1).toSet
+    (1 to 10).foreach { i =>
+      assert(returned.contains(s"h$i"), s"heavy item h$i missed: $returned")
+    }
+    // two-level rollup (per-partition-group sketches, then union)
+    // preserves the same guarantees — the 100 TB storage shape
+    val merged = df.withColumn("g", (crc32(col("tok")) % 4).cast("int"))
+      .groupBy(col("g")).agg(Freq.sketch(col("tok"), 1024).as("sk"))
+      .agg(Freq.union(col("sk"), 1024).as("sk"))
+      .select(explode(Freq.topItems(col("sk"), 50)).as("r"))
+      .select(col("r.item"), col("r.lower"), col("r.upper"))
+      .as[(String, Long, Long)].collect()
+    val mergedSet = merged.map(_._1).toSet
+    (1 to 10).foreach { i =>
+      assert(mergedSet.contains(s"h$i"), s"union missed h$i")
+    }
+    merged.foreach { case (item, lo, hi) =>
+      val truth = exact(item)
+      assert(lo <= truth && truth <= hi, s"union $item: $truth outside [$lo,$hi]")
+    }
+  }
+
+  test("frequent-items sketch: exact regime (vocab under counter budget) is exact") {
+    import graft.plans.Freq
+    val rows = (0 until 5000).map(i => s"w${i % 20}")
+    val df = rows.toDF("tok").repartition(4)
+    val exact = rows.groupBy(identity).view.mapValues(_.size.toLong).toMap
+    val got = df.agg(Freq.sketch(col("tok")).as("sk"))
+      .select(explode(Freq.topItems(col("sk"), 20)).as("r"))
+      .select(col("r.item"), col("r.estimate"), col("r.lower"), col("r.upper"))
+      .as[(String, Long, Long, Long)].collect()
+    assert(got.length == 20)
+    got.foreach { case (item, est, lo, hi) =>
+      assert(est == exact(item) && lo == est && hi == est,
+        s"$item: ($est,$lo,$hi) vs exact ${exact(item)}")
+    }
+    // point probe agrees; absent item probes to zero
+    val probes = df.agg(Freq.sketch(col("tok")).as("sk"))
+      .select(Freq.estimate(col("sk"), lit("w7")).as("p"),
+        Freq.estimate(col("sk"), lit("absent")).as("a"))
+      .as[(Long, Long)].head()
+    assert(probes._1 == exact("w7") && probes._2 == 0L)
+  }
+
+  test("text_heavy_hitters: top-20 equals exact token counts (exact regime)") {
+    val got = graft.queries.TextQueries.heavyHitters(spark, sfDir)
+      .as[(String, Long)].collect().toSeq
+    val exact = docs
+      .select(explode(split(col("text"), " ", -1)).as("tok"))
+      .groupBy("tok").count()
+      .orderBy(col("count").desc, col("tok"))
+      .limit(20).as[(String, Long)].collect().toSeq
+    assert(got.sortBy(r => (-r._2, r._1)) == exact, s"got $got vs $exact")
+  }
+
   test("GK union rejects mixed-eps sketches; same-eps union still merges") {
     val a = Seq.tabulate(100)(i => ("g", i.toDouble)).toDF("k", "x")
       .groupBy(col("k")).agg(graft.plans.Gk.sketch(col("x"), 0.01).as("sk"))

@@ -173,6 +173,34 @@ class StreamSketchSpec extends AnyFunSuite {
     assert(sum1 == sum0)
   }
 
+  test("frequent-items plug-in: streaming heavy-hitter state == one-shot (exact regime)") {
+    import graft.plans.Freq
+    val root = tmp()
+    val batches = (0 until 4).map { i =>
+      (0 until 200).map(j => ("g" + (j % 2), "w" + (i * 7 + j) % 13))
+        .toDF("k", "v")
+    }
+    batches.zipWithIndex.foreach { case (b, i) =>
+      StreamSketch.applyBatch(spark, b, root, i, Seq("k"), col("v"),
+        build = Freq.sketch(_), union = Freq.union(_), consolidateEvery = 2)
+    }
+    val items = (0 until 13).map("w" + _)
+    val got = StreamSketch.estimates(spark, root, Seq("k"),
+        items.toDF("item"), "item",
+        union = Freq.union(_), estimate = Freq.estimate(_, _))
+      .as[(String, String, Long)].collect()
+      .map(r => (r._1, r._2) -> r._3).toMap
+    val oneShot = batches.reduce(_ union _)
+      .groupBy("k").agg(Freq.sketch(col("v")).as("sk"))
+      .crossJoin(broadcast(items.toDF("item")))
+      .select(col("k"), col("item"), Freq.estimate(col("sk"), col("item")))
+      .as[(String, String, Long)].collect()
+      .map(r => (r._1, r._2) -> r._3).toMap
+    // 13-item vocab never purges: streaming rollup is exactly the
+    // one-shot, which is exactly the true counts
+    assert(got == oneShot && got.values.sum == 800)
+  }
+
   test("sketch family is pluggable: HLL distinct-count rollup == one-shot") {
     val root = tmp()
     val batches = (0 until 4).map { i =>
