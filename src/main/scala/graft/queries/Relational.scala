@@ -1092,6 +1092,57 @@ object Relational {
     """SELECT o_orderkey, o_totalprice
       |FROM orders ORDER BY o_totalprice DESC, o_orderkey""".stripMargin
 
+  // ---- q58: theta sketch SET ALGEBRA — distinct counting with
+  //      intersection/difference, the question HLL union cannot
+  //      answer: "customers active in BOTH halves of 1995" (retention)
+  //      and "active in H1 but not H2" (churn), computed from
+  //      model-sized per-month sketches. Shape at 100 TB: per-month
+  //      leaf sketches are the stored pre-aggregation (one scan over
+  //      orders ever); each half is a sketch UNION of its months, and
+  //      both/only/total compose serialized binaries on rollup-level
+  //      rows. At the test SFs the distinct count sits under the
+  //      sketch's nominal-entries budget, so it runs exact (theta=1)
+  //      and the whole row is oracle-checkable; the sampling-regime
+  //      error bounds are spec-pinned with a deliberately small
+  //      budget ----
+  val q58ThetaSetops: Q = (s, d) => {
+    import graft.plans.Theta
+    val o = orders(s, d)
+      .where(year(col("o_orderdate")) === 1995)
+      .select(col("o_custkey"), month(col("o_orderdate")).as("m"))
+    val perMonth = o.groupBy(col("m"))
+      .agg(Theta.sketch(col("o_custkey")).as("sk"))
+    val halves = perMonth
+      .groupBy((col("m") <= 6).as("h1"))
+      .agg(Theta.union(col("sk")).as("sk"))
+    val a = halves.where(col("h1")).select(col("sk").as("sk_a"))
+    val b = halves.where(!col("h1")).select(col("sk").as("sk_b"))
+    val u = halves.agg(Theta.union(col("sk")).as("sk_u"))
+    a.crossJoin(b).crossJoin(u).select(
+      Theta.estimate(col("sk_a")).as("n_h1"),
+      Theta.estimate(col("sk_b")).as("n_h2"),
+      Theta.estimate(Theta.intersect(col("sk_a"), col("sk_b")))
+        .as("n_both"),
+      Theta.estimate(Theta.aNotB(col("sk_a"), col("sk_b")))
+        .as("n_h1_only"),
+      Theta.estimate(col("sk_u")).as("n_total"))
+  }
+
+  val q58Oracle: String =
+    """WITH o AS (SELECT o_custkey, month(o_orderdate) AS m
+      |           FROM orders WHERE year(o_orderdate) = 1995),
+      |h1 AS (SELECT DISTINCT o_custkey FROM o WHERE m <= 6),
+      |h2 AS (SELECT DISTINCT o_custkey FROM o WHERE m > 6)
+      |SELECT
+      |  CAST((SELECT count(*) FROM h1) AS BIGINT) AS n_h1,
+      |  CAST((SELECT count(*) FROM h2) AS BIGINT) AS n_h2,
+      |  CAST((SELECT count(*) FROM (SELECT * FROM h1
+      |    INTERSECT SELECT * FROM h2)) AS BIGINT) AS n_both,
+      |  CAST((SELECT count(*) FROM (SELECT * FROM h1
+      |    EXCEPT SELECT * FROM h2)) AS BIGINT) AS n_h1_only,
+      |  CAST((SELECT count(DISTINCT o_custkey) FROM o) AS BIGINT)
+      |    AS n_total""".stripMargin
+
   // ---- q50: MERGEABLE quantile sketches (Greenwald–Khanna) — the
   //      third sketch family next to q45 (distinct/HLL) and q48
   //      (frequency/CMS): per-nation GK summaries are the stored
@@ -1419,7 +1470,8 @@ object Relational {
     "q53_scd2" -> q53Scd2,
     "q54_hierarchy" -> q54Hierarchy,
     "q55_modern_aggs" -> q55ModernAggs,
-    "q56_bucketed_join" -> q56BucketedJoin)
+    "q56_bucketed_join" -> q56BucketedJoin,
+    "q58_theta_setops" -> q58ThetaSetops)
 
   val oracles: Map[String, String] = Map(
     "q41_unpivot" -> q41Oracle,
@@ -1470,5 +1522,6 @@ object Relational {
     "q53_scd2" -> q53Oracle,
     "q54_hierarchy" -> q54Oracle,
     "q55_modern_aggs" -> q55Oracle,
-    "q56_bucketed_join" -> q56Oracle)
+    "q56_bucketed_join" -> q56Oracle,
+    "q58_theta_setops" -> q58Oracle)
 }

@@ -812,6 +812,62 @@ class OperatorsSpec extends AnyFunSuite {
     assert(got.sortBy(r => (-r._2, r._1)) == exact, s"got $got vs $exact")
   }
 
+  test("theta set-ops: sampling-regime estimates carry truth inside published bounds") {
+    import graft.plans.Theta
+    // 50k distinct per side, 25k overlap, nominal entries 512: both
+    // sketches sample hard (theta << 1). Bounds are 2-standard-
+    // deviation and datasketches hashing is seed-fixed, so the
+    // assertion is deterministic.
+    val k = 512
+    val a = (0L until 50000L).toDF("v").repartition(8)
+      .agg(Theta.sketch(col("v"), k).as("sk"))
+    val b = (25000L until 75000L).toDF("v").repartition(8)
+      .agg(Theta.sketch(col("v"), k).as("sk"))
+    val row = a.select(col("sk").as("sk_a"))
+      .crossJoin(b.select(col("sk").as("sk_b")))
+      .select(
+        Theta.estimate(col("sk_a")).as("e_a"),
+        Theta.bounds(col("sk_a")).as("b_a"),
+        Theta.estimate(Theta.intersect(col("sk_a"), col("sk_b"))).as("e_i"),
+        Theta.bounds(Theta.intersect(col("sk_a"), col("sk_b"))).as("b_i"),
+        Theta.estimate(Theta.aNotB(col("sk_a"), col("sk_b"))).as("e_d"),
+        Theta.bounds(Theta.aNotB(col("sk_a"), col("sk_b"))).as("b_d"))
+      .as[(Long, (Long, Long), Long, (Long, Long), Long, (Long, Long))]
+      .head()
+    def check(name: String, exact: Long, est: Long, bounds: (Long, Long)): Unit = {
+      assert(bounds._1 <= exact && exact <= bounds._2,
+        s"$name: exact $exact outside [${bounds._1},${bounds._2}] (est $est)")
+      assert(bounds._1 <= est && est <= bounds._2,
+        s"$name: est $est outside its own bounds")
+    }
+    check("A", 50000L, row._1, row._2)
+    check("A∩B", 25000L, row._3, row._4)
+    check("A\\B", 25000L, row._5, row._6)
+    // disjoint sets: intersection is empty, exactly
+    val c = (100000L until 101000L).toDF("v")
+      .agg(Theta.sketch(col("v"), k).as("sk"))
+    val none = a.select(col("sk").as("sk_a"))
+      .crossJoin(c.select(col("sk").as("sk_c")))
+      .select(Theta.estimate(Theta.intersect(col("sk_a"), col("sk_c"))))
+      .as[Long].head()
+    assert(none == 0L)
+  }
+
+  test("q58_theta_setops: exact-regime row equals exact distinct set algebra") {
+    val got = graft.queries.Relational.q58ThetaSetops(spark, sfDir)
+      .as[(Long, Long, Long, Long, Long)].head()
+    val o = spark.read.parquet(s"$sfDir/orders.parquet")
+      .where(year(col("o_orderdate")) === 1995)
+      .select(col("o_custkey"), (month(col("o_orderdate")) <= 6).as("h1"))
+    val h1 = o.where(col("h1")).select("o_custkey").distinct()
+      .as[Long].collect().toSet
+    val h2 = o.where(!col("h1")).select("o_custkey").distinct()
+      .as[Long].collect().toSet
+    assert(got == ((h1.size.toLong, h2.size.toLong,
+      (h1 & h2).size.toLong, (h1 -- h2).size.toLong,
+      (h1 | h2).size.toLong)), s"got $got")
+  }
+
   test("GK union rejects mixed-eps sketches; same-eps union still merges") {
     val a = Seq.tabulate(100)(i => ("g", i.toDouble)).toDF("k", "x")
       .groupBy(col("k")).agg(graft.plans.Gk.sketch(col("x"), 0.01).as("sk"))
