@@ -1042,7 +1042,33 @@ object TextQueries {
       |SELECT token, est_count FROM c
       |ORDER BY est_count DESC, token LIMIT 20""".stripMargin
 
+  // ---- text_bpe: BPE tokenizer trained ON THIS CORPUS, then the
+  //      corpus tokenized with it — the tokenizer-construction step
+  //      of a training pipeline. Distributed part: ONE scan to the
+  //      word-frequency table (hash agg, map-side combined,
+  //      model-sized by Heaps' law); the merge loop runs driver-side
+  //      over that dictionary (the standard Sennrich et al. shape —
+  //      vocabulary entries, never data rows); tokenization is a
+  //      broadcast-model projection with a per-partition word memo.
+  //      Rows-only (no SQL engine trains BPE); hand-computed merges,
+  //      round-trip reconstruction, and determinism are spec-pinned
+  //      in BpeSpec ----
+  private val builtBpe =
+    new java.util.concurrent.ConcurrentHashMap[String, graft.operators.Bpe.Model]()
+
+  val bpeTokenize: Q = (s, d) => {
+    import graft.operators.Bpe
+    val model = builtBpe.computeIfAbsent(d,
+      dir => Bpe.train(documents(s, dir), "text", numMerges = 50))
+    Bpe.tokenize(documents(s, d), "doc_id", "text", model)
+      .select(col("doc_id"),
+        size(col("tokens")).cast("bigint").as("n_bpe_tokens"),
+        size(array_distinct(col("tokens"))).cast("bigint")
+          .as("n_unique_tokens"))
+  }
+
   val queries: Map[String, Q] = Map(
+    "text_bpe" -> bpeTokenize,
     "text_heavy_hitters" -> heavyHitters,
     "text_sample_weighted" -> textSampleWeighted,
     "text_hof_stats" -> textHofStats,
