@@ -1067,7 +1067,52 @@ object TextQueries {
           .as("n_unique_tokens"))
   }
 
+  // ---- text_importance: DSIR-style importance scores — every doc
+  //      scored by the log-likelihood ratio of a hashed-n-gram model
+  //      of the TARGET slice (lang='en') over the raw corpus. The
+  //      model is a B-bucket histogram pair computed in ONE scan
+  //      (conditional count), the weight table broadcasts, scoring
+  //      is a scan-side join + per-doc sum. Hashing is the portable
+  //      md5 bucket, so the whole thing is oracle-checked in DuckDB
+  //      — resampling proportionality is spec-pinned ----
+  val importanceScores: Q = (s, d) =>
+    graft.operators.Dsir.importanceScores(
+      documents(s, d), "doc_id", "text", col("lang") === "en")
+
+  val importanceOracle: String =
+    """WITH base AS (
+      |  SELECT doc_id, lang,
+      |    list_filter(regexp_split_to_array(text, '\s+'),
+      |                w -> length(w) > 0) AS toks
+      |  FROM documents
+      |),
+      |ng AS (
+      |  SELECT doc_id, lang, unnest(list_concat(toks,
+      |    list_transform(range(1, len(toks)),
+      |                   i -> toks[i] || ' ' || toks[i+1]))) AS g
+      |  FROM base
+      |),
+      |bk AS (
+      |  SELECT doc_id, lang,
+      |    ('0x' || substr(md5(g), 1, 8))::BIGINT % 4096 AS bucket
+      |  FROM ng
+      |),
+      |c AS (
+      |  SELECT bucket, CAST(count(*) AS DOUBLE) AS c_r,
+      |    CAST(count(*) FILTER (WHERE lang = 'en') AS DOUBLE) AS c_t
+      |  FROM bk GROUP BY 1
+      |),
+      |t AS (SELECT sum(c_r) AS n_r, sum(c_t) AS n_t FROM c),
+      |w AS (SELECT bucket,
+      |        LN((c_t + 1) / (n_t + 4096)) -
+      |        LN((c_r + 1) / (n_r + 4096)) AS w
+      |      FROM c CROSS JOIN t)
+      |SELECT doc_id, ROUND(SUM(w), 6) AS score
+      |FROM bk JOIN w USING (bucket)
+      |GROUP BY doc_id""".stripMargin
+
   val queries: Map[String, Q] = Map(
+    "text_importance" -> importanceScores,
     "text_bpe" -> bpeTokenize,
     "text_heavy_hitters" -> heavyHitters,
     "text_sample_weighted" -> textSampleWeighted,
@@ -1122,6 +1167,7 @@ object TextQueries {
     "multimodal_phash_dedup" -> phashDedup)
 
   val oracles: Map[String, String] = Map(
+    "text_importance" -> importanceOracle,
     "text_heavy_hitters" -> heavyHittersOracle,
     "text_hof_stats" -> textHofStatsOracle,
     "text_chunk" -> textChunkOracle,

@@ -86,4 +86,36 @@ class SamplingSpec extends AnyFunSuite {
       .select("id").as[Long].collect()
     assert(cleaned.forall(_ % 5 != 0))
   }
+
+  test("DSIR importance: target-slice docs score higher; resampling overselects them") {
+    import org.apache.spark.sql.functions._
+    import graft.operators.Dsir
+    val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    val scored = Dsir.importanceScores(docs, "doc_id", "text",
+      col("lang") === "en")
+    // weight model is bounded by the bucket count — broadcastable
+    val weights = Dsir.importanceWeights(docs, "doc_id", "text",
+      col("lang") === "en")
+    assert(weights.count() <= Dsir.DefaultBuckets)
+    val byLang = scored.join(docs.select("doc_id", "lang"), "doc_id")
+    val means = byLang.groupBy((col("lang") === "en").as("is_en"))
+      .agg(avg("score").as("m"))
+      .as[(Boolean, Double)].collect().toMap
+    assert(means(true) > means(false) + 0.5,
+      s"en mean ${means(true)} not separated from ${means(false)}")
+    // importance resampling: the en fraction among the selected k
+    // exceeds the corpus en fraction (scores -> exp weights)
+    val k = 50
+    val sel = Dsir.resample(byLang, "doc_id", k)
+    val selEn = sel.where(col("lang") === "en").count().toDouble / k
+    val corpusEn = docs.where(col("lang") === "en").count().toDouble /
+      docs.count()
+    assert(sel.count() == k)
+    assert(selEn > corpusEn + 0.1,
+      s"selected en fraction $selEn vs corpus $corpusEn")
+    // deterministic: same inputs, same selection
+    val again = Dsir.resample(byLang, "doc_id", k)
+      .select("doc_id").as[Long].collect().toSet
+    assert(again == sel.select("doc_id").as[Long].collect().toSet)
+  }
 }
