@@ -115,4 +115,52 @@ object Decontaminate {
       .select(col(idCol))
     corpus.join(dirty, Seq(idCol), "left_anti")
   }
+
+  /** SURGICAL decontamination: instead of dropping a contaminated
+    * document, remove exactly the token spans covered by a benchmark
+    * window and keep the remainder — the span-removal regime of Lee
+    * et al. 2022 applied to eval overlap, for documents that quote a
+    * benchmark but are otherwise good training text.
+    *
+    * Shape: positional window hashes ([[graft.plans.ShingleHashPos64]]
+    * — index = token offset) explode to (doc, offset, hash) postings;
+    * a broadcast probe-set join keeps only the HITS (rare at any
+    * scale — that is the premise of decontamination); hit offsets
+    * fold back per doc (model-sized lists) and a broadcast join
+    * returns them to the corpus scan, where higher-order functions
+    * drop the covered tokens. Every output row is rebuilt from one
+    * corpus scan + one scan over hit offsets; no text ever shuffles.
+    *
+    * Output: one row per corpus doc — the cleaned text (single-space
+    * rejoined), tokens removed, and tokens kept.
+    */
+  def surgical(corpus: DataFrame, probes: DataFrame, idCol: String,
+               textCol: String, n: Int = 8): DataFrame =
+    surgicalAgainst(corpus, probeSet(probes, textCol, n), idCol, textCol, n)
+
+  /** As [[surgical]], against a pre-computed [[probeSet]]. */
+  def surgicalAgainst(corpus: DataFrame, probeShingles: DataFrame,
+                      idCol: String, textCol: String, n: Int = 8): DataFrame = {
+    GraftFunctions.register(corpus.sparkSession)
+    // both sides index the SAME token sequence (empties filtered), so
+    // a window hit at offset p always covers kept-side tokens p..p+n-1
+    def toksOf = filter(wsTokens(col(textCol)), t => length(t) > 0)
+    val hits = corpus.select(col(idCol).as("__doc"),
+        posexplode(GraftFunctions.shinglePosFast(toksOf, n)))
+      .toDF("__doc", "__pos", "__sh")
+      .join(broadcast(probeShingles.select(col("sh").as("__sh"))), Seq("__sh"),
+        "left_semi")
+      .groupBy(col("__doc"))
+      .agg(collect_list(col("__pos")).as("__starts"))
+    val toks = toksOf
+    val starts = coalesce(col("__starts"), array().cast("array<int>"))
+    val kept = filter(toks, (t, i) =>
+      !exists(starts, p => i >= p && i < p + n))
+    corpus
+      .join(broadcast(hits), col(idCol) === col("__doc"), "left")
+      .select(col(idCol),
+        concat_ws(" ", kept).as("clean_text"),
+        (size(toks) - size(kept)).cast("bigint").as("n_tokens_removed"),
+        size(kept).cast("bigint").as("n_tokens_kept"))
+  }
 }

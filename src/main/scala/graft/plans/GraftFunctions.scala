@@ -16,6 +16,7 @@ object GraftFunctions {
   val MinHashName = "graft_minhash"
   val SimHashName = "graft_simhash"
   val ShingleName = "graft_shingles"
+  val ShinglePosName = "graft_shingles_pos"
   val ShingleLookupName = "graft_shingle_lookup"
 
   private def minhashBuilder(exprs: Seq[Expression]): Expression = {
@@ -34,6 +35,15 @@ object GraftFunctions {
         s"$ShingleName: n must be an integer literal, got $other")
     }
     ShingleHash64(exprs(0), n)
+  }
+
+  private def shinglePosBuilder(exprs: Seq[Expression]): Expression = {
+    val n = exprs(1) match {
+      case org.apache.spark.sql.catalyst.expressions.Literal(v: Int, _) => v
+      case other => throw new IllegalArgumentException(
+        s"$ShinglePosName: n must be an integer literal, got $other")
+    }
+    ShingleHashPos64(exprs(0), n)
   }
 
   private def lookupBuilder(exprs: Seq[Expression]): Expression = {
@@ -58,6 +68,7 @@ object GraftFunctions {
     MinHashName -> (minhashBuilder _),
     SimHashName -> (exprs => SimHashSig(exprs(0))),
     ShingleName -> (shingleBuilder _),
+    ShinglePosName -> (shinglePosBuilder _),
     ShingleLookupName -> (lookupBuilder _))
 
   /** Idempotently register the functions on a session. Operators call
@@ -84,6 +95,12 @@ object GraftFunctions {
   /** Codegen'd distinct n-gram shingle hashes (requires `register`). */
   def shingleFast(tokens: Column, n: Int): Column =
     call_function(ShingleName, tokens, org.apache.spark.sql.functions.lit(n))
+
+  /** Codegen'd POSITIONAL n-gram window hashes: element i hashes the
+    * window starting at token i (requires `register`).
+    */
+  def shinglePosFast(tokens: Column, n: Int): Column =
+    call_function(ShinglePosName, tokens, org.apache.spark.sql.functions.lit(n))
 
   /** Reverse lookup: strings of windows whose shingle hash is in
     * `wanted` (requires `register`). `wanted` is model-sized (a

@@ -1111,7 +1111,56 @@ object TextQueries {
       |FROM bk JOIN w USING (bucket)
       |GROUP BY doc_id""".stripMargin
 
+  // ---- text_decontaminate_surgical: span-level decontamination —
+  //      docs that QUOTE the src0 "benchmark" keep their clean
+  //      remainder instead of being dropped: positional 8-token
+  //      window hashes (codegen, index = token offset) meet the
+  //      broadcast probe set, hit offsets fold back per doc
+  //      (model-sized), and higher-order functions drop exactly the
+  //      covered tokens at the corpus scan. Oracle: DuckDB rebuilds
+  //      the windows as strings and recomputes the same surgery ----
+  val decontaminateSurgical: Q = (s, d) => {
+    val docs0 = documents(s, d)
+    graft.operators.Decontaminate.surgical(
+      docs0.filter(col("source") =!= "src0"),
+      docs0.filter(col("source") === "src0"), "doc_id", "text", n = 8)
+  }
+
+  val decontaminateSurgicalOracle: String =
+    """WITH corpus AS (
+      |  SELECT doc_id, list_filter(regexp_split_to_array(trim(text), '\s+'),
+      |                             t -> length(t) > 0) AS toks
+      |  FROM documents WHERE source <> 'src0'
+      |),
+      |pw AS (
+      |  SELECT DISTINCT unnest([list_aggregate(toks[i:i+7], 'string_agg', ' ')
+      |                          for i in range(1, len(toks) - 6)]) AS w
+      |  FROM (SELECT list_filter(regexp_split_to_array(trim(text), '\s+'),
+      |                           t -> length(t) > 0) AS toks
+      |        FROM documents WHERE source = 'src0')
+      |),
+      |cw AS (
+      |  SELECT doc_id,
+      |    unnest([{'i': i, 'w': list_aggregate(toks[i:i+7], 'string_agg', ' ')}
+      |            for i in range(1, len(toks) - 6)], recursive := false) AS r
+      |  FROM corpus
+      |),
+      |hits AS (SELECT doc_id, r.i AS i FROM cw JOIN pw ON r.w = pw.w),
+      |bad AS (SELECT doc_id,
+      |          list_distinct(flatten(list(range(i, i + 8)))) AS drop_idx
+      |        FROM hits GROUP BY 1)
+      |SELECT c.doc_id,
+      |  coalesce(array_to_string(
+      |    [c.toks[j] for j in range(1, len(c.toks) + 1)
+      |     if NOT list_contains(coalesce(b.drop_idx, []), j)],
+      |    ' '), '') AS clean_text,
+      |  CAST(len(coalesce(b.drop_idx, [])) AS BIGINT) AS n_tokens_removed,
+      |  CAST(len(c.toks) - len(coalesce(b.drop_idx, [])) AS BIGINT)
+      |    AS n_tokens_kept
+      |FROM corpus c LEFT JOIN bad b USING (doc_id)""".stripMargin
+
   val queries: Map[String, Q] = Map(
+    "text_decontaminate_surgical" -> decontaminateSurgical,
     "text_importance" -> importanceScores,
     "text_bpe" -> bpeTokenize,
     "text_heavy_hitters" -> heavyHitters,
@@ -1167,6 +1216,7 @@ object TextQueries {
     "multimodal_phash_dedup" -> phashDedup)
 
   val oracles: Map[String, String] = Map(
+    "text_decontaminate_surgical" -> decontaminateSurgicalOracle,
     "text_importance" -> importanceOracle,
     "text_heavy_hitters" -> heavyHittersOracle,
     "text_hof_stats" -> textHofStatsOracle,

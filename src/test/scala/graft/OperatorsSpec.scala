@@ -737,6 +737,33 @@ class OperatorsSpec extends AnyFunSuite {
     assert(empty.length == 1 && empty(0).isNullAt(0))
   }
 
+  test("surgical decontamination removes exactly the quoted span, keeps the remainder") {
+    import graft.operators.Decontaminate
+    val probe = "the quick brown fox jumps over the lazy dog" // 9 tokens
+    val probes = Seq((100L, probe)).toDF("doc_id", "text")
+    val prefix = "alpha beta gamma delta epsilon"
+    val suffix = "zeta eta theta iota kappa"
+    val corpus = Seq(
+      (1L, s"$prefix $probe $suffix"),   // quotes the probe mid-doc
+      (2L, s"$prefix $suffix"),          // clean
+      (3L, "tiny doc")                    // under the window size
+    ).toDF("doc_id", "text")
+    val got = Decontaminate.surgical(corpus, probes, "doc_id", "text", n = 8)
+      .as[(Long, String, Long, Long)].collect().map(r => r._1 -> r).toMap
+    // doc 1: windows at offsets 5 and 6 hit (both fully inside the
+    // quoted probe), covering tokens 5..13 = the 9 probe tokens; the
+    // surgery removes them and nothing else
+    assert(got(1L) == ((1L, s"$prefix $suffix", 9L, 10L)), got(1L).toString)
+    assert(got(2L) == ((2L, s"$prefix $suffix", 0L, 10L)))
+    assert(got(3L) == ((3L, "tiny doc", 0L, 2L)))
+    // a doc that IS entirely benchmark text is gutted to nothing
+    val all = Decontaminate.surgical(
+      Seq((9L, probe)).toDF("doc_id", "text"), probes,
+      "doc_id", "text", n = 8)
+      .as[(Long, String, Long, Long)].head()
+    assert(all == ((9L, "", 9L, 0L)))
+  }
+
   test("frequent-items sketch: purge-regime bounds contain truth, heavy items never missed") {
     import graft.plans.Freq
     // 10 heavy items (1000 occurrences each) in a 40k-item unit tail:
