@@ -1159,7 +1159,30 @@ object TextQueries {
       |    AS n_tokens_kept
       |FROM corpus c LEFT JOIN bad b USING (doc_id)""".stripMargin
 
+  // ---- text_quality_model: supervised quality classifier — the
+  //      fastText-style filter: logistic regression over hashed
+  //      n-gram buckets, trained distributed (per-iteration cost =
+  //      one pass over cached int-array features, treeAggregate-shape
+  //      gradients, O(B) driver state), scored as a broadcast-model
+  //      projection. Label here is the lang='en' slice standing in
+  //      for a "known good" seed set. Rows-only (training math has no
+  //      SQL form); separation/accuracy/determinism spec-pinned ----
+  private val builtQualityModel = new java.util.concurrent.ConcurrentHashMap[
+    String, graft.operators.QualityClassifier.Model]()
+
+  val qualityModel: Q = (s, d) => {
+    import graft.operators.QualityClassifier
+    val model = builtQualityModel.computeIfAbsent(d, dir =>
+      QualityClassifier.train(
+        documents(s, dir)
+          .withColumn("__lbl", (col("lang") === "en").cast("int")),
+        "doc_id", "text", "__lbl"))
+    QualityClassifier.score(documents(s, d), "doc_id", "text", model)
+      .select(col("doc_id"), round(col("prob"), 4).as("quality_prob"))
+  }
+
   val queries: Map[String, Q] = Map(
+    "text_quality_model" -> qualityModel,
     "text_decontaminate_surgical" -> decontaminateSurgical,
     "text_importance" -> importanceScores,
     "text_bpe" -> bpeTokenize,

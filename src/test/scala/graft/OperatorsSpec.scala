@@ -737,6 +737,38 @@ class OperatorsSpec extends AnyFunSuite {
     assert(empty.length == 1 && empty(0).isNullAt(0))
   }
 
+  test("quality classifier separates the labeled slice; training is deterministic") {
+    import graft.operators.QualityClassifier
+    val labeled = docs.withColumn("__lbl",
+      (col("lang") === "en").cast("int"))
+    val m1 = QualityClassifier.train(labeled, "doc_id", "text", "__lbl")
+    // deterministic by construction under a fixed partitioning: zero
+    // init, fixed schedule, partition-ordered gradient fold
+    val m2 = QualityClassifier.train(labeled, "doc_id", "text", "__lbl")
+    assert(m1.bias == m2.bias && m1.weights.sameElements(m2.weights))
+    // a different partitioning only reorders float sums: the model
+    // agrees to far beyond any decision-relevant precision
+    val m3 = QualityClassifier.train(labeled.repartition(5), "doc_id",
+      "text", "__lbl")
+    assert(math.abs(m1.bias - m3.bias) < 1e-9)
+    assert(m1.weights.zip(m3.weights).forall {
+      case (a, b) => math.abs(a - b) < 1e-9
+    })
+    val scored = QualityClassifier.score(docs, "doc_id", "text", m1)
+      .join(docs.select(col("doc_id"), (col("lang") === "en").as("is_en")),
+        "doc_id")
+    val rows = scored.select(col("is_en"), col("prob"))
+      .as[(Boolean, Double)].collect()
+    assert(rows.forall(r => r._2 >= 0.0 && r._2 <= 1.0))
+    // self-fit accuracy at the 0.5 threshold: languages differ in
+    // nearly every hashed bigram, so the separation should be strong
+    val acc = rows.count(r => (r._2 > 0.5) == r._1).toDouble / rows.length
+    assert(acc >= 0.9, s"accuracy $acc")
+    val meanEn = rows.filter(_._1).map(_._2).sum / rows.count(_._1)
+    val meanOther = rows.filterNot(_._1).map(_._2).sum / rows.count(!_._1)
+    assert(meanEn > meanOther + 0.3, s"means $meanEn vs $meanOther")
+  }
+
   test("surgical decontamination removes exactly the quoted span, keeps the remainder") {
     import graft.operators.Decontaminate
     val probe = "the quick brown fox jumps over the lazy dog" // 9 tokens
