@@ -1118,7 +1118,7 @@ object Relational {
     val a = halves.where(col("h1")).select(col("sk").as("sk_a"))
     val b = halves.where(!col("h1")).select(col("sk").as("sk_b"))
     val u = halves.agg(Theta.union(col("sk")).as("sk_u"))
-    a.crossJoin(b).crossJoin(u).select(
+    a.crossJoin(broadcast(b)).crossJoin(broadcast(u)).select(
       Theta.estimate(col("sk_a")).as("n_h1"),
       Theta.estimate(col("sk_b")).as("n_h2"),
       Theta.estimate(Theta.intersect(col("sk_a"), col("sk_b")))
