@@ -52,27 +52,32 @@ object Dsir {
     concat(toks, bigrams)
   }
 
-  /** (doc, bucket) stream: one row per n-gram occurrence. */
-  private def docBuckets(corpus: DataFrame, idCol: String, textCol: String,
-                         buckets: Int, keep: Seq[Column]): DataFrame =
-    corpus.select(keep :+ explode(ngrams(col(textCol))).as("__g"): _*)
-      .withColumn("__b", bucketOf(col("__g"), buckets))
-      .drop("__g")
-
-  /** The broadcastable weight table: for every bucket,
-    * w = ln p_target(bucket) - ln p_raw(bucket), both add-one
-    * smoothed over `buckets`. Target and raw counts come from ONE
-    * aggregation pass (conditional count), so the model costs a
-    * single corpus scan.
+  /** (doc, bucket, occurrence count) — ONE corpus scan + one
+    * map-side-combined aggregation. Everything downstream (the
+    * weight model AND the scores) derives from this frame, so the
+    * n-gram explode + hash runs exactly once; the canonical subtree
+    * is shared, so the executed plan reuses one scan stage.
     */
-  def importanceWeights(corpus: DataFrame, idCol: String, textCol: String,
-                        targetPred: Column,
-                        buckets: Int = DefaultBuckets): DataFrame = {
-    val bs = docBuckets(corpus, idCol, textCol, buckets,
-      Seq(targetPred.as("__t")))
-    val counts = bs.groupBy(col("__b"))
-      .agg(count(lit(1)).as("c_r"),
-        count_if(col("__t")).as("c_t"))
+  private def docBucketCounts(corpus: DataFrame, idCol: String,
+                              textCol: String, targetPred: Column,
+                              buckets: Int): DataFrame =
+    corpus.select(col(idCol).as("__doc"), targetPred.as("__t"),
+        explode(ngrams(col(textCol))).as("__g"))
+      .select(col("__doc"), col("__t"), bucketOf(col("__g"), buckets).as("__b"))
+      // semantics-neutral (buckets are never null) but plan-critical:
+      // the scoring join infers isnotnull(__b) on ITS copy of this
+      // subtree only; without the same filter here the two consumers
+      // stop canonicalizing identically and AQE stage reuse splits
+      // into a second full corpus explode+hash (the text_drift
+      // lesson; gated by PlanShapeSpec's executed-scan count)
+      .where(col("__b").isNotNull)
+      .groupBy(col("__doc"), col("__t"), col("__b"))
+      .agg(count(lit(1)).as("__cnt"))
+
+  private def weightsOf(db: DataFrame, buckets: Int): DataFrame = {
+    val counts = db.groupBy(col("__b"))
+      .agg(sum(col("__cnt")).as("c_r"),
+        sum(when(col("__t"), col("__cnt")).otherwise(0L)).as("c_t"))
     val totals = counts.agg(sum(col("c_r")).as("n_r"),
       sum(col("c_t")).as("n_t"))
     counts.crossJoin(broadcast(totals))
@@ -81,19 +86,32 @@ object Dsir {
           log((col("c_r") + 1) / (col("n_r") + buckets))).as("w"))
   }
 
+  /** The broadcastable weight table: for every bucket,
+    * w = ln p_target(bucket) - ln p_raw(bucket), both add-one
+    * smoothed over `buckets`. Target and raw counts come from ONE
+    * aggregation pass (a doc is wholly target or wholly raw), so the
+    * model costs a single corpus scan.
+    */
+  def importanceWeights(corpus: DataFrame, idCol: String, textCol: String,
+                        targetPred: Column,
+                        buckets: Int = DefaultBuckets): DataFrame =
+    weightsOf(docBucketCounts(corpus, idCol, textCol, targetPred, buckets),
+      buckets)
+
   /** Per-document importance score: sum of bucket weights over the
-    * document's n-grams. The weight table broadcasts (≤ `buckets`
-    * rows), so scoring is a scan-side join + one hash aggregation.
+    * document's n-gram occurrences (weight × per-doc occurrence
+    * count). The weight table broadcasts (≤ `buckets` rows), so
+    * scoring is a broadcast join + one hash aggregation over the
+    * SAME (doc, bucket) frame the model was trained from — the
+    * corpus is scanned once.
     */
   def importanceScores(corpus: DataFrame, idCol: String, textCol: String,
                        targetPred: Column,
                        buckets: Int = DefaultBuckets): DataFrame = {
-    val weights = importanceWeights(corpus, idCol, textCol, targetPred,
-      buckets)
-    docBuckets(corpus, idCol, textCol, buckets, Seq(col(idCol)))
-      .join(broadcast(weights), col("__b") === col("bucket"))
-      .groupBy(col(idCol))
-      .agg(round(sum(col("w")), 6).as("score"))
+    val db = docBucketCounts(corpus, idCol, textCol, targetPred, buckets)
+    db.join(broadcast(weightsOf(db, buckets)), col("__b") === col("bucket"))
+      .groupBy(col("__doc").as(idCol))
+      .agg(round(sum(col("w") * col("__cnt")), 6).as("score"))
   }
 
   /** Importance resampling: k docs without replacement, weight

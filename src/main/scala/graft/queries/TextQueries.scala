@@ -1106,9 +1106,11 @@ object TextQueries {
       |w AS (SELECT bucket,
       |        LN((c_t + 1) / (n_t + 4096)) -
       |        LN((c_r + 1) / (n_r + 4096)) AS w
-      |      FROM c CROSS JOIN t)
-      |SELECT doc_id, ROUND(SUM(w), 6) AS score
-      |FROM bk JOIN w USING (bucket)
+      |      FROM c CROSS JOIN t),
+      |db AS (SELECT doc_id, bucket, CAST(count(*) AS DOUBLE) AS cnt
+      |       FROM bk GROUP BY 1, 2)
+      |SELECT doc_id, ROUND(SUM(w * cnt), 6) AS score
+      |FROM db JOIN w USING (bucket)
       |GROUP BY doc_id""".stripMargin
 
   // ---- text_decontaminate_surgical: span-level decontamination —

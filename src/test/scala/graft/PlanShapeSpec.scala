@@ -177,6 +177,18 @@ class PlanShapeSpec extends AnyFunSuite {
       s"text_drift executed $scans scans of documents — exchange reuse broke")
   }
 
+  test("text_importance: corpus scanned exactly ONCE in the executed final plan") {
+    // the scoring join and the weight model both derive from the same
+    // (doc, bucket, count) aggregation; exchange/stage reuse is what
+    // keeps that ONE corpus scan (and ONE n-gram md5 pass). The
+    // silent fallback is a second full explode+hash of the corpus
+    val df = SparkEntry.queries("text_importance")(spark, sf)
+    df.queryExecution.toRdd.count()
+    val scans = graft.plans.PlanAudit.executedScansOf(df, "documents")
+    assert(scans == 1,
+      s"text_importance executed $scans scans of documents — exchange reuse broke")
+  }
+
   test("text_lm_score: at most two corpus scans; count subtree reused by the total") {
     // lmScore's probe side (scan+explode) and count side (scan+
     // explode+partial agg) are structurally different subtrees, so
