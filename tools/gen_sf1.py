@@ -42,21 +42,18 @@ def gen(src: str, dst: str, tables):
     sql = {}
     sql["customer"] = shard_union(lambda c: f"""
         SELECT c_custkey + {c * CUST_STEP} AS c_custkey,
-               c_name, c_address, c_nationkey, c_phone, c_acctbal,
-               c_mktsegment, c_comment
+               c_name, c_nationkey, c_acctbal, c_mktsegment
         FROM '{src}/customer.parquet'""")
     sql["orders"] = shard_union(lambda c: f"""
         SELECT o_orderkey + {c * ORDER_STEP} AS o_orderkey,
                o_custkey + {c * CUST_STEP} AS o_custkey,
-               o_orderstatus, o_totalprice, o_orderdate, o_orderpriority,
-               o_clerk, o_shippriority, o_comment
+               o_orderstatus, o_totalprice, o_orderdate, o_orderpriority
         FROM '{src}/orders.parquet'""")
     sql["lineitem"] = shard_union(lambda c: f"""
         SELECT l_orderkey + {c * LINE_STEP} AS l_orderkey,
                l_partkey, l_suppkey, l_linenumber, l_quantity,
                l_extendedprice, l_discount, l_tax, l_returnflag,
-               l_linestatus, l_shipdate, l_commitdate, l_receiptdate,
-               l_shipinstruct, l_shipmode, l_comment
+               l_linestatus, l_shipdate
         FROM '{src}/lineitem.parquet'""")
     sql["documents"] = shard_union(lambda c: f"""
         SELECT doc_id + {c * DOC_STEP} AS doc_id,
