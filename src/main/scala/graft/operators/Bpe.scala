@@ -133,6 +133,38 @@ object Bpe {
     Model(merges.toSeq, dict.length.toLong, seen)
   }
 
+  /** Persist a trained model: one parquet of rank-ordered merges plus
+    * a rank=-1 metadata row (kept/seen word counts). A tokenizer is
+    * a build-once/ship-everywhere artifact — training jobs save it,
+    * every downstream tokenization job loads the model-sized file.
+    */
+  def save(model: Model, spark: org.apache.spark.sql.SparkSession,
+           path: String): Unit = {
+    val rows = (-1, "", "", model.wordsKept, model.wordsSeen) +:
+      model.merges.zipWithIndex.map { case ((a, b), r) =>
+        (r, a, b, model.wordsKept, model.wordsSeen)
+      }
+    spark.createDataFrame(rows)
+      .toDF("rank", "left", "right", "words_kept", "words_seen")
+      .coalesce(1)
+      .write.mode("overwrite").parquet(path)
+  }
+
+  /** Load a model persisted by [[save]]. */
+  def load(spark: org.apache.spark.sql.SparkSession, path: String): Model = {
+    val rows = spark.read.parquet(path)
+      .select(col("rank"), col("left"), col("right"),
+        col("words_kept"), col("words_seen"))
+      .as[(Int, String, String, Long, Long)](
+        Encoders.product[(Int, String, String, Long, Long)])
+      .collect()
+    val meta = rows.find(_._1 == -1).getOrElse(throw new IllegalStateException(
+      s"BPE model at $path has no metadata row"))
+    val merges = rows.filter(_._1 >= 0).sortBy(_._1)
+      .map(r => (r._2, r._3)).toSeq
+    Model(merges, meta._4, meta._5)
+  }
+
   /** Tokenize the corpus with a trained model: (id, tokens array).
     * Broadcast merges + per-partition word memo; the map is a pure
     * projection — no shuffle, nothing to the driver.

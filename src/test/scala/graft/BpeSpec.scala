@@ -51,6 +51,21 @@ class BpeSpec extends AnyFunSuite {
     assert(matched == n, s"round-trip failed for ${n - matched} of $n docs")
   }
 
+  test("BPE model save/load round-trips; loaded model tokenizes identically") {
+    val model = Bpe.train(docs, "text", numMerges = 25)
+    val path = java.nio.file.Files.createTempDirectory("bpe_model").toString
+    Bpe.save(model, spark, path)
+    val loaded = Bpe.load(spark, path)
+    assert(loaded.merges == model.merges)
+    assert(loaded.wordsKept == model.wordsKept &&
+      loaded.wordsSeen == model.wordsSeen)
+    val fresh = Bpe.tokenize(docs, "doc_id", "text", model)
+      .select(col("doc_id"), concat_ws(" ", col("tokens")).as("t"))
+    val viaLoaded = Bpe.tokenize(docs, "doc_id", "text", loaded)
+      .select(col("doc_id"), concat_ws(" ", col("tokens")).as("t"))
+    assert(fresh.join(viaLoaded, Seq("doc_id", "t")).count() == docs.count())
+  }
+
   test("text_bpe contract query: counts bounded by words below and chars+words above") {
     val got = graft.queries.TextQueries.bpeTokenize(spark, sfDir)
     val joined = got.join(docs.select(col("doc_id"),

@@ -201,6 +201,42 @@ class StreamSketchSpec extends AnyFunSuite {
     assert(got == oneShot && got.values.sum == 800)
   }
 
+  test("theta plug-in: streaming segment sketches answer set algebra across groups") {
+    import graft.plans.Theta
+    val root = tmp()
+    // two segments fed incrementally: users 0-599 hit segment A over
+    // batches, users 300-899 hit segment B — overlap is 300-599
+    val batches = (0 until 3).map { i =>
+      ((0 until 200).map(j => ("A", (i * 200 + j).toLong)) ++
+        (0 until 200).map(j => ("B", (300 + i * 200 + j).toLong)))
+        .toDF("k", "v")
+    }
+    batches.zipWithIndex.foreach { case (b, i) =>
+      StreamSketch.applyBatch(spark, b, root, i, Seq("k"), col("v"),
+        build = Theta.sketch(_), union = Theta.union(_), consolidateEvery = 2)
+    }
+    val state = StreamSketch.state(spark, root, Seq("k"), Theta.union(_))
+    val byK = state.select(col("k"), col(StreamSketch.SketchCol))
+      .as[(String, Array[Byte])].collect().toMap
+    val row = state.agg(
+      Theta.estimate(Theta.intersect(
+        first(when(col("k") === "A", col(StreamSketch.SketchCol)), true),
+        first(when(col("k") === "B", col(StreamSketch.SketchCol)), true)))
+        .as("both"))
+      .as[Long].head()
+    // exact regime (600 distinct per side << nominal entries):
+    // the streamed rollup answers the overlap exactly
+    assert(row == 300L, s"intersection $row")
+    assert(byK.keySet == Set("A", "B"))
+    // replay adds nothing
+    StreamSketch.applyBatch(spark, batches(1), root, 1, Seq("k"), col("v"),
+      build = Theta.sketch(_), union = Theta.union(_), consolidateEvery = 2)
+    val again = StreamSketch.state(spark, root, Seq("k"), Theta.union(_))
+      .select(Theta.estimate(col(StreamSketch.SketchCol)))
+      .as[Long].collect().sorted.toSeq
+    assert(again == Seq(600L, 600L), again.toString)
+  }
+
   test("sketch family is pluggable: HLL distinct-count rollup == one-shot") {
     val root = tmp()
     val batches = (0 until 4).map { i =>
