@@ -1183,7 +1183,94 @@ object TextQueries {
       .select(col("doc_id"), round(col("prob"), 4).as("quality_prob"))
   }
 
+  // ---- pipeline_report: the composed corpus-preparation pipeline
+  //      (quality gate → exact dedup → near-dup drop → benchmark
+  //      decontamination) with per-stage attrition harvested from
+  //      Observation metrics on ONE materialization — no per-stage
+  //      count actions. Oracle: DuckDB recomputes the whole cascade
+  //      (token gate, min-id canonical copy, recursive-CTE
+  //      components over 3-gram Jaccard, probe-shingle contamination)
+  //      and reproduces the exact in/out/dropped counts ----
+  val pipelineReport: Q = (s, d) => {
+    import graft.operators.CorpusPipeline
+    val docs0 = documents(s, d)
+    val probes = docs0.filter(col("source") === "src0")
+    val corpus = docs0.filter(col("source") =!= "src0")
+    CorpusPipeline.run(corpus,
+      CorpusPipeline.standardStages("doc_id", "text", probes))._2
+  }
+
+  val pipelineReportOracle: String =
+    """WITH RECURSIVE
+      |c0 AS (SELECT doc_id, text FROM documents WHERE source <> 'src0'),
+      |s1 AS (SELECT doc_id, text FROM c0
+      |       WHERE len(list_filter(regexp_split_to_array(trim(text), '\s+'),
+      |                             t -> length(t) > 0)) >= 10),
+      |reps AS (SELECT MIN(doc_id) AS doc_id FROM (
+      |           SELECT doc_id,
+      |             regexp_replace(lower(trim(text)), '\s+', ' ', 'g') AS norm
+      |           FROM s1) t
+      |         GROUP BY norm),
+      |s2 AS (SELECT s1.doc_id, s1.text FROM s1 JOIN reps USING (doc_id)),
+      |docs3 AS (SELECT doc_id, regexp_split_to_array(trim(text), '\s+') toks
+      |          FROM s2),
+      |sh AS (SELECT doc_id,
+      |         list_distinct([toks[i]||' '||toks[i+1]||' '||toks[i+2]
+      |                        for i in range(1, len(toks)-1)]) g FROM docs3),
+      |ex AS (SELECT doc_id, unnest(g) s FROM sh),
+      |sz AS (SELECT doc_id, CAST(len(g) AS BIGINT) n FROM sh),
+      |cnt AS (SELECT a.doc_id doc_a, b.doc_id doc_b,
+      |          CAST(count(*) AS BIGINT) n_common
+      |        FROM ex a JOIN ex b ON a.s = b.s AND a.doc_id < b.doc_id
+      |        GROUP BY 1, 2),
+      |pairs AS (SELECT doc_a, doc_b FROM cnt
+      |          JOIN sz sa ON sa.doc_id = doc_a
+      |          JOIN sz sb ON sb.doc_id = doc_b
+      |          WHERE CAST(n_common AS DOUBLE) /
+      |                CAST(sa.n + sb.n - n_common AS DOUBLE) >= 0.8),
+      |edges AS (SELECT doc_a s, doc_b d FROM pairs
+      |          UNION SELECT doc_b, doc_a FROM pairs),
+      |reach AS (SELECT s AS id, s AS r FROM edges
+      |          UNION
+      |          SELECT reach.id, e.d FROM reach JOIN edges e ON e.s = reach.r),
+      |losers AS (SELECT id FROM reach GROUP BY id HAVING id <> MIN(r)),
+      |s3 AS (SELECT doc_id, text FROM s2
+      |       WHERE doc_id NOT IN (SELECT id FROM losers)),
+      |pdocs AS (SELECT regexp_split_to_array(trim(text), '\s+') toks
+      |          FROM documents WHERE source = 'src0'),
+      |probe AS (SELECT DISTINCT
+      |            unnest([toks[i]||' '||toks[i+1]||' '||toks[i+2]
+      |                    for i in range(1, len(toks)-1)]) s FROM pdocs),
+      |d3 AS (SELECT doc_id,
+      |         list_distinct([toks[i]||' '||toks[i+1]||' '||toks[i+2]
+      |                        for i in range(1, len(toks)-1)]) g
+      |       FROM (SELECT doc_id, regexp_split_to_array(trim(text), '\s+') toks
+      |             FROM s3) t),
+      |ex4 AS (SELECT doc_id, unnest(g) s FROM d3 WHERE len(g) > 0),
+      |hits AS (SELECT e.doc_id, count(p.s) n_hits
+      |         FROM ex4 e LEFT JOIN probe p ON e.s = p.s GROUP BY 1),
+      |sz4 AS (SELECT doc_id, CAST(len(g) AS BIGINT) n FROM d3),
+      |dirty AS (SELECT sz4.doc_id FROM sz4 JOIN hits USING (doc_id)
+      |          WHERE CAST(n_hits AS DOUBLE) / CAST(n AS DOUBLE) >= 0.2),
+      |s4 AS (SELECT doc_id FROM s3
+      |       WHERE doc_id NOT IN (SELECT doc_id FROM dirty)),
+      |rep AS (
+      |  SELECT 'quality_gate' AS stage,
+      |    (SELECT count(*) FROM c0) AS docs_in,
+      |    (SELECT count(*) FROM s1) AS docs_out
+      |  UNION ALL SELECT 'exact_dedup',
+      |    (SELECT count(*) FROM s1), (SELECT count(*) FROM s2)
+      |  UNION ALL SELECT 'near_dedup',
+      |    (SELECT count(*) FROM s2), (SELECT count(*) FROM s3)
+      |  UNION ALL SELECT 'decontaminate',
+      |    (SELECT count(*) FROM s3), (SELECT count(*) FROM s4))
+      |SELECT stage, CAST(docs_in AS BIGINT) AS docs_in,
+      |  CAST(docs_out AS BIGINT) AS docs_out,
+      |  CAST(docs_in - docs_out AS BIGINT) AS docs_dropped
+      |FROM rep""".stripMargin
+
   val queries: Map[String, Q] = Map(
+    "pipeline_report" -> pipelineReport,
     "text_quality_model" -> qualityModel,
     "text_decontaminate_surgical" -> decontaminateSurgical,
     "text_importance" -> importanceScores,
@@ -1241,6 +1328,7 @@ object TextQueries {
     "multimodal_phash_dedup" -> phashDedup)
 
   val oracles: Map[String, String] = Map(
+    "pipeline_report" -> pipelineReportOracle,
     "text_decontaminate_surgical" -> decontaminateSurgicalOracle,
     "text_importance" -> importanceOracle,
     "text_heavy_hitters" -> heavyHittersOracle,
