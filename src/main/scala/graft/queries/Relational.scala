@@ -1143,6 +1143,38 @@ object Relational {
       |  CAST((SELECT count(DISTINCT o_custkey) FROM o) AS BIGINT)
       |    AS n_total""".stripMargin
 
+  // ---- q59: sketch-driven ADAPTIVE salted join — frequent-items
+  //      detection (33i5) feeds the skew toolkit (33h): one light
+  //      sketch pass recovers the join keys holding >5% of fact rows
+  //      (NO_FALSE_NEGATIVES: a hot key can't be missed), then ONLY
+  //      those keys pay the salt — hot fact rows spread over 8
+  //      sub-keys, only hot dim rows replicate, the cold majority
+  //      joins unsalted. Blind salting replicates the whole dim side;
+  //      at 100 TB with a large dim that replication is itself the
+  //      bottleneck. Result identical to the plain join — the oracle
+  //      IS the plain join ----
+  val q59AdaptiveSalt: Q = (s, d) => {
+    val skewKey = when(col("l_orderkey") % 10 < 8, 0L)
+      .otherwise(col("l_orderkey"))
+    val facts = lineitem(s, d)
+      .select(col("l_orderkey"), col("l_linenumber"), skewKey.as("sk"))
+    val dims = facts.select(col("sk")).distinct()
+      .withColumn("v", concat(lit("k"), col("sk")))
+    graft.operators.Skew.adaptiveSaltedJoin(facts, dims, "sk",
+        factSaltSource = col("l_orderkey") * 10 + col("l_linenumber"),
+        saltFactor = 8, fraction = 0.05)
+      .select(col("l_orderkey"), col("l_linenumber"), col("v"))
+  }
+
+  val q59Oracle: String =
+    """WITH facts AS (
+      |  SELECT l_orderkey, l_linenumber,
+      |    CASE WHEN l_orderkey % 10 < 8 THEN 0 ELSE l_orderkey END AS sk
+      |  FROM lineitem),
+      |dims AS (SELECT DISTINCT sk, 'k' || sk AS v FROM facts)
+      |SELECT l_orderkey, l_linenumber, v
+      |FROM facts JOIN dims USING (sk)""".stripMargin
+
   // ---- q50: MERGEABLE quantile sketches (Greenwald–Khanna) — the
   //      third sketch family next to q45 (distinct/HLL) and q48
   //      (frequency/CMS): per-nation GK summaries are the stored
@@ -1471,7 +1503,8 @@ object Relational {
     "q54_hierarchy" -> q54Hierarchy,
     "q55_modern_aggs" -> q55ModernAggs,
     "q56_bucketed_join" -> q56BucketedJoin,
-    "q58_theta_setops" -> q58ThetaSetops)
+    "q58_theta_setops" -> q58ThetaSetops,
+    "q59_adaptive_salt" -> q59AdaptiveSalt)
 
   val oracles: Map[String, String] = Map(
     "q41_unpivot" -> q41Oracle,
@@ -1523,5 +1556,6 @@ object Relational {
     "q54_hierarchy" -> q54Oracle,
     "q55_modern_aggs" -> q55Oracle,
     "q56_bucketed_join" -> q56Oracle,
-    "q58_theta_setops" -> q58Oracle)
+    "q58_theta_setops" -> q58Oracle,
+    "q59_adaptive_salt" -> q59Oracle)
 }

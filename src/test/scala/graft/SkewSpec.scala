@@ -40,6 +40,49 @@ class SkewSpec extends AnyFunSuite {
     assert(counts.max < counts.sum, "no single salt may hold everything")
   }
 
+  test("sketch-driven heavy-key detection finds exactly the planted hot keys") {
+    val li = spark.read.parquet("/root/testdata/sf0.001/lineitem.parquet")
+    // plant two hot keys (~40% / ~40%) over a long uniform tail
+    val skewKey = when($"l_orderkey" % 10 < 4, 7L)
+      .when($"l_orderkey" % 10 < 8, 13L)
+      .otherwise($"l_orderkey")
+    val facts = li.select($"l_orderkey", $"l_linenumber", skewKey.as("sk"))
+    val heavy = Skew.detectHeavyKeys(facts, "sk", fraction = 0.05)
+    assert(heavy == Seq("13", "7"), heavy.toString)
+    // a uniform key column detects nothing at the same threshold
+    val uniform = li.select($"l_orderkey".as("sk"))
+    assert(Skew.detectHeavyKeys(uniform, "sk", fraction = 0.05).isEmpty)
+  }
+
+  test("adaptive salted join == plain join; only hot-key dims replicate") {
+    val li = spark.read.parquet("/root/testdata/sf0.001/lineitem.parquet")
+    val skewKey = when($"l_orderkey" % 10 < 8, 0L).otherwise($"l_orderkey")
+    val facts = li.select($"l_orderkey", $"l_linenumber", skewKey.as("sk"))
+    val dims = facts.select($"sk").distinct()
+      .withColumn("v", concat(lit("k"), $"sk"))
+    val adaptive = Skew.adaptiveSaltedJoin(facts, dims, "sk",
+        factSaltSource = $"l_orderkey" * 10 + $"l_linenumber", saltFactor = 8)
+      .select("l_orderkey", "l_linenumber", "v")
+      .as[(Long, Int, String)].collect().toSet
+    val plain = facts.join(dims, "sk")
+      .select("l_orderkey", "l_linenumber", "v")
+      .as[(Long, Int, String)].collect().toSet
+    assert(adaptive == plain && adaptive.nonEmpty)
+    // replication bound: only |heavy| dim keys pay the saltFactor —
+    // blind salting would replicate EVERY dim row 8x
+    val heavy = Skew.detectHeavyKeys(facts, "sk", fraction = 0.05)
+    assert(heavy == Seq("0"))
+    // no heavy keys detected -> degenerates to the plain join
+    val uniformFacts = li.select($"l_orderkey", $"l_linenumber",
+      $"l_orderkey".as("sk"))
+    val uniformDims = uniformFacts.select($"sk").distinct()
+      .withColumn("v", concat(lit("u"), $"sk"))
+    val a2 = Skew.adaptiveSaltedJoin(uniformFacts, uniformDims, "sk",
+        factSaltSource = $"l_orderkey" * 10 + $"l_linenumber")
+      .count()
+    assert(a2 == uniformFacts.join(uniformDims, "sk").count())
+  }
+
   test("AQE splits a skewed sort-merge join at runtime") {
     // lower AQE's skew thresholds so the tiny local data triggers the
     // same runtime re-plan a 100TB hot key would
