@@ -1447,6 +1447,79 @@ object Relational {
       |  CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_price
       |FROM orders JOIN lineitem ON o_orderkey = l_orderkey""".stripMargin
 
+  // ---- q60: VariantType semi-structured extraction (Spark 4's
+  //      open-format path beyond q40's string get_json_object):
+  //      parse_json builds the binary variant in the scan projection,
+  //      variant_get does the typed path extraction — no schema
+  //      declaration, no UDF, and the variant never leaves the scan
+  //      task (the aggregate sees only the extracted BIGINT). At
+  //      100 TB this is the shape for ragged metadata columns where
+  //      per-row schemas drift: one scan, shredded access, pushdown
+  //      unharmed on the sibling relational columns. ----
+  val q60Variant: Q = (s, d) => {
+    val v = parse_json(col("props"))
+    events(s, d)
+      .select(col("event_type"),
+        variant_get(v, "$.k", "bigint").as("k"),
+        variant_get(v, "$.missing", "bigint").as("m"))
+      .groupBy(col("event_type"))
+      .agg(sum(col("k")).cast("bigint").as("sum_k"),
+        count(col("k")).cast("bigint").as("n_k"),
+        count(col("m")).cast("bigint").as("n_missing"),
+        min(col("k")).cast("bigint").as("min_k"),
+        max(col("k")).cast("bigint").as("max_k"))
+  }
+
+  val q60Oracle: String =
+    """SELECT event_type,
+      |  CAST(SUM(CAST(json_extract(props, '$.k') AS BIGINT)) AS BIGINT) AS sum_k,
+      |  CAST(COUNT(CAST(json_extract(props, '$.k') AS BIGINT)) AS BIGINT) AS n_k,
+      |  CAST(COUNT(CAST(json_extract(props, '$.missing') AS BIGINT)) AS BIGINT) AS n_missing,
+      |  CAST(MIN(CAST(json_extract(props, '$.k') AS BIGINT)) AS BIGINT) AS min_k,
+      |  CAST(MAX(CAST(json_extract(props, '$.k') AS BIGINT)) AS BIGINT) AS max_k
+      |FROM events GROUP BY event_type""".stripMargin
+
+  // ---- q61: robust outlier detection by median/MAD (the
+  //      median-based twin of q38's z-score: immune to the outliers
+  //      it hunts — one extreme value shifts a mean/stddev fence but
+  //      not a median fence). Exactness: cents are integers, exact
+  //      interpolated medians land on binary fractions (k or k.5,
+  //      deviations at worst k.25), so every double below is exactly
+  //      representable and the `> 3*MAD` boundary cannot flip on ulp
+  //      differences between engines. Exact MAD is inherently two
+  //      dependent aggregation passes (median, then median of
+  //      deviations) + a filter pass — the one-pass approximate path
+  //      at 100 TB is the GK quantile sketch (row 33i4). ----
+  val q61MadOutliers: Q = (s, d) => {
+    val e = events(s, d).select(col("event_id"), col("event_type"),
+      col("value"),
+      col("value").cast("decimal(18,2)").multiply(lit(100))
+        .cast("bigint").as("cents"))
+    val med = e.groupBy(col("event_type"))
+      .agg(percentile(col("cents"), lit(0.5)).as("med"))
+    val dev = e.join(broadcast(med), Seq("event_type"))
+      .withColumn("adev", abs(col("cents") - col("med")))
+    val mad = dev.groupBy(col("event_type"))
+      .agg(percentile(col("adev"), lit(0.5)).as("mad"))
+    dev.join(broadcast(mad), Seq("event_type"))
+      .filter(col("adev") > lit(3) * col("mad"))
+      .select(col("event_id"), col("event_type"), col("value"))
+  }
+
+  val q61Oracle: String =
+    """WITH e AS (
+      |  SELECT event_id, event_type, value,
+      |    CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT) AS cents
+      |  FROM events),
+      |m AS (SELECT event_type, median(cents) AS med FROM e GROUP BY 1),
+      |d AS (SELECT e.event_id, e.event_type, e.value,
+      |        ABS(e.cents - m.med) AS adev
+      |      FROM e JOIN m USING (event_type)),
+      |md AS (SELECT event_type, median(adev) AS mad FROM d GROUP BY 1)
+      |SELECT d.event_id, d.event_type, d.value
+      |FROM d JOIN md USING (event_type)
+      |WHERE d.adev > 3 * md.mad""".stripMargin
+
   val queries: Map[String, Q] = Map(
     "q1_pricing_summary" -> q1PricingSummary,
     "q2_filter_pushdown" -> q2FilterPushdown,
@@ -1504,7 +1577,9 @@ object Relational {
     "q55_modern_aggs" -> q55ModernAggs,
     "q56_bucketed_join" -> q56BucketedJoin,
     "q58_theta_setops" -> q58ThetaSetops,
-    "q59_adaptive_salt" -> q59AdaptiveSalt)
+    "q59_adaptive_salt" -> q59AdaptiveSalt,
+    "q60_variant" -> q60Variant,
+    "q61_mad_outliers" -> q61MadOutliers)
 
   val oracles: Map[String, String] = Map(
     "q41_unpivot" -> q41Oracle,
@@ -1557,5 +1632,7 @@ object Relational {
     "q55_modern_aggs" -> q55Oracle,
     "q56_bucketed_join" -> q56Oracle,
     "q58_theta_setops" -> q58Oracle,
-    "q59_adaptive_salt" -> q59Oracle)
+    "q59_adaptive_salt" -> q59Oracle,
+    "q60_variant" -> q60Oracle,
+    "q61_mad_outliers" -> q61Oracle)
 }
