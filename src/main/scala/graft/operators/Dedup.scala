@@ -52,6 +52,27 @@ object Dedup {
       .agg(min(col(idCol)).as("rep_id"), count(lit(1)).cast("bigint").as("n_copies"))
       .select(md5(col("__norm")).as("text_md5"), col("rep_id"), col("n_copies"))
 
+  /** Per-group duplication rollup (dataset-governance view of exact
+    * dedup): how much of each source/slice is copies. One hash
+    * aggregation — distinct normalized texts counted per group, the
+    * duplicated fraction reported as an exact integer ppm
+    * (floor((n_docs − n_distinct)·10⁶ / n_docs) in bigint algebra,
+    * so the number is bit-stable across engines and partitionings).
+    */
+  def dupStats(df: DataFrame, idCol: String, textCol: String,
+               groupCol: String): DataFrame =
+    df.select(col(groupCol), normText(col(textCol)).as("__norm"))
+      .groupBy(col(groupCol))
+      .agg(count(lit(1)).cast("bigint").as("n_docs"),
+        countDistinct(col("__norm")).cast("bigint").as("n_distinct"))
+      .select(col(groupCol),
+        col("n_docs"),
+        col("n_distinct"),
+        (col("n_docs") - col("n_distinct")).as("n_dup_docs"),
+        // `div` = exact bigint floor division (plain `/` is DOUBLE in
+        // Spark SQL and its rounding could flip the last digit)
+        expr("(n_docs - n_distinct) * 1000000 div n_docs").as("dup_ppm"))
+
   /** Near-duplicate pairs by exact word-n-gram Jaccard similarity.
     *
     * @param maxShinglePosting drop shingles shared by more than this

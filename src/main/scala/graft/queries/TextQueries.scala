@@ -162,6 +162,21 @@ object TextQueries {
       |      FROM documents) t
       |GROUP BY norm""".stripMargin
 
+  // ---- text_dup_stats: per-source duplication rollup (which slice
+  //      of the corpus is copies — the governance number exact dedup
+  //      feeds); dup fraction as exact integer ppm so it hashes
+  //      identically cross-engine ----
+  val dupStats: Q = (s, d) =>
+    Dedup.dupStats(documents(s, d), "doc_id", "text", "source")
+
+  val dupStatsOracle: String =
+    """SELECT source,
+      |  CAST(COUNT(*) AS BIGINT) AS n_docs,
+      |  CAST(COUNT(DISTINCT regexp_replace(lower(trim(text)), '\s+', ' ', 'g')) AS BIGINT) AS n_distinct,
+      |  CAST(COUNT(*) - COUNT(DISTINCT regexp_replace(lower(trim(text)), '\s+', ' ', 'g')) AS BIGINT) AS n_dup_docs,
+      |  CAST(((COUNT(*) - COUNT(DISTINCT regexp_replace(lower(trim(text)), '\s+', ' ', 'g'))) * 1000000) // COUNT(*) AS BIGINT) AS dup_ppm
+      |FROM documents GROUP BY source""".stripMargin
+
   // ---- dedup_ngram_jaccard ----
   val dedupNgram: Q = (s, d) =>
     Dedup.ngramJaccard(documents(s, d), "doc_id", "text", n = 3, threshold = 0.8)
@@ -1289,6 +1304,7 @@ object TextQueries {
     "text_langid" -> langId,
     "text_fingerprint" -> fingerprint,
     "dedup_exact" -> dedupExact,
+    "text_dup_stats" -> dupStats,
     "dedup_ngram_jaccard" -> dedupNgram,
     "dedup_minhash_lsh" -> dedupMinhash,
     "dedup_simhash" -> dedupSimhash,
@@ -1342,6 +1358,7 @@ object TextQueries {
     "text_drift" -> textDriftOracle,
     "text_langid" -> langIdOracle,
     "dedup_exact" -> dedupExactOracle,
+    "text_dup_stats" -> dupStatsOracle,
     "dedup_ngram_jaccard" -> dedupNgramOracle,
     "multimodal_meta" -> multimodalMetaOracle,
     "text_pii_redact" -> piiRedactOracle,
