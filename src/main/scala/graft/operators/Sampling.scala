@@ -151,6 +151,87 @@ object Sampling {
       Seq("__pb" -> false, idCol -> false), n).drop("__pb")
   }
 
+  /** Temperature-scaled SOURCE-MIXTURE sampling — the multinomial
+    * `p_s ∝ count_s^α` reweighting used to set training-data mixes
+    * (α < 1 upweights small sources, the multilingual/low-resource
+    * rebalancing shape of published LM data recipes). Exact and
+    * engine-portable end to end:
+    *
+    *  - α is a quarter-integer (0, ¼, ½, ¾, 1) realized as a chain of
+    *    IEEE `sqrt`s and one multiply. Each step is CORRECTLY ROUNDED
+    *    by every IEEE-754 engine (unlike `pow`, which carries no such
+    *    guarantee and can differ by an ulp between libms), so the
+    *    weight `w_s = floor(count_s^α · 10⁶)` is bit-identical in any
+    *    engine — the DuckDB oracle recomputes the same chain.
+    *  - Quotas are integer algebra in decimal(38,0):
+    *    `n_s = min(count_s, budget·w_s div Σw)` with
+    *    `budget = N·num div den` — no float division anywhere near the
+    *    doc-count boundary.
+    *  - Selection within a source is the n_s smallest documents in
+    *    engine-portable hash order ([[portableBucket]], ties by id),
+    *    through the TopKPerKey heap exec with rank output — a hot
+    *    source heap-selects (|partitions|·|sources|·maxQuota rows to
+    *    the exchange), it never window-sorts its whole slice.
+    *
+    * Per-source shortfall is NOT redistributed: a source smaller than
+    * its quota under-fills the budget (visible by comparing output
+    * counts to quotas) rather than silently distorting the other
+    * sources' temperature weights.
+    *
+    * At 100 TB: one count aggregation (model-sized result), quota
+    * algebra on the source table (model-sized, one-row broadcast for
+    * Σw), one heap-select pass over the corpus. The only driver-side
+    * value is max quota (one scalar from the source-count table).
+    *
+    * @param alphaQuarters α in quarters: 0, 1, 2, 3 or 4 (= α·4)
+    * @param budgetNum/budgetDen target sample size as a fraction
+    *        num/den of the corpus
+    * @return (idCol, groupCol) rows of the selected sample
+    */
+  def mixtureSample(df: DataFrame, idCol: String, groupCol: String,
+                    alphaQuarters: Int, budgetNum: Long, budgetDen: Long)
+      : DataFrame = {
+    require(alphaQuarters >= 0 && alphaQuarters <= 4,
+      s"alphaQuarters must be 0..4, got $alphaQuarters")
+    require(budgetNum > 0 && budgetDen > 0 && budgetNum <= budgetDen,
+      s"budget fraction must be in (0,1]: $budgetNum/$budgetDen")
+    def powAlpha(x: Column): Column = alphaQuarters match {
+      case 0 => lit(1.0)
+      case 1 => sqrt(sqrt(x))
+      case 2 => sqrt(x)
+      case 3 => sqrt(x) * sqrt(sqrt(x))
+      case 4 => x
+    }
+    val d38 = "decimal(38,0)"
+    val counts = df.groupBy(col(groupCol))
+      .agg(count(lit(1)).cast("bigint").as("__n"))
+      .withColumn("__w",
+        floor(powAlpha(col("__n").cast("double")) * lit(1000000.0))
+          .cast(d38))
+    val totals = counts.agg(sum(col("__w")).cast(d38).as("__sw"),
+      sum(col("__n")).cast(d38).as("__ntot"))
+    val quotas = counts.crossJoin(broadcast(totals))
+      .withColumn("__budget",
+        expr(s"CAST(__ntot * $budgetNum AS $d38) div CAST($budgetDen AS $d38)")
+          .cast(d38))
+      .withColumn("__quota",
+        least(col("__n").cast(d38),
+          expr(s"CAST(__budget * __w AS $d38) div __sw").cast(d38))
+          .cast("bigint"))
+      .select(col(groupCol), col("__quota"))
+    // model-sized: one scalar off the per-source quota table
+    val maxQuota = quotas.agg(max(col("__quota"))).head().getLong(0)
+    if (maxQuota <= 0) return df.select(col(idCol), col(groupCol)).limit(0)
+    val ranked = org.apache.spark.sql.graft.TopKPerKey(
+      df.select(col(idCol), col(groupCol))
+        .withColumn("__pb", portableBucket(col(idCol))),
+      Seq(groupCol), Seq("__pb" -> false, idCol -> false),
+      maxQuota.toInt, rankCol = Some("__rn"))
+    ranked.join(broadcast(quotas), Seq(groupCol))
+      .filter(col("__rn") <= col("__quota"))
+      .select(col(idCol), col(groupCol))
+  }
+
   /** Deterministic weighted sample WITHOUT replacement
     * (Efraimidis–Spirakis A-ES): each row draws an exponential with
     * rate = its weight from a hash-derived uniform, and the `k`

@@ -177,6 +177,36 @@ object TextQueries {
       |  CAST(((COUNT(*) - COUNT(DISTINCT regexp_replace(lower(trim(text)), '\s+', ' ', 'g'))) * 1000000) // COUNT(*) AS BIGINT) AS dup_ppm
       |FROM documents GROUP BY source""".stripMargin
 
+  // ---- text_mixture_sample: temperature-scaled source mixture
+  //      (α = ½, budget = ¼ of the corpus) — count_s^α weights via a
+  //      correctly-rounded sqrt chain + integer quota algebra, so the
+  //      full selection (not just its size) is recomputed bit-for-bit
+  //      by the DuckDB oracle ----
+  val mixtureSample: Q = (s, d) =>
+    graft.operators.Sampling.mixtureSample(
+      documents(s, d), "doc_id", "source",
+      alphaQuarters = 2, budgetNum = 1, budgetDen = 4)
+
+  val mixtureSampleOracle: String =
+    """WITH c AS (SELECT source, CAST(COUNT(*) AS BIGINT) AS n
+      |           FROM documents GROUP BY 1),
+      |w AS (SELECT source, n,
+      |        CAST(floor(sqrt(CAST(n AS DOUBLE)) * 1000000) AS HUGEINT) AS w
+      |      FROM c),
+      |t AS (SELECT CAST(SUM(w) AS HUGEINT) AS sw,
+      |             CAST(SUM(n) AS HUGEINT) AS ntot FROM w),
+      |q AS (SELECT w.source,
+      |        LEAST(CAST(w.n AS HUGEINT),
+      |              (((t.ntot * 1) // 4) * w.w) // t.sw) AS quota
+      |      FROM w, t),
+      |r AS (SELECT doc_id, source,
+      |        ROW_NUMBER() OVER (PARTITION BY source
+      |          ORDER BY CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8)) AS BIGINT) % 100,
+      |                   doc_id) AS rn
+      |      FROM documents)
+      |SELECT r.doc_id, r.source
+      |FROM r JOIN q USING (source) WHERE rn <= quota""".stripMargin
+
   // ---- dedup_ngram_jaccard ----
   val dedupNgram: Q = (s, d) =>
     Dedup.ngramJaccard(documents(s, d), "doc_id", "text", n = 3, threshold = 0.8)
@@ -1305,6 +1335,7 @@ object TextQueries {
     "text_fingerprint" -> fingerprint,
     "dedup_exact" -> dedupExact,
     "text_dup_stats" -> dupStats,
+    "text_mixture_sample" -> mixtureSample,
     "dedup_ngram_jaccard" -> dedupNgram,
     "dedup_minhash_lsh" -> dedupMinhash,
     "dedup_simhash" -> dedupSimhash,
@@ -1359,6 +1390,7 @@ object TextQueries {
     "text_langid" -> langIdOracle,
     "dedup_exact" -> dedupExactOracle,
     "text_dup_stats" -> dupStatsOracle,
+    "text_mixture_sample" -> mixtureSampleOracle,
     "dedup_ngram_jaccard" -> dedupNgramOracle,
     "multimodal_meta" -> multimodalMetaOracle,
     "text_pii_redact" -> piiRedactOracle,

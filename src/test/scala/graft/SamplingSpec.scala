@@ -118,4 +118,60 @@ class SamplingSpec extends AnyFunSuite {
       .select("doc_id").as[Long].collect().toSet
     assert(again == sel.select("doc_id").as[Long].collect().toSet)
   }
+
+  test("mixture sample hits the exact integer quotas at every temperature") {
+    val d = docs.select($"doc_id", $"source")
+    val counts = d.groupBy("source").count().as[(String, Long)].collect().toMap
+    // independent quota recomputation: same sqrt chain, BigInt algebra
+    def expectQuotas(alphaQ: Int): Map[String, Long] = {
+      def powA(x: Double): Double = alphaQ match {
+        case 0 => 1.0
+        case 1 => math.sqrt(math.sqrt(x))
+        case 2 => math.sqrt(x)
+        case 3 => math.sqrt(x) * math.sqrt(math.sqrt(x))
+        case 4 => x
+      }
+      val w = counts.map { case (s, n) =>
+        s -> BigInt(math.floor(powA(n.toDouble) * 1000000.0).toLong) }
+      val sw = w.values.sum
+      val budget = BigInt(counts.values.sum) / 4
+      counts.map { case (s, n) =>
+        s -> (budget * w(s) / sw).min(BigInt(n)).toLong }
+    }
+    for (alphaQ <- Seq(0, 2, 4)) {
+      val got = Sampling.mixtureSample(d, "doc_id", "source",
+          alphaQ, budgetNum = 1, budgetDen = 4)
+        .groupBy("source").count().as[(String, Long)].collect().toMap
+      val want = expectQuotas(alphaQ).filter(_._2 > 0)
+      assert(got == want, s"alphaQuarters=$alphaQ: $got != $want")
+    }
+  }
+
+  test("mixture sample: lower temperature exponent flattens the mix; selection is layout-invariant") {
+    // skewed synthetic mix: the corpus tables are near-uniform by
+    // source, where temperature is (by design) a no-op
+    val skewed = ((1L to 800L).map(i => (i, "big")) ++
+      (1001L to 1050L).map(i => (i, "small")))
+      .toDF("doc_id", "source")
+    def shares(alphaQ: Int): Map[String, Double] = {
+      val m = Sampling.mixtureSample(skewed, "doc_id", "source", alphaQ, 1, 4)
+        .groupBy("source").count().as[(String, Long)].collect().toMap
+      val tot = m.values.sum.toDouble
+      m.view.mapValues(_ / tot).toMap
+    }
+    val smallest = "small"
+    val s0 = shares(0); val s4 = shares(4)
+    val d = docs.select($"doc_id", $"source")
+    // α=0 gives the smallest source a strictly larger share of the
+    // budget than proportional sampling does
+    assert(s0(smallest) > s4.getOrElse(smallest, 0.0),
+      s"α=0 share ${s0(smallest)} vs α=1 share ${s4.getOrElse(smallest, 0.0)}")
+    // layout invariance: selection identical after an adversarial shuffle
+    val sel = Sampling.mixtureSample(d, "doc_id", "source", 2, 1, 4)
+      .select("doc_id").as[Long].collect().toSet
+    val selRepart = Sampling.mixtureSample(
+        d.repartition(17, $"source"), "doc_id", "source", 2, 1, 4)
+      .select("doc_id").as[Long].collect().toSet
+    assert(sel == selRepart)
+  }
 }
