@@ -207,6 +207,42 @@ object TextQueries {
       |SELECT r.doc_id, r.source
       |FROM r JOIN q USING (source) WHERE rn <= quota""".stripMargin
 
+  // ---- text_gopher_rules: the published heuristic document-filter
+  //      bank with per-rule attribution (kept + FIRST failed rule
+  //      name) — minWords lowered to 40 so the rule distribution is
+  //      exercised on the synthetic corpus ----
+  val gopherRules: Q = (s, d) =>
+    TextAnalysis.gopherRules(documents(s, d), "doc_id", "text",
+      minWords = 40)
+
+  val gopherRulesOracle: String =
+    """WITH t AS (
+      |  SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS toks
+      |  FROM documents),
+      |s AS (
+      |  SELECT doc_id,
+      |    CAST(len(toks) AS BIGINT) AS n_words,
+      |    CAST(list_sum(list_transform(toks, x -> length(x))) AS DOUBLE)
+      |      / CAST(len(toks) AS DOUBLE) AS mean_word_len,
+      |    CAST(list_max(list_transform(toks, x -> length(x))) AS BIGINT) AS max_word_len,
+      |    CAST(len(list_filter(toks, x -> regexp_matches(x, '[a-zA-Z]'))) AS BIGINT) AS alpha_words,
+      |    CAST(len(list_distinct(list_filter(toks,
+      |      x -> list_contains(['the','a','of','to','and'], x)))) AS BIGINT) AS n_stop_distinct
+      |  FROM t)
+      |SELECT doc_id, n_words, mean_word_len, max_word_len, alpha_words,
+      |  n_stop_distinct,
+      |  (n_words BETWEEN 40 AND 100000) AND (mean_word_len BETWEEN 3.0 AND 10.0)
+      |    AND max_word_len <= 20 AND alpha_words * 5 >= n_words * 4
+      |    AND n_stop_distinct >= 2 AS kept,
+      |  CASE
+      |    WHEN NOT (n_words BETWEEN 40 AND 100000) THEN 'word_count'
+      |    WHEN NOT (mean_word_len BETWEEN 3.0 AND 10.0) THEN 'mean_word_len'
+      |    WHEN max_word_len > 20 THEN 'max_word_len'
+      |    WHEN alpha_words * 5 < n_words * 4 THEN 'alpha_ratio'
+      |    WHEN n_stop_distinct < 2 THEN 'stopwords'
+      |  END AS first_failed_rule
+      |FROM s""".stripMargin
+
   // ---- dedup_ngram_jaccard ----
   val dedupNgram: Q = (s, d) =>
     Dedup.ngramJaccard(documents(s, d), "doc_id", "text", n = 3, threshold = 0.8)
@@ -1336,6 +1372,7 @@ object TextQueries {
     "dedup_exact" -> dedupExact,
     "text_dup_stats" -> dupStats,
     "text_mixture_sample" -> mixtureSample,
+    "text_gopher_rules" -> gopherRules,
     "dedup_ngram_jaccard" -> dedupNgram,
     "dedup_minhash_lsh" -> dedupMinhash,
     "dedup_simhash" -> dedupSimhash,
@@ -1391,6 +1428,7 @@ object TextQueries {
     "dedup_exact" -> dedupExactOracle,
     "text_dup_stats" -> dupStatsOracle,
     "text_mixture_sample" -> mixtureSampleOracle,
+    "text_gopher_rules" -> gopherRulesOracle,
     "dedup_ngram_jaccard" -> dedupNgramOracle,
     "multimodal_meta" -> multimodalMetaOracle,
     "text_pii_redact" -> piiRedactOracle,

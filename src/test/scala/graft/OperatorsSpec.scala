@@ -1291,4 +1291,25 @@ class OperatorsSpec extends AnyFunSuite {
     assert(e.getMessage != null && e.getMessage.contains("1e18"),
       s"expected the overflow guard, got: ${e.getMessage}")
   }
+
+  test("gopher rule bank: each rule fires on its crafted document, first failure attributed") {
+    val good = "the quick brown fox and a dog of great renown went to town " * 5
+    val docs = Seq(
+      1L -> good,                                  // passes everything
+      2L -> "the a of to and short",               // word_count
+      3L -> (good + " " + "x" * 30),               // max_word_len
+      4L -> ("the of " + Seq.fill(60)("12345 !!!!").mkString(" ")), // alpha_ratio
+      5L -> Seq.fill(60)("zebra quartz").mkString(" "),         // stopwords
+      // fails word_count AND stopwords -> word_count attributed (order)
+      6L -> "zebra quartz").toDF("doc_id", "text")
+    val r = TextAnalysis.gopherRules(docs, "doc_id", "text", minWords = 40)
+      .select("doc_id", "kept", "first_failed_rule")
+      .as[(Long, Boolean, String)].collect().map(t => t._1 -> (t._2, t._3)).toMap
+    assert(r(1L) == (true, null))
+    assert(r(2L) == (false, "word_count"))
+    assert(r(3L) == (false, "max_word_len"))
+    assert(r(4L) == (false, "alpha_ratio"))
+    assert(r(5L) == (false, "stopwords"))
+    assert(r(6L) == (false, "word_count"))
+  }
 }
