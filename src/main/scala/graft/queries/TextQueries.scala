@@ -243,6 +243,24 @@ object TextQueries {
       |  END AS first_failed_rule
       |FROM s""".stripMargin
 
+  // ---- emb_pca: distributed PCA over the embedding corpus —
+  //      one-pass mergeable Gram moments, driver-sized Jacobi
+  //      eigensolve, broadcast-model codegen projection (rows-only:
+  //      eigenvectors have no DuckDB equivalent; EmbedPcaSpec pins
+  //      orthonormality, spectrum, reconstruction and layout
+  //      stability). Model cached per data dir (path-keyed) — the
+  //      fit-once/project-many usage PCA exists for ----
+  private val pcaModels =
+    new java.util.concurrent.ConcurrentHashMap[String, graft.operators.EmbedPca.PcaModel]()
+  val embPca: Q = (s, d) => {
+    val model = pcaModels.computeIfAbsent(d, dir =>
+      graft.operators.EmbedPca.fit(embeddings(s, dir), "embedding", k = 4, dim = 64))
+    graft.operators.EmbedPca.project(embeddings(s, d), model, "embedding")
+      .select(col("vec_id"), col("label"),
+        round(col("pc1"), 6).as("pc1"), round(col("pc2"), 6).as("pc2"),
+        round(col("pc3"), 6).as("pc3"), round(col("pc4"), 6).as("pc4"))
+  }
+
   // ---- dedup_ngram_jaccard ----
   val dedupNgram: Q = (s, d) =>
     Dedup.ngramJaccard(documents(s, d), "doc_id", "text", n = 3, threshold = 0.8)
@@ -1373,6 +1391,7 @@ object TextQueries {
     "text_dup_stats" -> dupStats,
     "text_mixture_sample" -> mixtureSample,
     "text_gopher_rules" -> gopherRules,
+    "emb_pca" -> embPca,
     "dedup_ngram_jaccard" -> dedupNgram,
     "dedup_minhash_lsh" -> dedupMinhash,
     "dedup_simhash" -> dedupSimhash,
