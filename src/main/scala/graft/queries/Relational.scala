@@ -1520,6 +1520,25 @@ object Relational {
       |FROM d JOIN md USING (event_type)
       |WHERE d.adev > 3 * md.mad""".stripMargin
 
+  // ---- graph_pagerank: link-authority over the customer→supplier
+  //      purchase graph (who supplies the best-connected buyers —
+  //      the domain-authority shape of crawl curation, on the
+  //      relational side of the house). Exact integer fixed-point
+  //      ranks: bit-deterministic across partitionings (spec-pinned),
+  //      so rows-only is a determinism statement, not an excuse.
+  //      Node encoding: customer 2k, supplier 2k+1. ----
+  val graphPageRank: Q = (s, d) => {
+    val edges = lineitem(s, d)
+      .select(col("l_orderkey"), col("l_suppkey"))
+      .join(orders(s, d).select(col("o_orderkey"), col("o_custkey")),
+        col("l_orderkey") === col("o_orderkey"))
+      .select((col("o_custkey") * 2).as("src"),
+        (col("l_suppkey") * 2 + 1).as("dst"))
+    graft.operators.PageRank.run(edges, "src", "dst", iters = 6)
+      .orderBy(col("rank").desc, col("node").asc)
+      .limit(100)
+  }
+
   val queries: Map[String, Q] = Map(
     "q1_pricing_summary" -> q1PricingSummary,
     "q2_filter_pushdown" -> q2FilterPushdown,
@@ -1579,7 +1598,8 @@ object Relational {
     "q58_theta_setops" -> q58ThetaSetops,
     "q59_adaptive_salt" -> q59AdaptiveSalt,
     "q60_variant" -> q60Variant,
-    "q61_mad_outliers" -> q61MadOutliers)
+    "q61_mad_outliers" -> q61MadOutliers,
+    "graph_pagerank" -> graphPageRank)
 
   val oracles: Map[String, String] = Map(
     "q41_unpivot" -> q41Oracle,
