@@ -82,6 +82,31 @@ object SkippingIndex {
     out.toSet
   }
 
+  /** Staleness gate shared by every read path. A file the index has
+    * never seen is refused UNLESS it holds zero rows: aggregate-built
+    * indexes legitimately have no row for an empty part file (a
+    * repartition write can emit one), and skipping an empty file
+    * cannot change results. The zero-row probe reads ONLY the unknown
+    * files — in the normal fresh path the set is empty and nothing is
+    * read; after a real append it holds the new data and the require
+    * fires.
+    */
+  private def requireFresh(spark: SparkSession, dataPath: String,
+                           indexed: Set[String], rebuildHint: String): Unit = {
+    val current = dataFiles(spark, dataPath)
+    val gone = indexed -- current
+    require(gone.isEmpty,
+      s"SkippingIndex: stale index for $dataPath — ${gone.size} indexed " +
+        s"file(s) no longer exist (rewrite/compaction); $rebuildHint")
+    val unknown = current -- indexed
+    if (unknown.nonEmpty) {
+      val rows = spark.read.parquet(unknown.toSeq: _*).count()
+      require(rows == 0,
+        s"SkippingIndex: stale index for $dataPath — ${unknown.size} " +
+          s"unindexed file(s) holding $rows rows; $rebuildHint")
+    }
+  }
+
   /** Read `dataPath` filtered to the conjunctive numeric `box`,
     * scanning only files whose indexed envelope intersects it. The
     * exact predicate is still applied — pruning is transparent.
@@ -97,11 +122,8 @@ object SkippingIndex {
     val idx = loadIndex(spark, indexPath, bounds)
     val indexed = idx.select("file")
       .collect().map(r => new java.net.URI(r.getString(0)).getPath).toSet
-    val current = dataFiles(spark, dataPath)
-    require(indexed == current,
-      s"SkippingIndex: stale index for $dataPath — indexed ${indexed.size} " +
-        s"files, directory holds ${current.size}; rebuild with build() " +
-        "after any write or compaction")
+    requireFresh(spark, dataPath, indexed,
+      "rebuild with build() after any write or compaction")
     prunedRead(spark, dataPath, idx, bounds)
   }
 
@@ -170,6 +192,87 @@ object SkippingIndex {
       .collect().map(r => new java.net.URI(r.getString(0)).getPath)
     if (keep.isEmpty) spark.read.parquet(dataPath).filter(lit(false))
     else spark.read.parquet(keep.toSeq: _*).filter(exactCond(bounds, typeOf))
+  }
+
+  // ----------------- per-file Bloom (equality) index -----------------
+
+  /** Build (overwrite) a per-file BLOOM index over `cols` — the
+    * equality-probe complement of the min/max envelopes: on a
+    * high-cardinality key with no clustered layout, every file's
+    * [min,max] spans the whole key space and envelope pruning reads
+    * everything, but each file still holds only its own keys, and a
+    * per-file membership sketch prunes an `id = X` probe to the one
+    * (± fpp) file that can hold it. This is the Delta/Iceberg
+    * bloom-filter-index read path.
+    *
+    * One distributed pass (groupBy input file, [[graft.plans.Bloom]]
+    * aggregate per column); the index is rows=files, ~1.2 bytes per
+    * distinct value per column at fpp=1% — model-sized.
+    *
+    * @param expectedItemsPerFile sizes each file's filter; overshoot
+    *        costs bytes, undershoot costs false-positive scans (never
+    *        wrong results — the exact predicate is always reapplied)
+    */
+  def buildBloom(spark: SparkSession, dataPath: String, bloomPath: String,
+                 cols: Seq[String], expectedItemsPerFile: Long,
+                 fpp: Double = graft.plans.Bloom.DefaultFpp): Unit = {
+    requireDisjoint(dataPath, bloomPath)
+    require(cols.nonEmpty, "buildBloom needs at least one column")
+    spark.read.parquet(dataPath)
+      .groupBy(input_file_name().as("file"))
+      .agg(count(lit(1)).as("n_rows"),
+        cols.map(c => graft.plans.Bloom
+          .sketch(col(c), expectedItemsPerFile, fpp).as(s"bloom_$c")): _*)
+      .coalesce(1)
+      .write.mode("overwrite").parquet(bloomPath)
+  }
+
+  /** Read `dataPath` filtered to the conjunctive equality `probes`,
+    * scanning only files whose Bloom filters might contain EVERY
+    * probed value (false positives re-filtered by the exact predicate;
+    * false negatives impossible). Stale indexes are refused, exactly
+    * like the envelope index.
+    */
+  def readEquals(spark: SparkSession, dataPath: String, bloomPath: String,
+                 probes: Seq[(String, Any)]): DataFrame = {
+    require(probes.nonEmpty, "readEquals needs at least one (column, value)")
+    val idx = spark.read.parquet(bloomPath)
+    val missing = probes.map(_._1).filterNot(c =>
+      idx.columns.contains(s"bloom_$c"))
+    require(missing.isEmpty,
+      s"SkippingIndex: column(s) ${missing.mkString(", ")} not in the " +
+        s"bloom index at $bloomPath (indexed: ${idx.columns
+          .filter(_.startsWith("bloom_")).map(_.stripPrefix("bloom_"))
+          .mkString(", ")})")
+    val rows = idx.select(col("file") +:
+      probes.map { case (c, _) => col(s"bloom_$c") }: _*).collect()
+    val indexed = rows.map(r =>
+      new java.net.URI(r.getString(0)).getPath).toSet
+    requireFresh(spark, dataPath, indexed,
+      "rebuild with buildBloom() after any write or compaction")
+    val keep = rows.filter { r =>
+      probes.indices.forall(i => graft.plans.Bloom.mightContain(
+        r.getAs[Array[Byte]](i + 1), probes(i)._2))
+    }.map(r => new java.net.URI(r.getString(0)).getPath)
+    val exact = probes.map { case (c, v) => col(c) === lit(v) }.reduce(_ && _)
+    if (keep.isEmpty) spark.read.parquet(dataPath).filter(lit(false))
+    else spark.read.parquet(keep.toSeq: _*).filter(exact)
+  }
+
+  /** How many files an equality probe must scan under the bloom
+    * index (diagnostics / spec hook — the analog of
+    * [[ZOrder.filesTouched]] for equality predicates).
+    */
+  def bloomFilesTouched(spark: SparkSession, bloomPath: String,
+                        probes: Seq[(String, Any)]): Long = {
+    val idx = spark.read.parquet(bloomPath)
+    idx.select(col("file") +:
+        probes.map { case (c, _) => col(s"bloom_$c") }: _*)
+      .collect()
+      .count { r =>
+        probes.indices.forall(i => graft.plans.Bloom.mightContain(
+          r.getAs[Array[Byte]](i + 1), probes(i)._2))
+      }.toLong
   }
 
   // ----------------- TableVersions-keyed indexes -----------------
@@ -272,14 +375,12 @@ object SkippingIndex {
         "via SkippingIndex.compactVersioned/writeVersioned (earlier " +
         "versions keep their own indexes for time travel)")
     val idx = loadIndex(spark, idxPath, bounds)
-    // a committed version's file set is immutable; mismatch = corruption
+    // a committed version's file set is immutable; mismatch (beyond
+    // zero-row part files, which have no stats row) = out-of-band edit
     val indexed = idx.select("file")
       .collect().map(r => new java.net.URI(r.getString(0)).getPath).toSet
-    val current = dataFiles(spark, dataPath)
-    require(indexed == current,
-      s"SkippingIndex: index for v$v of $root does not match its committed " +
-        s"file set (${indexed.size} indexed vs ${current.size} on disk) — " +
-        "the snapshot or index was modified out-of-band")
+    requireFresh(spark, dataPath, indexed,
+      s"the v$v snapshot or its index was modified out-of-band")
     prunedRead(spark, dataPath, idx, bounds)
   }
 }

@@ -1052,6 +1052,47 @@ object Relational {
       ("tp_band_files_touched", tpBand)).toDF("stat", "value")
   }
 
+  // ---- layout_bloom: per-file Bloom equality-probe skipping,
+  //      measured. Writes documents id-INTERLEAVED across 8 files
+  //      (the worst case for min/max envelopes: every file spans the
+  //      whole key space) and reports files touched by an `id = X`
+  //      probe under the bloom index vs the file count, plus the
+  //      probe's matched rows. Rows-only: bloom bits are
+  //      hash-dependent; ZOrderSpec pins pruned==full and the
+  //      envelope-vs-bloom contrast ----
+  private val builtBloomLayout = new java.util.concurrent.ConcurrentHashMap[String, String]()
+  val layoutBloom: Q = (s, d) => {
+    import s.implicits._
+    val docs = documents(s, d).select(col("doc_id"), col("source"))
+    val dir = builtBloomLayout.computeIfAbsent(d, _ => {
+      val tmp = java.nio.file.Files.createTempDirectory("graft_bloom")
+      Runtime.getRuntime.addShutdownHook(new Thread(() => {
+        def rm(f: java.io.File): Unit = {
+          Option(f.listFiles()).foreach(_.foreach(rm)); f.delete(); ()
+        }
+        rm(tmp.toFile)
+      }))
+      val data = tmp.toString + "/docs"
+      docs.withColumn("p", pmod(col("doc_id"), lit(8)))
+        .repartition(8, col("p")).drop("p")
+        .write.parquet(data)
+      graft.operators.SkippingIndex.buildBloom(s, data,
+        tmp.toString + "/idx", Seq("doc_id"),
+        expectedItemsPerFile = 2L + docs.count() / 4)
+      data
+    })
+    val idx = dir.stripSuffix("/docs") + "/idx"
+    val probe = 42L
+    val total = s.read.parquet(dir).inputFiles.length.toLong
+    val touched = graft.operators.SkippingIndex
+      .bloomFilesTouched(s, idx, Seq(("doc_id", probe)))
+    val matched = graft.operators.SkippingIndex
+      .readEquals(s, dir, idx, Seq(("doc_id", probe))).count()
+    Seq(("bloom_files", total),
+      ("probe_files_touched", touched),
+      ("probe_rows_matched", matched)).toDF("stat", "value")
+  }
+
   // ---- q48: MERGEABLE frequency sketches (count-min) — the
   //      frequency twin of q45's HLL pair: per-nation sketches are
   //      the stored pre-aggregation, region frequencies come from
@@ -1586,6 +1627,7 @@ object Relational {
     "q45_hll_merge" -> q45HllMerge,
     "q46_cohort_retention" -> q46CohortRetention,
     "layout_zorder" -> q47ZorderLayout,
+    "layout_bloom" -> layoutBloom,
     "q48_cms_merge" -> q48CmsMerge,
     "q49_global_sort" -> q49GlobalSort,
     "q50_quantile_merge" -> q50QuantileMerge,

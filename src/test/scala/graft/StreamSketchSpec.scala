@@ -258,4 +258,32 @@ class StreamSketchSpec extends AnyFunSuite {
       .as[(String, Long)].collect().toMap
     assert(got == oneShot && got.values.sum > 150)
   }
+
+  test("sketch family is pluggable: Gram moments stream in, PCA model out") {
+    import graft.plans.Gram
+    import graft.operators.EmbedPca
+    val root = tmp()
+    // integer-valued vectors: double sums are exact, so the streamed
+    // rollup must equal the one-shot moments BIT-FOR-BIT
+    def vec(i: Int) = Array(i.toFloat, (i % 7).toFloat, (i % 3).toFloat)
+    val batches = (0 until 3).map { b =>
+      (0 until 40).map(j => ("all", vec(b * 40 + j))).toDF("k", "v")
+    }
+    batches.zipWithIndex.foreach { case (df, i) =>
+      StreamSketch.applyBatch(spark, df, root, i, Seq("k"), col("v"),
+        build = Gram.moments(_, 3), union = Gram.union(_, 3),
+        consolidateEvery = 2)
+    }
+    val streamed = StreamSketch.state(spark, root, Seq("k"), Gram.union(_, 3))
+      .select(col(StreamSketch.SketchCol)).head().getSeq[Double](0).toArray
+    val oneShot = batches.reduce(_ union _)
+      .agg(Gram.moments(col("v"), 3)).head().getSeq[Double](0).toArray
+    assert(streamed.toSeq == oneShot.toSeq)
+    // the streamed state IS a PCA fit: model from streamed moments ==
+    // model from a batch fit over the concatenated corpus
+    val mStream = EmbedPca.fromMoments(streamed, k = 2, dim = 3)
+    val mBatch = EmbedPca.fit(batches.reduce(_ union _), "v", k = 2, dim = 3)
+    assert(mStream.eigenvalues.toSeq == mBatch.eigenvalues.toSeq)
+    assert(mStream.n == 120L)
+  }
 }

@@ -422,4 +422,79 @@ class ZOrderSpec extends AnyFunSuite {
     }
     assert(e.getMessage.contains("TIMESTAMP_NTZ"), e.getMessage)
   }
+
+  test("bloom index prunes equality probes where min/max envelopes cannot") {
+    import graft.operators.SkippingIndex
+    // 8 files of INTERLEAVED ids (residue classes): every file's
+    // [min,max] spans nearly the whole key space, so envelope pruning
+    // is useless by construction — the regime bloom indexes exist for
+    val n = 4000
+    val df = (0 until n).map(i => (i.toLong, s"u${i % 97}", i % 8))
+      .toDF("id", "user", "p")
+    val dataDir = tmp("bloomdata")
+    val idxDir = tmp("bloomidx")
+    df.repartition(8, col("p")).drop("p").write.mode("overwrite").parquet(dataDir)
+    val totalFiles = spark.read.parquet(dataDir).inputFiles.length
+    assert(totalFiles >= 6, s"layout should hold several files, got $totalFiles")
+    // envelopes CANNOT prune this layout on id
+    SkippingIndex.build(spark, dataDir, tmp("bloomenv"), Seq("id"))
+    val envTouched = graft.operators.ZOrder.filesTouched(spark, dataDir,
+      Seq(("id", 1234.0, 1234.0)))
+    // (>=: a hash-partition collision can leave an empty file, which
+    // has no stats row and is never "touched")
+    assert(envTouched >= totalFiles - 1,
+      s"interleaved layout must defeat envelopes ($envTouched/$totalFiles)")
+    // bloom prunes the same probe to ~1 file (fpp slack: allow 2)
+    SkippingIndex.buildBloom(spark, dataDir, idxDir, Seq("id", "user"),
+      expectedItemsPerFile = 1000)
+    val touched = SkippingIndex.bloomFilesTouched(spark, idxDir,
+      Seq(("id", 1234L)))
+    assert(touched <= 2, s"bloom should prune to ~1 file, touched $touched")
+    // pruned read == full filtered read (long and string probes)
+    val got = SkippingIndex.readEquals(spark, dataDir, idxDir,
+      Seq(("id", 1234L))).select("id", "user").as[(Long, String)].collect()
+    assert(got.toSeq == Seq((1234L, s"u${1234 % 97}")))
+    val gotStr = SkippingIndex.readEquals(spark, dataDir, idxDir,
+      Seq(("user", "u5"))).select("id").as[Long].collect().toSet
+    val wantStr = spark.read.parquet(dataDir).filter(col("user") === "u5")
+      .select("id").as[Long].collect().toSet
+    assert(gotStr == wantStr && gotStr.nonEmpty)
+    // conjunctive probe: both filters must pass
+    val both = SkippingIndex.readEquals(spark, dataDir, idxDir,
+      Seq(("id", 1234L), ("user", "WRONG"))).count()
+    assert(both == 0)
+    // absent value: a bloom may false-positive a file, but the exact
+    // predicate keeps the result right
+    assert(SkippingIndex.readEquals(spark, dataDir, idxDir,
+      Seq(("id", 999999L))).count() == 0)
+    // unindexed column named in the error
+    val eCol = intercept[IllegalArgumentException] {
+      SkippingIndex.readEquals(spark, dataDir, idxDir, Seq(("zz", 1L)))
+    }
+    assert(eCol.getMessage.contains("zz"))
+    // stale after append: refuse, never silently skip the new file
+    df.limit(5).drop("p").write.mode("append").parquet(dataDir)
+    val e = intercept[IllegalArgumentException] {
+      SkippingIndex.readEquals(spark, dataDir, idxDir, Seq(("id", 1234L)))
+    }
+    assert(e.getMessage.contains("stale"))
+  }
+
+  test("bloom union rollup: merged filter contains every leaf's values") {
+    import graft.plans.Bloom
+    val df = (0 until 500).map(i => (i.toLong, i % 5)).toDF("v", "g")
+    // leaves sized for the MERGED cardinality: union is bitwise OR,
+    // so k leaves each filled to their own capacity would OR into a
+    // saturated filter — the same sizing rule lakehouse bloom
+    // indexes document
+    val leaves = df.groupBy("g").agg(Bloom.sketch(col("v"), 2000).as("bf"))
+    val merged = leaves.agg(Bloom.union(col("bf"), 2000)).head()
+      .getAs[Array[Byte]](0)
+    // no false negatives through the rollup
+    (0 until 500).foreach(i =>
+      assert(Bloom.mightContain(merged, i.toLong), s"lost $i in union"))
+    // and it still rejects most absent values (sanity, not a bound)
+    val fps = (10000 until 11000).count(i => Bloom.mightContain(merged, i.toLong))
+    assert(fps < 100, s"$fps/1000 false positives at fpp=1%")
+  }
 }
