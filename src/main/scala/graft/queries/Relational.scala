@@ -1561,6 +1561,55 @@ object Relational {
       |FROM d JOIN md USING (event_type)
       |WHERE d.adev > 3 * md.mad""".stripMargin
 
+  // ---- q62: TIME-WEIGHTED average (the telemetry/finance aggregate
+  //      a plain AVG gets wrong when observations are irregular: each
+  //      value holds until the next observation, so it is weighted by
+  //      its holding DURATION — LOCF applied to aggregation). One
+  //      window pass (lead over the user timeline), exact integer
+  //      algebra: cents × MICROSECOND durations (the timestamps carry
+  //      sub-second precision; whole-second truncation would lose it)
+  //      summed in decimal(38,0), the final ratio one
+  //      correctly-rounded decimal→double cast and divide on both
+  //      engines. Users with <2 events have no spans and drop out
+  //      naturally. ----
+  val q62TimeWeighted: Q = (s, d) => {
+    val w = Window.partitionBy(col("user_id"))
+      .orderBy(col("ts"), col("event_id"))
+    val spans = events(s, d).select(col("user_id"), col("event_id"),
+        col("ts"),
+        col("value").cast("decimal(18,2)").multiply(lit(100))
+          .cast("decimal(38,0)").as("cents"))
+      .withColumn("next_ts", lead(col("ts"), 1).over(w))
+      .filter(col("next_ts").isNotNull)
+      .withColumn("dur",
+        (unix_micros(col("next_ts")) - unix_micros(col("ts")))
+          .cast("decimal(38,0)"))
+    spans.groupBy(col("user_id"))
+      .agg(count(lit(1)).cast("bigint").as("n_spans"),
+        sum(col("dur")).cast("bigint").as("span_micros"),
+        (sum(col("cents") * col("dur")).cast("double") /
+          sum(col("dur")).cast("double") / lit(100.0)).as("twa_value"))
+      .filter(col("span_micros") > 0)
+  }
+
+  val q62Oracle: String =
+    """WITH e AS (
+      |  SELECT user_id, event_id, ts,
+      |    CAST(CAST(value AS DECIMAL(18,2)) * 100 AS HUGEINT) AS cents,
+      |    LEAD(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS next_ts
+      |  FROM events),
+      |sp AS (
+      |  SELECT user_id, cents,
+      |    CAST(epoch_us(next_ts) - epoch_us(ts) AS HUGEINT) AS dur
+      |  FROM e WHERE next_ts IS NOT NULL)
+      |SELECT user_id,
+      |  CAST(COUNT(*) AS BIGINT) AS n_spans,
+      |  CAST(SUM(dur) AS BIGINT) AS span_micros,
+      |  CAST(SUM(cents * dur) AS DOUBLE) / CAST(SUM(dur) AS DOUBLE) / 100.0
+      |    AS twa_value
+      |FROM sp GROUP BY user_id
+      |HAVING SUM(dur) > 0""".stripMargin
+
   // ---- graph_pagerank: link-authority over the customer→supplier
   //      purchase graph (who supplies the best-connected buyers —
   //      the domain-authority shape of crawl curation, on the
@@ -1575,7 +1624,7 @@ object Relational {
         col("l_orderkey") === col("o_orderkey"))
       .select((col("o_custkey") * 2).as("src"),
         (col("l_suppkey") * 2 + 1).as("dst"))
-    graft.operators.PageRank.run(edges, "src", "dst", iters = 6)
+    graft.operators.PageRank.run(edges, "src", "dst", iters = 4)
       .orderBy(col("rank").desc, col("node").asc)
       .limit(100)
   }
@@ -1641,6 +1690,7 @@ object Relational {
     "q59_adaptive_salt" -> q59AdaptiveSalt,
     "q60_variant" -> q60Variant,
     "q61_mad_outliers" -> q61MadOutliers,
+    "q62_time_weighted" -> q62TimeWeighted,
     "graph_pagerank" -> graphPageRank)
 
   val oracles: Map[String, String] = Map(
@@ -1696,5 +1746,6 @@ object Relational {
     "q58_theta_setops" -> q58Oracle,
     "q59_adaptive_salt" -> q59Oracle,
     "q60_variant" -> q60Oracle,
-    "q61_mad_outliers" -> q61Oracle)
+    "q61_mad_outliers" -> q61Oracle,
+    "q62_time_weighted" -> q62Oracle)
 }

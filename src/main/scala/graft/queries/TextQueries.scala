@@ -417,8 +417,10 @@ object TextQueries {
       val e = embeddings(s, d)
       val model = graft.operators.IvfIndex.train(e, "vec_id", "embedding",
         numCentroids = 16, iters = 2)
+      // sanitized-path dir name, same rationale as the semantic-dedup
+      // model cache: a hashCode name can collide across data dirs
       val out = new java.io.File(sys.props("java.io.tmpdir"),
-        "graft-ivf-index-" + java.lang.Integer.toHexString(d.hashCode)).getAbsolutePath
+        "graft-ivf-index-" + d.replaceAll("[^A-Za-z0-9._-]", "_")).getAbsolutePath
       graft.operators.IvfIndex.save(e, "vec_id", "embedding", model, out)
       out
     })
@@ -547,6 +549,31 @@ object TextQueries {
     """SELECT lang, CAST(COUNT(*) AS BIGINT) AS n_docs,
       |  CAST(SUM(n_chars) AS BIGINT) AS sum_chars,
       |  CAST(MIN(doc_id) AS BIGINT) AS min_id
+      |FROM documents GROUP BY 1""".stripMargin
+
+  // csv_roundtrip includes the TEXT column: quoting/escaping of
+  //      commas and quotes is exactly what a CSV surface must prove
+  //      it round-trips (multiLine stays off — see readCsv)
+  val csvRoundtrip: Q = (s, d) => {
+    val docs = documents(s, d)
+    val cols = Seq("doc_id", "text", "lang", "n_chars")
+    val out = graft.sources.CorpusFormats.writeCsv(
+      docs.selectExpr(cols: _*), fmtDir(d, "docs_csv"))
+    val (clean, rejects) = graft.sources.CorpusFormats.splitCorrupt(
+      graft.sources.CorpusFormats.readCsv(s, out,
+        org.apache.spark.sql.types.StructType(
+          docs.selectExpr(cols: _*).schema.fields)))
+    require(rejects.isEmpty, "self-written CSV must have no corrupt rows")
+    clean.groupBy(col("lang"))
+      .agg(count(lit(1)).cast("bigint").as("n_docs"),
+        sum(length(col("text"))).cast("bigint").as("sum_text_chars"),
+        sum(col("n_chars")).cast("bigint").as("sum_chars"))
+  }
+
+  val csvRoundtripOracle: String =
+    """SELECT lang, CAST(COUNT(*) AS BIGINT) AS n_docs,
+      |  CAST(SUM(length(text)) AS BIGINT) AS sum_text_chars,
+      |  CAST(SUM(n_chars) AS BIGINT) AS sum_chars
       |FROM documents GROUP BY 1""".stripMargin
 
   val orcRoundtrip: Q = (s, d) => {
@@ -1427,6 +1454,7 @@ object TextQueries {
     "text_source_cap" -> sourceCap,
     "text_sentences" -> sentenceSplit,
     "jsonl_roundtrip" -> jsonlRoundtrip,
+    "csv_roundtrip" -> csvRoundtrip,
     "orc_roundtrip" -> orcRoundtrip,
     "multimodal_phash_dedup" -> phashDedup)
 
@@ -1470,5 +1498,6 @@ object TextQueries {
     "text_source_cap" -> sourceCapOracle,
     "text_sentences" -> sentenceSplitOracle,
     "jsonl_roundtrip" -> jsonlRoundtripOracle,
+    "csv_roundtrip" -> csvRoundtripOracle,
     "orc_roundtrip" -> orcRoundtripOracle)
 }

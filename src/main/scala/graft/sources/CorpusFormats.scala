@@ -65,6 +65,45 @@ object CorpusFormats {
     path
   }
 
+  /** Read a CSV export with an explicit schema (same
+    * no-inference-pass rule as JSONL); malformed rows surface in
+    * [[CorruptCol]] carrying the raw line, split out via
+    * [[splitCorrupt]]. Quoting/escaping follow the writer's RFC-4180
+    * defaults, and `multiLine` stays OFF: quoted embedded newlines
+    * would make the file non-line-splittable (one task per FILE at
+    * 100 TB) — corpus text with newlines belongs in JSONL/parquet,
+    * and the writer path ([[graft.sinks.FileSink]]) flattens them.
+    */
+  def readCsv(spark: SparkSession, path: String,
+              schema: StructType): DataFrame = {
+    require(!schema.fieldNames.contains(CorruptCol),
+      s"schema already contains $CorruptCol")
+    import org.apache.spark.sql.functions.{from_csv, lit, when}
+    // text scan + codegen'd from_csv, exactly like readJsonl: the CSV
+    // data source forbids plans touching only its internal
+    // corrupt-record column, which is precisely what the reject
+    // branch of splitCorrupt is. Per-part header lines are dropped by
+    // exact match against the writer's header (schema-first contract:
+    // a data row spelled identically to the header has no distinct
+    // meaning in this format).
+    val withCorrupt = schema.add(CorruptCol, StringType)
+    val opts = Map("mode" -> "PERMISSIVE",
+      "columnNameOfCorruptRecord" -> CorruptCol)
+    val header = schema.fieldNames.mkString(",")
+    spark.read.text(path)
+      .filter(col("value") =!= lit(header))
+      .select(from_csv(col("value"), withCorrupt, opts).as("__r"), col("value"))
+      .select(schema.fieldNames.map(f => col(s"__r.`$f`")) :+
+        when(col("__r").isNull || col(s"__r.`$CorruptCol`").isNotNull,
+          col("value")).otherwise(lit(null).cast(StringType))
+          .as(CorruptCol): _*)
+  }
+
+  def writeCsv(df: DataFrame, path: String): String = {
+    df.write.mode(SaveMode.Overwrite).option("header", "true").csv(path)
+    path
+  }
+
   def readOrc(spark: SparkSession, path: String): DataFrame =
     spark.read.orc(path)
 

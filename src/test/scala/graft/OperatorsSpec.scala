@@ -620,6 +620,37 @@ class OperatorsSpec extends AnyFunSuite {
       Set("""{"doc_id": 3, "text": "torn""", "not json at all"))
   }
 
+  test("CSV reader: quoted text round-trips; malformed rows rejected with the raw line") {
+    import org.apache.spark.sql.types._
+    val schema = StructType(Seq(
+      StructField("doc_id", LongType), StructField("text", StringType)))
+    // round trip through the writer: commas, quotes, unicode
+    val docs = Seq((1L, """plain text"""),
+      (2L, """comma, separated, values"""),
+      (3L, """says "quoted" things"""),
+      (4L, "unicode: café → ok")).toDF("doc_id", "text")
+    val dir = java.nio.file.Files.createTempDirectory("csvrt").toString
+    graft.sources.CorpusFormats.writeCsv(docs, dir)
+    val (clean, rejects) = graft.sources.CorpusFormats.splitCorrupt(
+      graft.sources.CorpusFormats.readCsv(spark, dir, schema))
+    assert(rejects.count() == 0)
+    assert(clean.as[(Long, String)].collect().toSet ==
+      docs.as[(Long, String)].collect().toSet)
+    // hand-written file with a malformed row: rejected, not fatal
+    val badDir = java.nio.file.Files.createTempDirectory("csvbad").toString
+    java.nio.file.Files.write(
+      java.nio.file.Paths.get(badDir, "part-0.csv"),
+      Seq("doc_id,text",
+        "1,alpha",
+        "notanumber,beta", // doc_id fails the LongType schema
+        "2,gamma").mkString("\n").getBytes("UTF-8"))
+    val (ok, bad) = graft.sources.CorpusFormats.splitCorrupt(
+      graft.sources.CorpusFormats.readCsv(spark, badDir, schema))
+    assert(ok.as[(Long, String)].collect().toSet ==
+      Set((1L, "alpha"), (2L, "gamma")))
+    assert(bad.as[String].collect().toSet == Set("notanumber,beta"))
+  }
+
   test("bloom-prefiltered contamination == exact broadcast form; probe runs in codegen") {
     // parquet-backed (a LocalRelation would be constant-folded by the
     // optimizer and the plan assertion below would see no filter)
