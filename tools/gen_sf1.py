@@ -69,7 +69,19 @@ def gen(src: str, dst: str, tables):
                 f"list_concat(embedding[{c + 1}:], embedding[:{c}])"} AS embedding,
                label
         FROM '{src}/embeddings.parquet'""")
-    for t in ("region", "nation", "part", "supplier", "events"):
+    # events: ten user-disjoint shards (user_ids shifted by 1500, the
+    # dense key step; event_ids by 100000) -- per-user timelines keep
+    # their exact structure, the corpus gains 10x users at the same
+    # per-user density, so the events-table queries (MAD fences,
+    # time-weighted averages, variant extraction, sessionization)
+    # scale honestly. r10 change: the r9 recipe passed events through
+    # unchanged, leaving those queries with no 10x signal.
+    sql["events"] = shard_union(lambda c: f"""
+        SELECT event_id + {c * 100000} AS event_id, ts,
+               user_id + {c * 1500} AS user_id,
+               event_type, value, props
+        FROM '{src}/events.parquet'""")
+    for t in ("region", "nation", "part", "supplier"):
         sql[t] = f"SELECT * FROM '{src}/{t}.parquet'"
 
     for t in tables:
