@@ -93,14 +93,29 @@ object EmbedPca {
 
   /** Append `pc1..pck` projection columns (centered scores) to the
     * rows of `df` — broadcast-model scan projection, no shuffle.
+    *
+    * `whiten = true` rescales each score by `1/√λ_j` so every
+    * component has unit population variance — the decorrelated,
+    * isotropic representation semantic-dedup and cosine-ANN distance
+    * thresholds behave best under (a dominant direction no longer
+    * dominates every distance). Components with λ ≤ `whitenEps` keep
+    * scale 0 rather than exploding a near-null direction.
     */
-  def project(df: DataFrame, model: PcaModel, vecCol: String): DataFrame = {
+  def project(df: DataFrame, model: PcaModel, vecCol: String,
+              whiten: Boolean = false,
+              whitenEps: Double = 1e-12): DataFrame = {
     GraftFunctions.register(df.sparkSession)
     val vecAsDouble: Column = transform(col(vecCol), _.cast("double"))
     model.components.zipWithIndex.foldLeft(df) { case (acc, (w, j)) =>
       val center = (0 until model.dim).map(d => model.mean(d) * w(d)).sum
+      val scale =
+        if (!whiten) 1.0
+        else if (model.eigenvalues(j) > whitenEps)
+          1.0 / math.sqrt(model.eigenvalues(j))
+        else 0.0
       acc.withColumn(s"pc${j + 1}",
-        GraftFunctions.dotFast(vecAsDouble, lit(w)) - lit(center))
+        (GraftFunctions.dotFast(vecAsDouble, lit(w)) - lit(center)) *
+          lit(scale))
     }
   }
 

@@ -1610,6 +1610,43 @@ object Relational {
       |FROM sp GROUP BY user_id
       |HAVING SUM(dur) > 0""".stripMargin
 
+  // ---- q63: event-transition matrix (first-order Markov counts —
+  //      the user-journey/sequence-mining aggregate): per-user
+  //      event-type bigrams from ONE lead window over the ordered
+  //      timeline, then one hash agg; transition probability as exact
+  //      integer ppm of the from-state's outgoing count (bigint floor
+  //      div — engine-stable). No self-join against the next event,
+  //      no per-user collect. ----
+  val q63Transitions: Q = (s, d) => {
+    val w = Window.partitionBy(col("user_id"))
+      .orderBy(col("ts"), col("event_id"))
+    val bi = events(s, d).select(col("user_id"), col("event_id"),
+        col("ts"), col("event_type"))
+      .withColumn("next_type", lead(col("event_type"), 1).over(w))
+      .filter(col("next_type").isNotNull)
+    val counts = bi.groupBy(col("event_type"), col("next_type"))
+      .agg(count(lit(1)).cast("bigint").as("n"))
+    val outTotals = Window.partitionBy(col("event_type"))
+    counts
+      .withColumn("n_from", sum(col("n")).over(outTotals).cast("bigint"))
+      .withColumn("p_ppm", expr("n * 1000000 div n_from"))
+  }
+
+  val q63Oracle: String =
+    """WITH bi AS (
+      |  SELECT event_type,
+      |    LEAD(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+      |      AS next_type
+      |  FROM events),
+      |c AS (
+      |  SELECT event_type, next_type, CAST(COUNT(*) AS BIGINT) AS n
+      |  FROM bi WHERE next_type IS NOT NULL GROUP BY 1, 2)
+      |SELECT event_type, next_type, n,
+      |  CAST(SUM(n) OVER (PARTITION BY event_type) AS BIGINT) AS n_from,
+      |  (n * 1000000) // CAST(SUM(n) OVER (PARTITION BY event_type) AS BIGINT)
+      |    AS p_ppm
+      |FROM c""".stripMargin
+
   // ---- graph_pagerank: link-authority over the customer→supplier
   //      purchase graph (who supplies the best-connected buyers —
   //      the domain-authority shape of crawl curation, on the
@@ -1691,6 +1728,7 @@ object Relational {
     "q60_variant" -> q60Variant,
     "q61_mad_outliers" -> q61MadOutliers,
     "q62_time_weighted" -> q62TimeWeighted,
+    "q63_transitions" -> q63Transitions,
     "graph_pagerank" -> graphPageRank)
 
   val oracles: Map[String, String] = Map(
@@ -1747,5 +1785,6 @@ object Relational {
     "q59_adaptive_salt" -> q59Oracle,
     "q60_variant" -> q60Oracle,
     "q61_mad_outliers" -> q61Oracle,
-    "q62_time_weighted" -> q62Oracle)
+    "q62_time_weighted" -> q62Oracle,
+    "q63_transitions" -> q63Oracle)
 }

@@ -120,5 +120,20 @@ class EmbedPcaSpec extends AnyFunSuite {
     val model17 = EmbedPca.fit(embeddings.repartition(17), "embedding", k, 64)
     for (i <- 0 until k)
       assert(math.abs(model17.eigenvalues(i) - model.eigenvalues(i)) < 1e-6)
+    // whitening: every component's score variance becomes 1
+    val white = EmbedPca.project(embeddings, model, "embedding", whiten = true)
+    val ws = white.agg(
+      count(lit(1)).cast("double"),
+      sum($"pc1"), sum($"pc1" * $"pc1"),
+      sum($"pc4"), sum($"pc4" * $"pc4")).head()
+    val wn = ws.getDouble(0)
+    for (idx <- Seq(1, 3)) {
+      val s = ws.getDouble(idx); val ss = ws.getDouble(idx + 1)
+      val v = ss / wn - math.pow(s / wn, 2)
+      assert(math.abs(v - 1.0) < 1e-6, s"whitened variance $v")
+    }
+    // projection is a pure scan: no exchange anywhere in the plan
+    val plan = white.queryExecution.executedPlan.toString
+    assert(!plan.contains("Exchange"), s"projection must not shuffle:\n$plan")
   }
 }

@@ -113,6 +113,13 @@ class PlanShapeSpec extends AnyFunSuite {
     }
   }
 
+  test("mixture sample: quota selection heap-selects, never window-sorts a source") {
+    val p = plan("text_mixture_sample")
+    assert(count(p, "TopKPerKey") == 2,
+      s"per-source selection must be partial+final heaps:\n$p")
+    assert(!p.contains("Window"), s"window sort crept into the selection:\n$p")
+  }
+
   test("q21 custom top-k: partial+final TopKPerKey, single exchange, no sort") {
     val p = plan("q21_topk_custom")
     assert(count(p, "TopKPerKey") == 2, p)
