@@ -1610,6 +1610,42 @@ object Relational {
       |FROM sp GROUP BY user_id
       |HAVING SUM(dur) > 0""".stripMargin
 
+  // ---- q64: NATIVE session windows (Spark's session_window
+  //      aggregation — the same gap-sessionization as q17's window
+  //      chain, expressed as one groupBy with merging session state;
+  //      in streaming this is the shape that gets incremental state
+  //      merging for free). Boundary semantics differ from q17 at
+  //      exactly-gap spacing: session_window opens a NEW session at
+  //      diff >= gap (half-open [start, start+gap)), q17's lag chain
+  //      at diff > gap — the oracle states the NATIVE semantics. ----
+  val q64SessionWindow: Q = (s, d) =>
+    events(s, d)
+      .groupBy(col("user_id"), session_window(col("ts"), "30 minutes"))
+      .agg(count(lit(1)).cast("bigint").as("n_events"),
+        sum(col("value").cast("decimal(18,2)")).cast("double").as("sum_value"))
+      .select(col("user_id"),
+        col("session_window.start").as("session_start"),
+        col("n_events"), col("sum_value"))
+
+  val q64Oracle: String =
+    """WITH g AS (
+      |  SELECT user_id, value, CAST(ts AS TIMESTAMP) AS ts,
+      |    LAG(epoch_us(CAST(ts AS TIMESTAMP)), 1) OVER
+      |      (PARTITION BY user_id ORDER BY ts ASC) AS prev_us
+      |  FROM events),
+      |m AS (
+      |  SELECT *, CASE WHEN prev_us IS NULL
+      |    OR epoch_us(ts) - prev_us >= 1800 * 1000000 THEN 1 ELSE 0 END AS new_sess
+      |  FROM g),
+      |s AS (
+      |  SELECT *, SUM(new_sess) OVER (PARTITION BY user_id ORDER BY ts ASC
+      |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_no
+      |  FROM m)
+      |SELECT user_id, MIN(ts) AS session_start,
+      |  CAST(COUNT(*) AS BIGINT) AS n_events,
+      |  CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
+      |FROM s GROUP BY user_id, session_no""".stripMargin
+
   // ---- q63: event-transition matrix (first-order Markov counts —
   //      the user-journey/sequence-mining aggregate): per-user
   //      event-type bigrams from ONE lead window over the ordered
@@ -1729,6 +1765,7 @@ object Relational {
     "q61_mad_outliers" -> q61MadOutliers,
     "q62_time_weighted" -> q62TimeWeighted,
     "q63_transitions" -> q63Transitions,
+    "q64_session_window" -> q64SessionWindow,
     "graph_pagerank" -> graphPageRank)
 
   val oracles: Map[String, String] = Map(
@@ -1786,5 +1823,6 @@ object Relational {
     "q60_variant" -> q60Oracle,
     "q61_mad_outliers" -> q61Oracle,
     "q62_time_weighted" -> q62Oracle,
-    "q63_transitions" -> q63Oracle)
+    "q63_transitions" -> q63Oracle,
+    "q64_session_window" -> q64Oracle)
 }
