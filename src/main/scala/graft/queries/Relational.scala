@@ -1610,6 +1610,37 @@ object Relational {
       |FROM sp GROUP BY user_id
       |HAVING SUM(dur) > 0""".stripMargin
 
+  // ---- q65: incremental JOIN-view maintenance (classical IVM delta
+  //      rule: Δ(A⋈B) = ΔA⋈B ∪ A⋈ΔB ∪ ΔA⋈ΔB — the fact tables are
+  //      probed by deltas, never re-joined against each other). The
+  //      sides split by INDEPENDENT rules so all three delta terms
+  //      are non-empty; the maintained view is aggregated and must
+  //      hash-match the oracle's one-shot full join. ----
+  val q65IncrementalJoin: Q = (s, d) => {
+    val o = orders(s, d).select(col("o_orderkey"), col("o_totalprice"))
+    val l = lineitem(s, d).select(col("l_orderkey").as("o_orderkey"),
+      col("l_linenumber"), col("l_quantity"))
+    val (oOld, oDelta) = (o.filter(col("o_orderkey") % 10 < 8),
+      o.filter(col("o_orderkey") % 10 >= 8))
+    val (lOld, lDelta) = (l.filter(col("l_linenumber") % 3 =!= 0),
+      l.filter(col("l_linenumber") % 3 === 0))
+    val viewOld = oOld.join(lOld, Seq("o_orderkey"))
+    graft.operators.IncrementalJoin
+      .maintain(viewOld, oOld, oDelta, lOld, lDelta, Seq("o_orderkey"))
+      .groupBy((col("o_orderkey") % 7).as("grp"))
+      .agg(count(lit(1)).cast("bigint").as("n_rows"),
+        dsum(col("l_quantity")).as("sum_qty"),
+        dsum(col("o_totalprice")).as("sum_price"))
+  }
+
+  val q65Oracle: String =
+    """SELECT o_orderkey % 7 AS grp,
+      |  CAST(COUNT(*) AS BIGINT) AS n_rows,
+      |  CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty,
+      |  CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_price
+      |FROM orders JOIN lineitem ON o_orderkey = l_orderkey
+      |GROUP BY 1""".stripMargin
+
   // ---- q64: NATIVE session windows (Spark's session_window
   //      aggregation — the same gap-sessionization as q17's window
   //      chain, expressed as one groupBy with merging session state;
@@ -1766,6 +1797,7 @@ object Relational {
     "q62_time_weighted" -> q62TimeWeighted,
     "q63_transitions" -> q63Transitions,
     "q64_session_window" -> q64SessionWindow,
+    "q65_incremental_join" -> q65IncrementalJoin,
     "graph_pagerank" -> graphPageRank)
 
   val oracles: Map[String, String] = Map(
@@ -1824,5 +1856,6 @@ object Relational {
     "q61_mad_outliers" -> q61Oracle,
     "q62_time_weighted" -> q62Oracle,
     "q63_transitions" -> q63Oracle,
-    "q64_session_window" -> q64Oracle)
+    "q64_session_window" -> q64Oracle,
+    "q65_incremental_join" -> q65Oracle)
 }

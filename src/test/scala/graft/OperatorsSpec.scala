@@ -620,6 +620,31 @@ class OperatorsSpec extends AnyFunSuite {
       Set("""{"doc_id": 3, "text": "torn""", "not json at all"))
   }
 
+  test("incremental join view: three delta rounds == one-shot full join, deltas broadcast") {
+    import graft.operators.IncrementalJoin
+    val a = (1L to 300L).map(k => (k, s"a$k")).toDF("k", "av")
+    val b = (1L to 900L).map(i => (i % 350 + 1, s"b$i")).toDF("k", "bv")
+    // independent batch rules so every delta term is exercised
+    def slice(df: org.apache.spark.sql.DataFrame, c: String, m: Int) =
+      (0 until 3).map(i => df.filter(pmod(xxhash64(col(c), lit(m)), lit(3)) === i))
+    val aB = slice(a, "av", 7); val bB = slice(b, "bv", 11)
+    var (aOld, bOld) = (aB(0), bB(0))
+    var view = aOld.join(bOld, Seq("k"))
+    for (i <- 1 until 3) {
+      view = IncrementalJoin.maintain(view, aOld, aB(i), bOld, bB(i), Seq("k"))
+      aOld = aOld.unionByName(aB(i)); bOld = bOld.unionByName(bB(i))
+    }
+    val got = view.as[(Long, String, String)].collect().sorted.toSeq
+    val want = a.join(b, Seq("k")).as[(Long, String, String)]
+      .collect().sorted.toSeq
+    assert(got == want && got.nonEmpty)
+    // scale shape: a small delta probes the big side via broadcast —
+    // no fact-fact exchange in the delta terms
+    val delta = IncrementalJoin.joinDelta(a, aB(1).limit(5), b, bB(1).limit(5), Seq("k"))
+    val plan = delta.queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastHashJoin"), s"deltas should broadcast:\n$plan")
+  }
+
   test("CSV reader: quoted text round-trips; malformed rows rejected with the raw line") {
     import org.apache.spark.sql.types._
     val schema = StructType(Seq(
