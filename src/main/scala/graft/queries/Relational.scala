@@ -1714,6 +1714,103 @@ object Relational {
       |    AS p_ppm
       |FROM c""".stripMargin
 
+  // ---- q67: EQUI-DEPTH histogram (the quantile-bucketed complement
+  //      of q37's equi-width bins — equal POPULATION per bin, the
+  //      binning feature pipelines and optimizers actually want on
+  //      skewed columns). Scale-correct form: 9 exact interpolated
+  //      deciles from ONE aggregate (broadcast scalars), then a
+  //      when-chain bin id in the scan projection — no global sort,
+  //      no ntile's single-partition window. Exactness: cents are
+  //      integers so the decile cutpoints land on binary fractions
+  //      (k or k.5) and every boundary comparison is ulp-stable. ----
+  val q67EquiDepth: Q = (s, d) => {
+    val e = events(s, d).select(
+      col("value").cast("decimal(18,2)").multiply(lit(100))
+        .cast("bigint").as("cents"))
+    val cuts = e.agg(
+      percentile(col("cents"),
+        array((1 to 9).map(i => lit(i / 10.0)): _*)).as("cuts"))
+    val binned = e.crossJoin(broadcast(cuts))
+      .withColumn("bin",
+        (1 to 9).map(i => when(col("cents") > element_at(col("cuts"), i), 1L)
+          .otherwise(0L)).reduce(_ + _))
+    binned.groupBy(col("bin"))
+      .agg(count(lit(1)).cast("bigint").as("n"),
+        min(col("cents")).cast("bigint").as("lo_cents"),
+        max(col("cents")).cast("bigint").as("hi_cents"))
+  }
+
+  val q67Oracle: String =
+    """WITH e AS (
+      |  SELECT CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT) AS cents
+      |  FROM events),
+      |c AS (
+      |  SELECT [quantile_cont(cents, 0.1), quantile_cont(cents, 0.2),
+      |          quantile_cont(cents, 0.3), quantile_cont(cents, 0.4),
+      |          quantile_cont(cents, 0.5), quantile_cont(cents, 0.6),
+      |          quantile_cont(cents, 0.7), quantile_cont(cents, 0.8),
+      |          quantile_cont(cents, 0.9)] AS cuts FROM e)
+      |SELECT
+      |  (CASE WHEN cents > cuts[1] THEN 1 ELSE 0 END +
+      |   CASE WHEN cents > cuts[2] THEN 1 ELSE 0 END +
+      |   CASE WHEN cents > cuts[3] THEN 1 ELSE 0 END +
+      |   CASE WHEN cents > cuts[4] THEN 1 ELSE 0 END +
+      |   CASE WHEN cents > cuts[5] THEN 1 ELSE 0 END +
+      |   CASE WHEN cents > cuts[6] THEN 1 ELSE 0 END +
+      |   CASE WHEN cents > cuts[7] THEN 1 ELSE 0 END +
+      |   CASE WHEN cents > cuts[8] THEN 1 ELSE 0 END +
+      |   CASE WHEN cents > cuts[9] THEN 1 ELSE 0 END) AS bin,
+      |  CAST(COUNT(*) AS BIGINT) AS n,
+      |  CAST(MIN(cents) AS BIGINT) AS lo_cents,
+      |  CAST(MAX(cents) AS BIGINT) AS hi_cents
+      |FROM e, c GROUP BY 1""".stripMargin
+
+  // ---- q66: ENTITY RESOLUTION clustering (the master-data /
+  //      catalog-dedup workload): BLOCKED fuzzy matching — candidate
+  //      pairs only within a cheap blocking key (last name token), so
+  //      the edit-distance comparisons are |block|²-bounded, never
+  //      corpus² — verified by levenshtein ≤ 2, then transitive
+  //      clustering via the same pointer-jumping components the
+  //      near-dup paths use; representative = lexicographic min;
+  //      singletons are their own cluster. Both engines implement
+  //      textbook unit-cost Levenshtein, so the match set is exact
+  //      and the oracle rebuilds the whole pipeline (blocking, edit
+  //      distance, recursive-CTE reachability). ----
+  val q66EntityResolution: Q = (s, d) => {
+    val names = part(s, d).select(col("p_name")).distinct()
+    val blocked = names.select(col("p_name").as("na"),
+      element_at(split(col("p_name"), " "), -1).as("blk"))
+    val pairs = blocked.join(
+        blocked.select(col("na").as("nb"), col("blk")), Seq("blk"))
+      .filter(col("na") < col("nb") &&
+        levenshtein(col("na"), col("nb")) <= 2)
+      .select(col("na"), col("nb"))
+    val comp = graft.operators.Components
+      .connectedComponents(pairs, "na", "nb")
+      .select(col("id").as("p_name"), col("component"))
+    names.join(comp, Seq("p_name"), "left")
+      .select(col("p_name"),
+        coalesce(col("component"), col("p_name")).as("cluster"))
+  }
+
+  val q66Oracle: String =
+    """WITH RECURSIVE
+      |n AS (SELECT DISTINCT p_name FROM part),
+      |p AS (
+      |  SELECT a.p_name AS na, b.p_name AS nb
+      |  FROM n a JOIN n b
+      |    ON split_part(a.p_name, ' ', -1) = split_part(b.p_name, ' ', -1)
+      |   AND a.p_name < b.p_name
+      |   AND levenshtein(a.p_name, b.p_name) <= 2),
+      |sym AS (SELECT na AS src, nb AS dst FROM p UNION SELECT nb, na FROM p),
+      |r AS (
+      |  SELECT src AS id, src AS reach FROM sym
+      |  UNION
+      |  SELECT r.id, s.dst FROM r JOIN sym s ON r.reach = s.src),
+      |comp AS (SELECT id, MIN(reach) AS component FROM r GROUP BY id)
+      |SELECT n.p_name, COALESCE(comp.component, n.p_name) AS cluster
+      |FROM n LEFT JOIN comp ON n.p_name = comp.id""".stripMargin
+
   // ---- graph_pagerank: link-authority over the customer→supplier
   //      purchase graph (who supplies the best-connected buyers —
   //      the domain-authority shape of crawl curation, on the
@@ -1798,6 +1895,8 @@ object Relational {
     "q63_transitions" -> q63Transitions,
     "q64_session_window" -> q64SessionWindow,
     "q65_incremental_join" -> q65IncrementalJoin,
+    "q66_entity_resolution" -> q66EntityResolution,
+    "q67_equidepth_histogram" -> q67EquiDepth,
     "graph_pagerank" -> graphPageRank)
 
   val oracles: Map[String, String] = Map(
@@ -1857,5 +1956,7 @@ object Relational {
     "q62_time_weighted" -> q62Oracle,
     "q63_transitions" -> q63Oracle,
     "q64_session_window" -> q64Oracle,
-    "q65_incremental_join" -> q65Oracle)
+    "q65_incremental_join" -> q65Oracle,
+    "q66_entity_resolution" -> q66Oracle,
+    "q67_equidepth_histogram" -> q67Oracle)
 }
