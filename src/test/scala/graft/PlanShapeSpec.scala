@@ -113,6 +113,19 @@ class PlanShapeSpec extends AnyFunSuite {
     }
   }
 
+  test("equi-depth histogram: broadcast cutpoints, no window, no sort") {
+    val p = plan("q67_equidepth_histogram")
+    assert(!p.contains("Window"), s"ntile-style window crept in:\n$p")
+    assert(sorts(p) == 0, s"global sort crept in:\n$p")
+    assert(p.contains("BroadcastNestedLoopJoin") || p.contains("BroadcastExchange"),
+      s"cutpoints must ride a broadcast:\n$p")
+  }
+
+  test("entity resolution: blocked equi-join candidates, no cartesian pair generation") {
+    val p = plan("q66_entity_resolution")
+    assert(!p.contains("CartesianProduct"), s"unblocked pair join:\n$p")
+  }
+
   test("mixture sample: quota selection heap-selects, never window-sorts a source") {
     val p = plan("text_mixture_sample")
     assert(count(p, "TopKPerKey") == 2,
