@@ -1765,6 +1765,52 @@ object Relational {
       |  CAST(MAX(cents) AS BIGINT) AS hi_cents
       |FROM e, c GROUP BY 1""".stripMargin
 
+  // ---- q68: deterministic MODE + discrete percentiles. Both
+  //      engines' built-in mode() leaves ties unspecified, so the
+  //      mode here is DEFINED: the value with the highest count,
+  //      ties to the larger value — computed as a count rollup + one
+  //      max_by(struct(cnt, val)), deterministic everywhere.
+  //      percentile_disc returns an actual data value (no
+  //      interpolation), so the exact-decimal cast compares
+  //      hash-identically. ----
+  val q68ModeDisc: Q = (s, d) => {
+    val li = lineitem(s, d).select(col("l_returnflag"),
+      col("l_quantity").cast("decimal(18,2)").as("qty"),
+      col("l_extendedprice").cast("decimal(18,2)").as("price"))
+    val counts = li.groupBy(col("l_returnflag"), col("qty"))
+      .agg(count(lit(1)).cast("bigint").as("cnt"))
+    // one-scalar tie-break key (portable: DuckDB's max_by has no
+    // struct keys): count dominates, value-in-cents breaks ties
+    val modes = counts.groupBy(col("l_returnflag"))
+      .agg(max_by(col("qty"),
+          col("cnt") * lit(100000000L) +
+            col("qty").multiply(lit(100)).cast("bigint"))
+        .cast("double").as("mode_qty"))
+    val discs = li.groupBy(col("l_returnflag"))
+      .agg(expr("percentile_disc(0.25) WITHIN GROUP (ORDER BY price)")
+          .cast("double").as("p25_price"),
+        expr("percentile_disc(0.75) WITHIN GROUP (ORDER BY price)")
+          .cast("double").as("p75_price"))
+    modes.join(discs, Seq("l_returnflag"))
+  }
+
+  val q68Oracle: String =
+    """WITH c AS (
+      |  SELECT l_returnflag, CAST(l_quantity AS DECIMAL(18,2)) AS qty,
+      |    CAST(COUNT(*) AS BIGINT) AS cnt
+      |  FROM lineitem GROUP BY 1, 2),
+      |m AS (
+      |  SELECT l_returnflag,
+      |    CAST(max_by(qty, cnt * 100000000 + CAST(qty * 100 AS BIGINT)) AS DOUBLE) AS mode_qty
+      |  FROM c GROUP BY 1),
+      |p AS (
+      |  SELECT l_returnflag,
+      |    CAST(quantile_disc(CAST(l_extendedprice AS DECIMAL(18,2)), 0.25) AS DOUBLE) AS p25_price,
+      |    CAST(quantile_disc(CAST(l_extendedprice AS DECIMAL(18,2)), 0.75) AS DOUBLE) AS p75_price
+      |  FROM lineitem GROUP BY 1)
+      |SELECT m.l_returnflag, m.mode_qty, p.p25_price, p.p75_price
+      |FROM m JOIN p USING (l_returnflag)""".stripMargin
+
   // ---- q66: ENTITY RESOLUTION clustering (the master-data /
   //      catalog-dedup workload): BLOCKED fuzzy matching — candidate
   //      pairs only within a cheap blocking key (last name token), so
@@ -1897,6 +1943,7 @@ object Relational {
     "q65_incremental_join" -> q65IncrementalJoin,
     "q66_entity_resolution" -> q66EntityResolution,
     "q67_equidepth_histogram" -> q67EquiDepth,
+    "q68_mode_disc" -> q68ModeDisc,
     "graph_pagerank" -> graphPageRank)
 
   val oracles: Map[String, String] = Map(
@@ -1958,5 +2005,6 @@ object Relational {
     "q64_session_window" -> q64Oracle,
     "q65_incremental_join" -> q65Oracle,
     "q66_entity_resolution" -> q66Oracle,
-    "q67_equidepth_histogram" -> q67Oracle)
+    "q67_equidepth_histogram" -> q67Oracle,
+    "q68_mode_disc" -> q68Oracle)
 }

@@ -257,6 +257,28 @@ class OperatorsSpec extends AnyFunSuite {
     assert(hits.count() == 9)
   }
 
+  test("multimodal features -> PCA -> projected ANN composes end-to-end") {
+    import graft.operators.EmbedPca
+    val media = docs.withColumn("payload", encode($"text", "UTF-8"))
+    val feats = Multimodal.extractFeatures(spark, media, "doc_id", "payload").toDF()
+      .withColumnRenamed("doc_id", "vec_id").withColumnRenamed("features", "embedding")
+    // fit a compact basis on the 16-dim histograms, project everything
+    val pca = EmbedPca.fit(feats, "embedding", k = 8, dim = 16)
+    assert(pca.varianceExplained.last > 0.5,
+      s"8/16 components should carry real variance, got ${pca.varianceExplained.last}")
+    val proj = EmbedPca.project(feats, pca, "embedding")
+      .select(col("vec_id"), array((1 to 8).map(i =>
+        col(s"pc$i").cast("float")): _*).as("embedding"))
+    // the projected space feeds the same ANN operators; the corpus
+    // contains exact-duplicate texts (identical histograms), so the
+    // top hit may be a tie-broken twin — the invariant is cosine ~1
+    val selfHits = Similarity.bruteForceTopK(proj,
+        proj.filter($"vec_id" < 5), "vec_id", "embedding", k = 1)
+    val tops = selfHits.select($"cosine").as[Double].collect()
+    assert(tops.length == 5 && tops.forall(_ > 0.999),
+      s"top-1 in projected space must be a (near-)duplicate: ${tops.toSeq}")
+  }
+
   test("multimodal resize stride-samples to a bounded payload") {
     val media = docs.limit(10).withColumn("payload", encode($"text", "UTF-8"))
     val out = Multimodal.resize(spark, media, "doc_id", "payload", targetBytes = 64).collect()
