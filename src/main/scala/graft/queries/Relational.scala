@@ -1811,6 +1811,47 @@ object Relational {
       |SELECT m.l_returnflag, m.mode_qty, p.p25_price, p.p75_price
       |FROM m JOIN p USING (l_returnflag)""".stripMargin
 
+  // ---- q69: HOPPING (sliding) window aggregation — Spark's native
+  //      `window(ts, size, slide)`: each event lands in size/slide
+  //      overlapping windows (here 4: 1 h window, 15 min hop), the
+  //      batch twin of the streaming windowed agg. The oracle
+  //      reconstructs the same window assignment in integer
+  //      MICROSECOND arithmetic (epoch-anchored starts, half-open
+  //      [start, start+size)) — exact, no float time math. ----
+  val q69HoppingWindow: Q = (s, d) => {
+    val agged = events(s, d)
+      .groupBy(window(col("ts"), "1 hour", "15 minutes"),
+        col("event_type"))
+      .agg(count(lit(1)).cast("bigint").as("n"),
+        dsum(col("value")).as("sum_value"))
+    agged.select(col("window.start").as("window_start"),
+        col("event_type"), col("n"), col("sum_value"))
+      // keep the contract result compact and deterministic: the
+      // 12 busiest (window, type) cells, ties by start+type
+      .orderBy(col("n").desc, col("window_start").asc,
+        col("event_type").asc)
+      .limit(12)
+  }
+
+  val q69Oracle: String =
+    """WITH e AS (
+      |  SELECT event_type, value, epoch_us(CAST(ts AS TIMESTAMP)) AS us
+      |  FROM events),
+      |w AS (
+      |  SELECT event_type, value,
+      |    make_timestamp((us // 900000000 - k) * 900000000) AS window_start
+      |  FROM e, (SELECT unnest([0, 1, 2, 3]) AS k)
+      |  WHERE us >= (us // 900000000 - k) * 900000000
+      |    AND us < (us // 900000000 - k) * 900000000 + 3600000000),
+      |c AS (
+      |  SELECT window_start, event_type,
+      |    CAST(COUNT(*) AS BIGINT) AS n,
+      |    CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
+      |  FROM w GROUP BY 1, 2)
+      |SELECT window_start, event_type, n, sum_value
+      |FROM c ORDER BY n DESC, window_start ASC, event_type ASC
+      |LIMIT 12""".stripMargin
+
   // ---- q66: ENTITY RESOLUTION clustering (the master-data /
   //      catalog-dedup workload): BLOCKED fuzzy matching — candidate
   //      pairs only within a cheap blocking key (last name token), so
@@ -1944,6 +1985,7 @@ object Relational {
     "q66_entity_resolution" -> q66EntityResolution,
     "q67_equidepth_histogram" -> q67EquiDepth,
     "q68_mode_disc" -> q68ModeDisc,
+    "q69_hopping_window" -> q69HoppingWindow,
     "graph_pagerank" -> graphPageRank)
 
   val oracles: Map[String, String] = Map(
@@ -2006,5 +2048,6 @@ object Relational {
     "q65_incremental_join" -> q65Oracle,
     "q66_entity_resolution" -> q66Oracle,
     "q67_equidepth_histogram" -> q67Oracle,
-    "q68_mode_disc" -> q68Oracle)
+    "q68_mode_disc" -> q68Oracle,
+    "q69_hopping_window" -> q69Oracle)
 }
