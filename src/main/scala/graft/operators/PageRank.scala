@@ -46,9 +46,15 @@ object PageRank {
 
   /** @return (node, rank) with rank in exact bigint microunits of
     *         `scale`; nodes = distinct endpoints of `edges`.
+    * @param tolMicro early-stop tolerance: when > 0, iteration halts
+    *        once no node's rank moved by more than this many
+    *        microunits (one extra |nodes|-sized aggregate per pass —
+    *        an integer criterion, so the stopping iteration is itself
+    *        deterministic). 0 = always run exactly `iters` passes.
     */
   def run(edges: DataFrame, srcCol: String, dstCol: String,
-          iters: Int = 10, scale: Long = 1000000000000L): DataFrame = {
+          iters: Int = 10, scale: Long = 1000000000000L,
+          tolMicro: Long = 0L): DataFrame = {
     require(iters > 0, "iters must be positive")
     val dampNum = 17L; val dampDen = 20L // damping 0.85 as a rational
     val e = edges.select(col(srcCol).cast("bigint").as("src"),
@@ -63,7 +69,8 @@ object PageRank {
     // eager localCheckpoint: materialize AND truncate the logical plan
     var ranks = nodes.withColumn("r", lit(scale / n)).localCheckpoint(true)
     var i = 0
-    while (i < iters) {
+    var converged = false
+    while (i < iters && !converged) {
       val withDeg = ranks.join(outdeg, Seq("node"), "left")
       // one driver scalar per pass, over |nodes| checkpointed rows
       val dangling = withDeg.filter(col("deg").isNull)
@@ -72,12 +79,19 @@ object PageRank {
       val inflow = withDeg.join(e, withDeg("node") === e("src"))
         .select(col("dst").as("node"), expr("r div deg").as("c"))
         .groupBy("node").agg(sum(col("c")).as("inflow"))
+      val prev = ranks
       ranks = nodes.join(inflow, Seq("node"), "left")
         .select(col("node"),
           (lit(base) +
             expr(s"$dampNum * (coalesce(inflow, CAST(0 AS BIGINT)) + $dShare) div $dampDen")
           ).cast("bigint").as("r"))
         .localCheckpoint(true)
+      if (tolMicro > 0) {
+        val moved = ranks.join(
+            prev.select(col("node"), col("r").as("r0")), Seq("node"))
+          .agg(max(abs(col("r") - col("r0")))).head().getLong(0)
+        converged = moved <= tolMicro
+      }
       i += 1
     }
     e.unpersist(); outdeg.unpersist(); nodes.unpersist()

@@ -56,6 +56,24 @@ class PageRankSpec extends AnyFunSuite {
       s"mass $total vs $scale")
   }
 
+  test("pagerank early-stops on convergence and matches the reference at that depth") {
+    val edges = Seq((1L, 2L), (2L, 1L), (3L, 1L))
+    // movement decays by the damping factor per pass (~0.85^k), so a
+    // 1e9-microunit tolerance is reached around k≈35 — well inside
+    // the 200-pass budget the early stop must save
+    val tol = 1000000000L
+    val got = PageRank.run(edges.toDF("s", "t"), "s", "t",
+        iters = 200, tolMicro = tol)
+      .as[(Long, Long)].collect().toMap
+    val depths = (1 to 100).map(k => k -> reference(edges, k)).toMap
+    val hit = depths.find { case (k, r) =>
+      r == got && k < 100 &&
+        depths.get(k - 1).forall(prev =>
+          prev.keys.forall(n => math.abs(prev(n) - r(n)) <= tol))
+    }
+    assert(hit.isDefined, s"no early-stop depth reproduces $got")
+  }
+
   test("pagerank is BIT-identical under adversarial repartitioning") {
     val edges = (1L to 300L).flatMap(i =>
       Seq((i, i * 7 % 300 + 1), (i, i * 13 % 300 + 1)))
