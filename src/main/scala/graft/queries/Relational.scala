@@ -1852,6 +1852,44 @@ object Relational {
       |FROM c ORDER BY n DESC, window_start ASC, event_type ASC
       |LIMIT 12""".stripMargin
 
+  // ---- q70: top-N per time bucket (the recurring reporting shape —
+  //      top customers per month): spend aggregated once, then the
+  //      per-month top-3 selected by the TopKPerKey heap exec with
+  //      rank output — |partitions|·|months|·3 rows to the exchange,
+  //      no per-month window sort. Exact decimal spend, ties by
+  //      custkey (deterministic cross-engine). ----
+  val q70TopPerBucket: Q = (s, d) => {
+    val spend = orders(s, d)
+      .select(date_format(col("o_orderdate"), "yyyy-MM").as("month"),
+        col("o_custkey"),
+        col("o_totalprice").cast("decimal(18,2)").as("price"))
+      .groupBy(col("month"), col("o_custkey"))
+      .agg(sum(col("price")).cast("decimal(38,2)").as("spend"))
+      // negated spend -> "ascending spend-desc" under one order key;
+      // ties broken by custkey ascending
+      .withColumn("neg", col("spend") * lit(-1))
+    org.apache.spark.sql.graft.TopKPerKey(spend, Seq("month"),
+        Seq("neg" -> false, "o_custkey" -> false), 3,
+        rankCol = Some("rank"))
+      .select(col("month"), col("o_custkey"),
+        col("spend").cast("double").as("spend"),
+        col("rank").cast("bigint").as("rank"))
+  }
+
+  val q70Oracle: String =
+    """WITH sp AS (
+      |  SELECT strftime(o_orderdate, '%Y-%m') AS month, o_custkey,
+      |    SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS spend
+      |  FROM orders GROUP BY 1, 2),
+      |r AS (
+      |  SELECT month, o_custkey, spend,
+      |    ROW_NUMBER() OVER (PARTITION BY month
+      |      ORDER BY spend DESC, o_custkey ASC) AS rank
+      |  FROM sp)
+      |SELECT month, o_custkey, CAST(spend AS DOUBLE) AS spend,
+      |  CAST(rank AS BIGINT) AS rank
+      |FROM r WHERE rank <= 3""".stripMargin
+
   // ---- q66: ENTITY RESOLUTION clustering (the master-data /
   //      catalog-dedup workload): BLOCKED fuzzy matching — candidate
   //      pairs only within a cheap blocking key (last name token), so
@@ -1986,6 +2024,7 @@ object Relational {
     "q67_equidepth_histogram" -> q67EquiDepth,
     "q68_mode_disc" -> q68ModeDisc,
     "q69_hopping_window" -> q69HoppingWindow,
+    "q70_top_per_bucket" -> q70TopPerBucket,
     "graph_pagerank" -> graphPageRank)
 
   val oracles: Map[String, String] = Map(
@@ -2049,5 +2088,6 @@ object Relational {
     "q66_entity_resolution" -> q66Oracle,
     "q67_equidepth_histogram" -> q67Oracle,
     "q68_mode_disc" -> q68Oracle,
-    "q69_hopping_window" -> q69Oracle)
+    "q69_hopping_window" -> q69Oracle,
+    "q70_top_per_bucket" -> q70Oracle)
 }
