@@ -60,6 +60,23 @@ object WindowedAgg {
       .select(col("window.start").as("window_start"), col("event_type"),
         col("n_events"), col("sum_value"))
 
+  /** HOPPING (sliding) windows: each event contributes to
+    * size/slide overlapping windows — the streaming twin of the
+    * oracle-checked batch form (`q69_hopping_window`); same plan
+    * on streaming and batch frames, watermark bounds the state to
+    * the lateness horizon × overlap factor.
+    */
+  def hoppingAgg(events: DataFrame, windowLength: String = "1 hour",
+                 slide: String = "15 minutes",
+                 watermark: String = "2 hours"): DataFrame =
+    events
+      .withWatermark("ts", watermark)
+      .groupBy(window(col("ts"), windowLength, slide), col("event_type"))
+      .agg(count(lit(1)).cast("bigint").as("n_events"),
+        sum(col("value").cast("decimal(18,2)")).cast("double").as("sum_value"))
+      .select(col("window.start").as("window_start"), col("event_type"),
+        col("n_events"), col("sum_value"))
+
   /** Run a streaming aggregation to a memory sink until the source is
     * drained; returns the final result as a batch DataFrame.
     */

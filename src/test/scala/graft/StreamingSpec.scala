@@ -36,6 +36,29 @@ class StreamingSpec extends AnyFunSuite {
     assert(got == batch)
   }
 
+  test("streaming hopping-window agg equals the batch sliding windows") {
+    val streamDir = Files.createTempDirectory("evhop")
+    Files.copy(java.nio.file.Paths.get(s"$sfDir/events.parquet"),
+      streamDir.resolve("events.parquet"))
+    val stream = WindowedAgg.readEventsStream(spark, streamDir.toString)
+    val got = WindowedAgg.runToMemory(spark,
+        WindowedAgg.hoppingAgg(stream, "1 hour", "15 minutes", "2 hours"),
+        "hop_test")
+      .select($"window_start", $"event_type", $"n_events", $"sum_value")
+      .as[(java.sql.Timestamp, String, Long, Double)].collect().toSet
+    // same operator over the batch frame (structured streaming's
+    // whole point: one plan, two execution modes)
+    val batch = WindowedAgg.hoppingAgg(
+        graft.sources.TableCatalog.events(spark, sfDir),
+        "1 hour", "15 minutes", "2 hours")
+      .as[(java.sql.Timestamp, String, Long, Double)].collect().toSet
+    assert(got.nonEmpty && got == batch)
+    // overlap factor: ~4x the tumbling row count for the same data
+    val tumbling = WindowedAgg.tumblingAgg(
+      graft.sources.TableCatalog.events(spark, sfDir), "1 hour", "2 hours")
+    assert(got.size > tumbling.count() * 3)
+  }
+
   test("streaming dedup emits re-delivered records exactly once") {
     val work = Files.createTempDirectory("sdedup")
     val e = graft.sources.TableCatalog.events(spark, sfDir)
