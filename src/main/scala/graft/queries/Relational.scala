@@ -1890,6 +1890,50 @@ object Relational {
       |  CAST(rank AS BIGINT) AS rank
       |FROM r WHERE rank <= 3""".stripMargin
 
+  // ---- q71: per-group least-squares TREND (regr_slope's job in
+  //      exact integer algebra — both engines' regr_* aggregates sum
+  //      doubles in partition order, which can flip the last ulp):
+  //      slope = (n·Σxy − Σx·Σy) / (n·Σx² − (Σx)²) with x = whole
+  //      seconds since an epoch base (rebased so n·Σx² stays inside
+  //      decimal(38) headroom at 10× scale) and y = integer cents;
+  //      numerator and denominator are exact, the final ratio is two
+  //      correctly-rounded double ops. The drift/trend detector for
+  //      per-segment metrics. ----
+  val q71Trend: Q = (s, d) => {
+    val base = 1704067200L // 2024-01-01, the corpus epoch
+    val e = events(s, d).select(col("event_type"),
+      (unix_timestamp(col("ts")) - base).cast("decimal(38,0)").as("x"),
+      col("value").cast("decimal(18,2)").multiply(lit(100))
+        .cast("decimal(38,0)").as("y"))
+    e.groupBy(col("event_type"))
+      .agg(count(lit(1)).cast("decimal(38,0)").as("n"),
+        sum(col("x")).as("sx"), sum(col("y")).as("sy"),
+        sum(col("x") * col("y")).as("sxy"),
+        sum(col("x") * col("x")).as("sxx"))
+      .select(col("event_type"), col("n").cast("bigint").as("n"),
+        // round(…, 9): DuckDB's HUGEINT→DOUBLE cast is not correctly
+        // rounded above 2^53, so the raw ratio can differ by one ulp
+        round((col("n") * col("sxy") - col("sx") * col("sy")).cast("double") *
+            lit(3600.0) /
+            (col("n") * col("sxx") - col("sx") * col("sx")).cast("double"), 9)
+          .as("slope_cents_per_hour"))
+  }
+
+  val q71Oracle: String =
+    """WITH e AS (
+      |  SELECT event_type,
+      |    CAST(floor(epoch(CAST(ts AS TIMESTAMP))) - 1704067200 AS HUGEINT) AS x,
+      |    CAST(CAST(value AS DECIMAL(18,2)) * 100 AS HUGEINT) AS y
+      |  FROM events),
+      |a AS (
+      |  SELECT event_type, CAST(COUNT(*) AS HUGEINT) AS n,
+      |    SUM(x) AS sx, SUM(y) AS sy, SUM(x * y) AS sxy, SUM(x * x) AS sxx
+      |  FROM e GROUP BY 1)
+      |SELECT event_type, CAST(n AS BIGINT) AS n,
+      |  ROUND(CAST(n * sxy - sx * sy AS DOUBLE) * 3600.0 /
+      |    CAST(n * sxx - sx * sx AS DOUBLE), 9) AS slope_cents_per_hour
+      |FROM a""".stripMargin
+
   // ---- q66: ENTITY RESOLUTION clustering (the master-data /
   //      catalog-dedup workload): BLOCKED fuzzy matching — candidate
   //      pairs only within a cheap blocking key (last name token), so
@@ -2025,6 +2069,7 @@ object Relational {
     "q68_mode_disc" -> q68ModeDisc,
     "q69_hopping_window" -> q69HoppingWindow,
     "q70_top_per_bucket" -> q70TopPerBucket,
+    "q71_trend" -> q71Trend,
     "graph_pagerank" -> graphPageRank)
 
   val oracles: Map[String, String] = Map(
@@ -2089,5 +2134,6 @@ object Relational {
     "q67_equidepth_histogram" -> q67Oracle,
     "q68_mode_disc" -> q68Oracle,
     "q69_hopping_window" -> q69Oracle,
-    "q70_top_per_bucket" -> q70Oracle)
+    "q70_top_per_bucket" -> q70Oracle,
+    "q71_trend" -> q71Oracle)
 }
