@@ -22,17 +22,27 @@ import org.apache.spark.sql.functions._
 object Components {
 
   /** @param pairs two-column DataFrame of undirected edges
+    * @param partitions partition count for the cached edge/label
+    *        frames; 0 = the session's shuffle-partition default.
+    *        Each iteration schedules a handful of stages over these
+    *        partitions, so when the GRAPH is known to be model-sized
+    *        (an entity-resolution dim, a capped pair table) a small
+    *        explicit count removes most of the per-iteration task
+    *        overhead — the result is partition-count-invariant
+    *        (spec-pinned), only the wall clock changes.
     * @return (id, component) with component = min id reachable
     */
   def connectedComponents(pairs: DataFrame, srcCol: String, dstCol: String,
-                          maxIter: Int = 20): DataFrame =
-    connectedComponentsWithStats(pairs, srcCol, dstCol, maxIter)._1
+                          maxIter: Int = 20,
+                          partitions: Int = 0): DataFrame =
+    connectedComponentsWithStats(pairs, srcCol, dstCol, maxIter, partitions)._1
 
   /** As [[connectedComponents]], also returning the iteration count
     * (spec hook for the O(log diameter) convergence property).
     */
   def connectedComponentsWithStats(pairs: DataFrame, srcCol: String, dstCol: String,
-                                   maxIter: Int = 20): (DataFrame, Int) = {
+                                   maxIter: Int = 20,
+                                   partitions: Int = 0): (DataFrame, Int) = {
     val edges = pairs.select(col(srcCol).as("src"), col(dstCol).as("dst"))
     // cache sym hash-partitioned on src and labels on id: the cached
     // partitioning survives into every iteration, so the neighbor join
@@ -40,8 +50,10 @@ object Components {
     // (no per-iteration exchange on the cached sides; at small SF AQE
     // broadcasts the aggregate side instead — either way the cached
     // data never re-shuffles)
-    val sym = edges.union(edges.select(col("dst").as("src"), col("src").as("dst")))
-      .distinct().repartition(col("src")).cache()
+    val symBase = edges.union(edges.select(col("dst").as("src"), col("src").as("dst")))
+      .distinct()
+    val sym = (if (partitions > 0) symBase.repartition(partitions, col("src"))
+               else symBase.repartition(col("src"))).cache()
     var labels = sym.select(col("src").as("id")).distinct()
       .withColumn("component", col("id")).cache()
     var converged = false

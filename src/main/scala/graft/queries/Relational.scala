@@ -1954,8 +1954,11 @@ object Relational {
       .filter(col("na") < col("nb") &&
         levenshtein(col("na"), col("nb")) <= 2)
       .select(col("na"), col("nb"))
+    // the name universe is a dim column's distinct values — model
+    // sized — so a small explicit partition count drops most of the
+    // per-iteration task-scheduling overhead (result invariant)
     val comp = graft.operators.Components
-      .connectedComponents(pairs, "na", "nb")
+      .connectedComponents(pairs, "na", "nb", partitions = 4)
       .select(col("id").as("p_name"), col("component"))
     names.join(comp, Seq("p_name"), "left")
       .select(col("p_name"),

@@ -396,6 +396,12 @@ class OperatorsSpec extends AnyFunSuite {
     val comps = graft.operators.Components.connectedComponents(pairs, "a", "b")
       .as[(Long, Long)].collect().toMap
     assert(comps == Map(10L -> 10L, 11L -> 10L, 12L -> 10L, 20L -> 20L, 21L -> 20L))
+    // explicit partition count (the model-sized-graph overhead knob)
+    // changes only wall clock, never the result
+    val small = graft.operators.Components
+      .connectedComponents(pairs, "a", "b", partitions = 2)
+      .as[(Long, Long)].collect().toMap
+    assert(small == comps)
   }
 
   test("PNG decode is REAL: zlib round-trip, every prediction filter, gray/RGB/RGBA") {
