@@ -53,6 +53,46 @@ class StreamJoinViewSpec extends AnyFunSuite {
     assert(after == want)
   }
 
+  test("real stream: tagged union stream drives the view via foreachBatch, restart-safe") {
+    val work = java.nio.file.Files.createTempDirectory("sjv_stream")
+    val root = s"$work/state"
+    // one stream carries BOTH sides, tagged (the CDC-topic shape);
+    // foreachBatch splits and applies the IVM rule
+    val tagged =
+      a.withColumn("side", lit("a")).withColumnRenamed("av", "v")
+        .unionByName(b.withColumn("side", lit("b")).withColumnRenamed("bv", "v"))
+    // three microbatch files, sliced independently of side
+    (0 until 3).foreach { i =>
+      tagged.filter(pmod(xxhash64(col("v"), lit(13)), lit(3)) === i)
+        .coalesce(1).write.parquet(s"$work/in/slice=$i")
+    }
+    def runStream(): Unit = {
+      val stream = spark.readStream.schema(
+          tagged.schema).option("maxFilesPerTrigger", "1")
+        .parquet(s"$work/in/*")
+      val q = stream.writeStream
+        .option("checkpointLocation", s"$work/ck")
+        .foreachBatch { (batch: org.apache.spark.sql.DataFrame, id: Long) =>
+          StreamJoinView.applyBatch(spark,
+            batch.filter(col("side") === "a").select(col("k"), col("v").as("av")),
+            batch.filter(col("side") === "b").select(col("k"), col("v").as("bv")),
+            root, id, Seq("k"))
+        }.start()
+      q.processAllAvailable(); q.stop()
+    }
+    runStream()
+    val got = StreamJoinView.view(spark, root)
+      .as[(Long, String, String)].collect().sorted.toSeq
+    val want = a.join(b, Seq("k")).as[(Long, String, String)]
+      .collect().sorted.toSeq
+    assert(got == want && got.nonEmpty)
+    // restart against the same checkpoint: nothing re-applied
+    runStream()
+    val after = StreamJoinView.view(spark, root)
+      .as[(Long, String, String)].collect().sorted.toSeq
+    assert(after == want)
+  }
+
   test("consolidation bounds dir count without changing the view") {
     val root = tmp()
     val aB = slices(a, "av", 7, 9); val bB = slices(b, "bv", 11, 9)
