@@ -1890,6 +1890,42 @@ object Relational {
       |  CAST(rank AS BIGINT) AS rank
       |FROM r WHERE rank <= 3""".stripMargin
 
+  // ---- q72: CUMULATIVE DISTINCT reach by day (the DAU/total-reach
+  //      curve): a naive per-day COUNT(DISTINCT) over growing
+  //      prefixes is quadratic; the first-seen trick makes it linear
+  //      — each user's FIRST day is one hash agg, cumulative reach is
+  //      a running sum over the day series — computed by the
+  //      DISTRIBUTED prefix sum (range partition + per-partition
+  //      totals + broadcast offsets + partition-local windows), NOT
+  //      the single-task `SUM() OVER (ORDER BY)` window PlanAudit
+  //      flags as critical. Exact, so the oracle can state the naive
+  //      window form. ----
+  val q72CumulativeReach: Q = (s, d) => {
+    val firstDay = events(s, d)
+      .groupBy(col("user_id"))
+      .agg(min(to_date(col("ts"))).as("first_day"))
+    val perDay = firstDay.groupBy(col("first_day").as("day"))
+      .agg(count(lit(1)).cast("bigint").as("new_users"))
+    graft.operators.PrefixSum
+      .runningTotal(perDay, "day", "new_users", "cumulative_users",
+        partitions = 4)
+      .withColumn("cumulative_users",
+        col("cumulative_users").cast("bigint"))
+  }
+
+  val q72Oracle: String =
+    """WITH f AS (
+      |  SELECT user_id, MIN(CAST(CAST(ts AS TIMESTAMP) AS DATE)) AS first_day
+      |  FROM events GROUP BY 1),
+      |p AS (
+      |  SELECT first_day AS day, CAST(COUNT(*) AS BIGINT) AS new_users
+      |  FROM f GROUP BY 1)
+      |SELECT day, new_users,
+      |  CAST(SUM(new_users) OVER (ORDER BY day
+      |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+      |    AS cumulative_users
+      |FROM p""".stripMargin
+
   // ---- q71: per-group least-squares TREND (regr_slope's job in
   //      exact integer algebra — both engines' regr_* aggregates sum
   //      doubles in partition order, which can flip the last ulp):
@@ -2073,6 +2109,7 @@ object Relational {
     "q69_hopping_window" -> q69HoppingWindow,
     "q70_top_per_bucket" -> q70TopPerBucket,
     "q71_trend" -> q71Trend,
+    "q72_cumulative_reach" -> q72CumulativeReach,
     "graph_pagerank" -> graphPageRank)
 
   val oracles: Map[String, String] = Map(
@@ -2138,5 +2175,6 @@ object Relational {
     "q68_mode_disc" -> q68Oracle,
     "q69_hopping_window" -> q69Oracle,
     "q70_top_per_bucket" -> q70Oracle,
-    "q71_trend" -> q71Oracle)
+    "q71_trend" -> q71Oracle,
+    "q72_cumulative_reach" -> q72Oracle)
 }

@@ -648,6 +648,40 @@ class OperatorsSpec extends AnyFunSuite {
       Set("""{"doc_id": 3, "text": "torn""", "not json at all"))
   }
 
+  test("distributed prefix sum == single-task window; duplicate keys refused; partition-invariant") {
+    import graft.operators.PrefixSum
+    val data = (1 to 500).map(i =>
+      ((i * 37) % 1000, ((i * 13) % 97).toLong)).distinct
+      .toDF("k", "v")
+    def naive = {
+      val w = org.apache.spark.sql.expressions.Window.orderBy("k")
+        .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, 0)
+      data.withColumn("run", sum($"v").over(w))
+        .select($"k", $"run".cast("long")).as[(Int, Long)].collect().toMap
+    }
+    for (parts <- Seq(1, 3, 8)) {
+      val got = PrefixSum.runningTotal(data, "k", "v", "run", partitions = parts)
+        .select($"k", $"run".cast("long")).as[(Int, Long)].collect().toMap
+      assert(got == naive, s"parts=$parts")
+    }
+    // the plan must never have an unpartitioned window
+    val plan = PrefixSum.runningTotal(data, "k", "v", "run", partitions = 4)
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("Window [") ||
+      !plan.matches("(?s).*windowspecdefinition\\(\\s*k.*"),
+      "window must be partitioned by pid")
+    val audit = graft.plans.PlanAudit.audit(
+      PrefixSum.runningTotal(data, "k", "v", "run", partitions = 4))
+    assert(!audit.exists(f => f.rule == "unpartitioned-window"),
+      s"prefix sum must not plan a single-task window: $audit")
+    // duplicate order keys refused
+    val dup = Seq((1, 1L), (1, 2L), (2, 3L)).toDF("k", "v")
+    val e = intercept[IllegalArgumentException] {
+      PrefixSum.runningTotal(dup, "k", "v", "run")
+    }
+    assert(e.getMessage.contains("unique"))
+  }
+
   test("incremental join view: three delta rounds == one-shot full join, deltas broadcast") {
     import graft.operators.IncrementalJoin
     val a = (1L to 300L).map(k => (k, s"a$k")).toDF("k", "av")
