@@ -383,18 +383,74 @@ object Dedup {
 
   /** Near-duplicate embedding pairs: hyperplane-LSH bucket join +
     * exact cosine verification within buckets.
+    *
+    * @param maxBucketSize drop hyperplane buckets holding more than
+    *        this many vectors before pairing — the same skew cap every
+    *        other candidate-pair path here applies (minhashLsh's
+    *        maxBucketSize, ngramJaccard's maxShinglePosting). With only
+    *        2^numPlanes buckets, a low-variance or adversarial
+    *        embedding set collapses into few buckets and the
+    *        within-bucket self-join goes quadratic in corpus size;
+    *        over-cap buckets opt out here and are quantified by
+    *        [[embeddingNearDupWithReport]].
     */
   def embeddingNearDup(df: DataFrame, idCol: String, vecCol: String,
-                       threshold: Double = 0.95, numPlanes: Int = 8): DataFrame = {
+                       threshold: Double = 0.95, numPlanes: Int = 8,
+                       maxBucketSize: Int = 1000): DataFrame =
+    embeddingNearDupWithReport(df, idCol, vecCol, threshold, numPlanes,
+      maxBucketSize)._1
+
+  /** Hyperplane-count policy: enough planes that a uniformly-spread
+    * corpus's expected bucket size sits ~4x under the cap, so the cap
+    * only fires on genuinely skewed (low-variance/adversarial) regions
+    * rather than on sheer corpus growth. Clamped to [4, 24]: fewer
+    * than 4 planes gives no locality, more than 24 (16M buckets) only
+    * shreds recall.
+    */
+  def autoPlanes(n: Long, maxBucketSize: Int = 1000): Int = {
+    val target = math.max(1.0, maxBucketSize / 4.0)
+    val p = math.ceil(math.log(math.max(1.0, n / target)) / math.log(2.0)).toInt
+    math.min(24, math.max(4, p))
+  }
+
+  /** [[embeddingNearDup]] plus a ONE-row report — (buckets_skipped,
+    * vecs_skipped, corpus_fraction) — quantifying what the bucket cap
+    * excluded, mirroring semanticDedup's report convention: a capped
+    * path that doesn't say how much it skipped looks complete when it
+    * isn't.
+    */
+  def embeddingNearDupWithReport(df: DataFrame, idCol: String, vecCol: String,
+                                 threshold: Double = 0.95, numPlanes: Int = 8,
+                                 maxBucketSize: Int = 1000)
+      : (DataFrame, DataFrame) = {
     GraftFunctions.register(df.sparkSession)
     val bucketed = spread(df).select(col(idCol).as("vid"), col(vecCol).as("v"),
       hyperplaneBucket(col(vecCol), numPlanes).as("bucket"))
-    val a = bucketed.select(col("bucket"), col("vid").as("id_a"), col("v").as("v_a"))
-    val b = bucketed.select(col("bucket"), col("vid").as("id_b"), col("v").as("v_b"))
-    a.join(b, Seq("bucket"))
+      .repartition(col("bucket"))
+    // bucket sizes from the same exchange the self-join consumes
+    // (ReuseExchange collapses them); only pair-capable, under-cap
+    // buckets enter the join, so it buffers at most maxBucketSize rows
+    // per key no matter how the corpus distributes over 2^numPlanes
+    // buckets.
+    val sizes = bucketed.groupBy("bucket").agg(count(lit(1)).as("cnt"))
+    val okBuckets = sizes.filter(col("cnt").between(2, maxBucketSize))
+      .select("bucket")
+    val report = sizes.agg(
+      coalesce(sum(when(col("cnt") > maxBucketSize, 1L)), lit(0L))
+        .as("buckets_skipped"),
+      coalesce(sum(when(col("cnt") > maxBucketSize, col("cnt"))), lit(0L))
+        .as("vecs_skipped"),
+      sum(col("cnt")).as("__total"))
+      .select(col("buckets_skipped"), col("vecs_skipped"),
+        round(col("vecs_skipped") / col("__total"), 6).as("corpus_fraction"))
+    val kept = bucketed.join(okBuckets, Seq("bucket"))
+    val a = kept.select(col("bucket"), col("vid").as("id_a"), col("v").as("v_a"))
+    val b = kept.select(col("bucket"), col("vid").as("id_b"), col("v").as("v_b"))
+    val pairs = a.join(b, Seq("bucket"))
       .filter(col("id_a") < col("id_b"))
       .withColumn("cosine", GraftFunctions.cosineFast(col("v_a"), col("v_b")))
       .filter(col("cosine") >= threshold)
       .select(col("id_a"), col("id_b"), col("cosine"))
+    (pairs, report)
   }
 }

@@ -113,9 +113,15 @@ object EmbedPca {
         else if (model.eigenvalues(j) > whitenEps)
           1.0 / math.sqrt(model.eigenvalues(j))
         else 0.0
+      // Estimator/apply contract: fit() skips vectors shorter than
+      // `dim` (they contribute no moments), so project() must not
+      // silently score them either — the common-prefix dot product
+      // would behave as zero-padding, indistinguishable downstream
+      // from a real score. Short vectors get NULL scores instead.
       acc.withColumn(s"pc${j + 1}",
-        (GraftFunctions.dotFast(vecAsDouble, lit(w)) - lit(center)) *
-          lit(scale))
+        when(size(col(vecCol)) >= model.dim,
+          (GraftFunctions.dotFast(vecAsDouble, lit(w)) - lit(center)) *
+            lit(scale)))
     }
   }
 

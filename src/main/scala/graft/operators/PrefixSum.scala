@@ -40,16 +40,21 @@ object PrefixSum {
       .localCheckpoint(true) // pin the sampled range layout
     val withPid = ranged.withColumn("__pid",
       spark_partition_id().cast("long"))
-    val dups = withPid.groupBy(col(orderCol)).count()
-      .filter(col("count") > 1).limit(1).count()
-    require(dups == 0,
+    // model-sized: one row per partition. The duplicate-key guard
+    // rides the SAME aggregate (count vs count_distinct per
+    // partition) instead of paying its own full pass over the input:
+    // range partitioning never splits equal keys across partitions,
+    // so per-partition distinctness is global distinctness.
+    val totalRows = withPid.groupBy(col("__pid"))
+      .agg(sum(col(valueCol)).as("__t"),
+        count(lit(1)).as("__n"),
+        count_distinct(col(orderCol)).as("__nd"))
+      .collect()
+    require(totalRows.forall(r => r.getLong(2) == r.getLong(3)),
       s"PrefixSum: rows must be unique on '$orderCol' — aggregate to " +
         "the order key first (duplicate keys make a running total ambiguous)")
-    // model-sized: one row per partition
-    val totals = withPid.groupBy(col("__pid"))
-      .agg(sum(col(valueCol)).as("__t"))
-      .collect().map(r => r.getLong(0) ->
-        Option(r.get(1)).fold(BigDecimal(0))(v => BigDecimal(v.toString)))
+    val totals = totalRows.map(r => r.getLong(0) ->
+      Option(r.get(1)).fold(BigDecimal(0))(v => BigDecimal(v.toString)))
       .toMap
     val offsets = (0 until n).map { p =>
       p.toLong -> (0L until p.toLong).map(q =>

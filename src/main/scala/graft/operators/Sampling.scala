@@ -222,11 +222,26 @@ object Sampling {
     // model-sized: one scalar off the per-source quota table
     val maxQuota = quotas.agg(max(col("__quota"))).head().getLong(0)
     if (maxQuota <= 0) return df.select(col(idCol), col(groupCol)).limit(0)
-    val ranked = org.apache.spark.sql.graft.TopKPerKey(
-      df.select(col(idCol), col(groupCol))
-        .withColumn("__pb", portableBucket(col(idCol))),
-      Seq(groupCol), Seq("__pb" -> false, idCol -> false),
-      maxQuota.toInt, rankCol = Some("__rn"))
+    val keyed = df.select(col(idCol), col(groupCol))
+      .withColumn("__pb", portableBucket(col(idCol)))
+    // Quotas are Long (budget-proportional): above Int.MaxValue the
+    // per-key heap exec can't hold them (and a silent .toInt wrap
+    // would truncate the selection with no error — a 2^32+100 quota
+    // becoming 100). At quotas that size nearly the whole group is
+    // kept anyway, so fall back to a windowed running count (Long
+    // ranks, sort-per-key) instead of the heap.
+    val ranked =
+      if (maxQuota <= Int.MaxValue.toLong)
+        org.apache.spark.sql.graft.TopKPerKey(keyed,
+          Seq(groupCol), Seq("__pb" -> false, idCol -> false),
+          maxQuota.toInt, rankCol = Some("__rn"))
+      else {
+        val w = org.apache.spark.sql.expressions.Window
+          .partitionBy(col(groupCol))
+          .orderBy(col("__pb").asc, col(idCol).asc)
+          .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, 0)
+        keyed.withColumn("__rn", sum(lit(1L)).over(w))
+      }
     ranked.join(broadcast(quotas), Seq(groupCol))
       .filter(col("__rn") <= col("__quota"))
       .select(col(idCol), col(groupCol))

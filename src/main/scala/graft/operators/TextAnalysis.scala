@@ -111,7 +111,13 @@ object TextAnalysis {
       array_max(lens).cast("bigint").as("max_word_len"),
       size(filter(toks, t => t.rlike("[a-zA-Z]"))).cast("bigint")
         .as("alpha_words"),
-      size(array_distinct(filter(toks, t => t.isin(stopList.map(lit): _*))))
+      // the published Gopher/MassiveText heuristic counts stopword
+      // HITS regardless of case or attached punctuation ("The",
+      // "the," both count) — match on the lowered token with trailing
+      // punctuation stripped, not the raw token
+      size(array_distinct(filter(
+        transform(toks, t => regexp_replace(lower(t), "[\\p{Punct}]+$", "")),
+        t => t.isin(stopList.map(lit): _*))))
         .cast("bigint").as("n_stop_distinct"))
     // ordered rules: first failure is the attributed one
     val rules: Seq[(String, Column)] = Seq(

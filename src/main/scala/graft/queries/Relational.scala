@@ -1980,26 +1980,13 @@ object Relational {
   //      singletons are their own cluster. Both engines implement
   //      textbook unit-cost Levenshtein, so the match set is exact
   //      and the oracle rebuilds the whole pipeline (blocking, edit
-  //      distance, recursive-CTE reachability). ----
-  val q66EntityResolution: Q = (s, d) => {
-    val names = part(s, d).select(col("p_name")).distinct()
-    val blocked = names.select(col("p_name").as("na"),
-      element_at(split(col("p_name"), " "), -1).as("blk"))
-    val pairs = blocked.join(
-        blocked.select(col("na").as("nb"), col("blk")), Seq("blk"))
-      .filter(col("na") < col("nb") &&
-        levenshtein(col("na"), col("nb")) <= 2)
-      .select(col("na"), col("nb"))
-    // the name universe is a dim column's distinct values — model
-    // sized — so a small explicit partition count drops most of the
-    // per-iteration task-scheduling overhead (result invariant)
-    val comp = graft.operators.Components
-      .connectedComponents(pairs, "na", "nb", partitions = 4)
-      .select(col("id").as("p_name"), col("component"))
-    names.join(comp, Seq("p_name"), "left")
-      .select(col("p_name"),
-        coalesce(col("component"), col("p_name")).as("cluster"))
-  }
+  //      distance, recursive-CTE reachability). The hot-block cap
+  //      (EntityResolution.maxBlockSize, default 1000) is far above
+  //      this corpus's max block (8 names/token), so the capped
+  //      operator is oracle-identical here; the cap firing is
+  //      spec-pinned with a crafted 1000-name block. ----
+  val q66EntityResolution: Q = (s, d) =>
+    graft.operators.EntityResolution.cluster(part(s, d), "p_name")
 
   val q66Oracle: String =
     """WITH RECURSIVE

@@ -226,7 +226,8 @@ object TextQueries {
       |      / CAST(len(toks) AS DOUBLE) AS mean_word_len,
       |    CAST(list_max(list_transform(toks, x -> length(x))) AS BIGINT) AS max_word_len,
       |    CAST(len(list_filter(toks, x -> regexp_matches(x, '[a-zA-Z]'))) AS BIGINT) AS alpha_words,
-      |    CAST(len(list_distinct(list_filter(toks,
+      |    CAST(len(list_distinct(list_filter(
+      |      list_transform(toks, x -> regexp_replace(lower(x), '[[:punct:]]+$', '')),
       |      x -> list_contains(['the','a','of','to','and'], x)))) AS BIGINT) AS n_stop_distinct
       |  FROM t)
       |SELECT doc_id, n_words, mean_word_len, max_word_len, alpha_words,
@@ -286,10 +287,33 @@ object TextQueries {
     Dedup.simhashPairs(documents(s, d), "doc_id", "text", maxHamming = 3)
 
   // the synthetic embeddings have no true near-dups (max pairwise
-  // cosine ~0.47), so the query flags "suspiciously similar" pairs
-  val dedupEmbedding: Q = (s, d) =>
-    Dedup.embeddingNearDup(embeddings(s, d), "vec_id", "embedding",
-      threshold = 0.3, numPlanes = 4)
+  // cosine ~0.47), so the query flags "suspiciously similar" pairs.
+  // numPlanes follows the autoPlanes policy (4 at these SFs — identical
+  // behavior to the historical fixed-4 form; more planes as the corpus
+  // grows, keeping expected bucket size under the cap).
+  val dedupEmbedding: Q = (s, d) => {
+    val e = embeddings(s, d)
+    Dedup.embeddingNearDup(e, "vec_id", "embedding",
+      threshold = 0.3, numPlanes = Dedup.autoPlanes(e.count()))
+  }
+
+  // ---- dedup_embedding_report (rows-only): the embedding-LSH bucket
+  //      cap's opt-out report in BOTH regimes (the dedup_semantic_report
+  //      shape): "capped_small" forces over-cap buckets to skip
+  //      (vecs_skipped > 0 proves the report path fires); "production"
+  //      runs the autoPlanes policy at the default cap, where the
+  //      corpus fits and the report must read all-zeros. ----
+  val dedupEmbeddingReport: Q = (s, d) => {
+    val e = embeddings(s, d)
+    val (_, capped) = Dedup.embeddingNearDupWithReport(e, "vec_id", "embedding",
+      threshold = 0.3, numPlanes = 4, maxBucketSize = 20)
+    val (_, normal) = Dedup.embeddingNearDupWithReport(e, "vec_id", "embedding",
+      threshold = 0.3, numPlanes = Dedup.autoPlanes(e.count()))
+    capped.withColumn("regime", lit("capped_small"))
+      .unionByName(normal.withColumn("regime", lit("production")))
+      .select(col("regime"), col("buckets_skipped"), col("vecs_skipped"),
+        col("corpus_fraction"))
+  }
 
   // the same no-true-near-dups corpus: a 0.3 threshold keeps the
   // semantic pass honest (it must drop the "suspicious" tail only)
@@ -1423,6 +1447,7 @@ object TextQueries {
     "dedup_minhash_lsh" -> dedupMinhash,
     "dedup_simhash" -> dedupSimhash,
     "dedup_embedding" -> dedupEmbedding,
+    "dedup_embedding_report" -> dedupEmbeddingReport,
     "dedup_semantic" -> dedupSemantic,
     "dedup_semantic_indexed" -> dedupSemanticIndexed,
     "dedup_semantic_report" -> dedupSemanticReport,

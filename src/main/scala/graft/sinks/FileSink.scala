@@ -2,7 +2,7 @@ package graft.sinks
 
 import org.apache.spark.sql.{DataFrame, SaveMode}
 import org.apache.spark.sql.functions._
-import org.apache.spark.sql.types.{BinaryType, StructType}
+import org.apache.spark.sql.types.{BinaryType, StringType, StructType}
 
 /** File-based output (cda-client FileBasedOutputWriter.scala)
   * re-expressed Spark-first.
@@ -26,12 +26,19 @@ object FileSink {
     }
   }
 
-  /** Make a DataFrame CSV-safe: structs → JSON strings, binary → base64. */
+  /** Make a DataFrame CSV-safe: structs → JSON strings, binary →
+    * base64, and CR/LF runs in strings → a single space (line-split
+    * readers run with multiLine off; a quoted embedded newline tears
+    * into reject rows on read — lossy by design, newline-bearing text
+    * belongs in JSONL/parquet).
+    */
   def flattenForCsv(df: DataFrame): DataFrame =
     df.schema.fields.foldLeft(df) { (acc, field) =>
       field.dataType match {
         case _: StructType => acc.withColumn(field.name, to_json(col(field.name)))
         case BinaryType => acc.withColumn(field.name, base64(col(field.name)))
+        case StringType => acc.withColumn(field.name,
+          regexp_replace(col(field.name), "[\\r\\n]+", " "))
         case _ => acc
       }
     }

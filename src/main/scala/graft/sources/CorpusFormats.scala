@@ -99,8 +99,26 @@ object CorpusFormats {
           .as(CorruptCol): _*)
   }
 
+  /** Replace CR/LF runs in string columns with a single space. The
+    * reader runs with multiLine OFF (line-splittability at 100 TB), so
+    * the writer must never emit a quoted embedded newline its own
+    * reader would tear into corrupt reject rows. Lossy by design:
+    * corpus text with meaningful newlines belongs in JSONL/parquet.
+    */
+  def flattenNewlines(df: DataFrame): DataFrame = {
+    import org.apache.spark.sql.functions.regexp_replace
+    df.schema.fields.foldLeft(df) { (acc, f) =>
+      f.dataType match {
+        case StringType => acc.withColumn(f.name,
+          regexp_replace(col(f.name), "[\\r\\n]+", " "))
+        case _ => acc
+      }
+    }
+  }
+
   def writeCsv(df: DataFrame, path: String): String = {
-    df.write.mode(SaveMode.Overwrite).option("header", "true").csv(path)
+    flattenNewlines(df).write
+      .mode(SaveMode.Overwrite).option("header", "true").csv(path)
     path
   }
 

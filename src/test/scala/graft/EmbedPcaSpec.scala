@@ -56,6 +56,24 @@ class EmbedPcaSpec extends AnyFunSuite {
     assert(math.abs(v3(0) - v3(1)) < 1e-12, "lambda=3 vector is [1,1]-direction")
   }
 
+  test("project() nulls scores for vectors shorter than the model dim (fit's skip rule)") {
+    // fit() skips short vectors (they contribute no moments); project()
+    // must mirror that — a common-prefix dot would silently score them
+    // as zero-padded, indistinguishable from a real score downstream.
+    val full = (1 to 20).map(i =>
+      (i.toLong, Array(i.toFloat, (i % 5).toFloat, (i % 3).toFloat)))
+    val short = Seq((100L, Array(1.0f, 2.0f)), (101L, Array[Float]()))
+    val df = (full ++ short).toDF("id", "v")
+    val model = EmbedPca.fit(df, "v", k = 2, dim = 3)
+    val scored = EmbedPca.project(df, model, "v")
+      .select($"id", $"pc1", $"pc2").collect()
+    val byId = scored.map(r => r.getLong(0) -> (r.isNullAt(1), r.isNullAt(2))).toMap
+    assert(byId(100L) == ((true, true)) && byId(101L) == ((true, true)),
+      "short vectors must get NULL scores")
+    assert(full.forall { case (id, _) => byId(id) == ((false, false)) },
+      "full-length vectors must all be scored")
+  }
+
   test("low-rank data: PCA finds the plane, variance concentrates, reconstruction is exact") {
     val d = 8
     // two orthogonal directions with different scales, no noise

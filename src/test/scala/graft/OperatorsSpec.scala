@@ -48,6 +48,85 @@ class OperatorsSpec extends AnyFunSuite {
       s"expected only the under-cap pair, got ${pairs.size} pairs")
   }
 
+  test("embedding LSH bucket cap bounds a degenerate all-identical corpus") {
+    // 1000 identical vectors all land in ONE hyperplane bucket: without
+    // a cap the within-bucket self-join is quadratic (~500k pairs). With
+    // the cap the hot bucket opts out AND is reported, while an
+    // under-cap near-dup pair in a different direction is still found.
+    val hot = (1 to 1000).map(i => (i.toLong, Array(1.0f, 0.1f, 0.0f, -0.2f)))
+    val small = Seq(
+      (2001L, Array(-0.3f, 1.0f, 0.4f, 0.1f)),
+      (2002L, Array(-0.3f, 1.0f, 0.41f, 0.1f)))
+    val corpus = (hot ++ small).toDF("vec_id", "embedding")
+    val (pairs, report) = Dedup.embeddingNearDupWithReport(
+      corpus, "vec_id", "embedding",
+      threshold = 0.95, numPlanes = 8, maxBucketSize = 50)
+    val got = pairs.select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    assert(got == Set((2001L, 2002L)),
+      s"expected only the under-cap pair, got ${got.size} pairs")
+    val (bSkipped, vSkipped, frac) =
+      report.as[(Long, Long, Double)].collect().head
+    assert(bSkipped == 1L, s"expected 1 skipped bucket, got $bSkipped")
+    assert(vSkipped == 1000L, s"expected 1000 skipped vecs, got $vSkipped")
+    assert(math.abs(frac - 1000.0 / 1002.0) < 1e-4)
+  }
+
+  test("embedding LSH cap report reads all-zeros on a well-spread corpus") {
+    // the production regime: autoPlanes keeps expected bucket size ~4x
+    // under the cap, so on the synthetic (well-spread) corpus nothing
+    // is skipped and capped output == uncapped output.
+    val e = embs
+    val planes = Dedup.autoPlanes(e.count())
+    val (capped, report) = Dedup.embeddingNearDupWithReport(
+      e, "vec_id", "embedding", threshold = 0.3, numPlanes = planes)
+    val unCapped = Dedup.embeddingNearDup(e, "vec_id", "embedding",
+      threshold = 0.3, numPlanes = planes, maxBucketSize = Int.MaxValue)
+    val (bSkipped, vSkipped, frac) =
+      report.as[(Long, Long, Double)].collect().head
+    assert(bSkipped == 0L && vSkipped == 0L && frac == 0.0)
+    assert(capped.select("id_a", "id_b").as[(Long, Long)].collect().toSet ==
+      unCapped.select("id_a", "id_b").as[(Long, Long)].collect().toSet)
+  }
+
+  test("autoPlanes keeps expected bucket size under the cap and is clamped") {
+    assert(Dedup.autoPlanes(2000) == 4)   // historical fixed-4 regime
+    assert(Dedup.autoPlanes(500) == 4)
+    val n = 100000000L
+    val p = Dedup.autoPlanes(n)
+    assert(n.toDouble / math.pow(2, p) <= 1000,
+      "expected bucket size exceeds the cap")
+    assert(Dedup.autoPlanes(Long.MaxValue) == 24)
+  }
+
+  test("entity-resolution hot-block cap bounds a degenerate shared-token block") {
+    // ~10^3 names sharing one last token would pay |block|^2 = 500k
+    // levenshtein evaluations: with the cap the hot block opts out
+    // (its names fall through as singletons, reported), while an
+    // under-cap fuzzy pair in another block still clusters.
+    val hot = (1 to 1000).map(i => f"name$i%04d smith")
+    val small = Seq("alpha gear", "alphq gear", "unrelated widget")
+    val df = (hot ++ small).toDF("p_name")
+    val (clusters, report) = graft.operators.EntityResolution
+      .clusterWithReport(df, "p_name", maxBlockSize = 50)
+    val got = clusters.as[(String, String)].collect().toMap
+    assert(got("alpha gear") == "alpha gear" && got("alphq gear") == "alpha gear",
+      "under-cap fuzzy pair must still cluster")
+    assert(got("unrelated widget") == "unrelated widget")
+    // every hot-block name is its own singleton cluster (no pairs made)
+    assert(hot.forall(n => got(n) == n), "hot-block names must be singletons")
+    val (bSkipped, nSkipped, frac) =
+      report.as[(Long, Long, Double)].collect().head
+    assert(bSkipped == 1L && nSkipped == 1000L)
+    assert(math.abs(frac - 1000.0 / 1003.0) < 1e-4)
+    // sanity: UNCAPPED, the hot block does cluster (adjacent numeric
+    // names are edit-distance <= 2 apart) — proving the cap, not the
+    // data, bounded the work above.
+    val unCapped = graft.operators.EntityResolution
+      .cluster(df, "p_name", maxBlockSize = Int.MaxValue)
+      .as[(String, String)].collect().toMap
+    assert(unCapped("name0002 smith") == "name0001 smith")
+  }
+
   test("simhash pairs are token-set near-dups with verified hamming <= 3") {
     val pairs = Dedup.simhashPairs(docs, "doc_id", "text", maxHamming = 3)
     val collected = pairs.select("doc_a", "doc_b", "hamming").as[(Long, Long, Long)].collect()
@@ -682,6 +761,33 @@ class OperatorsSpec extends AnyFunSuite {
     assert(e.getMessage.contains("unique"))
   }
 
+  test("prefix sum's dup guard rides the totals pass (no extra job)") {
+    import graft.operators.PrefixSum
+    val data = (1 to 500).map(i => (i, i.toLong)).toDF("k", "v")
+    data.count() // warm the scan path outside the counted window
+    val jobs = new java.util.concurrent.atomic.AtomicInteger(0)
+    val listener = new org.apache.spark.scheduler.SparkListener {
+      override def onJobStart(
+          j: org.apache.spark.scheduler.SparkListenerJobStart): Unit = {
+        jobs.incrementAndGet(); ()
+      }
+    }
+    spark.sparkContext.addSparkListener(listener)
+    try {
+      PrefixSum.runningTotal(data, "k", "v", "run", partitions = 4)
+      Thread.sleep(1000) // drain the async listener bus
+    } finally spark.sparkContext.removeSparkListener(listener)
+    // construction = range-boundary sampling + eager localCheckpoint +
+    // the ONE totals aggregate (which now carries the
+    // count-vs-count_distinct dup guard) — 6 jobs with AQE splitting
+    // each shuffle stage. The old STANDALONE guard
+    // (groupBy(orderCol).count().filter.limit.count()) was a further
+    // full-input aggregate (2-3 more jobs); this budget trips if it
+    // ever comes back.
+    assert(jobs.get() <= 6,
+      s"expected sampling + checkpoint + one totals pass, saw ${jobs.get()} jobs")
+  }
+
   test("incremental join view: three delta rounds == one-shot full join, deltas broadcast") {
     import graft.operators.IncrementalJoin
     val a = (1L to 300L).map(k => (k, s"a$k")).toDF("k", "av")
@@ -736,6 +842,18 @@ class OperatorsSpec extends AnyFunSuite {
     assert(ok.as[(Long, String)].collect().toSet ==
       Set((1L, "alpha"), (2L, "gamma")))
     assert(bad.as[String].collect().toSet == Set("notanumber,beta"))
+    // newline-bearing text: the writer flattens CR/LF runs to a space
+    // (reader runs multiLine-off for line-splittability), so the writer
+    // can never produce a file its own reader tears into reject rows
+    val nlDocs = Seq((10L, "line one\nline two"), (11L, "cr\r\nlf"))
+      .toDF("doc_id", "text")
+    val nlDir = java.nio.file.Files.createTempDirectory("csvnl").toString
+    graft.sources.CorpusFormats.writeCsv(nlDocs, nlDir)
+    val (nlClean, nlRejects) = graft.sources.CorpusFormats.splitCorrupt(
+      graft.sources.CorpusFormats.readCsv(spark, nlDir, schema))
+    assert(nlRejects.count() == 0, "flattened write must yield zero rejects")
+    assert(nlClean.as[(Long, String)].collect().toSet ==
+      Set((10L, "line one line two"), (11L, "cr lf")))
   }
 
   test("bloom-prefiltered contamination == exact broadcast form; probe runs in codegen") {
@@ -1429,5 +1547,21 @@ class OperatorsSpec extends AnyFunSuite {
     assert(r(4L) == (false, "alpha_ratio"))
     assert(r(5L) == (false, "stopwords"))
     assert(r(6L) == (false, "word_count"))
+  }
+
+  test("gopher stopword rule matches case-insensitively with trailing punctuation stripped") {
+    // the published heuristic counts 'The' and 'the,' as stopword hits;
+    // a case/punctuation-sensitive match undercounts on real prose
+    val body = Seq.fill(50)("zebra quartz").mkString(" ")
+    val docs = Seq(
+      1L -> s"The, of. and $body",   // 3 distinct stopwords, via case+punct
+      2L -> s"zebra $body").toDF("doc_id", "text")
+    val r = TextAnalysis.gopherRules(docs, "doc_id", "text", minWords = 40)
+      .select("doc_id", "n_stop_distinct", "first_failed_rule")
+      .as[(Long, Long, String)].collect().map(t => t._1 -> (t._2, t._3)).toMap
+    assert(r(1L)._1 == 3L,
+      s"'The,'/'of.'/'and' must all count as stopwords, got ${r(1L)._1}")
+    assert(r(1L)._2 == null)
+    assert(r(2L) == (0L, "stopwords"))
   }
 }
