@@ -16,8 +16,10 @@ import org.apache.spark.sql.functions._
   * iteration: chains of length d converge in O(log d) iterations
   * instead of O(d), while the tiny-clique graphs that dominate
   * near-dup clustering still finish in 2-3. Each iteration's result
-  * is cached and the previous lineage dropped, so the plan does not
-  * grow with the iteration count.
+  * is materialized with an eager localCheckpoint — truncating the
+  * LOGICAL plan, not just execution lineage — so neither the plan nor
+  * Catalyst's per-iteration planning cost grows with iterations or
+  * with the depth of the pair-generation plan upstream.
   */
 object Components {
 
@@ -44,18 +46,27 @@ object Components {
                                    maxIter: Int = 20,
                                    partitions: Int = 0): (DataFrame, Int) = {
     val edges = pairs.select(col(srcCol).as("src"), col(dstCol).as("dst"))
-    // cache sym hash-partitioned on src and labels on id: the cached
-    // partitioning survives into every iteration, so the neighbor join
-    // and the label-update join are co-partitioned against the caches
-    // (no per-iteration exchange on the cached sides; at small SF AQE
-    // broadcasts the aggregate side instead — either way the cached
-    // data never re-shuffles)
+    // Materialize sym hash-partitioned on src and labels on id with
+    // EAGER localCheckpoint, not cache: the checkpoint truncates the
+    // LOGICAL plan, so per-iteration Catalyst analysis never re-walks
+    // the (possibly deep) pair-generation subtree or the previous
+    // iterations' lineage — the PageRank planning-blowup lesson
+    // (PageRank.scala:34-41; measured here: a capped-blocking pairs
+    // plan upstream doubled total runtime under cache, purely in
+    // planning). The checkpoint preserves the physical partitioning,
+    // so the neighbor join and the label-update join stay
+    // co-partitioned against it (no per-iteration exchange on the
+    // checkpointed sides; at small SF AQE broadcasts the aggregate
+    // side instead — either way the materialized data never
+    // re-shuffles). Checkpoint blocks are freed by the
+    // ContextCleaner once the previous iteration's frame drops out
+    // of scope.
     val symBase = edges.union(edges.select(col("dst").as("src"), col("src").as("dst")))
       .distinct()
     val sym = (if (partitions > 0) symBase.repartition(partitions, col("src"))
-               else symBase.repartition(col("src"))).cache()
+               else symBase.repartition(col("src"))).localCheckpoint(true)
     var labels = sym.select(col("src").as("id")).distinct()
-      .withColumn("component", col("id")).cache()
+      .withColumn("component", col("id")).localCheckpoint(true)
     var converged = false
     var i = 0
     while (!converged && i < maxIter) {
@@ -80,16 +91,14 @@ object Components {
             least(col("component"), coalesce(col("rep_comp"), col("component"))).as("component"))
       }
       // carry the previous label through the projection so the
-      // convergence check is a filter on the SAME cached result —
-      // one action per iteration
-      val next = jumped.cache()
+      // convergence check is a filter on the SAME materialized result
+      // — the eager checkpoint is the one action per iteration
+      val next = jumped.localCheckpoint(true)
       val changed = next.filter(col("component") =!= col("__old")).limit(1).count() > 0
-      labels.unpersist()
       labels = next.select("id", "component")
       converged = !changed
       i += 1
     }
-    sym.unpersist()
     (labels, i)
   }
 }

@@ -46,6 +46,29 @@ object Sampling {
   def portableSample(df: DataFrame, idCol: String, percent: Int): DataFrame =
     df.filter(portableBucket(col(idCol)) < percent)
 
+  /** K-fold cross-validation assignment: `fold` = engine-portable
+    * hash of (id, salt) mod k — deterministic across runs, machines
+    * and partitionings (the [[hashSplit]] contract extended to k
+    * folds); any row's fold is recomputable independently, so fold
+    * artifacts stay joinable; `salt` redraws the folding.
+    */
+  def cvFolds(df: DataFrame, idCol: String, k: Int,
+              salt: String = "cv"): DataFrame = {
+    require(k >= 2, s"k must be >= 2, got $k")
+    df.withColumn("fold",
+      portableBucket(
+        concat(col(idCol).cast("string"), lit(":"), lit(salt)), k.toLong))
+  }
+
+  /** (train, test) for CV round `fold` of a k-folding. */
+  def foldSplit(df: DataFrame, idCol: String, k: Int, fold: Int,
+                salt: String = "cv"): (DataFrame, DataFrame) = {
+    require(fold >= 0 && fold < k, s"fold must be in 0..${k - 1}, got $fold")
+    val withF = cvFolds(df, idCol, k, salt)
+    (withF.filter(col("fold") =!= fold).drop("fold"),
+      withF.filter(col("fold") === fold).drop("fold"))
+  }
+
   /** LEAKAGE-FREE train/val/test split: a near-duplicate COMPONENT is
     * assigned to one split atomically, so an eval split can never
     * contain a near-copy of a training document (hashing raw doc ids

@@ -34,6 +34,33 @@ object Similarity {
       .select(col("query_id"), col("base_id"), col("rank"), col("cosine"))
   }
 
+  /** Per-group embedding centroids (mean vector + member count) — the
+    * cluster-summary primitive under semantic dedup reporting, drift
+    * monitoring of embedding spaces, and coarse IVF-style routing.
+    *
+    * Shape at 100 TB: posexplode to (group, pos, value) rows, ONE hash
+    * aggregate on (group, pos) — map-side partials collapse each scan
+    * partition to |groups|·dim rows before the exchange, so the
+    * shuffle carries per-partition partial sums, never vectors — then
+    * a model-sized (|groups|·dim) re-assembly into ordered arrays.
+    * Means are rounded to 6 decimals for engine portability. For
+    * ragged inputs the mean is per-position over present elements and
+    * `n` is the largest per-position count.
+    */
+  def groupCentroids(df: DataFrame, groupCol: String, vecCol: String)
+      : DataFrame = {
+    val ex = df.select(col(groupCol),
+      posexplode(col(vecCol)).as(Seq("pos", "v")))
+    val m = ex.groupBy(col(groupCol), col("pos"))
+      .agg(round(avg(col("v").cast("double")), 6).as("m"),
+        count(lit(1)).cast("bigint").as("__n"))
+    m.groupBy(col(groupCol))
+      .agg(max(col("__n")).cast("bigint").as("n"),
+        transform(
+          sort_array(collect_list(struct(col("pos"), col("m")))),
+          s => s.getField("m")).as("centroid"))
+  }
+
   /** Exact top-k neighbors per query vector by cosine similarity.
     * `queries` is expected to be small (it is broadcast); ties break
     * on neighbor id.

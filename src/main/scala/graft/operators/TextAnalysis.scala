@@ -204,6 +204,71 @@ object TextAnalysis {
       Seq("score" -> true, "term" -> false), k)
   }
 
+  /** BM25 retrieval scoring: rank documents against a (small) probe
+    * query set — the retrieval side of data curation (mining documents
+    * relevant to a benchmark/topic, hard-negative selection). Okapi
+    * BM25 with a RATIONAL idf `(N − df + 0.5)/(df + 0.5)` (the
+    * log-free variant: ranks identically to the `ln(1 + …)` form
+    * because ln is monotone, but stays pure +,*,/ double math —
+    * bit-reproducible against an external oracle, the same trade
+    * [[tfIdfTopK]] makes).
+    *
+    * Scale shape: the probe set is model-sized and BROADCAST, so the
+    * corpus-side posting table is pruned to probe terms before any
+    * shuffle (df counts ride the pruned table — identical values,
+    * none of the full-vocabulary aggregation); per-query top-k goes
+    * through the TopKPerKey heap exec, never a window sort.
+    */
+  def bm25TopK(df: DataFrame, idCol: String, textCol: String,
+               queries: Seq[(Long, String)], k: Int = 5,
+               k1: Double = 1.2, b: Double = 0.75): DataFrame = {
+    import org.apache.spark.sql.graft.TopKPerKey
+    val spark = df.sparkSession
+    import spark.implicits._
+    val toks = df.select(col(idCol),
+      explode(regexp_extract_all(lower(col(textCol)), lit("[a-z0-9]+"), lit(0)))
+        .as("term"))
+    val tf = toks.groupBy(col(idCol), col("term"))
+      .agg(count(lit(1)).cast("bigint").as("tf"))
+    val dl = toks.groupBy(col(idCol))
+      .agg(count(lit(1)).cast("bigint").as("dl"))
+    // scalars: corpus size and average doc length (exact integer sums
+    // divided once — engine-portable)
+    val stats = df.agg(count(lit(1)).cast("double").as("n")).crossJoin(
+      toks.agg(count(lit(1)).cast("double").as("sumdl")))
+      .withColumn("avgdl", col("sumdl") / col("n"))
+    val qterms = queries.toDF("query_id", "qtext")
+      .select(col("query_id"),
+        explode(regexp_extract_all(lower(col("qtext")), lit("[a-z0-9]+"), lit(0)))
+          .as("term"))
+      .dropDuplicates("query_id", "term") // query terms are a SET
+    // prune the posting table to probe terms BEFORE computing df:
+    // df per probe term is identical, and the full-vocabulary
+    // aggregation never happens
+    val tfq = tf.join(broadcast(qterms.select("term").distinct()), Seq("term"))
+    val dfreq = tfq.groupBy("term")
+      .agg(count(lit(1)).cast("bigint").as("df"))
+    // constants combine as COLUMN arithmetic (k1 + 1.0, 1.0 − b …) so
+    // both engines fold the same IEEE operations in the same order
+    val k1C = lit(k1)
+    val bC = lit(b)
+    val contrib = tfq
+      .join(broadcast(qterms), Seq("term"))
+      .join(dfreq, Seq("term"))
+      .join(dl, Seq(idCol))
+      .crossJoin(broadcast(stats))
+      .withColumn("c",
+        ((col("n") - col("df").cast("double") + lit(0.5)) /
+          (col("df").cast("double") + lit(0.5))) *
+          (col("tf").cast("double") * (k1C + lit(1.0))) /
+          (col("tf").cast("double") +
+            k1C * (lit(1.0) - bC + bC * col("dl").cast("double") / col("avgdl"))))
+    val scored = contrib.groupBy(col("query_id"), col(idCol))
+      .agg(round(sum(col("c")), 6).as("bm25"))
+    TopKPerKey(scored, Seq("query_id"),
+      Seq("bm25" -> true, idCol -> false), k, rankCol = Some("rank"))
+  }
+
   /** Repetition signals for quality filtering (the duplicate-n-gram
     * fractions of the published web-corpus filtering recipes): a
     * document whose n-grams repeat heavily is boilerplate or spam.

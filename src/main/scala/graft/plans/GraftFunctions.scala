@@ -18,6 +18,7 @@ object GraftFunctions {
   val ShingleName = "graft_shingles"
   val ShinglePosName = "graft_shingles_pos"
   val ShingleLookupName = "graft_shingle_lookup"
+  val NormalizeName = "graft_normalize"
 
   private def minhashBuilder(exprs: Seq[Expression]): Expression = {
     val k = exprs(1) match {
@@ -62,6 +63,16 @@ object GraftFunctions {
     ShingleLookup(exprs(0), n, wanted)
   }
 
+  private def normalizeBuilder(exprs: Seq[Expression]): Expression = {
+    import org.apache.spark.sql.catalyst.expressions.Literal
+    val form = exprs(1) match {
+      case Literal(v: org.apache.spark.unsafe.types.UTF8String, _) => v.toString
+      case other => throw new IllegalArgumentException(
+        s"$NormalizeName: form must be a string literal, got $other")
+    }
+    UnicodeNormalize(exprs(0), form)
+  }
+
   private def builders: Seq[(String, Seq[Expression] => Expression)] = Seq(
     CosineName -> (exprs => CosineSimilarity(exprs(0), exprs(1))),
     DotName -> (exprs => DotProduct(exprs(0), exprs(1))),
@@ -69,7 +80,8 @@ object GraftFunctions {
     SimHashName -> (exprs => SimHashSig(exprs(0))),
     ShingleName -> (shingleBuilder _),
     ShinglePosName -> (shinglePosBuilder _),
-    ShingleLookupName -> (lookupBuilder _))
+    ShingleLookupName -> (lookupBuilder _),
+    NormalizeName -> (normalizeBuilder _))
 
   /** Idempotently register the functions on a session. Operators call
     * this before building plans that use the fast expressions.
@@ -110,6 +122,13 @@ object GraftFunctions {
     call_function(ShingleLookupName, tokens,
       org.apache.spark.sql.functions.lit(n),
       org.apache.spark.sql.functions.lit(wanted.toArray))
+
+  /** Codegen'd Unicode normalization (requires `register`); `form`
+    * is NFC/NFD/NFKC/NFKD.
+    */
+  def normalizeFast(text: Column, form: String = "NFC"): Column =
+    call_function(NormalizeName, text,
+      org.apache.spark.sql.functions.lit(form))
 
   /** Builder handles for SparkSessionExtensions registration. */
   private[plans] def minhashBuilderPublic: Seq[Expression] => Expression = minhashBuilder

@@ -1084,6 +1084,156 @@ object TextQueries {
       |    ORDER BY score DESC, term ASC) AS rn FROM scored) t
       |WHERE rn <= 3""".stripMargin
 
+  // ---- text_bm25: BM25 retrieval over a fixed probe-query set (the
+  //      curation shape: mine corpus documents relevant to a topic /
+  //      benchmark; broadcast probes prune the posting table before
+  //      any shuffle, per-query top-k through the heap exec). Rational
+  //      idf (N−df+0.5)/(df+0.5) — rank-equivalent to the ln form,
+  //      engine-portable double math ----
+  private val bm25Probes: Seq[(Long, String)] = Seq(
+    1L -> "spark table join",
+    2L -> "vector scan filter",
+    3L -> "window agg stream",
+    4L -> "customer order query",
+    5L -> "hash merge sort")
+  val bm25: Q = (s, d) =>
+    TextAnalysis.bm25TopK(documents(s, d), "doc_id", "text", bm25Probes, k = 5)
+
+  val bm25Oracle: String = {
+    val probes = bm25Probes
+      .map { case (id, t) => s"SELECT $id AS query_id, '$t' AS qtext" }
+      .mkString(" UNION ALL ")
+    s"""WITH q AS ($probes),
+      |qt AS (SELECT query_id, unnest(list_distinct(
+      |         regexp_extract_all(lower(qtext), '[a-z0-9]+'))) AS term FROM q),
+      |toks AS (SELECT doc_id, unnest(regexp_extract_all(lower(text), '[a-z0-9]+')) AS term
+      |         FROM documents),
+      |tf AS (SELECT doc_id, term, CAST(COUNT(*) AS BIGINT) AS tf FROM toks GROUP BY 1, 2),
+      |dl AS (SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS dl FROM toks GROUP BY 1),
+      |st AS (SELECT CAST((SELECT COUNT(*) FROM documents) AS DOUBLE) AS n,
+      |              CAST((SELECT COUNT(*) FROM toks) AS DOUBLE) AS sumdl),
+      |tfq AS (SELECT tf.* FROM tf WHERE term IN (SELECT term FROM qt)),
+      |dfx AS (SELECT term, CAST(COUNT(*) AS BIGINT) AS df FROM tfq GROUP BY 1),
+      |contrib AS (
+      |  SELECT qt.query_id, tfq.doc_id,
+      |    ((st.n - CAST(dfx.df AS DOUBLE) + 0.5) / (CAST(dfx.df AS DOUBLE) + 0.5)) *
+      |      (CAST(tfq.tf AS DOUBLE) * (1.2 + 1.0)) /
+      |      (CAST(tfq.tf AS DOUBLE) +
+      |        1.2 * (1.0 - 0.75 + 0.75 * CAST(dl.dl AS DOUBLE) / (st.sumdl / st.n))) AS c
+      |  FROM tfq JOIN qt USING (term) JOIN dfx USING (term)
+      |       JOIN dl USING (doc_id) CROSS JOIN st),
+      |scored AS (SELECT query_id, doc_id, ROUND(SUM(c), 6) AS bm25
+      |           FROM contrib GROUP BY 1, 2)
+      |SELECT query_id, doc_id, bm25, rank FROM (
+      |  SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
+      |    ORDER BY bm25 DESC, doc_id ASC) AS rank FROM scored) t
+      |WHERE rank <= 5""".stripMargin
+  }
+
+  // ---- text_normalize: Unicode NFC canonicalization via the
+  //      graft_normalize codegen Expression (no UDF — fuses into the
+  //      scan projection's whole-stage-codegen span; ASCII fast path
+  //      skips the JDK normalizer entirely). Canonicalization is the
+  //      front end of exact/line dedup and decontamination: composed
+  //      vs decomposed accents must hash identically. The synthetic
+  //      corpus is ASCII (the oracle proves the identity path);
+  //      non-ASCII recomposition is spec-pinned in PlansSpec ----
+  val textNormalize: Q = (s, d) => {
+    graft.plans.GraftFunctions.register(s)
+    documents(s, d).select(col("doc_id"),
+      graft.plans.GraftFunctions.normalizeFast(col("text"), "NFC")
+        .as("text_nfc"),
+      (graft.plans.GraftFunctions.normalizeFast(col("text"), "NFC") =!=
+        col("text")).as("changed"))
+  }
+
+  val textNormalizeOracle: String =
+    """SELECT doc_id, nfc_normalize(text) AS text_nfc,
+      |  nfc_normalize(text) <> text AS changed
+      |FROM documents""".stripMargin
+
+  // ---- emb_centroids: per-label embedding centroids — the
+  //      cluster-summary primitive (semantic-dedup reports, embedding
+  //      drift monitoring, coarse routing). One (label, pos) hash agg
+  //      with map-side partials; shuffle carries partial sums, never
+  //      vectors ----
+  val embCentroids: Q = (s, d) =>
+    Similarity.groupCentroids(embeddings(s, d), "label", "embedding")
+
+  val embCentroidsOracle: String =
+    """WITH ex AS (SELECT label, unnest(embedding) AS v,
+      |                   unnest(range(len(embedding))) AS pos
+      |            FROM embeddings),
+      |m AS (SELECT label, pos, ROUND(AVG(CAST(v AS DOUBLE)), 6) AS m,
+      |             CAST(COUNT(*) AS BIGINT) AS n
+      |      FROM ex GROUP BY 1, 2)
+      |SELECT label, CAST(MAX(n) AS BIGINT) AS n,
+      |       list(m ORDER BY pos) AS centroid
+      |FROM m GROUP BY label""".stripMargin
+
+  // ---- text_cv_folds: k-fold cross-validation assignment in the
+  //      engine-portable md5 hash (any row's fold recomputable
+  //      independently; the oracle recomputes every assignment) ----
+  val cvFolds: Q = (s, d) =>
+    graft.operators.Sampling.cvFolds(documents(s, d), "doc_id", k = 5)
+      .select(col("doc_id"), col("source"), col("fold"))
+
+  val cvFoldsOracle: String =
+    """SELECT doc_id, source,
+      |  CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR) || ':cv'), 1, 8))
+      |    AS BIGINT) % 5 AS fold
+      |FROM documents""".stripMargin
+
+  // ---- text_bigram_lm: interpolated bigram-LM cross-entropy (the
+  //      KenLM-filter shape one order up from text_lm_score): P(w|p)
+  //      = 0.5·c(p,w)/c(p) + 0.5·c(w)/N, doc score = avg(−ln P) over
+  //      positions 2..n. Bigrams come from array slices ZIPPED IN THE
+  //      SCAN (slice+arrays_zip+explode — no positional self-join);
+  //      scoring joins the bigram rows to the count tables on their
+  //      natural shuffle keys ----
+  val bigramLm: Q = (s, d) => {
+    val docs = documents(s, d)
+    val toks = docs.select(col("doc_id"),
+      split(col("text"), " ", -1).as("t"))
+    val uni = toks.select(explode(col("t")).as("w"))
+      .groupBy("w").agg(count(lit(1)).as("cw"))
+    val n = uni.agg(sum(col("cw")).cast("double").as("n"))
+    val bg = toks.select(col("doc_id"),
+        slice(col("t"), lit(1), size(col("t")) - 1).as("a"),
+        slice(col("t"), lit(2), size(col("t")) - 1).as("b"))
+      .select(col("doc_id"), explode(arrays_zip(col("a"), col("b"))).as("z"))
+      .select(col("doc_id"), col("z.a").as("w1"), col("z.b").as("w2"))
+    val bgCnt = bg.groupBy("w1", "w2").agg(count(lit(1)).as("cb"))
+    bg.join(bgCnt, Seq("w1", "w2"))
+      .join(uni.select(col("w").as("w1"), col("cw").as("cprev")), Seq("w1"))
+      .join(uni.select(col("w").as("w2"), col("cw").as("ccur")), Seq("w2"))
+      .crossJoin(broadcast(n))
+      .groupBy(col("doc_id"))
+      .agg(round(avg(-log(
+        lit(0.5) * (col("cb").cast("double") / col("cprev").cast("double")) +
+          lit(0.5) * (col("ccur").cast("double") / col("n")))), 6)
+        .as("bigram_lm_score"))
+  }
+
+  val bigramLmOracle: String =
+    """WITH d AS (SELECT doc_id, str_split(text, ' ') AS t FROM documents),
+      |uni AS (SELECT tok AS w, count(*) AS cw FROM
+      |          (SELECT unnest(t) AS tok FROM d) GROUP BY 1),
+      |n AS (SELECT CAST(SUM(cw) AS DOUBLE) AS n FROM uni),
+      |bg AS (SELECT doc_id,
+      |         unnest(list_slice(t, 1, len(t) - 1)) AS w1,
+      |         unnest(list_slice(t, 2, len(t))) AS w2
+      |       FROM d),
+      |bc AS (SELECT w1, w2, count(*) AS cb FROM bg GROUP BY 1, 2)
+      |SELECT doc_id, ROUND(AVG(-LN(
+      |    0.5 * (CAST(bc.cb AS DOUBLE) / CAST(up.cw AS DOUBLE)) +
+      |    0.5 * (CAST(uc.cw AS DOUBLE) / n.n))), 6) AS bigram_lm_score
+      |FROM bg JOIN bc USING (w1, w2)
+      |     JOIN uni up ON up.w = bg.w1
+      |     JOIN uni uc ON uc.w = bg.w2
+      |     CROSS JOIN n
+      |GROUP BY doc_id""".stripMargin
+
   // ---- q_stream_join: watermarked stream-stream inner join —
   //      purchases joined with the same user's views in the trailing
   //      hour, run as a REAL two-microbatch stream (cross-batch
@@ -1431,6 +1581,11 @@ object TextQueries {
     "text_compress_ratio" -> textCompressRatio,
     "text_chunk" -> textChunk,
     "text_tfidf" -> tfidf,
+    "text_bm25" -> bm25,
+    "text_normalize" -> textNormalize,
+    "emb_centroids" -> embCentroids,
+    "text_cv_folds" -> cvFolds,
+    "text_bigram_lm" -> bigramLm,
     "q_stream_join" -> streamJoin,
     "text_token_stats" -> tokenStats,
     "text_quality" -> quality,
@@ -1491,6 +1646,11 @@ object TextQueries {
     "text_hof_stats" -> textHofStatsOracle,
     "text_chunk" -> textChunkOracle,
     "text_tfidf" -> tfidfOracle,
+    "text_bm25" -> bm25Oracle,
+    "text_normalize" -> textNormalizeOracle,
+    "emb_centroids" -> embCentroidsOracle,
+    "text_cv_folds" -> cvFoldsOracle,
+    "text_bigram_lm" -> bigramLmOracle,
     "q_stream_join" -> streamJoinOracle,
     "text_token_stats" -> tokenStatsOracle,
     "text_quality" -> qualityOracle,

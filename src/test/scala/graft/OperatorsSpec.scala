@@ -1549,6 +1549,109 @@ class OperatorsSpec extends AnyFunSuite {
     assert(r(6L) == (false, "word_count"))
   }
 
+  test("bm25 matches a hand-computed score and routes top-k through the heap exec") {
+    // corpus: 3 docs, query "fox dog"; hand-computed Okapi BM25 with
+    // rational idf (N - df + 0.5)/(df + 0.5), k1 = 1.2, b = 0.75
+    val docs = Seq(
+      (1L, "fox fox dog"),       // dl 3
+      (2L, "fox cat"),           // dl 2
+      (3L, "bird bird bird")).toDF("doc_id", "text") // dl 3
+    val got = TextAnalysis.bm25TopK(docs, "doc_id", "text",
+      Seq(1L -> "fox dog"), k = 3)
+      .select("query_id", "doc_id", "bm25", "rank")
+      .as[(Long, Long, Double, Long)].collect()
+      .map(t => t._2 -> (t._3, t._4)).toMap
+    val n = 3.0; val avgdl = 8.0 / 3.0
+    def idf(df: Int) = (n - df + 0.5) / (df + 0.5)
+    def term(tf: Int, df: Int, dl: Int) =
+      idf(df) * (tf * (1.2 + 1.0)) / (tf + 1.2 * (1.0 - 0.75 + 0.75 * dl / avgdl))
+    def r6(x: Double) = math.rint(x * 1e6) / 1e6
+    val d1 = r6(term(2, 2, 3) + term(1, 1, 3)) // fox df=2, dog df=1
+    val d2 = r6(term(1, 2, 2))
+    assert(math.abs(got(1L)._1 - d1) < 1e-9, s"doc1: ${got(1L)._1} vs $d1")
+    assert(math.abs(got(2L)._1 - d2) < 1e-9)
+    assert(!got.contains(3L), "doc without query terms must not score")
+    assert(got(1L)._2 == 1L && got(2L)._2 == 2L)
+    // plan gate: per-query top-k is the heap exec, not a window sort
+    val plan = TextAnalysis.bm25TopK(docs, "doc_id", "text",
+      Seq(1L -> "fox dog"), k = 3).queryExecution.executedPlan.toString
+    assert(plan.contains("TopKPerKey"), s"expected heap exec:\n$plan")
+    assert(!plan.contains("Window"), s"no window sort expected:\n$plan")
+  }
+
+  test("group centroids: exact means, ordered dims, ragged vectors handled") {
+    val vecs = Seq(
+      ("a", Array(1.0f, 2.0f, 3.0f)),
+      ("a", Array(3.0f, 6.0f, 9.0f)),
+      ("b", Array(10.0f, 20.0f)),
+      ("b", Array(30.0f, 40.0f, 50.0f))).toDF("label", "embedding")
+    val got = Similarity.groupCentroids(vecs, "label", "embedding")
+      .as[(String, Long, Seq[Double])].collect()
+      .map(t => t._1 -> (t._2, t._3)).toMap
+    assert(got("a") == ((2L, Seq(2.0, 4.0, 6.0))))
+    // ragged: per-position mean over PRESENT elements; n = max count
+    assert(got("b") == ((2L, Seq(20.0, 30.0, 50.0))))
+    // real corpus: centroid count == label count; dims == 64
+    val e = embs
+    val real = Similarity.groupCentroids(e, "label", "embedding")
+    val labels = e.select("label").distinct().count()
+    assert(real.count() == labels)
+    assert(real.selectExpr("size(centroid)").as[Int].collect().forall(_ == 64))
+  }
+
+  test("cv folds: deterministic, in range, partition-invariant; foldSplit partitions the corpus") {
+    import graft.operators.Sampling
+    val df = (1L to 500L).map(i => (i, s"d$i")).toDF("id", "v")
+    val folds = Sampling.cvFolds(df, "id", k = 5)
+      .select($"id", $"fold").as[(Long, Long)].collect().toMap
+    assert(folds.values.forall(f => f >= 0 && f < 5))
+    // every fold is populated and roughly balanced (hash-uniform)
+    val sizes = folds.values.groupBy(identity).view.mapValues(_.size)
+    assert(sizes.size == 5 && sizes.values.forall(s => s > 50 && s < 150),
+      s"unbalanced folds: $sizes")
+    // partition-invariant (portable hash, no RNG)
+    val re = Sampling.cvFolds(df.repartition(13), "id", k = 5)
+      .select($"id", $"fold").as[(Long, Long)].collect().toMap
+    assert(re == folds)
+    // a different salt redraws
+    val salted = Sampling.cvFolds(df, "id", k = 5, salt = "cv2")
+      .select($"id", $"fold").as[(Long, Long)].collect().toMap
+    assert(salted != folds)
+    // foldSplit: disjoint, exhaustive, test set == fold f
+    val (train, test) = Sampling.foldSplit(df, "id", k = 5, fold = 2)
+    val trainIds = train.select($"id").as[Long].collect().toSet
+    val testIds = test.select($"id").as[Long].collect().toSet
+    assert((trainIds & testIds).isEmpty)
+    assert(trainIds ++ testIds == folds.keySet)
+    assert(testIds == folds.filter(_._2 == 2L).keySet)
+  }
+
+  test("bigram LM score matches a hand computation") {
+    // corpus: "a b a" and "b a"; unigrams: a=3, b=2, N=5
+    // bigrams: (a,b)=1, (b,a)=2
+    val docs = Seq((1L, "a b a"), (2L, "b a")).toDF("doc_id", "text")
+    val got = graft.queries.TextQueries.bigramLm(spark,
+      writeTmpDocs(docs))
+    val byId = got.as[(Long, Double)].collect().toMap
+    def p(cb: Double, cprev: Double, ccur: Double) =
+      0.5 * (cb / cprev) + 0.5 * (ccur / 5.0)
+    def r6(x: Double) = math.rint(x * 1e6) / 1e6
+    // doc 1: positions (a,b), (b,a)
+    val d1 = r6((-math.log(p(1, 3, 2)) + -math.log(p(2, 2, 3))) / 2.0)
+    val d2 = r6(-math.log(p(2, 2, 3)))
+    assert(math.abs(byId(1L) - d1) < 1e-9, s"${byId(1L)} vs $d1")
+    assert(math.abs(byId(2L) - d2) < 1e-9)
+  }
+
+  /** Write docs to a temp dir shaped like a testdata sf dir (the
+    * TableCatalog contract the contract queries read through).
+    */
+  private def writeTmpDocs(docs: org.apache.spark.sql.DataFrame): String = {
+    val dir = java.nio.file.Files.createTempDirectory("graft-docs").toString
+    docs.write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    dir
+  }
+
   test("gopher stopword rule matches case-insensitively with trailing punctuation stripped") {
     // the published heuristic counts 'The' and 'the,' as stopword hits;
     // a case/punctuation-sensitive match undercounts on real prose

@@ -59,6 +59,56 @@ class PlansSpec extends AnyFunSuite {
     }
   }
 
+  test("graft_normalize composes/folds Unicode per form and preserves ASCII identity") {
+    GraftFunctions.register(spark)
+    val decomposedE = "e\u0301"    // e + combining acute
+    val composedE = "\u00e9"       // precomposed, one codepoint
+    val rows = Seq(
+      (1L, s"caf$decomposedE"),        // NFC composes to café
+      (2L, s"caf$composedE"),          // already NFC
+      (3L, "\ufb01le"),              // fi ligature: NFKC folds to fi, NFC keeps
+      (4L, "plain ascii stays"),       // fast path: identity
+      (5L, null)).toDF("id", "s")
+    def norm(form: String) = rows.select($"id",
+      GraftFunctions.normalizeFast($"s", form).as("n"))
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    val nfc = norm("NFC")
+    assert(nfc(1L) == s"caf$composedE" && nfc(2L) == s"caf$composedE",
+      "NFC must compose combining sequences")
+    assert(nfc(3L) == "\ufb01le", "NFC preserves compatibility ligatures")
+    assert(nfc(4L) == "plain ascii stays" && nfc(5L) == null)
+    val nfkc = norm("NFKC")
+    assert(nfkc(3L) == "file", "NFKC must fold the fi ligature")
+    val nfd = norm("NFD")
+    assert(nfd(2L) == s"caf$decomposedE", "NFD must decompose")
+    // dedup consequence: composed and decomposed hash identically after NFC
+    assert(nfc(1L) == nfc(2L))
+    val bad = intercept[Exception] {
+      rows.select(GraftFunctions.normalizeFast($"s", "NFX")).collect()
+    }
+    assert(bad.getMessage.contains("NFC/NFD/NFKC/NFKD") ||
+      (bad.getCause != null && bad.getCause.getMessage.contains("NFC/NFD/NFKC/NFKD")))
+  }
+
+  test("graft_normalize is codegen-compatible (no fallback in evaluation)") {
+    GraftFunctions.register(spark)
+    val rows = Seq((1L, "café däm"), (2L, "ascii"), (3L, null))
+      .toDF("id", "s")
+    val q = rows.select($"id", GraftFunctions.normalizeFast($"s", "NFC").as("n"))
+    val withCodegen = q.collect().map(r => (r.getLong(0), r.getString(1))).toMap
+    assert(withCodegen(1L) == "café däm")
+    val prev = spark.conf.get("spark.sql.codegen.wholeStage")
+    try {
+      spark.conf.set("spark.sql.codegen.wholeStage", "false")
+      spark.conf.set("spark.sql.codegen.factoryMode", "NO_CODEGEN")
+      val interpreted = q.collect().map(r => (r.getLong(0), r.getString(1))).toMap
+      assert(interpreted == withCodegen)
+    } finally {
+      spark.conf.set("spark.sql.codegen.wholeStage", prev)
+      spark.conf.set("spark.sql.codegen.factoryMode", "FALLBACK")
+    }
+  }
+
   test("graft_minhash equals the HOF minhash signature on real docs") {
     GraftFunctions.register(spark)
     import graft.functions.{minhashSignature, wordShingles, wsTokens}
