@@ -1,0 +1,83 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Feature-preparation operators: numeric scaling and categorical
+  * encoding — the last mile between a curated corpus and a training
+  * matrix.
+  *
+  * Exactness discipline (the q20 convention): every statistic that
+  * feeds a float formula is first computed EXACTLY (integer min/max/
+  * counts, DECIMAL sums), and doubles appear only in a final, fixed
+  * sequence of IEEE operations. That makes every output reproducible
+  * bit-for-bit across engines, partitionings and retries — a scaled
+  * feature that drifts with partition order would silently break
+  * training reproducibility.
+  *
+  * Scale shape: one hash aggregation over the group column computes
+  * all statistics in a single pass (partial aggregation map-side);
+  * the per-group statistics table is model-sized and broadcast back.
+  * No window over the full table, no second scan.
+  */
+object FeatureEncoding {
+
+  /** Per-`groupCol` scaling of integral `valueCol`: appends
+    *  - `minmax`  = (x - min) / (max - min)   (0 when max == min),
+    *  - `zscore`  = (x - mean) / stddev       (sample stddev; null
+    *                                           when n < 2 or flat),
+    * with mean/stddev derived from exact DECIMAL sums.
+    */
+  def scaleNumeric(df: DataFrame, groupCol: String, valueCol: String)
+  : DataFrame = {
+    val v = col(valueCol).cast("decimal(18,2)")
+    val stats = df.groupBy(col(groupCol)).agg(
+      min(col(valueCol)).cast("long").as("__mn"),
+      max(col(valueCol)).cast("long").as("__mx"),
+      count(lit(1)).cast("bigint").as("__n"),
+      sum(v).cast("double").as("__sx"),
+      sum((v * v).cast("decimal(38,4)")).cast("double").as("__sxx"))
+    val x = col(valueCol).cast("double")
+    val mean = col("__sx") / col("__n").cast("double")
+    val variance = (col("__sxx") - col("__sx") * col("__sx") /
+      col("__n").cast("double")) / (col("__n") - 1).cast("double")
+    df.join(broadcast(stats), Seq(groupCol))
+      .withColumn("minmax",
+        when(col("__mx") === col("__mn"), lit(0.0))
+          .otherwise((col(valueCol) - col("__mn")).cast("double") /
+            (col("__mx") - col("__mn")).cast("double")))
+      .withColumn("zscore",
+        when(col("__n") < 2 || variance <= 0, lit(null).cast("double"))
+          .otherwise((x - mean) / sqrt(variance)))
+      .drop("__mn", "__mx", "__n", "__sx", "__sxx")
+  }
+
+  /** Per-category frequency + smoothed target encoding over an
+    * integral target (cents-style): returns one row per category with
+    *  - `freq`        = n_cat / n_total,
+    *  - `target_mean` = sum_cat / n_cat,
+    *  - `target_enc`  = (sum_cat + m * global_mean) / (n_cat + m)
+    * (the m-estimate shrinkage of Micci-Barreca 2001 — rare
+    * categories pull toward the global mean instead of memorizing
+    * their few rows). All sums exact; doubles only in the final
+    * divisions.
+    */
+  def targetEncode(df: DataFrame, catCol: String, targetCol: String,
+                   m: Int = 10): DataFrame = {
+    require(m >= 0, s"smoothing m must be >= 0, got $m")
+    val perCat = df.groupBy(col(catCol)).agg(
+      count(lit(1)).cast("bigint").as("n"),
+      sum(col(targetCol).cast("decimal(18,2)")).cast("double").as("__s"))
+    val totals = df.agg(
+      count(lit(1)).cast("bigint").as("__nt"),
+      sum(col(targetCol).cast("decimal(18,2)")).cast("double").as("__st"))
+    val globalMean = col("__st") / col("__nt").cast("double")
+    perCat.crossJoin(broadcast(totals))
+      .withColumn("freq", col("n").cast("double") / col("__nt").cast("double"))
+      .withColumn("target_mean", col("__s") / col("n").cast("double"))
+      .withColumn("target_enc",
+        (col("__s") + lit(m.toDouble) * globalMean) /
+          (col("n") + lit(m)).cast("double"))
+      .drop("__nt", "__st", "__s")
+  }
+}

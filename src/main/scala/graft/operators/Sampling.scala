@@ -296,4 +296,38 @@ object Sampling {
       .limit(k)
       .drop("__wkey")
   }
+
+  /** Deterministic EPOCH UPSAMPLING: replicate each row according to
+    * a fractional epoch weight — the standard way training mixes
+    * express "see this source 2.5 times per epoch". Weights are given
+    * in integer HUNDREDTHS (`250` = 2.5 epochs) so the split into
+    * whole copies + fractional remainder is exact integer arithmetic,
+    * never a float `floor` on a non-representable product.
+    *
+    * Every row gets `weight div 100` whole copies; one extra copy is
+    * granted iff the row's engine-portable md5 bucket (0..99) falls
+    * below `weight % 100` — so exactly the advertised fraction of
+    * each source is upsampled once more, the choice is reproducible
+    * in any engine, and re-partitioning cannot change it. Emits one
+    * output row per copy with `copy` = 1..n (rows with zero copies
+    * vanish, so a weight below 100 doubles as deterministic
+    * DOWN-sampling). Pure scan-side `explode(sequence(...))` — no
+    * shuffle, no state; at 100 TB the cost is the scan plus output
+    * volume.
+    */
+  def epochUpsample(df: DataFrame, idCol: String, weightPctCol: Column,
+                    salt: String = "upsample"): DataFrame = {
+    // Column `/` is double division — floor() it back to whole copies
+    // (exact: weights are far below 2^52)
+    val whole = floor(weightPctCol.cast("long") / lit(100L)).cast("long")
+    val frac = weightPctCol.cast("long") % 100L
+    val extra = (portableBucket(
+      concat(col(idCol).cast("string"), lit(":"), lit(salt))) < frac)
+      .cast("long")
+    val copies = whole + extra
+    df.withColumn("__copies", copies)
+      .filter(col("__copies") > 0)
+      .withColumn("copy", explode(sequence(lit(1L), col("__copies"))))
+      .drop("__copies")
+  }
 }

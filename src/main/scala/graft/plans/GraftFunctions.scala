@@ -19,6 +19,7 @@ object GraftFunctions {
   val ShinglePosName = "graft_shingles_pos"
   val ShingleLookupName = "graft_shingle_lookup"
   val NormalizeName = "graft_normalize"
+  val JaroWinklerName = "graft_jaro_winkler"
 
   private def minhashBuilder(exprs: Seq[Expression]): Expression = {
     val k = exprs(1) match {
@@ -81,7 +82,8 @@ object GraftFunctions {
     ShingleName -> (shingleBuilder _),
     ShinglePosName -> (shinglePosBuilder _),
     ShingleLookupName -> (lookupBuilder _),
-    NormalizeName -> (normalizeBuilder _))
+    NormalizeName -> (normalizeBuilder _),
+    JaroWinklerName -> (exprs => JaroWinkler(exprs(0), exprs(1))))
 
   /** Idempotently register the functions on a session. Operators call
     * this before building plans that use the fast expressions.
@@ -129,6 +131,10 @@ object GraftFunctions {
   def normalizeFast(text: Column, form: String = "NFC"): Column =
     call_function(NormalizeName, text,
       org.apache.spark.sql.functions.lit(form))
+
+  /** Codegen'd Jaro-Winkler similarity (requires `register`). */
+  def jaroWinklerFast(a: Column, b: Column): Column =
+    call_function(JaroWinklerName, a, b)
 
   /** Builder handles for SparkSessionExtensions registration. */
   private[plans] def minhashBuilderPublic: Seq[Expression] => Expression = minhashBuilder

@@ -1,0 +1,377 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.operators.{Bfs, FeatureEncoding, PrefixSum, Sampling, Skyline}
+import graft.plans.GraftFunctions
+import graft.sources.TableCatalog._
+
+/** Round-11 additions: skyline, graph BFS, attribution, feature
+  * preparation, Jaro-Winkler matching, sweep-line concurrency, epoch
+  * upsampling, PMI collocations, vocabulary coverage. SURVEY.md §2
+  * rows 66-75.
+  *
+  * Same oracle-parity discipline as [[Relational]]: exact integer /
+  * DECIMAL statistics everywhere, doubles only in a final fixed IEEE
+  * formula shared verbatim with the DuckDB oracle, deterministic
+  * tie-breaks on every top-k.
+  */
+object Advanced {
+
+  type Q = (SparkSession, String) => DataFrame
+
+  // ---- q73: Pareto frontier (skyline) of the part catalog —
+  //      cheapest price vs largest size. Local-skyline-per-shard
+  //      prunes in parallel; the global pass sees only survivors
+  //      (see operators.Skyline for the plan shape). The oracle is
+  //      the independent quadratic NOT EXISTS derivation. ----
+  val q73Skyline: Q = (s, d) => {
+    val p = part(s, d).select(col("p_partkey"),
+      round(col("p_retailprice") * 100).cast("long").as("price_cents"),
+      col("p_size").cast("long").as("size"))
+    Skyline.pareto2d(p, "price_cents", "size", col("p_partkey"))
+  }
+
+  val q73Oracle: String =
+    """WITH p AS (SELECT p_partkey,
+      |  CAST(round(p_retailprice * 100) AS BIGINT) AS price_cents,
+      |  CAST(p_size AS BIGINT) AS size FROM part)
+      |SELECT a.p_partkey, a.price_cents, a.size FROM p a
+      |WHERE NOT EXISTS (SELECT 1 FROM p b
+      |  WHERE b.price_cents <= a.price_cents AND b.size >= a.size
+      |    AND (b.price_cents < a.price_cents OR b.size > a.size))""".stripMargin
+
+  // ---- q74: multi-source BFS over the (undirected) customer
+  //      parent-walk graph — min hop distance from seed custkeys
+  //      {1,2,3}, grouped by distance ring. Oracle: recursive CTE
+  //      with set-dedup, then MIN per node. ----
+  val q74Bfs: Q = (s, d) => {
+    val c = customer(s, d).select(col("c_custkey").as("k"))
+      .filter(col("k") > 0)
+    val down = c.filter(expr("k div 10") > 0)
+      .select(expr("k div 10").as("src"), col("k").as("dst"))
+    val sym = down.unionByName(
+      down.select(col("dst").as("src"), col("src").as("dst")))
+    val seeds = s.range(1, 4).toDF("node")
+    Bfs.multiSourceBfs(sym, "src", "dst", seeds, "node", maxHops = 5)
+      .groupBy(col("dist"))
+      .agg(count(lit(1)).cast("bigint").as("n_nodes"),
+        sum(col("node")).cast("bigint").as("sum_node"))
+  }
+
+  val q74Oracle: String =
+    """WITH RECURSIVE
+      |c AS (SELECT c_custkey AS k FROM customer WHERE c_custkey > 0),
+      |down AS (SELECT k // 10 AS src, k AS dst FROM c WHERE k // 10 > 0),
+      |sym AS (SELECT src, dst FROM down UNION SELECT dst, src FROM down),
+      |walk(node, dist) AS (
+      |  SELECT CAST(v.node AS BIGINT), CAST(0 AS BIGINT)
+      |  FROM (VALUES (1),(2),(3)) v(node)
+      |  UNION
+      |  SELECT e.dst, w.dist + 1 FROM walk w
+      |  JOIN sym e ON w.node = e.src WHERE w.dist < 5),
+      |best AS (SELECT node, MIN(dist) AS dist FROM walk GROUP BY node)
+      |SELECT dist, CAST(COUNT(*) AS BIGINT) AS n_nodes,
+      |  CAST(SUM(node) AS BIGINT) AS sum_node
+      |FROM best GROUP BY dist""".stripMargin
+
+  // ---- q75: marketing attribution — each purchase credited to the
+  //      user's FIRST and LAST prior touch (click/view), per-user
+  //      ordered window with a deterministic event_id tie-break.
+  //      Per-user window state only: scales with the largest user
+  //      history, not the table. ----
+  val q75Attribution: Q = (s, d) => {
+    val w = Window.partitionBy(col("user_id"))
+      .orderBy(col("ts"), col("event_id"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val touch = when(col("event_type").isin("click", "view"), col("event_type"))
+    events(s, d)
+      .withColumn("ft", first(touch, ignoreNulls = true).over(w))
+      .withColumn("lt", last(touch, ignoreNulls = true).over(w))
+      .filter(col("event_type") === "purchase")
+      .groupBy(coalesce(col("ft"), lit("none")).as("first_touch"),
+        coalesce(col("lt"), lit("none")).as("last_touch"))
+      .agg(count(lit(1)).cast("bigint").as("n_purchases"),
+        count_distinct(col("user_id")).cast("bigint").as("n_users"),
+        sum(col("value").cast("decimal(18,2)")).cast("double").as("sum_value"))
+  }
+
+  val q75Oracle: String =
+    """WITH t AS (
+      |  SELECT user_id, event_type, value,
+      |    first_value(CASE WHEN event_type IN ('click','view') THEN event_type END IGNORE NULLS)
+      |      OVER (PARTITION BY user_id ORDER BY ts, event_id
+      |            ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS ft,
+      |    last_value(CASE WHEN event_type IN ('click','view') THEN event_type END IGNORE NULLS)
+      |      OVER (PARTITION BY user_id ORDER BY ts, event_id
+      |            ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS lt
+      |  FROM events)
+      |SELECT COALESCE(ft, 'none') AS first_touch,
+      |  COALESCE(lt, 'none') AS last_touch,
+      |  CAST(COUNT(*) AS BIGINT) AS n_purchases,
+      |  CAST(COUNT(DISTINCT user_id) AS BIGINT) AS n_users,
+      |  CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
+      |FROM t WHERE event_type = 'purchase' GROUP BY 1, 2""".stripMargin
+
+  // ---- q76: per-source feature scaling of document lengths —
+  //      min-max + z-score from one exact-stat aggregation pass
+  //      (operators.FeatureEncoding; the q20 decimal discipline). ----
+  val q76FeatureScale: Q = (s, d) =>
+    FeatureEncoding.scaleNumeric(
+      documents(s, d).select(col("doc_id"), col("source"), col("n_chars")),
+      "source", "n_chars")
+      .select(col("doc_id"), col("source"), col("n_chars"),
+        col("minmax"), col("zscore"))
+
+  val q76Oracle: String =
+    """WITH st AS (
+      |  SELECT source, MIN(n_chars) AS mn, MAX(n_chars) AS mx,
+      |    CAST(COUNT(*) AS BIGINT) AS n,
+      |    CAST(SUM(CAST(n_chars AS DECIMAL(18,2))) AS DOUBLE) AS sx,
+      |    CAST(SUM(CAST(CAST(n_chars AS DECIMAL(18,2)) * CAST(n_chars AS DECIMAL(18,2)) AS DECIMAL(38,4))) AS DOUBLE) AS sxx
+      |  FROM documents GROUP BY source)
+      |SELECT d.doc_id, d.source, d.n_chars,
+      |  CASE WHEN st.mx = st.mn THEN 0.0
+      |       ELSE CAST(d.n_chars - st.mn AS DOUBLE) / CAST(st.mx - st.mn AS DOUBLE) END AS minmax,
+      |  CASE WHEN st.n < 2 OR (st.sxx - st.sx * st.sx / CAST(st.n AS DOUBLE)) / CAST(st.n - 1 AS DOUBLE) <= 0 THEN NULL
+      |       ELSE (CAST(d.n_chars AS DOUBLE) - st.sx / CAST(st.n AS DOUBLE))
+      |            / sqrt((st.sxx - st.sx * st.sx / CAST(st.n AS DOUBLE)) / CAST(st.n - 1 AS DOUBLE)) END AS zscore
+      |FROM documents d JOIN st USING (source)""".stripMargin
+
+  // ---- q77: categorical encoding — per-segment frequency + smoothed
+  //      (m-estimate) target encoding of order totals. ----
+  val q77TargetEncode: Q = (s, d) => {
+    val df = orders(s, d)
+      .join(customer(s, d), col("o_custkey") === col("c_custkey"))
+      .select(col("c_mktsegment"), col("o_totalprice"))
+    FeatureEncoding.targetEncode(df, "c_mktsegment", "o_totalprice", m = 10)
+  }
+
+  val q77Oracle: String =
+    """WITH df AS (SELECT c_mktsegment, o_totalprice
+      |  FROM orders JOIN customer ON o_custkey = c_custkey),
+      |pc AS (SELECT c_mktsegment, CAST(COUNT(*) AS BIGINT) AS n,
+      |  CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS s
+      |  FROM df GROUP BY 1),
+      |tot AS (SELECT CAST(COUNT(*) AS BIGINT) AS nt,
+      |  CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS st FROM df)
+      |SELECT c_mktsegment, n,
+      |  CAST(n AS DOUBLE) / CAST(nt AS DOUBLE) AS freq,
+      |  s / CAST(n AS DOUBLE) AS target_mean,
+      |  (s + 10.0 * (st / CAST(nt AS DOUBLE))) / CAST(n + 10 AS DOUBLE) AS target_enc
+      |FROM pc, tot""".stripMargin
+
+  // ---- q78: Jaro-Winkler fuzzy matching of part names — blocked on
+  //      the last name token (|block|² bounded, hot blocks excluded
+  //      by the same BETWEEN filter in engine and oracle), scored by
+  //      the native codegen expression (plans.JaroWinkler). Band =
+  //      floor(jw*100): floor of an identical double is identical,
+  //      with no round-half tie semantics in play. ----
+  val q78JaroDedup: Q = (s, d) => {
+    GraftFunctions.register(s)
+    val names = part(s, d).select(col("p_name")).distinct()
+      .withColumn("blk", element_at(split(col("p_name"), " "), -1))
+    val ok = names.groupBy(col("blk"))
+      .agg(count(lit(1)).as("cnt"))
+      .filter(col("cnt").between(2, 1000)).select("blk")
+    val blocked = names.join(ok, Seq("blk"))
+    val a = blocked.select(col("blk"), col("p_name").as("na"))
+    val b = blocked.select(col("blk"), col("p_name").as("nb"))
+    a.join(b, Seq("blk")).filter(col("na") < col("nb"))
+      .withColumn("jw", GraftFunctions.jaroWinklerFast(col("na"), col("nb")))
+      .filter(col("jw") >= 0.94)
+      .select(col("na"), col("nb"),
+        floor(col("jw") * 100).cast("long").as("jw_band"))
+  }
+
+  val q78Oracle: String =
+    """WITH n AS (SELECT DISTINCT p_name FROM part),
+      |nb AS (SELECT p_name, split_part(p_name, ' ', -1) AS blk FROM n),
+      |ok AS (SELECT blk FROM nb GROUP BY blk HAVING COUNT(*) BETWEEN 2 AND 1000),
+      |bl AS (SELECT nb.p_name, nb.blk FROM nb JOIN ok USING (blk))
+      |SELECT a.p_name AS na, b.p_name AS nb,
+      |  CAST(floor(jaro_winkler_similarity(a.p_name, b.p_name) * 100) AS BIGINT) AS jw_band
+      |FROM bl a JOIN bl b ON a.blk = b.blk AND a.p_name < b.p_name
+      |WHERE jaro_winkler_similarity(a.p_name, b.p_name) >= 0.94""".stripMargin
+
+  // ---- q79: sweep-line concurrency — how many orders are "open"
+  //      (placed, not yet fully shipped) each day; monthly peak and
+  //      its first day. ±1 deltas aggregate to one row per day
+  //      (tiny), then the distributed prefix sum (PrefixSum — never
+  //      a single-task global window) turns deltas into levels. ----
+  val q79OpenOrders: Q = (s, d) => {
+    val o = orders(s, d).select(col("o_orderkey"),
+      to_date(col("o_orderdate")).as("start_day"))
+    val ship = lineitem(s, d).groupBy(col("l_orderkey"))
+      .agg(max(to_date(col("l_shipdate"))).as("last_ship"))
+    val iv = o.join(ship, col("o_orderkey") === col("l_orderkey"))
+      .select(col("start_day"), date_add(col("last_ship"), 1).as("end_day"))
+    val deltas = iv.select(col("start_day").as("day"), lit(1L).as("delta"))
+      .unionByName(iv.select(col("end_day").as("day"), lit(-1L).as("delta")))
+      .groupBy(col("day")).agg(sum(col("delta")).as("delta"))
+    val open = PrefixSum.runningTotal(deltas, "day", "delta", "open")
+      .select(col("day"), col("open").cast("long").as("open"))
+    val monthly = open.withColumn("month",
+      date_trunc("month", col("day")).cast("date"))
+    val mx = monthly.groupBy(col("month"))
+      .agg(max(col("open")).as("max_open"))
+    monthly.join(mx, Seq("month"))
+      .filter(col("open") === col("max_open"))
+      .groupBy(col("month"), col("max_open"))
+      .agg(min(col("day")).as("peak_day"))
+  }
+
+  val q79Oracle: String =
+    """WITH iv AS (
+      |  SELECT CAST(o_orderdate AS DATE) AS start_day,
+      |    CAST(MAX(CAST(l_shipdate AS DATE)) + INTERVAL 1 DAY AS DATE) AS end_day
+      |  FROM orders JOIN lineitem ON o_orderkey = l_orderkey
+      |  GROUP BY o_orderkey, CAST(o_orderdate AS DATE)),
+      |deltas AS (
+      |  SELECT day, CAST(SUM(delta) AS BIGINT) AS delta FROM (
+      |    SELECT start_day AS day, 1 AS delta FROM iv
+      |    UNION ALL SELECT end_day, -1 FROM iv) u GROUP BY day),
+      |op AS (SELECT day,
+      |  CAST(SUM(delta) OVER (ORDER BY day) AS BIGINT) AS open FROM deltas),
+      |m AS (SELECT CAST(date_trunc('month', day) AS DATE) AS month, day, open FROM op),
+      |mx AS (SELECT month, MAX(open) AS max_open FROM m GROUP BY month)
+      |SELECT m.month, mx.max_open, MIN(m.day) AS peak_day
+      |FROM m JOIN mx ON m.month = mx.month AND m.open = mx.max_open
+      |GROUP BY m.month, mx.max_open""".stripMargin
+
+  // ---- text_upsample: deterministic epoch upsampling — sources get
+  //      fractional epoch weights (100/150/200/250 hundredths derived
+  //      from the source id); whole copies for everyone, the
+  //      fractional extra granted by engine-portable md5 bucket
+  //      (operators.Sampling.epochUpsample). The oracle recomputes
+  //      the replication AND the md5 choice end-to-end. ----
+  val textUpsample: Q = (s, d) => {
+    val docs = documents(s, d).select(col("doc_id"), col("source"))
+      .withColumn("w_pct",
+        (lit(100L) + substring(col("source"), 4, 10).cast("long") % 4L * 50L))
+    Sampling.epochUpsample(docs, "doc_id", col("w_pct"))
+      .select(col("doc_id"), col("source"), col("copy"))
+  }
+
+  val textUpsampleOracle: String =
+    """WITH t AS (
+      |  SELECT doc_id, source,
+      |    100 + (CAST(substr(source, 4) AS BIGINT) % 4) * 50 AS w
+      |  FROM documents),
+      |c AS (
+      |  SELECT doc_id, source,
+      |    w // 100 + CASE WHEN CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR) || ':upsample'), 1, 8)) AS BIGINT) % 100 < w % 100
+      |               THEN 1 ELSE 0 END AS n_copies
+      |  FROM t)
+      |SELECT doc_id, source, CAST(unnest(range(1, n_copies + 1)) AS BIGINT) AS copy
+      |FROM c WHERE n_copies > 0""".stripMargin
+
+  // ---- text_pmi: PMI collocations — top bigrams by pointwise mutual
+  //      information. The global N factors cancel in the RANKING, so
+  //      the score is the exact integer n_xy·10⁹ div (n_x·n_y) — no
+  //      log, no float, no cross-engine drift; ties break on the
+  //      bigram itself. Occurrence counts (not per-doc distinct):
+  //      unigram/bigram tables are vocabulary-sized after the
+  //      map-side-combined aggregation. ----
+  val textPmi: Q = (s, d) => {
+    import graft.functions.wsTokens
+    val docs = documents(s, d).select(wsTokens(col("text")).as("toks"))
+    val uni = docs.select(explode(col("toks")).as("tok"))
+      .groupBy(col("tok")).agg(count(lit(1)).cast("bigint").as("n_tok"))
+      .localCheckpoint(true)
+    val bi = docs.select(explode(
+        zip_with(
+          slice(col("toks"), lit(1), size(col("toks")) - 1),
+          slice(col("toks"), lit(2), size(col("toks")) - 1),
+          (x, y) => concat(x, lit(" "), y))).as("bigram"))
+      .groupBy(col("bigram")).agg(count(lit(1)).cast("bigint").as("n_xy"))
+      .filter(col("n_xy") >= 5)
+      .withColumn("w1", element_at(split(col("bigram"), " "), 1))
+      .withColumn("w2", element_at(split(col("bigram"), " "), 2))
+    bi.join(uni.select(col("tok").as("w1"), col("n_tok").as("n_x")), Seq("w1"))
+      .join(uni.select(col("tok").as("w2"), col("n_tok").as("n_y")), Seq("w2"))
+      .withColumn("pmi_scaled", expr("n_xy * 1000000000 div (n_x * n_y)"))
+      .orderBy(col("pmi_scaled").desc, col("w1").asc, col("w2").asc)
+      .limit(50)
+      .select(col("w1"), col("w2"), col("n_xy"), col("n_x"), col("n_y"),
+        col("pmi_scaled"))
+  }
+
+  val textPmiOracle: String =
+    """WITH t AS (SELECT regexp_split_to_array(trim(text), '\s+') AS toks FROM documents),
+      |u AS (SELECT unnest(toks) AS tok FROM t),
+      |uni AS (SELECT tok, CAST(COUNT(*) AS BIGINT) AS n_tok FROM u GROUP BY tok),
+      |b AS (SELECT unnest([toks[i] || ' ' || toks[i+1] for i in range(1, len(toks))]) AS bigram FROM t),
+      |bi AS (SELECT bigram, CAST(COUNT(*) AS BIGINT) AS n_xy FROM b GROUP BY bigram HAVING COUNT(*) >= 5),
+      |sp AS (SELECT bigram, n_xy, split_part(bigram, ' ', 1) AS w1, split_part(bigram, ' ', 2) AS w2 FROM bi)
+      |SELECT sp.w1, sp.w2, sp.n_xy, ux.n_tok AS n_x, uy.n_tok AS n_y,
+      |  (sp.n_xy * 1000000000) // (ux.n_tok * uy.n_tok) AS pmi_scaled
+      |FROM sp JOIN uni ux ON sp.w1 = ux.tok JOIN uni uy ON sp.w2 = uy.tok
+      |ORDER BY pmi_scaled DESC, sp.w1 ASC, sp.w2 ASC LIMIT 50""".stripMargin
+
+  // ---- text_vocab_coverage: what fraction of all token occurrences
+  //      the top-K vocabulary types cover (the OOV-rate planning
+  //      curve for tokenizer sizing). The vocab aggregation runs
+  //      once (checkpointed); each K is a TakeOrdered over the
+  //      vocab-sized table, never a global sort of the corpus. ----
+  val textVocabCoverage: Q = (s, d) => {
+    import graft.functions.wsTokens
+    val uni = documents(s, d)
+      .select(explode(wsTokens(col("text"))).as("tok"))
+      .groupBy(col("tok")).agg(count(lit(1)).cast("bigint").as("n"))
+      .localCheckpoint(true)
+    val total = uni.agg(sum(col("n")).cast("bigint")).collect()(0).getLong(0)
+    val parts = Seq(100, 1000, 10000).map { k =>
+      uni.orderBy(col("n").desc, col("tok").asc).limit(k)
+        .agg(count(lit(1)).cast("bigint").as("n_types"),
+          sum(col("n")).cast("bigint").as("covered"))
+        .withColumn("vocab_top", lit(k.toLong))
+    }
+    parts.reduce(_ unionByName _)
+      .withColumn("total_tokens", lit(total))
+      .withColumn("coverage",
+        col("covered").cast("double") / col("total_tokens").cast("double"))
+      .select(col("vocab_top"), col("n_types"), col("covered"),
+        col("total_tokens"), col("coverage"))
+  }
+
+  val textVocabCoverageOracle: String =
+    """WITH t AS (SELECT unnest(regexp_split_to_array(trim(text), '\s+')) AS tok FROM documents),
+      |uni AS (SELECT tok, CAST(COUNT(*) AS BIGINT) AS n FROM t GROUP BY tok),
+      |r AS (SELECT tok, n, ROW_NUMBER() OVER (ORDER BY n DESC, tok ASC) AS rk FROM uni),
+      |tot AS (SELECT CAST(SUM(n) AS BIGINT) AS total_tokens FROM uni),
+      |k(vocab_top) AS (SELECT * FROM (VALUES (100),(1000),(10000)) v(x))
+      |SELECT CAST(k.vocab_top AS BIGINT) AS vocab_top,
+      |  CAST(COUNT(*) AS BIGINT) AS n_types,
+      |  CAST(SUM(r.n) AS BIGINT) AS covered,
+      |  tot.total_tokens,
+      |  CAST(SUM(r.n) AS DOUBLE) / CAST(tot.total_tokens AS DOUBLE) AS coverage
+      |FROM r, tot, k WHERE r.rk <= k.vocab_top
+      |GROUP BY k.vocab_top, tot.total_tokens""".stripMargin
+
+  val queries: Map[String, Q] = Map(
+    "q73_skyline" -> q73Skyline,
+    "q74_bfs" -> q74Bfs,
+    "q75_attribution" -> q75Attribution,
+    "q76_feature_scale" -> q76FeatureScale,
+    "q77_target_encode" -> q77TargetEncode,
+    "q78_jaro_dedup" -> q78JaroDedup,
+    "q79_open_orders" -> q79OpenOrders,
+    "text_upsample" -> textUpsample,
+    "text_pmi" -> textPmi,
+    "text_vocab_coverage" -> textVocabCoverage)
+
+  val oracles: Map[String, String] = Map(
+    "q73_skyline" -> q73Oracle,
+    "q74_bfs" -> q74Oracle,
+    "q75_attribution" -> q75Oracle,
+    "q76_feature_scale" -> q76Oracle,
+    "q77_target_encode" -> q77Oracle,
+    "q78_jaro_dedup" -> q78Oracle,
+    "q79_open_orders" -> q79Oracle,
+    "text_upsample" -> textUpsampleOracle,
+    "text_pmi" -> textPmiOracle,
+    "text_vocab_coverage" -> textVocabCoverageOracle)
+}

@@ -1,0 +1,178 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.operators.{Bfs, FeatureEncoding, Sampling, Skyline}
+import graft.plans.{GraftFunctions, JaroWinkler}
+
+/** Specs for the round-11 operators: skyline, BFS, feature encoding,
+  * epoch upsampling, and the Jaro-Winkler expression.
+  */
+class AdvancedOpsSpec extends AnyFunSuite {
+  lazy val spark: SparkSession = SparkTestSession.spark
+  import spark.implicits._
+
+  // ---- Jaro-Winkler ----
+
+  test("jaro-winkler matches hand-computed classic values") {
+    // reference values from the published algorithm (Winkler 1990)
+    val cases = Seq(
+      ("martha", "marhta", 0.9611111111111111),
+      ("dixon", "dicksonx", 0.8133333333333332),
+      ("jellyfish", "smellyfish", 0.8962962962962964),
+      ("same", "same", 1.0),
+      ("a", "b", 0.0),
+      ("ab", "ba", 0.0), // window max(2,2)/2-1 = 0: no matches at all
+      ("CRATE", "TRACE", 0.7333333333333334), // no shared prefix: no boost
+      ("aXXXXXXX", "aYYYYYYY", 0.4166666666666667), // jaro <= 0.7: boost withheld
+      ("prefix12", "prefix99", 0.9), // 4-char prefix cap
+      ("", "x", 0.0))
+    for ((a, b, want) <- cases)
+      assert(JaroWinkler.similarity(a, b) === want,
+        s"similarity($a, $b)")
+  }
+
+  test("jaro-winkler expression evaluates in a codegen projection and handles nulls") {
+    GraftFunctions.register(spark)
+    val df = Seq(("martha", "marhta"), ("same", "same"), (null, "x"))
+      .toDF("a", "b")
+      .select(GraftFunctions.jaroWinklerFast(col("a"), col("b")).as("jw"))
+    val got = df.collect().map(r => if (r.isNullAt(0)) None else Some(r.getDouble(0)))
+    assert(got(0) === Some(0.9611111111111111))
+    assert(got(1) === Some(1.0))
+    assert(got(2) === None) // null-safe
+  }
+
+  test("jaro-winkler is symmetric") {
+    val pairs = Seq(("dwayne", "duane"), ("frosted", "forest"),
+      ("abcdefgh", "abcdefgx"), ("x", "xyzzy"))
+    for ((a, b) <- pairs)
+      assert(JaroWinkler.similarity(a, b) === JaroWinkler.similarity(b, a))
+  }
+
+  // ---- Skyline ----
+
+  test("skyline matches brute-force dominance on a crafted frontier") {
+    // minimize x, maximize y; includes duplicate points and
+    // same-x / same-y ties
+    val pts = Seq(
+      (1L, 1L, 10L), (2L, 2L, 20L), (3L, 3L, 15L), (4L, 2L, 20L),
+      (5L, 5L, 30L), (6L, 5L, 25L), (7L, 1L, 5L), (8L, 10L, 30L),
+      (9L, 4L, 28L), (10L, 6L, 31L))
+    val df = pts.toDF("id", "x", "y")
+    val got = Skyline.pareto2d(df, "x", "y", col("id"), shards = 4)
+      .select("id").as[Long].collect().toSet
+    // brute force
+    val want = pts.filter { case (_, ax, ay) =>
+      !pts.exists { case (_, bx, by) =>
+        bx <= ax && by >= ay && (bx < ax || by > ay) }
+    }.map(_._1).toSet
+    assert(want.nonEmpty && want != pts.map(_._1).toSet)
+    assert(got === want)
+  }
+
+  test("skyline keeps coincident points (neither dominates) and is shard-invariant") {
+    val df = Seq((1L, 3L, 7L), (2L, 3L, 7L), (3L, 4L, 7L), (4L, 3L, 6L))
+      .toDF("id", "x", "y")
+    def run(sh: Int) = Skyline.pareto2d(df, "x", "y", col("id"), shards = sh)
+      .select("id").as[Long].collect().toSet
+    // (3,7) twice: both survive; (4,7) and (3,6) dominated
+    assert(run(1) === Set(1L, 2L))
+    assert(run(1) === run(7))
+    assert(run(1) === run(64))
+  }
+
+  // ---- BFS ----
+
+  test("multi-source BFS computes min hop distances with visited pruning") {
+    //   1 - 2 - 3 - 4 - 5    and   10 - 11 (separate component)
+    val edges0 = Seq((1L, 2L), (2L, 3L), (3L, 4L), (4L, 5L), (10L, 11L))
+    val sym = (edges0 ++ edges0.map(e => (e._2, e._1))).toDF("src", "dst")
+    val seeds = Seq(1L, 10L).toDF("node")
+    val got = Bfs.multiSourceBfs(sym, "src", "dst", seeds, "node", maxHops = 10)
+      .as[(Long, Long)].collect().toMap
+    assert(got === Map(1L -> 0L, 2L -> 1L, 3L -> 2L, 4L -> 3L, 5L -> 4L,
+      10L -> 0L, 11L -> 1L))
+  }
+
+  test("BFS maxHops caps the expansion and cycles terminate") {
+    val edges0 = Seq((1L, 2L), (2L, 3L), (3L, 1L), (3L, 4L), (4L, 5L))
+    val sym = (edges0 ++ edges0.map(e => (e._2, e._1))).toDF("src", "dst")
+    val got = Bfs.multiSourceBfs(sym, "src", "dst",
+        Seq(1L).toDF("node"), "node", maxHops = 2)
+      .as[(Long, Long)].collect().toMap
+    // node 5 is 3 hops away: excluded by the cap; cycle 1-2-3 resolves
+    // to min distances
+    assert(got === Map(1L -> 0L, 2L -> 1L, 3L -> 1L, 4L -> 2L))
+  }
+
+  // ---- Feature encoding ----
+
+  test("scaleNumeric: min-max and z-score from exact sums; flat group degenerates safely") {
+    val df = Seq(("a", 10L), ("a", 20L), ("a", 30L),
+      ("b", 7L), ("b", 7L)).toDF("g", "v")
+    val got = FeatureEncoding.scaleNumeric(df, "g", "v")
+      .select("g", "v", "minmax", "zscore").collect()
+      .map(r => (r.getString(0), r.getLong(1),
+        r.getDouble(2), if (r.isNullAt(3)) None else Some(r.getDouble(3))))
+      .toSet
+    // group a: mean 20, sample stddev 10
+    assert(got.contains(("a", 10L, 0.0, Some(-1.0))))
+    assert(got.contains(("a", 20L, 0.5, Some(0.0))))
+    assert(got.contains(("a", 30L, 1.0, Some(1.0))))
+    // flat group: minmax 0, zscore null (zero variance)
+    assert(got.contains(("b", 7L, 0.0, None)))
+  }
+
+  test("targetEncode: m-estimate shrinks rare categories toward the global mean") {
+    // cat a: 4 rows of 10; cat b: 1 row of 100 → global mean 28
+    val df = Seq(("a", 10L), ("a", 10L), ("a", 10L), ("a", 10L), ("b", 100L))
+      .toDF("c", "t")
+    val got = FeatureEncoding.targetEncode(df, "c", "t", m = 10)
+      .select("c", "n", "freq", "target_mean", "target_enc").collect()
+      .map(r => r.getString(0) ->
+        (r.getLong(1), r.getDouble(2), r.getDouble(3), r.getDouble(4)))
+      .toMap
+    assert(got("a")._1 === 4L)
+    assert(got("a")._2 === 0.8)
+    assert(got("a")._3 === 10.0)
+    // (40 + 10*28) / 14 = 22.857…: pulled well off the raw mean
+    assert(math.abs(got("a")._4 - 320.0 / 14) < 1e-12)
+    // rare cat b: (100 + 280) / 11 = 34.5…, barely off the global mean
+    assert(math.abs(got("b")._4 - 380.0 / 11) < 1e-12)
+    assert(math.abs(got("b")._4 - 28.0) < math.abs(100.0 - 28.0))
+  }
+
+  // ---- Epoch upsampling ----
+
+  test("epochUpsample: whole copies exact, fractional share close to advertised, deterministic") {
+    val df = spark.range(0, 2000).toDF("id")
+      .withColumn("w", when(col("id") % 2 === 0, 300L).otherwise(150L))
+    val out = Sampling.epochUpsample(df, "id", col("w"))
+    val byId = out.groupBy("id").agg(count(lit(1)).as("n"), max("copy").as("mx"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    // whole weights replicate exactly; copy runs 1..n
+    byId.filter(_._1 % 2 == 0).foreach { case (id, n, mx) =>
+      assert(n === 3L && mx === 3L, s"id $id") }
+    // fractional weight 1.5: every row at least once, ~half twice
+    val odd = byId.filter(_._1 % 2 == 1)
+    assert(odd.forall(r => r._2 == 1L || r._2 == 2L))
+    val doubled = odd.count(_._2 == 2L)
+    assert(doubled > 350 && doubled < 650, s"doubled=$doubled of ${odd.length}")
+    // deterministic under repartitioning
+    val again = Sampling.epochUpsample(df.repartition(13), "id", col("w"))
+      .groupBy("id").agg(count(lit(1)).as("n")).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(again === byId.map(r => (r._1, r._2)).toSet)
+  }
+
+  test("epochUpsample: weight below 100 downsamples deterministically") {
+    val df = spark.range(0, 1000).toDF("id").withColumn("w", lit(40L))
+    val out = Sampling.epochUpsample(df, "id", col("w"))
+    val n = out.count()
+    assert(n > 300 && n < 500, s"kept $n of 1000 at weight 0.40")
+    assert(out.groupBy("id").count().filter(col("count") > 1).count() === 0)
+  }
+}
