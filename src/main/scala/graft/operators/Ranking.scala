@@ -1,0 +1,57 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Distributed GLOBAL RANK — dense 1..N row numbering in a total
+  * order WITHOUT the single-task `ROW_NUMBER() OVER (ORDER BY ...)`
+  * window (PlanAudit flags that shape: one task absorbs every row).
+  * Same two-pass discipline as [[PrefixSum]]:
+  *
+  *  1. range-partition on the order column and PIN the sampled
+  *     layout (eager localCheckpoint — the counts pass and the rank
+  *     pass must see the same partitioning);
+  *  2. per-partition row counts (one row per partition) to the
+  *     driver, cumulated into per-partition starting offsets;
+  *  3. partition-LOCAL row_number (parallel, bounded state) plus the
+  *     broadcast offset.
+  *
+  * Requires rows unique on `orderCol` (a total order — equal keys
+  * would make ranks partition-dependent); range partitioning never
+  * splits equal keys, so per-partition distinctness certifies it,
+  * checked on the same counts pass.
+  */
+object Ranking {
+
+  /** Append `outCol` = 1-based dense global rank in `orderCol`
+    * order.
+    */
+  def globalRank(df: DataFrame, orderCol: String, outCol: String,
+                 partitions: Int = 0): DataFrame = {
+    val spark = df.sparkSession
+    val n = if (partitions > 0) partitions
+      else spark.sessionState.conf.numShufflePartitions
+    val ranged = df.repartitionByRange(n, col(orderCol))
+      .localCheckpoint(true)
+    val withPid = ranged.withColumn("__pid",
+      spark_partition_id().cast("long"))
+    val countRows = withPid.groupBy(col("__pid"))
+      .agg(count(lit(1)).as("__n"),
+        count_distinct(col(orderCol)).as("__nd"))
+      .collect()
+    require(countRows.forall(r => r.getLong(1) == r.getLong(2)),
+      s"Ranking: rows must be unique on '$orderCol' — a global rank " +
+        "over duplicate keys is partition-order-dependent")
+    val counts = countRows.map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val offsets = (0 until n).map { p =>
+      p.toLong -> (0L until p.toLong).map(counts.getOrElse(_, 0L)).sum
+    }
+    val offDf = broadcast(spark.createDataFrame(offsets)
+      .toDF("__pid", "__off"))
+    val w = Window.partitionBy(col("__pid")).orderBy(col(orderCol))
+    withPid.join(offDf, Seq("__pid"))
+      .withColumn(outCol, row_number().over(w).cast("long") + col("__off"))
+      .drop("__pid", "__off")
+  }
+}

@@ -60,4 +60,18 @@ object Skyline {
     // global pass over the (small) union of local skylines
     survivors(local, None)
   }
+
+  /** Incremental maintenance under INSERTS: since a dominated point
+    * can never re-enter the frontier when points are only added,
+    * `skyline(S ∪ T) = skyline(skyline(S) ∪ T)` — each batch costs
+    * the (tiny) current frontier plus the batch, never a recompute
+    * over history. (Deletes invalidate this identity: a deleted
+    * frontier point can resurrect points it dominated — full
+    * recompute, or keep the dominated candidates, for that case.)
+    */
+  def insertMaintain(currentSkyline: DataFrame, batch: DataFrame,
+                     minCol: String, maxCol: String, shardCol: Column,
+                     shards: Int = 64): DataFrame =
+    pareto2d(currentSkyline.unionByName(batch), minCol, maxCol,
+      shardCol, shards)
 }

@@ -4,7 +4,7 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
-import graft.operators.{Bfs, FeatureEncoding, PrefixSum, Sampling, Skyline}
+import graft.operators.{Bfs, FeatureEncoding, PrefixSum, Ranking, Sampling, SetSimJoin, Skyline}
 import graft.plans.GraftFunctions
 import graft.sources.TableCatalog._
 
@@ -351,6 +351,124 @@ object Advanced {
       |FROM r, tot, k WHERE r.rk <= k.vocab_top
       |GROUP BY k.vocab_top, tot.total_tokens""".stripMargin
 
+  // ---- q80: sorted-neighborhood blocking (Hernández-Stolfo 1995) —
+  //      the OTHER classic record-linkage candidate generator next to
+  //      q66's token blocking: global order by the record key, each
+  //      record paired with its w−1 successors. The global rank comes
+  //      from the distributed Ranking operator (range partitions +
+  //      offsets — never a single-task ROW_NUMBER window); successor
+  //      pairing is an explode + equi-join on rank, so the candidate
+  //      count is exactly (w−1)·N regardless of key skew — the
+  //      property token blocking lacks. ----
+  val q80SortedNeighborhood: Q = (s, d) => {
+    val names = part(s, d).select(col("p_name")).distinct()
+    val ranked = Ranking.globalRank(names, "p_name", "rn")
+      .localCheckpoint(true) // probe + build sides must agree on ranks
+    val probes = ranked
+      .withColumn("i", explode(sequence(lit(1L), lit(4L))))
+      .withColumn("rn2", col("rn") + col("i"))
+      .select(col("p_name").as("na"), col("rn2"))
+    probes.join(ranked.select(col("p_name").as("nb"),
+        col("rn").as("rn2")), Seq("rn2"))
+      .withColumn("dist", levenshtein(col("na"), col("nb")).cast("long"))
+      .filter(col("dist") <= 4)
+      .select(col("na"), col("nb"), col("dist"))
+  }
+
+  val q80Oracle: String =
+    """WITH n AS (SELECT DISTINCT p_name FROM part),
+      |r AS (SELECT p_name, ROW_NUMBER() OVER (ORDER BY p_name) AS rn FROM n)
+      |SELECT a.p_name AS na, b.p_name AS nb,
+      |  CAST(levenshtein(a.p_name, b.p_name) AS BIGINT) AS dist
+      |FROM r a JOIN r b ON b.rn - a.rn BETWEEN 1 AND 4
+      |WHERE levenshtein(a.p_name, b.p_name) <= 4""".stripMargin
+
+  // ---- q81: chi-square contingency analysis — observed vs expected
+  //      counts for segment × priority, with per-cell chi-square
+  //      contributions. Per-cell output deliberately: summing float
+  //      contributions would hang the result on engine-specific
+  //      aggregation order; the cells themselves are exact-int-fed
+  //      fixed formulas. ----
+  val q81ChiSquare: Q = (s, d) => {
+    val df = orders(s, d)
+      .join(customer(s, d), col("o_custkey") === col("c_custkey"))
+      .select(col("c_mktsegment").as("seg"), col("o_orderpriority").as("pri"))
+    val cells = df.groupBy(col("seg"), col("pri"))
+      .agg(count(lit(1)).cast("bigint").as("observed"))
+    val rowN = df.groupBy(col("seg")).agg(count(lit(1)).cast("bigint").as("row_n"))
+    val colN = df.groupBy(col("pri")).agg(count(lit(1)).cast("bigint").as("col_n"))
+    val tot = df.agg(count(lit(1)).cast("bigint").as("n"))
+    val dObs = col("observed").cast("double")
+    cells.join(broadcast(rowN), Seq("seg"))
+      .join(broadcast(colN), Seq("pri"))
+      .crossJoin(broadcast(tot))
+      .withColumn("expected",
+        (col("row_n") * col("col_n")).cast("double") / col("n").cast("double"))
+      .withColumn("contrib",
+        (dObs - col("expected")) * (dObs - col("expected")) / col("expected"))
+      .select(col("seg"), col("pri"), col("observed"),
+        col("expected"), col("contrib"))
+  }
+
+  val q81Oracle: String =
+    """WITH df AS (SELECT c_mktsegment AS seg, o_orderpriority AS pri
+      |  FROM orders JOIN customer ON o_custkey = c_custkey),
+      |cells AS (SELECT seg, pri, CAST(COUNT(*) AS BIGINT) AS observed FROM df GROUP BY 1, 2),
+      |r AS (SELECT seg, CAST(COUNT(*) AS BIGINT) AS row_n FROM df GROUP BY 1),
+      |c AS (SELECT pri, CAST(COUNT(*) AS BIGINT) AS col_n FROM df GROUP BY 1),
+      |t AS (SELECT CAST(COUNT(*) AS BIGINT) AS n FROM df)
+      |SELECT cells.seg, cells.pri, cells.observed,
+      |  CAST(r.row_n * c.col_n AS DOUBLE) / CAST(t.n AS DOUBLE) AS expected,
+      |  (CAST(cells.observed AS DOUBLE) - CAST(r.row_n * c.col_n AS DOUBLE) / CAST(t.n AS DOUBLE))
+      |    * (CAST(cells.observed AS DOUBLE) - CAST(r.row_n * c.col_n AS DOUBLE) / CAST(t.n AS DOUBLE))
+      |    / (CAST(r.row_n * c.col_n AS DOUBLE) / CAST(t.n AS DOUBLE)) AS contrib
+      |FROM cells JOIN r USING (seg) JOIN c USING (pri), t""".stripMargin
+
+  // ---- q82: INCREMENTAL skyline maintenance — the CDC-view form of
+  //      q73: under inserts, skyline(S ∪ T) = skyline(skyline(S) ∪ T),
+  //      so each batch pays the (tiny) current frontier plus the
+  //      batch. The oracle recomputes the frontier over the FULL
+  //      table, independently proving the incremental identity. ----
+  val q82SkylineIncremental: Q = (s, d) => {
+    val p = part(s, d).select(col("p_partkey"),
+      round(col("p_retailprice") * 100).cast("long").as("price_cents"),
+      col("p_size").cast("long").as("size"))
+    val sky1 = Skyline.pareto2d(p.filter(col("p_partkey") % 2 === 0),
+      "price_cents", "size", col("p_partkey"))
+    Skyline.insertMaintain(sky1, p.filter(col("p_partkey") % 2 === 1),
+      "price_cents", "size", col("p_partkey"))
+  }
+
+  // ---- text_setsim_join: EXACT all-pairs set-similarity join via
+  //      prefix filtering (no candidate ever dropped — the exactness
+  //      complement of the capped minhash/ngram paths; see
+  //      operators.SetSimJoin). Sets are distinct 64-bit bigram
+  //      shingle hashes, so every exchange carries longs; the oracle
+  //      recomputes on the STRINGS with the quadratic shared-shingle
+  //      candidate join — two independent algorithms, one answer. ----
+  val textSetSim: Q = (s, d) => {
+    import graft.functions.wsTokens
+    GraftFunctions.register(s)
+    val sets = documents(s, d).select(col("doc_id"),
+      GraftFunctions.shingleFast(wsTokens(col("text")), 2).as("shingles"))
+    SetSimJoin.prefixFilterJoin(sets, "doc_id", "shingles", p = 3, q = 5)
+      .select(col("id_a").as("doc_a"), col("id_b").as("doc_b"),
+        col("inter"), col("union_sz"))
+  }
+
+  val textSetSimOracle: String =
+    """WITH docs AS (SELECT doc_id, regexp_split_to_array(trim(text), '\s+') toks FROM documents),
+      |sh AS (SELECT doc_id, list_distinct([toks[i]||' '||toks[i+1]
+      |                                     for i in range(1, len(toks))]) g
+      |       FROM docs WHERE len(toks) >= 2),
+      |ex AS (SELECT doc_id, unnest(g) s FROM sh),
+      |sz AS (SELECT doc_id, CAST(len(g) AS BIGINT) n FROM sh),
+      |pairs AS (SELECT a.doc_id doc_a, b.doc_id doc_b, CAST(count(*) AS BIGINT) inter
+      |          FROM ex a JOIN ex b ON a.s = b.s AND a.doc_id < b.doc_id GROUP BY 1, 2)
+      |SELECT doc_a, doc_b, inter, sa.n + sb.n - inter AS union_sz
+      |FROM pairs JOIN sz sa ON sa.doc_id = doc_a JOIN sz sb ON sb.doc_id = doc_b
+      |WHERE inter * 5 >= (sa.n + sb.n - inter) * 3""".stripMargin
+
   val queries: Map[String, Q] = Map(
     "q73_skyline" -> q73Skyline,
     "q74_bfs" -> q74Bfs,
@@ -359,6 +477,10 @@ object Advanced {
     "q77_target_encode" -> q77TargetEncode,
     "q78_jaro_dedup" -> q78JaroDedup,
     "q79_open_orders" -> q79OpenOrders,
+    "q80_sorted_neighborhood" -> q80SortedNeighborhood,
+    "q81_chi_square" -> q81ChiSquare,
+    "q82_skyline_incremental" -> q82SkylineIncremental,
+    "text_setsim_join" -> textSetSim,
     "text_upsample" -> textUpsample,
     "text_pmi" -> textPmi,
     "text_vocab_coverage" -> textVocabCoverage)
@@ -371,6 +493,10 @@ object Advanced {
     "q77_target_encode" -> q77Oracle,
     "q78_jaro_dedup" -> q78Oracle,
     "q79_open_orders" -> q79Oracle,
+    "q80_sorted_neighborhood" -> q80Oracle,
+    "q81_chi_square" -> q81Oracle,
+    "q82_skyline_incremental" -> q73Oracle, // full-table recompute IS the check
+    "text_setsim_join" -> textSetSimOracle,
     "text_upsample" -> textUpsampleOracle,
     "text_pmi" -> textPmiOracle,
     "text_vocab_coverage" -> textVocabCoverageOracle)

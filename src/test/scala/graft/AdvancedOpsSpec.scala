@@ -176,3 +176,91 @@ class AdvancedOpsSpec extends AnyFunSuite {
     assert(out.groupBy("id").count().filter(col("count") > 1).count() === 0)
   }
 }
+
+/** Specs for the batch-2 round-11 operators: prefix-filter set
+  * similarity, distributed global rank, incremental skyline.
+  */
+class AdvancedOps2Spec extends org.scalatest.funsuite.AnyFunSuite {
+  lazy val spark: SparkSession = SparkTestSession.spark
+  import spark.implicits._
+  import graft.operators.{Ranking, SetSimJoin, Skyline}
+
+  test("prefix-filter set-similarity join equals brute force (exact, no candidate dropped)") {
+    // sets engineered around the threshold 2/3, incl. a pair whose
+    // shared tokens are all COMMON (the case a naive rare-token-only
+    // heuristic would miss but the prefix bound must keep)
+    val sets = Seq(
+      (1L, Seq("a", "b", "c", "d")),
+      (2L, Seq("a", "b", "c", "e")),     // J(1,2)=3/5 < 2/3
+      (3L, Seq("a", "b", "c", "d")),     // J(1,3)=1
+      (4L, Seq("a", "b", "c")),          // J(1,4)=3/4 >= 2/3
+      (5L, Seq("x", "y")),
+      (6L, Seq("x", "y", "z")),          // J(5,6)=2/3 boundary: kept
+      (7L, Seq("q")),
+      (8L, Seq("a", "b", "c", "d", "e", "f")))
+    val df = sets.toDF("id", "s")
+    val got = SetSimJoin.prefixFilterJoin(df, "id", "s", p = 2, q = 3)
+      .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    val want = (for {
+      (ia, sa) <- sets; (ib, sb) <- sets if ia < ib
+      inter = sa.toSet.intersect(sb.toSet).size
+      uni = sa.toSet.union(sb.toSet).size
+      if inter * 3 >= uni * 2
+    } yield (ia, ib)).toSet
+    assert(want === Set((1L, 3L), (1L, 4L), (1L, 8L), (2L, 4L), (2L, 8L),
+      (3L, 4L), (3L, 8L), (5L, 6L))) // incl. the J = 2/3 boundary pairs
+    assert(got === want)
+  }
+
+  test("prefix-filter join: randomized brute-force parity") {
+    val rnd = new scala.util.Random(42)
+    val univ = (0 until 30).map(i => s"t$i")
+    val sets = (1 to 120).map { id =>
+      (id.toLong, rnd.shuffle(univ).take(3 + rnd.nextInt(8)).toSeq)
+    }
+    val got = SetSimJoin.prefixFilterJoin(sets.toDF("id", "s"), "id", "s", p = 1, q = 2)
+      .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    val want = (for {
+      (ia, sa) <- sets; (ib, sb) <- sets if ia < ib
+      inter = sa.toSet.intersect(sb.toSet).size
+      uni = sa.toSet.union(sb.toSet).size
+      if inter * 2 >= uni * 1
+    } yield (ia, ib)).toSet
+    assert(got === want)
+  }
+
+  test("globalRank assigns dense 1..N ranks matching a local sort, any partitioning") {
+    val vals = Seq("pear", "apple", "fig", "date", "kiwi", "lime",
+      "mango", "plum", "grape", "peach")
+    val df = vals.toDF("v").repartition(7)
+    val got = Ranking.globalRank(df, "v", "rn", partitions = 3)
+      .as[(String, Long)].collect().toMap
+    val want = vals.sorted.zipWithIndex.map { case (v, i) => v -> (i + 1L) }.toMap
+    assert(got === want)
+  }
+
+  test("globalRank refuses duplicate order keys") {
+    val df = Seq("a", "b", "a").toDF("v")
+    val e = intercept[IllegalArgumentException] {
+      Ranking.globalRank(df, "v", "rn").collect()
+    }
+    assert(e.getMessage.contains("unique"))
+  }
+
+  test("incremental skyline under inserts equals full recompute") {
+    val rnd = new scala.util.Random(7)
+    val pts = (1 to 400).map(i =>
+      (i.toLong, (rnd.nextInt(100) + 1).toLong, (rnd.nextInt(100) + 1).toLong))
+    val df = pts.toDF("id", "x", "y")
+    val full = Skyline.pareto2d(df, "x", "y", col("id"))
+      .select("id").as[Long].collect().toSet
+    // three insert batches, frontier maintained incrementally
+    val batches = pts.grouped(140).toSeq
+    var frontier = Skyline.pareto2d(batches.head.toDF("id", "x", "y"),
+      "x", "y", col("id"))
+    for (b <- batches.tail)
+      frontier = Skyline.insertMaintain(frontier, b.toDF("id", "x", "y"),
+        "x", "y", col("id"))
+    assert(frontier.select("id").as[Long].collect().toSet === full)
+  }
+}
