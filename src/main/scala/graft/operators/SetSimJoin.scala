@@ -62,11 +62,34 @@ object SetSimJoin {
     val need = floor((col("__n") * p + lit(q - 1)) / lit(q)).cast("long")
     val prefix = ranked
       .filter(col("__rank") <= col("__n") - need + 1)
-      .select(col("__tok"), col("__id"))
-    val cands = prefix.as("a").join(prefix.as("b"),
+      .select(col("__tok"), col("__id"), col("__n"), col("__rank"))
+    // candidate pruning, both filters exactness-preserving (PPJoin):
+    //  - SIZE: J ≥ p/q forces min(|A|,|B|)·q ≥ max(|A|,|B|)·p
+    //    (|∩| ≤ min, |∪| ≥ max) — pairs of very different sizes never
+    //    reach the verify join;
+    //  - POSITION: under one global order, shared elements smaller
+    //    than a shared token s rank below s in BOTH sets, so for s at
+    //    ranks (ra, rb): |∩| ≤ min(ra,rb)−1 + 1 + min(na−ra, nb−rb).
+    //    A qualifying pair satisfies the bound for SOME shared prefix
+    //    token (the bound holds for every shared token and a
+    //    qualifying pair shares at least one — prefix lemma), so keep
+    //    a pair iff the MAX bound over its shared prefix tokens
+    //    reaches the required overlap ⌈p·(na+nb)/(p+q)⌉.
+    val joined = prefix.as("a").join(prefix.as("b"),
         col("a.__tok") === col("b.__tok") && col("a.__id") < col("b.__id"))
-      .select(col("a.__id").as("__ida"), col("b.__id").as("__idb"))
-      .distinct()
+      .filter(least(col("a.__n"), col("b.__n")) * q >=
+        greatest(col("a.__n"), col("b.__n")) * p)
+      .select(col("a.__id").as("__ida"), col("b.__id").as("__idb"),
+        col("a.__n").as("__pna"), col("b.__n").as("__pnb"),
+        (least(col("a.__rank"), col("b.__rank")) - 1 + lit(1) +
+          least(col("a.__n") - col("a.__rank"),
+            col("b.__n") - col("b.__rank"))).as("__ubound"))
+    val cands = joined.groupBy(col("__ida"), col("__idb"))
+      .agg(max(col("__ubound")).as("__ub"),
+        first(col("__pna")).as("__pna"), first(col("__pnb")).as("__pnb"))
+      .filter(col("__ub") >= floor(((col("__pna") + col("__pnb")) * p +
+        lit(p + q - 1)) / lit(p + q)).cast("long"))
+      .select(col("__ida"), col("__idb"))
     // exact verify on candidate pairs only
     cands
       .join(sets.select(col("__id").as("__ida"), col("__set").as("__sa"),

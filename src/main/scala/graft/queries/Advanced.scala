@@ -442,15 +442,19 @@ object Advanced {
   // ---- text_setsim_join: EXACT all-pairs set-similarity join via
   //      prefix filtering (no candidate ever dropped — the exactness
   //      complement of the capped minhash/ngram paths; see
-  //      operators.SetSimJoin). Sets are distinct 64-bit bigram
-  //      shingle hashes, so every exchange carries longs; the oracle
-  //      recomputes on the STRINGS with the quadratic shared-shingle
-  //      candidate join — two independent algorithms, one answer. ----
+  //      operators.SetSimJoin). Sets are distinct 64-bit 3-gram
+  //      shingle hashes (3-grams, not bigrams: this corpus shares
+  //      bigrams so broadly that even rare-first prefixes candidate
+  //      ~half of all pairs — measured 7.0M bigram vs 0.3M trigram
+  //      candidate pairs at sf0.1), so every exchange carries longs;
+  //      the oracle recomputes on the STRINGS with the quadratic
+  //      shared-shingle candidate join — two independent algorithms,
+  //      one answer. ----
   val textSetSim: Q = (s, d) => {
     import graft.functions.wsTokens
     GraftFunctions.register(s)
     val sets = documents(s, d).select(col("doc_id"),
-      GraftFunctions.shingleFast(wsTokens(col("text")), 2).as("shingles"))
+      GraftFunctions.shingleFast(wsTokens(col("text")), 3).as("shingles"))
     SetSimJoin.prefixFilterJoin(sets, "doc_id", "shingles", p = 3, q = 5)
       .select(col("id_a").as("doc_a"), col("id_b").as("doc_b"),
         col("inter"), col("union_sz"))
@@ -458,9 +462,9 @@ object Advanced {
 
   val textSetSimOracle: String =
     """WITH docs AS (SELECT doc_id, regexp_split_to_array(trim(text), '\s+') toks FROM documents),
-      |sh AS (SELECT doc_id, list_distinct([toks[i]||' '||toks[i+1]
-      |                                     for i in range(1, len(toks))]) g
-      |       FROM docs WHERE len(toks) >= 2),
+      |sh AS (SELECT doc_id, list_distinct([toks[i]||' '||toks[i+1]||' '||toks[i+2]
+      |                                     for i in range(1, len(toks)-1)]) g
+      |       FROM docs WHERE len(toks) >= 3),
       |ex AS (SELECT doc_id, unnest(g) s FROM sh),
       |sz AS (SELECT doc_id, CAST(len(g) AS BIGINT) n FROM sh),
       |pairs AS (SELECT a.doc_id doc_a, b.doc_id doc_b, CAST(count(*) AS BIGINT) inter
