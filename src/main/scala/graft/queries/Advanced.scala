@@ -272,31 +272,97 @@ object Advanced {
   //      information. The global N factors cancel in the RANKING, so
   //      the score is the exact integer n_xy·10⁹ div (n_x·n_y) — no
   //      log, no float, no cross-engine drift; ties break on the
-  //      bigram itself. Occurrence counts (not per-doc distinct):
-  //      unigram/bigram tables are vocabulary-sized after the
-  //      map-side-combined aggregation. ----
+  //      bigram itself.
+  //
+  //      Hash-first (the text_top_ngrams two-phase idiom): phase 1
+  //      counts and ranks on 8-byte xxhash64 token hashes — every
+  //      exchange (unigram agg, bigram agg, the two count joins)
+  //      carries longs, never words — and keeps the candidate
+  //      superset at or above the provisional 50th score. Phase 2
+  //      recovers strings for CANDIDATE pairs only (one scan,
+  //      broadcast semi-join) and re-ranks with the string
+  //      tie-break, so a hash-order tie at the cut can only widen
+  //      the candidate set, never change the answer. Implausible
+  //      tie plateaus (>10k) fall back to the direct string
+  //      pipeline. Occurrence counts (not per-doc distinct). ----
   val textPmi: Q = (s, d) => {
     import graft.functions.wsTokens
     val docs = documents(s, d).select(wsTokens(col("text")).as("toks"))
-    val uni = docs.select(explode(col("toks")).as("tok"))
-      .groupBy(col("tok")).agg(count(lit(1)).cast("bigint").as("n_tok"))
+      .localCheckpoint(true) // phase-1 aggregates + phase-2 recovery scan
+    def pairsOf(c: org.apache.spark.sql.Column) = explode(
+      zip_with(
+        slice(c, lit(1), size(c) - 1),
+        slice(c, lit(2), size(c) - 1),
+        (x, y) => struct(x.as("w1"), y.as("w2"))))
+    val score = expr("n_xy * 1000000000 div (n_x * n_y)")
+
+    // phase 1: all-long ranking
+    val uniH = docs.select(explode(col("toks")).as("tok"))
+      .select(xxhash64(col("tok")).as("h"))
+      .groupBy(col("h")).agg(count(lit(1)).cast("bigint").as("n_tok"))
       .localCheckpoint(true)
-    val bi = docs.select(explode(
-        zip_with(
-          slice(col("toks"), lit(1), size(col("toks")) - 1),
-          slice(col("toks"), lit(2), size(col("toks")) - 1),
-          (x, y) => concat(x, lit(" "), y))).as("bigram"))
-      .groupBy(col("bigram")).agg(count(lit(1)).cast("bigint").as("n_xy"))
+    val biH = docs.select(pairsOf(col("toks")).as("p"))
+      .select(xxhash64(col("p.w1")).as("h1"), xxhash64(col("p.w2")).as("h2"))
+      .groupBy(col("h1"), col("h2"))
+      .agg(count(lit(1)).cast("bigint").as("n_xy"))
       .filter(col("n_xy") >= 5)
-      .withColumn("w1", element_at(split(col("bigram"), " "), 1))
-      .withColumn("w2", element_at(split(col("bigram"), " "), 2))
-    bi.join(uni.select(col("tok").as("w1"), col("n_tok").as("n_x")), Seq("w1"))
-      .join(uni.select(col("tok").as("w2"), col("n_tok").as("n_y")), Seq("w2"))
-      .withColumn("pmi_scaled", expr("n_xy * 1000000000 div (n_x * n_y)"))
-      .orderBy(col("pmi_scaled").desc, col("w1").asc, col("w2").asc)
-      .limit(50)
-      .select(col("w1"), col("w2"), col("n_xy"), col("n_x"), col("n_y"),
+    val scoredH = biH
+      .join(uniH.select(col("h").as("h1"), col("n_tok").as("n_x")), Seq("h1"))
+      .join(uniH.select(col("h").as("h2"), col("n_tok").as("n_y")), Seq("h2"))
+      .withColumn("pmi_scaled", score)
+    val cutoff = scoredH.orderBy(col("pmi_scaled").desc).limit(50)
+      .agg(min(col("pmi_scaled")).as("m"))
+    val candRows = scoredH.join(broadcast(cutoff), col("pmi_scaled") >= col("m"))
+      .select(col("h1"), col("h2"), col("n_xy"), col("n_x"), col("n_y"),
         col("pmi_scaled"))
+      .limit(10001).collect() // model-sized: top-50 + score ties
+
+    val strPairs = docs.select(pairsOf(col("toks")).as("p"))
+      .select(col("p.w1").as("w1"), col("p.w2").as("w2"))
+    if (candRows.length > 10000) {
+      // degenerate tie plateau: rank strings directly
+      val uni = docs.select(explode(col("toks")).as("tok"))
+        .groupBy(col("tok")).agg(count(lit(1)).cast("bigint").as("n_tok"))
+        .localCheckpoint(true)
+      strPairs.groupBy(col("w1"), col("w2"))
+        .agg(count(lit(1)).cast("bigint").as("n_xy"))
+        .filter(col("n_xy") >= 5)
+        .join(uni.select(col("tok").as("w1"), col("n_tok").as("n_x")), Seq("w1"))
+        .join(uni.select(col("tok").as("w2"), col("n_tok").as("n_y")), Seq("w2"))
+        .withColumn("pmi_scaled", score)
+        .orderBy(col("pmi_scaled").desc, col("w1").asc, col("w2").asc)
+        .limit(50)
+        .select(col("w1"), col("w2"), col("n_xy"), col("n_x"), col("n_y"),
+          col("pmi_scaled"))
+    } else {
+      // phase 2: strings for candidates only, exact string tie-break
+      val cands = s.createDataFrame(
+        java.util.Arrays.asList(candRows: _*),
+        org.apache.spark.sql.types.StructType(Seq(
+          org.apache.spark.sql.types.StructField("h1",
+            org.apache.spark.sql.types.LongType),
+          org.apache.spark.sql.types.StructField("h2",
+            org.apache.spark.sql.types.LongType),
+          org.apache.spark.sql.types.StructField("n_xy",
+            org.apache.spark.sql.types.LongType),
+          org.apache.spark.sql.types.StructField("n_x",
+            org.apache.spark.sql.types.LongType),
+          org.apache.spark.sql.types.StructField("n_y",
+            org.apache.spark.sql.types.LongType),
+          org.apache.spark.sql.types.StructField("pmi_scaled",
+            org.apache.spark.sql.types.LongType))))
+      strPairs
+        .withColumn("h1", xxhash64(col("w1")))
+        .withColumn("h2", xxhash64(col("w2")))
+        .join(broadcast(cands), Seq("h1", "h2"))
+        .groupBy(col("w1"), col("w2"), col("n_xy"), col("n_x"), col("n_y"),
+          col("pmi_scaled"))
+        .agg(count(lit(1)).as("__seen")).drop("__seen")
+        .orderBy(col("pmi_scaled").desc, col("w1").asc, col("w2").asc)
+        .limit(50)
+        .select(col("w1"), col("w2"), col("n_xy"), col("n_x"), col("n_y"),
+          col("pmi_scaled"))
+    }
   }
 
   val textPmiOracle: String =
