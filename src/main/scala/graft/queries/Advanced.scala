@@ -539,6 +539,112 @@ object Advanced {
       |FROM pairs JOIN sz sa ON sa.doc_id = doc_a JOIN sz sb ON sb.doc_id = doc_b
       |WHERE inter * 5 >= (sa.n + sb.n - inter) * 3""".stripMargin
 
+  // ---- q83: two-sample Kolmogorov-Smirnov test — are two corpus
+  //      halves drawn from the same length distribution? D =
+  //      max |F1−F2| computed EXACTLY: per-value counts, CDFs via the
+  //      distributed PrefixSum (value-keyed, never a single-task
+  //      window over the corpus), and the max of the integer
+  //      cross-difference |cum1·n2 − cum2·n1| — the float division
+  //      happens once, on the final row. ----
+  val q83KsTest: Q = (s, d) => {
+    val docs = documents(s, d).select(col("n_chars"),
+      (substring(col("source"), 4, 10).cast("long") < 10).as("isA"))
+    val per = docs.groupBy(col("n_chars"))
+      .agg(sum(when(col("isA"), 1L).otherwise(0L)).as("c1"),
+        sum(when(!col("isA"), 1L).otherwise(0L)).as("c2"))
+      .localCheckpoint(true) // totals pass + two cumsum passes
+    val tot = per.agg(sum(col("c1")), sum(col("c2"))).collect()(0)
+    val n1 = tot.getLong(0)
+    val n2 = tot.getLong(1)
+    val cum = PrefixSum.runningTotal(
+      PrefixSum.runningTotal(per, "n_chars", "c1", "cum1"),
+      "n_chars", "c2", "cum2")
+    cum.withColumn("ks_num",
+        abs(col("cum1").cast("bigint") * n2 - col("cum2").cast("bigint") * n1))
+      .orderBy(col("ks_num").desc, col("n_chars").asc).limit(1)
+      .select(col("n_chars").as("at_value"), col("ks_num"),
+        lit(n1).as("n1"), lit(n2).as("n2"),
+        round(col("ks_num").cast("double") / lit(n1.toDouble * n2), 9).as("ks"))
+  }
+
+  val q83Oracle: String =
+    """WITH d AS (SELECT n_chars, CAST(substr(source, 4) AS BIGINT) < 10 AS isA FROM documents),
+      |per AS (SELECT n_chars,
+      |  CAST(SUM(CASE WHEN isA THEN 1 ELSE 0 END) AS BIGINT) c1,
+      |  CAST(SUM(CASE WHEN NOT isA THEN 1 ELSE 0 END) AS BIGINT) c2
+      |  FROM d GROUP BY n_chars),
+      |t AS (SELECT CAST(SUM(c1) AS BIGINT) n1, CAST(SUM(c2) AS BIGINT) n2 FROM per),
+      |cum AS (SELECT n_chars,
+      |  CAST(SUM(c1) OVER (ORDER BY n_chars) AS BIGINT) cum1,
+      |  CAST(SUM(c2) OVER (ORDER BY n_chars) AS BIGINT) cum2 FROM per),
+      |k AS (SELECT n_chars, ABS(cum1 * t.n2 - cum2 * t.n1) ks_num, t.n1, t.n2 FROM cum, t)
+      |SELECT n_chars AS at_value, ks_num, n1, n2,
+      |  ROUND(CAST(ks_num AS DOUBLE) / (CAST(n1 AS DOUBLE) * CAST(n2 AS DOUBLE)), 9) AS ks
+      |FROM k ORDER BY ks_num DESC, at_value ASC LIMIT 1""".stripMargin
+
+  // ---- q84: per-group least-squares trend (the grouped form of
+  //      q71): document length drift over ingestion order per
+  //      source. Both slope AND intercept as single ratios of exact
+  //      HUGEINT-algebra numerators — intercept is NOT derived from
+  //      the rounded slope, so no error chaining; round(…, 9) for
+  //      the HUGEINT→DOUBLE ulp gap (the q71 lesson). ----
+  val q84GroupTrend: Q = (s, d) => {
+    val e = documents(s, d).select(col("source"),
+      col("doc_id").cast("decimal(38,0)").as("x"),
+      col("n_chars").cast("decimal(38,0)").as("y"))
+    e.groupBy(col("source"))
+      .agg(count(lit(1)).cast("decimal(38,0)").as("n"),
+        sum(col("x")).as("sx"), sum(col("y")).as("sy"),
+        sum(col("x") * col("y")).as("sxy"),
+        sum(col("x") * col("x")).as("sxx"))
+      .select(col("source"), col("n").cast("bigint").as("n"),
+        round((col("n") * col("sxy") - col("sx") * col("sy")).cast("double") /
+          (col("n") * col("sxx") - col("sx") * col("sx")).cast("double"), 9)
+          .as("slope"),
+        round((col("sy") * col("sxx") - col("sx") * col("sxy")).cast("double") /
+          (col("n") * col("sxx") - col("sx") * col("sx")).cast("double"), 9)
+          .as("intercept"))
+  }
+
+  val q84Oracle: String =
+    """WITH e AS (SELECT source, CAST(doc_id AS HUGEINT) x, CAST(n_chars AS HUGEINT) y FROM documents),
+      |a AS (SELECT source, CAST(COUNT(*) AS HUGEINT) n,
+      |  SUM(x) sx, SUM(y) sy, SUM(x * y) sxy, SUM(x * x) sxx
+      |  FROM e GROUP BY 1)
+      |SELECT source, CAST(n AS BIGINT) AS n,
+      |  ROUND(CAST(n * sxy - sx * sy AS DOUBLE) /
+      |    CAST(n * sxx - sx * sx AS DOUBLE), 9) AS slope,
+      |  ROUND(CAST(sy * sxx - sx * sxy AS DOUBLE) /
+      |    CAST(n * sxx - sx * sx AS DOUBLE), 9) AS intercept
+      |FROM a""".stripMargin
+
+  // ---- q85: Benford first-digit audit of order totals — the
+  //      financial data-quality screen (fabricated totals flunk the
+  //      log curve). The digit comes from the INTEGER-cents string
+  //      (integer→string is identical in every engine; a float
+  //      format would not be), proportions are one exact division;
+  //      the log-expectation comparison is the analyst's job, not
+  //      the engine's — log10 ulps differ across engines. ----
+  val q85Benford: Q = (s, d) => {
+    val cents = round(col("o_totalprice") * 100).cast("long")
+    val digits = orders(s, d).select(
+      substring(cents.cast("string"), 1, 1).as("digit"))
+      .groupBy(col("digit")).agg(count(lit(1)).cast("bigint").as("n"))
+    val tot = digits.agg(sum(col("n")).cast("bigint").as("total"))
+    digits.crossJoin(broadcast(tot))
+      .withColumn("prop",
+        round(col("n").cast("double") / col("total").cast("double"), 9))
+      .select(col("digit"), col("n"), col("total"), col("prop"))
+  }
+
+  val q85Oracle: String =
+    """WITH d AS (SELECT substr(CAST(CAST(round(o_totalprice * 100) AS BIGINT) AS VARCHAR), 1, 1) AS digit FROM orders),
+      |g AS (SELECT digit, CAST(COUNT(*) AS BIGINT) n FROM d GROUP BY digit),
+      |t AS (SELECT CAST(SUM(n) AS BIGINT) total FROM g)
+      |SELECT digit, n, total,
+      |  ROUND(CAST(n AS DOUBLE) / CAST(total AS DOUBLE), 9) AS prop
+      |FROM g, t""".stripMargin
+
   val queries: Map[String, Q] = Map(
     "q73_skyline" -> q73Skyline,
     "q74_bfs" -> q74Bfs,
@@ -550,6 +656,9 @@ object Advanced {
     "q80_sorted_neighborhood" -> q80SortedNeighborhood,
     "q81_chi_square" -> q81ChiSquare,
     "q82_skyline_incremental" -> q82SkylineIncremental,
+    "q83_ks_test" -> q83KsTest,
+    "q84_group_trend" -> q84GroupTrend,
+    "q85_benford" -> q85Benford,
     "text_setsim_join" -> textSetSim,
     "text_upsample" -> textUpsample,
     "text_pmi" -> textPmi,
@@ -566,6 +675,9 @@ object Advanced {
     "q80_sorted_neighborhood" -> q80Oracle,
     "q81_chi_square" -> q81Oracle,
     "q82_skyline_incremental" -> q73Oracle, // full-table recompute IS the check
+    "q83_ks_test" -> q83Oracle,
+    "q84_group_trend" -> q84Oracle,
+    "q85_benford" -> q85Oracle,
     "text_setsim_join" -> textSetSimOracle,
     "text_upsample" -> textUpsampleOracle,
     "text_pmi" -> textPmiOracle,
