@@ -52,6 +52,36 @@ object FeatureEncoding {
       .drop("__mn", "__mx", "__n", "__sx", "__sxx")
   }
 
+  /** Per-`groupCol` ROBUST scaling of integral `valueCol`: appends
+    * `robust_z` = (x − median) / MAD — the outlier-immune sibling of
+    * [[scaleNumeric]]'s z-score (a few huge documents shift a mean
+    * and explode a stddev; they barely move a median). Exact discrete
+    * medians (actual data members, integer-exact cross-engine — the
+    * q68 percentile_disc parity); MAD needs a second dependent pass
+    * by nature (deviations depend on the median), both passes hash
+    * aggregations with model-sized stat tables broadcast back. Flat
+    * groups (MAD 0) yield NULL, not NaN.
+    */
+  def robustScale(df: DataFrame, groupCol: String, valueCol: String)
+  : DataFrame = {
+    val med = df.groupBy(col(groupCol))
+      .agg(expr(s"percentile_disc(0.5) WITHIN GROUP (ORDER BY $valueCol)")
+        .cast("long").as("__med"))
+    val withDev = df.join(broadcast(med), Seq(groupCol))
+      .withColumn("__dev", abs(col(valueCol).cast("long") - col("__med")))
+    val mad = withDev.groupBy(col(groupCol))
+      .agg(expr("percentile_disc(0.5) WITHIN GROUP (ORDER BY __dev)")
+        .cast("long").as("__mad"))
+    withDev.join(broadcast(mad), Seq(groupCol))
+      .withColumn("robust_z",
+        when(col("__mad") === 0, lit(null).cast("double"))
+          .otherwise((col(valueCol).cast("long") - col("__med")).cast("double") /
+            col("__mad").cast("double")))
+      .drop("__dev")
+      .withColumnRenamed("__med", "median")
+      .withColumnRenamed("__mad", "mad")
+  }
+
   /** Per-category frequency + smoothed target encoding over an
     * integral target (cents-style): returns one row per category with
     *  - `freq`        = n_cat / n_total,

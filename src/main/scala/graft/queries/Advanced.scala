@@ -645,6 +645,33 @@ object Advanced {
       |  ROUND(CAST(n AS DOUBLE) / CAST(total AS DOUBLE), 9) AS prop
       |FROM g, t""".stripMargin
 
+  // ---- q86: per-source ROBUST scaling — median/MAD robust z for
+  //      every document (the outlier-immune sibling of q76; exact
+  //      discrete medians via the q68 percentile_disc parity). ----
+  val q86RobustScale: Q = (s, d) =>
+    FeatureEncoding.robustScale(
+      documents(s, d).select(col("doc_id"), col("source"), col("n_chars")),
+      "source", "n_chars")
+      .select(col("doc_id"), col("source"), col("n_chars"),
+        col("median"), col("mad"), col("robust_z"))
+
+  val q86Oracle: String =
+    """WITH med AS (
+      |  SELECT source, CAST(quantile_disc(n_chars, 0.5) AS BIGINT) AS median
+      |  FROM documents GROUP BY source),
+      |dev AS (
+      |  SELECT d.doc_id, d.source, d.n_chars, med.median,
+      |    ABS(d.n_chars - med.median) AS dv
+      |  FROM documents d JOIN med USING (source)),
+      |mad AS (
+      |  SELECT source, CAST(quantile_disc(dv, 0.5) AS BIGINT) AS mad
+      |  FROM dev GROUP BY source)
+      |SELECT dev.doc_id, dev.source, dev.n_chars, dev.median, mad.mad,
+      |  CASE WHEN mad.mad = 0 THEN NULL
+      |       ELSE CAST(dev.n_chars - dev.median AS DOUBLE) / CAST(mad.mad AS DOUBLE)
+      |  END AS robust_z
+      |FROM dev JOIN mad USING (source)""".stripMargin
+
   val queries: Map[String, Q] = Map(
     "q73_skyline" -> q73Skyline,
     "q74_bfs" -> q74Bfs,
@@ -659,6 +686,7 @@ object Advanced {
     "q83_ks_test" -> q83KsTest,
     "q84_group_trend" -> q84GroupTrend,
     "q85_benford" -> q85Benford,
+    "q86_robust_scale" -> q86RobustScale,
     "text_setsim_join" -> textSetSim,
     "text_upsample" -> textUpsample,
     "text_pmi" -> textPmi,
@@ -678,6 +706,7 @@ object Advanced {
     "q83_ks_test" -> q83Oracle,
     "q84_group_trend" -> q84Oracle,
     "q85_benford" -> q85Oracle,
+    "q86_robust_scale" -> q86Oracle,
     "text_setsim_join" -> textSetSimOracle,
     "text_upsample" -> textUpsampleOracle,
     "text_pmi" -> textPmiOracle,

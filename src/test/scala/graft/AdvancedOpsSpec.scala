@@ -264,3 +264,25 @@ class AdvancedOps2Spec extends org.scalatest.funsuite.AnyFunSuite {
     assert(frontier.select("id").as[Long].collect().toSet === full)
   }
 }
+
+/** Robust scaling: hand-computed median/MAD, flat-group safety. */
+class RobustScaleSpec extends org.scalatest.funsuite.AnyFunSuite {
+  lazy val spark: SparkSession = SparkTestSession.spark
+  import spark.implicits._
+  import graft.operators.FeatureEncoding
+
+  test("robustScale: hand-computed median/MAD; outlier barely moves the median") {
+    // group a: 1,2,3,4,100 → median 3, deviations 2,1,0,1,97 → MAD 1
+    val df = Seq(("a", 1L), ("a", 2L), ("a", 3L), ("a", 4L), ("a", 100L),
+      ("b", 5L), ("b", 5L)).toDF("g", "v")
+    val got = FeatureEncoding.robustScale(df, "g", "v")
+      .select("g", "v", "median", "mad", "robust_z").collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        if (r.isNullAt(4)) None else Some(r.getDouble(4)))).toSet
+    assert(got.contains(("a", 3L, 3L, 1L, Some(0.0))))
+    assert(got.contains(("a", 100L, 3L, 1L, Some(97.0))))
+    assert(got.contains(("a", 1L, 3L, 1L, Some(-2.0))))
+    // flat group: MAD 0 → NULL, never NaN
+    assert(got.contains(("b", 5L, 5L, 0L, None)))
+  }
+}
