@@ -297,6 +297,51 @@ object Sampling {
       .drop("__wkey")
   }
 
+  /** Deterministic weighted sampling WITH replacement (bootstrap):
+    * `k` independent draws, each row selected with probability
+    * proportional to its integral weight. Draw `i` maps the
+    * engine-portable md5 uniform onto the cumulative-weight axis
+    * (`u = md5(i:salt) mod totalWeight`) and selects the unique row
+    * whose interval `[cum − w, cum)` contains it — so any draw is
+    * recomputable independently and the whole sample is reproducible
+    * in any engine (the mod bias over 32 hash bits is O(total/2³²),
+    * deterministic, and identical on both sides).
+    *
+    * Scale shape: the cumulative axis comes from the distributed
+    * [[PrefixSum]] (range partitions + offsets, never a single-task
+    * window); the draw→interval lookup is a BIN-BUCKETED equi-join
+    * (the RangeJoin trick on the weight axis) — no broadcast
+    * nested-loop, no cartesian. Rows must be unique on `idCol`.
+    */
+  def bootstrapSample(df: DataFrame, idCol: String, weightCol: String,
+                      k: Int, salt: String = "boot"): DataFrame = {
+    require(k > 0, "k must be positive")
+    val spark = df.sparkSession
+    val w = df.select(col(idCol), col(weightCol).cast("long").as("__w"))
+      .filter(col("__w") > 0)
+    val cum = PrefixSum.runningTotal(w, idCol, "__w", "__cum")
+      .withColumn("__cum", col("__cum").cast("long"))
+      .localCheckpoint(true) // total probe + the join both read it
+    val total = cum.agg(max(col("__cum"))).collect()(0).getLong(0)
+    require(total > 0, "no positive-weight rows")
+    val binSize = math.max(1L, total / math.max(4L * k, 64L))
+    val ivals = cum
+      .withColumn("__lo", col("__cum") - col("__w"))
+      .withColumn("__hi", col("__cum") - 1)
+      .withColumn("__bin", explode(sequence(
+        expr(s"__lo div $binSize"), expr(s"__hi div $binSize"))))
+    // 13 hex digits = 52 uniform bits (portableBucket's 8/32 would
+    // bias once totalWeight approaches 2^32 — real at corpus scale)
+    val draws = spark.range(k).toDF("draw")
+      .withColumn("__u", conv(substring(md5(
+          concat(col("draw").cast("string"), lit(":"), lit(salt))
+            .cast("binary")), 1, 13), 16, 10).cast("long") % total)
+      .withColumn("__bin", expr(s"__u div $binSize"))
+    draws.join(ivals, Seq("__bin"))
+      .filter(col("__u") >= col("__lo") && col("__u") <= col("__hi"))
+      .select(col("draw"), col(idCol))
+  }
+
   /** Deterministic EPOCH UPSAMPLING: replicate each row according to
     * a fractional epoch weight — the standard way training mixes
     * express "see this source 2.5 times per epoch". Weights are given

@@ -672,6 +672,76 @@ object Advanced {
       |  END AS robust_z
       |FROM dev JOIN mad USING (source)""".stripMargin
 
+  // ---- text_bootstrap: deterministic bootstrap resample — 1000
+  //      draws with replacement, probability ∝ document length. Each
+  //      draw is independently recomputable (md5(draw:salt) on the
+  //      cumulative-weight axis); the oracle recomputes every draw
+  //      and its interval lookup end-to-end. ----
+  val textBootstrap: Q = (s, d) =>
+    Sampling.bootstrapSample(
+      documents(s, d).select(col("doc_id"), col("n_chars")),
+      "doc_id", "n_chars", k = 1000)
+
+  val textBootstrapOracle: String =
+    """WITH w AS (SELECT doc_id, CAST(n_chars AS BIGINT) w FROM documents WHERE n_chars > 0),
+      |cum AS (SELECT doc_id, w, CAST(SUM(w) OVER (ORDER BY doc_id) AS BIGINT) cum FROM w),
+      |t AS (SELECT CAST(SUM(w) AS BIGINT) total FROM w),
+      |draws AS (
+      |  SELECT g.i AS draw,
+      |    CAST(('0x' || substr(md5(CAST(g.i AS VARCHAR) || ':boot'), 1, 13)) AS BIGINT) % t.total AS u
+      |  FROM generate_series(0, 999) g(i), t)
+      |SELECT d.draw, c.doc_id
+      |FROM draws d JOIN cum c ON d.u >= c.cum - c.w AND d.u < c.cum""".stripMargin
+
+  // ---- emb_label_sim: label-by-label semantic similarity matrix —
+  //      cosine between per-label embedding centroids (the drift /
+  //      class-overlap diagnostic). The centroid means are the
+  //      round-6 values the emb_centroids oracle pins; from there
+  //      everything is EXACT DECIMAL algebra (products and sums of
+  //      decimal(18,6) — no float accumulation order anywhere), and
+  //      the one double division + sqrt happens on the final row. ----
+  val embLabelSim: Q = (s, d) => {
+    val ex = embeddings(s, d).select(col("label"),
+      posexplode(col("embedding")).as(Seq("pos", "v")))
+    val m = ex.groupBy(col("label"), col("pos"))
+      .agg(round(avg(col("v").cast("double")), 6)
+        .cast("decimal(18,6)").as("m6"))
+      .localCheckpoint(true) // dot pairs + norms
+    val norms = m.groupBy(col("label"))
+      .agg(sum((col("m6") * col("m6")).cast("decimal(38,12)")).as("nn"))
+    val dots = m.select(col("label").as("label_a"), col("pos"), col("m6").as("ma"))
+      .join(m.select(col("label").as("label_b"), col("pos"), col("m6").as("mb")),
+        Seq("pos"))
+      .filter(col("label_a") < col("label_b"))
+      .groupBy(col("label_a"), col("label_b"))
+      .agg(sum((col("ma") * col("mb")).cast("decimal(38,12)")).as("dot"))
+    dots
+      .join(broadcast(norms.select(col("label").as("label_a"), col("nn").as("na"))), Seq("label_a"))
+      .join(broadcast(norms.select(col("label").as("label_b"), col("nn").as("nb"))), Seq("label_b"))
+      .select(col("label_a"), col("label_b"),
+        round(col("dot").cast("double") /
+          (sqrt(col("na").cast("double")) * sqrt(col("nb").cast("double"))), 6)
+          .as("cosine"))
+  }
+
+  val embLabelSimOracle: String =
+    """WITH ex AS (SELECT label, unnest(embedding) AS v,
+      |                   unnest(range(len(embedding))) AS pos
+      |            FROM embeddings),
+      |m AS (SELECT label, pos,
+      |             CAST(ROUND(AVG(CAST(v AS DOUBLE)), 6) AS DECIMAL(18,6)) AS m6
+      |      FROM ex GROUP BY 1, 2),
+      |norms AS (SELECT label, SUM(CAST(m6 * m6 AS DECIMAL(38,12))) AS nn FROM m GROUP BY label),
+      |dots AS (SELECT a.label AS label_a, b.label AS label_b,
+      |               SUM(CAST(a.m6 * b.m6 AS DECIMAL(38,12))) AS dot
+      |        FROM m a JOIN m b ON a.pos = b.pos AND a.label < b.label
+      |        GROUP BY 1, 2)
+      |SELECT d.label_a, d.label_b,
+      |  ROUND(CAST(d.dot AS DOUBLE) /
+      |    (sqrt(CAST(na.nn AS DOUBLE)) * sqrt(CAST(nb.nn AS DOUBLE))), 6) AS cosine
+      |FROM dots d JOIN norms na ON na.label = d.label_a
+      |            JOIN norms nb ON nb.label = d.label_b""".stripMargin
+
   val queries: Map[String, Q] = Map(
     "q73_skyline" -> q73Skyline,
     "q74_bfs" -> q74Bfs,
@@ -687,6 +757,8 @@ object Advanced {
     "q84_group_trend" -> q84GroupTrend,
     "q85_benford" -> q85Benford,
     "q86_robust_scale" -> q86RobustScale,
+    "text_bootstrap" -> textBootstrap,
+    "emb_label_sim" -> embLabelSim,
     "text_setsim_join" -> textSetSim,
     "text_upsample" -> textUpsample,
     "text_pmi" -> textPmi,
@@ -707,6 +779,8 @@ object Advanced {
     "q84_group_trend" -> q84Oracle,
     "q85_benford" -> q85Oracle,
     "q86_robust_scale" -> q86Oracle,
+    "text_bootstrap" -> textBootstrapOracle,
+    "emb_label_sim" -> embLabelSimOracle,
     "text_setsim_join" -> textSetSimOracle,
     "text_upsample" -> textUpsampleOracle,
     "text_pmi" -> textPmiOracle,

@@ -286,3 +286,33 @@ class RobustScaleSpec extends org.scalatest.funsuite.AnyFunSuite {
     assert(got.contains(("b", 5L, 5L, 0L, None)))
   }
 }
+
+/** Bootstrap (weighted with-replacement) sampling specs. */
+class BootstrapSpec extends org.scalatest.funsuite.AnyFunSuite {
+  lazy val spark: SparkSession = SparkTestSession.spark
+  import spark.implicits._
+  import graft.operators.Sampling
+
+  test("bootstrap: every draw lands on exactly one row; weights steer frequency") {
+    // two rows, weights 9:1 — of 2000 draws, ~90% should hit 'heavy'
+    val df = Seq((1L, 900L), (2L, 100L)).toDF("id", "w")
+    val out = Sampling.bootstrapSample(df, "id", "w", k = 2000)
+    assert(out.count() === 2000L) // one row per draw, no draw lost/duplicated
+    assert(out.select("draw").distinct().count() === 2000L)
+    val heavy = out.filter($"id" === 1L).count()
+    assert(heavy > 1700 && heavy < 1900, s"heavy=$heavy of 2000")
+  }
+
+  test("bootstrap is deterministic and partition-invariant") {
+    val df = spark.range(1, 500).toDF("id")
+      .withColumn("w", ($"id" % 7) + 1)
+    def run(p: Int) = Sampling.bootstrapSample(
+        df.repartition(p), "id", "w", k = 300)
+      .as[(Long, Long)].collect().toSet
+    assert(run(3) === run(17))
+    // salt redraw changes the sample
+    val redraw = Sampling.bootstrapSample(df, "id", "w", k = 300, salt = "other")
+      .as[(Long, Long)].collect().toSet
+    assert(redraw !== run(3))
+  }
+}
