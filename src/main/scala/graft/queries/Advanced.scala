@@ -742,6 +742,126 @@ object Advanced {
       |FROM dots d JOIN norms na ON na.label = d.label_a
       |            JOIN norms nb ON nb.label = d.label_b""".stripMargin
 
+  // ---- q87: OHLC bars — open/high/low/close of event values per
+  //      day (the time-bucketed finance aggregate). Open/close via
+  //      min_by/max_by on a single-scalar time key (DuckDB's max_by
+  //      takes no struct keys — the q68 convention): micros-in-day
+  //      · 2·10⁷ + event_id stays exact in a long and totally orders
+  //      a day's events. One hash aggregation, cents exact. ----
+  val q87Ohlc: Q = (s, d) => {
+    val cents = (col("value").cast("decimal(18,2)") * 100).cast("long")
+    val us = unix_micros(col("ts"))
+    val key = (us % (86400L * 1000000L)) * 20000000L + col("event_id")
+    events(s, d)
+      .select(to_date(col("ts")).as("day"), cents.as("cents"), key.as("k"))
+      .groupBy(col("day"))
+      .agg(min_by(col("cents"), col("k")).as("open"),
+        max(col("cents")).as("high"),
+        min(col("cents")).as("low"),
+        max_by(col("cents"), col("k")).as("close"),
+        count(lit(1)).cast("bigint").as("n"))
+  }
+
+  val q87Oracle: String =
+    """WITH e AS (
+      |  SELECT CAST(ts AS DATE) AS day,
+      |    CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT) AS cents,
+      |    (epoch_us(CAST(ts AS TIMESTAMP)) % CAST(86400000000 AS BIGINT)) * CAST(20000000 AS BIGINT) + event_id AS k
+      |  FROM events)
+      |SELECT day, min_by(cents, k) AS "open", MAX(cents) AS high,
+      |  MIN(cents) AS low, max_by(cents, k) AS "close",
+      |  CAST(COUNT(*) AS BIGINT) AS n
+      |FROM e GROUP BY day""".stripMargin
+
+  // ---- q88: top session paths — the 20 most common first-5-event
+  //      journeys (q17's gap sessionization, then an ordered path
+  //      string). The collect is per-session (bounded by session
+  //      length), ordering pinned by (ts, event_id). ----
+  val q88TopPaths: Q = (s, d) => {
+    val w = Window.partitionBy(col("user_id"))
+      .orderBy(col("ts").asc, col("event_id").asc)
+    val sess = events(s, d)
+      .withColumn("prev_us", lag(unix_micros(col("ts")), 1).over(w))
+      .withColumn("new_sess",
+        when(col("prev_us").isNull ||
+          unix_micros(col("ts")) - col("prev_us") > lit(1800L * 1000000L), 1L)
+          .otherwise(0L))
+      .withColumn("session_no",
+        sum(col("new_sess")).over(w.rowsBetween(Window.unboundedPreceding, 0)))
+    val paths = sess.groupBy(col("user_id"), col("session_no"))
+      .agg(array_join(
+        slice(transform(
+          sort_array(collect_list(struct(
+            unix_micros(col("ts")).as("us"), col("event_id").as("eid"),
+            col("event_type").as("t")))),
+          e => e.getField("t")), 1, 5), ">").as("path"))
+    paths.groupBy(col("path"))
+      .agg(count(lit(1)).cast("bigint").as("n_sessions"))
+      .orderBy(col("n_sessions").desc, col("path").asc)
+      .limit(20)
+  }
+
+  val q88Oracle: String =
+    """WITH g AS (
+      |  SELECT user_id, event_id, event_type, CAST(ts AS TIMESTAMP) AS ts,
+      |    LAG(epoch_us(CAST(ts AS TIMESTAMP)), 1) OVER
+      |      (PARTITION BY user_id ORDER BY ts ASC, event_id ASC) AS prev_us
+      |  FROM events),
+      |m AS (SELECT *, CASE WHEN prev_us IS NULL
+      |    OR epoch_us(ts) - prev_us > 1800 * 1000000 THEN 1 ELSE 0 END AS new_sess
+      |  FROM g),
+      |s AS (SELECT *, SUM(new_sess) OVER (PARTITION BY user_id ORDER BY ts ASC, event_id ASC
+      |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_no
+      |  FROM m),
+      |p AS (SELECT user_id, session_no,
+      |    array_to_string(list(event_type ORDER BY ts ASC, event_id ASC)[1:5], '>') AS path
+      |  FROM s GROUP BY user_id, session_no)
+      |SELECT path, CAST(COUNT(*) AS BIGINT) AS n_sessions
+      |FROM p GROUP BY path
+      |ORDER BY n_sessions DESC, path ASC LIMIT 20""".stripMargin
+
+  // ---- q89: CUSUM change-point detection over the daily event
+  //      volume — the day where the series' mean most decisively
+  //      shifts. Classic CUSUM made EXACT: the deviation-from-mean
+  //      cumulative sum is scaled by the day count K so
+  //      D_k = K·S_k − k·S_K needs no division; prefix sums come
+  //      from the distributed PrefixSum; one double division (the
+  //      normalized statistic) on the final row. ----
+  val q89Changepoint: Q = (s, d) => {
+    val daily = events(s, d)
+      .groupBy(to_date(col("ts")).as("day"))
+      .agg(count(lit(1)).cast("long").as("c"))
+      .localCheckpoint(true)
+    val tot = daily.agg(count(lit(1)).cast("long"), sum(col("c")).cast("long"))
+      .collect()(0)
+    val k = tot.getLong(0)
+    val sTot = tot.getLong(1)
+    val cum = PrefixSum.runningTotal(daily, "day", "c", "s_k")
+      .withColumn("s_k", col("s_k").cast("long"))
+      .withColumn("rank", row_number().over(
+        Window.partitionBy(lit(1)).orderBy(col("day"))))
+    // rank window over the day table only (day-cardinality, bounded)
+    cum.withColumn("d_k", abs(col("s_k") * k - col("rank").cast("long") * sTot))
+      .orderBy(col("d_k").desc, col("day").asc).limit(1)
+      .select(col("day").as("change_day"), col("d_k"),
+        lit(k).as("n_days"), lit(sTot).as("total_events"),
+        round(col("d_k").cast("double") / lit(k.toDouble * sTot), 9).as("stat"))
+  }
+
+  val q89Oracle: String =
+    """WITH daily AS (
+      |  SELECT CAST(ts AS DATE) AS day, CAST(COUNT(*) AS BIGINT) AS c
+      |  FROM events GROUP BY 1),
+      |t AS (SELECT CAST(COUNT(*) AS BIGINT) k, CAST(SUM(c) AS BIGINT) s FROM daily),
+      |cum AS (SELECT day,
+      |  CAST(SUM(c) OVER (ORDER BY day) AS BIGINT) s_k,
+      |  CAST(ROW_NUMBER() OVER (ORDER BY day) AS BIGINT) rank FROM daily)
+      |SELECT day AS change_day, ABS(s_k * t.k - rank * t.s) AS d_k,
+      |  t.k AS n_days, t.s AS total_events,
+      |  ROUND(CAST(ABS(s_k * t.k - rank * t.s) AS DOUBLE) /
+      |    (CAST(t.k AS DOUBLE) * CAST(t.s AS DOUBLE)), 9) AS stat
+      |FROM cum, t ORDER BY d_k DESC, change_day ASC LIMIT 1""".stripMargin
+
   val queries: Map[String, Q] = Map(
     "q73_skyline" -> q73Skyline,
     "q74_bfs" -> q74Bfs,
@@ -757,6 +877,9 @@ object Advanced {
     "q84_group_trend" -> q84GroupTrend,
     "q85_benford" -> q85Benford,
     "q86_robust_scale" -> q86RobustScale,
+    "q87_ohlc" -> q87Ohlc,
+    "q88_top_paths" -> q88TopPaths,
+    "q89_changepoint" -> q89Changepoint,
     "text_bootstrap" -> textBootstrap,
     "emb_label_sim" -> embLabelSim,
     "text_setsim_join" -> textSetSim,
@@ -779,6 +902,9 @@ object Advanced {
     "q84_group_trend" -> q84Oracle,
     "q85_benford" -> q85Oracle,
     "q86_robust_scale" -> q86Oracle,
+    "q87_ohlc" -> q87Oracle,
+    "q88_top_paths" -> q88Oracle,
+    "q89_changepoint" -> q89Oracle,
     "text_bootstrap" -> textBootstrapOracle,
     "emb_label_sim" -> embLabelSimOracle,
     "text_setsim_join" -> textSetSimOracle,
