@@ -836,12 +836,16 @@ object Advanced {
       .collect()(0)
     val k = tot.getLong(0)
     val sTot = tot.getLong(1)
-    val cum = PrefixSum.runningTotal(daily, "day", "c", "s_k")
+    // rank = running count of days — a second PrefixSum pass, never a
+    // global ROW_NUMBER window (constant partition keys fold away and
+    // the plan degenerates to one task; PlanAudit flags it)
+    val cum = PrefixSum.runningTotal(
+      PrefixSum.runningTotal(daily.withColumn("__one", lit(1L)),
+        "day", "c", "s_k"),
+      "day", "__one", "rank")
       .withColumn("s_k", col("s_k").cast("long"))
-      .withColumn("rank", row_number().over(
-        Window.partitionBy(lit(1)).orderBy(col("day"))))
-    // rank window over the day table only (day-cardinality, bounded)
-    cum.withColumn("d_k", abs(col("s_k") * k - col("rank").cast("long") * sTot))
+      .withColumn("rank", col("rank").cast("long"))
+    cum.withColumn("d_k", abs(col("s_k") * k - col("rank") * sTot))
       .orderBy(col("d_k").desc, col("day").asc).limit(1)
       .select(col("day").as("change_day"), col("d_k"),
         lit(k).as("n_days"), lit(sTot).as("total_events"),
