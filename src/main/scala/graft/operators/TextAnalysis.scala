@@ -313,6 +313,34 @@ object TextAnalysis {
       .toDF("doc_id", "n_bytes", "deflate_bytes", "compression_ratio")
   }
 
+  /** URL canonicalization — the normalization under web-corpus URL
+    * dedup and per-domain aggregation: the same page arrives as
+    * `HTTPS://Site.com/p?utm_source=x&b=2&a=1#frag` and
+    * `https://site.com/p?a=1&b=2`; naive string equality treats them
+    * as different documents. Canonical form: scheme and host
+    * lowercased (path case PRESERVED — it is significant per RFC
+    * 3986), fragment dropped, `utm_*` tracking parameters dropped,
+    * remaining parameters sorted. Pure `functions._` composition —
+    * stays in the scan's codegen span, and every step has an exact
+    * cross-engine equivalent (the oracle recomputes it all in SQL).
+    * Expects scheme-qualified URLs (`…://…`).
+    */
+  def canonicalizeUrl(url: Column): Column = {
+    val noFrag = substring_index(url, "#", 1)
+    val base = substring_index(noFrag, "?", 1)
+    val qstr = when(instr(noFrag, "?") > 0, substring_index(noFrag, "?", -1))
+      .otherwise(lit(""))
+    val params = sort_array(filter(split(qstr, "&"),
+      p => !p.startsWith("utm_") && p =!= ""))
+    val scheme = substring_index(base, "://", 1)
+    val rest = substring_index(base, "://", -1)
+    val host = substring_index(rest, "/", 1)
+    val path = rest.substr(length(host) + 1, length(rest))
+    concat(lower(scheme), lit("://"), lower(host), path,
+      when(size(params) > 0, concat(lit("?"), array_join(params, "&")))
+        .otherwise(lit("")))
+  }
+
   def repetition(df: DataFrame, idCol: String, textCol: String): DataFrame = {
     graft.plans.GraftFunctions.register(df.sparkSession)
     val toks = wsTokens(col(textCol))

@@ -20,6 +20,7 @@ object GraftFunctions {
   val ShingleLookupName = "graft_shingle_lookup"
   val NormalizeName = "graft_normalize"
   val JaroWinklerName = "graft_jaro_winkler"
+  val FixMojibakeName = "graft_fix_mojibake"
 
   private def minhashBuilder(exprs: Seq[Expression]): Expression = {
     val k = exprs(1) match {
@@ -83,7 +84,8 @@ object GraftFunctions {
     ShinglePosName -> (shinglePosBuilder _),
     ShingleLookupName -> (lookupBuilder _),
     NormalizeName -> (normalizeBuilder _),
-    JaroWinklerName -> (exprs => JaroWinkler(exprs(0), exprs(1))))
+    JaroWinklerName -> (exprs => JaroWinkler(exprs(0), exprs(1))),
+    FixMojibakeName -> (exprs => FixMojibake(exprs(0))))
 
   /** Idempotently register the functions on a session. Operators call
     * this before building plans that use the fast expressions.
@@ -135,6 +137,10 @@ object GraftFunctions {
   /** Codegen'd Jaro-Winkler similarity (requires `register`). */
   def jaroWinklerFast(a: Column, b: Column): Column =
     call_function(JaroWinklerName, a, b)
+
+  /** Codegen'd mojibake repair (requires `register`). */
+  def fixMojibakeFast(text: Column): Column =
+    call_function(FixMojibakeName, text)
 
   /** Builder handles for SparkSessionExtensions registration. */
   private[plans] def minhashBuilderPublic: Seq[Expression] => Expression = minhashBuilder

@@ -866,6 +866,79 @@ object Advanced {
       |    (CAST(t.k AS DOUBLE) * CAST(t.s AS DOUBLE)), 9) AS stat
       |FROM cum, t ORDER BY d_k DESC, change_day ASC LIMIT 1""".stripMargin
 
+  // ---- text_url_canon: URL canonicalization parity — the URLs are
+  //      CONSTRUCTED identically from columns on both sides (the
+  //      corpus has no URL column), so what the oracle actually
+  //      checks is the canonicalization algebra: host/scheme
+  //      lowering, fragment and utm_* dropping, parameter sorting —
+  //      re-derived independently in DuckDB list functions. ----
+  val textUrlCanon: Q = (s, d) => {
+    val url = concat(lit("HTTPS://"), upper(col("source")),
+      lit(".Example.COM/Doc/"), col("doc_id").cast("string"),
+      lit("?utm_source=feed&z="), col("doc_id").cast("string"),
+      lit("&a="), col("source"), lit("#frag"))
+    documents(s, d).select(col("doc_id"), url.as("url"))
+      .withColumn("canonical",
+        graft.operators.TextAnalysis.canonicalizeUrl(col("url")))
+  }
+
+  val textUrlCanonOracle: String =
+    """WITH t AS (
+      |  SELECT doc_id,
+      |    'HTTPS://' || upper(source) || '.Example.COM/Doc/' || CAST(doc_id AS VARCHAR)
+      |      || '?utm_source=feed&z=' || CAST(doc_id AS VARCHAR)
+      |      || '&a=' || source || '#frag' AS url
+      |  FROM documents),
+      |p AS (
+      |  SELECT doc_id, url,
+      |    split_part(url, '#', 1) AS nofrag,
+      |    split_part(split_part(url, '#', 1), '?', 1) AS base
+      |  FROM t),
+      |q AS (
+      |  SELECT doc_id, url, base,
+      |    CASE WHEN instr(nofrag, '?') > 0 THEN split_part(nofrag, '?', -1) ELSE '' END AS qstr
+      |  FROM p),
+      |s AS (
+      |  SELECT doc_id, url, base,
+      |    list_sort(list_filter(string_split(qstr, '&'),
+      |      x -> x NOT LIKE 'utm\_%' ESCAPE '\' AND x <> '')) AS params,
+      |    split_part(base, '://', 1) AS scheme,
+      |    split_part(base, '://', -1) AS rest
+      |  FROM q)
+      |SELECT doc_id, url,
+      |  lower(scheme) || '://' || lower(split_part(rest, '/', 1))
+      |    || substr(rest, length(split_part(rest, '/', 1)) + 1)
+      |    || CASE WHEN len(params) > 0 THEN '?' || array_to_string(params, '&') ELSE '' END
+      |  AS canonical
+      |FROM s""".stripMargin
+
+  // ---- text_fix_mojibake: repair UTF-8-as-Latin-1 double encoding
+  //      (rows-only: the strict-decoder repair has no DuckDB
+  //      equivalent; the expression is spec-pinned on crafted
+  //      corruption pairs). Corruption is INJECTED deterministically
+  //      here — encode the text's codepoints as UTF-8 bytes read back
+  //      as chars — then repaired; `repaired` counts how many rows
+  //      the expression restored byte-identically. ----
+  val textFixMojibake: Q = (s, d) => {
+    GraftFunctions.register(s)
+    // the synthetic corpus is pure ASCII (where corrupt == repair ==
+    // identity), so a non-ASCII tail makes the round-trip REAL: its
+    // UTF-8 bytes misread as Latin-1 genuinely garble, and only a
+    // correct strict-decode repair restores byte identity
+    val marked = concat(col("text"), lit(" café naïve №42"))
+    val corrupted = expr(
+      "decode(encode(concat(text, ' café naïve №42'), 'UTF-8'), 'ISO-8859-1')")
+    documents(s, d)
+      .filter(col("doc_id") % 10 === 0)
+      .select(col("doc_id"), marked.as("marked"), corrupted.as("bad"),
+        GraftFunctions.fixMojibakeFast(corrupted).as("fixed"))
+      .agg(count(lit(1)).cast("bigint").as("n_docs"),
+        sum(when(col("bad") =!= col("marked"), 1L).otherwise(0L))
+          .cast("bigint").as("corrupted"),
+        sum(when(col("fixed") === col("marked"), 1L).otherwise(0L))
+          .cast("bigint").as("repaired"))
+  }
+
   val queries: Map[String, Q] = Map(
     "q73_skyline" -> q73Skyline,
     "q74_bfs" -> q74Bfs,
@@ -885,6 +958,8 @@ object Advanced {
     "q88_top_paths" -> q88TopPaths,
     "q89_changepoint" -> q89Changepoint,
     "text_bootstrap" -> textBootstrap,
+    "text_url_canon" -> textUrlCanon,
+    "text_fix_mojibake" -> textFixMojibake,
     "emb_label_sim" -> embLabelSim,
     "text_setsim_join" -> textSetSim,
     "text_upsample" -> textUpsample,
@@ -910,6 +985,8 @@ object Advanced {
     "q88_top_paths" -> q88Oracle,
     "q89_changepoint" -> q89Oracle,
     "text_bootstrap" -> textBootstrapOracle,
+    "text_url_canon" -> textUrlCanonOracle,
+    // text_fix_mojibake: rows-only (strict-decoder repair has no SQL twin)
     "emb_label_sim" -> embLabelSimOracle,
     "text_setsim_join" -> textSetSimOracle,
     "text_upsample" -> textUpsampleOracle,

@@ -316,3 +316,64 @@ class BootstrapSpec extends org.scalatest.funsuite.AnyFunSuite {
     assert(redraw !== run(3))
   }
 }
+
+/** Mojibake repair + URL canonicalization specs. */
+class TextCleaningSpec extends org.scalatest.funsuite.AnyFunSuite {
+  lazy val spark: SparkSession = SparkTestSession.spark
+  import spark.implicits._
+  import java.nio.charset.StandardCharsets
+  import graft.plans.{FixMojibake, GraftFunctions}
+  import org.apache.spark.unsafe.types.UTF8String
+
+  private def fix(s: String): String =
+    FixMojibake.repair(UTF8String.fromString(s)).toString
+
+  /** The UTF-8-as-Latin-1 corruption, built from bytes (several
+    * corrupted forms contain C1 control characters — unprintable in
+    * source literals by design of the corruption).
+    */
+  private def garble(s: String): String =
+    new String(s.getBytes(StandardCharsets.UTF_8), StandardCharsets.ISO_8859_1)
+
+  test("mojibake repair: corrupted UTF-8-as-Latin-1 restored; clean text untouched") {
+    for (clean <- Seq("café", "№ 42", "naïve — dash")) {
+      val bad = garble(clean)
+      assert(bad !== clean, s"garble must corrupt $clean")
+      assert(fix(bad) === clean, s"repair of $clean")
+    }
+    // genuine Latin-1 text: 0xE9 is a lone continuation byte - untouched
+    assert(fix("café") === "café")
+    // pure ASCII: identity (fast path)
+    assert(fix("plain ascii text") === "plain ascii text")
+    // chars >= U+0100 present: not byte-shaped - untouched
+    assert(fix("Ā and beyond") === "Ā and beyond")
+    assert(fix("") === "")
+  }
+
+  test("mojibake expression round-trips a corpus-wide corruption in codegen") {
+    GraftFunctions.register(spark)
+    val df = Seq("héllo wörld", "ascii only", "naïve — dash")
+      .toDF("text")
+      .withColumn("bad",
+        expr("decode(encode(text, 'UTF-8'), 'ISO-8859-1')"))
+      .withColumn("fixed", GraftFunctions.fixMojibakeFast(col("bad")))
+    assert(df.filter(col("fixed") =!= col("text")).count() === 0)
+    // the corruption itself was real for the non-ASCII rows
+    assert(df.filter(col("bad") =!= col("text")).count() === 2)
+  }
+
+  test("URL canonicalization: host/scheme lowered, utm and fragment dropped, params sorted") {
+    val got = Seq(
+      "HTTPS://Site.COM/Path/Cased?utm_source=x&b=2&a=1#frag",
+      "https://site.com/Path/Cased?a=1&b=2",
+      "http://HOST.org/p",
+      "https://h.io/q?utm_campaign=c&utm_medium=m")
+      .toDF("url")
+      .select(graft.operators.TextAnalysis.canonicalizeUrl(col("url")).as("c"))
+      .as[String].collect().toSeq
+    assert(got(0) === "https://site.com/Path/Cased?a=1&b=2")
+    assert(got(1) === got(0)) // the two spellings of the same page collapse
+    assert(got(2) === "http://host.org/p")
+    assert(got(3) === "https://h.io/q") // all params tracking: no query at all
+  }
+}
