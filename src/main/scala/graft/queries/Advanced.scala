@@ -939,6 +939,132 @@ object Advanced {
           .cast("bigint").as("repaired"))
   }
 
+  // ---- q90: interval coalescing (islands & gaps) — merge each
+  //      customer's overlapping order-activity intervals into maximal
+  //      busy spans. The island boundary is "start strictly after the
+  //      running max end so far" — a prefix-max window PARTITIONED by
+  //      customer (bounded state), exact integer dates. ----
+  val q90IntervalMerge: Q = (s, d) => {
+    val o = orders(s, d).select(col("o_orderkey"), col("o_custkey"),
+      to_date(col("o_orderdate")).as("start_day"))
+    val ship = lineitem(s, d).groupBy(col("l_orderkey"))
+      .agg(max(to_date(col("l_shipdate"))).as("end_day"))
+    val iv = o.join(ship, col("o_orderkey") === col("l_orderkey"))
+      .select(col("o_custkey").as("cust"), col("o_orderkey").as("ok"),
+        col("start_day"), col("end_day"))
+    val w = Window.partitionBy(col("cust"))
+      .orderBy(col("start_day"), col("end_day"), col("ok"))
+    val prevMaxEnd = max(col("end_day"))
+      .over(w.rowsBetween(Window.unboundedPreceding, -1))
+    val islands = iv
+      .withColumn("new_island",
+        when(prevMaxEnd.isNull || col("start_day") > prevMaxEnd, 1L)
+          .otherwise(0L))
+      .withColumn("island",
+        sum(col("new_island")).over(w.rowsBetween(Window.unboundedPreceding, 0)))
+      .groupBy(col("cust"), col("island"))
+      .agg(count(lit(1)).cast("bigint").as("n_orders"),
+        min(col("start_day")).as("span_start"),
+        max(col("end_day")).as("span_end"))
+    islands.groupBy(col("cust"))
+      .agg(count(lit(1)).cast("bigint").as("n_islands"),
+        max(col("n_orders")).as("busiest_island"),
+        sum(datediff(col("span_end"), col("span_start")) + 1)
+          .cast("bigint").as("covered_days"))
+  }
+
+  val q90Oracle: String =
+    """WITH ship AS (
+      |  SELECT l_orderkey, MAX(CAST(l_shipdate AS DATE)) AS end_day
+      |  FROM lineitem GROUP BY 1),
+      |iv AS (
+      |  SELECT o_custkey AS cust, o_orderkey AS ok,
+      |    CAST(o_orderdate AS DATE) AS start_day, ship.end_day
+      |  FROM orders JOIN ship ON o_orderkey = l_orderkey),
+      |m AS (
+      |  SELECT *, MAX(end_day) OVER (PARTITION BY cust
+      |      ORDER BY start_day, end_day, ok
+      |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS prev_max_end
+      |  FROM iv),
+      |f AS (
+      |  SELECT *, CASE WHEN prev_max_end IS NULL OR start_day > prev_max_end
+      |    THEN 1 ELSE 0 END AS new_island FROM m),
+      |g AS (
+      |  SELECT *, SUM(new_island) OVER (PARTITION BY cust
+      |      ORDER BY start_day, end_day, ok
+      |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS island
+      |  FROM f),
+      |i AS (
+      |  SELECT cust, island, CAST(COUNT(*) AS BIGINT) n_orders,
+      |    MIN(start_day) span_start, MAX(end_day) span_end
+      |  FROM g GROUP BY 1, 2)
+      |SELECT cust, CAST(COUNT(*) AS BIGINT) AS n_islands,
+      |  MAX(n_orders) AS busiest_island,
+      |  CAST(SUM(date_diff('day', span_start, span_end) + 1) AS BIGINT) AS covered_days
+      |FROM i GROUP BY cust""".stripMargin
+
+  // ---- q91: gapped sequential pairs (PrefixSpan-lite) — which event
+  //      types follow which within a session, allowing up to 3
+  //      intervening events (q63's transition matrix is the gap-0
+  //      case). Pair generation is an explode of 4 rank offsets + an
+  //      equi-join on (user, session, rank) — candidate volume is
+  //      exactly 4·N, skew-immune, never a session self-join. ----
+  val q91GappedPairs: Q = (s, d) => {
+    val w = Window.partitionBy(col("user_id"))
+      .orderBy(col("ts").asc, col("event_id").asc)
+    val sess = events(s, d)
+      .withColumn("prev_us", lag(unix_micros(col("ts")), 1).over(w))
+      .withColumn("new_sess",
+        when(col("prev_us").isNull ||
+          unix_micros(col("ts")) - col("prev_us") > lit(1800L * 1000000L), 1L)
+          .otherwise(0L))
+      .withColumn("session_no",
+        sum(col("new_sess")).over(w.rowsBetween(Window.unboundedPreceding, 0)))
+      .withColumn("rn", row_number().over(
+        Window.partitionBy(col("user_id"), col("session_no"))
+          .orderBy(col("ts").asc, col("event_id").asc)))
+      .select(col("user_id"), col("session_no"), col("rn"),
+        col("event_type"))
+      .localCheckpoint(true) // probe + build sides of the offset join
+    val probes = sess
+      .withColumn("d", explode(sequence(lit(1), lit(4))))
+      .select(col("user_id"), col("session_no"),
+        (col("rn") + col("d")).as("rn"), col("event_type").as("from_type"),
+        col("d").as("gap"))
+    probes.join(sess.withColumnRenamed("event_type", "to_type"),
+        Seq("user_id", "session_no", "rn"))
+      .groupBy(col("from_type"), col("to_type"))
+      .agg(count(lit(1)).cast("bigint").as("n_pairs"),
+        count(when(col("gap") === 1, 1)).cast("bigint").as("n_adjacent"))
+      .orderBy(col("n_pairs").desc, col("from_type").asc, col("to_type").asc)
+      .limit(20)
+  }
+
+  val q91Oracle: String =
+    """WITH g AS (
+      |  SELECT user_id, event_id, event_type, CAST(ts AS TIMESTAMP) AS ts,
+      |    LAG(epoch_us(CAST(ts AS TIMESTAMP)), 1) OVER
+      |      (PARTITION BY user_id ORDER BY ts ASC, event_id ASC) AS prev_us
+      |  FROM events),
+      |m AS (SELECT *, CASE WHEN prev_us IS NULL
+      |    OR epoch_us(ts) - prev_us > 1800 * 1000000 THEN 1 ELSE 0 END AS new_sess
+      |  FROM g),
+      |s AS (SELECT *, SUM(new_sess) OVER (PARTITION BY user_id ORDER BY ts ASC, event_id ASC
+      |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_no
+      |  FROM m),
+      |r AS (SELECT user_id, session_no, event_type,
+      |    ROW_NUMBER() OVER (PARTITION BY user_id, session_no
+      |      ORDER BY ts ASC, event_id ASC) AS rn
+      |  FROM s)
+      |SELECT a.event_type AS from_type, b.event_type AS to_type,
+      |  CAST(COUNT(*) AS BIGINT) AS n_pairs,
+      |  CAST(COUNT(CASE WHEN b.rn - a.rn = 1 THEN 1 END) AS BIGINT) AS n_adjacent
+      |FROM r a JOIN r b
+      |  ON a.user_id = b.user_id AND a.session_no = b.session_no
+      | AND b.rn - a.rn BETWEEN 1 AND 4
+      |GROUP BY 1, 2
+      |ORDER BY n_pairs DESC, from_type ASC, to_type ASC LIMIT 20""".stripMargin
+
   val queries: Map[String, Q] = Map(
     "q73_skyline" -> q73Skyline,
     "q74_bfs" -> q74Bfs,
@@ -957,6 +1083,8 @@ object Advanced {
     "q87_ohlc" -> q87Ohlc,
     "q88_top_paths" -> q88TopPaths,
     "q89_changepoint" -> q89Changepoint,
+    "q90_interval_merge" -> q90IntervalMerge,
+    "q91_gapped_pairs" -> q91GappedPairs,
     "text_bootstrap" -> textBootstrap,
     "text_url_canon" -> textUrlCanon,
     "text_fix_mojibake" -> textFixMojibake,
@@ -984,6 +1112,8 @@ object Advanced {
     "q87_ohlc" -> q87Oracle,
     "q88_top_paths" -> q88Oracle,
     "q89_changepoint" -> q89Oracle,
+    "q90_interval_merge" -> q90Oracle,
+    "q91_gapped_pairs" -> q91Oracle,
     "text_bootstrap" -> textBootstrapOracle,
     "text_url_canon" -> textUrlCanonOracle,
     // text_fix_mojibake: rows-only (strict-decoder repair has no SQL twin)
