@@ -1065,6 +1065,70 @@ object Advanced {
       |GROUP BY 1, 2
       |ORDER BY n_pairs DESC, from_type ASC, to_type ASC LIMIT 20""".stripMargin
 
+  // ---- q92: sliding-window distinct count — distinct active users
+  //      over the trailing 7 days, per day. Exact and declarative
+  //      WITHOUT per-day set state: dedup to (day, user) once, then
+  //      each pair votes for the 7 window-end days it belongs to
+  //      (explode — a bounded 7× blowup), then one count-distinct per
+  //      day. Skew-immune: the blowup factor is the window length,
+  //      never the key frequency. ----
+  val q92SlidingDistinct: Q = (s, d) => {
+    val dayUser = events(s, d)
+      .select(to_date(col("ts")).as("day"), col("user_id"))
+      .distinct()
+    val votes = dayUser
+      .withColumn("w_end", explode(sequence(col("day"),
+        date_add(col("day"), 6))))
+    val bounds = dayUser.agg(min(col("day")), max(col("day"))).collect()(0)
+    votes.filter(col("w_end") <= lit(bounds.getDate(1)))
+      .groupBy(col("w_end").as("day"))
+      .agg(count_distinct(col("user_id")).cast("bigint").as("active_7d"))
+  }
+
+  val q92Oracle: String =
+    """WITH du AS (SELECT DISTINCT CAST(ts AS DATE) AS day, user_id FROM events),
+      |b AS (SELECT MAX(day) AS mx FROM du),
+      |v AS (SELECT CAST(unnest(range(0, 7)) AS BIGINT) AS o, day, user_id FROM du)
+      |SELECT CAST(v.day + CAST(v.o AS INTEGER) AS DATE) AS day,
+      |  CAST(COUNT(DISTINCT v.user_id) AS BIGINT) AS active_7d
+      |FROM v, b WHERE v.day + CAST(v.o AS INTEGER) <= b.mx
+      |GROUP BY 1""".stripMargin
+
+  // ---- q93: exact weighted median — the order price at which half
+  //      the shipped QUANTITY sits below (the "typical dollar" is not
+  //      the typical row). No sort of raw data: aggregate to
+  //      (price_cents → total weight) first (value-cardinality), then
+  //      the distributed PrefixSum walks the cumulative weight axis
+  //      and the answer is the first value whose running weight
+  //      reaches half the total — exact integer comparison, ties
+  //      deterministic. ----
+  val q93WeightedMedian: Q = (s, d) => {
+    val cents = (col("l_extendedprice").cast("decimal(18,2)") * 100)
+      .cast("long")
+    val perValue = lineitem(s, d)
+      .select(cents.as("v"), col("l_quantity").cast("long").as("q"))
+      .groupBy(col("v")).agg(sum(col("q")).as("w"))
+      .localCheckpoint(true)
+    val total = perValue.agg(sum(col("w")).cast("long")).collect()(0).getLong(0)
+    val cum = PrefixSum.runningTotal(perValue, "v", "w", "cw")
+      .withColumn("cw", col("cw").cast("long"))
+    cum.filter(col("cw") * 2 >= total)
+      .orderBy(col("v").asc).limit(1)
+      .select(col("v").as("weighted_median_cents"),
+        col("cw").as("cum_weight"), lit(total).as("total_weight"))
+  }
+
+  val q93Oracle: String =
+    """WITH pv AS (
+      |  SELECT CAST(CAST(l_extendedprice AS DECIMAL(18,2)) * 100 AS BIGINT) AS v,
+      |    CAST(SUM(CAST(l_quantity AS BIGINT)) AS BIGINT) AS w
+      |  FROM lineitem GROUP BY 1),
+      |t AS (SELECT CAST(SUM(w) AS BIGINT) AS total FROM pv),
+      |c AS (SELECT v, CAST(SUM(w) OVER (ORDER BY v) AS BIGINT) AS cw FROM pv)
+      |SELECT c.v AS weighted_median_cents, c.cw AS cum_weight, t.total AS total_weight
+      |FROM c, t WHERE c.cw * 2 >= t.total
+      |ORDER BY c.v ASC LIMIT 1""".stripMargin
+
   val queries: Map[String, Q] = Map(
     "q73_skyline" -> q73Skyline,
     "q74_bfs" -> q74Bfs,
@@ -1085,6 +1149,8 @@ object Advanced {
     "q89_changepoint" -> q89Changepoint,
     "q90_interval_merge" -> q90IntervalMerge,
     "q91_gapped_pairs" -> q91GappedPairs,
+    "q92_sliding_distinct" -> q92SlidingDistinct,
+    "q93_weighted_median" -> q93WeightedMedian,
     "text_bootstrap" -> textBootstrap,
     "text_url_canon" -> textUrlCanon,
     "text_fix_mojibake" -> textFixMojibake,
@@ -1114,6 +1180,8 @@ object Advanced {
     "q89_changepoint" -> q89Oracle,
     "q90_interval_merge" -> q90Oracle,
     "q91_gapped_pairs" -> q91Oracle,
+    "q92_sliding_distinct" -> q92Oracle,
+    "q93_weighted_median" -> q93Oracle,
     "text_bootstrap" -> textBootstrapOracle,
     "text_url_canon" -> textUrlCanonOracle,
     // text_fix_mojibake: rows-only (strict-decoder repair has no SQL twin)
