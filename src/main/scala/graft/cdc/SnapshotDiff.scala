@@ -44,4 +44,44 @@ object SnapshotDiff {
             coalesce(col(s"r_$c"), col(s"l_$c")).as(c)) :+
           col(CdcColumns.OperationCol): _*)
   }
+
+  /** COLUMN-level churn between two snapshots — which columns drive
+    * the updates (schema-evolution planning, hot-column detection,
+    * "is this feed mostly price ticks?"). One full-outer join on the
+    * key, every per-column change indicator computed in the same
+    * projection, one aggregation, then a stack to (column, …) rows —
+    * the column count is schema-sized, so the output is model-sized
+    * regardless of data volume. Null-safe comparison (`<=>`): a
+    * null→value transition counts as a change.
+    *
+    * @return one row per non-key column: (column, n_changed,
+    *         n_overlap, n_inserted, n_deleted).
+    */
+  def columnChurn(v1: DataFrame, v2: DataFrame, keyCols: Seq[String])
+  : DataFrame = {
+    val payloadCols = v2.columns.filterNot(keyCols.contains).toIndexedSeq
+    require(payloadCols.nonEmpty, "columnChurn requires a non-key column")
+    def side(df: DataFrame, s: String) = df.select(
+      keyCols.map(col) ++
+        df.columns.filterNot(keyCols.contains).toIndexedSeq
+          .map(c => col(c).as(s"${s}_$c")) :+
+        lit(1L).as(s"${s}_present"): _*)
+    val joined = side(v1, "l").join(side(v2, "r"), keyCols, "full_outer")
+    val overlap = col("l_present").isNotNull && col("r_present").isNotNull
+    val aggCols =
+      sum(when(overlap, 1L).otherwise(0L)).cast("bigint").as("n_overlap") +:
+      sum(when(col("l_present").isNull, 1L).otherwise(0L)).cast("bigint")
+        .as("n_inserted") +:
+      sum(when(col("r_present").isNull, 1L).otherwise(0L)).cast("bigint")
+        .as("n_deleted") +:
+      payloadCols.map(c =>
+        sum(when(overlap && !(col(s"l_$c") <=> col(s"r_$c")), 1L)
+          .otherwise(0L)).cast("bigint").as(s"chg_$c"))
+    val agg = joined.agg(aggCols.head, aggCols.tail: _*)
+    val stackExpr = payloadCols
+      .map(c => s"'$c', chg_$c").mkString(", ")
+    agg.selectExpr(
+        s"stack(${payloadCols.size}, $stackExpr) AS (col_name, n_changed)",
+        "n_overlap", "n_inserted", "n_deleted")
+  }
 }

@@ -342,6 +342,33 @@ object Sampling {
       .select(col("draw"), col(idCol))
   }
 
+  /** Deterministic UNIFORM bootstrap resampling: `b` independent
+    * resamples, each of size n (the input row count), drawn with
+    * replacement — the input to bootstrap confidence intervals.
+    * Uniform weights reduce the cumulative-axis lookup of
+    * [[bootstrapSample]] to a RANK equi-join: draw j of resample
+    * `j div n` selects the row at rank `md5(j:salt) mod n + 1` in
+    * `idCol` order (distributed [[Ranking.globalRank]] — never a
+    * global window). Appends `resample` (0-based); output volume is
+    * b·n by construction.
+    */
+  def bootstrapResamples(df: DataFrame, idCol: String, b: Int,
+                         salt: String = "bootci"): DataFrame = {
+    require(b > 0, "b must be positive")
+    val spark = df.sparkSession
+    val ranked = Ranking.globalRank(df, idCol, "__rank")
+      .localCheckpoint(true)
+    val n = ranked.count()
+    require(n > 0, "empty input")
+    val draws = spark.range(b.toLong * n).toDF("__j")
+      .withColumn("resample", expr(s"__j div $n"))
+      .withColumn("__rank", conv(substring(md5(
+          concat(col("__j").cast("string"), lit(":"), lit(salt))
+            .cast("binary")), 1, 13), 16, 10).cast("long") % n + 1L)
+      .drop("__j")
+    draws.join(ranked, Seq("__rank")).drop("__rank")
+  }
+
   /** Deterministic EPOCH UPSAMPLING: replicate each row according to
     * a fractional epoch weight — the standard way training mixes
     * express "see this source 2.5 times per epoch". Weights are given

@@ -1129,6 +1129,86 @@ object Advanced {
       |FROM c, t WHERE c.cw * 2 >= t.total
       |ORDER BY c.v ASC LIMIT 1""".stripMargin
 
+  // ---- q94: column-level churn between snapshots — which columns
+  //      drive the updates (the cdc_snapshot_diff scenario, one level
+  //      deeper): v1/v2 synthesized as in that query, plus a user_id
+  //      reassignment on %5 rows so BOTH payload columns churn at
+  //      different rates. Output is schema-sized. ----
+  val q94ColumnChurn: Q = (s, d) => {
+    val base = events(s, d).select(col("event_id"), col("user_id"), col("value"))
+    val v1 = base.filter(col("event_id") < 8000)
+    val v2 = base.filter(col("event_id") >= 2000)
+      .withColumn("value",
+        when(col("event_id") % 3 === 0, col("value") * 2).otherwise(col("value")))
+      .withColumn("user_id",
+        when(col("event_id") % 5 === 0, col("user_id") + 1).otherwise(col("user_id")))
+    graft.cdc.SnapshotDiff.columnChurn(v1, v2, Seq("event_id"))
+  }
+
+  val q94Oracle: String =
+    """WITH v1 AS (SELECT event_id, user_id, value FROM events WHERE event_id < 8000),
+      |v2 AS (SELECT event_id,
+      |         CASE WHEN event_id % 5 = 0 THEN user_id + 1 ELSE user_id END AS user_id,
+      |         CASE WHEN event_id % 3 = 0 THEN value * 2 ELSE value END AS value
+      |       FROM events WHERE event_id >= 2000),
+      |j AS (SELECT v1.event_id AS l_id, v2.event_id AS r_id,
+      |        v1.user_id AS l_u, v2.user_id AS r_u,
+      |        v1.value AS l_v, v2.value AS r_v
+      |      FROM v1 FULL OUTER JOIN v2 ON v1.event_id = v2.event_id),
+      |a AS (SELECT
+      |  CAST(SUM(CASE WHEN l_id IS NOT NULL AND r_id IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_overlap,
+      |  CAST(SUM(CASE WHEN l_id IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_inserted,
+      |  CAST(SUM(CASE WHEN r_id IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_deleted,
+      |  CAST(SUM(CASE WHEN l_id IS NOT NULL AND r_id IS NOT NULL
+      |    AND NOT (l_u IS NOT DISTINCT FROM r_u) THEN 1 ELSE 0 END) AS BIGINT) AS chg_user,
+      |  CAST(SUM(CASE WHEN l_id IS NOT NULL AND r_id IS NOT NULL
+      |    AND NOT (l_v IS NOT DISTINCT FROM r_v) THEN 1 ELSE 0 END) AS BIGINT) AS chg_value
+      |  FROM j)
+      |SELECT 'user_id' AS col_name, chg_user AS n_changed, n_overlap, n_inserted, n_deleted FROM a
+      |UNION ALL
+      |SELECT 'value', chg_value, n_overlap, n_inserted, n_deleted FROM a""".stripMargin
+
+  // ---- q95: bootstrap confidence interval for the median document
+  //      length — fully DETERMINISTIC: B=100 uniform resamples from
+  //      md5 rank draws (Sampling.bootstrapResamples), per-resample
+  //      exact discrete median, CI = the 2.5%/97.5% discrete
+  //      percentiles of the B medians. Every intermediate is an
+  //      integer; the oracle replays all B·n draws. ----
+  val q95BootstrapCi: Q = (s, d) => {
+    val docs = documents(s, d).select(col("doc_id"), col("n_chars"))
+    val res = Sampling.bootstrapResamples(docs, "doc_id", b = 100)
+    val medians = res.groupBy(col("resample"))
+      .agg(expr("percentile_disc(0.5) WITHIN GROUP (ORDER BY n_chars)")
+        .cast("long").as("med"))
+    medians.agg(
+      expr("percentile_disc(0.025) WITHIN GROUP (ORDER BY med)")
+        .cast("long").as("ci_lo"),
+      expr("percentile_disc(0.5) WITHIN GROUP (ORDER BY med)")
+        .cast("long").as("ci_mid"),
+      expr("percentile_disc(0.975) WITHIN GROUP (ORDER BY med)")
+        .cast("long").as("ci_hi"),
+      count(lit(1)).cast("bigint").as("n_resamples"))
+  }
+
+  val q95Oracle: String =
+    """WITH r AS (
+      |  SELECT doc_id, n_chars,
+      |    ROW_NUMBER() OVER (ORDER BY doc_id) AS rk
+      |  FROM documents),
+      |n AS (SELECT CAST(COUNT(*) AS BIGINT) AS n FROM documents),
+      |draws AS (
+      |  SELECT b.b AS resample,
+      |    CAST(('0x' || substr(md5(CAST(b.b * n.n + r2.rk - 1 AS VARCHAR) || ':bootci'), 1, 13)) AS BIGINT) % n.n + 1 AS rk
+      |  FROM generate_series(0, 99) b(b), n, r r2),
+      |m AS (
+      |  SELECT d.resample, CAST(quantile_disc(r.n_chars, 0.5) AS BIGINT) AS med
+      |  FROM draws d JOIN r ON d.rk = r.rk GROUP BY d.resample)
+      |SELECT CAST(quantile_disc(med, 0.025) AS BIGINT) AS ci_lo,
+      |  CAST(quantile_disc(med, 0.5) AS BIGINT) AS ci_mid,
+      |  CAST(quantile_disc(med, 0.975) AS BIGINT) AS ci_hi,
+      |  CAST(COUNT(*) AS BIGINT) AS n_resamples
+      |FROM m""".stripMargin
+
   val queries: Map[String, Q] = Map(
     "q73_skyline" -> q73Skyline,
     "q74_bfs" -> q74Bfs,
@@ -1151,6 +1231,8 @@ object Advanced {
     "q91_gapped_pairs" -> q91GappedPairs,
     "q92_sliding_distinct" -> q92SlidingDistinct,
     "q93_weighted_median" -> q93WeightedMedian,
+    "q94_column_churn" -> q94ColumnChurn,
+    "q95_bootstrap_ci" -> q95BootstrapCi,
     "text_bootstrap" -> textBootstrap,
     "text_url_canon" -> textUrlCanon,
     "text_fix_mojibake" -> textFixMojibake,
@@ -1182,6 +1264,8 @@ object Advanced {
     "q91_gapped_pairs" -> q91Oracle,
     "q92_sliding_distinct" -> q92Oracle,
     "q93_weighted_median" -> q93Oracle,
+    "q94_column_churn" -> q94Oracle,
+    "q95_bootstrap_ci" -> q95Oracle,
     "text_bootstrap" -> textBootstrapOracle,
     "text_url_canon" -> textUrlCanonOracle,
     // text_fix_mojibake: rows-only (strict-decoder repair has no SQL twin)
