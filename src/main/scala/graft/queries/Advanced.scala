@@ -1209,6 +1209,63 @@ object Advanced {
       |  CAST(COUNT(*) AS BIGINT) AS n_resamples
       |FROM m""".stripMargin
 
+  // ---- q96: Pareto contribution report — which sources make up 80%
+  //      of the corpus tokens (the 80/20 audit behind mixture
+  //      weighting decisions). Group totals are source-cardinality,
+  //      so the ordered cumulative walk is over a model-sized table;
+  //      shares are exact-integer cumulative sums with one division
+  //      per row; the 80% frontier flag is an exact integer compare
+  //      (cum·5 ≥ total·4). ----
+  val q96ParetoReport: Q = (s, d) => {
+    import graft.functions.wsTokens
+    val perSource = documents(s, d)
+      .select(col("source"), size(wsTokens(col("text"))).cast("long").as("t"))
+      .groupBy(col("source")).agg(sum(col("t")).as("tokens"))
+      .localCheckpoint(true)
+    // the grouped table is |sources|-sized BY CONSTRUCTION — the
+    // ordered cumulative walk happens on the driver (the q54
+    // model-sized-collect convention; an unpartitioned window here
+    // would trip the PlanAudit gate for no benefit)
+    val rows = perSource.collect()
+      .map(r => (r.getString(0), r.getLong(1)))
+      .sortBy { case (src, t) => (-t, src) }
+    val total = rows.map(_._2).sum
+    // ROUND(x, 9) with half-up on the exact binary value — the same
+    // rule Spark's round() and the oracle's ROUND apply (math.rint
+    // would be half-EVEN and could differ at a .5 boundary)
+    def r9(x: Double): Double = BigDecimal(x)
+      .setScale(9, scala.math.BigDecimal.RoundingMode.HALF_UP).doubleValue
+    var cum = 0L
+    val report = rows.zipWithIndex.map { case ((src, t), i) =>
+      val before = cum
+      cum += t
+      (i + 1, src, t, cum,
+        r9(t.toDouble / total), r9(cum.toDouble / total),
+        cum * 5 <= total * 4 || before * 5 < total * 4)
+    }
+    import s.implicits._
+    report.toSeq.toDF("rank", "source", "tokens", "cum_tokens",
+      "share", "cum_share", "in_top80")
+  }
+
+  val q96Oracle: String =
+    """WITH ps AS (
+      |  SELECT source,
+      |    CAST(SUM(len(regexp_split_to_array(trim(text), '\s+'))) AS BIGINT) AS tokens
+      |  FROM documents GROUP BY source),
+      |t AS (SELECT CAST(SUM(tokens) AS BIGINT) AS total FROM ps),
+      |c AS (SELECT source, tokens,
+      |    CAST(ROW_NUMBER() OVER (ORDER BY tokens DESC, source ASC) AS INTEGER) AS rank,
+      |    CAST(SUM(tokens) OVER (ORDER BY tokens DESC, source ASC
+      |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS cum_tokens
+      |  FROM ps)
+      |SELECT c.rank, c.source, c.tokens, c.cum_tokens,
+      |  ROUND(CAST(c.tokens AS DOUBLE) / CAST(t.total AS DOUBLE), 9) AS share,
+      |  ROUND(CAST(c.cum_tokens AS DOUBLE) / CAST(t.total AS DOUBLE), 9) AS cum_share,
+      |  c.cum_tokens * 5 <= t.total * 4
+      |    OR (c.cum_tokens - c.tokens) * 5 < t.total * 4 AS in_top80
+      |FROM c, t""".stripMargin
+
   val queries: Map[String, Q] = Map(
     "q73_skyline" -> q73Skyline,
     "q74_bfs" -> q74Bfs,
@@ -1233,6 +1290,7 @@ object Advanced {
     "q93_weighted_median" -> q93WeightedMedian,
     "q94_column_churn" -> q94ColumnChurn,
     "q95_bootstrap_ci" -> q95BootstrapCi,
+    "q96_pareto_report" -> q96ParetoReport,
     "text_bootstrap" -> textBootstrap,
     "text_url_canon" -> textUrlCanon,
     "text_fix_mojibake" -> textFixMojibake,
@@ -1266,6 +1324,7 @@ object Advanced {
     "q93_weighted_median" -> q93Oracle,
     "q94_column_churn" -> q94Oracle,
     "q95_bootstrap_ci" -> q95Oracle,
+    "q96_pareto_report" -> q96Oracle,
     "text_bootstrap" -> textBootstrapOracle,
     "text_url_canon" -> textUrlCanonOracle,
     // text_fix_mojibake: rows-only (strict-decoder repair has no SQL twin)
