@@ -61,10 +61,16 @@ object SnapshotDiff {
   : DataFrame = {
     val payloadCols = v2.columns.filterNot(keyCols.contains).toIndexedSeq
     require(payloadCols.nonEmpty, "columnChurn requires a non-key column")
+    // Raw column names are backtick-quoted (with `` escaping) wherever
+    // they re-enter the column parser, and the unpivot is a typed
+    // explode over structs rather than an interpolated stack()
+    // selectExpr — a name containing quotes, dots, or backticks cannot
+    // break an expression at runtime.
+    def q(c: String) = col("`" + c.replace("`", "``") + "`")
     def side(df: DataFrame, s: String) = df.select(
-      keyCols.map(col) ++
+      keyCols.map(q) ++
         df.columns.filterNot(keyCols.contains).toIndexedSeq
-          .map(c => col(c).as(s"${s}_$c")) :+
+          .map(c => q(c).as(s"${s}_$c")) :+
         lit(1L).as(s"${s}_present"): _*)
     val joined = side(v1, "l").join(side(v2, "r"), keyCols, "full_outer")
     val overlap = col("l_present").isNotNull && col("r_present").isNotNull
@@ -75,13 +81,15 @@ object SnapshotDiff {
       sum(when(col("r_present").isNull, 1L).otherwise(0L)).cast("bigint")
         .as("n_deleted") +:
       payloadCols.map(c =>
-        sum(when(overlap && !(col(s"l_$c") <=> col(s"r_$c")), 1L)
+        sum(when(overlap && !(q(s"l_$c") <=> q(s"r_$c")), 1L)
           .otherwise(0L)).cast("bigint").as(s"chg_$c"))
     val agg = joined.agg(aggCols.head, aggCols.tail: _*)
-    val stackExpr = payloadCols
-      .map(c => s"'$c', chg_$c").mkString(", ")
-    agg.selectExpr(
-        s"stack(${payloadCols.size}, $stackExpr) AS (col_name, n_changed)",
-        "n_overlap", "n_inserted", "n_deleted")
+    val churnRows = array(payloadCols.map(c =>
+      struct(lit(c).as("col_name"), q(s"chg_$c").as("n_changed"))): _*)
+    agg.select(explode(churnRows).as("p"),
+        col("n_overlap"), col("n_inserted"), col("n_deleted"))
+      .select(col("p.col_name").as("col_name"),
+        col("p.n_changed").as("n_changed"),
+        col("n_overlap"), col("n_inserted"), col("n_deleted"))
   }
 }

@@ -304,8 +304,9 @@ object Sampling {
     * (`u = md5(i:salt) mod totalWeight`) and selects the unique row
     * whose interval `[cum − w, cum)` contains it — so any draw is
     * recomputable independently and the whole sample is reproducible
-    * in any engine (the mod bias over 32 hash bits is O(total/2³²),
-    * deterministic, and identical on both sides).
+    * in any engine (the uniform comes from 13 hex digits = 52 hash
+    * bits, so the mod bias is O(total/2⁵²) — deterministic and
+    * identical on both sides).
     *
     * Scale shape: the cumulative axis comes from the distributed
     * [[PrefixSum]] (range partitions + offsets, never a single-task

@@ -49,16 +49,28 @@ object Similarity {
     */
   def groupCentroids(df: DataFrame, groupCol: String, vecCol: String)
       : DataFrame = {
+    val m = groupCentroidsLong(df, groupCol, vecCol)
+    m.groupBy(col(groupCol))
+      .agg(max(col("n")).cast("bigint").as("n"),
+        transform(
+          sort_array(collect_list(struct(col("pos"), col("mean")))),
+          s => s.getField("mean")).as("centroid"))
+  }
+
+  /** Long form of [[groupCentroids]]: one row per (group, pos) with the
+    * per-position `mean` (round-6 double) and the per-position member
+    * count `n` — the exact intermediate the array form re-assembles.
+    * This is the shape external comparators can hash (flat scalar
+    * columns, no array), and the shape downstream exact-decimal algebra
+    * (e.g. the label-similarity matrix) consumes directly.
+    */
+  def groupCentroidsLong(df: DataFrame, groupCol: String, vecCol: String)
+      : DataFrame = {
     val ex = df.select(col(groupCol),
       posexplode(col(vecCol)).as(Seq("pos", "v")))
-    val m = ex.groupBy(col(groupCol), col("pos"))
-      .agg(round(avg(col("v").cast("double")), 6).as("m"),
-        count(lit(1)).cast("bigint").as("__n"))
-    m.groupBy(col(groupCol))
-      .agg(max(col("__n")).cast("bigint").as("n"),
-        transform(
-          sort_array(collect_list(struct(col("pos"), col("m")))),
-          s => s.getField("m")).as("centroid"))
+    ex.groupBy(col(groupCol), col("pos").cast("bigint").as("pos"))
+      .agg(round(avg(col("v").cast("double")), 6).as("mean"),
+        count(lit(1)).cast("bigint").as("n"))
   }
 
   /** Exact top-k neighbors per query vector by cosine similarity.

@@ -104,12 +104,59 @@ object Skyline {
     * `skyline(S ∪ T) = skyline(skyline(S) ∪ T)` — each batch costs
     * the (tiny) current frontier plus the batch, never a recompute
     * over history. (Deletes invalidate this identity: a deleted
-    * frontier point can resurrect points it dominated — full
-    * recompute, or keep the dominated candidates, for that case.)
+    * frontier point can resurrect points it dominated — use the
+    * k-layer state of [[kLayers]] / `StreamSkyline.applyCdcBatch` for
+    * that case.)
     */
   def insertMaintain(currentSkyline: DataFrame, batch: DataFrame,
                      minCol: String, maxCol: String, shardCol: Column,
                      shards: Int = 64): DataFrame =
     pareto2d(currentSkyline.unionByName(batch), minCol, maxCol,
       shardCol, shards)
+
+  /** First `k` skyline LAYERS ("onion peeling"): layer 1 is the
+    * frontier, layer i the frontier of the set with layers 1..i−1
+    * removed. The dominated-candidate retention that makes DELETE
+    * maintenance possible:
+    *
+    *  - INSERTS preserve per-layer exactness — adding points only
+    *    pushes points deeper, so `kLayers(S ∪ T) =
+    *    kLayers(kLayers(S) ∪ T)`, the same fold identity as the plain
+    *    frontier's.
+    *  - A point's layer index is 1 + its longest dominance chain, so
+    *    DELETING one point raises any layer index by at most 1, and
+    *    deleting a point BEYOND layer k (not retained) cannot touch
+    *    layers 1..k at all (dominators are strictly shallower). Hence
+    *    d in-state deletions leave layers 1..k−d exact — the frontier
+    *    survives up to k−1 cumulative in-state deletes between full
+    *    rebuilds, and a consumer tracking the remaining budget can
+    *    refuse (demand a rebuild) instead of going silently wrong.
+    *
+    * Cost: k peeling passes, each a [[pareto2d]] over the shrinking
+    * remainder — sized for frontier-view state (model-sized), not for
+    * one-shot 100 TB inputs. `idCol` must be unique (the peel
+    * anti-joins each extracted layer out by id, so coincident points
+    * stay distinguishable).
+    *
+    * @return input rows of the first k layers + `__layer` (1-based)
+    */
+  def kLayers(df: DataFrame, minCol: String, maxCol: String,
+              idCol: String, k: Int, shards: Int = 64): DataFrame = {
+    require(k >= 1, s"kLayers: k must be >= 1, got $k")
+    var remaining = df.localCheckpoint(true)
+    var acc: Option[DataFrame] = None
+    var i = 1
+    var empty = remaining.isEmpty
+    while (i <= k && !empty) {
+      val layer = pareto2d(remaining, minCol, maxCol, col(idCol), shards)
+        .localCheckpoint(true)
+      val tagged = layer.withColumn("__layer", lit(i))
+      acc = Some(acc.map(_.unionByName(tagged)).getOrElse(tagged))
+      remaining = remaining.join(layer.select(col(idCol)), Seq(idCol),
+        "left_anti").localCheckpoint(true)
+      empty = remaining.isEmpty
+      i += 1
+    }
+    acc.getOrElse(df.withColumn("__layer", lit(1)).limit(0))
+  }
 }

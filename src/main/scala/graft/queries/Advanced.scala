@@ -1222,11 +1222,29 @@ object Advanced {
       .select(col("source"), size(wsTokens(col("text"))).cast("long").as("t"))
       .groupBy(col("source")).agg(sum(col("t")).as("tokens"))
       .localCheckpoint(true)
-    // the grouped table is |sources|-sized BY CONSTRUCTION — the
-    // ordered cumulative walk happens on the driver (the q54
-    // model-sized-collect convention; an unpartitioned window here
-    // would trip the PlanAudit gate for no benefit)
-    val rows = perSource.collect()
+    paretoReport(perSource, "source", "tokens")
+  }
+
+  /** Ordered cumulative Pareto walk over a GROUPED totals table. The
+    * grouped table must be model-sized (|groups| rows): the walk
+    * collects it to the driver (the q54 model-sized-collect
+    * convention — an unpartitioned window here would trip the
+    * PlanAudit gate for no benefit), so the cardinality is GUARDED:
+    * more than `maxGroups` groups fails fast naming the knob, instead
+    * of collecting unbounded rows into driver memory.
+    */
+  def paretoReport(perGroup: DataFrame, groupCol: String, valueCol: String,
+                   maxGroups: Long = 100000L): DataFrame = {
+    val s = perGroup.sparkSession
+    val n = perGroup.count()
+    require(n <= maxGroups,
+      s"paretoReport: $n groups exceeds maxGroups=$maxGroups — the " +
+        "cumulative walk collects the grouped table to the driver; " +
+        "raise maxGroups only if the group column is genuinely " +
+        "model-sized, or pre-aggregate to a coarser grouping")
+    val rows = perGroup
+      .select(col(groupCol).cast("string"), col(valueCol).cast("long"))
+      .collect()
       .map(r => (r.getString(0), r.getLong(1)))
       .sortBy { case (src, t) => (-t, src) }
     val total = rows.map(_._2).sum
@@ -1244,7 +1262,7 @@ object Advanced {
         cum * 5 <= total * 4 || before * 5 < total * 4)
     }
     import s.implicits._
-    report.toSeq.toDF("rank", "source", "tokens", "cum_tokens",
+    report.toSeq.toDF("rank", groupCol, valueCol, s"cum_$valueCol",
       "share", "cum_share", "in_top80")
   }
 

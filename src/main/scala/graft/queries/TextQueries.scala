@@ -1156,20 +1156,20 @@ object TextQueries {
   //      cluster-summary primitive (semantic-dedup reports, embedding
   //      drift monitoring, coarse routing). One (label, pos) hash agg
   //      with map-side partials; shuffle carries partial sums, never
-  //      vectors ----
+  //      vectors. Contract query uses the LONG form (label, pos, mean,
+  //      n): flat scalar columns external comparators can hash — the
+  //      array-assembling form stays the library API for callers ----
   val embCentroids: Q = (s, d) =>
-    Similarity.groupCentroids(embeddings(s, d), "label", "embedding")
+    Similarity.groupCentroidsLong(embeddings(s, d), "label", "embedding")
 
   val embCentroidsOracle: String =
     """WITH ex AS (SELECT label, unnest(embedding) AS v,
       |                   unnest(range(len(embedding))) AS pos
-      |            FROM embeddings),
-      |m AS (SELECT label, pos, ROUND(AVG(CAST(v AS DOUBLE)), 6) AS m,
-      |             CAST(COUNT(*) AS BIGINT) AS n
-      |      FROM ex GROUP BY 1, 2)
-      |SELECT label, CAST(MAX(n) AS BIGINT) AS n,
-      |       list(m ORDER BY pos) AS centroid
-      |FROM m GROUP BY label""".stripMargin
+      |            FROM embeddings)
+      |SELECT label, CAST(pos AS BIGINT) AS pos,
+      |       ROUND(AVG(CAST(v AS DOUBLE)), 6) AS mean,
+      |       CAST(COUNT(*) AS BIGINT) AS n
+      |FROM ex GROUP BY 1, 2""".stripMargin
 
   // ---- text_cv_folds: k-fold cross-validation assignment in the
   //      engine-portable md5 hash (any row's fold recomputable

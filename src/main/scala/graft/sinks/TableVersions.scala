@@ -159,6 +159,15 @@ object TableVersions {
     } finally in.close()
   }.toOption
 
+  /** Full small-file write (metadata files staged INSIDE a pending
+    * version dir — they become visible atomically with the commit
+    * rename, so no tmp+rename of their own is needed).
+    */
+  private[graft] def writeSmall(fs: FileSystem, p: Path, s: String): Unit = {
+    val out = fs.create(p, true)
+    try out.write(s.getBytes("UTF-8")) finally out.close()
+  }
+
   /** Read the advisory hint (diagnostics / external tooling). Corrupt
     * or partial hints degrade to None — the hint is never
     * authoritative.

@@ -16,9 +16,13 @@ import graft.sinks.TableVersions
   * days×1 count table in [[TableVersions]]; each microbatch merges
   * its per-day partial counts in, then the CUSUM statistic
   * `D_k = K·S_k − k·S_K` (all exact integers — the q89 algebra) is
-  * recomputed over the DAYS-SIZED state, not the stream. The
-  * detected day therefore always equals the batch query over
-  * everything seen — pinned by the spec.
+  * recomputed over the DAYS-SIZED state, not the stream. Counts SUM,
+  * so the merge is not replay-idempotent by algebra: each committed
+  * version records its producing batchId and a redelivered microbatch
+  * (foreachBatch is at-least-once across a crash between our commit
+  * and the engine's commit-log write) is detected and skipped — with
+  * that guard the detected day always equals the batch query over
+  * everything seen, pinned by the spec.
   */
 object StreamChangepoint {
 
@@ -26,20 +30,29 @@ object StreamChangepoint {
   : StreamingQuery =
     stream.writeStream
       .option("checkpointLocation", checkpointDir)
-      .foreachBatch { (batch: DataFrame, _: Long) =>
-        applyBatch(batch, dir)
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        applyBatch(batch, dir, Some(batchId))
         ()
       }
       .start()
 
-  /** One microbatch: merge per-day counts into state. */
-  def applyBatch(batch: DataFrame, dir: String): Unit = {
+  /** One microbatch: merge per-day counts into state. Batch-mode
+    * callers (no batchId) always apply; a streamed batchId ≤ the one
+    * recorded in the current committed version is a replay → no-op.
+    */
+  def applyBatch(batch: DataFrame, dir: String,
+                 batchId: Option[Long] = None): Unit = {
     val spark = batch.sparkSession
     val root = new Path(dir)
     val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val cur = TableVersions.current(fs, root)
+    val last = cur.flatMap(v => TableVersions.readSmall(
+        fs, new Path(TableVersions.dataDir(root, v), "_batchid")))
+      .flatMap(s => scala.util.Try(s.toLong).toOption)
+    if (batchId.exists(id => last.exists(id <= _))) return
     val delta = batch.groupBy(to_date(col("ts")).as("day"))
       .agg(count(lit(1)).cast("long").as("c"))
-    val merged = TableVersions.current(fs, root) match {
+    val merged = cur match {
       case Some(v) =>
         spark.read.parquet(
           new Path(TableVersions.dataDir(root, v), "daily").toString)
@@ -49,6 +62,8 @@ object StreamChangepoint {
     }
     val pending = TableVersions.begin(fs, root)
     merged.write.parquet(new Path(pending.dir, "daily").toString)
+    batchId.foreach(id => TableVersions.writeSmall(
+      fs, new Path(pending.dir, "_batchid"), id.toString))
     TableVersions.commit(fs, root, pending)
     TableVersions.prune(fs, root, keep = 4)
   }

@@ -18,8 +18,10 @@ import graft.sinks.TableVersions
   * the exact event-time keys the batch query uses), merges with the
   * state table by the same rule, and publishes through
   * [[TableVersions]]. State is days×1 rows. NOT replay-idempotent by
-  * algebra (counts sum) — replay safety is the checkpoint's job here,
-  * the same contract as every aggregate-with-counts sink.
+  * algebra (counts sum) — so each committed version records its
+  * producing batchId, and a redelivered microbatch (foreachBatch is
+  * at-least-once across a crash between our commit and the engine's
+  * commit-log write) is detected and skipped.
   *
   * Scale shape: per batch one hash aggregation of the batch + a
   * days-sized merge; no event-level state anywhere.
@@ -65,19 +67,32 @@ object StreamOhlc {
   : StreamingQuery =
     stream.writeStream
       .option("checkpointLocation", checkpointDir)
-      .foreachBatch { (batch: DataFrame, _: Long) =>
-        applyBatch(batch, dir)
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        applyBatch(batch, dir, Some(batchId))
         ()
       }
       .start()
 
-  /** One microbatch; factored out for direct use. */
-  def applyBatch(batch: DataFrame, dir: String): Unit = {
+  /** One microbatch; factored out for direct use.
+    *
+    * Counts SUM, so the merge is NOT replay-idempotent by algebra —
+    * and foreachBatch is at-least-once: a crash between our
+    * TableVersions commit and the streaming engine's own commit-log
+    * write redelivers the microbatch. The guard: each committed
+    * version records the batchId that produced it (`_batchid`, staged
+    * inside the version dir so it appears atomically with the commit),
+    * and a redelivered batchId ≤ the recorded one is a no-op.
+    * Batch-mode callers (no batchId) always apply.
+    */
+  def applyBatch(batch: DataFrame, dir: String,
+                 batchId: Option[Long] = None): Unit = {
     val spark = batch.sparkSession
     val root = new Path(dir)
     val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val cur = TableVersions.current(fs, root)
+    if (batchId.exists(id => lastBatchId(fs, root, cur).exists(id <= _))) return
     val delta = partial(batch)
-    val merged = TableVersions.current(fs, root) match {
+    val merged = cur match {
       case Some(v) => merge(
         spark.read.parquet(new Path(TableVersions.dataDir(root, v), "bars").toString),
         delta)
@@ -85,9 +100,17 @@ object StreamOhlc {
     }
     val pending = TableVersions.begin(fs, root)
     merged.write.parquet(new Path(pending.dir, "bars").toString)
+    batchId.foreach(id => TableVersions.writeSmall(
+      fs, new Path(pending.dir, "_batchid"), id.toString))
     TableVersions.commit(fs, root, pending)
     TableVersions.prune(fs, root, keep = 4)
   }
+
+  private def lastBatchId(fs: org.apache.hadoop.fs.FileSystem, root: Path,
+                          cur: Option[Long]): Option[Long] =
+    cur.flatMap(v => TableVersions.readSmall(
+        fs, new Path(TableVersions.dataDir(root, v), "_batchid")))
+      .flatMap(s => scala.util.Try(s.toLong).toOption)
 
   /** The current committed bars (internal merge keys dropped). */
   def bars(spark: SparkSession, dir: String): DataFrame = {

@@ -376,4 +376,60 @@ class TextCleaningSpec extends org.scalatest.funsuite.AnyFunSuite {
     assert(got(2) === "http://host.org/p")
     assert(got(3) === "https://h.io/q") // all params tracking: no query at all
   }
+
+  test("kLayers: hand-computed onion peeling; insert fold identity holds") {
+    // minimize x, maximize y
+    val pts = Seq(
+      (1L, 1L, 10L), (2L, 2L, 20L),          // layer 1 (frontier)
+      (3L, 2L, 10L), (4L, 3L, 15L),          // layer 2 (each dominated only by layer 1)
+      (5L, 3L, 9L),                           // layer 3 ((2,10) dominates it)
+      (6L, 9L, 1L))                           // layer 4 ((3,9) dominates it)
+    val df = pts.toDF("id", "x", "y")
+    val got = Skyline.kLayers(df, "x", "y", "id", k = 5)
+      .select($"id", $"__layer").as[(Long, Int)].collect().toMap
+    assert(got === Map(1L -> 1, 2L -> 1, 3L -> 2, 4L -> 2, 5L -> 3, 6L -> 4))
+    // peeling stops when the remainder is empty: k=5 asked, 4 layers exist
+    assert(got.size === 6)
+    // truncation: k=2 retains exactly layers 1-2
+    val k2 = Skyline.kLayers(df, "x", "y", "id", k = 2)
+      .select($"id", $"__layer").as[(Long, Int)].collect().toMap
+    assert(k2 === Map(1L -> 1, 2L -> 1, 3L -> 2, 4L -> 2))
+    // insert fold identity: kLayers(S ∪ T) == kLayers(kLayers(S) ∪ T)
+    val rnd = new scala.util.Random(42)
+    val s = (1 to 300).map(i => (i.toLong, (rnd.nextInt(50) + 1).toLong,
+      (rnd.nextInt(50) + 1).toLong))
+    val t = (301 to 500).map(i => (i.toLong, (rnd.nextInt(50) + 1).toLong,
+      (rnd.nextInt(50) + 1).toLong))
+    val k = 3
+    def ids(d: org.apache.spark.sql.DataFrame) =
+      d.select($"id", $"__layer").as[(Long, Int)].collect().toSet
+    val full = ids(Skyline.kLayers((s ++ t).toDF("id", "x", "y"), "x", "y", "id", k))
+    val folded = ids(Skyline.kLayers(
+      Skyline.kLayers(s.toDF("id", "x", "y"), "x", "y", "id", k)
+        .drop("__layer").unionByName(t.toDF("id", "x", "y")),
+      "x", "y", "id", k))
+    assert(folded === full)
+  }
+
+  test("paretoReport: cumulative walk matches hand math; over-cardinality fails fast") {
+    import graft.queries.Advanced
+    val per = Seq(("a", 60L), ("b", 25L), ("c", 10L), ("d", 5L))
+      .toDF("source", "tokens")
+    val rep = Advanced.paretoReport(per, "source", "tokens")
+      .orderBy("rank")
+      .as[(Int, String, Long, Long, Double, Double, Boolean)].collect()
+    assert(rep.map(_._2).toSeq === Seq("a", "b", "c", "d"))
+    assert(rep.map(_._4).toSeq === Seq(60L, 85L, 95L, 100L))
+    // frontier: a (cum 60 <= 80) and b (the row crossing 80) are in;
+    // c and d start at/after the 80% line
+    assert(rep.map(_._7).toSeq === Seq(true, true, false, false))
+    assert(rep(1)._6 === 0.85)
+    // the walk collects the grouped table — a high-cardinality group
+    // column must fail fast, naming the knob, not OOM the driver
+    val wide = (1 to 500).map(i => (s"s$i", i.toLong)).toDF("source", "tokens")
+    val ex = intercept[IllegalArgumentException] {
+      Advanced.paretoReport(wide, "source", "tokens", maxGroups = 100)
+    }
+    assert(ex.getMessage.contains("maxGroups"), ex.getMessage)
+  }
 }

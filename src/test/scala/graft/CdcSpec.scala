@@ -61,6 +61,23 @@ class CdcSpec extends AnyFunSuite {
     assert(replayed == want, s"replay mismatch: $replayed vs $want")
   }
 
+  test("columnChurn survives SQL-significant column names (quotes, dots, backticks)") {
+    import org.apache.spark.sql.functions._
+    // hostile payload names: a quote, a dot, a backtick — any of these
+    // broke the old interpolated stack() selectExpr at runtime
+    val cols = Seq("id", "it's", "a.b", "t`ick")
+    val v1 = Seq((1L, "x", "y", "z"), (2L, "x", "y", "z")).toDF(cols: _*)
+    val v2 = Seq((1L, "x", "Y", "z"), (3L, "n", "n", "n")).toDF(cols: _*)
+    val churn = SnapshotDiff.columnChurn(v1, v2, Seq("id"))
+      .select($"col_name", $"n_changed", $"n_overlap", $"n_inserted", $"n_deleted")
+      .as[(String, Long, Long, Long, Long)].collect()
+      .map(r => r._1 -> ((r._2, r._3, r._4, r._5))).toMap
+    assert(churn.keySet == Set("it's", "a.b", "t`ick"))
+    assert(churn("a.b") == ((1L, 1L, 1L, 1L)))   // key 1 changed col a.b
+    assert(churn("it's") == ((0L, 1L, 1L, 1L)))
+    assert(churn("t`ick") == ((0L, 1L, 1L, 1L)))
+  }
+
   test("dropInternal keeps operation/seqval, drops other gwcbi___ cols") {
     val df = Seq((1L, 2, "ff", "x")).toDF("id", "gwcbi___operation", "gwcbi___seqval_hex", "gwcbi___lsn")
     val out = CdcColumns.dropInternal(df)

@@ -1597,6 +1597,14 @@ class OperatorsSpec extends AnyFunSuite {
     val labels = e.select("label").distinct().count()
     assert(real.count() == labels)
     assert(real.selectExpr("size(centroid)").as[Int].collect().forall(_ == 64))
+    // long form is the flat intermediate the array form re-assembles:
+    // same means position-by-position, per-position n on ragged input
+    val long = Similarity.groupCentroidsLong(vecs, "label", "embedding")
+      .as[(String, Long, Double, Long)].collect()
+      .map(t => (t._1, t._2) -> (t._3, t._4)).toMap
+    assert(long(("a", 0L)) == ((2.0, 2L)) && long(("a", 2L)) == ((6.0, 2L)))
+    assert(long(("b", 2L)) == ((50.0, 1L)), "ragged tail counts only present elements")
+    assert(long.size == 3 + 3)
   }
 
   test("cv folds: deterministic, in range, partition-invariant; foldSplit partitions the corpus") {

@@ -39,4 +39,22 @@ class StreamChangepointSpec extends AnyFunSuite {
     assert(got.getLong(2) === want.getLong(2))
     assert(got.getLong(3) === want.getLong(3))
   }
+
+  test("a redelivered batchId is a no-op: daily counts cannot double") {
+    val work = Files.createTempDirectory("scpr")
+    val e = graft.sources.TableCatalog.events(spark, sfDir)
+      .select($"event_id", $"ts")
+    val b0 = e.filter($"event_id" % 2 === 0)
+    val b1 = e.filter($"event_id" % 2 === 1)
+    StreamChangepoint.applyBatch(b0, s"$work/state", Some(0L))
+    StreamChangepoint.applyBatch(b1, s"$work/state", Some(1L))
+    def stat() = StreamChangepoint.changepoint(spark, s"$work/state")
+      .select("change_day", "d_k", "total_events").collect()(0)
+    val before = stat()
+    StreamChangepoint.applyBatch(b1, s"$work/state", Some(1L)) // redelivery
+    val after = stat()
+    assert(after.getDate(0).toString === before.getDate(0).toString)
+    assert(after.getLong(1) === before.getLong(1))
+    assert(after.getLong(2) === before.getLong(2), "total must not double")
+  }
 }

@@ -42,4 +42,26 @@ class StreamOhlcSpec extends AnyFunSuite {
     assert(want.nonEmpty)
     assert(got === want)
   }
+
+  test("a redelivered batchId is a no-op: counts cannot double") {
+    val work = Files.createTempDirectory("sohlcr")
+    val e = graft.sources.TableCatalog.events(spark, sfDir)
+      .select($"event_id", $"ts", $"value")
+    val b0 = e.filter($"event_id" % 2 === 0)
+    val b1 = e.filter($"event_id" % 2 === 1)
+    StreamOhlc.applyBatch(b0, s"$work/state", Some(0L))
+    StreamOhlc.applyBatch(b1, s"$work/state", Some(1L))
+    def bars() = StreamOhlc.bars(spark, s"$work/state")
+      .select("day", "open", "high", "low", "close", "n")
+      .collect().map(r => (r.getDate(0).toString, r.getLong(1), r.getLong(2),
+        r.getLong(3), r.getLong(4), r.getLong(5))).toSet
+    val before = bars()
+    // at-least-once: a crash between our commit and the engine's
+    // commit-log write redelivers batch 1 — counts must NOT sum again
+    StreamOhlc.applyBatch(b1, s"$work/state", Some(1L))
+    assert(bars() === before)
+    // batch-mode callers (no batchId) still always apply
+    StreamOhlc.applyBatch(b1, s"$work/state")
+    assert(bars() !== before)
+  }
 }
