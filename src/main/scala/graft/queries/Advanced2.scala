@@ -1,0 +1,467 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.operators.Ranking
+import graft.sources.TableCatalog._
+
+/** Round-12 additions: market-basket association rules, triangle
+  * counting, referential-integrity auditing, inter-order gap stats,
+  * month-over-month deltas, linear-interpolation gap fill, Zipf
+  * audit, rank movers, and embedding class-scatter diagnostics.
+  * SURVEY.md §2 rows 108-116.
+  *
+  * Same oracle-parity discipline as [[Relational]]/[[Advanced]]:
+  * exact integer / DECIMAL statistics everywhere, doubles only in a
+  * final fixed IEEE formula shared verbatim with the DuckDB oracle,
+  * deterministic tie-breaks on every top-k.
+  */
+object Advanced2 {
+
+  type Q = (SparkSession, String) => DataFrame
+
+  /** Distinct (order, part) incidence — the basket table under q97/q98.
+    * One dedup shuffle on the order key; pair generation afterwards is
+    * a co-partitioned self-join within the order, so candidate volume
+    * is Σ|basket|² (baskets are small by nature — the blow-up knob is
+    * basket size, never corpus size).
+    */
+  private def baskets(s: SparkSession, d: String): DataFrame =
+    lineitem(s, d).select(col("l_orderkey").as("ok"),
+      col("l_partkey").as("pk")).distinct()
+
+  // ---- q97: market-basket association rules — parts bought together
+  //      in one order, with support/confidence/lift. Counts are exact
+  //      integers; the three ratios are each ONE double division of
+  //      exact bigint products (all < 2^53 — the q71 convention),
+  //      rounded to 9. Top-20 by (n_ab desc, pa, pb) deterministic. ----
+  val q97BasketPairs: Q = (s, d) => {
+    val li = baskets(s, d).localCheckpoint(true) // 3 consumers below
+    val nOrders = li.agg(countDistinct(col("ok")).cast("bigint").as("n_orders"))
+    val partCnt = li.groupBy(col("pk"))
+      .agg(count(lit(1)).cast("bigint").as("n_ord"))
+    val pairs = li.as("a").join(li.as("b"),
+        col("a.ok") === col("b.ok") && col("a.pk") < col("b.pk"))
+      .groupBy(col("a.pk").as("pa"), col("b.pk").as("pb"))
+      .agg(count(lit(1)).cast("bigint").as("n_ab"))
+    pairs
+      .join(partCnt.select(col("pk").as("pa"), col("n_ord").as("n_a")), "pa")
+      .join(partCnt.select(col("pk").as("pb"), col("n_ord").as("n_b")), "pb")
+      .crossJoin(broadcast(nOrders))
+      .select(col("pa"), col("pb"), col("n_ab"),
+        round(col("n_ab").cast("double") / col("n_orders"), 9).as("support"),
+        round(col("n_ab").cast("double") / col("n_a"), 9).as("confidence"),
+        round((col("n_ab") * col("n_orders")).cast("double") /
+          (col("n_a") * col("n_b")), 9).as("lift"))
+      .orderBy(col("n_ab").desc, col("pa"), col("pb"))
+      .limit(20)
+  }
+
+  val q97Oracle: String =
+    """WITH li AS (SELECT DISTINCT l_orderkey AS ok, l_partkey AS pk FROM lineitem),
+      |n AS (SELECT CAST(COUNT(DISTINCT ok) AS BIGINT) AS n_orders FROM li),
+      |pc AS (SELECT pk, CAST(COUNT(*) AS BIGINT) AS n_ord FROM li GROUP BY pk),
+      |pr AS (SELECT a.pk AS pa, b.pk AS pb, CAST(COUNT(*) AS BIGINT) AS n_ab
+      |       FROM li a JOIN li b ON a.ok = b.ok AND a.pk < b.pk GROUP BY 1, 2)
+      |SELECT pr.pa, pr.pb, pr.n_ab,
+      |  ROUND(CAST(pr.n_ab AS DOUBLE) / n.n_orders, 9) AS support,
+      |  ROUND(CAST(pr.n_ab AS DOUBLE) / ca.n_ord, 9) AS confidence,
+      |  ROUND(CAST(pr.n_ab * n.n_orders AS DOUBLE) / (ca.n_ord * cb.n_ord), 9) AS lift
+      |FROM pr, n
+      |JOIN pc ca ON ca.pk = pr.pa
+      |JOIN pc cb ON cb.pk = pr.pb
+      |ORDER BY pr.n_ab DESC, pr.pa, pr.pb LIMIT 20""".stripMargin
+
+  // ---- q98: triangle counting on the co-purchase graph (edges =
+  //      part pairs co-occurring in ≥2 orders). Degree-ordered edge
+  //      orientation (Schank-Wagner/cohen): every edge points from
+  //      the smaller (degree, id) endpoint, so out-degrees are
+  //      O(√|E|)-bounded and wedge volume is Σ outdeg² — never the
+  //      hub-quadratic Σ deg² a naive wedge join pays on skewed
+  //      graphs. Each triangle is counted exactly once (at its
+  //      order-minimal vertex). The oracle is the independent
+  //      unoriented a<b<c three-way join. ----
+  val q98Triangles: Q = (s, d) => {
+    val li = baskets(s, d)
+    val edges = li.as("a").join(li.as("b"),
+        col("a.ok") === col("b.ok") && col("a.pk") < col("b.pk"))
+      .groupBy(col("a.pk").as("x"), col("b.pk").as("y"))
+      .agg(count(lit(1)).as("n"))
+      .filter(col("n") >= 2).select(col("x"), col("y"))
+    graft.operators.GraphOps.triangleCount(edges, "x", "y")
+  }
+
+  val q98Oracle: String =
+    """WITH li AS (SELECT DISTINCT l_orderkey AS ok, l_partkey AS pk FROM lineitem),
+      |pr AS (SELECT a.pk AS pa, b.pk AS pb, COUNT(*) AS n
+      |       FROM li a JOIN li b ON a.ok = b.ok AND a.pk < b.pk GROUP BY 1, 2),
+      |e AS (SELECT pa AS a, pb AS b FROM pr WHERE n >= 2)
+      |SELECT
+      |  CAST((SELECT COUNT(*) FROM (SELECT a AS x FROM e UNION SELECT b FROM e) t) AS BIGINT) AS n_nodes,
+      |  CAST((SELECT COUNT(*) FROM e) AS BIGINT) AS n_edges,
+      |  CAST((SELECT COUNT(*) FROM e e1
+      |        JOIN e e2 ON e2.a = e1.b
+      |        JOIN e e3 ON e3.a = e1.a AND e3.b = e2.b) AS BIGINT) AS n_triangles""".stripMargin
+
+  // ---- q99: referential-integrity audit — orphan foreign keys across
+  //      the star schema, one report row per FK edge. Each edge is ONE
+  //      left join of the child scan against the parent's distinct
+  //      keys + one aggregation (orphans = non-null FK with no parent;
+  //      SQL convention: NULL FKs are not violations, reported
+  //      separately). The governance rollup a CDC sink runs after
+  //      apply. ----
+  val q99ReferentialIntegrity: Q = (s, d) => {
+    def audit(name: String, child: DataFrame, fk: String,
+              parent: DataFrame, pk: String): DataFrame = {
+      val keys = parent.select(col(pk).as("__pk")).distinct()
+      child.select(col(fk).as("__fk"))
+        .join(keys, col("__fk") === col("__pk"), "left")
+        .agg(lit(name).as("fk"),
+          count(lit(1)).cast("bigint").as("n_rows"),
+          sum(when(col("__fk").isNull, 1L).otherwise(0L)).cast("bigint")
+            .as("n_nulls"),
+          sum(when(col("__fk").isNotNull && col("__pk").isNull, 1L)
+            .otherwise(0L)).cast("bigint").as("n_orphans"))
+    }
+    audit("lineitem.l_orderkey->orders", lineitem(s, d), "l_orderkey",
+        orders(s, d), "o_orderkey")
+      .unionAll(audit("lineitem.l_partkey->part", lineitem(s, d), "l_partkey",
+        part(s, d), "p_partkey"))
+      .unionAll(audit("lineitem.l_suppkey->supplier", lineitem(s, d),
+        "l_suppkey", supplier(s, d), "s_suppkey"))
+      .unionAll(audit("orders.o_custkey->customer", orders(s, d), "o_custkey",
+        customer(s, d), "c_custkey"))
+      .unionAll(audit("customer.c_nationkey->nation", customer(s, d),
+        "c_nationkey", nation(s, d), "n_nationkey"))
+  }
+
+  val q99Oracle: String =
+    """SELECT 'lineitem.l_orderkey->orders' AS fk,
+      |  CAST(COUNT(*) AS BIGINT) AS n_rows,
+      |  CAST(SUM(CASE WHEN l.l_orderkey IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_nulls,
+      |  CAST(SUM(CASE WHEN l.l_orderkey IS NOT NULL AND p.k IS NULL
+      |    THEN 1 ELSE 0 END) AS BIGINT) AS n_orphans
+      |FROM lineitem l LEFT JOIN (SELECT DISTINCT o_orderkey AS k FROM orders) p
+      |  ON p.k = l.l_orderkey
+      |UNION ALL
+      |SELECT 'lineitem.l_partkey->part',
+      |  CAST(COUNT(*) AS BIGINT),
+      |  CAST(SUM(CASE WHEN l.l_partkey IS NULL THEN 1 ELSE 0 END) AS BIGINT),
+      |  CAST(SUM(CASE WHEN l.l_partkey IS NOT NULL AND p.k IS NULL
+      |    THEN 1 ELSE 0 END) AS BIGINT)
+      |FROM lineitem l LEFT JOIN (SELECT DISTINCT p_partkey AS k FROM part) p
+      |  ON p.k = l.l_partkey
+      |UNION ALL
+      |SELECT 'lineitem.l_suppkey->supplier',
+      |  CAST(COUNT(*) AS BIGINT),
+      |  CAST(SUM(CASE WHEN l.l_suppkey IS NULL THEN 1 ELSE 0 END) AS BIGINT),
+      |  CAST(SUM(CASE WHEN l.l_suppkey IS NOT NULL AND p.k IS NULL
+      |    THEN 1 ELSE 0 END) AS BIGINT)
+      |FROM lineitem l LEFT JOIN (SELECT DISTINCT s_suppkey AS k FROM supplier) p
+      |  ON p.k = l.l_suppkey
+      |UNION ALL
+      |SELECT 'orders.o_custkey->customer',
+      |  CAST(COUNT(*) AS BIGINT),
+      |  CAST(SUM(CASE WHEN o.o_custkey IS NULL THEN 1 ELSE 0 END) AS BIGINT),
+      |  CAST(SUM(CASE WHEN o.o_custkey IS NOT NULL AND p.k IS NULL
+      |    THEN 1 ELSE 0 END) AS BIGINT)
+      |FROM orders o LEFT JOIN (SELECT DISTINCT c_custkey AS k FROM customer) p
+      |  ON p.k = o.o_custkey
+      |UNION ALL
+      |SELECT 'customer.c_nationkey->nation',
+      |  CAST(COUNT(*) AS BIGINT),
+      |  CAST(SUM(CASE WHEN c.c_nationkey IS NULL THEN 1 ELSE 0 END) AS BIGINT),
+      |  CAST(SUM(CASE WHEN c.c_nationkey IS NOT NULL AND p.k IS NULL
+      |    THEN 1 ELSE 0 END) AS BIGINT)
+      |FROM customer c LEFT JOIN (SELECT DISTINCT n_nationkey AS k FROM nation) p
+      |  ON p.k = c.c_nationkey""".stripMargin
+
+  // ---- q100: inter-order gap statistics — per-customer days between
+  //      consecutive orders (the reorder-cadence / churn-risk shape).
+  //      One window per customer (bounded state, deterministic
+  //      (date, orderkey) order), exact integer day gaps, discrete
+  //      median via percentile_disc (the q68 parity — actual data
+  //      values, no interpolation). Customers with ≥3 orders. ----
+  val q100ReorderGaps: Q = (s, d) => {
+    val o = orders(s, d).select(col("o_custkey"),
+      to_date(col("o_orderdate")).as("day"), col("o_orderkey"))
+    val w = Window.partitionBy(col("o_custkey"))
+      .orderBy(col("day"), col("o_orderkey"))
+    val gaps = o.withColumn("__gap",
+        datediff(col("day"), lag(col("day"), 1).over(w)).cast("long"))
+      .filter(col("__gap").isNotNull)
+    gaps.groupBy(col("o_custkey"))
+      .agg((count(lit(1)) + 1).cast("bigint").as("n_orders"),
+        min(col("__gap")).as("min_gap"),
+        max(col("__gap")).as("max_gap"),
+        expr("percentile_disc(0.5) WITHIN GROUP (ORDER BY __gap)")
+          .cast("bigint").as("median_gap"))
+      .filter(col("n_orders") >= 3)
+  }
+
+  val q100Oracle: String =
+    """WITH g AS (
+      |  SELECT o_custkey,
+      |    date_diff('day',
+      |      lag(CAST(o_orderdate AS DATE)) OVER
+      |        (PARTITION BY o_custkey ORDER BY CAST(o_orderdate AS DATE), o_orderkey),
+      |      CAST(o_orderdate AS DATE)) AS gap
+      |  FROM orders)
+      |SELECT o_custkey,
+      |  CAST(COUNT(*) + 1 AS BIGINT) AS n_orders,
+      |  CAST(MIN(gap) AS BIGINT) AS min_gap,
+      |  CAST(MAX(gap) AS BIGINT) AS max_gap,
+      |  CAST(quantile_disc(gap, 0.5) AS BIGINT) AS median_gap
+      |FROM g WHERE gap IS NOT NULL
+      |GROUP BY o_custkey HAVING COUNT(*) + 1 >= 3""".stripMargin
+
+  // ---- q101: month-over-month revenue change per nation — the
+  //      reporting delta shape. Monthly cents are exact decimal sums;
+  //      the pct change is ONE double division of exact cents (both
+  //      < 2^53), rounded to 9; prev month = previous OBSERVED month
+  //      (lag over the per-nation month series, deterministic). ----
+  val q101MomChange: Q = (s, d) => {
+    val rev = orders(s, d)
+      .join(customer(s, d), col("o_custkey") === col("c_custkey"))
+      .join(broadcast(nation(s, d)), col("c_nationkey") === col("n_nationkey"))
+      .groupBy(col("n_name").as("nation"),
+        date_trunc("month", col("o_orderdate")).cast("date").as("month"))
+      .agg((sum(col("o_totalprice").cast("decimal(18,2)")) * 100)
+        .cast("long").as("rev_cents"))
+    val w = Window.partitionBy(col("nation")).orderBy(col("month"))
+    rev.withColumn("prev_cents", lag(col("rev_cents"), 1).over(w))
+      .withColumn("delta_cents", col("rev_cents") - col("prev_cents"))
+      .withColumn("pct_change",
+        round(col("delta_cents").cast("double") / col("prev_cents"), 9))
+  }
+
+  val q101Oracle: String =
+    """WITH rev AS (
+      |  SELECT n.n_name AS nation,
+      |    CAST(date_trunc('month', o.o_orderdate) AS DATE) AS month,
+      |    CAST(SUM(CAST(o.o_totalprice AS DECIMAL(18,2))) * 100 AS BIGINT) AS rev_cents
+      |  FROM orders o
+      |  JOIN customer c ON o.o_custkey = c.c_custkey
+      |  JOIN nation n ON c.c_nationkey = n.n_nationkey
+      |  GROUP BY 1, 2)
+      |SELECT nation, month, rev_cents,
+      |  lag(rev_cents) OVER (PARTITION BY nation ORDER BY month) AS prev_cents,
+      |  rev_cents - lag(rev_cents) OVER (PARTITION BY nation ORDER BY month) AS delta_cents,
+      |  ROUND(CAST(rev_cents - lag(rev_cents) OVER (PARTITION BY nation ORDER BY month) AS DOUBLE)
+      |    / lag(rev_cents) OVER (PARTITION BY nation ORDER BY month), 9) AS pct_change
+      |FROM rev""".stripMargin
+
+  // ---- q102: LINEAR-interpolation gap fill — the lerp complement of
+  //      q35's LOCF: a missing day between two observations gets the
+  //      straight-line value, EXACT by integer floor arithmetic:
+  //      lerp = prev + (Δ·offset − pmod(Δ·offset, span)) / span, every
+  //      term a bigint (Δ·offset < 2^40), the floor-mod spelled
+  //      identically in both engines so a negative Δ cannot split
+  //      truncate-vs-floor. Grid = per-user min..max day (sequence +
+  //      explode in the scan task, no driver date loop); prev/next
+  //      carried by two IGNORE-NULLS windows per user (bounded
+  //      state). ----
+  val q102LerpFill: Q = (s, d) => {
+    val daily = events(s, d).filter(col("user_id") < 50)
+      .groupBy(col("user_id"), to_date(col("ts")).as("day"))
+      .agg((sum(col("value").cast("decimal(18,2)")) * 100)
+        .cast("long").as("cents"))
+    graft.operators.Interpolate.lerpFill(daily, "user_id", "day", "cents")
+  }
+
+  val q102Oracle: String =
+    """WITH daily AS (
+      |  SELECT user_id, CAST(ts AS DATE) AS day,
+      |    CAST(SUM(CAST(value AS DECIMAL(18,2))) * 100 AS BIGINT) AS cents
+      |  FROM events WHERE user_id < 50 GROUP BY 1, 2),
+      |grid AS (
+      |  SELECT user_id, CAST(unnest(generate_series(MIN(day), MAX(day),
+      |    INTERVAL 1 DAY)) AS DATE) AS day
+      |  FROM daily GROUP BY user_id),
+      |j AS (SELECT g.user_id, g.day, d.cents
+      |      FROM grid g LEFT JOIN daily d ON d.user_id = g.user_id AND d.day = g.day),
+      |ends AS (
+      |  SELECT user_id, day, cents,
+      |    LAST_VALUE(cents IGNORE NULLS) OVER
+      |      (PARTITION BY user_id ORDER BY day
+      |       ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS pv,
+      |    LAST_VALUE(CASE WHEN cents IS NOT NULL THEN day END IGNORE NULLS) OVER
+      |      (PARTITION BY user_id ORDER BY day
+      |       ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS pd,
+      |    FIRST_VALUE(cents IGNORE NULLS) OVER
+      |      (PARTITION BY user_id ORDER BY day
+      |       ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING) AS nv,
+      |    FIRST_VALUE(CASE WHEN cents IS NOT NULL THEN day END IGNORE NULLS) OVER
+      |      (PARTITION BY user_id ORDER BY day
+      |       ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING) AS nd
+      |  FROM j)
+      |SELECT user_id, day,
+      |  COALESCE(cents,
+      |    pv + ((nv - pv) * date_diff('day', pd, day)
+      |          - (((nv - pv) * date_diff('day', pd, day)) % date_diff('day', pd, nd)
+      |             + date_diff('day', pd, nd)) % date_diff('day', pd, nd))
+      |       // date_diff('day', pd, nd)) AS cents,
+      |  cents IS NULL AS interpolated
+      |FROM ends""".stripMargin
+
+  // ---- text_zipf: Zipf-law audit of the token distribution — for the
+  //      top-100 token types (rank by count desc, token asc —
+  //      deterministic), the rank·count constancy product and exact
+  //      integer ppm share (the slope/log fit is left to the analyst:
+  //      ln() ulps differ across engines — the q85 Benford rule). The
+  //      count table is vocabulary-sized after map-side combine; the
+  //      top-100 is a TakeOrdered and the walk is driver-side over 100
+  //      rows (the q54/q96 model-sized-collect convention). ----
+  val textZipf: Q = (s, d) => {
+    import graft.functions.wsTokens
+    val cnt = documents(s, d)
+      .select(explode(wsTokens(col("text"))).as("w"))
+      .groupBy(col("w")).agg(count(lit(1)).cast("bigint").as("n"))
+      .localCheckpoint(true) // total + top-100 both read it
+    val total = cnt.agg(sum(col("n"))).collect()(0).getLong(0)
+    val top = cnt.orderBy(col("n").desc, col("w")).limit(100).collect()
+    import s.implicits._
+    top.zipWithIndex.map { case (r, i) =>
+      val n = r.getLong(1)
+      (i + 1L, r.getString(0), n, (i + 1L) * n, n * 1000000L / total)
+    }.toSeq.toDF("rank", "token", "n", "rank_x_count", "share_ppm")
+  }
+
+  val textZipfOracle: String =
+    """WITH c AS (
+      |  SELECT w, CAST(COUNT(*) AS BIGINT) AS n
+      |  FROM (SELECT unnest(regexp_split_to_array(trim(text), '\s+')) AS w
+      |        FROM documents)
+      |  GROUP BY w),
+      |t AS (SELECT CAST(SUM(n) AS BIGINT) AS total FROM c),
+      |r AS (SELECT w, n, CAST(ROW_NUMBER() OVER (ORDER BY n DESC, w) AS BIGINT) AS rank
+      |      FROM c)
+      |SELECT r.rank, r.w AS token, r.n, r.rank * r.n AS rank_x_count,
+      |  r.n * 1000000 // t.total AS share_ppm
+      |FROM r, t WHERE r.rank <= 100""".stripMargin
+
+  // ---- q103: rank movers — each part's revenue rank in the early vs
+  //      late half of the shipping window, biggest rank changes first.
+  //      Both ranks come from the distributed Ranking operator (range
+  //      partitions + driver offsets — never an unpartitioned
+  //      ROW_NUMBER window) over a composite integer key encoding
+  //      (revenue desc, partkey asc); revenue is an exact decimal sum
+  //      scaled to integer 1/10000ths so the key is collision-free.
+  //      Top-20 by (|Δrank| desc, partkey). ----
+  val q103RankMovers: Q = (s, d) => {
+    val li = lineitem(s, d).select(col("l_partkey"),
+      to_date(col("l_shipdate")).as("sd"),
+      (col("l_extendedprice").cast("decimal(18,2)") *
+        (lit(1).cast("decimal(18,2)") - col("l_discount").cast("decimal(18,2)")))
+        .as("rev"))
+    val mm = li.agg(min(col("sd")).as("lo"), max(col("sd")).as("hi"))
+      .select(date_add(col("lo"),
+        (datediff(col("hi"), col("lo")) / 2).cast("int")).as("mid"))
+    val withHalf = li.crossJoin(broadcast(mm))
+      .withColumn("half", when(col("sd") < col("mid"), 1).otherwise(2))
+    def ranked(half: Int, out: String) = {
+      val rev = withHalf.filter(col("half") === half)
+        .groupBy(col("l_partkey"))
+        .agg((sum(col("rev")) * 10000).cast("long").as("rev4"))
+        .withColumn("__key", -col("rev4") * 10000000L + col("l_partkey"))
+      Ranking.globalRank(rev, "__key", out)
+        .select(col("l_partkey"), col(out))
+    }
+    ranked(1, "rank_early").join(ranked(2, "rank_late"), "l_partkey")
+      .withColumn("rank_change", col("rank_late") - col("rank_early"))
+      .withColumn("abs_change", abs(col("rank_change")))
+      .orderBy(col("abs_change").desc, col("l_partkey"))
+      .limit(20)
+      .select(col("l_partkey"), col("rank_early"), col("rank_late"),
+        col("rank_change"))
+  }
+
+  val q103Oracle: String =
+    """WITH li AS (
+      |  SELECT l_partkey, CAST(l_shipdate AS DATE) AS sd,
+      |    CAST(l_extendedprice AS DECIMAL(18,2)) *
+      |      (CAST(1 AS DECIMAL(18,2)) - CAST(l_discount AS DECIMAL(18,2))) AS rev
+      |  FROM lineitem),
+      |mm AS (SELECT MIN(sd) + CAST(date_diff('day', MIN(sd), MAX(sd)) // 2 AS INTEGER) AS mid FROM li),
+      |e AS (SELECT l_partkey, CAST(SUM(rev) * 10000 AS BIGINT) AS rev4
+      |      FROM li, mm WHERE sd < mid GROUP BY 1),
+      |l AS (SELECT l_partkey, CAST(SUM(rev) * 10000 AS BIGINT) AS rev4
+      |      FROM li, mm WHERE sd >= mid GROUP BY 1),
+      |re AS (SELECT l_partkey, CAST(ROW_NUMBER() OVER (ORDER BY rev4 DESC, l_partkey) AS BIGINT) AS rank_early FROM e),
+      |rl AS (SELECT l_partkey, CAST(ROW_NUMBER() OVER (ORDER BY rev4 DESC, l_partkey) AS BIGINT) AS rank_late FROM l)
+      |SELECT re.l_partkey, re.rank_early, rl.rank_late,
+      |  rl.rank_late - re.rank_early AS rank_change
+      |FROM re JOIN rl ON re.l_partkey = rl.l_partkey
+      |ORDER BY abs(rl.rank_late - re.rank_early) DESC, re.l_partkey
+      |LIMIT 20""".stripMargin
+
+  // ---- emb_class_scatter: within-class scatter of the embedding
+  //      space per label — the compactness half of a Fisher-style
+  //      class-separability diagnostic (drift in it flags embedding
+  //      collapse or label contamination). Values are scaled to exact
+  //      integer micro-units first (round(v·10⁶) — engine-identical
+  //      on doubles); the per-position scatter numerator
+  //      n·Σx² − (Σx)² is the q38 exact-integer identity, summed over
+  //      positions in DECIMAL(38,0). One posexplode + one hash agg —
+  //      the shuffle carries per-position partial sums, never
+  //      vectors. ----
+  val embClassScatter: Q = (s, d) => {
+    val ex = embeddings(s, d).select(col("label"),
+      posexplode(col("embedding")).as(Seq("pos", "v")))
+      .withColumn("vi", round(col("v").cast("double") * 1000000L)
+        .cast("long"))
+    val perPos = ex.groupBy(col("label"), col("pos"))
+      .agg(count(lit(1)).cast("long").as("n"),
+        sum(col("vi")).as("s"),
+        sum(col("vi") * col("vi")).as("ss"))
+    perPos.select(col("label"), col("n"),
+        (col("n").cast("decimal(18,0)") * col("ss").cast("decimal(19,0)") -
+          col("s").cast("decimal(19,0)") * col("s").cast("decimal(19,0)"))
+          .cast("decimal(38,0)").as("sc"))
+      .groupBy(col("label"))
+      .agg(max(col("n")).cast("bigint").as("n"),
+        sum(col("sc")).cast("decimal(38,0)").as("scatter_num"))
+  }
+
+  val embClassScatterOracle: String =
+    """WITH ex AS (
+      |  SELECT label, unnest(embedding) AS v,
+      |         unnest(range(len(embedding))) AS pos
+      |  FROM embeddings),
+      |vi AS (SELECT label, pos,
+      |         CAST(round(CAST(v AS DOUBLE) * 1000000) AS BIGINT) AS vi
+      |       FROM ex),
+      |pp AS (SELECT label, pos, CAST(COUNT(*) AS BIGINT) AS n,
+      |         CAST(SUM(vi) AS BIGINT) AS s,
+      |         CAST(SUM(vi * vi) AS BIGINT) AS ss
+      |       FROM vi GROUP BY 1, 2)
+      |SELECT label, CAST(MAX(n) AS BIGINT) AS n,
+      |  CAST(SUM(CAST(CAST(n AS DECIMAL(18,0)) * CAST(ss AS DECIMAL(19,0))
+      |    - CAST(s AS DECIMAL(19,0)) * CAST(s AS DECIMAL(19,0)) AS DECIMAL(38,0)))
+      |    AS DECIMAL(38,0)) AS scatter_num
+      |FROM pp GROUP BY label""".stripMargin
+
+  val queries: Map[String, Q] = Map(
+    "q97_basket_pairs" -> q97BasketPairs,
+    "q98_triangles" -> q98Triangles,
+    "q99_referential_integrity" -> q99ReferentialIntegrity,
+    "q100_reorder_gaps" -> q100ReorderGaps,
+    "q101_mom_change" -> q101MomChange,
+    "q102_lerp_fill" -> q102LerpFill,
+    "q103_rank_movers" -> q103RankMovers,
+    "text_zipf" -> textZipf,
+    "emb_class_scatter" -> embClassScatter)
+
+  val oracles: Map[String, String] = Map(
+    "q97_basket_pairs" -> q97Oracle,
+    "q98_triangles" -> q98Oracle,
+    "q99_referential_integrity" -> q99Oracle,
+    "q100_reorder_gaps" -> q100Oracle,
+    "q101_mom_change" -> q101Oracle,
+    "q102_lerp_fill" -> q102Oracle,
+    "q103_rank_movers" -> q103Oracle,
+    "text_zipf" -> textZipfOracle,
+    "emb_class_scatter" -> embClassScatterOracle)
+}

@@ -502,6 +502,34 @@ object TextQueries {
     Multimodal.phashPairs(s, imgs, "doc_id", "payload", maxHamming = 6)
   }
 
+  // ---- multimodal_pca_ann: the cross-family composition exercised
+  //      under the driver, not only ScalaTest — synthetic PPMs → REAL
+  //      P6 decode → pixel features (3 channel means + 13 luma bins)
+  //      → PCA basis fit + broadcast-model projection → IVF top-k in
+  //      the projected space. Rows-only: the eigensolve signs and
+  //      centroid seeds are engine-specific; each stage's math is
+  //      pinned by its own oracle/spec rows. ----
+  val multimodalPcaAnn: Q = (s, d) => {
+    import s.implicits._
+    import graft.operators.{EmbedPca, IvfIndex}
+    val imgs = documents(s, d).filter(col("doc_id") < 400)
+      .select(col("doc_id")).as[Long]
+      .mapPartitions(_.map(id => (id, Multimodal.syntheticPpm(id))))
+      .toDF("doc_id", "payload")
+    val feats = Multimodal.decodeImages(s, imgs, "doc_id", "payload")
+      .select(col("doc_id").as("vec_id"), col("features").as("embedding"))
+      .localCheckpoint(true) // decode once: fit + project + train read it
+    val pca = EmbedPca.fit(feats, "embedding", k = 8, dim = 16)
+    val proj = EmbedPca.project(feats, pca, "embedding")
+      .select(col("vec_id"), array((1 to 8).map(i =>
+        col(s"pc$i").cast("float")): _*).as("embedding"))
+      .localCheckpoint(true) // train + base + queries read it
+    val model = IvfIndex.train(proj, "vec_id", "embedding",
+      numCentroids = 8, iters = 2)
+    IvfIndex.topK(proj, proj.filter(col("vec_id") < 20),
+      "vec_id", "embedding", model, k = 5, nProbe = 3)
+  }
+
   // ---- text_source_cap: per-source domain balancing — keep at most
   //      15 docs per source in engine-portable md5 order (the oracle
   //      recomputes the same selection); the cap runs through the
@@ -1636,7 +1664,8 @@ object TextQueries {
     "jsonl_roundtrip" -> jsonlRoundtrip,
     "csv_roundtrip" -> csvRoundtrip,
     "orc_roundtrip" -> orcRoundtrip,
-    "multimodal_phash_dedup" -> phashDedup)
+    "multimodal_phash_dedup" -> phashDedup,
+    "multimodal_pca_ann" -> multimodalPcaAnn)
 
   val oracles: Map[String, String] = Map(
     "pipeline_report" -> pipelineReportOracle,
