@@ -59,4 +59,53 @@ object GraphOps {
     val nTri = tri.agg(count(lit(1)).cast("bigint").as("n_triangles"))
     nNodes.crossJoin(broadcast(nEdges)).crossJoin(broadcast(nTri))
   }
+
+  /** K-CORE of an undirected simple graph: the maximal subgraph in
+    * which every node has degree ≥ k — the classic density filter
+    * (spam-farm detection in link graphs, community kernels,
+    * influence backbones). The fixpoint is unique regardless of
+    * peeling order, so the result is deterministic.
+    *
+    * Iterative peeling: each round is one degree aggregation + two
+    * anti-joins dropping edges incident to under-degree nodes; the
+    * driver loops only on a scalar emptiness check, with the edge
+    * frame pinned by eager localCheckpoint per round (the PageRank
+    * lineage lesson — a path graph peels one layer per round, so
+    * depth is real). `maxIter` bounds the walk; non-convergence
+    * REFUSES rather than returning a superset that silently isn't a
+    * core.
+    *
+    * @return surviving (node, degree) rows — degree WITHIN the core
+    */
+  def kCore(edgesIn: DataFrame, aCol: String, bCol: String, k: Int,
+            maxIter: Int = 100): DataFrame = {
+    require(k >= 1, s"kCore: k must be >= 1, got $k")
+    val canon = edgesIn
+      .select(least(col(aCol), col(bCol)).as("x"),
+        greatest(col(aCol), col(bCol)).as("y"))
+      .filter(col("x") =!= col("y"))
+      .distinct()
+    // symmetric form: degree = per-src row count
+    var sym = canon.unionAll(canon.select(col("y").as("x"), col("x").as("y")))
+      .localCheckpoint(true)
+    var done = false
+    var i = 0
+    while (!done && i < maxIter) {
+      val deg = sym.groupBy(col("x")).agg(count(lit(1)).as("deg"))
+      val bad = deg.filter(col("deg") < k).select(col("x")).localCheckpoint(true)
+      if (bad.isEmpty) done = true
+      else {
+        sym = sym.join(bad, Seq("x"), "left_anti")
+          .join(bad.select(col("x").as("y")), Seq("y"), "left_anti")
+          .select(col("x"), col("y"))
+          .localCheckpoint(true)
+        i += 1
+      }
+    }
+    require(done,
+      s"kCore: no fixpoint after maxIter=$maxIter peeling rounds — " +
+        "raise maxIter (deep path-shaped graphs peel one layer per round)")
+    sym.groupBy(col("x").as("node"))
+      .agg(count(lit(1)).cast("bigint").as("degree"))
+  }
 }

@@ -20,6 +20,7 @@ object GraftFunctions {
   val ShingleLookupName = "graft_shingle_lookup"
   val NormalizeName = "graft_normalize"
   val JaroWinklerName = "graft_jaro_winkler"
+  val DamerauName = "graft_damerau_levenshtein"
   val FixMojibakeName = "graft_fix_mojibake"
 
   private def minhashBuilder(exprs: Seq[Expression]): Expression = {
@@ -85,6 +86,7 @@ object GraftFunctions {
     ShingleLookupName -> (lookupBuilder _),
     NormalizeName -> (normalizeBuilder _),
     JaroWinklerName -> (exprs => JaroWinkler(exprs(0), exprs(1))),
+    DamerauName -> (exprs => DamerauLevenshtein(exprs(0), exprs(1))),
     FixMojibakeName -> (exprs => FixMojibake(exprs(0))))
 
   /** Idempotently register the functions on a session. Operators call
@@ -137,6 +139,10 @@ object GraftFunctions {
   /** Codegen'd Jaro-Winkler similarity (requires `register`). */
   def jaroWinklerFast(a: Column, b: Column): Column =
     call_function(JaroWinklerName, a, b)
+
+  /** Codegen'd true Damerau-Levenshtein distance (requires `register`). */
+  def damerauFast(a: Column, b: Column): Column =
+    call_function(DamerauName, a, b)
 
   /** Codegen'd mojibake repair (requires `register`). */
   def fixMojibakeFast(text: Column): Column =

@@ -443,6 +443,59 @@ object Advanced2 {
       |    AS DECIMAL(38,0)) AS scatter_num
       |FROM pp GROUP BY label""".stripMargin
 
+  // ---- q104: Damerau-Levenshtein fuzzy dedup of part names — the
+  //      typo-tolerant (transposition-aware) complement of q78's
+  //      Jaro-Winkler: same last-token blocking (|block|² bounded,
+  //      hot blocks excluded by the same BETWEEN filter in engine and
+  //      oracle), scored by the native codegen expression
+  //      (plans.DamerauLevenshtein, TRUE DL — a transposed pair may
+  //      be edited further). Distances are exact integers, so every
+  //      output cell hash-matches; ASCII names keep DuckDB's
+  //      byte-walk and our code-unit walk identical. ----
+  val q104DamerauDedup: Q = (s, d) => {
+    graft.plans.GraftFunctions.register(s)
+    val names = part(s, d).select(col("p_name")).distinct()
+      .withColumn("blk", element_at(split(col("p_name"), " "), -1))
+    val ok = names.groupBy(col("blk"))
+      .agg(count(lit(1)).as("cnt"))
+      .filter(col("cnt").between(2, 1000)).select("blk")
+    val blocked = names.join(ok, Seq("blk"))
+    val a = blocked.select(col("blk"), col("p_name").as("na"))
+    val b = blocked.select(col("blk"), col("p_name").as("nb"))
+    a.join(b, Seq("blk")).filter(col("na") < col("nb"))
+      .withColumn("dl",
+        graft.plans.GraftFunctions.damerauFast(col("na"), col("nb"))
+          .cast("bigint"))
+      .filter(col("dl") <= 4)
+      .select(col("na"), col("nb"), col("dl"))
+  }
+
+  val q104Oracle: String =
+    """WITH n AS (SELECT DISTINCT p_name FROM part),
+      |b AS (SELECT p_name, regexp_split_to_array(p_name, ' ')[-1] AS blk FROM n),
+      |ok AS (SELECT blk FROM b GROUP BY blk HAVING COUNT(*) BETWEEN 2 AND 1000),
+      |bb AS (SELECT b.p_name, b.blk FROM b JOIN ok USING (blk))
+      |SELECT a.p_name AS na, c.p_name AS nb,
+      |  CAST(damerau_levenshtein(a.p_name, c.p_name) AS BIGINT) AS dl
+      |FROM bb a JOIN bb c ON a.blk = c.blk AND a.p_name < c.p_name
+      |WHERE damerau_levenshtein(a.p_name, c.p_name) <= 4""".stripMargin
+
+  // ---- graph_kcore: 3-core of the co-purchase graph (edges = part
+  //      pairs sharing ≥2 orders) — the density backbone the triangle
+  //      count (q98) summarizes. Unique fixpoint ⇒ deterministic
+  //      rows; rows-only under the driver (iterate-until-fixpoint
+  //      peeling has no recursive-CTE oracle form), fixpoint and
+  //      peeling order-independence pinned by crafted specs. ----
+  val graphKcore: Q = (s, d) => {
+    val li = baskets(s, d)
+    val edges = li.as("a").join(li.as("b"),
+        col("a.ok") === col("b.ok") && col("a.pk") < col("b.pk"))
+      .groupBy(col("a.pk").as("x"), col("b.pk").as("y"))
+      .agg(count(lit(1)).as("n"))
+      .filter(col("n") >= 2).select(col("x"), col("y"))
+    graft.operators.GraphOps.kCore(edges, "x", "y", k = 3)
+  }
+
   val queries: Map[String, Q] = Map(
     "q97_basket_pairs" -> q97BasketPairs,
     "q98_triangles" -> q98Triangles,
@@ -451,6 +504,8 @@ object Advanced2 {
     "q101_mom_change" -> q101MomChange,
     "q102_lerp_fill" -> q102LerpFill,
     "q103_rank_movers" -> q103RankMovers,
+    "q104_damerau_dedup" -> q104DamerauDedup,
+    "graph_kcore" -> graphKcore,
     "text_zipf" -> textZipf,
     "emb_class_scatter" -> embClassScatter)
 
@@ -462,6 +517,7 @@ object Advanced2 {
     "q101_mom_change" -> q101Oracle,
     "q102_lerp_fill" -> q102Oracle,
     "q103_rank_movers" -> q103Oracle,
+    "q104_damerau_dedup" -> q104Oracle,
     "text_zipf" -> textZipfOracle,
     "emb_class_scatter" -> embClassScatterOracle)
 }

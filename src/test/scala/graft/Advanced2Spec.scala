@@ -50,6 +50,68 @@ class Advanced2Spec extends AnyFunSuite {
     assert(reparted === got)
   }
 
+  test("kCore: crafted graphs — fixpoint, unique result, refusal on iteration cap") {
+    // K4 with a pendant path: the 3-core is exactly the K4
+    val k4 = for (i <- 1L to 4L; j <- (i + 1) to 4L) yield (i, j)
+    val tail = Seq((4L, 5L), (5L, 6L), (6L, 7L))
+    val core3 = GraphOps.kCore((k4 ++ tail).toDF("a", "b"), "a", "b", k = 3)
+      .as[(Long, Long)].collect().toMap
+    assert(core3 === Map(1L -> 3L, 2L -> 3L, 3L -> 3L, 4L -> 3L))
+    // 2-core of a pure path is empty (unravels end-in)
+    val path = (1L to 9L).sliding(2).map(s => (s.head, s.last)).toSeq
+    assert(GraphOps.kCore(path.toDF("a", "b"), "a", "b", k = 2).isEmpty)
+    // partitioning cannot change the fixpoint
+    val reparted = GraphOps.kCore(
+      (k4 ++ tail).toDF("a", "b").repartition(7), "a", "b", k = 3)
+      .as[(Long, Long)].collect().toMap
+    assert(reparted === core3)
+    // a path peels one layer per round: a tiny cap must REFUSE, not
+    // return a superset that silently isn't a core
+    val long = (1L to 30L).sliding(2).map(s => (s.head, s.last)).toSeq
+    val ex = intercept[IllegalArgumentException] {
+      GraphOps.kCore(long.toDF("a", "b"), "a", "b", k = 2, maxIter = 3)
+    }
+    assert(ex.getMessage.contains("maxIter"), ex.getMessage)
+  }
+
+  test("damerau-levenshtein: hand-computed classic values incl. the true-DL case") {
+    import graft.plans.DamerauLevenshtein
+    val cases = Seq(
+      ("CA", "ABC", 2),        // true DL; OSA would give 3
+      ("abc", "acb", 1),       // adjacent transposition
+      ("hte", "the", 1),
+      ("kitten", "sitting", 3),
+      ("", "abc", 3),
+      ("abc", "", 3),
+      ("same", "same", 0),
+      ("a", "b", 1),
+      ("teh quick", "the quick", 1))
+    for ((a, b, want) <- cases) {
+      assert(DamerauLevenshtein.distance(a, b) === want, s"dl($a, $b)")
+      assert(DamerauLevenshtein.distance(b, a) === want, s"dl($b, $a) symmetry")
+    }
+  }
+
+  test("damerau-levenshtein expression runs in a codegen projection; nulls; SQL form") {
+    import graft.plans.GraftFunctions
+    GraftFunctions.register(spark)
+    val df = Seq(("CA", "ABC"), ("same", "same"), (null, "x"))
+      .toDF("a", "b")
+      .select(GraftFunctions.damerauFast($"a", $"b").as("dl"))
+    assert(df.as[Option[Int]].collect().toSeq === Seq(Some(2), Some(0), None))
+    assert(spark.sql("SELECT graft_damerau_levenshtein('hte', 'the')")
+      .as[Int].collect()(0) === 1)
+    // DP budget refusal on absurd inputs, with the named budget
+    val big = "x" * 8000
+    val ex = intercept[Exception] {
+      Seq((big, big + "y")).toDF("a", "b")
+        .select(GraftFunctions.damerauFast($"a", $"b")).collect()
+    }
+    assert(ex.getMessage.contains("16M-cell") ||
+      ex.getCause != null && ex.getCause.getMessage.contains("16M-cell"),
+      s"expected budget refusal: ${ex.getMessage}")
+  }
+
   test("lerpFill: hand-computed interpolation incl. negative slope (floor, not truncate)") {
     val daily = Seq(
       (1L, "2024-01-01", 100L),
