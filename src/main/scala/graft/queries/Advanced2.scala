@@ -496,6 +496,54 @@ object Advanced2 {
     graft.operators.GraphOps.kCore(edges, "x", "y", k = 3)
   }
 
+  // ---- q105: EXACT ROC AUC via the Mann-Whitney rank-sum — the
+  //      model-evaluation primitive at corpus scale (here scoring
+  //      "is this doc English" by n_chars — any score column slots
+  //      in). Aggregate to the per-VALUE (pos, neg) table first
+  //      (value-cardinality, the q93 discipline), cumulate negatives
+  //      below each value with the distributed PrefixSum (never a
+  //      single-task window), then 2U = Σ [2·pos·negBelow + pos·neg]
+  //      handles ties by midrank EXACTLY in integers; AUC is the one
+  //      double division, rounded to 9. ----
+  val q105Auc: Q = (s, d) => {
+    import graft.operators.PrefixSum
+    val scored = documents(s, d).select(
+      col("n_chars").cast("long").as("score"),
+      when(col("lang") === "en", 1L).otherwise(0L).as("pos"))
+    val perValue = scored.groupBy(col("score"))
+      .agg(sum(col("pos")).as("p_at"),
+        sum(lit(1L) - col("pos")).as("n_at"))
+    val cum = PrefixSum.runningTotal(perValue, "score", "n_at", "n_cum")
+      .withColumn("n_below", col("n_cum") - col("n_at"))
+    val twoU = cum.agg(
+      sum(col("p_at") * col("n_below") * 2 + col("p_at") * col("n_at"))
+        .cast("decimal(38,0)").as("two_u"),
+      sum(col("p_at")).cast("bigint").as("n_pos"),
+      sum(col("n_at")).cast("bigint").as("n_neg"))
+    twoU.select(col("two_u").cast("bigint").as("two_u"),
+      col("n_pos"), col("n_neg"),
+      round(col("two_u").cast("double") /
+        (col("n_pos") * col("n_neg") * 2).cast("double"), 9).as("auc"))
+  }
+
+  val q105Oracle: String =
+    """WITH s AS (SELECT CAST(n_chars AS BIGINT) AS score,
+      |             CASE WHEN lang = 'en' THEN 1 ELSE 0 END AS pos
+      |           FROM documents),
+      |pv AS (SELECT score, CAST(SUM(pos) AS BIGINT) AS p_at,
+      |         CAST(SUM(1 - pos) AS BIGINT) AS n_at
+      |       FROM s GROUP BY score),
+      |c AS (SELECT score, p_at, n_at,
+      |        CAST(SUM(n_at) OVER (ORDER BY score
+      |          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) - n_at AS BIGINT) AS n_below
+      |      FROM pv)
+      |SELECT CAST(SUM(p_at * n_below * 2 + p_at * n_at) AS BIGINT) AS two_u,
+      |  CAST(SUM(p_at) AS BIGINT) AS n_pos,
+      |  CAST(SUM(n_at) AS BIGINT) AS n_neg,
+      |  ROUND(CAST(SUM(p_at * n_below * 2 + p_at * n_at) AS DOUBLE) /
+      |    CAST(SUM(p_at) * SUM(n_at) * 2 AS DOUBLE), 9) AS auc
+      |FROM c""".stripMargin
+
   val queries: Map[String, Q] = Map(
     "q97_basket_pairs" -> q97BasketPairs,
     "q98_triangles" -> q98Triangles,
@@ -505,6 +553,7 @@ object Advanced2 {
     "q102_lerp_fill" -> q102LerpFill,
     "q103_rank_movers" -> q103RankMovers,
     "q104_damerau_dedup" -> q104DamerauDedup,
+    "q105_auc" -> q105Auc,
     "graph_kcore" -> graphKcore,
     "text_zipf" -> textZipf,
     "emb_class_scatter" -> embClassScatter)
@@ -518,6 +567,7 @@ object Advanced2 {
     "q102_lerp_fill" -> q102Oracle,
     "q103_rank_movers" -> q103Oracle,
     "q104_damerau_dedup" -> q104Oracle,
+    "q105_auc" -> q105Oracle,
     "text_zipf" -> textZipfOracle,
     "emb_class_scatter" -> embClassScatterOracle)
 }
