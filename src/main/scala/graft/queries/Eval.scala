@@ -1,0 +1,265 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.operators.{PrefixSum, Ranking}
+import graft.sources.TableCatalog._
+
+/** Model-evaluation / distribution-audit family (round 12): next to
+  * the exact ROC AUC (q105) these are the remaining reports an
+  * offline-eval or data-quality pass runs over a scored corpus —
+  * Gini concentration, decile lift / cumulative gains, Welch's
+  * unequal-variance t-test, and calibration (reliability) bins.
+  * SURVEY.md §2 rows 123–126.
+  *
+  * Exactness discipline (the q71/q93 conventions): every count and
+  * sum is an exact integer or DECIMAL(38,0); doubles appear only in
+  * a final fixed IEEE formula (÷, √ are correctly rounded and so
+  * engine-deterministic) spelled identically in the DuckDB oracle,
+  * with one ROUND(…, 9) at the surface. Ranks come from the
+  * DISTRIBUTED [[Ranking]] operator over collision-free fixed-width
+  * composite keys, never an unpartitioned window; cumulations ride
+  * [[PrefixSum]].
+  */
+object Eval {
+
+  type Q = (SparkSession, String) => DataFrame
+
+  /** Exact cents of a dollars-valued DOUBLE column (decimal(18,2)
+    * rounding first — the established cross-engine convention).
+    */
+  private def cents(c: String): org.apache.spark.sql.Column =
+    (col(c).cast("decimal(18,2)") * 100).cast("long")
+
+  /** Fixed-width zero-padded decimal rendering: lexicographic order
+    * == numeric order for non-negative longs, so a concatenation of
+    * these is a collision-free composite RANGE-PARTITIONABLE key.
+    */
+  private def pad(c: org.apache.spark.sql.Column, w: Int) =
+    lpad(c.cast("string"), w, "0")
+
+  // ---- q106: per-nation Gini coefficient of customer revenue —
+  //      the inequality/concentration audit (is 1% of customers 99%
+  //      of revenue?). x = per-customer exact revenue cents; within-
+  //      nation ranks derive from ONE distributed global rank over
+  //      the composite key (nation, revenue, custkey) minus the
+  //      nation's tiny min-rank offset (25 rows, broadcast) — the
+  //      few-large-groups shape where a partitioned window would put
+  //      a whole nation in one task. Gini by the rank identity
+  //      G = (2·Σ r·x − (n+1)·Σx) / (n·Σx), all three terms exact
+  //      DECIMAL(38,0); ONE double division rounded to 9. ----
+  val q106Gini: Q = (s, d) => {
+    val rev = orders(s, d)
+      .groupBy(col("o_custkey").as("custkey"))
+      .agg(sum(cents("o_totalprice")).as("rev"))
+    val nat = rev
+      .join(customer(s, d).select(col("c_custkey").as("custkey"),
+        col("c_nationkey").as("nationkey")), "custkey")
+    val key = concat(pad(col("nationkey"), 4), pad(col("rev"), 14),
+      pad(col("custkey"), 12))
+    val ranked = Ranking.globalRank(nat.withColumn("__k", key), "__k", "grank")
+    val base = ranked.groupBy(col("nationkey"))
+      .agg(min(col("grank")).as("base"))
+    val withR = ranked.join(broadcast(base), "nationkey")
+      .withColumn("r", col("grank") - col("base") + lit(1L))
+    withR.groupBy(col("nationkey"))
+      .agg(count(lit(1)).cast("bigint").as("n_cust"),
+        sum(col("rev")).cast("decimal(38,0)").as("sx"),
+        sum(col("r").cast("decimal(38,0)") * col("rev")).as("srx"))
+      .join(nation(s, d).select(col("n_nationkey").as("nationkey"),
+        col("n_name")), "nationkey")
+      .select(col("n_name"), col("n_cust"),
+        col("sx").cast("bigint").as("sum_cents"),
+        round((col("srx") * 2 - (col("n_cust") + 1) * col("sx"))
+            .cast("double") /
+          (col("n_cust").cast("decimal(38,0)") * col("sx")).cast("double"),
+          9).as("gini"))
+  }
+
+  val q106Oracle: String =
+    """WITH rev AS (SELECT o_custkey AS custkey,
+      |    CAST(SUM(CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT)) AS BIGINT) AS rev
+      |  FROM orders GROUP BY 1),
+      |nat AS (SELECT r.custkey, r.rev, c.c_nationkey AS nationkey
+      |  FROM rev r JOIN customer c ON c.c_custkey = r.custkey),
+      |rk AS (SELECT nationkey, rev,
+      |    CAST(ROW_NUMBER() OVER (PARTITION BY nationkey
+      |      ORDER BY rev, custkey) AS BIGINT) AS r
+      |  FROM nat),
+      |agg AS (SELECT nationkey, CAST(COUNT(*) AS BIGINT) AS n_cust,
+      |    CAST(SUM(rev) AS HUGEINT) AS sx,
+      |    CAST(SUM(CAST(r AS HUGEINT) * rev) AS HUGEINT) AS srx
+      |  FROM rk GROUP BY 1)
+      |SELECT n.n_name, a.n_cust, CAST(a.sx AS BIGINT) AS sum_cents,
+      |  ROUND(CAST(a.srx * 2 - (a.n_cust + 1) * a.sx AS DOUBLE) /
+      |    CAST(CAST(a.n_cust AS HUGEINT) * a.sx AS DOUBLE), 9) AS gini
+      |FROM agg a JOIN nation n ON n.n_nationkey = a.nationkey""".stripMargin
+
+  // ---- q107: decile lift / cumulative gains — score the orders by
+  //      totalprice, split into top-down deciles, and report how
+  //      concentrated the URGENT orders are in the top deciles (the
+  //      campaign-targeting evaluation). Deciles from the distributed
+  //      global rank by integer floor algebra (spelled identically in
+  //      the oracle); cumulation over the 10-row decile axis rides
+  //      PrefixSum; lift and gain are exact-bigint ratios, ONE double
+  //      division each, rounded to 9. ----
+  val q107Lift: Q = (s, d) => {
+    val o = orders(s, d).select(col("o_orderkey").as("ok"),
+      cents("o_totalprice").as("price"),
+      when(col("o_orderpriority") === "1-URGENT", 1L).otherwise(0L).as("pos"))
+    val key = concat(pad(col("price"), 14), pad(col("ok"), 12))
+    val ranked = Ranking.globalRank(o.withColumn("__k", key), "__k", "rank")
+    val tot = ranked.agg(count(lit(1)).cast("bigint").as("n_total"),
+      sum(col("pos")).cast("bigint").as("n_pos_total"))
+    val perDecile = ranked.crossJoin(broadcast(tot))
+      .withColumn("decile",
+        expr("((n_total - rank) * 10) div n_total") + 1)
+      .groupBy(col("decile").cast("bigint").as("decile"))
+      .agg(count(lit(1)).cast("bigint").as("n"),
+        sum(col("pos")).cast("bigint").as("n_pos"))
+    PrefixSum.runningTotal(perDecile, "decile", "n_pos", "cum_pos")
+      .crossJoin(broadcast(tot))
+      .select(col("decile"), col("n"), col("n_pos"),
+        col("cum_pos").cast("bigint").as("cum_pos"),
+        round((col("n_pos") * col("n_total")).cast("double") /
+          (col("n") * col("n_pos_total")).cast("double"), 9).as("lift"),
+        round(col("cum_pos").cast("double") / col("n_pos_total"), 9)
+          .as("cum_gain"))
+  }
+
+  val q107Oracle: String =
+    """WITH o AS (SELECT o_orderkey AS ok,
+      |    CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT) AS price,
+      |    CASE WHEN o_orderpriority = '1-URGENT' THEN 1 ELSE 0 END AS pos
+      |  FROM orders),
+      |rk AS (SELECT *, CAST(ROW_NUMBER() OVER (ORDER BY price, ok) AS BIGINT) AS rank,
+      |    CAST(COUNT(*) OVER () AS BIGINT) AS n_total,
+      |    CAST(SUM(pos) OVER () AS BIGINT) AS n_pos_total
+      |  FROM o),
+      |dec AS (SELECT ((n_total - rank) * 10) // n_total + 1 AS decile,
+      |    n_total, n_pos_total, pos FROM rk),
+      |agg AS (SELECT CAST(decile AS BIGINT) AS decile,
+      |    CAST(COUNT(*) AS BIGINT) AS n, CAST(SUM(pos) AS BIGINT) AS n_pos,
+      |    MAX(n_total) AS n_total, MAX(n_pos_total) AS n_pos_total
+      |  FROM dec GROUP BY 1)
+      |SELECT decile, n, n_pos,
+      |  CAST(SUM(n_pos) OVER (ORDER BY decile
+      |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS cum_pos,
+      |  ROUND(CAST(n_pos * n_total AS DOUBLE) /
+      |    CAST(n * n_pos_total AS DOUBLE), 9) AS lift,
+      |  ROUND(CAST(SUM(n_pos) OVER (ORDER BY decile
+      |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DOUBLE) /
+      |    n_pos_total, 9) AS cum_gain
+      |FROM agg""".stripMargin
+
+  // ---- q108: Welch's unequal-variance t-test — returned ('R') vs
+  //      accepted ('A') line items on extended price: is the mean
+  //      price of returned items different? Everything through the
+  //      moments is exact (n, Σx, Σx² in DECIMAL(38,0); the variance
+  //      numerator n·Σx² − (Σx)² exact by the q38 identity); t and
+  //      the Welch–Satterthwaite df are a fixed IEEE dance of ÷, √
+  //      (both correctly rounded, hence engine-deterministic) spelled
+  //      identically in the oracle, rounded to 9. ----
+  val q108Welch: Q = (s, d) => {
+    val li = lineitem(s, d)
+      .filter(col("l_returnflag").isin("A", "R"))
+      .select(col("l_returnflag").as("f"), cents("l_extendedprice").as("x"))
+    val m = li.groupBy(col("f"))
+      .agg(count(lit(1)).cast("bigint").as("n"),
+        sum(col("x")).cast("decimal(38,0)").as("s"),
+        sum(col("x").cast("decimal(38,0)") * col("x")).as("q"))
+    val w = m.agg(
+      max(when(col("f") === "A", col("n"))).as("na"),
+      max(when(col("f") === "A", col("s"))).as("sa"),
+      max(when(col("f") === "A", col("q"))).as("qa"),
+      max(when(col("f") === "R", col("n"))).as("nr"),
+      max(when(col("f") === "R", col("s"))).as("sr"),
+      max(when(col("f") === "R", col("q"))).as("qr"))
+    val meanA = col("sa").cast("double") / col("na")
+    val meanR = col("sr").cast("double") / col("nr")
+    val vnA = ((col("na") * col("qa") - col("sa") * col("sa")).cast("double") /
+      (col("na") * (col("na") - 1)).cast("double")) / col("na")
+    val vnR = ((col("nr") * col("qr") - col("sr") * col("sr")).cast("double") /
+      (col("nr") * (col("nr") - 1)).cast("double")) / col("nr")
+    w.select(col("na"), col("nr"),
+      round(meanA, 9).as("mean_a"), round(meanR, 9).as("mean_r"),
+      round((meanA - meanR) / sqrt(vnA + vnR), 9).as("t_stat"),
+      round((vnA + vnR) * (vnA + vnR) /
+        (vnA * vnA / (col("na") - 1) + vnR * vnR / (col("nr") - 1)), 9)
+        .as("df"))
+  }
+
+  val q108Oracle: String =
+    """WITH li AS (SELECT l_returnflag AS f,
+      |    CAST(CAST(l_extendedprice AS DECIMAL(18,2)) * 100 AS BIGINT) AS x
+      |  FROM lineitem WHERE l_returnflag IN ('A', 'R')),
+      |m AS (SELECT f, CAST(COUNT(*) AS BIGINT) AS n,
+      |    CAST(SUM(x) AS HUGEINT) AS s,
+      |    CAST(SUM(CAST(x AS HUGEINT) * x) AS HUGEINT) AS q
+      |  FROM li GROUP BY 1),
+      |w AS (SELECT
+      |    MAX(CASE WHEN f = 'A' THEN n END) AS na,
+      |    MAX(CASE WHEN f = 'A' THEN s END) AS sa,
+      |    MAX(CASE WHEN f = 'A' THEN q END) AS qa,
+      |    MAX(CASE WHEN f = 'R' THEN n END) AS nr,
+      |    MAX(CASE WHEN f = 'R' THEN s END) AS sr,
+      |    MAX(CASE WHEN f = 'R' THEN q END) AS qr
+      |  FROM m),
+      |e AS (SELECT na, nr,
+      |    CAST(sa AS DOUBLE) / na AS mean_a, CAST(sr AS DOUBLE) / nr AS mean_r,
+      |    (CAST(na * qa - sa * sa AS DOUBLE) /
+      |      CAST(na * (na - 1) AS DOUBLE)) / na AS vna,
+      |    (CAST(nr * qr - sr * sr AS DOUBLE) /
+      |      CAST(nr * (nr - 1) AS DOUBLE)) / nr AS vnr
+      |  FROM w)
+      |SELECT na, nr, ROUND(mean_a, 9) AS mean_a, ROUND(mean_r, 9) AS mean_r,
+      |  ROUND((mean_a - mean_r) / SQRT(vna + vnr), 9) AS t_stat,
+      |  ROUND((vna + vnr) * (vna + vnr) /
+      |    (vna * vna / (na - 1) + vnr * vnr / (nr - 1)), 9) AS df
+      |FROM e""".stripMargin
+
+  // ---- q109: calibration (reliability) bins — bucket a [0,1] score
+  //      into 10 bins and compare the bin's mean score against its
+  //      observed positive rate (a calibrated scorer sits on the
+  //      diagonal). Score = min(n_chars, 499)/500 as the stand-in
+  //      scorer, label = lang='en'; the bin index is pure integer
+  //      floor algebra, per-bin sums exact, the two ratios ONE double
+  //      division each rounded to 9. ----
+  val q109Calibration: Q = (s, d) => {
+    val docs = documents(s, d).select(
+      least(col("n_chars"), lit(499L)).as("sc"),
+      when(col("lang") === "en", 1L).otherwise(0L).as("pos"))
+    docs.groupBy(expr("(sc * 10) div 500").cast("bigint").as("bin"))
+      .agg(count(lit(1)).cast("bigint").as("n"),
+        sum(col("pos")).cast("bigint").as("n_pos"),
+        sum(col("sc")).cast("bigint").as("sum_sc"))
+      .select(col("bin"), col("n"), col("n_pos"),
+        round(col("sum_sc").cast("double") / (col("n") * 500), 9)
+          .as("mean_score"),
+        round(col("n_pos").cast("double") / col("n"), 9).as("frac_pos"))
+  }
+
+  val q109Oracle: String =
+    """WITH d AS (SELECT LEAST(n_chars, 499) AS sc,
+      |    CASE WHEN lang = 'en' THEN 1 ELSE 0 END AS pos
+      |  FROM documents)
+      |SELECT CAST((sc * 10) // 500 AS BIGINT) AS bin,
+      |  CAST(COUNT(*) AS BIGINT) AS n,
+      |  CAST(SUM(pos) AS BIGINT) AS n_pos,
+      |  ROUND(CAST(SUM(sc) AS DOUBLE) / (COUNT(*) * 500), 9) AS mean_score,
+      |  ROUND(CAST(SUM(pos) AS DOUBLE) / COUNT(*), 9) AS frac_pos
+      |FROM d GROUP BY 1""".stripMargin
+
+  val queries: Map[String, Q] = Map(
+    "q106_gini" -> q106Gini,
+    "q107_lift" -> q107Lift,
+    "q108_welch" -> q108Welch,
+    "q109_calibration" -> q109Calibration)
+
+  val oracleSql: Map[String, String] = Map(
+    "q106_gini" -> q106Oracle,
+    "q107_lift" -> q107Oracle,
+    "q108_welch" -> q108Oracle,
+    "q109_calibration" -> q109Oracle)
+}
