@@ -544,6 +544,53 @@ object Advanced2 {
       |    CAST(SUM(p_at) * SUM(n_at) * 2 AS DOUBLE), 9) AS auc
       |FROM c""".stripMargin
 
+  // ---- q110: grid-bucketed exact radius self-join — the spatial
+  //      blocking shape (geo dedup, store-proximity, sensor
+  //      clustering). Synthetic integer coordinates hash-scattered
+  //      from the customer key (deterministic, engine-identical
+  //      modular arithmetic); SpatialJoin buckets into r-sized cells
+  //      so candidates are the 3×3-neighbourhood equi-join, never N²;
+  //      the exact integer d² ≤ r² filter and id< dedup make the pair
+  //      set exact. Output is the checksum row (counts + d² moments)
+  //      — any wrong/missing pair moves it. ----
+  val q110RadiusJoin: Q = (s, d) => {
+    val pts = customer(s, d).select(col("c_custkey").as("id"),
+      expr("(c_custkey * 2654435761L) % 100000").as("x"),
+      expr("(c_custkey * 40503L + 12345) % 100000").as("y"))
+    val pairs = graft.operators.SpatialJoin
+      .radiusSelfJoin(pts, "id", "x", "y", r = 1000L)
+      .localCheckpoint(true) // two consumers below
+    val touched = pairs.select(col("id_a").as("id"))
+      .unionByName(pairs.select(col("id_b").as("id")))
+      .agg(countDistinct(col("id")).cast("bigint").as("n_points"))
+    pairs.agg(count(lit(1)).cast("bigint").as("n_pairs"),
+        sum(col("d2")).cast("bigint").as("sum_d2"),
+        min(col("d2")).cast("bigint").as("min_d2"),
+        max(col("d2")).cast("bigint").as("max_d2"))
+      .crossJoin(broadcast(touched))
+  }
+
+  val q110Oracle: String =
+    """WITH p AS (SELECT c_custkey AS id,
+      |    (c_custkey * 2654435761) % 100000 AS x,
+      |    (c_custkey * 40503 + 12345) % 100000 AS y
+      |  FROM customer),
+      |c AS (SELECT id, x, y, x // 1000 AS cx, y // 1000 AS cy FROM p),
+      |n AS (SELECT id, x, y, cx + dx.d AS ncx, cy + dy.d AS ncy
+      |  FROM c, (VALUES (-1), (0), (1)) dx(d), (VALUES (-1), (0), (1)) dy(d)),
+      |pr AS (SELECT a.id AS ia, b.id AS ib,
+      |    (a.x - b.x) * (a.x - b.x) + (a.y - b.y) * (a.y - b.y) AS d2
+      |  FROM c a JOIN n b ON a.cx = b.ncx AND a.cy = b.ncy AND a.id < b.id
+      |  WHERE (a.x - b.x) * (a.x - b.x) + (a.y - b.y) * (a.y - b.y) <= 1000000),
+      |t AS (SELECT CAST(COUNT(DISTINCT id) AS BIGINT) AS n_points
+      |  FROM (SELECT ia AS id FROM pr UNION ALL SELECT ib FROM pr))
+      |SELECT CAST(COUNT(*) AS BIGINT) AS n_pairs,
+      |  CAST(SUM(d2) AS BIGINT) AS sum_d2,
+      |  CAST(MIN(d2) AS BIGINT) AS min_d2,
+      |  CAST(MAX(d2) AS BIGINT) AS max_d2,
+      |  (SELECT n_points FROM t) AS n_points
+      |FROM pr""".stripMargin
+
   val queries: Map[String, Q] = Map(
     "q97_basket_pairs" -> q97BasketPairs,
     "q98_triangles" -> q98Triangles,
@@ -554,6 +601,7 @@ object Advanced2 {
     "q103_rank_movers" -> q103RankMovers,
     "q104_damerau_dedup" -> q104DamerauDedup,
     "q105_auc" -> q105Auc,
+    "q110_radius_join" -> q110RadiusJoin,
     "graph_kcore" -> graphKcore,
     "text_zipf" -> textZipf,
     "emb_class_scatter" -> embClassScatter)
@@ -568,6 +616,7 @@ object Advanced2 {
     "q103_rank_movers" -> q103Oracle,
     "q104_damerau_dedup" -> q104Oracle,
     "q105_auc" -> q105Oracle,
+    "q110_radius_join" -> q110Oracle,
     "text_zipf" -> textZipfOracle,
     "emb_class_scatter" -> embClassScatterOracle)
 }
