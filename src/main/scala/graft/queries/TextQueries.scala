@@ -628,6 +628,34 @@ object TextQueries {
       |  CAST(SUM(n_chars) AS BIGINT) AS sum_chars
       |FROM documents GROUP BY 1""".stripMargin
 
+  // xml_roundtrip includes the TEXT column: element escaping of
+  //      &<> (and record-delimiter soundness — `</row>` can never
+  //      occur inside an escaped value) is exactly what the XML
+  //      surface must prove it round-trips
+  val xmlRoundtrip: Q = (s, d) => {
+    val docs = documents(s, d)
+    val cols = Seq("doc_id", "text", "lang", "n_chars")
+    val out = graft.sources.CorpusFormats.writeXml(
+      docs.selectExpr(cols: _*), fmtDir(d, "docs_xml"))
+    val (clean, rejects) = graft.sources.CorpusFormats.splitCorrupt(
+      graft.sources.CorpusFormats.readXml(s, out,
+        org.apache.spark.sql.types.StructType(
+          docs.selectExpr(cols: _*).schema.fields)))
+    require(rejects.isEmpty, "self-written XML must have no corrupt records")
+    clean.groupBy(col("lang"))
+      .agg(count(lit(1)).cast("bigint").as("n_docs"),
+        sum(length(col("text"))).cast("bigint").as("sum_text_chars"),
+        sum(col("n_chars")).cast("bigint").as("sum_chars"),
+        min(col("doc_id")).cast("bigint").as("min_id"))
+  }
+
+  val xmlRoundtripOracle: String =
+    """SELECT lang, CAST(COUNT(*) AS BIGINT) AS n_docs,
+      |  CAST(SUM(length(text)) AS BIGINT) AS sum_text_chars,
+      |  CAST(SUM(n_chars) AS BIGINT) AS sum_chars,
+      |  CAST(MIN(doc_id) AS BIGINT) AS min_id
+      |FROM documents GROUP BY 1""".stripMargin
+
   val orcRoundtrip: Q = (s, d) => {
     val li = s.read.parquet(s"$d/lineitem.parquet")
       .select("l_returnflag", "l_linestatus", "l_quantity", "l_extendedprice")
@@ -1664,6 +1692,7 @@ object TextQueries {
     "jsonl_roundtrip" -> jsonlRoundtrip,
     "csv_roundtrip" -> csvRoundtrip,
     "orc_roundtrip" -> orcRoundtrip,
+    "xml_roundtrip" -> xmlRoundtrip,
     "multimodal_phash_dedup" -> phashDedup,
     "multimodal_pca_ann" -> multimodalPcaAnn)
 
@@ -1713,5 +1742,6 @@ object TextQueries {
     "text_sentences" -> sentenceSplitOracle,
     "jsonl_roundtrip" -> jsonlRoundtripOracle,
     "csv_roundtrip" -> csvRoundtripOracle,
-    "orc_roundtrip" -> orcRoundtripOracle)
+    "orc_roundtrip" -> orcRoundtripOracle,
+    "xml_roundtrip" -> xmlRoundtripOracle)
 }

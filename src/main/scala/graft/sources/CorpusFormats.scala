@@ -1,5 +1,7 @@
 package graft.sources
 
+import scala.jdk.CollectionConverters._
+
 import org.apache.spark.sql.{DataFrame, SaveMode, SparkSession}
 import org.apache.spark.sql.functions.col
 import org.apache.spark.sql.types.{StringType, StructType}
@@ -119,6 +121,55 @@ object CorpusFormats {
   def writeCsv(df: DataFrame, path: String): String = {
     flattenNewlines(df).write
       .mode(SaveMode.Overwrite).option("header", "true").csv(path)
+    path
+  }
+
+  /** Read an XML corpus (one record per `rowTag` element) with an
+    * explicit schema (same no-inference-pass rule as JSONL);
+    * malformed records surface in [[CorruptCol]] carrying the raw
+    * record, split out via [[splitCorrupt]].
+    *
+    * Same design as [[readJsonl]], NOT the xml datasource: a record
+    * scan + codegen'd `from_xml`. The scan uses `</rowTag>` as the
+    * text record delimiter — sound because the writer escapes `<>&`
+    * in content, so the closing tag cannot occur inside a value —
+    * which keeps the read per-split parallel even though records span
+    * lines, and keeps the reject set queryable on its own (the
+    * datasource forbids plans that touch only its internal
+    * corrupt-record column, which is exactly the reject audit).
+    * Root-element wrappers and inter-record whitespace are stripped
+    * by anchoring each fragment at its first `<rowTag` boundary.
+    */
+  def readXml(spark: SparkSession, path: String, schema: StructType,
+              rowTag: String = "row"): DataFrame = {
+    require(!schema.fieldNames.contains(CorruptCol),
+      s"schema already contains $CorruptCol")
+    import org.apache.spark.sql.functions.{concat, from_xml, lit, regexp_extract, when}
+    val close = s"</$rowTag>"
+    val anchor = s"(?s)<$rowTag[\\s/>].*"
+    val recs = spark.read.option("lineSep", close).text(path)
+      .select(regexp_extract(col("value"), anchor, 0).as("__frag"))
+      .filter(col("__frag") =!= "")
+      .select(concat(col("__frag"), lit(close)).as("__rec"))
+    val withCorrupt = schema.add(CorruptCol, StringType)
+    val opts = Map("mode" -> "PERMISSIVE",
+      "columnNameOfCorruptRecord" -> CorruptCol)
+    recs
+      .select(from_xml(col("__rec"), withCorrupt, opts.asJava).as("__r"),
+        col("__rec"))
+      .select(schema.fieldNames.map(f => col(s"__r.`$f`")) :+
+        when(col("__r").isNull || col(s"__r.`$CorruptCol`").isNotNull,
+          col("__rec")).otherwise(lit(null).cast(StringType))
+          .as(CorruptCol): _*)
+  }
+
+  /** Write as XML, one `rowTag` element per row (nulls omitted as
+    * absent elements; `&<>` escaped by the writer — the reader
+    * unescapes, so text columns round-trip).
+    */
+  def writeXml(df: DataFrame, path: String, rowTag: String = "row"): String = {
+    df.write.mode(SaveMode.Overwrite).format("xml")
+      .option("rowTag", rowTag).option("rootTag", "rows").save(path)
     path
   }
 
