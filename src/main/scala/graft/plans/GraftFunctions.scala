@@ -22,6 +22,7 @@ object GraftFunctions {
   val JaroWinklerName = "graft_jaro_winkler"
   val DamerauName = "graft_damerau_levenshtein"
   val FixMojibakeName = "graft_fix_mojibake"
+  val PorterStemName = "graft_porter_stem"
 
   private def minhashBuilder(exprs: Seq[Expression]): Expression = {
     val k = exprs(1) match {
@@ -87,7 +88,8 @@ object GraftFunctions {
     NormalizeName -> (normalizeBuilder _),
     JaroWinklerName -> (exprs => JaroWinkler(exprs(0), exprs(1))),
     DamerauName -> (exprs => DamerauLevenshtein(exprs(0), exprs(1))),
-    FixMojibakeName -> (exprs => FixMojibake(exprs(0))))
+    FixMojibakeName -> (exprs => FixMojibake(exprs(0))),
+    PorterStemName -> (exprs => PorterStem(exprs(0))))
 
   /** Idempotently register the functions on a session. Operators call
     * this before building plans that use the fast expressions.
@@ -147,6 +149,10 @@ object GraftFunctions {
   /** Codegen'd mojibake repair (requires `register`). */
   def fixMojibakeFast(text: Column): Column =
     call_function(FixMojibakeName, text)
+
+  /** Codegen'd Porter stemmer (requires `register`). */
+  def porterStemFast(word: Column): Column =
+    call_function(PorterStemName, word)
 
   /** Builder handles for SparkSessionExtensions registration. */
   private[plans] def minhashBuilderPublic: Seq[Expression] => Expression = minhashBuilder

@@ -674,6 +674,35 @@ object TextQueries {
       |  CAST(ROUND(SUM(CAST(l_extendedprice AS DECIMAL(18,2))), 2) AS DOUBLE) AS sum_price
       |FROM lineitem GROUP BY 1, 2""".stripMargin
 
+  // ---- text_stem: Porter-stemmed vocabulary report — top-30 stems
+  //      with token counts and the number of distinct surface forms
+  //      each conflates (the stemmer's value is exactly that
+  //      conflation: connect/connected/connecting/connection → one
+  //      vocab entry). Tokens lowercased and letter-stripped in the
+  //      scan task, stemming a codegen expression fused into the same
+  //      span; one hash agg on (stem, form) then one on stem —
+  //      vocabulary-cardinality after map-side combine. Rows-only:
+  //      DuckDB has no built-in stemmer offline (its `stem()` needs
+  //      an extension); the algorithm is pinned by the paper's
+  //      vector table in PorterStemSpec instead. ----
+  val textStem: Q = (s, d) => {
+    import graft.plans.GraftFunctions
+    GraftFunctions.register(s)
+    val toks = documents(s, d)
+      .select(explode(split(lower(col("text")), "\\s+")).as("raw"))
+      .select(regexp_replace(col("raw"), "[^a-z]", "").as("form"))
+      .filter(length(col("form")) > 0)
+    toks.select(GraftFunctions.porterStemFast(col("form")).as("stem"),
+        col("form"))
+      .groupBy(col("stem"), col("form"))
+      .agg(count(lit(1)).as("n"))
+      .groupBy(col("stem"))
+      .agg(sum(col("n")).cast("bigint").as("n_tokens"),
+        count(lit(1)).cast("bigint").as("n_forms"))
+      .orderBy(col("n_tokens").desc, col("stem"))
+      .limit(30)
+  }
+
   // ---- dedup_components: transitive near-dup clusters (connected
   //      components over the jaccard-0.8 pair graph; representative
   //      = min doc id). Oracle: recursive-CTE reachability. ----
@@ -1693,6 +1722,7 @@ object TextQueries {
     "csv_roundtrip" -> csvRoundtrip,
     "orc_roundtrip" -> orcRoundtrip,
     "xml_roundtrip" -> xmlRoundtrip,
+    "text_stem" -> textStem,
     "multimodal_phash_dedup" -> phashDedup,
     "multimodal_pca_ann" -> multimodalPcaAnn)
 
