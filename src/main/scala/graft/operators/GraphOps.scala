@@ -60,6 +60,56 @@ object GraphOps {
     nNodes.crossJoin(broadcast(nEdges)).crossJoin(broadcast(nTri))
   }
 
+  /** LOCAL clustering coefficient per node: lcc(v) = 2·T(v) /
+    * (deg(v)·(deg(v)−1)), the fraction of a node's neighbour pairs
+    * that are themselves connected — the per-node refinement of
+    * [[triangleCount]] (same degree-ordered orientation, same
+    * Σ outdeg² wedge bound). The oriented enumeration finds each
+    * triangle once at its order-minimal vertex; it increments ALL
+    * THREE corners, so per-node counts are exact. deg and T are exact
+    * integers; lcc is ONE double division rounded to 9 (0.0 for
+    * degree-1 nodes, where the coefficient is conventionally zero).
+    *
+    * @return (node, deg, n_tri, lcc) for every node with deg ≥ 1
+    */
+  def localClustering(edgesIn: DataFrame, aCol: String, bCol: String)
+  : DataFrame = {
+    val edges = edgesIn
+      .select(least(col(aCol), col(bCol)).as("x"),
+        greatest(col(aCol), col(bCol)).as("y"))
+      .filter(col("x") =!= col("y"))
+      .distinct()
+      .localCheckpoint(true) // degrees + orientation
+    val deg = edges.select(col("x").as("node"))
+      .unionAll(edges.select(col("y").as("node")))
+      .groupBy(col("node")).agg(count(lit(1)).as("deg"))
+    val withDeg = edges
+      .join(deg.select(col("node").as("x"), col("deg").as("dx")), "x")
+      .join(deg.select(col("node").as("y"), col("deg").as("dy")), "y")
+    val oriented = withDeg.select(
+        when(struct(col("dx"), col("x")) < struct(col("dy"), col("y")),
+          struct(col("x").as("u"), col("dx").as("du"),
+            col("y").as("v"), col("dy").as("dv")))
+          .otherwise(struct(col("y").as("u"), col("dy").as("du"),
+            col("x").as("v"), col("dx").as("dv"))).as("e"))
+      .select(col("e.u"), col("e.du"), col("e.v"), col("e.dv"))
+      .localCheckpoint(true) // wedge sides + closing probe
+    val wedges = oriented.select(col("u"), col("v").as("w1"), col("dv").as("dw1"))
+      .join(oriented.select(col("u"), col("v").as("w2"), col("dv").as("dw2")), "u")
+      .filter(struct(col("dw1"), col("w1")) < struct(col("dw2"), col("w2")))
+    val tris = wedges.join(oriented.select(col("u").as("w1"), col("v").as("w2")),
+      Seq("w1", "w2"), "left_semi")
+    val perNode = tris
+      .select(explode(array(col("u"), col("w1"), col("w2"))).as("node"))
+      .groupBy(col("node")).agg(count(lit(1)).as("n_tri"))
+    deg.join(perNode, Seq("node"), "left")
+      .select(col("node"), col("deg").cast("bigint").as("deg"),
+        coalesce(col("n_tri"), lit(0L)).cast("bigint").as("n_tri"),
+        when(col("deg") < 2, lit(0.0)).otherwise(
+          round((coalesce(col("n_tri"), lit(0L)) * 2).cast("double") /
+            (col("deg") * (col("deg") - 1)).cast("double"), 9)).as("lcc"))
+  }
+
   /** K-CORE of an undirected simple graph: the maximal subgraph in
     * which every node has degree ≥ k — the classic density filter
     * (spam-farm detection in link graphs, community kernels,

@@ -591,6 +591,95 @@ object Advanced2 {
       |  (SELECT n_points FROM t) AS n_points
       |FROM pr""".stripMargin
 
+  // ---- q111: per-node LOCAL clustering coefficient on the q98
+  //      co-purchase graph — the per-node refinement of the global
+  //      triangle count (community density around each part). Same
+  //      degree-ordered oriented enumeration (Σ outdeg² wedge bound),
+  //      each triangle incrementing all three corners; deg and T
+  //      exact integers, lcc ONE double division rounded to 9. ----
+  val q111ClusteringCoeff: Q = (s, d) => {
+    val li = baskets(s, d)
+    val edges = li.as("a").join(li.as("b"),
+        col("a.ok") === col("b.ok") && col("a.pk") < col("b.pk"))
+      .groupBy(col("a.pk").as("x"), col("b.pk").as("y"))
+      .agg(count(lit(1)).as("n"))
+      .filter(col("n") >= 2).select(col("x"), col("y"))
+    graft.operators.GraphOps.localClustering(edges, "x", "y")
+      .withColumnRenamed("node", "pk")
+  }
+
+  val q111Oracle: String =
+    """WITH li AS (SELECT DISTINCT l_orderkey AS ok, l_partkey AS pk FROM lineitem),
+      |pr AS (SELECT a.pk AS pa, b.pk AS pb, COUNT(*) AS n
+      |       FROM li a JOIN li b ON a.ok = b.ok AND a.pk < b.pk GROUP BY 1, 2),
+      |e AS (SELECT pa AS a, pb AS b FROM pr WHERE n >= 2),
+      |deg AS (SELECT node, CAST(COUNT(*) AS BIGINT) AS deg FROM
+      |    (SELECT a AS node FROM e UNION ALL SELECT b FROM e) GROUP BY 1),
+      |tr AS (SELECT e1.a AS u, e1.b AS v, e2.b AS w
+      |       FROM e e1 JOIN e e2 ON e2.a = e1.b
+      |       JOIN e e3 ON e3.a = e1.a AND e3.b = e2.b),
+      |tn AS (SELECT node, CAST(COUNT(*) AS BIGINT) AS n_tri FROM
+      |    (SELECT u AS node FROM tr UNION ALL SELECT v FROM tr
+      |     UNION ALL SELECT w FROM tr) GROUP BY 1)
+      |SELECT d.node AS pk, d.deg,
+      |  CAST(COALESCE(t.n_tri, 0) AS BIGINT) AS n_tri,
+      |  CASE WHEN d.deg < 2 THEN 0.0
+      |       ELSE ROUND(CAST(COALESCE(t.n_tri, 0) * 2 AS DOUBLE) /
+      |                  CAST(d.deg * (d.deg - 1) AS DOUBLE), 9) END AS lcc
+      |FROM deg d LEFT JOIN tn t ON t.node = d.node""".stripMargin
+
+  // ---- q112: Mann-Kendall trend test — the NON-PARAMETRIC "is it
+  //      trending" complement of q84's least-squares slope (no ln, no
+  //      distributional assumption, outlier-immune). Per nation:
+  //      monthly exact-cents revenue series, S = Σ_{i<j} sign(x_j−x_i)
+  //      over month pairs — a co-partitioned WITHIN-NATION self-join
+  //      whose pair volume is months², bounded by the calendar, never
+  //      by corpus size. S and the pair count exact integers; tau-a =
+  //      S/(n(n−1)/2) is the one double division, rounded to 9. ----
+  val q112MannKendall: Q = (s, d) => {
+    val monthly = orders(s, d)
+      .join(customer(s, d).select(col("c_custkey").as("o_custkey"),
+        col("c_nationkey").as("nationkey")), "o_custkey")
+      .groupBy(col("nationkey"),
+        (year(col("o_orderdate")) * 100 + month(col("o_orderdate"))).as("ym"))
+      .agg(sum((col("o_totalprice").cast("decimal(18,2)") * 100)
+        .cast("long")).as("rev"))
+    val m = monthly.localCheckpoint(true) // pair join + month counts
+    val pairs = m.as("a").join(m.as("b"),
+        col("a.nationkey") === col("b.nationkey") && col("a.ym") < col("b.ym"))
+      .select(col("a.nationkey").as("nationkey"),
+        when(col("b.rev") > col("a.rev"), 1L)
+          .when(col("b.rev") < col("a.rev"), -1L).otherwise(0L).as("sgn"))
+    val stats = pairs.groupBy(col("nationkey"))
+      .agg(sum(col("sgn")).cast("bigint").as("s_stat"),
+        count(lit(1)).cast("bigint").as("n_pairs"))
+    val nMonths = m.groupBy(col("nationkey"))
+      .agg(count(lit(1)).cast("bigint").as("n_months"))
+    stats.join(nMonths, "nationkey")
+      .select(col("nationkey"), col("n_months"), col("s_stat"),
+        round(col("s_stat").cast("double") / col("n_pairs"), 9).as("tau"))
+  }
+
+  val q112Oracle: String =
+    """WITH monthly AS (SELECT c.c_nationkey AS nationkey,
+      |    YEAR(o.o_orderdate) * 100 + MONTH(o.o_orderdate) AS ym,
+      |    CAST(SUM(CAST(CAST(o.o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT)) AS BIGINT) AS rev
+      |  FROM orders o JOIN customer c ON c.c_custkey = o.o_custkey
+      |  GROUP BY 1, 2),
+      |pairs AS (SELECT a.nationkey,
+      |    CASE WHEN b.rev > a.rev THEN 1 WHEN b.rev < a.rev THEN -1
+      |         ELSE 0 END AS sgn
+      |  FROM monthly a JOIN monthly b
+      |    ON a.nationkey = b.nationkey AND a.ym < b.ym),
+      |st AS (SELECT nationkey, CAST(SUM(sgn) AS BIGINT) AS s_stat,
+      |    CAST(COUNT(*) AS BIGINT) AS n_pairs
+      |  FROM pairs GROUP BY 1),
+      |nm AS (SELECT nationkey, CAST(COUNT(*) AS BIGINT) AS n_months
+      |  FROM monthly GROUP BY 1)
+      |SELECT s.nationkey, n.n_months, s.s_stat,
+      |  ROUND(CAST(s.s_stat AS DOUBLE) / s.n_pairs, 9) AS tau
+      |FROM st s JOIN nm n ON n.nationkey = s.nationkey""".stripMargin
+
   val queries: Map[String, Q] = Map(
     "q97_basket_pairs" -> q97BasketPairs,
     "q98_triangles" -> q98Triangles,
@@ -602,6 +691,8 @@ object Advanced2 {
     "q104_damerau_dedup" -> q104DamerauDedup,
     "q105_auc" -> q105Auc,
     "q110_radius_join" -> q110RadiusJoin,
+    "q111_clustering_coeff" -> q111ClusteringCoeff,
+    "q112_mann_kendall" -> q112MannKendall,
     "graph_kcore" -> graphKcore,
     "text_zipf" -> textZipf,
     "emb_class_scatter" -> embClassScatter)
@@ -617,6 +708,8 @@ object Advanced2 {
     "q104_damerau_dedup" -> q104Oracle,
     "q105_auc" -> q105Oracle,
     "q110_radius_join" -> q110Oracle,
+    "q111_clustering_coeff" -> q111Oracle,
+    "q112_mann_kendall" -> q112Oracle,
     "text_zipf" -> textZipfOracle,
     "emb_class_scatter" -> embClassScatterOracle)
 }
