@@ -656,6 +656,37 @@ object TextQueries {
       |  CAST(MIN(doc_id) AS BIGINT) AS min_id
       |FROM documents GROUP BY 1""".stripMargin
 
+  // fixedwidth_roundtrip: the mainframe/legacy-feed surface —
+  //      overflow-refusing writer, substring+try_cast reader with
+  //      reject routing; the aggregate over the round-trip must equal
+  //      the parquet oracle (boundary drift or cast loss would move it)
+  val fixedWidthRoundtrip: Q = (s, d) => {
+    val li = s.read.parquet(s"$d/lineitem.parquet")
+      .select(col("l_orderkey"), col("l_returnflag"), col("l_linestatus"),
+        col("l_quantity").cast("decimal(18,2)").as("l_quantity"),
+        col("l_extendedprice").cast("decimal(18,2)").as("l_extendedprice"))
+    val widths = Seq(12, 1, 1, 10, 14)
+    val out = graft.sources.CorpusFormats.writeFixedWidth(
+      li, fmtDir(d, "lineitem_fw"), widths)
+    val (clean, rejects) = graft.sources.CorpusFormats.splitCorrupt(
+      graft.sources.CorpusFormats.readFixedWidth(s, out,
+        org.apache.spark.sql.types.StructType(li.schema.fields), widths))
+    require(rejects.isEmpty,
+      "self-written fixed-width must have no corrupt lines")
+    clean.groupBy(col("l_returnflag"), col("l_linestatus"))
+      .agg(count(lit(1)).cast("bigint").as("n"),
+        min(col("l_orderkey")).cast("bigint").as("min_ok"),
+        sum(col("l_quantity")).cast("double").as("sum_qty"),
+        round(sum(col("l_extendedprice")), 2).cast("double").as("sum_price"))
+  }
+
+  val fixedWidthRoundtripOracle: String =
+    """SELECT l_returnflag, l_linestatus, CAST(COUNT(*) AS BIGINT) AS n,
+      |  CAST(MIN(l_orderkey) AS BIGINT) AS min_ok,
+      |  CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty,
+      |  CAST(ROUND(SUM(CAST(l_extendedprice AS DECIMAL(18,2))), 2) AS DOUBLE) AS sum_price
+      |FROM lineitem GROUP BY 1, 2""".stripMargin
+
   val orcRoundtrip: Q = (s, d) => {
     val li = s.read.parquet(s"$d/lineitem.parquet")
       .select("l_returnflag", "l_linestatus", "l_quantity", "l_extendedprice")
@@ -1722,6 +1753,7 @@ object TextQueries {
     "csv_roundtrip" -> csvRoundtrip,
     "orc_roundtrip" -> orcRoundtrip,
     "xml_roundtrip" -> xmlRoundtrip,
+    "fixedwidth_roundtrip" -> fixedWidthRoundtrip,
     "text_stem" -> textStem,
     "multimodal_phash_dedup" -> phashDedup,
     "multimodal_pca_ann" -> multimodalPcaAnn)
@@ -1773,5 +1805,6 @@ object TextQueries {
     "jsonl_roundtrip" -> jsonlRoundtripOracle,
     "csv_roundtrip" -> csvRoundtripOracle,
     "orc_roundtrip" -> orcRoundtripOracle,
-    "xml_roundtrip" -> xmlRoundtripOracle)
+    "xml_roundtrip" -> xmlRoundtripOracle,
+    "fixedwidth_roundtrip" -> fixedWidthRoundtripOracle)
 }

@@ -173,6 +173,63 @@ object CorpusFormats {
     path
   }
 
+  /** Write as FIXED-WIDTH text (the mainframe/legacy-feed format):
+    * each column rendered to its declared width, left-justified,
+    * space-padded; nulls are all-spaces. A value LONGER than its
+    * width REFUSES inside the writing task (`raise_error` — silent
+    * truncation would corrupt the column boundary for every field to
+    * its right), with no extra validation pass over the data.
+    */
+  def writeFixedWidth(df: DataFrame, path: String,
+                      widths: Seq[Int]): String = {
+    import org.apache.spark.sql.functions.{concat, length, lit, raise_error, rpad, when}
+    require(widths.length == df.schema.length,
+      s"writeFixedWidth: ${widths.length} widths for ${df.schema.length} columns")
+    require(widths.forall(_ > 0), "writeFixedWidth: widths must be positive")
+    val fields = df.schema.fields.zip(widths).map { case (f, w) =>
+      val s = col(f.name).cast(StringType)
+      when(s.isNull, rpad(lit(""), w, " "))
+        .when(length(s) > w, raise_error(concat(
+          lit(s"writeFixedWidth: value in '${f.name}' exceeds width $w: "), s)))
+        .otherwise(rpad(s, w, " "))
+    }
+    df.select(concat(fields: _*).as("value"))
+      .write.mode(SaveMode.Overwrite).text(path)
+    path
+  }
+
+  /** Read a fixed-width export with an explicit schema + widths;
+    * malformed lines (wrong length, or a non-castable non-blank
+    * field) surface in [[CorruptCol]] carrying the raw line for
+    * [[splitCorrupt]]. Line-splittable like CSV/JSONL: a plain text
+    * scan + substring slices + try-casts, all inside the scan's
+    * codegen span.
+    */
+  def readFixedWidth(spark: SparkSession, path: String,
+                     schema: StructType, widths: Seq[Int]): DataFrame = {
+    import org.apache.spark.sql.functions.{length, lit, trim, when}
+    require(!schema.fieldNames.contains(CorruptCol),
+      s"schema already contains $CorruptCol")
+    require(widths.length == schema.length,
+      s"readFixedWidth: ${widths.length} widths for ${schema.length} columns")
+    val total = widths.sum
+    val starts = widths.scanLeft(1)(_ + _) // 1-based substring offsets
+    val sliced = schema.fields.zip(widths).zip(starts).map {
+      case ((f, w), off) =>
+        val raw = trim(col("value").substr(off, w))
+        val blank = raw === ""
+        val parsed = when(!blank, raw.try_cast(f.dataType.sql))
+        // corrupt iff non-blank but uncastable (try_cast: ANSI mode
+        // would otherwise throw mid-scan on one bad byte)
+        (parsed.as(f.name), !blank && parsed.isNull)
+    }
+    val badField = sliced.map(_._2).reduce(_ || _)
+    spark.read.text(path)
+      .select(sliced.map(_._1) :+
+        when(length(col("value")) =!= total || badField, col("value"))
+          .otherwise(lit(null).cast(StringType)).as(CorruptCol): _*)
+  }
+
   def readOrc(spark: SparkSession, path: String): DataFrame =
     spark.read.orc(path)
 
