@@ -251,14 +251,78 @@ object Eval {
       |  ROUND(CAST(SUM(pos) AS DOUBLE) / COUNT(*), 9) AS frac_pos
       |FROM d GROUP BY 1""".stripMargin
 
+  // ---- q113: average precision (the area under the
+  //      precision-recall curve, step definition — the ranking metric
+  //      that, unlike ROC AUC, stays honest under class imbalance).
+  //      Same per-VALUE (pos, neg) table as q105; descending
+  //      cumulations derived from ONE ascending PrefixSum pass each
+  //      by the total-minus identity. AP = Σ_v (p_v/P)·(cumPos_v /
+  //      cumAll_v); the per-value term is fixed-point scaled to
+  //      exact integers — (p_v·cumPos_v·10¹²) div cumAll_v, floor
+  //      division spelled identically in both engines (the q102
+  //      floor-algebra convention), so the SUM is an exact bigint and
+  //      immune to float summation order — then ONE double division
+  //      by P·10¹², rounded to 9. ----
+  val q113AvgPrecision: Q = (s, d) => {
+    val scored = documents(s, d).select(
+      col("n_chars").cast("long").as("score"),
+      when(col("lang") === "en", 1L).otherwise(0L).as("pos"))
+    val perValue = scored.groupBy(col("score"))
+      .agg(sum(col("pos")).as("p_at"),
+        sum(lit(1L) - col("pos")).as("n_at"))
+      .withColumn("all_at", col("p_at") + col("n_at"))
+    val c1 = PrefixSum.runningTotal(perValue, "score", "p_at", "cp_asc")
+    val c2 = PrefixSum.runningTotal(c1, "score", "all_at", "ca_asc")
+    val tot = c2.agg(sum(col("p_at")).cast("bigint").as("p_total"),
+      sum(col("all_at")).cast("bigint").as("n_total"))
+    val terms = c2.crossJoin(broadcast(tot))
+      .withColumn("cum_pos", col("p_total") - col("cp_asc") + col("p_at"))
+      .withColumn("cum_all", col("n_total") - col("ca_asc") + col("all_at"))
+      .withColumn("term", expr(
+        "(cast(p_at as decimal(38,0)) * cum_pos * 1000000000000) div cum_all"))
+    terms.agg(sum(col("term")).cast("bigint").as("ap_num"),
+        max(col("p_total")).as("p_total"),
+        max(col("n_total")).as("n_total"))
+      .select(col("ap_num"), col("p_total"), col("n_total"),
+        round(col("ap_num").cast("double") /
+          (col("p_total").cast("double") * 1e12), 9).as("avg_precision"))
+  }
+
+  val q113Oracle: String =
+    """WITH s AS (SELECT CAST(n_chars AS BIGINT) AS score,
+      |    CASE WHEN lang = 'en' THEN 1 ELSE 0 END AS pos
+      |  FROM documents),
+      |pv AS (SELECT score, CAST(SUM(pos) AS BIGINT) AS p_at,
+      |    CAST(SUM(1 - pos) AS BIGINT) AS n_at
+      |  FROM s GROUP BY score),
+      |c AS (SELECT score, p_at, p_at + n_at AS all_at,
+      |    CAST(SUM(p_at) OVER (ORDER BY score
+      |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS cp_asc,
+      |    CAST(SUM(p_at + n_at) OVER (ORDER BY score
+      |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS ca_asc,
+      |    CAST(SUM(p_at) OVER () AS BIGINT) AS p_total,
+      |    CAST(SUM(p_at + n_at) OVER () AS BIGINT) AS n_total
+      |  FROM pv),
+      |t AS (SELECT p_total, n_total,
+      |    (CAST(p_at AS HUGEINT) * (p_total - cp_asc + p_at) * 1000000000000)
+      |      // (n_total - ca_asc + all_at) AS term
+      |  FROM c)
+      |SELECT CAST(SUM(term) AS BIGINT) AS ap_num,
+      |  MAX(p_total) AS p_total, MAX(n_total) AS n_total,
+      |  ROUND(CAST(SUM(term) AS DOUBLE) /
+      |    (CAST(MAX(p_total) AS DOUBLE) * 1e12), 9) AS avg_precision
+      |FROM t""".stripMargin
+
   val queries: Map[String, Q] = Map(
     "q106_gini" -> q106Gini,
+    "q113_avg_precision" -> q113AvgPrecision,
     "q107_lift" -> q107Lift,
     "q108_welch" -> q108Welch,
     "q109_calibration" -> q109Calibration)
 
   val oracleSql: Map[String, String] = Map(
     "q106_gini" -> q106Oracle,
+    "q113_avg_precision" -> q113Oracle,
     "q107_lift" -> q107Oracle,
     "q108_welch" -> q108Oracle,
     "q109_calibration" -> q109Oracle)
