@@ -160,7 +160,10 @@ object Eval {
   //      numerator n·Σx² − (Σx)² exact by the q38 identity); t and
   //      the Welch–Satterthwaite df are a fixed IEEE dance of ÷, √
   //      (both correctly rounded, hence engine-deterministic) spelled
-  //      identically in the oracle, rounded to 9. ----
+  //      identically in the oracle. t rounds to 9; df (≈ n, millions
+  //      at scale) rounds to 3 — 9 decimals on a 7-digit integer part
+  //      is 16 significant digits, past double precision, where
+  //      ROUND implementations legitimately disagree in the last ULP. ----
   val q108Welch: Q = (s, d) => {
     val li = lineitem(s, d)
       .filter(col("l_returnflag").isin("A", "R"))
@@ -186,7 +189,7 @@ object Eval {
       round(meanA, 9).as("mean_a"), round(meanR, 9).as("mean_r"),
       round((meanA - meanR) / sqrt(vnA + vnR), 9).as("t_stat"),
       round((vnA + vnR) * (vnA + vnR) /
-        (vnA * vnA / (col("na") - 1) + vnR * vnR / (col("nr") - 1)), 9)
+        (vnA * vnA / (col("na") - 1) + vnR * vnR / (col("nr") - 1)), 3)
         .as("df"))
   }
 
@@ -216,7 +219,7 @@ object Eval {
       |SELECT na, nr, ROUND(mean_a, 9) AS mean_a, ROUND(mean_r, 9) AS mean_r,
       |  ROUND((mean_a - mean_r) / SQRT(vna + vnr), 9) AS t_stat,
       |  ROUND((vna + vnr) * (vna + vnr) /
-      |    (vna * vna / (na - 1) + vnr * vnr / (nr - 1)), 9) AS df
+      |    (vna * vna / (na - 1) + vnr * vnr / (nr - 1)), 3) AS df
       |FROM e""".stripMargin
 
   // ---- q109: calibration (reliability) bins — bucket a [0,1] score
