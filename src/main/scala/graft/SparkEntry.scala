@@ -2,7 +2,7 @@ package graft
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 
-import graft.queries.{Advanced, Advanced2, Cdc, Eval, Relational, TextQueries}
+import graft.queries.{Advanced, Advanced2, Advanced3, Cdc, Eval, Relational, TextQueries}
 
 /** Driver contract — see /root/repo/SURVEY.md §2 for the inventory. */
 object SparkEntry {
@@ -14,12 +14,14 @@ object SparkEntry {
   /** One entry per implemented operator from SURVEY.md §2. */
   def queries: Map[String, (SparkSession, String) => DataFrame] =
     Relational.queries ++ Cdc.queries ++ TextQueries.queries ++
-      Advanced.queries ++ Advanced2.queries ++ Eval.queries
+      Advanced.queries ++ Advanced2.queries ++ Advanced3.queries ++
+      Eval.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omitted for non-SQL-expressible ops
     * (driver records a weaker rows-only check; see SURVEY.md §6). */
   def oracleSql: Map[String, String] =
     Relational.oracles ++ Cdc.oracles ++ TextQueries.oracles ++
-      Advanced.oracles ++ Advanced2.oracles ++ Eval.oracleSql
+      Advanced.oracles ++ Advanced2.oracles ++ Advanced3.oracles ++
+      Eval.oracleSql
 }

@@ -28,28 +28,40 @@ object Ranking {
     * order.
     */
   def globalRank(df: DataFrame, orderCol: String, outCol: String,
-                 partitions: Int = 0): DataFrame = {
+                 partitions: Int = 0): DataFrame =
+    globalRank(df, Seq(orderCol), outCol, partitions)
+
+  /** Composite-key form: global rank in the lexicographic order of
+    * `orderCols`. Rows must be unique on the COMPOSITE key (append a
+    * unique id as the last column to break ties); range partitioning
+    * never splits equal composites, so per-partition distinctness
+    * certifies it on the same counts pass.
+    */
+  def globalRank(df: DataFrame, orderCols: Seq[String], outCol: String,
+                 partitions: Int): DataFrame = {
     val spark = df.sparkSession
     val n = if (partitions > 0) partitions
       else spark.sessionState.conf.numShufflePartitions
-    val ranged = df.repartitionByRange(n, col(orderCol))
+    val ranged = df.repartitionByRange(n, orderCols.map(col): _*)
       .localCheckpoint(true)
     val withPid = ranged.withColumn("__pid",
       spark_partition_id().cast("long"))
     val countRows = withPid.groupBy(col("__pid"))
       .agg(count(lit(1)).as("__n"),
-        count_distinct(col(orderCol)).as("__nd"))
+        count_distinct(col(orderCols.head), orderCols.tail.map(col): _*)
+          .as("__nd"))
       .collect()
     require(countRows.forall(r => r.getLong(1) == r.getLong(2)),
-      s"Ranking: rows must be unique on '$orderCol' — a global rank " +
-        "over duplicate keys is partition-order-dependent")
+      s"Ranking: rows must be unique on '${orderCols.mkString(",")}' — a " +
+        "global rank over duplicate keys is partition-order-dependent")
     val counts = countRows.map(r => r.getLong(0) -> r.getLong(1)).toMap
     val offsets = (0 until n).map { p =>
       p.toLong -> (0L until p.toLong).map(counts.getOrElse(_, 0L)).sum
     }
     val offDf = broadcast(spark.createDataFrame(offsets)
       .toDF("__pid", "__off"))
-    val w = Window.partitionBy(col("__pid")).orderBy(col(orderCol))
+    val w = Window.partitionBy(col("__pid"))
+      .orderBy(orderCols.map(col): _*)
     withPid.join(offDf, Seq("__pid"))
       .withColumn(outCol, row_number().over(w).cast("long") + col("__off"))
       .drop("__pid", "__off")

@@ -73,6 +73,37 @@ object Similarity {
         count(lit(1)).cast("bigint").as("n"))
   }
 
+  /** Hard-negative mining for contrastive training: for each query
+    * vector, the k nearest neighbors by cosine whose `labelCol`
+    * DIFFERS from the query's — the near-misses a contrastive or
+    * retrieval model learns the most from (the easy in-label
+    * positives and the distant negatives both carry little
+    * gradient). Same plan shape as [[bruteForceTopK]]: the query
+    * side broadcasts, the 100 TB base never moves, and per-query
+    * selection goes through the [[TopKPerKey]] partial+final heap.
+    */
+  def hardNegatives(base: DataFrame, queries: DataFrame,
+                    idCol: String, vecCol: String, labelCol: String,
+                    k: Int = 5): DataFrame = {
+    GraftFunctions.register(base.sparkSession)
+    val b = base.select(col(idCol).as("base_id"), col(vecCol).as("base_v"),
+      col(labelCol).as("base_label"))
+    val q = queries.select(col(idCol).as("query_id"), col(vecCol).as("query_v"),
+      col(labelCol).as("query_label"))
+    val scored = b.crossJoin(broadcast(q))
+      .filter(col("base_id") =!= col("query_id") &&
+        col("base_label") =!= col("query_label"))
+      .withColumn("cosine", GraftFunctions.cosineFast(col("base_v"), col("query_v")))
+    TopKPerKey(
+      scored.select(col("query_id"), col("query_label"), col("base_id"),
+        col("base_label"), col("cosine")),
+      Seq("query_id"), Seq("cosine" -> true, "base_id" -> false), k,
+      rankCol = Some("rank"))
+      .select(col("query_id"), col("query_label"), col("rank"),
+        col("base_id").as("negative_id"), col("base_label").as("negative_label"),
+        col("cosine"))
+  }
+
   /** Exact top-k neighbors per query vector by cosine similarity.
     * `queries` is expected to be small (it is broadcast); ties break
     * on neighbor id.
