@@ -158,4 +158,125 @@ object GraphOps {
     sym.groupBy(col("x").as("node"))
       .agg(count(lit(1)).cast("bigint").as("degree"))
   }
+
+  /** STRONGLY connected components of a DIRECTED graph — the mutual-
+    * reachability partition (cycle detection, dependency knots,
+    * navigation loops), via the distributed COLORING algorithm
+    * (Orzan '04; the FW-BW family): no sequential Tarjan stack, every
+    * step a join/aggregate.
+    *
+    * Per outer round:
+    *  1. TRIM — a node with no in-edges or no out-edges (in the
+    *     remaining graph) can sit on no cycle: emit as singleton SCC.
+    *  2. COLOR — propagate color(v) = max node id that reaches v
+    *     (fixpoint of `color(v) ← max(color(v), max_{u→v} color(u))`,
+    *     one |E| shuffle per hop; iterations bounded by graph
+    *     diameter). The unique fixpoint makes every downstream row
+    *     bit-deterministic regardless of partitioning.
+    *  3. EXTRACT — a root r (color(r) = r) is the MAX id of its SCC,
+    *     and SCC(r) = nodes backward-reachable from r through
+    *     SAME-COLOR edges (a path witnessing mutual reach provably
+    *     never leaves the color class). One multi-source backward
+    *     BFS extracts every root's SCC in parallel.
+    *  4. Remove extracted nodes; repeat. Every color class loses at
+    *     least its root per round, so rounds are bounded by the
+    *     SCC-condensation's chain structure, not |V|.
+    *
+    * Iteration state is pinned by eager localCheckpoint (the PageRank
+    * lineage lesson). Exhausting `maxIter` on any loop REFUSES (the
+    * kCore convention) — a truncated propagation or reach would
+    * return a partition that silently isn't the SCC partition.
+    *
+    * Nodes are the edge endpoints (pass isolated nodes separately if
+    * they matter — each is trivially its own SCC). Self-loops are
+    * dropped: they never change mutual reachability between distinct
+    * nodes.
+    *
+    * @return (node, scc) — scc = MAX node id in the component
+    */
+  def scc(edgesIn: DataFrame, srcCol: String, dstCol: String,
+          maxIter: Int = 200): DataFrame = {
+    val spark = edgesIn.sparkSession
+    var edges = edgesIn
+      .select(col(srcCol).cast("long").as("s"), col(dstCol).cast("long").as("t"))
+      .filter(col("s") =!= col("t")).distinct().localCheckpoint(true)
+    var nodes = edges.select(col("s").as("node"))
+      .unionAll(edges.select(col("t").as("node")))
+      .distinct().localCheckpoint(true)
+    var assigned = nodes.limit(0).withColumn("scc", col("node"))
+    var round = 0
+    while (!nodes.isEmpty && round < maxIter) {
+      // 1. trim: no-in or no-out nodes are singleton SCCs
+      val both = edges.select(col("s").as("node")).distinct()
+        .join(edges.select(col("t").as("node")).distinct(), Seq("node"))
+        .localCheckpoint(true)
+      val singles = nodes.join(both, Seq("node"), "left_anti")
+      assigned = assigned.unionByName(singles.withColumn("scc", col("node")))
+        .localCheckpoint(true)
+      nodes = both
+      edges = edges
+        .join(nodes.select(col("node").as("s")), Seq("s"), "left_semi")
+        .join(nodes.select(col("node").as("t")), Seq("t"), "left_semi")
+        .select(col("s"), col("t")).localCheckpoint(true)
+      if (!nodes.isEmpty) {
+        // 2. color to fixpoint: max id reaching each node
+        var colors = nodes.withColumn("color", col("node"))
+          .localCheckpoint(true)
+        var converged = false
+        var i = 0
+        while (!converged && i < maxIter) {
+          val inMax = edges
+            .join(colors.select(col("node").as("s"), col("color").as("c")), Seq("s"))
+            .groupBy(col("t").as("node")).agg(max(col("c")).as("in_max"))
+          val merged = colors.join(inMax, Seq("node"), "left")
+            .select(col("node"), col("color"),
+              greatest(col("color"), coalesce(col("in_max"), col("color")))
+                .as("c2"))
+            .localCheckpoint(true)
+          converged = merged.filter(col("c2") > col("color")).isEmpty
+          colors = merged.select(col("node"), col("c2").as("color"))
+            .localCheckpoint(true)
+          i += 1
+        }
+        require(converged,
+          s"scc: color propagation hit maxIter=$maxIter before fixpoint — " +
+            "raise maxIter (iterations are bounded by graph diameter)")
+        // 3. backward reach from roots through same-color edges
+        val ec = edges
+          .join(colors.select(col("node").as("s"), col("color").as("cs")), Seq("s"))
+          .join(colors.select(col("node").as("t"), col("color").as("ct")), Seq("t"))
+          .filter(col("cs") === col("ct"))
+          .select(col("s"), col("t")).localCheckpoint(true)
+        var visited = colors.filter(col("color") === col("node"))
+          .select(col("node")).localCheckpoint(true)
+        var frontier = visited
+        var hop = 0
+        while (!frontier.isEmpty && hop < maxIter) {
+          frontier = ec.join(frontier.select(col("node").as("t")), Seq("t"), "left_semi")
+            .select(col("s").as("node")).distinct()
+            .join(visited, Seq("node"), "left_anti")
+            .localCheckpoint(true)
+          visited = visited.unionByName(frontier).localCheckpoint(true)
+          hop += 1
+        }
+        require(frontier.isEmpty,
+          s"scc: backward reach hit maxIter=$maxIter with a live frontier — " +
+            "raise maxIter (hops are bounded by the largest SCC's diameter)")
+        // 4. emit and remove
+        val members = visited.join(colors, Seq("node"))
+          .select(col("node"), col("color").as("scc")).localCheckpoint(true)
+        assigned = assigned.unionByName(members).localCheckpoint(true)
+        nodes = nodes.join(members.select("node"), Seq("node"), "left_anti")
+          .localCheckpoint(true)
+        edges = edges
+          .join(members.select(col("node").as("s")), Seq("s"), "left_anti")
+          .join(members.select(col("node").as("t")), Seq("t"), "left_anti")
+          .select(col("s"), col("t")).localCheckpoint(true)
+      }
+      round += 1
+    }
+    require(nodes.isEmpty,
+      s"scc: $maxIter rounds exhausted with nodes remaining — raise maxIter")
+    assigned
+  }
 }

@@ -93,11 +93,12 @@ object Advanced3 {
   //      (PlanAudit flags that shape; the floor split differs from
   //      SQL NTILE's larger-buckets-first tie layout, so the oracle
   //      spells the same arithmetic over ROW_NUMBER). ----
-  val q115Rfm: Q = (s, d) => {
-    val base = orders(s, d).groupBy(col("o_custkey").as("cust"))
-      .agg(max(to_date(col("o_orderdate"))).as("rec"),
-        count(lit(1)).cast("bigint").as("freq"),
-        sum(cents("o_totalprice")).cast("bigint").as("mon"))
+  /** Quintile scoring over a prepared `(cust, rec, freq, mon)` frame —
+    * shared with [[graft.streaming.StreamRfm]], whose maintained state
+    * is exactly that frame (the three metrics are mergeable partials:
+    * max / sum / sum).
+    */
+  def rfmScores(base: DataFrame): DataFrame = {
     val n = base.agg(count(lit(1)).cast("bigint").as("n"))
     val ranked = Ranking.globalRank(
       Ranking.globalRank(
@@ -113,6 +114,15 @@ object Advanced3 {
         (col("r_score") * 100 + col("f_score") * 10 + col("m_score"))
           .cast("bigint"))
   }
+
+  /** The per-customer metric frame q115 scores (and StreamRfm folds). */
+  def rfmBase(ordersDf: DataFrame): DataFrame =
+    ordersDf.groupBy(col("o_custkey").as("cust"))
+      .agg(max(to_date(col("o_orderdate"))).as("rec"),
+        count(lit(1)).cast("bigint").as("freq"),
+        sum(cents("o_totalprice")).cast("bigint").as("mon"))
+
+  val q115Rfm: Q = (s, d) => rfmScores(rfmBase(orders(s, d)))
 
   val q115Oracle: String =
     """WITH base AS (
@@ -321,6 +331,170 @@ object Advanced3 {
       "vec_id", "embedding", "label", k = 5)
   }
 
+  // ---- q119: functional-dependency audit — data profiling's
+  //      "is this column determined by that one" check over a fixed
+  //      candidate list (the schema-sized complement of q99's
+  //      referential-integrity audit). An FD lhs→rhs holds iff
+  //      |distinct lhs| == |distinct (lhs, rhs)|; both counts exact,
+  //      violations = the difference. Cost: one distinct-aggregate
+  //      pass per table — schema-bounded output, corpus-bounded scan. ----
+  private def fdRow(df: DataFrame, table: String, lhs: String, rhs: String)
+      : DataFrame =
+    df.agg(count_distinct(col(lhs)).cast("bigint").as("n_lhs"),
+        count_distinct(col(lhs), col(rhs)).cast("bigint").as("n_pairs"))
+      .select(lit(table).as("tbl"), lit(s"$lhs->$rhs").as("fd"),
+        col("n_lhs"), col("n_pairs"),
+        (col("n_lhs") === col("n_pairs")).as("holds"),
+        (col("n_pairs") - col("n_lhs")).cast("bigint").as("violations"))
+
+  val q119FdAudit: Q = (s, d) => {
+    val o = orders(s, d); val li = lineitem(s, d)
+    val c = customer(s, d); val p = part(s, d)
+    fdRow(o, "orders", "o_orderkey", "o_custkey")
+      .unionByName(fdRow(o, "orders", "o_custkey", "o_orderpriority"))
+      .unionByName(fdRow(li, "lineitem", "l_partkey", "l_suppkey"))
+      .unionByName(fdRow(li, "lineitem", "l_suppkey", "l_partkey"))
+      .unionByName(fdRow(c, "customer", "c_custkey", "c_nationkey"))
+      .unionByName(fdRow(c, "customer", "c_nationkey", "c_mktsegment"))
+      .unionByName(fdRow(p, "part", "p_partkey", "p_brand"))
+      .unionByName(fdRow(p, "part", "p_brand", "p_type"))
+  }
+
+  val q119Oracle: String = {
+    def one(table: String, lhs: String, rhs: String) =
+      s"""SELECT '$table' AS tbl, '$lhs->$rhs' AS fd,
+         |  CAST(COUNT(DISTINCT $lhs) AS BIGINT) AS n_lhs,
+         |  CAST(COUNT(DISTINCT ($lhs, $rhs)) AS BIGINT) AS n_pairs,
+         |  COUNT(DISTINCT $lhs) = COUNT(DISTINCT ($lhs, $rhs)) AS holds,
+         |  CAST(COUNT(DISTINCT ($lhs, $rhs)) - COUNT(DISTINCT $lhs) AS BIGINT) AS violations
+         |FROM $table""".stripMargin
+    Seq(one("orders", "o_orderkey", "o_custkey"),
+      one("orders", "o_custkey", "o_orderpriority"),
+      one("lineitem", "l_partkey", "l_suppkey"),
+      one("lineitem", "l_suppkey", "l_partkey"),
+      one("customer", "c_custkey", "c_nationkey"),
+      one("customer", "c_nationkey", "c_mktsegment"),
+      one("part", "p_partkey", "p_brand"),
+      one("part", "p_brand", "p_type")).mkString("\nUNION ALL\n")
+  }
+
+  // ---- q120: position-based (U-shaped) attribution — the exact-
+  //      integer generalization of q75's first/last-touch: each
+  //      purchase distributes 10,000 basis points over the touches
+  //      in its purchase CYCLE (strictly after the previous purchase):
+  //      1 touch takes all, 2 split 50/50, ≥3 give 40%/40% to
+  //      first/last and split the middle 20% by integer floor with
+  //      the remainder to the EARLIEST middles — deterministic
+  //      integers summing to exactly 10,000 per credited purchase;
+  //      touchless purchases credit 'none'. Per-user windows only
+  //      (bounded state). ----
+  val q120PositionAttribution: Q = (s, d) => {
+    val w = Window.partitionBy(col("user_id"))
+      .orderBy(col("ts"), col("event_id"))
+    val ev = events(s, d)
+      .filter(col("event_type").isin("click", "view", "purchase"))
+      .withColumn("cycle", coalesce(
+        sum(when(col("event_type") === "purchase", 1L).otherwise(0L))
+          .over(w.rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
+    val wc = Window.partitionBy(col("user_id"), col("cycle"))
+    val touches = ev.filter(col("event_type") =!= "purchase")
+      .withColumn("rk", row_number()
+        .over(wc.orderBy(col("ts"), col("event_id"))).cast("bigint"))
+      .withColumn("k", count(lit(1)).over(wc).cast("bigint"))
+    val purchases = ev.filter(col("event_type") === "purchase")
+      .select(col("user_id"), col("cycle")).localCheckpoint(true)
+    val credited = touches
+      .join(purchases, Seq("user_id", "cycle"), "left_semi")
+      .withColumn("bp",
+        when(col("k") === 1, lit(10000L))
+          .when(col("k") === 2, lit(5000L))
+          .when(col("rk") === 1 || col("rk") === col("k"), lit(4000L))
+          .otherwise(expr("2000 DIV (k - 2)") +
+            when(col("rk") - 1 <= expr("2000 % (k - 2)"), 1L).otherwise(0L))
+          .cast("bigint"))
+      .groupBy(col("event_type").as("touch"))
+      .agg(count(lit(1)).cast("bigint").as("n_credits"),
+        sum(col("bp")).cast("bigint").as("total_bp"))
+    val none = purchases
+      .join(touches.select(col("user_id"), col("cycle")).distinct(),
+        Seq("user_id", "cycle"), "left_anti")
+      .agg(count(lit(1)).cast("bigint").as("n_credits"))
+      .select(lit("none").as("touch"), col("n_credits"),
+        (col("n_credits") * 10000).cast("bigint").as("total_bp"))
+      .filter(col("n_credits") > 0)
+    credited.unionByName(none)
+  }
+
+  val q120Oracle: String =
+    """WITH ev AS (
+      |  SELECT user_id, event_id, ts, event_type,
+      |    COALESCE(SUM(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END)
+      |      OVER (PARTITION BY user_id ORDER BY ts, event_id
+      |        ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS cycle
+      |  FROM events WHERE event_type IN ('click', 'view', 'purchase')),
+      |touches AS (
+      |  SELECT *, CAST(ROW_NUMBER() OVER (PARTITION BY user_id, cycle
+      |      ORDER BY ts, event_id) AS BIGINT) AS rk,
+      |    CAST(COUNT(*) OVER (PARTITION BY user_id, cycle) AS BIGINT) AS k
+      |  FROM ev WHERE event_type <> 'purchase'),
+      |purchases AS (SELECT user_id, cycle FROM ev WHERE event_type = 'purchase'),
+      |credited AS (
+      |  SELECT t.event_type AS touch,
+      |    CAST(CASE WHEN t.k = 1 THEN 10000
+      |      WHEN t.k = 2 THEN 5000
+      |      WHEN t.rk = 1 OR t.rk = t.k THEN 4000
+      |      ELSE 2000 // (t.k - 2)
+      |        + CASE WHEN t.rk - 1 <= 2000 % (t.k - 2) THEN 1 ELSE 0 END
+      |      END AS BIGINT) AS bp
+      |  FROM touches t
+      |  WHERE EXISTS (SELECT 1 FROM purchases p
+      |    WHERE p.user_id = t.user_id AND p.cycle = t.cycle)),
+      |agg AS (
+      |  SELECT touch, CAST(COUNT(*) AS BIGINT) AS n_credits,
+      |    CAST(SUM(bp) AS BIGINT) AS total_bp
+      |  FROM credited GROUP BY 1),
+      |nones AS (
+      |  SELECT 'none' AS touch, CAST(COUNT(*) AS BIGINT) AS n_credits,
+      |    CAST(COUNT(*) * 10000 AS BIGINT) AS total_bp
+      |  FROM purchases p
+      |  WHERE NOT EXISTS (SELECT 1 FROM touches t
+      |    WHERE t.user_id = p.user_id AND t.cycle = p.cycle)
+      |  HAVING COUNT(*) > 0)
+      |SELECT * FROM agg UNION ALL SELECT * FROM nones""".stripMargin
+
+  // ---- graph_scc (rows-only — iterate-until-fixpoint has no
+  //      recursive-CTE oracle form, the graph_kcore convention):
+  //      strongly connected components of the DIRECTED purchase-
+  //      sequence graph (part A → part B iff some customer's
+  //      consecutive orders bought A then B — the navigation-loop /
+  //      repeat-purchase cycle structure). Output is the SCC size
+  //      histogram: deterministic because the coloring fixpoint is. ----
+  val graphScc: Q = (s, d) => {
+    val o = orders(s, d).select(col("o_orderkey"), col("o_custkey"),
+      col("o_orderdate"))
+    val rn = row_number().over(Window.partitionBy(col("o_custkey"))
+      .orderBy(col("o_orderdate"), col("o_orderkey"))).cast("long")
+    // high-quantity lines only: the full basket graph collapses into
+    // one giant SCC (everything follows everything on a dense
+    // corpus) — the bulk-repurchase subgraph keeps real cycle
+    // structure for the histogram to show
+    val seq = o.withColumn("rn", rn)
+      .join(lineitem(s, d).filter(col("l_quantity") >= 45)
+        .select(col("l_orderkey").as("o_orderkey"),
+          col("l_partkey").as("pk")).distinct(), "o_orderkey")
+      .select(col("o_custkey").as("cust"), col("rn"), col("pk"))
+      .localCheckpoint(true)
+    val edges = seq.as("a").join(
+        seq.withColumn("rn", col("rn") - 1).as("b"),
+        Seq("cust", "rn"))
+      .select(col("a.pk").as("src"), col("b.pk").as("dst"))
+      .filter(col("src") =!= col("dst")).distinct()
+    val comp = graft.operators.GraphOps.scc(edges, "src", "dst")
+    comp.groupBy(col("scc")).agg(count(lit(1)).cast("bigint").as("size"))
+      .groupBy(col("size")).agg(count(lit(1)).cast("bigint").as("n_sccs"))
+      .orderBy(col("size"))
+  }
+
   val queries: Map[String, Q] = Map(
     "q114_ewma" -> q114Ewma,
     "q115_rfm" -> q115Rfm,
@@ -328,7 +502,10 @@ object Advanced3 {
     "q117_theilsen" -> q117TheilSen,
     "q118_hhi" -> q118Hhi,
     "text_curriculum" -> textCurriculum,
-    "ann_hard_negatives" -> annHardNegatives)
+    "ann_hard_negatives" -> annHardNegatives,
+    "q119_fd_audit" -> q119FdAudit,
+    "q120_position_attribution" -> q120PositionAttribution,
+    "graph_scc" -> graphScc)
 
   val oracles: Map[String, String] = Map(
     "q114_ewma" -> q114Oracle,
@@ -336,5 +513,7 @@ object Advanced3 {
     "q116_seasonal" -> q116Oracle,
     "q117_theilsen" -> q117Oracle,
     "q118_hhi" -> q118Oracle,
-    "text_curriculum" -> textCurriculumOracle)
+    "text_curriculum" -> textCurriculumOracle,
+    "q119_fd_audit" -> q119Oracle,
+    "q120_position_attribution" -> q120Oracle)
 }
