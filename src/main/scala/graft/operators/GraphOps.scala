@@ -195,29 +195,46 @@ object GraphOps {
     * @return (node, scc) — scc = MAX node id in the component
     */
   def scc(edgesIn: DataFrame, srcCol: String, dstCol: String,
-          maxIter: Int = 200): DataFrame = {
+          maxIter: Int = 200, partitions: Int = 0): DataFrame = {
     val spark = edgesIn.sparkSession
-    var edges = edgesIn
+    def rep(df: DataFrame, c: String): DataFrame =
+      if (partitions > 0) df.repartition(partitions, col(c)) else df
+    var edges = rep(edgesIn
       .select(col(srcCol).cast("long").as("s"), col(dstCol).cast("long").as("t"))
-      .filter(col("s") =!= col("t")).distinct().localCheckpoint(true)
-    var nodes = edges.select(col("s").as("node"))
+      .filter(col("s") =!= col("t")).distinct(), "s").localCheckpoint(true)
+    var nodes = rep(edges.select(col("s").as("node"))
       .unionAll(edges.select(col("t").as("node")))
-      .distinct().localCheckpoint(true)
+      .distinct(), "node").localCheckpoint(true)
     var assigned = nodes.limit(0).withColumn("scc", col("node"))
     var round = 0
     while (!nodes.isEmpty && round < maxIter) {
-      // 1. trim: no-in or no-out nodes are singleton SCCs
-      val both = edges.select(col("s").as("node")).distinct()
-        .join(edges.select(col("t").as("node")).distinct(), Seq("node"))
-        .localCheckpoint(true)
-      val singles = nodes.join(both, Seq("node"), "left_anti")
-      assigned = assigned.unionByName(singles.withColumn("scc", col("node")))
-        .localCheckpoint(true)
-      nodes = both
-      edges = edges
-        .join(nodes.select(col("node").as("s")), Seq("s"), "left_semi")
-        .join(nodes.select(col("node").as("t")), Seq("t"), "left_semi")
-        .select(col("s"), col("t")).localCheckpoint(true)
+      // 1. trim TO FIXPOINT: a no-in or no-out node sits on no cycle —
+      //    singleton SCC. Peeling repeats because each peel exposes the
+      //    next layer (an acyclic residue — e.g. everything left after
+      //    a giant SCC's extraction — drains here entirely, at ~2 small
+      //    jobs per layer instead of a full color+reach pass).
+      var trimming = true
+      var ti = 0
+      while (trimming && ti < maxIter) {
+        val both = edges.select(col("s").as("node")).distinct()
+          .join(edges.select(col("t").as("node")).distinct(), Seq("node"))
+          .localCheckpoint(true)
+        val singles = nodes.join(both, Seq("node"), "left_anti")
+          .localCheckpoint(true)
+        if (singles.isEmpty) trimming = false
+        else {
+          assigned = assigned.unionByName(singles.withColumn("scc", col("node")))
+            .localCheckpoint(true)
+          nodes = both
+          edges = edges
+            .join(nodes.select(col("node").as("s")), Seq("s"), "left_semi")
+            .join(nodes.select(col("node").as("t")), Seq("t"), "left_semi")
+            .select(col("s"), col("t")).localCheckpoint(true)
+        }
+        ti += 1
+      }
+      require(!trimming || nodes.isEmpty,
+        s"scc: trim hit maxIter=$maxIter layers — raise maxIter")
       if (!nodes.isEmpty) {
         // 2. color to fixpoint: max id reaching each node
         var colors = nodes.withColumn("color", col("node"))
@@ -233,9 +250,11 @@ object GraphOps {
               greatest(col("color"), coalesce(col("in_max"), col("color")))
                 .as("c2"))
             .localCheckpoint(true)
+          // merged is checkpointed: both the convergence probe and the
+          // next iteration's colors are shallow reads of it — no
+          // second materialization
           converged = merged.filter(col("c2") > col("color")).isEmpty
           colors = merged.select(col("node"), col("c2").as("color"))
-            .localCheckpoint(true)
           i += 1
         }
         require(converged,
@@ -278,5 +297,50 @@ object GraphOps {
     require(nodes.isEmpty,
       s"scc: $maxIter rounds exhausted with nodes remaining — raise maxIter")
     assigned
+  }
+
+  /** Longest-path layering of a DAG — dependency-scheduling levels:
+    * level(v) = the longest chain of edges ending at v (sources at
+    * 0), i.e. the earliest parallel wave v can run in. Iterative
+    * zero-in-degree peeling, one degree aggregate + two anti-joins
+    * per level (the kCore loop shape, eager localCheckpoint per
+    * round). REFUSES on a cycle (no zero-in-degree node while nodes
+    * remain — a layering of a cyclic graph does not exist; run
+    * [[scc]] + condense first) and on maxIter exhaustion.
+    *
+    * @return (node, level) over the edge endpoints
+    */
+  def topoLevels(edgesIn: DataFrame, srcCol: String, dstCol: String,
+                 maxIter: Int = 200, partitions: Int = 0): DataFrame = {
+    val repart: DataFrame => DataFrame =
+      df => if (partitions > 0) df.repartition(partitions, col("s")) else df
+    var edges = repart(edgesIn
+      .select(col(srcCol).cast("long").as("s"), col(dstCol).cast("long").as("t"))
+      .distinct()).localCheckpoint(true)
+    require(edges.filter(col("s") === col("t")).isEmpty,
+      "topoLevels: self-loop found — the graph is not a DAG")
+    var nodes = edges.select(col("s").as("node"))
+      .unionAll(edges.select(col("t").as("node")))
+      .distinct().localCheckpoint(true)
+    var out = nodes.limit(0).withColumn("level", lit(0L))
+    var level = 0L
+    while (!nodes.isEmpty && level < maxIter) {
+      val wave = nodes.join(edges.select(col("t").as("node")).distinct(),
+        Seq("node"), "left_anti").localCheckpoint(true)
+      require(!wave.isEmpty,
+        "topoLevels: no zero-in-degree node but nodes remain — the " +
+          "graph has a cycle; a DAG layering does not exist (run scc " +
+          "and condense first)")
+      out = out.unionByName(wave.withColumn("level", lit(level)))
+        .localCheckpoint(true)
+      nodes = nodes.join(wave, Seq("node"), "left_anti").localCheckpoint(true)
+      edges = edges.join(wave.select(col("node").as("s")), Seq("s"), "left_anti")
+        .select(col("s"), col("t")).localCheckpoint(true)
+      level += 1
+    }
+    require(nodes.isEmpty,
+      s"topoLevels: maxIter=$maxIter levels exhausted with nodes " +
+        "remaining — raise maxIter (level count = longest path length)")
+    out
   }
 }

@@ -489,10 +489,196 @@ object Advanced3 {
         Seq("cust", "rn"))
       .select(col("a.pk").as("src"), col("b.pk").as("dst"))
       .filter(col("src") =!= col("dst")).distinct()
-    val comp = graft.operators.GraphOps.scc(edges, "src", "dst")
+    // partitions=8: the part graph is model-sized (≤ |parts| nodes),
+    // so per-iteration task overhead — not data — dominates the
+    // driver-looped fixpoints; the result is partition-invariant
+    // (spec-pinned), only the wall clock changes (the Components
+    // convention)
+    val comp = graft.operators.GraphOps.scc(edges, "src", "dst",
+      partitions = 8)
     comp.groupBy(col("scc")).agg(count(lit(1)).cast("bigint").as("size"))
       .groupBy(col("size")).agg(count(lit(1)).cast("bigint").as("n_sccs"))
       .orderBy(col("size"))
+  }
+
+  // ---- q121_dbscan (rows-only — component labels have no
+  //      recursive-CTE oracle form, the graph_kcore convention):
+  //      deterministic DBSCAN over the q110 hash-scattered integer
+  //      points (same generator, same radius) — grid-blocked
+  //      neighborhoods + min-label components + canonical border
+  //      assignment. Output is the one-row census: role counts,
+  //      cluster count, largest cluster. ----
+  val q121Dbscan: Q = (s, d) => {
+    val pts = customer(s, d).select(col("c_custkey").as("id"),
+      expr("(c_custkey * 2654435761L) % 100000").as("x"),
+      expr("(c_custkey * 40503L + 12345) % 100000").as("y"))
+      .localCheckpoint(true)
+    // density-adaptive radius (deterministic in n): expected ~6
+    // neighbors in a disc of radius r over the 1e5×1e5 domain —
+    // a fixed r degenerates to all-noise or one-cluster as the
+    // corpus density scales 10× per SF
+    val n = pts.count()
+    val r = math.max(1L, math.round(math.sqrt(6.0e10 / (math.Pi * n))))
+    val lab = graft.operators.Dbscan
+      .dbscan(pts, "id", "x", "y", r = r, minPts = 4)
+      .localCheckpoint(true)
+    val clusters = lab.filter(col("cluster").isNotNull)
+      .groupBy(col("cluster")).agg(count(lit(1)).as("sz"))
+      .agg(count(lit(1)).cast("bigint").as("n_clusters"),
+        coalesce(max(col("sz")), lit(0L)).cast("bigint").as("max_cluster"))
+    lab.agg(
+        sum(when(col("role") === "core", 1L).otherwise(0L))
+          .cast("bigint").as("n_core"),
+        sum(when(col("role") === "border", 1L).otherwise(0L))
+          .cast("bigint").as("n_border"),
+        sum(when(col("role") === "noise", 1L).otherwise(0L))
+          .cast("bigint").as("n_noise"))
+      .crossJoin(broadcast(clusters))
+  }
+
+  // ---- q122: maximum drawdown — the finance/monitoring "worst
+  //      peak-to-trough fall" of each user's running value balance.
+  //      Running sum and running max over per-user windows (bounded
+  //      state), everything exact integer cents; the drawdown maximum
+  //      is over exact integers, bit-deterministic. ----
+  val q122Drawdown: Q = (s, d) => {
+    val w = Window.partitionBy(col("user_id"))
+      .orderBy(col("ts"), col("event_id"))
+      .rowsBetween(Window.unboundedPreceding, 0)
+    val e = events(s, d).filter(col("value").isNotNull)
+      .select(col("user_id"), col("ts"), col("event_id"),
+        cents("value").as("c"))
+      .withColumn("cum", sum(col("c")).over(w))
+      .withColumn("peak", max(col("cum")).over(w))
+    e.groupBy(col("user_id"))
+      .agg(count(lit(1)).cast("bigint").as("n_events"),
+        max(col("peak") - col("cum")).cast("bigint")
+          .as("max_drawdown_cents"),
+        sum(col("c")).cast("bigint").as("final_cents"),
+        max(col("cum")).cast("bigint").as("peak_cents"))
+  }
+
+  val q122Oracle: String =
+    """WITH e AS (
+      |  SELECT user_id, ts, event_id,
+      |    CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT) AS c
+      |  FROM events WHERE value IS NOT NULL),
+      |cu AS (
+      |  SELECT user_id, ts, event_id, c, SUM(c) OVER w AS cum
+      |  FROM e
+      |  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id
+      |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)),
+      |r AS (
+      |  SELECT user_id, c, cum, MAX(cum) OVER w AS peak
+      |  FROM cu
+      |  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id
+      |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW))
+      |SELECT user_id, CAST(COUNT(*) AS BIGINT) AS n_events,
+      |  CAST(MAX(peak - cum) AS BIGINT) AS max_drawdown_cents,
+      |  CAST(SUM(c) AS BIGINT) AS final_cents,
+      |  CAST(MAX(cum) AS BIGINT) AS peak_cents
+      |FROM r GROUP BY user_id""".stripMargin
+
+  // ---- graph_condensation (rows-only): the SCC condensation of the
+  //      bulk-repurchase graph layered by LONGEST-PATH topological
+  //      levels — "how deep is the purchase-order dependency chain
+  //      once cycles collapse". Condensed edges are distinct
+  //      (scc(src), scc(dst)) pairs; isolated SCCs sit at level 0. ----
+  val graphCondensation: Q = (s, d) => {
+    val o = orders(s, d).select(col("o_orderkey"), col("o_custkey"),
+      col("o_orderdate"))
+    val rn = row_number().over(Window.partitionBy(col("o_custkey"))
+      .orderBy(col("o_orderdate"), col("o_orderkey"))).cast("long")
+    val seq = o.withColumn("rn", rn)
+      .join(lineitem(s, d).filter(col("l_quantity") >= 45)
+        .select(col("l_orderkey").as("o_orderkey"),
+          col("l_partkey").as("pk")).distinct(), "o_orderkey")
+      .select(col("o_custkey").as("cust"), col("rn"), col("pk"))
+      .localCheckpoint(true)
+    val edges = seq.as("a").join(
+        seq.withColumn("rn", col("rn") - 1).as("b"),
+        Seq("cust", "rn"))
+      .select(col("a.pk").as("src"), col("b.pk").as("dst"))
+      .filter(col("src") =!= col("dst")).distinct()
+    val comp = graft.operators.GraphOps.scc(edges, "src", "dst",
+        partitions = 8)
+      .localCheckpoint(true)
+    val condensed = edges
+      .join(comp.select(col("node").as("src"), col("scc").as("ca")), Seq("src"))
+      .join(comp.select(col("node").as("dst"), col("scc").as("cb")), Seq("dst"))
+      .filter(col("ca") =!= col("cb"))
+      .select(col("ca"), col("cb")).distinct().localCheckpoint(true)
+    val levels = graft.operators.GraphOps.topoLevels(condensed, "ca", "cb",
+      partitions = 4)
+    val isolated = comp.select(col("scc").as("node")).distinct()
+      .join(levels.select("node"), Seq("node"), "left_anti")
+      .withColumn("level", lit(0L))
+    levels.unionByName(isolated)
+      .groupBy(col("level")).agg(count(lit(1)).cast("bigint").as("n_sccs"))
+      .orderBy(col("level"))
+  }
+
+  // ---- q123: join-path discovery — data-catalog profiling's "are
+  //      these two columns joinable" audit: exact value-set overlap
+  //      (containment + Jaccard) for a fixed candidate pair list,
+  //      true FKs and a junk pair both represented. Distinct sets
+  //      per side (one dedup shuffle each, value-cardinality), the
+  //      intersection an equi-join of the two distinct sets; the
+  //      Jaccard is ONE double division of exact bigints, rounded 9. ----
+  private def overlapRow(a: DataFrame, aTbl: String, aCol: String,
+                         b: DataFrame, bTbl: String, bCol: String)
+      : DataFrame = {
+    val da = a.select(col(aCol).cast("long").as("v")).distinct()
+      .localCheckpoint(true)
+    val db = b.select(col(bCol).cast("long").as("v")).distinct()
+      .localCheckpoint(true)
+    val na = da.agg(count(lit(1)).cast("bigint").as("n_a"))
+    val nb = db.agg(count(lit(1)).cast("bigint").as("n_b"))
+    val ni = da.join(db, Seq("v"), "left_semi")
+      .agg(count(lit(1)).cast("bigint").as("n_inter"))
+    na.crossJoin(nb).crossJoin(ni)
+      .select(lit(s"$aTbl.$aCol").as("col_a"), lit(s"$bTbl.$bCol").as("col_b"),
+        col("n_a"), col("n_b"), col("n_inter"),
+        round(col("n_inter").cast("double") /
+          (col("n_a") + col("n_b") - col("n_inter")).cast("double"), 9)
+          .as("jaccard"))
+  }
+
+  val q123JoinDiscovery: Q = (s, d) => {
+    overlapRow(orders(s, d), "orders", "o_custkey",
+        customer(s, d), "customer", "c_custkey")
+      .unionByName(overlapRow(lineitem(s, d), "lineitem", "l_partkey",
+        part(s, d), "part", "p_partkey"))
+      .unionByName(overlapRow(lineitem(s, d), "lineitem", "l_orderkey",
+        orders(s, d), "orders", "o_orderkey"))
+      .unionByName(overlapRow(customer(s, d), "customer", "c_nationkey",
+        supplier(s, d), "supplier", "s_nationkey"))
+      .unionByName(overlapRow(part(s, d), "part", "p_size",
+        lineitem(s, d), "lineitem", "l_linenumber"))
+  }
+
+  val q123Oracle: String = {
+    def one(aTbl: String, aCol: String, bTbl: String, bCol: String) =
+      s"""SELECT '$aTbl.$aCol' AS col_a, '$bTbl.$bCol' AS col_b,
+         |  (SELECT CAST(COUNT(DISTINCT $aCol) AS BIGINT) FROM $aTbl) AS n_a,
+         |  (SELECT CAST(COUNT(DISTINCT $bCol) AS BIGINT) FROM $bTbl) AS n_b,
+         |  (SELECT CAST(COUNT(*) AS BIGINT) FROM
+         |     (SELECT DISTINCT $aCol FROM $aTbl) x
+         |     WHERE EXISTS (SELECT 1 FROM $bTbl WHERE $bCol = x.$aCol)) AS n_inter,
+         |  ROUND(
+         |    CAST((SELECT COUNT(*) FROM (SELECT DISTINCT $aCol FROM $aTbl) x
+         |      WHERE EXISTS (SELECT 1 FROM $bTbl WHERE $bCol = x.$aCol)) AS DOUBLE) /
+         |    CAST((SELECT COUNT(DISTINCT $aCol) FROM $aTbl)
+         |      + (SELECT COUNT(DISTINCT $bCol) FROM $bTbl)
+         |      - (SELECT COUNT(*) FROM (SELECT DISTINCT $aCol FROM $aTbl) x
+         |         WHERE EXISTS (SELECT 1 FROM $bTbl WHERE $bCol = x.$aCol)) AS DOUBLE),
+         |    9) AS jaccard""".stripMargin
+    Seq(one("orders", "o_custkey", "customer", "c_custkey"),
+      one("lineitem", "l_partkey", "part", "p_partkey"),
+      one("lineitem", "l_orderkey", "orders", "o_orderkey"),
+      one("customer", "c_nationkey", "supplier", "s_nationkey"),
+      one("part", "p_size", "lineitem", "l_linenumber"))
+      .mkString("\nUNION ALL\n")
   }
 
   val queries: Map[String, Q] = Map(
@@ -505,7 +691,11 @@ object Advanced3 {
     "ann_hard_negatives" -> annHardNegatives,
     "q119_fd_audit" -> q119FdAudit,
     "q120_position_attribution" -> q120PositionAttribution,
-    "graph_scc" -> graphScc)
+    "graph_scc" -> graphScc,
+    "q121_dbscan" -> q121Dbscan,
+    "q122_drawdown" -> q122Drawdown,
+    "graph_condensation" -> graphCondensation,
+    "q123_join_discovery" -> q123JoinDiscovery)
 
   val oracles: Map[String, String] = Map(
     "q114_ewma" -> q114Oracle,
@@ -515,5 +705,7 @@ object Advanced3 {
     "q118_hhi" -> q118Oracle,
     "text_curriculum" -> textCurriculumOracle,
     "q119_fd_audit" -> q119Oracle,
-    "q120_position_attribution" -> q120Oracle)
+    "q120_position_attribution" -> q120Oracle,
+    "q122_drawdown" -> q122Oracle,
+    "q123_join_discovery" -> q123Oracle)
 }
