@@ -1,0 +1,191 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.sources.TableCatalog._
+
+/** Round-12 (third wave): RAKE keyword extraction and exact nDCG@10
+  * ranking evaluation. SURVEY.md §2 rows 151-152.
+  *
+  * Both use the q114 literal-constant discipline for engine
+  * portability: every irrational (1/log2 discounts) or ratio (RAKE's
+  * degree/frequency) is either a PRECOMPUTED decimal literal shared
+  * verbatim with the oracle or a floor-scaled exact integer — sums
+  * are then order-free integer/decimal algebra, and at most ONE
+  * double division reaches the surface.
+  */
+object Advanced4 {
+
+  type Q = (SparkSession, String) => DataFrame
+
+  // ---- text_rake: RAKE keyword extraction (Rose et al. 2010) —
+  //      candidate phrases are maximal stopword-free token runs;
+  //      word score = degree/frequency over the corpus-wide phrase
+  //      co-occurrence, floor-scaled to an exact integer
+  //      (deg·10^6 DIV freq) so phrase scores are order-free integer
+  //      sums; top-3 phrases per doc with (score desc, phrase)
+  //      tie-break. The stopword list is the fixed q44 lexicon,
+  //      spelled identically in the oracle. ----
+  private val rakeStops: Seq[String] =
+    Seq("the", "a", "of", "and", "is", "to", "in", "that", "it",
+      "for", "on", "with", "as", "at", "by", "an", "be", "this",
+      "are", "was", "or", "from", "has", "had", "were")
+
+  val textRake: Q = (s, d) => {
+    val toks = documents(s, d)
+      .select(col("doc_id"),
+        posexplode(expr("regexp_extract_all(lower(text), '[a-z0-9]+', 0)"))
+          .as(Seq("pos", "tok")))
+    val w = Window.partitionBy(col("doc_id")).orderBy(col("pos"))
+    val stopCol = col("tok").isin(rakeStops: _*)
+    val phrased = toks
+      .withColumn("phrase_id",
+        sum(when(stopCol, 1L).otherwise(0L))
+          .over(w.rowsBetween(Window.unboundedPreceding, 0)))
+      .filter(!stopCol)
+      .localCheckpoint(true) // word stats + phrase assembly below
+    val phraseLen = phrased.groupBy(col("doc_id"), col("phrase_id"))
+      .agg(count(lit(1)).as("plen"))
+    val withLen = phrased.join(phraseLen, Seq("doc_id", "phrase_id"))
+    val wordStats = withLen.groupBy(col("tok"))
+      .agg(count(lit(1)).cast("bigint").as("freq"),
+        sum(col("plen")).cast("bigint").as("deg"))
+      .withColumn("wscore", expr("deg * 1000000 DIV freq"))
+    val phraseScore = withLen
+      .join(wordStats.select(col("tok"), col("wscore")), Seq("tok"))
+      .groupBy(col("doc_id"), col("phrase_id"))
+      .agg(sum(col("wscore")).cast("bigint").as("score"),
+        array_join(transform(
+          sort_array(collect_list(struct(col("pos"), col("tok")))),
+          x => x.getField("tok")), " ").as("phrase"))
+    val top = phraseScore
+      .withColumn("rk", row_number().over(
+        Window.partitionBy(col("doc_id"))
+          .orderBy(col("score").desc, col("phrase"), col("phrase_id"))))
+      .filter(col("rk") <= 3)
+    top.select(col("doc_id"), col("rk").cast("bigint").as("rk"),
+      col("phrase"), col("score"))
+  }
+
+  val textRakeOracle: String = {
+    val stops = rakeStops.map(sw => s"'$sw'").mkString(", ")
+    s"""WITH toks AS (
+       |  SELECT doc_id,
+       |    unnest(regexp_extract_all(lower(text), '[a-z0-9]+')) AS tok,
+       |    CAST(unnest(range(len(regexp_extract_all(lower(text), '[a-z0-9]+')))) AS BIGINT) AS pos
+       |  FROM documents),
+       |ph AS (
+       |  SELECT doc_id, tok, pos,
+       |    SUM(CASE WHEN tok IN ($stops) THEN 1 ELSE 0 END)
+       |      OVER (PARTITION BY doc_id ORDER BY pos
+       |        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS phrase_id
+       |  FROM toks),
+       |phrased AS (SELECT * FROM ph WHERE tok NOT IN ($stops)),
+       |plen AS (
+       |  SELECT doc_id, phrase_id, COUNT(*) AS plen
+       |  FROM phrased GROUP BY 1, 2),
+       |wl AS (
+       |  SELECT p.*, l.plen FROM phrased p
+       |  JOIN plen l ON l.doc_id = p.doc_id AND l.phrase_id = p.phrase_id),
+       |ws AS (
+       |  SELECT tok, CAST(COUNT(*) AS BIGINT) AS freq,
+       |    CAST(SUM(plen) AS BIGINT) AS deg
+       |  FROM wl GROUP BY 1),
+       |wsc AS (SELECT tok, deg * 1000000 // freq AS wscore FROM ws),
+       |psc AS (
+       |  SELECT wl.doc_id, wl.phrase_id,
+       |    CAST(SUM(w.wscore) AS BIGINT) AS score,
+       |    STRING_AGG(wl.tok, ' ' ORDER BY wl.pos) AS phrase
+       |  FROM wl JOIN wsc w ON w.tok = wl.tok
+       |  GROUP BY 1, 2),
+       |rk AS (
+       |  SELECT *, ROW_NUMBER() OVER (PARTITION BY doc_id
+       |    ORDER BY score DESC, phrase, phrase_id) AS rk
+       |  FROM psc)
+       |SELECT doc_id, CAST(rk AS BIGINT) AS rk, phrase, score
+       |FROM rk WHERE rk <= 3""".stripMargin
+  }
+
+  // ---- q124: exact nDCG@10 — the graded-ranking evaluation next to
+  //      q105's ROC AUC and q113's average precision. Ranking: docs
+  //      by (n_chars desc, doc_id) within each source; binary
+  //      relevance lang='en'. The 1/log2(i+1) discounts are
+  //      PRECOMPUTED 12-decimal literals (and their prefix sums, for
+  //      the ideal DCG) shared verbatim with the oracle — DCG/IDCG
+  //      are exact DECIMAL sums of literals, nDCG the ONE double
+  //      division, rounded to 9. Sources with no relevant doc are
+  //      excluded (0/0). ----
+  private val ndcgK = 10
+  private val discounts: IndexedSeq[java.math.BigDecimal] =
+    (1 to ndcgK).map { i =>
+      new java.math.BigDecimal(1.0 / (math.log(i + 1.0) / math.log(2.0)))
+        .setScale(12, java.math.RoundingMode.HALF_UP)
+    }
+  private val discountPrefix: IndexedSeq[java.math.BigDecimal] =
+    discounts.scanLeft(java.math.BigDecimal.ZERO)(_ add _).tail
+
+  val q124Ndcg: Q = (s, d) => {
+    val ranked = documents(s, d)
+      .select(col("source"), col("doc_id"), col("n_chars"),
+        when(col("lang") === "en", 1L).otherwise(0L).as("rel"))
+      .withColumn("rk", row_number().over(
+        Window.partitionBy(col("source"))
+          .orderBy(col("n_chars").desc, col("doc_id"))))
+    val dCase = (1 to ndcgK).foldLeft(when(lit(false), lit(null))) {
+      (acc, i) => acc.when(col("rk") === i, lit(discounts(i - 1)))
+    }
+    val dcg = ranked.filter(col("rk") <= ndcgK)
+      .groupBy(col("source"))
+      .agg(sum(when(col("rel") === 1, dCase).otherwise(lit(java.math.BigDecimal.ZERO)))
+        .as("dcg"))
+    val relTotal = ranked.groupBy(col("source"))
+      .agg(sum(col("rel")).cast("bigint").as("n_rel"))
+    val idcgCase = (1 to ndcgK).foldLeft(when(lit(false), lit(null))) {
+      (acc, j) => acc.when(least(col("n_rel"), lit(ndcgK.toLong)) === j,
+        lit(discountPrefix(j - 1)))
+    }
+    dcg.join(relTotal, Seq("source"))
+      .filter(col("n_rel") > 0)
+      .select(col("source"), col("n_rel"),
+        round(col("dcg").cast("double") / idcgCase.cast("double"), 9)
+          .as("ndcg"))
+  }
+
+  val q124Oracle: String = {
+    val dCase = (1 to ndcgK)
+      .map(i => s"WHEN rk = $i THEN CAST('${discounts(i - 1)}' AS DECIMAL(20,12))")
+      .mkString(" ")
+    val pCase = (1 to ndcgK)
+      .map(j => s"WHEN LEAST(n_rel, $ndcgK) = $j THEN CAST('${discountPrefix(j - 1)}' AS DECIMAL(20,12))")
+      .mkString(" ")
+    s"""WITH ranked AS (
+       |  SELECT source, doc_id, n_chars,
+       |    CASE WHEN lang = 'en' THEN 1 ELSE 0 END AS rel,
+       |    ROW_NUMBER() OVER (PARTITION BY source
+       |      ORDER BY n_chars DESC, doc_id) AS rk
+       |  FROM documents),
+       |dcg AS (
+       |  SELECT source,
+       |    SUM(CASE WHEN rel = 1 THEN (CASE $dCase END)
+       |        ELSE CAST(0 AS DECIMAL(20,12)) END) AS dcg
+       |  FROM ranked WHERE rk <= $ndcgK GROUP BY 1),
+       |rt AS (
+       |  SELECT source, CAST(SUM(rel) AS BIGINT) AS n_rel
+       |  FROM ranked GROUP BY 1)
+       |SELECT d.source, r.n_rel,
+       |  ROUND(CAST(d.dcg AS DOUBLE) /
+       |        CAST((CASE $pCase END) AS DOUBLE), 9) AS ndcg
+       |FROM dcg d JOIN rt r ON r.source = d.source
+       |WHERE r.n_rel > 0""".stripMargin
+  }
+
+  val queries: Map[String, Q] = Map(
+    "text_rake" -> textRake,
+    "q124_ndcg" -> q124Ndcg)
+
+  val oracles: Map[String, String] = Map(
+    "text_rake" -> textRakeOracle,
+    "q124_ndcg" -> q124Oracle)
+}
