@@ -181,11 +181,104 @@ object Advanced4 {
        |WHERE r.n_rel > 0""".stripMargin
   }
 
+  // ---- q125: winsorized mean — the outlier-robust mean by ORDER-
+  //      STATISTIC clipping (bottom/top 10% of rows clipped to the
+  //      (k+1)-th / (n−k)-th smallest value, k = n·10 DIV 100): the
+  //      thresholds are exact integer cents (no interpolated
+  //      percentile — an interpolated threshold is a double whose
+  //      last ulp could flip a clip), the clipped sum rides the
+  //      per-VALUE count table (value-cardinality, the q93
+  //      discipline), and the mean is the ONE double division,
+  //      rounded to 6. ----
+  val q125Winsorized: Q = (s, d) => {
+    val vals = lineitem(s, d).select(col("l_returnflag").as("f"),
+      (col("l_extendedprice").cast("decimal(18,2)") * 100)
+        .cast("long").as("v"))
+    val perValue = vals.groupBy(col("f"), col("v"))
+      .agg(count(lit(1)).cast("bigint").as("cnt"))
+    val w = Window.partitionBy(col("f")).orderBy(col("v"))
+      .rowsBetween(Window.unboundedPreceding, 0)
+    val cum = perValue.withColumn("cum", sum(col("cnt")).over(w))
+      .localCheckpoint(true) // thresholds + clipped sum below
+    val n = cum.groupBy(col("f"))
+      .agg(max(col("cum")).cast("bigint").as("n"))
+      .withColumn("k", expr("n * 10 DIV 100"))
+    val lo = cum.join(n, Seq("f"))
+      .filter(col("cum") >= col("k") + 1)
+      .groupBy(col("f")).agg(min(col("v")).as("lo"))
+    val hi = cum.join(n, Seq("f"))
+      .filter(col("cum") >= col("n") - col("k"))
+      .groupBy(col("f")).agg(min(col("v")).as("hi"))
+    cum.join(lo, Seq("f")).join(hi, Seq("f")).join(n, Seq("f"))
+      .withColumn("cv", greatest(col("lo"), least(col("hi"), col("v"))))
+      .groupBy(col("f"), col("n"), col("k"), col("lo"), col("hi"))
+      .agg(sum(col("cv").cast("decimal(38,0)") * col("cnt")).as("csum"))
+      .select(col("f"), col("n"), col("k"), col("lo"), col("hi"),
+        round(col("csum").cast("double") / col("n").cast("double") / lit(100), 6)
+          .as("winsorized_mean"))
+  }
+
+  val q125Oracle: String =
+    """WITH vals AS (
+      |  SELECT l_returnflag AS f,
+      |    CAST(CAST(l_extendedprice AS DECIMAL(18,2)) * 100 AS BIGINT) AS v
+      |  FROM lineitem),
+      |pv AS (SELECT f, v, CAST(COUNT(*) AS BIGINT) AS cnt
+      |  FROM vals GROUP BY 1, 2),
+      |cu AS (SELECT *, SUM(cnt) OVER (PARTITION BY f ORDER BY v
+      |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
+      |  FROM pv),
+      |nn AS (SELECT f, CAST(MAX(cum) AS BIGINT) AS n,
+      |    CAST(MAX(cum) AS BIGINT) * 10 // 100 AS k
+      |  FROM cu GROUP BY 1),
+      |lo AS (SELECT cu.f, MIN(v) AS lo FROM cu JOIN nn ON nn.f = cu.f
+      |  WHERE cum >= k + 1 GROUP BY 1),
+      |hi AS (SELECT cu.f, MIN(v) AS hi FROM cu JOIN nn ON nn.f = cu.f
+      |  WHERE cum >= n - k GROUP BY 1)
+      |SELECT cu.f, nn.n, nn.k, lo.lo, hi.hi,
+      |  ROUND(CAST(SUM(GREATEST(lo.lo, LEAST(hi.hi, cu.v)) * cu.cnt) AS DOUBLE)
+      |    / CAST(nn.n AS DOUBLE) / 100, 6) AS winsorized_mean
+      |FROM cu JOIN nn ON nn.f = cu.f JOIN lo ON lo.f = cu.f
+      |  JOIN hi ON hi.f = cu.f
+      |GROUP BY cu.f, nn.n, nn.k, lo.lo, hi.hi""".stripMargin
+
+  // ---- q126: feature hashing (the hashing trick, Weinberger et al.
+  //      '09) — fixed-width bag-of-words via the engine-portable md5
+  //      bucket (the cvFolds idiom), the tokenizer-free featurizer
+  //      under linear classifiers at corpus scale. Sparse output
+  //      (doc, bucket, count), exact integers; one (doc, bucket)
+  //      hash aggregate with map-side combine. ----
+  val q126FeatureHash: Q = (s, d) => {
+    val toks = documents(s, d)
+      .select(col("doc_id"),
+        explode(expr("regexp_extract_all(lower(text), '[a-z0-9]+', 0)"))
+          .as("tok"))
+    toks.withColumn("bucket",
+        pmod(conv(substring(md5(col("tok").cast("binary")), 1, 8), 16, 10)
+          .cast("long"), lit(256L)))
+      .groupBy(col("doc_id"), col("bucket"))
+      .agg(count(lit(1)).cast("bigint").as("cnt"))
+  }
+
+  val q126Oracle: String =
+    """WITH toks AS (
+      |  SELECT doc_id,
+      |    unnest(regexp_extract_all(lower(text), '[a-z0-9]+')) AS tok
+      |  FROM documents)
+      |SELECT doc_id,
+      |  CAST(('0x' || substr(md5(tok), 1, 8)) AS BIGINT) % 256 AS bucket,
+      |  CAST(COUNT(*) AS BIGINT) AS cnt
+      |FROM toks GROUP BY 1, 2""".stripMargin
+
   val queries: Map[String, Q] = Map(
     "text_rake" -> textRake,
-    "q124_ndcg" -> q124Ndcg)
+    "q124_ndcg" -> q124Ndcg,
+    "q125_winsorized" -> q125Winsorized,
+    "q126_feature_hash" -> q126FeatureHash)
 
   val oracles: Map[String, String] = Map(
     "text_rake" -> textRakeOracle,
-    "q124_ndcg" -> q124Oracle)
+    "q124_ndcg" -> q124Oracle,
+    "q125_winsorized" -> q125Oracle,
+    "q126_feature_hash" -> q126Oracle)
 }
