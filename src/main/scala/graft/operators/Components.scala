@@ -36,15 +36,31 @@ object Components {
     */
   def connectedComponents(pairs: DataFrame, srcCol: String, dstCol: String,
                           maxIter: Int = 20,
-                          partitions: Int = 0): DataFrame =
-    connectedComponentsWithStats(pairs, srcCol, dstCol, maxIter, partitions)._1
+                          partitions: Int = 0,
+                          maxLocalEdges: Long = 4000000L): DataFrame =
+    connectedComponentsWithStats(pairs, srcCol, dstCol, maxIter, partitions,
+      maxLocalEdges)._1
 
   /** As [[connectedComponents]], also returning the iteration count
-    * (spec hook for the O(log diameter) convergence property).
+    * (spec hook for the O(log diameter) convergence property; the
+    * driver-local route reports 0 — it runs no distributed
+    * iterations).
+    *
+    * SIZE ROUTING (the GraphOps.scc convention): the symmetrized
+    * deduped edge list is already materialized for the fixpoint, so
+    * its count is free; when it fits `maxLocalEdges` (4M pairs ≈
+    * 64 MB — broadcast-sized) the driver runs union-find in one
+    * linear pass instead of paying O(log diameter) scheduled
+    * join+aggregate rounds, which dominate wall clock on the small
+    * pair graphs near-dup clustering actually produces. Above the
+    * cap — the 100 TB dedup regime — the distributed pointer-jumping
+    * fixpoint below runs unchanged, driver memory bounded by the
+    * knob, never the data.
     */
   def connectedComponentsWithStats(pairs: DataFrame, srcCol: String, dstCol: String,
                                    maxIter: Int = 20,
-                                   partitions: Int = 0): (DataFrame, Int) = {
+                                   partitions: Int = 0,
+                                   maxLocalEdges: Long = 4000000L): (DataFrame, Int) = {
     val edges = pairs.select(col(srcCol).as("src"), col(dstCol).as("dst"))
     // Materialize sym hash-partitioned on src and labels on id with
     // EAGER localCheckpoint, not cache: the checkpoint truncates the
@@ -65,6 +81,23 @@ object Components {
       .distinct()
     val sym = (if (partitions > 0) symBase.repartition(partitions, col("src"))
                else symBase.repartition(col("src"))).localCheckpoint(true)
+    // the local route is LongType-only: `component = min id` must
+    // order identically on the driver and in Spark, which is a given
+    // for longs but not for strings (JVM UTF-16 compareTo vs Spark's
+    // UTF-8 byte order disagree outside the BMP) — string-keyed
+    // graphs (entity resolution) stay on the distributed path
+    val longIds =
+      sym.schema("src").dataType == org.apache.spark.sql.types.LongType &&
+        sym.schema("dst").dataType == org.apache.spark.sql.types.LongType
+    if (longIds && sym.count() <= 2 * maxLocalEdges) {
+      val spark = pairs.sparkSession
+      import spark.implicits._
+      val local = sym.select(col("src"), col("dst")).as[(Long, Long)].collect()
+      val out = spark.createDataset(unionFindLocal(local).toSeq)
+        .toDF("id", "component")
+      return (if (partitions > 0) out.repartition(partitions, col("id"))
+              else out, 0)
+    }
     // The INITIAL labels and the first two iterations use plain cache:
     // sym's checkpoint already truncated the deep upstream plan, so
     // iteration 0-1 lineage is at most two shallow joins deep and the
@@ -119,5 +152,59 @@ object Components {
       i += 1
     }
     (labels, i)
+  }
+
+  /** Driver-local union-find (path halving + union by rank) over a
+    * collected edge list; linear-ish in |E|·α. Returns (id, min id of
+    * its component) for every edge endpoint — the exact contract of
+    * the distributed fixpoint, so the two routes are interchangeable.
+    */
+  private[graft] def unionFindLocal(edges: Array[(Long, Long)])
+      : Array[(Long, Long)] = {
+    val idOf = scala.collection.mutable.LongMap.empty[Int]
+    val ids = scala.collection.mutable.ArrayBuffer[Long]()
+    def intern(v: Long): Int =
+      idOf.getOrElseUpdate(v, { val i = ids.length; ids += v; i })
+    val m = edges.length
+    val srcs = new Array[Int](m); val dsts = new Array[Int](m)
+    var e = 0
+    while (e < m) {
+      srcs(e) = intern(edges(e)._1); dsts(e) = intern(edges(e)._2); e += 1
+    }
+    val n = ids.length
+    val parent = new Array[Int](n)
+    val rank = new Array[Byte](n)
+    var i = 0
+    while (i < n) { parent(i) = i; i += 1 }
+    def find(x0: Int): Int = {
+      var x = x0
+      while (parent(x) != x) {
+        parent(x) = parent(parent(x)); x = parent(x)
+      }
+      x
+    }
+    e = 0
+    while (e < m) {
+      val a = find(srcs(e)); val b = find(dsts(e))
+      if (a != b) {
+        if (rank(a) < rank(b)) parent(a) = b
+        else if (rank(a) > rank(b)) parent(b) = a
+        else { parent(b) = a; rank(a) = (rank(a) + 1).toByte }
+      }
+      e += 1
+    }
+    // min original id per root, then label every node with it
+    val minOf = new Array[Long](n)
+    java.util.Arrays.fill(minOf, Long.MaxValue)
+    i = 0
+    while (i < n) {
+      val r = find(i)
+      if (ids(i) < minOf(r)) minOf(r) = ids(i)
+      i += 1
+    }
+    val out = new Array[(Long, Long)](n)
+    i = 0
+    while (i < n) { out(i) = (ids(i), minOf(find(i))); i += 1 }
+    out
   }
 }

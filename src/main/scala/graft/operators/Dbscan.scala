@@ -22,14 +22,23 @@ import org.apache.spark.sql.functions._
   */
 object Dbscan {
 
+  /** @param partitions parallelism for the components fixpoint and
+    *        the pair frames — the [[Components]] convention: when the
+    *        POINT SET is model-sized, per-iteration task overhead
+    *        dominates the driver-looped label propagation, and a
+    *        small explicit count removes most of it; the result is
+    *        partition-invariant, only wall clock changes.
+    */
   def dbscan(df: DataFrame, idCol: String, xCol: String, yCol: String,
              r: Long, minPts: Int,
-             maxCellSize: Long = 100000L): DataFrame = {
+             maxCellSize: Long = 100000L, partitions: Int = 0): DataFrame = {
     require(minPts >= 1, s"dbscan: minPts must be >= 1, got $minPts")
     val pts = df.select(col(idCol).cast("long").as("id"),
       col(xCol).cast("long").as("x"), col(yCol).cast("long").as("y"))
-    val pairs = SpatialJoin.radiusSelfJoin(pts, "id", "x", "y", r, maxCellSize)
-      .select(col("id_a"), col("id_b")).localCheckpoint(true)
+    val pairsBase = SpatialJoin.radiusSelfJoin(pts, "id", "x", "y", r, maxCellSize)
+      .select(col("id_a"), col("id_b"))
+    val pairs = (if (partitions > 0) pairsBase.repartition(partitions, col("id_a"))
+                 else pairsBase).localCheckpoint(true)
     val sym = pairs.unionAll(
       pairs.select(col("id_b").as("id_a"), col("id_a").as("id_b")))
     // neighbor count INCLUDING self; points with zero neighbors never
@@ -46,7 +55,8 @@ object Dbscan {
     val coreEdges = sym
       .join(coreIds.select(col("id").as("id_a")), Seq("id_a"), "left_semi")
       .join(coreIds.select(col("id").as("id_b")), Seq("id_b"), "left_semi")
-    val comp = Components.connectedComponents(coreEdges, "id_a", "id_b")
+    val comp = Components.connectedComponents(coreEdges, "id_a", "id_b",
+      partitions = partitions)
     val coreClusters = coreIds
       .join(comp.withColumnRenamed("id", "id2"), col("id") === col("id2"), "left")
       .select(col("id"), coalesce(col("component"), col("id")).as("cluster"))

@@ -154,8 +154,16 @@ object Dedup {
                                  textCol: String, n: Int,
                                  maxPosting: Int): DataFrame = {
     GraftFunctions.register(df.sparkSession)
+    // materialize the shingle arrays ONCE: this frame feeds three plan
+    // branches (the posting-count aggregate and both sides of the
+    // candidate self-join), and only the self-join's two sides
+    // canonicalize to a reusable exchange — without pinning, the
+    // per-token hashing (the dominant CPU here) re-runs per branch.
+    // Footprint is one hash array per doc ≈ the corpus itself, the
+    // same size every shuffle in this pipeline already carries.
     val shingled = spread(df).select(col(idCol).as("doc"),
       GraftFunctions.shingleFast(wsTokens(col(textCol)), n).as("sh_hashes"))
+      .localCheckpoint(true)
     val posting = shingled
       .select(col("doc"), size(col("sh_hashes")).as("n_sh"),
         explode(col("sh_hashes")).as("sh"))

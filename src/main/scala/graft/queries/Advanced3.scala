@@ -469,32 +469,37 @@ object Advanced3 {
   //      consecutive orders bought A then B — the navigation-loop /
   //      repeat-purchase cycle structure). Output is the SCC size
   //      histogram: deterministic because the coloring fixpoint is. ----
-  val graphScc: Q = (s, d) => {
+  /** The directed bulk-repurchase sequence graph shared by graph_scc
+    * and graph_condensation: part A → part B iff some customer's
+    * consecutive orders bought A (quantity ≥ 45) then B. The
+    * high-quantity filter keeps real cycle structure — the full
+    * basket graph collapses into one giant SCC on a dense corpus.
+    */
+  private def bulkSeqEdges(s: SparkSession, d: String): DataFrame = {
     val o = orders(s, d).select(col("o_orderkey"), col("o_custkey"),
       col("o_orderdate"))
     val rn = row_number().over(Window.partitionBy(col("o_custkey"))
       .orderBy(col("o_orderdate"), col("o_orderkey"))).cast("long")
-    // high-quantity lines only: the full basket graph collapses into
-    // one giant SCC (everything follows everything on a dense
-    // corpus) — the bulk-repurchase subgraph keeps real cycle
-    // structure for the histogram to show
     val seq = o.withColumn("rn", rn)
       .join(lineitem(s, d).filter(col("l_quantity") >= 45)
         .select(col("l_orderkey").as("o_orderkey"),
           col("l_partkey").as("pk")).distinct(), "o_orderkey")
       .select(col("o_custkey").as("cust"), col("rn"), col("pk"))
       .localCheckpoint(true)
-    val edges = seq.as("a").join(
+    seq.as("a").join(
         seq.withColumn("rn", col("rn") - 1).as("b"),
         Seq("cust", "rn"))
       .select(col("a.pk").as("src"), col("b.pk").as("dst"))
       .filter(col("src") =!= col("dst")).distinct()
-    // partitions=8: the part graph is model-sized (≤ |parts| nodes),
-    // so per-iteration task overhead — not data — dominates the
-    // driver-looped fixpoints; the result is partition-invariant
-    // (spec-pinned), only the wall clock changes (the Components
-    // convention)
-    val comp = graft.operators.GraphOps.scc(edges, "src", "dst",
+  }
+
+  // partitions=8 on every scc call: the part graph is model-sized
+  // (≤ |parts| nodes), so per-iteration task overhead — not data —
+  // dominates the driver-looped fixpoints; the result is
+  // partition-invariant (spec-pinned), only the wall clock changes
+  // (the Components convention)
+  val graphScc: Q = (s, d) => {
+    val comp = graft.operators.GraphOps.scc(bulkSeqEdges(s, d), "src", "dst",
       partitions = 8)
     comp.groupBy(col("scc")).agg(count(lit(1)).cast("bigint").as("size"))
       .groupBy(col("size")).agg(count(lit(1)).cast("bigint").as("n_sccs"))
@@ -520,7 +525,7 @@ object Advanced3 {
     val n = pts.count()
     val r = math.max(1L, math.round(math.sqrt(6.0e10 / (math.Pi * n))))
     val lab = graft.operators.Dbscan
-      .dbscan(pts, "id", "x", "y", r = r, minPts = 4)
+      .dbscan(pts, "id", "x", "y", r = r, minPts = 4, partitions = 8)
       .localCheckpoint(true)
     val clusters = lab.filter(col("cluster").isNotNull)
       .groupBy(col("cluster")).agg(count(lit(1)).as("sz"))
@@ -585,24 +590,9 @@ object Advanced3 {
   //      once cycles collapse". Condensed edges are distinct
   //      (scc(src), scc(dst)) pairs; isolated SCCs sit at level 0. ----
   val graphCondensation: Q = (s, d) => {
-    val o = orders(s, d).select(col("o_orderkey"), col("o_custkey"),
-      col("o_orderdate"))
-    val rn = row_number().over(Window.partitionBy(col("o_custkey"))
-      .orderBy(col("o_orderdate"), col("o_orderkey"))).cast("long")
-    val seq = o.withColumn("rn", rn)
-      .join(lineitem(s, d).filter(col("l_quantity") >= 45)
-        .select(col("l_orderkey").as("o_orderkey"),
-          col("l_partkey").as("pk")).distinct(), "o_orderkey")
-      .select(col("o_custkey").as("cust"), col("rn"), col("pk"))
-      .localCheckpoint(true)
-    val edges = seq.as("a").join(
-        seq.withColumn("rn", col("rn") - 1).as("b"),
-        Seq("cust", "rn"))
-      .select(col("a.pk").as("src"), col("b.pk").as("dst"))
-      .filter(col("src") =!= col("dst")).distinct()
+    val edges = bulkSeqEdges(s, d).localCheckpoint(true)
     val comp = graft.operators.GraphOps.scc(edges, "src", "dst",
-        partitions = 8)
-      .localCheckpoint(true)
+      partitions = 8).localCheckpoint(true)
     val condensed = edges
       .join(comp.select(col("node").as("src"), col("scc").as("ca")), Seq("src"))
       .join(comp.select(col("node").as("dst"), col("scc").as("cb")), Seq("dst"))

@@ -120,4 +120,26 @@ class DbscanSpec extends AnyFunSuite {
     }
     assert(e2.getMessage.contains("self-loop"))
   }
+
+  test("topoLevels: local fast path and distributed peel agree") {
+    // random DAG (edges only ever point id-upward → acyclic)
+    val rnd = new scala.util.Random(7)
+    val edges = (1 to 400).map { _ =>
+      val a = rnd.nextInt(60) + 1; val b = a + rnd.nextInt(12) + 1
+      (a.toLong, b.toLong)
+    }.distinct
+    val local = GraphOps.topoLevels(edges.toDF("s", "t"), "s", "t")
+      .as[(Long, Long)].collect().toMap
+    val dist = GraphOps.topoLevels(edges.toDF("s", "t"), "s", "t",
+        maxLocalEdges = -1L)
+      .as[(Long, Long)].collect().toMap
+    assert(local === dist)
+    // distributed cycle refusal still reachable
+    val cyc = Seq((1L, 2L), (2L, 3L), (3L, 1L))
+    val e = intercept[IllegalArgumentException] {
+      GraphOps.topoLevels(cyc.toDF("s", "t"), "s", "t",
+        maxLocalEdges = -1L).collect()
+    }
+    assert(e.getMessage.contains("cycle"))
+  }
 }

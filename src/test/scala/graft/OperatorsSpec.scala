@@ -463,11 +463,32 @@ class OperatorsSpec extends AnyFunSuite {
     // path 0-1-...-15: plain min propagation needs ~15 iterations;
     // pointer jumping doubles labelled distance per iteration
     val chain = (0 until 15).map(i => (i.toLong, (i + 1).toLong)).toDF("a", "b")
+    // maxLocalEdges = -1 forces the DISTRIBUTED fixpoint (the default
+    // would route this model-sized graph to the driver union-find)
     val (labels, iters) = graft.operators.Components
-      .connectedComponentsWithStats(chain, "a", "b")
+      .connectedComponentsWithStats(chain, "a", "b", maxLocalEdges = -1L)
     val comps = labels.as[(Long, Long)].collect().toMap
     assert(comps.size == 16 && comps.values.forall(_ == 0L))
     assert(iters <= 7, s"chain-16 should converge in ~log iterations, took $iters")
+  }
+
+  test("connected components: local union-find and distributed fixpoint agree") {
+    val rnd = new scala.util.Random(23)
+    val pairs = (1 to 300).map(_ =>
+      (rnd.nextInt(120).toLong, rnd.nextInt(120).toLong)).distinct
+    val df = pairs.toDF("a", "b")
+    val local = graft.operators.Components.connectedComponents(df, "a", "b")
+      .as[(Long, Long)].collect().toMap
+    val dist = graft.operators.Components
+      .connectedComponents(df, "a", "b", maxLocalEdges = -1L)
+      .as[(Long, Long)].collect().toMap
+    assert(local === dist)
+    // string-keyed graphs never take the local route (ordering parity):
+    // result still correct through the distributed path
+    val s = Seq(("x", "y"), ("y", "z"), ("p", "q")).toDF("a", "b")
+    val got = graft.operators.Components.connectedComponents(s, "a", "b")
+      .as[(String, String)].collect().toMap
+    assert(got === Map("x" -> "x", "y" -> "x", "z" -> "x", "p" -> "p", "q" -> "p"))
   }
 
   test("connected components: two cliques sharing no edge stay separate") {

@@ -43,8 +43,10 @@ class SccSpec extends AnyFunSuite {
     out.toSet
   }
 
-  private def sccSets(edges: Seq[(Long, Long)], parts: Int = 4): Set[Set[Long]] =
-    GraphOps.scc(edges.toDF("s", "t").repartition(parts), "s", "t")
+  private def sccSets(edges: Seq[(Long, Long)], parts: Int = 4,
+                      maxLocalEdges: Long = 4000000L): Set[Set[Long]] =
+    GraphOps.scc(edges.toDF("s", "t").repartition(parts), "s", "t",
+        maxLocalEdges = maxLocalEdges)
       .as[(Long, Long)].collect()
       .groupBy(_._2).values.map(_.map(_._1).toSet).toSet
 
@@ -85,14 +87,32 @@ class SccSpec extends AnyFunSuite {
       val want = tarjan(edges)
       assert(sccSets(edges, parts = 3) === want, s"trial $trial")
       assert(sccSets(edges, parts = 7) === want, s"trial $trial reparted")
+      // force the distributed coloring path: both routes must agree
+      assert(sccSets(edges, parts = 3, maxLocalEdges = -1L) === want,
+        s"trial $trial distributed")
     }
+  }
+
+  test("local fast path handles a DFS depth that would blow recursion") {
+    // a 40k-node path: all singletons, max-id labels = each node itself;
+    // a recursive Tarjan would StackOverflow — the iterative one must not
+    val n = 40000L
+    val path = (1L until n).map(i => (i, i + 1))
+    val out = GraphOps.tarjanLocal(path.toArray)
+    assert(out.length === n.toInt)
+    assert(out.forall { case (node, scc) => node === scc })
+    // and a path CLOSED into a cycle is one component labelled n
+    val cyc = path :+ ((n, 1L))
+    val out2 = GraphOps.tarjanLocal(cyc.toArray)
+    assert(out2.forall(_._2 === n))
   }
 
   test("maxIter exhaustion refuses rather than returning a non-partition") {
     // a 30-node directed cycle needs ~30 color hops; maxIter=3 must refuse
     val cyc = (1L to 30L).map(i => (i, i % 30 + 1))
     val e = intercept[IllegalArgumentException] {
-      GraphOps.scc(cyc.toDF("s", "t"), "s", "t", maxIter = 3).collect()
+      GraphOps.scc(cyc.toDF("s", "t"), "s", "t", maxIter = 3,
+        maxLocalEdges = -1L).collect()
     }
     assert(e.getMessage.contains("maxIter"))
   }
