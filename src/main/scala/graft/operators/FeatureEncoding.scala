@@ -92,6 +92,57 @@ object FeatureEncoding {
     * their few rows). All sums exact; doubles only in the final
     * divisions.
     */
+  /** Per-group QUANTILE NORMALIZATION onto the pooled distribution —
+    * the cross-source feature equalizer (microarray-style quantile
+    * normalization, Bolstad '03): each row's value is replaced by the
+    * pooled order statistic at its within-group relative rank, so
+    * every group ends up with (a subsample of) the SAME marginal
+    * distribution. The batch-effect remover for multi-source corpora:
+    * scores/lengths from different crawls become comparable without
+    * trusting either source's calibration.
+    *
+    * Exact algebra end to end: within-group rank r over (value, id),
+    * group size n_g, pool size N; target pooled rank
+    * k = ceil(r·N/n_g) = (r·N + n_g − 1) div n_g in DECIMAL(38,0)
+    * (r·N overflows a long once N passes ~3B rows), r = n_g ⇒ k = N.
+    * The normalized value is the pooled value at positional rank k —
+    * an order statistic, never an interpolated percentile whose last
+    * ulp could drift between engines.
+    *
+    * Scale shape: TWO distributed rank passes through
+    * [[Ranking.globalRank]] (range partitions + driver offsets —
+    * never an unpartitioned window; the within-group rank derives
+    * from ONE composite-key (group, value, id) rank minus per-group
+    * offsets, the q106 few-large-groups discipline), then ONE
+    * equi-join of the target rank against the pooled rank table.
+    * Group offsets are group-cardinality and broadcast.
+    *
+    * @param valueCol integral column (cast to long); scale decimals
+    *        to integer units first (the cents convention)
+    * @param idCol unique row id — the deterministic tiebreak
+    * @return (idCol, groupCol, valueCol, qnorm)
+    */
+  def quantileNormalize(df: DataFrame, groupCol: String, valueCol: String,
+                        idCol: String): DataFrame = {
+    val v = df.select(col(groupCol).as("__grp"),
+      col(valueCol).cast("long").as("__v"), col(idCol).as("__id"))
+      .localCheckpoint(true)
+    val n = v.count()
+    val ranked = Ranking.globalRank(v, Seq("__grp", "__v", "__id"), "__gr", 0)
+    val offs = ranked.groupBy(col("__grp"))
+      .agg(min(col("__gr")).as("__o"), count(lit(1)).as("__ng"))
+    val pooled = Ranking.globalRank(v.select(col("__v"), col("__id")),
+        Seq("__v", "__id"), "__k", 0)
+      .select(col("__k").as("__tk"), col("__v").as("qnorm"))
+    ranked.join(broadcast(offs), Seq("__grp"))
+      .withColumn("__r", col("__gr") - col("__o") + lit(1L))
+      .withColumn("__tk", expr(
+        s"CAST((CAST(__r AS DECIMAL(38,0)) * ${n} + __ng - 1) DIV __ng AS BIGINT)"))
+      .join(pooled, Seq("__tk"))
+      .select(col("__id").as(idCol), col("__grp").as(groupCol),
+        col("__v").as(valueCol), col("qnorm"))
+  }
+
   def targetEncode(df: DataFrame, catCol: String, targetCol: String,
                    m: Int = 10): DataFrame = {
     require(m >= 0, s"smoothing m must be >= 0, got $m")

@@ -181,4 +181,94 @@ object Similarity {
     topKPerQuery(scored, k)
   }
 
+  /** JVM-side cosine over float vectors (double accumulation), the
+    * greedy re-ranker's candidate-candidate metric. Zero-norm → 0.
+    */
+  private[graft] def cosineLocal(a: Array[Float], b: Array[Float]): Double = {
+    val n = math.min(a.length, b.length)
+    var dot = 0.0; var na = 0.0; var nb = 0.0; var i = 0
+    while (i < n) {
+      dot += a(i).toDouble * b(i).toDouble
+      na += a(i).toDouble * a(i).toDouble
+      nb += b(i).toDouble * b(i).toDouble
+      i += 1
+    }
+    if (na == 0.0 || nb == 0.0) 0.0 else dot / (math.sqrt(na) * math.sqrt(nb))
+  }
+
+  /** MMR diversified top-k (Maximal Marginal Relevance, Carbonell &
+    * Goldstein SIGIR '98) — retrieval that penalizes redundancy:
+    * greedily pick argmax λ·sim(q,c) − (1−λ)·max_{s∈selected}
+    * sim(c,s), so the result set trades pure relevance for coverage.
+    * The near-dup-aware retrieval / diverse-exemplar-sampling
+    * primitive: top-k alone returns k copies of the same cluster.
+    *
+    * Shape at 100 TB: stage 1 is the existing brute-force scan
+    * (queries broadcast, base never moves, TopKPerKey partial+final
+    * heap) cut to `m` candidates per query; stage 2 re-fetches the m
+    * candidate vectors by ONE equi-join and runs the greedy selection
+    * per query group — O(m²·dim) on m≤`maxCandidates` rows, the one
+    * genuinely iterative-argmax step SQL operators cannot express
+    * (the documented mapPartitions-tier exception). Ties break on
+    * base_id; candidate order is pinned by stage-1 rank, so the
+    * output is partitioning-invariant.
+    *
+    * @return (query_id, mmr_rank, base_id, relevance, mmr_score)
+    */
+  def mmrTopK(base: DataFrame, queries: DataFrame,
+              idCol: String, vecCol: String,
+              k: Int = 5, m: Int = 20, lambda: Double = 0.7,
+              maxCandidates: Int = 1000): DataFrame = {
+    require(k >= 1 && m >= k,
+      s"mmrTopK: need m >= k >= 1, got k=$k m=$m")
+    require(m <= maxCandidates,
+      s"mmrTopK: m=$m exceeds maxCandidates=$maxCandidates — the greedy " +
+        "re-rank buffers m vectors per query group")
+    require(lambda >= 0.0 && lambda <= 1.0,
+      s"mmrTopK: lambda must be in [0,1], got $lambda")
+    val spark = base.sparkSession
+    import spark.implicits._
+    val cand = bruteForceTopK(base, queries, idCol, vecCol, m)
+    val withVec = cand.join(
+      base.select(col(idCol).cast("long").as("base_id"),
+        col(vecCol).as("__bv")), Seq("base_id"))
+    val ds = withVec.select(col("query_id").cast("long").as("_1"),
+        col("base_id").cast("long").as("_2"), col("rank").cast("int").as("_3"),
+        col("cosine").cast("double").as("_4"), col("__bv").as("_5"))
+      .as[(Long, Long, Int, Double, Array[Float])]
+    ds.groupByKey(_._1).flatMapGroups { (qid, it) =>
+      val cands = it.toArray.sortBy(_._3)
+      val picked = new Array[Boolean](cands.length)
+      val selected = scala.collection.mutable.ArrayBuffer[Int]()
+      val out = scala.collection.mutable.ArrayBuffer[(Long, Int, Long, Double, Double)]()
+      var r = 1
+      while (selected.length < math.min(k, cands.length)) {
+        var best = -1; var bestScore = Double.NegativeInfinity
+        var i = 0
+        while (i < cands.length) {
+          if (!picked(i)) {
+            // max similarity to anything already selected — kept
+            // signed (an anticorrelated candidate's penalty is
+            // negative, i.e. a bonus, per the published formula);
+            // first pick has no penalty term
+            var red = if (selected.isEmpty) 0.0 else Double.NegativeInfinity
+            selected.foreach { j =>
+              val s = cosineLocal(cands(i)._5, cands(j)._5)
+              if (s > red) red = s
+            }
+            val sc = lambda * cands(i)._4 - (1.0 - lambda) * red
+            if (sc > bestScore ||
+                (sc == bestScore && (best < 0 || cands(i)._2 < cands(best)._2)))
+              { best = i; bestScore = sc }
+          }
+          i += 1
+        }
+        picked(best) = true; selected += best
+        out += ((qid, r, cands(best)._2, cands(best)._4,
+          math.rint(bestScore * 1e6) / 1e6))
+        r += 1
+      }
+      out.iterator
+    }.toDF("query_id", "mmr_rank", "base_id", "relevance", "mmr_score")
+  }
 }

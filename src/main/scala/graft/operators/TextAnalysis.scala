@@ -354,4 +354,80 @@ object TextAnalysis {
     df.select(col(idCol), nTok.as("n_tokens"),
       dupFrac(2).as("dup_2gram_frac"), dupFrac(3).as("dup_3gram_frac"))
   }
+
+  /** EXACT multi-phrase containment search — the dictionary-tagging /
+    * filter-list primitive (blocklist hits, boilerplate markers,
+    * contamination probes): which documents contain each phrase as a
+    * CONTIGUOUS whitespace-token run.
+    *
+    * Shape at 100 TB: the dictionary is model-sized (`maxPhrases`
+    * knob, the q54 convention) and never shuffled. Per distinct
+    * phrase length L, each doc's shingle-hash array (the codegen
+    * ShingleHash64 — no n-gram string ever allocated) is intersected
+    * IN THE SCAN with the L-token phrase hashes (a literal array —
+    * the hash chain is replicated driver-side, same XXH64 seed), so
+    * non-matching docs die in their scan task: no explode, no
+    * shuffle of text, candidate volume = true-hit volume plus 64-bit
+    * collisions. Candidates explode their matched hashes (few per
+    * doc), equi-join the broadcast dictionary on (L, hash), and an
+    * exact substring check on the whitespace-normalized text FILTERS
+    * collision false-positives — every surviving row is a true
+    * containment, no probabilistic residue.
+    *
+    * @return one row per phrase (absent phrases included):
+    *         (phrase, n_docs)
+    */
+  def phraseSearch(df: DataFrame, idCol: String, textCol: String,
+                   phrases: Seq[String], maxPhrases: Int = 10000): DataFrame = {
+    require(phrases.nonEmpty, "phraseSearch: empty phrase list")
+    require(phrases.size <= maxPhrases,
+      s"phraseSearch: ${phrases.size} phrases exceed maxPhrases=$maxPhrases " +
+        "— the dictionary must stay model-sized (raise the knob only " +
+        "with broadcast headroom)")
+    val spark = df.sparkSession
+    graft.plans.GraftFunctions.register(spark)
+    import org.apache.spark.sql.catalyst.expressions.XXH64
+    import org.apache.spark.unsafe.types.UTF8String
+    def chainHash(toks: Seq[String]): Long = {
+      var h = 42L
+      toks.foreach { t =>
+        h = XXH64.hashLong(XXH64.hashUTF8String(UTF8String.fromString(t), 42L), h)
+      }
+      h
+    }
+    val parsed = phrases.distinct.map { p =>
+      val toks = p.trim.split("\\s+").toSeq
+      require(toks.nonEmpty && toks.head.nonEmpty,
+        s"phraseSearch: blank phrase '$p'")
+      (p.trim.split("\\s+").mkString(" "), toks.length, chainHash(toks))
+    }
+    require(parsed.map(_._1).distinct.size == parsed.size,
+      "phraseSearch: phrases collapse to duplicates after whitespace " +
+        "normalization")
+    import spark.implicits._
+    val dict = broadcast(spark.createDataset(parsed)
+      .toDF("phrase", "len", "h"))
+    val norm = concat(lit(" "),
+      regexp_replace(trim(col(textCol)), "\\s+", " "), lit(" "))
+    val byLen = parsed.groupBy(_._2).toSeq.sortBy(_._1).map {
+      case (len, ps) =>
+        val wanted = array(ps.map(p => lit(p._3)): _*)
+        df.select(col(idCol).as("__doc"), norm.as("__norm"),
+            lit(len).as("len"),
+            array_intersect(
+              graft.plans.GraftFunctions.shingleFast(wsTokens(col(textCol)), len),
+              wanted).as("__hits"))
+          .filter(size(col("__hits")) > 0)
+          .select(col("__doc"), col("__norm"), col("len"),
+            explode(col("__hits")).as("h"))
+    }
+    val candidates = byLen.reduce(_ unionByName _)
+    val verified = candidates.join(dict, Seq("len", "h"))
+      .filter(col("__norm").contains(concat(lit(" "), col("phrase"), lit(" "))))
+      .groupBy(col("phrase"))
+      .agg(count(lit(1)).cast("bigint").as("n_docs"))
+    dict.select(col("phrase")).join(verified, Seq("phrase"), "left")
+      .select(col("phrase"),
+        coalesce(col("n_docs"), lit(0L)).as("n_docs"))
+  }
 }

@@ -270,15 +270,80 @@ object Advanced4 {
       |  CAST(COUNT(*) AS BIGINT) AS cnt
       |FROM toks GROUP BY 1, 2""".stripMargin
 
+  // ---- q127: per-nation quantile normalization of account balances
+  //      onto the pooled distribution (Bolstad '03 — the multi-source
+  //      batch-effect remover): every nation's balances are remapped
+  //      to the pooled order statistics at the same within-nation
+  //      relative ranks, making sources comparable without trusting
+  //      either's calibration. Exact rank algebra (ceil(r·N/n_g) in
+  //      DECIMAL(38,0) floor form), order statistics never
+  //      interpolated; two distributed rank passes + one equi-join ----
+  val q127QuantileNorm: Q = (s, d) =>
+    graft.operators.FeatureEncoding.quantileNormalize(
+      customer(s, d).select(col("c_custkey"), col("c_nationkey").as("nation"),
+        round(col("c_acctbal") * 100).cast("long").as("bal_cents")),
+      "nation", "bal_cents", "c_custkey")
+
+  val q127Oracle: String =
+    """WITH v AS (
+      |  SELECT c_custkey AS id, c_nationkey AS nation,
+      |         CAST(round(c_acctbal * 100) AS BIGINT) AS cents
+      |  FROM customer),
+      |n AS (SELECT CAST(COUNT(*) AS HUGEINT) AS nn FROM v),
+      |g AS (SELECT id, nation, cents,
+      |        ROW_NUMBER() OVER (PARTITION BY nation ORDER BY cents, id) AS r,
+      |        COUNT(*) OVER (PARTITION BY nation) AS ng
+      |      FROM v),
+      |o AS (SELECT cents AS qnorm, ROW_NUMBER() OVER (ORDER BY cents, id) AS k
+      |      FROM v),
+      |t AS (SELECT g.*, CAST((CAST(r AS HUGEINT) * nn + ng - 1) // ng AS BIGINT) AS tk
+      |      FROM g CROSS JOIN n)
+      |SELECT t.id AS c_custkey, t.nation, t.cents AS bal_cents, o.qnorm
+      |FROM t JOIN o ON o.k = t.tk""".stripMargin
+
+  // ---- text_phrase_search: exact multi-phrase containment over the
+  //      corpus (blocklist/boilerplate/contamination-probe tagging).
+  //      Dictionary mixes 2- and 3-token phrases plus one absent
+  //      phrase (must report 0). Scan-side shingle-hash intersect
+  //      prunes to true hits + collisions, exact substring verify
+  //      removes the collisions — every count is exact ----
+  private val searchPhrases = Seq(
+    "table scan", "hash join", "sort merge",
+    "key agg row", "fast merge batch",
+    "zebra quantum xylophone")
+
+  val textPhraseSearch: Q = (s, d) =>
+    graft.operators.TextAnalysis.phraseSearch(
+      documents(s, d), "doc_id", "text", searchPhrases)
+
+  val textPhraseSearchOracle: String =
+    """WITH p(phrase) AS (VALUES ('table scan'), ('hash join'),
+      |                          ('sort merge'), ('key agg row'),
+      |                          ('fast merge batch'),
+      |                          ('zebra quantum xylophone')),
+      |d AS (SELECT ' ' || regexp_replace(trim(text), '\s+', ' ', 'g') || ' '
+      |             AS norm
+      |      FROM documents)
+      |SELECT p.phrase,
+      |       CAST(COALESCE(SUM(CASE WHEN contains(d.norm,
+      |         ' ' || p.phrase || ' ') THEN 1 ELSE 0 END), 0) AS BIGINT)
+      |         AS n_docs
+      |FROM p CROSS JOIN d
+      |GROUP BY p.phrase""".stripMargin
+
   val queries: Map[String, Q] = Map(
+    "text_phrase_search" -> textPhraseSearch,
     "text_rake" -> textRake,
     "q124_ndcg" -> q124Ndcg,
     "q125_winsorized" -> q125Winsorized,
-    "q126_feature_hash" -> q126FeatureHash)
+    "q126_feature_hash" -> q126FeatureHash,
+    "q127_quantile_norm" -> q127QuantileNorm)
 
   val oracles: Map[String, String] = Map(
+    "text_phrase_search" -> textPhraseSearchOracle,
     "text_rake" -> textRakeOracle,
     "q124_ndcg" -> q124Oracle,
     "q125_winsorized" -> q125Oracle,
-    "q126_feature_hash" -> q126Oracle)
+    "q126_feature_hash" -> q126Oracle,
+    "q127_quantile_norm" -> q127Oracle)
 }

@@ -380,6 +380,17 @@ object TextQueries {
     Similarity.bruteForceTopK(e, e.filter(col("vec_id") < 20), "vec_id", "embedding", k = 5)
   }
 
+  // ---- ann_mmr (rows-only — greedy float re-rank has no SQL oracle
+  //      form; the spec pins it to a driver reference): MMR
+  //      diversified top-5 from 20 brute-force candidates per query —
+  //      retrieval that penalizes returning five copies of the same
+  //      near-dup cluster ----
+  val annMmr: Q = (s, d) => {
+    val e = embeddings(s, d)
+    Similarity.mmrTopK(e, e.filter(col("vec_id") < 20), "vec_id", "embedding",
+      k = 5, m = 20, lambda = 0.7)
+  }
+
   // ---- ann_quantized: brute-force top-k over the int8-quantized
   //      corpus (4x fewer scan bytes at 100 TB); rows-only like the
   //      other ANN queries — the recall bound vs exact brute force is
@@ -1726,6 +1737,7 @@ object TextQueries {
     "ann_quantized" -> annQuantized,
     "ann_pq" -> annPq,
     "ann_lsh" -> annLsh,
+    "ann_mmr" -> annMmr,
     "ann_ivf" -> annIvf,
     "ann_ivf_indexed" -> annIvfIndexed,
     "multimodal_meta" -> multimodalMeta,

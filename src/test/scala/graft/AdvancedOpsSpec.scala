@@ -432,4 +432,71 @@ class TextCleaningSpec extends org.scalatest.funsuite.AnyFunSuite {
     }
     assert(ex.getMessage.contains("maxGroups"), ex.getMessage)
   }
+
+  test("phraseSearch: exact containment, mixed lengths, zero rows, refusals") {
+    import graft.operators.TextAnalysis
+    val docs = Seq(
+      (1L, "the cat sat on the mat"),
+      (2L, "a cat   sat quickly"),      // extra whitespace collapses
+      (3L, "concatenation satisfies"),  // substring of words ≠ token run
+      (4L, "cat sat cat sat"),          // repeated phrase counts ONCE per doc
+      (5L, "sat cat")                   // reversed ≠ contained
+    ).toDF("doc_id", "text")
+    val got = TextAnalysis.phraseSearch(docs, "doc_id", "text",
+        Seq("cat sat", "the cat sat", "dog ran"))
+      .as[(String, Long)].collect().toMap
+    assert(got === Map("cat sat" -> 3L, "the cat sat" -> 1L, "dog ran" -> 0L))
+    // brute-force parity on random word salad
+    val rnd = new scala.util.Random(31)
+    val vocab = Vector("a", "b", "c", "d", "e")
+    val corpus = (1 to 60).map(i =>
+      (i.toLong, (1 to 20).map(_ => vocab(rnd.nextInt(5))).mkString(" ")))
+    val phrases = Seq("a b", "b c d", "e e", "a a a")
+    val want = phrases.map { p =>
+      p -> corpus.count(d => (" " + d._2 + " ").contains(" " + p + " ")).toLong
+    }.toMap
+    val got2 = TextAnalysis.phraseSearch(corpus.toDF("doc_id", "text"),
+      "doc_id", "text", phrases).as[(String, Long)].collect().toMap
+    assert(got2 === want)
+    // refusals: empty list, blank phrase, over-cardinality names the knob
+    intercept[IllegalArgumentException] {
+      TextAnalysis.phraseSearch(docs, "doc_id", "text", Nil)
+    }
+    intercept[IllegalArgumentException] {
+      TextAnalysis.phraseSearch(docs, "doc_id", "text", Seq("  "))
+    }
+    val big = (1 to 11).map(i => s"p $i")
+    val e = intercept[IllegalArgumentException] {
+      TextAnalysis.phraseSearch(docs, "doc_id", "text", big, maxPhrases = 10)
+    }
+    assert(e.getMessage.contains("maxPhrases"))
+  }
+
+  test("quantileNormalize: hand-computed two-group case and identities") {
+    // groups A (4 rows) and B (2 rows), pooled order statistics
+    // (value asc, id asc): 1,2,3,5,8,9 at ranks 1..6
+    val df = Seq(
+      ("A", 1L, 10L), ("A", 3L, 11L), ("A", 8L, 12L), ("A", 9L, 13L),
+      ("B", 2L, 20L), ("B", 5L, 21L)).toDF("g", "v", "id")
+    val got = FeatureEncoding.quantileNormalize(df, "g", "v", "id")
+      .as[(Long, String, Long, Long)].collect()
+      .map(r => r._1 -> r._4).toMap
+    // A: r=1..4, n_g=4, N=6 → k=ceil(6r/4)=2,3,5,6 → 2,3,8,9
+    // B: r=1..2, n_g=2 → k=3,6 → 3,9
+    assert(got === Map(10L -> 2L, 11L -> 3L, 12L -> 8L, 13L -> 9L,
+      20L -> 3L, 21L -> 9L))
+    // single group: qnorm is the identity (k = r exactly)
+    val one = Seq(("x", 7L, 1L), ("x", 4L, 2L), ("x", 4L, 3L))
+      .toDF("g", "v", "id")
+    val idm = FeatureEncoding.quantileNormalize(one, "g", "v", "id")
+      .as[(Long, String, Long, Long)].collect()
+    assert(idm.forall(r => r._3 === r._4))
+    // every group's output is a subsample of the pooled values, and
+    // the max of each group maps to the pooled max (r=n_g ⇒ k=N)
+    val pooled = Set(1L, 2L, 3L, 5L, 8L, 9L)
+    val byGroup = FeatureEncoding.quantileNormalize(df, "g", "v", "id")
+      .as[(Long, String, Long, Long)].collect().groupBy(_._2)
+    assert(byGroup.values.flatten.forall(r => pooled.contains(r._4)))
+    assert(byGroup.values.forall(_.map(_._4).max === 9L))
+  }
 }

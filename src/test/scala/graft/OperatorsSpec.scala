@@ -160,6 +160,52 @@ class OperatorsSpec extends AnyFunSuite {
     }
   }
 
+  test("MMR re-rank matches a driver-side greedy reference and diversifies") {
+    val got = Similarity.mmrTopK(embs, embs.filter($"vec_id" < 5),
+        "vec_id", "embedding", k = 4, m = 12, lambda = 0.7)
+      .as[(Long, Int, Long, Double, Double)].collect()
+      .groupBy(_._1).view.mapValues(_.sortBy(_._2).map(_._3).toSeq).toMap
+    // reference: same candidates via bruteForceTopK, greedy on the driver
+    val cand = Similarity.bruteForceTopK(embs, embs.filter($"vec_id" < 5),
+        "vec_id", "embedding", k = 12)
+      .select("query_id", "base_id", "rank", "cosine")
+      .as[(Long, Long, Long, Double)].collect()
+    val vecs = embs.select($"vec_id", $"embedding")
+      .as[(Long, Array[Float])].collect().toMap
+    val want = cand.groupBy(_._1).map { case (qid, rows) =>
+      val cs = rows.sortBy(_._3)
+      val sel = scala.collection.mutable.ArrayBuffer[Int]()
+      while (sel.length < 4) {
+        val scored = cs.indices.filterNot(sel.contains).map { i =>
+          val red = if (sel.isEmpty) 0.0
+            else sel.map(j => Similarity.cosineLocal(
+              vecs(cs(i)._2), vecs(cs(j)._2))).max
+          (i, 0.7 * cs(i)._4 - 0.3 * red)
+        }
+        val best = scored.minBy { case (i, s) => (-s, cs(i)._2) }._1
+        sel += best
+      }
+      qid -> sel.map(cs(_)._2).toSeq
+    }
+    assert(got === want)
+    // diversification property: plant an exact duplicate of the top hit —
+    // plain top-k returns both copies adjacent, MMR must separate them
+    val q = embs.filter($"vec_id" === 0)
+    val top1 = Similarity.bruteForceTopK(embs, q, "vec_id", "embedding", k = 1)
+      .select("base_id").as[(Long)].collect().head
+    val dupe = embs.filter($"vec_id" === top1)
+      .withColumn("vec_id", lit(999999L))
+    val seeded = embs.unionByName(dupe)
+    val topk = Similarity.bruteForceTopK(seeded, q, "vec_id", "embedding", k = 2)
+      .select("base_id").as[Long].collect().toSet
+    assert(topk === Set(top1, 999999L), "plain top-k picks both copies")
+    val mmr = Similarity.mmrTopK(seeded, q, "vec_id", "embedding",
+        k = 2, m = 12, lambda = 0.7)
+      .select("base_id").as[Long].collect().toSet
+    assert(mmr.intersect(Set(top1, 999999L)).size == 1,
+      s"MMR must not return both copies of a duplicate: $mmr")
+  }
+
   test("LSH ANN results are a subset of correct answers within shared buckets") {
     val brute = Similarity.bruteForceTopK(embs, embs.filter($"vec_id" < 5), "vec_id", "embedding", k = 50)
       .select("query_id", "base_id").as[(Long, Long)].collect().toSet
