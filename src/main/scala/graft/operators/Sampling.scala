@@ -403,4 +403,55 @@ object Sampling {
       .withColumn("copy", explode(sequence(lit(1L), col("__copies"))))
       .drop("__copies")
   }
+
+  /** Deterministic NEGATIVE sampling for link-prediction / contrastive
+    * training: per user, the first `k` engine-portable pseudo-random
+    * item draws that are NOT true edges — the "random non-interaction"
+    * side of a (positive, negative) training pair, recomputable row-
+    * independently (any (user, i) draw replays from the md5, so the
+    * oracle and any downstream job can re-derive the sample without
+    * the artifact).
+    *
+    * Draws: item(u, i) = portableHash(u:salt:i) mod numItems + 1 for
+    * i = 1..k·oversample; true edges are removed by ONE anti-join on
+    * (user, item) against the deduped edge set; a user's surviving
+    * draws keep their first occurrence per item (collision dedup, min
+    * i) and the k LOWEST draw indices win through the TopKPerKey
+    * partial+final heap — never a per-user window sort. With
+    * oversample·k draws against the usual sparse interaction matrix,
+    * fewer-than-k survivors is a corner (dense users): those users
+    * emit what survives rather than failing — the count is the
+    * caller's signal.
+    *
+    * @param numItems item universe size; draws land in 1..numItems
+    *        (the TPC-H dense-key convention — map your ids first)
+    * @return (userCol, neg_rank, negative_item)
+    */
+  def negativeSample(users: DataFrame, userCol: String,
+                     edges: DataFrame, edgeUserCol: String,
+                     edgeItemCol: String, numItems: Long, k: Int,
+                     oversample: Int = 4, salt: String = "neg")
+      : DataFrame = {
+    require(k >= 1, s"negativeSample: k must be >= 1, got $k")
+    require(oversample >= 2,
+      s"negativeSample: oversample must be >= 2, got $oversample")
+    require(numItems >= 1,
+      s"negativeSample: numItems must be >= 1, got $numItems")
+    val cand = users.select(col(userCol).as("__u")).distinct()
+      .withColumn("__i",
+        explode(sequence(lit(1L), lit(k.toLong * oversample))))
+      .withColumn("__item",
+        portableBucket(concat(col("__u").cast("string"), lit(":" + salt + ":"),
+          col("__i").cast("string")), numItems) + lit(1L))
+    val trueEdges = edges.select(col(edgeUserCol).as("__u"),
+      col(edgeItemCol).as("__item")).distinct()
+    val surviving = cand.join(trueEdges, Seq("__u", "__item"), "left_anti")
+      .groupBy(col("__u"), col("__item")).agg(min(col("__i")).as("__i"))
+    org.apache.spark.sql.graft.TopKPerKey(
+      surviving.select(col("__u"), col("__i"), col("__item")),
+      Seq("__u"), Seq("__i" -> false, "__item" -> false), k,
+      rankCol = Some("neg_rank"))
+      .select(col("__u").as(userCol), col("neg_rank"),
+        col("__item").as("negative_item"))
+  }
 }

@@ -331,7 +331,90 @@ object Advanced4 {
       |FROM p CROSS JOIN d
       |GROUP BY p.phrase""".stripMargin
 
+  // ---- q128: deterministic negative sampling — per customer the
+  //      first 5 portable pseudo-random parts they did NOT buy (the
+  //      contrastive-pair / link-prediction negative side). Every
+  //      draw replays from md5, so the oracle re-derives the whole
+  //      sample; true purchases removed by one anti-join ----
+  val q128NegativeSample: Q = (s, d) => {
+    val edges = orders(s, d).select(col("o_orderkey"), col("o_custkey"))
+      .join(lineitem(s, d).select(col("l_orderkey").as("o_orderkey"),
+        col("l_partkey")), "o_orderkey")
+      .select(col("o_custkey"), col("l_partkey"))
+    val nParts = part(s, d).count()
+    graft.operators.Sampling.negativeSample(
+      customer(s, d), "c_custkey", edges, "o_custkey", "l_partkey",
+      numItems = nParts, k = 5, oversample = 4)
+  }
+
+  val q128Oracle: String =
+    """WITH np AS (SELECT CAST(COUNT(*) AS BIGINT) AS n FROM part),
+      |u AS (SELECT DISTINCT c_custkey AS u FROM customer),
+      |cand AS (
+      |  SELECT u.u, i.i,
+      |    (CAST(('0x' || substr(md5(CAST(u.u AS VARCHAR) || ':neg:' ||
+      |       CAST(i.i AS VARCHAR)), 1, 8)) AS BIGINT) % np.n) + 1 AS item
+      |  FROM u CROSS JOIN np CROSS JOIN generate_series(1, 20) AS i(i)),
+      |e AS (SELECT DISTINCT o_custkey AS u, l_partkey AS item
+      |      FROM orders JOIN lineitem ON l_orderkey = o_orderkey),
+      |surv AS (
+      |  SELECT c.u, c.item, MIN(c.i) AS i
+      |  FROM cand c ANTI JOIN e ON c.u = e.u AND c.item = e.item
+      |  GROUP BY c.u, c.item),
+      |r AS (SELECT u, item, i,
+      |        ROW_NUMBER() OVER (PARTITION BY u ORDER BY i, item) AS rn
+      |      FROM surv)
+      |SELECT u AS c_custkey, CAST(rn AS BIGINT) AS neg_rank,
+      |       item AS negative_item
+      |FROM r WHERE rn <= 5""".stripMargin
+
+  // ---- q129: golden-record survivorship — per customer, each FIELD
+  //      independently keeps its latest non-null value across the
+  //      order history (whole-row latest-wins loses older rows'
+  //      still-current fields under PARTIAL updates). Partial updates
+  //      are simulated by deterministic md5 field masks the oracle
+  //      replays; recency = o_orderkey (unique, the CDC seqno
+  //      convention) ----
+  val q129GoldenRecord: Q = (s, d) => {
+    def pres(f: String, pct: Int) =
+      graft.operators.Sampling.portableBucket(
+        concat(col("o_orderkey").cast("string"), lit(":" + f)), 100L) < pct
+    val updates = orders(s, d).select(col("o_custkey"), col("o_orderkey"),
+      when(pres("st", 60), col("o_orderstatus")).as("status"),
+      when(pres("pr", 40), col("o_orderpriority")).as("priority"),
+      when(pres("tp", 25),
+        round(col("o_totalprice") * 100).cast("long")).as("price_cents"))
+    graft.cdc.Survivorship.goldenRecord(updates, "o_custkey",
+      Seq("o_orderkey"), Seq("status", "priority", "price_cents"))
+  }
+
+  val q129Oracle: String =
+    """WITH u AS (
+      |  SELECT o_custkey, o_orderkey,
+      |    CASE WHEN CAST(('0x' || substr(md5(CAST(o_orderkey AS VARCHAR)
+      |      || ':st'), 1, 8)) AS BIGINT) % 100 < 60
+      |      THEN o_orderstatus END AS status,
+      |    CASE WHEN CAST(('0x' || substr(md5(CAST(o_orderkey AS VARCHAR)
+      |      || ':pr'), 1, 8)) AS BIGINT) % 100 < 40
+      |      THEN o_orderpriority END AS priority,
+      |    CASE WHEN CAST(('0x' || substr(md5(CAST(o_orderkey AS VARCHAR)
+      |      || ':tp'), 1, 8)) AS BIGINT) % 100 < 25
+      |      THEN CAST(round(o_totalprice * 100) AS BIGINT) END AS price_cents
+      |  FROM orders)
+      |SELECT o_custkey,
+      |  arg_max(status, o_orderkey) FILTER (WHERE status IS NOT NULL)
+      |    AS status,
+      |  arg_max(priority, o_orderkey) FILTER (WHERE priority IS NOT NULL)
+      |    AS priority,
+      |  arg_max(price_cents, o_orderkey)
+      |    FILTER (WHERE price_cents IS NOT NULL) AS price_cents,
+      |  CAST(COUNT(*) AS BIGINT) AS n_updates,
+      |  MAX(o_orderkey) AS last_seen
+      |FROM u GROUP BY o_custkey""".stripMargin
+
   val queries: Map[String, Q] = Map(
+    "q129_golden_record" -> q129GoldenRecord,
+    "q128_negative_sample" -> q128NegativeSample,
     "text_phrase_search" -> textPhraseSearch,
     "text_rake" -> textRake,
     "q124_ndcg" -> q124Ndcg,
@@ -340,6 +423,8 @@ object Advanced4 {
     "q127_quantile_norm" -> q127QuantileNorm)
 
   val oracles: Map[String, String] = Map(
+    "q129_golden_record" -> q129Oracle,
+    "q128_negative_sample" -> q128Oracle,
     "text_phrase_search" -> textPhraseSearchOracle,
     "text_rake" -> textRakeOracle,
     "q124_ndcg" -> q124Oracle,

@@ -169,4 +169,43 @@ class CdcSpec extends AnyFunSuite {
     assert(CdcBatchReader.maxTimestamp(
       CdcBatchReader.listBatches("t", entry, None)).contains(300L))
   }
+
+  test("survivorship golden record: per-field latest non-null, not whole-row") {
+    import spark.implicits._
+    // entity 1: three partial updates — the golden record mixes fields
+    // from DIFFERENT rows (seq 3's name, seq 2's email, seq 1's phone);
+    // whole-row latest-wins would return (n3, null, null)
+    val updates = Seq(
+      (1L, 1L, Some("n1"), Some("e1"), Some("p1")),
+      (1L, 2L, Some("n2"), Some("e2"), None),
+      (1L, 3L, Some("n3"), None, None),
+      (2L, 1L, None, None, None), // never-present fields stay null
+      (2L, 2L, Some("x"), None, None)
+    ).toDF("key", "seq", "name", "email", "phone")
+    val got = Survivorship.goldenRecord(updates, "key", Seq("seq"),
+        Seq("name", "email", "phone"))
+      .as[(Long, Option[String], Option[String], Option[String], Long, Long)]
+      .collect().sortBy(_._1)
+    assert(got(0) === ((1L, Some("n3"), Some("e2"), Some("p1"), 3L, 3L)))
+    assert(got(1) === ((2L, Some("x"), None, None, 2L, 2L)))
+    // composite seq: (batch, seqno) — later batch wins over higher seqno
+    val comp = Seq(
+      (9L, 1L, 5L, Some("old-batch-high-seq")),
+      (9L, 2L, 1L, Some("new-batch"))
+    ).toDF("key", "batch", "seqno", "name")
+    val g2 = Survivorship.goldenRecord(comp, "key", Seq("batch", "seqno"),
+        Seq("name"))
+      .as[(Long, Option[String], Long, Long)].collect()
+    assert(g2.head._2 === Some("new-batch"))
+    // refusals
+    intercept[IllegalArgumentException] {
+      Survivorship.goldenRecord(updates, "key", Nil, Seq("name"))
+    }
+    intercept[IllegalArgumentException] {
+      Survivorship.goldenRecord(updates, "key", Seq("seq"), Nil)
+    }
+    intercept[IllegalArgumentException] {
+      Survivorship.goldenRecord(updates, "key", Seq("seq"), Seq("key"))
+    }
+  }
 }
