@@ -66,4 +66,31 @@ object Ranking {
       .withColumn(outCol, row_number().over(w).cast("long") + col("__off"))
       .drop("__pid", "__off")
   }
+
+  /** Reciprocal-rank fusion (Cormack & Clarke SIGIR '09) of several
+    * rankings of the same id space: score(id) = Σ_r 1/(k + rank_r(id))
+    * — the standard zero-tuning combiner for heterogeneous retrievers
+    * (BM25 + ANN + recency…). The reciprocal is FIXED-POINT floored
+    * to an exact integer, 10¹² div (k + rank) (the q113 discipline),
+    * so the sum is order-free bigint algebra — no float-summation
+    * drift across partitionings or engines. Ids absent from a ranking
+    * contribute nothing (the standard convention).
+    *
+    * Shape: one union + one hash aggregate — rankings are
+    * (id, rank) tables, nothing else moves.
+    *
+    * @param rankings (id, rank) frames; ranks 1-based
+    * @return (idCol, rrf_score) — exact bigint, callers order/cut
+    */
+  def rrfFuse(rankings: Seq[DataFrame], idCol: String, rankCol: String,
+              k: Int = 60): DataFrame = {
+    require(rankings.nonEmpty, "rrfFuse: need at least one ranking")
+    require(k >= 0, s"rrfFuse: k must be >= 0, got $k")
+    val parts = rankings.map(_.select(col(idCol),
+      expr(s"1000000000000 DIV ($k + CAST($rankCol AS BIGINT))")
+        .as("__rr")))
+    parts.reduce(_ unionByName _)
+      .groupBy(col(idCol))
+      .agg(sum(col("__rr")).cast("bigint").as("rrf_score"))
+  }
 }

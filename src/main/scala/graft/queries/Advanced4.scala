@@ -412,7 +412,56 @@ object Advanced4 {
       |  MAX(o_orderkey) AS last_seen
       |FROM u GROUP BY o_custkey""".stripMargin
 
+  // ---- q130: reciprocal-rank fusion — combine two heterogeneous
+  //      document rankings (length-based and hash-scattered, standing
+  //      in for BM25-vs-ANN) with the zero-tuning RRF combiner.
+  //      Both rankings come from the DISTRIBUTED Ranking.globalRank
+  //      (range partitions + driver offsets), reciprocals are
+  //      floor-scaled exact integers (10¹² div (60+rank)), the fused
+  //      score an order-free bigint sum; top-20 deterministic ----
+  val q130Rrf: Q = (s, d) => {
+    val docs = documents(s, d).select(col("doc_id"), col("n_chars"),
+      graft.operators.Sampling.portableBucket(
+        concat(col("doc_id").cast("string"), lit(":rrf")), 1000000000L)
+        .as("__h"))
+      .localCheckpoint(true)
+    val byLen = graft.operators.Ranking.globalRank(
+      docs.withColumn("__neg", -col("n_chars")),
+      Seq("__neg", "doc_id"), "rank", 0)
+    val byHash = graft.operators.Ranking.globalRank(
+      docs, Seq("__h", "doc_id"), "rank", 0)
+    val fused = graft.operators.Ranking.rrfFuse(
+      Seq(byLen, byHash), "doc_id", "rank")
+    org.apache.spark.sql.graft.TopKPerKey(
+      fused.withColumn("__g", lit(1)), Seq("__g"),
+      Seq("rrf_score" -> true, "doc_id" -> false), 20,
+      rankCol = Some("fused_rank"))
+      .select(col("doc_id"), col("fused_rank"), col("rrf_score"))
+  }
+
+  val q130Oracle: String =
+    """WITH h AS (
+      |  SELECT doc_id, n_chars,
+      |    CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR) || ':rrf'), 1, 8))
+      |      AS BIGINT) % 1000000000 AS hh
+      |  FROM documents),
+      |a AS (SELECT doc_id,
+      |        ROW_NUMBER() OVER (ORDER BY n_chars DESC, doc_id) AS r FROM h),
+      |b AS (SELECT doc_id,
+      |        ROW_NUMBER() OVER (ORDER BY hh, doc_id) AS r FROM h),
+      |u AS (SELECT doc_id, 1000000000000 // (60 + r) AS rr FROM a
+      |      UNION ALL
+      |      SELECT doc_id, 1000000000000 // (60 + r) AS rr FROM b),
+      |f AS (SELECT doc_id, CAST(SUM(rr) AS BIGINT) AS rrf_score
+      |      FROM u GROUP BY doc_id)
+      |SELECT doc_id,
+      |  CAST(ROW_NUMBER() OVER (ORDER BY rrf_score DESC, doc_id) AS BIGINT)
+      |    AS fused_rank,
+      |  rrf_score
+      |FROM f ORDER BY fused_rank LIMIT 20""".stripMargin
+
   val queries: Map[String, Q] = Map(
+    "q130_rrf" -> q130Rrf,
     "q129_golden_record" -> q129GoldenRecord,
     "q128_negative_sample" -> q128NegativeSample,
     "text_phrase_search" -> textPhraseSearch,
@@ -423,6 +472,7 @@ object Advanced4 {
     "q127_quantile_norm" -> q127QuantileNorm)
 
   val oracles: Map[String, String] = Map(
+    "q130_rrf" -> q130Oracle,
     "q129_golden_record" -> q129Oracle,
     "q128_negative_sample" -> q128Oracle,
     "text_phrase_search" -> textPhraseSearchOracle,

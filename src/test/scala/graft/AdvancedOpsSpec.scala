@@ -229,6 +229,18 @@ class AdvancedOps2Spec extends org.scalatest.funsuite.AnyFunSuite {
     assert(got === want)
   }
 
+  test("rrfFuse: exact fixed-point reciprocal sum; absent ids contribute nothing") {
+    import graft.operators.Ranking
+    val a = Seq((1L, 1L), (2L, 2L), (3L, 3L)).toDF("id", "rank")
+    val b = Seq((2L, 1L), (1L, 2L)).toDF("id", "rank") // id 3 absent
+    val got = Ranking.rrfFuse(Seq(a, b), "id", "rank")
+      .as[(Long, Long)].collect().toMap
+    def rr(r: Long) = 1000000000000L / (60 + r)
+    assert(got === Map(
+      1L -> (rr(1) + rr(2)), 2L -> (rr(2) + rr(1)), 3L -> rr(3)))
+    intercept[IllegalArgumentException] { Ranking.rrfFuse(Nil, "id", "rank") }
+  }
+
   test("globalRank assigns dense 1..N ranks matching a local sort, any partitioning") {
     val vals = Seq("pear", "apple", "fig", "date", "kiwi", "lime",
       "mango", "plum", "grape", "peach")
