@@ -404,6 +404,60 @@ object Sampling {
       .drop("__copies")
   }
 
+  /** Coverage-greedy corpus selection — the submodular (set-cover /
+    * facility-location) "pick k docs that together cover the most
+    * vocabulary" curation step: classic greedy picks the doc with the
+    * largest count of still-uncovered tokens, k times. Greedy is the
+    * (1−1/e)-approximation of the NP-hard optimum (Nemhauser '78) and
+    * the standard data-selection baseline.
+    *
+    * Shape at 100 TB: the posting table (doc, token) is built ONCE
+    * and pinned; each of the k rounds is one anti-join against the
+    * covered-token set (vocabulary-sized, Heaps-bounded) + one hash
+    * aggregate + a ONE-ROW argmax collect. Cost is k passes over the
+    * posting table — k is the knob (`maxPicks`), not the data.
+    * Deterministic: ties break on doc id; stops early when marginal
+    * gain hits 0 (full coverage — extra picks would be arbitrary).
+    *
+    * @return (pick_rank, doc, gain, covered_total) — gain = tokens
+    *         newly covered by this pick, covered_total cumulative
+    */
+  def coverageGreedy(df: DataFrame, idCol: String, textCol: String,
+                     k: Int, maxPicks: Int = 100): DataFrame = {
+    require(k >= 1 && k <= maxPicks,
+      s"coverageGreedy: k=$k outside 1..maxPicks=$maxPicks — each pick " +
+        "is a full posting pass; raise the knob deliberately")
+    val spark = df.sparkSession
+    import spark.implicits._
+    val posting = df.select(col(idCol).cast("long").as("doc"),
+        explode(graft.functions.wsTokens(col(textCol))).as("tok"))
+      .filter(col("tok") =!= "").distinct()
+      .localCheckpoint(true)
+    var covered = posting.select(col("tok")).limit(0).localCheckpoint(true)
+    val picks = scala.collection.mutable.ArrayBuffer[(Long, Long, Long, Long)]()
+    var coveredTotal = 0L
+    var round = 1
+    var done = false
+    while (round <= k && !done) {
+      val gains = posting.join(covered, Seq("tok"), "left_anti")
+        .groupBy(col("doc")).agg(count(lit(1)).as("gain"))
+        .orderBy(col("gain").desc, col("doc")).limit(1)
+        .as[(Long, Long)].collect()
+      if (gains.isEmpty || gains.head._2 == 0L) done = true
+      else {
+        val (doc, gain) = gains.head
+        coveredTotal += gain
+        picks += ((round.toLong, doc, gain, coveredTotal))
+        covered = covered.unionByName(
+            posting.filter(col("doc") === doc).select(col("tok")))
+          .distinct().localCheckpoint(true)
+      }
+      round += 1
+    }
+    spark.createDataset(picks.toSeq)
+      .toDF("pick_rank", "doc", "gain", "covered_total")
+  }
+
   /** Deterministic NEGATIVE sampling for link-prediction / contrastive
     * training: per user, the first `k` engine-portable pseudo-random
     * item draws that are NOT true edges — the "random non-interaction"

@@ -460,7 +460,17 @@ object Advanced4 {
       |  rrf_score
       |FROM f ORDER BY fused_rank LIMIT 20""".stripMargin
 
+  // ---- text_coverage_select (rows-only — iterative greedy argmax
+  //      has no SQL oracle form, the ann_mmr convention; spec-pinned
+  //      to a driver greedy reference): pick the 10 documents that
+  //      together cover the most vocabulary — the submodular
+  //      set-cover curation baseline ----
+  val textCoverageSelect: Q = (s, d) =>
+    graft.operators.Sampling.coverageGreedy(
+      documents(s, d), "doc_id", "text", k = 10)
+
   val queries: Map[String, Q] = Map(
+    "text_coverage_select" -> textCoverageSelect,
     "q130_rrf" -> q130Rrf,
     "q129_golden_record" -> q129GoldenRecord,
     "q128_negative_sample" -> q128NegativeSample,

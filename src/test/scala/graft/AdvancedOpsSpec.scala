@@ -229,6 +229,51 @@ class AdvancedOps2Spec extends org.scalatest.funsuite.AnyFunSuite {
     assert(got === want)
   }
 
+  test("coverageGreedy matches a driver greedy reference and stops at full cover") {
+    val docs = Seq(
+      (1L, "a b c d"),     // 4 tokens — first pick
+      (2L, "a b c"),       // subset of 1: zero marginal gain later
+      (3L, "e f g"),       // disjoint 3 — second pick
+      (4L, "d e h"),       // 1 new (h) after picks 1,3
+      (5L, "a h")          // h only
+    ).toDF("doc_id", "text")
+    val got = graft.operators.Sampling
+      .coverageGreedy(docs, "doc_id", "text", k = 5)
+      .as[(Long, Long, Long, Long)].collect().toSeq
+    // greedy: 1 (gain 4), 3 (gain 3), 4 (gain 1, tie vs 5 on h broken
+    // by id), then all remaining gains are 0 -> early stop at full
+    // cover of {a..h}
+    assert(got === Seq((1L, 1L, 4L, 4L), (2L, 3L, 3L, 7L), (3L, 4L, 1L, 8L)))
+    // driver reference on random salad: same picks, gains non-increasing
+    val rnd = new scala.util.Random(17)
+    val vocab = Vector.tabulate(30)(i => s"w$i")
+    val corpus = (1 to 40).map(i =>
+      (i.toLong, (1 to 8).map(_ => vocab(rnd.nextInt(30))).mkString(" ")))
+    val want = {
+      val sets = corpus.map { case (id, t) =>
+        id -> t.split(" ").toSet }.toMap
+      var cov = Set.empty[String]
+      val out = scala.collection.mutable.ArrayBuffer[(Long, Long)]()
+      (1 to 6).foreach { _ =>
+        val (doc, gain) = sets.map { case (id, s) => (id, (s -- cov).size) }
+          .toSeq.minBy { case (id, g) => (-g, id) }
+        if (gain > 0 && out.size < 6) { out += ((doc, gain.toLong)); cov ++= sets(doc) }
+      }
+      out.toSeq
+    }
+    val got2 = graft.operators.Sampling
+      .coverageGreedy(corpus.toDF("doc_id", "text"), k = 6, idCol = "doc_id",
+        textCol = "text")
+      .as[(Long, Long, Long, Long)].collect().toSeq.map(r => (r._2, r._3))
+    assert(got2 === want)
+    assert(got2.map(_._2).sliding(2).forall(p => p.length < 2 || p(0) >= p(1)),
+      "greedy marginal gains must be non-increasing")
+    intercept[IllegalArgumentException] {
+      graft.operators.Sampling.coverageGreedy(docs, "doc_id", "text",
+        k = 101, maxPicks = 100)
+    }
+  }
+
   test("rrfFuse: exact fixed-point reciprocal sum; absent ids contribute nothing") {
     import graft.operators.Ranking
     val a = Seq((1L, 1L), (2L, 2L), (3L, 3L)).toDF("id", "rank")
