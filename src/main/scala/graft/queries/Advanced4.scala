@@ -469,7 +469,90 @@ object Advanced4 {
     graft.operators.Sampling.coverageGreedy(
       documents(s, d), "doc_id", "text", k = 10)
 
+  // ---- q132: grid hotspot scan over the q110 hash-scattered integer
+  //      points — per occupied cell its count and 3×3-neighborhood
+  //      count, top-10 hotspots by (neighbor_n desc, cx, cy). Exact
+  //      integers end to end; the neighbor sum explodes the CELL
+  //      table (model-sized), never the points ----
+  val q132Hotspot: Q = (s, d) => {
+    val pts = customer(s, d).select(
+      expr("(c_custkey * 2654435761L) % 100000").as("x"),
+      expr("(c_custkey * 40503L + 12345) % 100000").as("y"))
+    val cells = graft.operators.SpatialJoin.gridHotspots(pts, "x", "y",
+      cellSize = 5000L)
+    org.apache.spark.sql.graft.TopKPerKey(
+      cells.withColumn("__g", lit(1)), Seq("__g"),
+      Seq("neighbor_n" -> true, "cx" -> false, "cy" -> false), 10,
+      rankCol = Some("hot_rank"))
+      .select(col("hot_rank"), col("cx"), col("cy"), col("n"),
+        col("neighbor_n"))
+  }
+
+  val q132Oracle: String =
+    """WITH p AS (SELECT (c_custkey * 2654435761) % 100000 AS x,
+      |                  (c_custkey * 40503 + 12345) % 100000 AS y
+      |           FROM customer),
+      |cells AS (SELECT x // 5000 AS cx, y // 5000 AS cy,
+      |            CAST(COUNT(*) AS BIGINT) AS n
+      |          FROM p GROUP BY 1, 2),
+      |contrib AS (
+      |  SELECT cells.cx + d.dx AS cx, cells.cy + d.dy AS cy,
+      |         CAST(SUM(n) AS BIGINT) AS neighbor_n
+      |  FROM cells CROSS JOIN (
+      |    SELECT dx.r AS dx, dy.r AS dy
+      |    FROM range(-1, 2) dx(r) CROSS JOIN range(-1, 2) dy(r)) d
+      |  GROUP BY 1, 2),
+      |j AS (SELECT c.cx, c.cy, c.n, t.neighbor_n
+      |      FROM cells c JOIN contrib t ON t.cx = c.cx AND t.cy = c.cy)
+      |SELECT CAST(ROW_NUMBER() OVER (ORDER BY neighbor_n DESC, cx, cy)
+      |         AS BIGINT) AS hot_rank,
+      |       cx, cy, n, neighbor_n
+      |FROM j ORDER BY hot_rank LIMIT 10""".stripMargin
+
+  // ---- q133: seasonal-naive forecast backtest — the monitoring
+  //      baseline every forecasting system is graded against:
+  //      predict(day) = actual(day − 7), absolute percentage error
+  //      per day in exact fixed-point ppm (|a−p|·10⁶ DIV a — floor
+  //      division, a > 0 by construction), per-year MAPE the ONE
+  //      double division rounded 9. The 7-day lag is an EQUI-join of
+  //      the day-cardinality daily table against itself shifted —
+  //      never a window over the raw orders ----
+  val q133Backtest: Q = (s, d) => {
+    val daily = orders(s, d)
+      .groupBy(to_date(col("o_orderdate")).as("day"))
+      .agg(sum(round(col("o_totalprice") * 100).cast("long"))
+        .cast("bigint").as("a"))
+    val pred = daily.select(date_add(col("day"), 7).as("day"),
+      col("a").as("p"))
+    daily.join(pred, Seq("day"))
+      .withColumn("ape_ppm", expr("abs(a - p) * 1000000 DIV a"))
+      .groupBy(year(col("day")).as("yr"))
+      .agg(count(lit(1)).cast("bigint").as("n_days"),
+        sum(col("ape_ppm")).cast("bigint").as("sum_ape_ppm"))
+      .withColumn("mape_ppm",
+        round(col("sum_ape_ppm").cast("double") /
+          col("n_days").cast("double"), 9))
+  }
+
+  val q133Oracle: String =
+    """WITH daily AS (
+      |  SELECT CAST(o_orderdate AS DATE) AS day,
+      |    CAST(SUM(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT) AS a
+      |  FROM orders GROUP BY 1),
+      |j AS (
+      |  SELECT d.day, d.a, p.a AS p
+      |  FROM daily d JOIN daily p ON p.day + INTERVAL 7 DAY = d.day),
+      |s AS (SELECT year(day) AS yr, abs(a - p) * 1000000 // a AS ape_ppm
+      |      FROM j)
+      |SELECT yr, CAST(COUNT(*) AS BIGINT) AS n_days,
+      |  CAST(SUM(ape_ppm) AS BIGINT) AS sum_ape_ppm,
+      |  ROUND(CAST(SUM(ape_ppm) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE), 9)
+      |    AS mape_ppm
+      |FROM s GROUP BY yr""".stripMargin
+
   val queries: Map[String, Q] = Map(
+    "q133_backtest" -> q133Backtest,
+    "q132_hotspot" -> q132Hotspot,
     "text_coverage_select" -> textCoverageSelect,
     "q130_rrf" -> q130Rrf,
     "q129_golden_record" -> q129GoldenRecord,
@@ -482,6 +565,8 @@ object Advanced4 {
     "q127_quantile_norm" -> q127QuantileNorm)
 
   val oracles: Map[String, String] = Map(
+    "q133_backtest" -> q133Oracle,
+    "q132_hotspot" -> q132Oracle,
     "q130_rrf" -> q130Oracle,
     "q129_golden_record" -> q129Oracle,
     "q128_negative_sample" -> q128Oracle,

@@ -316,7 +316,76 @@ object Eval {
       |    (CAST(MAX(p_total) AS DOUBLE) * 1e12), 9) AS avg_precision
       |FROM t""".stripMargin
 
+  // ---- q131: CUPED variance-reduced experiment readout (Deng et al.
+  //      WSDM '13 — the experimentation-platform adjustment: subtract
+  //      theta·(pre-period covariate − its pooled mean) from the
+  //      post-period metric, theta = cov(x,y)/var(x)). Pre = 1992-95
+  //      spend cents, post = 1996+ spend cents, arm = custkey parity.
+  //      All moments EXACT DECIMAL(38,0) sums (the q108 discipline);
+  //      theta and the three means are a fixed IEEE dance rounded 9,
+  //      spelled identically in the oracle ----
+  val q131Cuped: Q = (s, d) => {
+    val o = orders(s, d).select(col("o_custkey"),
+      year(col("o_orderdate")).as("yr"),
+      round(col("o_totalprice") * 100).cast("long").as("cents"))
+    val per = o.groupBy(col("o_custkey"))
+      .agg(sum(when(col("yr") < 1996, col("cents")).otherwise(0L))
+          .cast("decimal(18,0)").as("x"),
+        sum(when(col("yr") >= 1996, col("cents")).otherwise(0L))
+          .cast("decimal(18,0)").as("y"))
+      .withColumn("grp", pmod(col("o_custkey"), lit(2L)))
+      .localCheckpoint(true)
+    val pooled = per.agg(
+      count(lit(1)).cast("decimal(18,0)").as("n"),
+      sum(col("x")).cast("decimal(38,0)").as("sx"),
+      sum(col("y")).cast("decimal(38,0)").as("sy"),
+      sum(col("x") * col("y")).cast("decimal(38,0)").as("sxy"),
+      sum(col("x") * col("x")).cast("decimal(38,0)").as("sxx"))
+    val grouped = per.groupBy(col("grp"))
+      .agg(count(lit(1)).cast("bigint").as("n_g"),
+        sum(col("x")).cast("decimal(38,0)").as("sxg"),
+        sum(col("y")).cast("decimal(38,0)").as("syg"))
+    val theta = (col("n") * col("sxy") - col("sx") * col("sy")).cast("double") /
+      (col("n") * col("sxx") - col("sx") * col("sx")).cast("double")
+    val meanXPool = col("sx").cast("double") / col("n").cast("double")
+    val meanXg = col("sxg").cast("double") / col("n_g").cast("double")
+    val meanYg = col("syg").cast("double") / col("n_g").cast("double")
+    grouped.crossJoin(broadcast(pooled))
+      .select(col("grp"), col("n_g"),
+        round(meanXg, 9).as("mean_pre"),
+        round(meanYg, 9).as("mean_post"),
+        round(theta, 9).as("theta"),
+        round(meanYg - theta * (meanXg - meanXPool), 9).as("adjusted_mean"))
+  }
+
+  val q131Oracle: String =
+    """WITH o AS (SELECT o_custkey, year(o_orderdate) AS yr,
+      |    CAST(round(o_totalprice * 100) AS BIGINT) AS cents FROM orders),
+      |per AS (SELECT o_custkey,
+      |    CAST(SUM(CASE WHEN yr < 1996 THEN cents ELSE 0 END) AS HUGEINT) AS x,
+      |    CAST(SUM(CASE WHEN yr >= 1996 THEN cents ELSE 0 END) AS HUGEINT) AS y
+      |  FROM o GROUP BY 1),
+      |pooled AS (SELECT CAST(COUNT(*) AS HUGEINT) AS n,
+      |    SUM(x) AS sx, SUM(y) AS sy, SUM(x * y) AS sxy, SUM(x * x) AS sxx
+      |  FROM per),
+      |grouped AS (SELECT o_custkey % 2 AS grp,
+      |    CAST(COUNT(*) AS BIGINT) AS n_g,
+      |    SUM(x) AS sxg, SUM(y) AS syg
+      |  FROM per GROUP BY 1)
+      |SELECT grp, n_g,
+      |  ROUND(CAST(sxg AS DOUBLE) / CAST(n_g AS DOUBLE), 9) AS mean_pre,
+      |  ROUND(CAST(syg AS DOUBLE) / CAST(n_g AS DOUBLE), 9) AS mean_post,
+      |  ROUND(CAST(n * sxy - sx * sy AS DOUBLE) /
+      |        CAST(n * sxx - sx * sx AS DOUBLE), 9) AS theta,
+      |  ROUND(CAST(syg AS DOUBLE) / CAST(n_g AS DOUBLE) -
+      |    (CAST(n * sxy - sx * sy AS DOUBLE) /
+      |     CAST(n * sxx - sx * sx AS DOUBLE)) *
+      |    (CAST(sxg AS DOUBLE) / CAST(n_g AS DOUBLE) -
+      |     CAST(sx AS DOUBLE) / CAST(n AS DOUBLE)), 9) AS adjusted_mean
+      |FROM grouped CROSS JOIN pooled""".stripMargin
+
   val queries: Map[String, Q] = Map(
+    "q131_cuped" -> q131Cuped,
     "q106_gini" -> q106Gini,
     "q113_avg_precision" -> q113AvgPrecision,
     "q107_lift" -> q107Lift,
@@ -324,6 +393,7 @@ object Eval {
     "q109_calibration" -> q109Calibration)
 
   val oracleSql: Map[String, String] = Map(
+    "q131_cuped" -> q131Oracle,
     "q106_gini" -> q106Oracle,
     "q113_avg_precision" -> q113Oracle,
     "q107_lift" -> q107Oracle,

@@ -121,6 +121,21 @@ class DbscanSpec extends AnyFunSuite {
     assert(e2.getMessage.contains("self-loop"))
   }
 
+  test("gridHotspots: hand-computed 3x3 neighborhood sums; edge cells") {
+    // cells (0,0):2 pts, (1,0):1, (2,2):3 — (1,0) neighbors (0,0),
+    // itself → 3; (0,0) neighbors itself + (1,0) → 3; (2,2) isolated → 3
+    val pts = Seq((1L, 2L), (3L, 4L), (12L, 3L), (25L, 27L), (26L, 28L),
+      (29L, 29L)).toDF("x", "y")
+    val cells = graft.operators.SpatialJoin.gridHotspots(pts, "x", "y", 10L)
+      .as[(Long, Long, Long, Long)].collect()
+      .map(r => (r._1, r._2) -> (r._3, r._4)).toMap
+    assert(cells === Map(
+      (0L, 0L) -> ((2L, 3L)), (1L, 0L) -> ((1L, 3L)), (2L, 2L) -> ((3L, 3L))))
+    intercept[IllegalArgumentException] {
+      graft.operators.SpatialJoin.gridHotspots(pts, "x", "y", 0L)
+    }
+  }
+
   test("topoLevels: local fast path and distributed peel agree") {
     // random DAG (edges only ever point id-upward → acyclic)
     val rnd = new scala.util.Random(7)
