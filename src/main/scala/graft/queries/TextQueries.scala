@@ -1226,6 +1226,25 @@ object TextQueries {
   val bm25: Q = (s, d) =>
     TextAnalysis.bm25TopK(documents(s, d), "doc_id", "text", bm25Probes, k = 5)
 
+  // ---- text_bm25_indexed: the same retrieval over the PERSISTED
+  //      inverted index (Bm25Index) — build once per JVM+SF (the
+  //      ann_ivf_indexed convention: the timed cost is the search;
+  //      tokenization/df/dl were paid at build). Must equal text_bm25
+  //      bit-for-bit (same rational-idf algebra), so it shares the
+  //      oracle ----
+  private val builtBm25 = new java.util.concurrent.ConcurrentHashMap[String, String]()
+  val bm25Indexed: Q = (s, d) => {
+    val dir = builtBm25.computeIfAbsent(d, _ => {
+      val out = new java.io.File(sys.props("java.io.tmpdir"),
+        "graft-bm25-index-" + d.replaceAll("[^A-Za-z0-9._-]", "_")).getAbsolutePath
+      graft.operators.Bm25Index.build(documents(s, d), "doc_id", "text", out)
+      out
+    })
+    graft.operators.Bm25Index.query(s, dir, bm25Probes, k = 5)
+      .select(col("query_id"), col("doc").as("doc_id"), col("rank"),
+        col("bm25"))
+  }
+
   val bm25Oracle: String = {
     val probes = bm25Probes
       .map { case (id, t) => s"SELECT $id AS query_id, '$t' AS qtext" }
@@ -1709,6 +1728,7 @@ object TextQueries {
     "text_chunk" -> textChunk,
     "text_tfidf" -> tfidf,
     "text_bm25" -> bm25,
+    "text_bm25_indexed" -> bm25Indexed,
     "text_normalize" -> textNormalize,
     "emb_centroids" -> embCentroids,
     "text_cv_folds" -> cvFolds,
@@ -1779,6 +1799,7 @@ object TextQueries {
     "text_chunk" -> textChunkOracle,
     "text_tfidf" -> tfidfOracle,
     "text_bm25" -> bm25Oracle,
+    "text_bm25_indexed" -> bm25Oracle,
     "text_normalize" -> textNormalizeOracle,
     "emb_centroids" -> embCentroidsOracle,
     "text_cv_folds" -> cvFoldsOracle,

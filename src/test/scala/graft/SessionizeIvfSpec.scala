@@ -119,6 +119,25 @@ class SessionizeIvfSpec extends AnyFunSuite {
     assert(plan.contains("PartitionFilters: [c"), s"no partition pruning on lists:\n$plan")
   }
 
+  test("BM25 index: indexed query == direct bm25TopK, postings pruned") {
+    val docs = spark.read.parquet(s"$sfDir/documents.parquet")
+    val probes = Seq(1L -> "spark table join", 2L -> "hash merge sort")
+    val dir = Files.createTempDirectory("bm25idx").toString
+    graft.operators.Bm25Index.build(docs, "doc_id", "text", dir)
+    val indexed = graft.operators.Bm25Index.query(spark, dir, probes, k = 5)
+    val got = indexed.select(col("query_id"), col("doc"), col("rank"),
+        col("bm25")).as[(Long, Long, Long, Double)].collect().toSet
+    val direct = graft.operators.TextAnalysis
+      .bm25TopK(docs, "doc_id", "text", probes, k = 5)
+      .select(col("query_id"), col("doc_id"), col("rank"), col("bm25"))
+      .as[(Long, Long, Long, Double)].collect().toSet
+    assert(got === direct && got.nonEmpty)
+    // probing must prune the posting file to the probed term buckets
+    val plan = indexed.queryExecution.executedPlan.toString
+    assert(plan.contains("PartitionFilters: [b"),
+      s"no partition pruning on postings:\n$plan")
+  }
+
   test("IVF incremental refresh: save(half) + refresh(rest) == save(full)") {
     val e = spark.read.parquet(s"$sfDir/embeddings.parquet")
     val queries = e.filter($"vec_id" < 5)
