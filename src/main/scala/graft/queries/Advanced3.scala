@@ -215,7 +215,12 @@ object Advanced3 {
       .agg(count(lit(1)).cast("bigint").as("n_months"))
     mid.groupBy(col("nationkey"))
       .agg(max(col("np")).as("n_pairs"),
-        round(avg(col("slope")), 9).as("sen_slope"))
+        // round 6, not the house 9: slopes reach 7 integer digits at
+        // sf1, and 16 significant digits sits at the edge of double
+        // representability where the two engines' round-to-decimal
+        // paths (BigDecimal half-up vs multiply-round-divide) can
+        // disagree by one ulp — measured on nation 17 at sf1
+        round(avg(col("slope")), 6).as("sen_slope"))
       .join(nMonths, "nationkey")
       .select(col("nationkey"), col("n_months"), col("n_pairs"),
         col("sen_slope"))
@@ -239,7 +244,7 @@ object Advanced3 {
       |mid AS (SELECT * FROM r
       |  WHERE rn = (np + 1) // 2 OR rn = np // 2 + 1),
       |sen AS (SELECT nationkey, MAX(np) AS n_pairs,
-      |    ROUND(AVG(slope), 9) AS sen_slope
+      |    ROUND(AVG(slope), 6) AS sen_slope
       |  FROM mid GROUP BY 1),
       |nm AS (SELECT nationkey, CAST(COUNT(*) AS BIGINT) AS n_months
       |  FROM monthly GROUP BY 1)
