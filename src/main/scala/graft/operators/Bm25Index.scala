@@ -58,6 +58,38 @@ object Bm25Index {
       .coalesce(1).write.mode("overwrite").parquet(s"$dir/stats")
   }
 
+  /** Incrementally refresh a saved index with NEW documents (the
+    * IvfIndex.refresh convention: append-only — an updated document
+    * must arrive under a new id, or rebuild). Every statistic the
+    * scorer reads is a SUM over file rows: postings append whole rows
+    * (each new doc carries its own dl), per-term df appends delta
+    * rows summed at query time, corpus stats append one (n, sumdl)
+    * row. A refresh touches only the delta's bucket partitions;
+    * partition pruning is unchanged.
+    *
+    * @return number of delta documents appended
+    */
+  def refresh(delta: DataFrame, idCol: String, textCol: String,
+              dir: String): Long = {
+    val toks = delta.select(col(idCol).as("doc"),
+        explode(tokens(col(textCol))).as("term"))
+      .localCheckpoint(true)
+    val tf = toks.groupBy(col("doc"), col("term"))
+      .agg(count(lit(1)).cast("bigint").as("tf"))
+    val dl = toks.groupBy(col("doc"))
+      .agg(count(lit(1)).cast("bigint").as("dl"))
+    tf.join(dl, Seq("doc"))
+      .withColumn("b", bucket(col("term")))
+      .write.mode("append").partitionBy("b").parquet(s"$dir/postings")
+    tf.groupBy(col("term")).agg(count(lit(1)).cast("bigint").as("df"))
+      .withColumn("b", bucket(col("term")))
+      .write.mode("append").partitionBy("b").parquet(s"$dir/df")
+    delta.agg(count(lit(1)).cast("bigint").as("n")).crossJoin(
+        toks.agg(count(lit(1)).cast("bigint").as("sumdl")))
+      .coalesce(1).write.mode("append").parquet(s"$dir/stats")
+    delta.count()
+  }
+
   /** BM25 top-k over a saved index; == `TextAnalysis.bm25TopK` on the
     * corpus the index was built from.
     */
@@ -76,15 +108,21 @@ object Bm25Index {
       .filter(col("b").isin(probedB: _*))
     val dfreq = spark.read.parquet(s"$dir/df")
       .filter(col("b").isin(probedB: _*))
+    // stats and per-term df are SUMS over file rows so refresh can
+    // append deltas without rewriting (exact integers until the one
+    // division)
     val stats = spark.read.parquet(s"$dir/stats")
-      .select(col("n").cast("double").as("n"),
-        (col("sumdl").cast("double") / col("n").cast("double")).as("avgdl"))
+      .agg(sum(col("n")).cast("bigint").as("ni"),
+        sum(col("sumdl")).cast("bigint").as("sumdl"))
+      .select(col("ni").cast("double").as("n"),
+        (col("sumdl").cast("double") / col("ni").cast("double")).as("avgdl"))
     val k1C = lit(k1); val bC = lit(b)
     // df rows for probe terms only (model-sized) — the bucket-pruned
     // df table still holds every term in those buckets, which at
     // corpus scale is too big to broadcast unfiltered
     val probeDf = dfreq.join(broadcast(qterms.select("term").distinct()),
-      Seq("term")).select("term", "df")
+        Seq("term"))
+      .groupBy(col("term")).agg(sum(col("df")).cast("bigint").as("df"))
     val contrib = postings
       .join(broadcast(qterms.select("query_id", "term")), Seq("term"))
       .join(broadcast(probeDf), Seq("term"))

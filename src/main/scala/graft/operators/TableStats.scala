@@ -42,4 +42,42 @@ object TableStats {
         col("n_nonnull"), (col("__n") - col("n_nonnull")).as("n_nulls"),
         col("n_distinct"), col("min_value"), col("max_value"))
   }
+
+  /** Join-key SKEW advisor — the "will this join/aggregation hot-spot"
+    * profile a planner (or an engineer sizing salting) reads before
+    * shuffling on a key: exact key cardinality, hottest-key share,
+    * mean and p99 per-key multiplicity.
+    *
+    * Shape at 100 TB: ONE hash aggregate to the per-key count table
+    * (map-side combined), then everything else runs at COUNT-OF-COUNTS
+    * cardinality — the distinct multiplicities, a near-constant axis
+    * (the q93 value-cardinality discipline) — with the p99 order
+    * statistic read off a distributed [[PrefixSum]] cumulation, never
+    * a window over keys. All integers exact; shares in exact ppm.
+    *
+    * @return one row: (n_rows, n_keys, max_cnt, max_share_ppm,
+    *         avg_cnt, p99_cnt)
+    */
+  def joinSkewReport(df: DataFrame, keyCol: String): DataFrame = {
+    val counts = df.groupBy(col(keyCol).as("__k"))
+      .agg(count(lit(1)).cast("bigint").as("cnt"))
+      .localCheckpoint(true) // count-of-counts + totals below
+    val coc = counts.groupBy(col("cnt"))
+      .agg(count(lit(1)).cast("bigint").as("n_keys_at"))
+    val cum = PrefixSum.runningTotal(coc, "cnt", "n_keys_at", "cum_keys")
+    val totals = counts.agg(count(lit(1)).cast("bigint").as("n_keys"),
+      sum(col("cnt")).cast("bigint").as("n_rows"),
+      max(col("cnt")).cast("bigint").as("max_cnt"))
+    // p99 = smallest multiplicity whose cumulative key count reaches
+    // ceil(0.99·n_keys): integer form 100·cum ≥ 99·n_keys
+    val p99 = cum.crossJoin(broadcast(totals.select(col("n_keys").as("__nk"))))
+      .filter(col("cum_keys") * 100 >= col("__nk") * 99)
+      .agg(min(col("cnt")).cast("bigint").as("p99_cnt"))
+    totals.crossJoin(broadcast(p99))
+      .select(col("n_rows"), col("n_keys"), col("max_cnt"),
+        expr("max_cnt * 1000000 DIV n_rows").cast("bigint")
+          .as("max_share_ppm"),
+        expr("n_rows DIV n_keys").cast("bigint").as("avg_cnt"),
+        col("p99_cnt"))
+  }
 }

@@ -550,7 +550,55 @@ object Advanced4 {
       |    AS mape_ppm
       |FROM s GROUP BY yr""".stripMargin
 
+  // ---- q134: join-key skew advisor — the pre-shuffle profile for
+  //      three star-schema join keys (a hot FK, a dimension FK, and
+  //      the near-unique PK side): exact key cardinality, hottest-key
+  //      ppm share, mean and p99 multiplicity; everything after the
+  //      per-key count runs at count-of-counts cardinality, the p99
+  //      off a distributed PrefixSum ----
+  val q134SkewReport: Q = (s, d) => {
+    val li = lineitem(s, d)
+    val o = orders(s, d)
+    Seq(
+      ("lineitem.l_orderkey",
+        graft.operators.TableStats.joinSkewReport(li, "l_orderkey")),
+      ("lineitem.l_partkey",
+        graft.operators.TableStats.joinSkewReport(li, "l_partkey")),
+      ("orders.o_custkey",
+        graft.operators.TableStats.joinSkewReport(o, "o_custkey")))
+      .map { case (name, r) => r.withColumn("join_key", lit(name)) }
+      .reduce(_ unionByName _)
+      .select(col("join_key"), col("n_rows"), col("n_keys"),
+        col("max_cnt"), col("max_share_ppm"), col("avg_cnt"),
+        col("p99_cnt"))
+  }
+
+  val q134Oracle: String = {
+    def one(name: String, table: String, key: String) =
+      s"""SELECT '$name' AS join_key, n_rows, n_keys, max_cnt,
+         |  CAST(max_cnt * 1000000 // n_rows AS BIGINT) AS max_share_ppm,
+         |  CAST(n_rows // n_keys AS BIGINT) AS avg_cnt,
+         |  (SELECT MIN(cnt) FROM (
+         |     SELECT cnt, SUM(n_keys_at) OVER (ORDER BY cnt) AS cum
+         |     FROM (SELECT cnt, CAST(COUNT(*) AS BIGINT) AS n_keys_at
+         |           FROM (SELECT CAST(COUNT(*) AS BIGINT) AS cnt
+         |                 FROM $table GROUP BY $key) GROUP BY cnt)) c
+         |   CROSS JOIN (SELECT CAST(COUNT(DISTINCT $key) AS BIGINT) nk
+         |               FROM $table) t
+         |   WHERE c.cum * 100 >= t.nk * 99) AS p99_cnt
+         |FROM (SELECT CAST(SUM(c) AS BIGINT) AS n_rows,
+         |        CAST(COUNT(*) AS BIGINT) AS n_keys,
+         |        CAST(MAX(c) AS BIGINT) AS max_cnt
+         |      FROM (SELECT COUNT(*) AS c FROM $table GROUP BY $key))"""
+        .stripMargin
+    Seq(one("lineitem.l_orderkey", "lineitem", "l_orderkey"),
+      one("lineitem.l_partkey", "lineitem", "l_partkey"),
+      one("orders.o_custkey", "orders", "o_custkey"))
+      .mkString("\nUNION ALL\n")
+  }
+
   val queries: Map[String, Q] = Map(
+    "q134_skew_report" -> q134SkewReport,
     "q133_backtest" -> q133Backtest,
     "q132_hotspot" -> q132Hotspot,
     "text_coverage_select" -> textCoverageSelect,
@@ -565,6 +613,7 @@ object Advanced4 {
     "q127_quantile_norm" -> q127QuantileNorm)
 
   val oracles: Map[String, String] = Map(
+    "q134_skew_report" -> q134Oracle,
     "q133_backtest" -> q133Oracle,
     "q132_hotspot" -> q132Oracle,
     "q130_rrf" -> q130Oracle,

@@ -138,6 +138,25 @@ class SessionizeIvfSpec extends AnyFunSuite {
       s"no partition pruning on postings:\n$plan")
   }
 
+  test("BM25 index refresh: build(half) + refresh(rest) == build(full)") {
+    val docs = spark.read.parquet(s"$sfDir/documents.parquet")
+    val probes = Seq(1L -> "spark table join", 2L -> "window agg stream")
+    val fullDir = Files.createTempDirectory("bm25full").toString
+    graft.operators.Bm25Index.build(docs, "doc_id", "text", fullDir)
+    val incDir = Files.createTempDirectory("bm25inc").toString
+    graft.operators.Bm25Index.build(docs.filter($"doc_id" % 2 === 0),
+      "doc_id", "text", incDir)
+    val appended = graft.operators.Bm25Index.refresh(
+      docs.filter($"doc_id" % 2 === 1), "doc_id", "text", incDir)
+    assert(appended > 0)
+    def run(dir: String) = graft.operators.Bm25Index
+      .query(spark, dir, probes, k = 5)
+      .select(col("query_id"), col("doc"), col("rank"), col("bm25"))
+      .as[(Long, Long, Long, Double)].collect().toSet
+    val full = run(fullDir)
+    assert(run(incDir) === full && full.nonEmpty)
+  }
+
   test("IVF incremental refresh: save(half) + refresh(rest) == save(full)") {
     val e = spark.read.parquet(s"$sfDir/embeddings.parquet")
     val queries = e.filter($"vec_id" < 5)
