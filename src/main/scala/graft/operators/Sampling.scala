@@ -404,6 +404,58 @@ object Sampling {
       .drop("__copies")
   }
 
+  /** Iterative proportional fitting (raking, Deming–Stephan '40) —
+    * the two-way corpus REBALANCER: per-(row, col) sampling weights
+    * whose weighted mass matches UNIFORM row and column marginals
+    * simultaneously (e.g. equalize languages AND sources at once —
+    * one-way post-stratification can't hit both). The classic survey
+    * / mixture-targeting algorithm, run for a FIXED iteration count.
+    *
+    * Exactness: weights live in ppm FIXED POINT and every step is
+    * integer algebra — mass m = n·w in DECIMAL(38,0), row step
+    * w ← (w·Tr) div rowmass, column step symmetric, with Tr = (N·10⁶)
+    * div n_rows-groups — floor division spelled identically in the
+    * oracle, so all `iters` rounds replay bit-for-bit (IPF converges
+    * geometrically; 3 rounds ≈ ‰-level marginal fit).
+    *
+    * Shape: everything after one hash aggregate runs at CELL
+    * cardinality (|rows|·|cols| — model-sized by construction);
+    * `iters` bounded joins over that cell table.
+    *
+    * @return (rowCol, colCol, n, weight_ppm)
+    */
+  def rakeWeights(df: DataFrame, rowCol: String, colCol: String,
+                  iters: Int = 3, maxIters: Int = 20): DataFrame = {
+    require(iters >= 1 && iters <= maxIters,
+      s"rakeWeights: iters=$iters outside 1..maxIters=$maxIters")
+    val cells = df.groupBy(col(rowCol).as("__r"), col(colCol).as("__c"))
+      .agg(count(lit(1)).cast("decimal(38,0)").as("n"))
+      .localCheckpoint(true)
+    val scalars = cells.agg(
+        sum(col("n")).cast("decimal(38,0)").as("__N"),
+        countDistinct(col("__r")).cast("decimal(38,0)").as("__nr"),
+        countDistinct(col("__c")).cast("decimal(38,0)").as("__nc"))
+      .select(expr("(__N * 1000000) DIV __nr").cast("decimal(38,0)").as("__tr"),
+        expr("(__N * 1000000) DIV __nc").cast("decimal(38,0)").as("__tc"))
+    var w = cells.crossJoin(broadcast(scalars))
+      .withColumn("w", lit(1000000L).cast("decimal(38,0)"))
+    (1 to iters).foreach { _ =>
+      val rowMass = w.groupBy(col("__r"))
+        .agg(sum(col("n") * col("w")).cast("decimal(38,0)").as("__rm"))
+      w = w.join(rowMass, Seq("__r"))
+        .withColumn("w", expr("(w * __tr) DIV __rm").cast("decimal(38,0)"))
+        .drop("__rm")
+      val colMass = w.groupBy(col("__c"))
+        .agg(sum(col("n") * col("w")).cast("decimal(38,0)").as("__cm"))
+      w = w.join(colMass, Seq("__c"))
+        .withColumn("w", expr("(w * __tc) DIV __cm").cast("decimal(38,0)"))
+        .drop("__cm")
+    }
+    w.select(col("__r").as(rowCol), col("__c").as(colCol),
+      col("n").cast("bigint").as("n"),
+      col("w").cast("bigint").as("weight_ppm"))
+  }
+
   /** Coverage-greedy corpus selection — the submodular (set-cover /
     * facility-location) "pick k docs that together cover the most
     * vocabulary" curation step: classic greedy picks the doc with the

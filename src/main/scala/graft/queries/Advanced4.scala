@@ -597,7 +597,50 @@ object Advanced4 {
       .mkString("\nUNION ALL\n")
   }
 
+  // ---- q135: IPF raking weights (Deming–Stephan) — rebalance the
+  //      corpus to UNIFORM language AND source marginals at once; 3
+  //      fixed-point integer iterations the oracle unrolls verbatim ----
+  val q135Rake: Q = (s, d) =>
+    graft.operators.Sampling.rakeWeights(
+      documents(s, d).where(col("lang").isNotNull && col("source").isNotNull),
+      "lang", "source", iters = 3)
+
+  val q135Oracle: String = {
+    val iter = (i: Int) =>
+      s"""w${i}r AS (
+         |  SELECT w${i - 1}.lang, w${i - 1}.source, w${i - 1}.n,
+         |    (w${i - 1}.w * t.tr) // rm.m AS w
+         |  FROM w${i - 1}
+         |  JOIN (SELECT lang, SUM(n * w) AS m FROM w${i - 1} GROUP BY 1) rm
+         |    ON rm.lang = w${i - 1}.lang
+         |  CROSS JOIN t),
+         |w$i AS (
+         |  SELECT w${i}r.lang, w${i}r.source, w${i}r.n,
+         |    (w${i}r.w * t.tc) // cm.m AS w
+         |  FROM w${i}r
+         |  JOIN (SELECT source, SUM(n * w) AS m FROM w${i}r GROUP BY 1) cm
+         |    ON cm.source = w${i}r.source
+         |  CROSS JOIN t)""".stripMargin
+    s"""WITH cells AS (
+       |  SELECT lang, source, CAST(COUNT(*) AS HUGEINT) AS n
+       |  FROM documents WHERE lang IS NOT NULL AND source IS NOT NULL
+       |  GROUP BY 1, 2),
+       |t AS (SELECT
+       |    (SUM(n) * 1000000) // COUNT(DISTINCT lang) AS tr,
+       |    (SUM(n) * 1000000) // COUNT(DISTINCT source) AS tc
+       |  FROM cells),
+       |w0 AS (SELECT lang, source, n, CAST(1000000 AS HUGEINT) AS w
+       |       FROM cells),
+       |${iter(1)},
+       |${iter(2)},
+       |${iter(3)}
+       |SELECT lang, source, CAST(n AS BIGINT) AS n,
+       |  CAST(w AS BIGINT) AS weight_ppm
+       |FROM w3""".stripMargin
+  }
+
   val queries: Map[String, Q] = Map(
+    "q135_rake" -> q135Rake,
     "q134_skew_report" -> q134SkewReport,
     "q133_backtest" -> q133Backtest,
     "q132_hotspot" -> q132Hotspot,
@@ -613,6 +656,7 @@ object Advanced4 {
     "q127_quantile_norm" -> q127QuantileNorm)
 
   val oracles: Map[String, String] = Map(
+    "q135_rake" -> q135Oracle,
     "q134_skew_report" -> q134Oracle,
     "q133_backtest" -> q133Oracle,
     "q132_hotspot" -> q132Oracle,

@@ -229,6 +229,38 @@ class AdvancedOps2Spec extends org.scalatest.funsuite.AnyFunSuite {
     assert(got === want)
   }
 
+  test("rakeWeights: both marginals converge to uniform; fixed point exact") {
+    // skewed 2x2: counts (a,x)=30 (a,y)=10 (b,x)=10 (b,y)=50
+    val rows = Seq.fill(30)(("a", "x")) ++ Seq.fill(10)(("a", "y")) ++
+      Seq.fill(10)(("b", "x")) ++ Seq.fill(50)(("b", "y"))
+    val df = rows.toDF("r", "c")
+    val got = graft.operators.Sampling.rakeWeights(df, "r", "c", iters = 5)
+      .as[(String, String, Long, Long)].collect()
+    val total = 100L * 1000000L
+    // column marginal is EXACT after the final column step (up to the
+    // floor-division remainder); row marginal converges geometrically
+    val colMass = got.groupBy(_._2).view
+      .mapValues(_.map(t => t._3 * t._4).sum).toMap
+    colMass.values.foreach(m =>
+      assert(math.abs(m - total / 2) <= got.length * 1000000L,
+        s"column mass $m far from ${total / 2}"))
+    val rowMass = got.groupBy(_._1).view
+      .mapValues(_.map(t => t._3 * t._4).sum).toMap
+    rowMass.values.foreach(m =>
+      assert(math.abs(m - total / 2).toDouble / (total / 2) < 0.02,
+        s"row mass $m not within 2% of ${total / 2}"))
+    // directionality: (b,y) is over-represented on BOTH margins (row b
+    // 60>50, col y 60>50) → down-weighted; (a,x) is under on both →
+    // up-weighted. (A cell rare in its row may still be DOWN-weighted
+    // if its column is over-full — the joint fit, not the row fit.)
+    val w = got.map(t => (t._1, t._2) -> t._4).toMap
+    assert(w(("b", "y")) < 1000000L, s"(b,y) must shrink: ${w(("b", "y"))}")
+    assert(w(("a", "x")) > 1000000L, s"(a,x) must grow: ${w(("a", "x"))}")
+    intercept[IllegalArgumentException] {
+      graft.operators.Sampling.rakeWeights(df, "r", "c", iters = 0)
+    }
+  }
+
   test("coverageGreedy matches a driver greedy reference and stops at full cover") {
     val docs = Seq(
       (1L, "a b c d"),     // 4 tokens — first pick
