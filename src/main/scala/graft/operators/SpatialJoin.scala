@@ -92,12 +92,24 @@ object SpatialJoin {
   def gridHotspots(df: DataFrame, xCol: String, yCol: String,
                    cellSize: Long): DataFrame = {
     require(cellSize >= 1, s"gridHotspots: cellSize must be >= 1, got $cellSize")
-    val cells = df.select(
+    hotspotsFromCellCounts(cellCounts(df, xCol, yCol, cellSize))
+  }
+
+  /** The per-cell point counts feeding [[gridHotspots]] — exposed
+    * because the counts are a SUMMABLE monoid, the state a streaming
+    * maintainer folds (StreamHotspots).
+    */
+  def cellCounts(df: DataFrame, xCol: String, yCol: String,
+                 cellSize: Long): DataFrame =
+    df.select(
         expr(s"CAST($xCol AS BIGINT) DIV $cellSize").as("cx"),
         expr(s"CAST($yCol AS BIGINT) DIV $cellSize").as("cy"))
       .groupBy(col("cx"), col("cy"))
       .agg(count(lit(1)).cast("bigint").as("n"))
-      .localCheckpoint(true)
+
+  /** Neighborhood report over a prepared (cx, cy, n) cell table. */
+  def hotspotsFromCellCounts(cellsIn: DataFrame): DataFrame = {
+    val cells = cellsIn.localCheckpoint(true)
     val contrib = cells
       .withColumn("dx", explode(array(lit(-1L), lit(0L), lit(1L))))
       .withColumn("dy", explode(array(lit(-1L), lit(0L), lit(1L))))
