@@ -128,13 +128,26 @@ object GraphOps {
     * @return surviving (node, degree) rows — degree WITHIN the core
     */
   def kCore(edgesIn: DataFrame, aCol: String, bCol: String, k: Int,
-            maxIter: Int = 100): DataFrame = {
+            maxIter: Int = 100, maxLocalEdges: Long = 4000000L): DataFrame = {
     require(k >= 1, s"kCore: k must be >= 1, got $k")
     val canon = edgesIn
       .select(least(col(aCol), col(bCol)).as("x"),
         greatest(col(aCol), col(bCol)).as("y"))
       .filter(col("x") =!= col("y"))
       .distinct()
+      .localCheckpoint(true)
+    // SIZE ROUTING (the scc convention): the deduped edge list is
+    // already materialized; under the broadcast-sized cap the driver
+    // peels in ONE linear pass (queue of sub-k nodes) instead of
+    // O(peel depth) scheduled rounds — path-shaped graphs peel one
+    // layer per round distributed, all layers at once locally.
+    if (canon.count() <= maxLocalEdges) {
+      val spark = edgesIn.sparkSession
+      import spark.implicits._
+      val local = canon.as[(Long, Long)].collect()
+      return spark.createDataset(kCoreLocal(local, k).toSeq)
+        .toDF("node", "degree")
+    }
     // symmetric form: degree = per-src row count
     var sym = canon.unionAll(canon.select(col("y").as("x"), col("x").as("y")))
       .localCheckpoint(true)
@@ -157,6 +170,61 @@ object GraphOps {
         "raise maxIter (deep path-shaped graphs peel one layer per round)")
     sym.groupBy(col("x").as("node"))
       .agg(count(lit(1)).cast("bigint").as("degree"))
+  }
+
+  /** Driver-local k-core: queue-based peel, linear in |V|+|E| — every
+    * sub-k node peels as soon as its degree crosses below k, so the
+    * whole cascade runs in one pass. Input deduped canonical (x<y)
+    * simple edges; returns (node, degree within the k-core) exactly
+    * like the distributed peel.
+    */
+  private[graft] def kCoreLocal(edges: Array[(Long, Long)], k: Int)
+      : Array[(Long, Long)] = {
+    val idOf = scala.collection.mutable.LongMap.empty[Int]
+    val ids = scala.collection.mutable.ArrayBuffer[Long]()
+    def intern(v: Long): Int =
+      idOf.getOrElseUpdate(v, { val i = ids.length; ids += v; i })
+    val m = edges.length
+    val ea = new Array[Int](m); val eb = new Array[Int](m)
+    var e = 0
+    while (e < m) {
+      ea(e) = intern(edges(e)._1); eb(e) = intern(edges(e)._2); e += 1
+    }
+    val n = ids.length
+    val deg = new Array[Int](n)
+    e = 0; while (e < m) { deg(ea(e)) += 1; deg(eb(e)) += 1; e += 1 }
+    // symmetric CSR
+    val off = new Array[Int](n + 1)
+    var i = 0
+    while (i < n) { off(i + 1) = off(i) + deg(i); i += 1 }
+    val pos = java.util.Arrays.copyOf(off, n)
+    val adj = new Array[Int](2 * m)
+    e = 0
+    while (e < m) {
+      adj(pos(ea(e))) = eb(e); pos(ea(e)) += 1
+      adj(pos(eb(e))) = ea(e); pos(eb(e)) += 1
+      e += 1
+    }
+    val removed = new Array[Boolean](n)
+    val queue = new Array[Int](n); var qt = 0
+    i = 0
+    while (i < n) { if (deg(i) < k) { queue(qt) = i; qt += 1; removed(i) = true }; i += 1 }
+    var qh = 0
+    while (qh < qt) {
+      val v = queue(qh); qh += 1
+      var c = off(v)
+      while (c < off(v + 1)) {
+        val w = adj(c); c += 1
+        if (!removed(w)) {
+          deg(w) -= 1
+          if (deg(w) < k) { removed(w) = true; queue(qt) = w; qt += 1 }
+        }
+      }
+    }
+    val out = scala.collection.mutable.ArrayBuffer[(Long, Long)]()
+    i = 0
+    while (i < n) { if (!removed(i)) out += ((ids(i), deg(i).toLong)); i += 1 }
+    out.toArray
   }
 
   /** STRONGLY connected components of a DIRECTED graph — the mutual-

@@ -65,11 +65,25 @@ class Advanced2Spec extends AnyFunSuite {
       (k4 ++ tail).toDF("a", "b").repartition(7), "a", "b", k = 3)
       .as[(Long, Long)].collect().toMap
     assert(reparted === core3)
-    // a path peels one layer per round: a tiny cap must REFUSE, not
-    // return a superset that silently isn't a core
+    // local fast path and the distributed peel agree on a random graph
+    val rnd = new scala.util.Random(13)
+    val rg = (1 to 300).map(_ =>
+      (rnd.nextInt(60).toLong + 1, rnd.nextInt(60).toLong + 1))
+      .filter(e => e._1 != e._2)
+    val localCore = GraphOps.kCore(rg.toDF("a", "b"), "a", "b", k = 4)
+      .as[(Long, Long)].collect().toMap
+    val distCore = GraphOps.kCore(rg.toDF("a", "b"), "a", "b", k = 4,
+        maxLocalEdges = -1L)
+      .as[(Long, Long)].collect().toMap
+    assert(localCore === distCore)
+    // a path peels one layer per round DISTRIBUTED: a tiny cap must
+    // REFUSE, not return a superset that silently isn't a core
+    // (maxLocalEdges = -1 forces that path; the local peel is
+    // single-pass and needs no cap)
     val long = (1L to 30L).sliding(2).map(s => (s.head, s.last)).toSeq
     val ex = intercept[IllegalArgumentException] {
-      GraphOps.kCore(long.toDF("a", "b"), "a", "b", k = 2, maxIter = 3)
+      GraphOps.kCore(long.toDF("a", "b"), "a", "b", k = 2, maxIter = 3,
+        maxLocalEdges = -1L)
     }
     assert(ex.getMessage.contains("maxIter"), ex.getMessage)
   }
