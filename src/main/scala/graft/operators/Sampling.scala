@@ -404,6 +404,45 @@ object Sampling {
       .drop("__copies")
   }
 
+  /** Per-group TOKEN-BUDGET cut — the real mixture-construction
+    * selector ("each source contributes at most B tokens, best
+    * quality first"), where [[capPerGroup]]'s doc-count cap can't
+    * weigh a 10-token stub against a 10k-token article.
+    *
+    * Scale shape — a distributed per-group PREFIX SUM with no
+    * partitioned window (the few-large-groups trap: one giant source
+    * would sit in one window task): ONE composite-key
+    * [[Ranking.globalRank]] over (group, quality order), ONE
+    * [[PrefixSum]] cumulation over that rank axis (so the running
+    * total is global in composite order), then the per-group running
+    * total = global cum − (total mass of all PRIOR groups), where the
+    * prior-group masses ride a second PrefixSum over the
+    * GROUP-CARDINALITY totals table, broadcast back. Exact integers
+    * end to end.
+    *
+    * @param orderCols quality order within the group, best first
+    *        (append the unique id last — globalRank requires a total
+    *        order)
+    * @return input rows that fit the budget, with `cum_tokens` (the
+    *         group-relative running total INCLUDING the row)
+    */
+  def tokenBudgetPerGroup(df: DataFrame, groupCol: String,
+                          tokenCol: String, orderCols: Seq[String],
+                          budget: Long): DataFrame = {
+    require(budget >= 1, s"tokenBudgetPerGroup: budget must be >= 1, got $budget")
+    val ranked = Ranking.globalRank(df, groupCol +: orderCols, "__gr", 0)
+    val cum = PrefixSum.runningTotal(ranked, "__gr", tokenCol, "__cum")
+    val groupTotals = df.groupBy(col(groupCol))
+      .agg(sum(col(tokenCol)).cast("bigint").as("__gt"))
+    val groupCum = PrefixSum.runningTotal(groupTotals, groupCol, "__gt", "__gcum")
+      .select(col(groupCol), (col("__gcum") - col("__gt")).as("__prior"))
+    cum.join(broadcast(groupCum), Seq(groupCol))
+      .withColumn("cum_tokens",
+        (col("__cum") - col("__prior")).cast("bigint"))
+      .filter(col("cum_tokens") <= budget)
+      .drop("__gr", "__cum", "__prior")
+  }
+
   /** Iterative proportional fitting (raking, Deming–Stephan '40) —
     * the two-way corpus REBALANCER: per-(row, col) sampling weights
     * whose weighted mass matches UNIFORM row and column marginals

@@ -639,7 +639,41 @@ object Advanced4 {
        |FROM w3""".stripMargin
   }
 
+  // ---- text_token_budget: per-source TOKEN-budget mixture cut —
+  //      each source contributes its longest docs first until 1000
+  //      tokens per source (the doc-count cap of text_source_cap can't weigh a
+  //      stub against an article). Distributed per-group prefix sum:
+  //      composite globalRank + PrefixSum, prior-group masses off a
+  //      second group-cardinality PrefixSum — no partitioned window
+  //      (one giant source would sit in one window task) ----
+  val textTokenBudget: Q = (s, d) => {
+    val docs = documents(s, d).select(col("doc_id"), col("source"),
+      size(graft.functions.wsTokens(col("text"))).cast("bigint").as("n_tok"),
+      (-col("n_chars")).cast("long").as("__negq"))
+    graft.operators.Sampling.tokenBudgetPerGroup(docs, "source", "n_tok",
+        Seq("__negq", "doc_id"), budget = 1000L)
+      .select(col("doc_id"), col("source"), col("n_tok"), col("cum_tokens"))
+  }
+
+  val textTokenBudgetOracle: String =
+    """WITH d AS (
+      |  SELECT doc_id, source,
+      |    CAST(len(regexp_split_to_array(trim(text), '\s+')) AS BIGINT)
+      |      AS n_tok,
+      |    n_chars
+      |  FROM documents),
+      |c AS (
+      |  SELECT doc_id, source, n_tok,
+      |    CAST(SUM(n_tok) OVER (PARTITION BY source
+      |      ORDER BY n_chars DESC, doc_id
+      |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+      |      AS cum_tokens
+      |  FROM d)
+      |SELECT doc_id, source, n_tok, cum_tokens
+      |FROM c WHERE cum_tokens <= 1000""".stripMargin
+
   val queries: Map[String, Q] = Map(
+    "text_token_budget" -> textTokenBudget,
     "q135_rake" -> q135Rake,
     "q134_skew_report" -> q134SkewReport,
     "q133_backtest" -> q133Backtest,
@@ -656,6 +690,7 @@ object Advanced4 {
     "q127_quantile_norm" -> q127QuantileNorm)
 
   val oracles: Map[String, String] = Map(
+    "text_token_budget" -> textTokenBudgetOracle,
     "q135_rake" -> q135Oracle,
     "q134_skew_report" -> q134Oracle,
     "q133_backtest" -> q133Oracle,
