@@ -422,7 +422,13 @@ object Advanced2 {
           .cast("decimal(38,0)").as("sc"))
       .groupBy(col("label"))
       .agg(max(col("n")).cast("bigint").as("n"),
-        sum(col("sc")).cast("decimal(38,0)").as("scatter_num"))
+        // STRING surface, not DECIMAL(38,0): wide decimals land as
+        // decimal128 in the written parquet, which the driver's
+        // comparator cannot canonicalize against DuckDB's result path
+        // (r12 verdict). Integer decimals print identically in both
+        // engines, so the string is the portable exact form.
+        sum(col("sc")).cast("decimal(38,0)").cast("string")
+          .as("scatter_num"))
   }
 
   val embClassScatterOracle: String =
@@ -438,9 +444,9 @@ object Advanced2 {
       |         CAST(SUM(vi * vi) AS BIGINT) AS ss
       |       FROM vi GROUP BY 1, 2)
       |SELECT label, CAST(MAX(n) AS BIGINT) AS n,
-      |  CAST(SUM(CAST(CAST(n AS DECIMAL(18,0)) * CAST(ss AS DECIMAL(19,0))
+      |  CAST(CAST(SUM(CAST(CAST(n AS DECIMAL(18,0)) * CAST(ss AS DECIMAL(19,0))
       |    - CAST(s AS DECIMAL(19,0)) * CAST(s AS DECIMAL(19,0)) AS DECIMAL(38,0)))
-      |    AS DECIMAL(38,0)) AS scatter_num
+      |    AS DECIMAL(38,0)) AS VARCHAR) AS scatter_num
       |FROM pp GROUP BY label""".stripMargin
 
   // ---- q104: Damerau-Levenshtein fuzzy dedup of part names — the
