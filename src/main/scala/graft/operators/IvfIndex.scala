@@ -259,9 +259,12 @@ object IvfIndex {
       .select(col("query_id"), col("base_id"), col("rank"), col("cosine"))
   }
 
-  /** Each query exploded to its `nProbe` nearest centroid ids. */
-  private def probeLists(queries: DataFrame, idCol: String, vecCol: String,
-                         model: Model, nProbe: Int): DataFrame = {
+  /** Each query exploded to its `nProbe` nearest centroid ids.
+    * Shared with [[IvfPqIndex]] — the IVFADC composition probes the
+    * same coarse lists.
+    */
+  private[operators] def probeLists(queries: DataFrame, idCol: String, vecCol: String,
+                                    model: Model, nProbe: Int): DataFrame = {
     val qv = transform(col("query_v"), _.cast("double"))
     val sims = array(model.centroids.zipWithIndex.map { case (c, i) =>
       struct((-GraftFunctions.cosineFast(qv, centroidLit(c))).as("ns"), lit(i).as("i"))

@@ -42,7 +42,7 @@ object PqIndex {
   }
 
   /** Unit-normalize (zero vectors stay zero), as array<double>. */
-  private def normalized(vecCol: Column): Column = {
+  private[operators] def normalized(vecCol: Column): Column = {
     val v = transform(vecCol, _.cast("double"))
     val n = sqrt(GraftFunctions.dotFast(v, v))
     when(n > 0.0, transform(v, x => x / n)).otherwise(v)
@@ -113,12 +113,19 @@ object PqIndex {
   def encode(base: DataFrame, idCol: String, vecCol: String,
              model: Model): DataFrame = {
     GraftFunctions.register(base.sparkSession)
+    base.select(col(idCol), codesExpr(col(vecCol), model).as("codes"))
+  }
+
+  /** The code array as a column expression (normalize → per-subspace
+    * argmin), so composing indexes ([[IvfPqIndex]]) can encode inside
+    * an existing projection instead of via a join.
+    */
+  private[operators] def codesExpr(vecCol: Column, model: Model): Column = {
     require(model.codesPerSub <= 128, "codesPerSub > 128 does not fit tinyint")
-    val v = normalized(col(vecCol))
-    val codes = array((0 until model.numSub).map(s =>
+    val v = normalized(vecCol)
+    array((0 until model.numSub).map(s =>
       nearestCode(subvector(v, s, model.subDim), model.codebooks(s))
         .cast("tinyint")): _*)
-    base.select(col(idCol), codes.as("codes"))
   }
 
   /** Top-k per query against the ENCODED corpus. Queries stay exact
@@ -127,17 +134,26 @@ object PqIndex {
     * (query_id, base_id, rank, score) with score ≈ cosine (both sides
     * ~unit norm).
     */
+  /** Asymmetric-distance score column: the exact (normalized) query
+    * in `qv` against the codebook reconstruction the `codes` column
+    * selects — `Σ_s qv_s · codebook_s[code_s]`, one codegen'd dot per
+    * subspace. Shared by [[topK]] and the [[IvfPqIndex]] composition.
+    */
+  private[operators] def asymmetricScore(qv: Column, codes: Column,
+                                         model: Model): Column =
+    (0 until model.numSub).map { s =>
+      val cb = array(model.codebooks(s).map(centroidLit): _*)
+      GraftFunctions.dotFast(
+        subvector(qv, s, model.subDim),
+        element_at(cb, codes.getItem(s).cast("int") + 1))
+    }.reduce(_ + _)
+
   def topK(encoded: DataFrame, queries: DataFrame, idCol: String,
            vecCol: String, model: Model, k: Int = 5): DataFrame = {
     GraftFunctions.register(encoded.sparkSession)
     val q = queries.select(col(idCol).as("query_id"),
       normalized(col(vecCol)).as("qv"))
-    val score = (0 until model.numSub).map { s =>
-      val cb = array(model.codebooks(s).map(centroidLit): _*)
-      GraftFunctions.dotFast(
-        subvector(col("qv"), s, model.subDim),
-        element_at(cb, col("codes").getItem(s).cast("int") + 1))
-    }.reduce(_ + _)
+    val score = asymmetricScore(col("qv"), col("codes"), model)
     val scored = encoded.select(col(idCol).as("base_id"), col("codes"))
       .crossJoin(broadcast(q))
       .filter(col("base_id") =!= col("query_id"))

@@ -464,6 +464,29 @@ object TextQueries {
       k = 5, nProbe = 4)
   }
 
+  // ---- ann_ivfpq (rows-only): the IVFADC composition — coarse
+  //      inverted lists storing PQ codes instead of float vectors,
+  //      the standard billion-scale layout. Build once per JVM+SF;
+  //      the timed cost is the probe: partition-pruned list reads
+  //      (nProbe/k of the corpus) over the 8-byte code column (32x
+  //      fewer scan bytes than the floats), asymmetric scoring
+  //      inside. Recall vs brute force is spec-measured. ----
+  private val builtIvfPq = new java.util.concurrent.ConcurrentHashMap[String, String]()
+  val annIvfPq: Q = (s, d) => {
+    val dir = builtIvfPq.computeIfAbsent(d, _ => {
+      val e = embeddings(s, d)
+      val model = graft.operators.IvfPqIndex.train(e, "vec_id", "embedding",
+        numCentroids = 16, numSub = 8, codesPerSub = 64, iters = 2)
+      val out = new java.io.File(sys.props("java.io.tmpdir"),
+        "graft-ivfpq-index-" + d.replaceAll("[^A-Za-z0-9._-]", "_")).getAbsolutePath
+      graft.operators.IvfPqIndex.save(e, "vec_id", "embedding", model, out)
+      out
+    })
+    graft.operators.IvfPqIndex.topK(s, dir,
+      embeddings(s, d).filter(col("vec_id") < 20), "vec_id", "embedding",
+      k = 5, nProbe = 4)
+  }
+
   // ---- multimodal_meta ----
   val multimodalMeta: Q = (s, d) =>
     Multimodal.metaColumns(
@@ -1760,6 +1783,7 @@ object TextQueries {
     "ann_mmr" -> annMmr,
     "ann_ivf" -> annIvf,
     "ann_ivf_indexed" -> annIvfIndexed,
+    "ann_ivfpq" -> annIvfPq,
     "multimodal_meta" -> multimodalMeta,
     "multimodal_audio" -> multimodalAudio,
     "text_pii_redact" -> piiRedact,

@@ -1,0 +1,102 @@
+package graft
+
+import java.nio.file.Files
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.operators.{IvfPqIndex, Similarity}
+
+/** IVFADC composition ([[graft.operators.IvfPqIndex]]): recall vs
+  * exact brute force, the coded-list storage contract (no float
+  * vectors in the index), partition pruning on the probe path, and
+  * the append-only refresh identity.
+  */
+class IvfPqSpec extends AnyFunSuite {
+
+  private lazy val spark = SparkTestSession.spark
+  import spark.implicits._
+
+  private val sfDir = "/root/testdata/sf0.001"
+
+  private lazy val emb = spark.read.parquet(s"$sfDir/embeddings.parquet")
+
+  private def search(dir: String, nProbe: Int = 4) =
+    IvfPqIndex.topK(spark, dir, emb.filter($"vec_id" < 20),
+      "vec_id", "embedding", k = 5, nProbe = nProbe)
+
+  test("recall@5 vs brute force; lists store codes only; probe prunes partitions") {
+    val model = IvfPqIndex.train(emb, "vec_id", "embedding",
+      numCentroids = 8, numSub = 8, codesPerSub = 64, iters = 2)
+    val dir = Files.createTempDirectory("ivfpq").toString
+    IvfPqIndex.save(emb, "vec_id", "embedding", model, dir)
+
+    // the index is the codes: 8 tinyints per vector, no float column
+    val lists = spark.read.parquet(s"$dir/lists")
+    assert(lists.schema.fieldNames.toSet == Set("base_id", "codes", "c"),
+      lists.schema.treeString)
+    assert(lists.schema("codes").dataType.sql == "ARRAY<TINYINT>")
+
+    val exact = Similarity.bruteForceTopK(emb, emb.filter($"vec_id" < 20),
+        "vec_id", "embedding", k = 5)
+      .select("query_id", "base_id").as[(Long, Long)].collect().toSet
+    val approx = search(dir)
+    val got = approx.select("query_id", "base_id").as[(Long, Long)].collect().toSet
+    val recall = (exact & got).size.toDouble / exact.size
+    // near-random synthetic vectors are PQ's worst case (the flat-PQ
+    // spec's documented 0.25 floor in SessionizeIvfSpec); the coarse
+    // pruning stage compounds on top, and the measured value here is
+    // deterministic (hash-seeded init, fixed data) at 0.33 — ~130x
+    // over the 5/2000 chance floor. The lossless-composition gate is
+    // the probe-all == flat-PQ identity test below.
+    assert(recall >= 0.25, s"IVFADC recall@5 too low: $recall")
+
+    // probe must prune the coded inverted file to the probed partitions
+    val plan = search(dir).queryExecution.executedPlan.toString
+    assert(plan.contains("PartitionFilters: [c"),
+      s"no partition pruning on coded lists:\n$plan")
+
+    // model round-trips: same probes, same scores on reload
+    val m2 = IvfPqIndex.load(spark, dir)
+    assert(m2.ivf.centroids == model.ivf.centroids)
+    assert(m2.pq.codebooks == model.pq.codebooks)
+  }
+
+  test("probing all lists == flat PQ over the same codes (pruning loses nothing)") {
+    val model = IvfPqIndex.train(emb, "vec_id", "embedding",
+      numCentroids = 8, numSub = 8, codesPerSub = 64, iters = 2)
+    val dir = Files.createTempDirectory("ivfpq_all").toString
+    IvfPqIndex.save(emb, "vec_id", "embedding", model, dir)
+    val all = search(dir, nProbe = 8)
+      .select("query_id", "base_id", "rank").as[(Long, Long, Long)].collect().toSet
+    val flat = graft.operators.PqIndex.topK(
+        spark.read.parquet(s"$dir/lists").select($"base_id".as("vec_id"), $"codes"),
+        emb.filter($"vec_id" < 20), "vec_id", "embedding", model.pq, k = 5)
+      .select("query_id", "base_id", "rank").as[(Long, Long, Long)].collect().toSet
+    assert(all == flat && all.nonEmpty)
+  }
+
+  test("append-only refresh: save(half) + refresh(rest) == save(full)") {
+    val model = IvfPqIndex.train(emb, "vec_id", "embedding",
+      numCentroids = 8, numSub = 8, codesPerSub = 64, iters = 2)
+    val fullDir = Files.createTempDirectory("ivfpq_full").toString
+    IvfPqIndex.save(emb, "vec_id", "embedding", model, fullDir)
+    val incDir = Files.createTempDirectory("ivfpq_inc").toString
+    IvfPqIndex.save(emb.filter($"vec_id" % 2 === 0), "vec_id", "embedding",
+      model, incDir)
+    val appended = IvfPqIndex.refresh(emb.filter($"vec_id" % 2 =!= 0),
+      "vec_id", "embedding", incDir)
+    assert(appended > 0)
+    def run(dir: String) = search(dir)
+      .select("query_id", "base_id", "rank").as[(Long, Long, Long)].collect().toSet
+    val full = run(fullDir)
+    assert(run(incDir) == full && full.nonEmpty)
+  }
+
+  test("contract query ann_ivfpq returns k rows per probe query") {
+    val df = SparkEntry.queries("ann_ivfpq")(spark, sfDir)
+    val perQuery = df.groupBy("query_id").count().select("count")
+      .as[Long].collect()
+    assert(perQuery.nonEmpty && perQuery.forall(_ == 5L), perQuery.toSeq.toString)
+  }
+}
