@@ -481,6 +481,149 @@ object GraphOps {
     out
   }
 
+  /** Community detection by DETERMINISTIC label propagation (LPA,
+    * Raghavan–Albert–Kumara 2007, made reproducible): every node
+    * starts labeled with its own id; each SYNCHRONOUS round a node
+    * adopts the most frequent label among its neighbours PLUS ITSELF
+    * (self-inclusion damps the two-coloring oscillation synchronous
+    * LPA is known for), ties broken by the SMALLEST label — so the
+    * fixpoint is a pure function of the graph, bit-identical under
+    * any partitioning (the async/random-tie variants of the paper
+    * are deliberately not reproducible; this is the engine-grade
+    * form). Convergence = a round that changes no label; exhausting
+    * `maxIter` REFUSES (the kCore convention) rather than returning
+    * a half-propagated labeling that silently isn't a fixpoint.
+    *
+    * Each round is one |E| join (neighbour labels) + one
+    * (node, label)-cardinality count + a struct-max argmax — no
+    * windows, no driver state beyond the convergence scalar; frames
+    * pinned by eager localCheckpoint per round (the PageRank lineage
+    * lesson).
+    *
+    * SIZE ROUTING (the [[scc]] convention): community inputs are
+    * dimension-sized co-occurrence graphs whose deduped edge list the
+    * distributed distinct() bounds first; at ≤ `maxLocalEdges` the
+    * driver runs the SAME synchronous update on a CSR in one linear
+    * pass per round — label-frequency graphs converge in a handful of
+    * rounds, so the local path trades O(rounds) scheduled jobs for
+    * milliseconds while staying bit-identical to the distributed
+    * fixpoint (spec-asserted parity).
+    *
+    * @return (node, community) — community = the converged label
+    *         (the smallest most-frequent label wins everywhere)
+    */
+  def labelPropagation(edgesIn: DataFrame, aCol: String, bCol: String,
+                       maxIter: Int = 50,
+                       maxLocalEdges: Long = 4000000L): DataFrame = {
+    val spark = edgesIn.sparkSession
+    val canon = edgesIn
+      .select(least(col(aCol), col(bCol)).cast("long").as("x"),
+        greatest(col(aCol), col(bCol)).cast("long").as("y"))
+      .filter(col("x") =!= col("y"))
+      .distinct()
+      .localCheckpoint(true)
+    if (canon.count() <= maxLocalEdges) {
+      import spark.implicits._
+      val local = canon.as[(Long, Long)].collect()
+      return spark.createDataset(lpaLocal(local, maxIter).toSeq)
+        .toDF("node", "community")
+    }
+    val sym = canon.unionAll(canon.select(col("y").as("x"), col("x").as("y")))
+      .localCheckpoint(true)
+    var labels = sym.select(col("x").as("node")).distinct()
+      .withColumn("lbl", col("node")).localCheckpoint(true)
+    var converged = false
+    var i = 0
+    while (!converged && i < maxIter) {
+      // neighbour votes + the node's own current label (one vote)
+      val votes = sym
+        .join(labels.select(col("node").as("y"), col("lbl").as("nl")), Seq("y"))
+        .select(col("x").as("node"), col("nl").as("l"))
+        .unionAll(labels.select(col("node"), col("lbl").as("l")))
+      val next = votes.groupBy(col("node"), col("l"))
+        .agg(count(lit(1)).as("cnt"))
+        .groupBy(col("node"))
+        // argmax by (count desc, label asc): max struct of (cnt, -l)
+        .agg(max(struct(col("cnt"), (-col("l")).as("nl"))).as("best"))
+        .select(col("node"), (-col("best.nl")).as("lbl"))
+        .localCheckpoint(true)
+      converged = next.join(labels.withColumnRenamed("lbl", "prev"), Seq("node"))
+        .filter(col("lbl") =!= col("prev")).isEmpty
+      labels = next
+      i += 1
+    }
+    require(converged,
+      s"labelPropagation: no fixpoint after maxIter=$maxIter synchronous " +
+        "rounds — raise maxIter (or the graph oscillates; see the " +
+        "self-inclusion note)")
+    labels.select(col("node"), col("lbl").as("community"))
+  }
+
+  /** Driver-local LPA: the SAME synchronous most-frequent-
+    * neighbour+self / min-label update on a CSR, one array pass per
+    * round — bit-identical to the distributed fixpoint (parity
+    * spec-asserted), linear per round in |V|+|E|.
+    */
+  private[graft] def lpaLocal(edges: Array[(Long, Long)], maxIter: Int)
+      : Array[(Long, Long)] = {
+    val idOf = scala.collection.mutable.LongMap.empty[Int]
+    val ids = scala.collection.mutable.ArrayBuffer[Long]()
+    def intern(v: Long): Int =
+      idOf.getOrElseUpdate(v, { val i = ids.length; ids += v; i })
+    val m = edges.length
+    val ea = new Array[Int](m); val eb = new Array[Int](m)
+    var e = 0
+    while (e < m) {
+      ea(e) = intern(edges(e)._1); eb(e) = intern(edges(e)._2); e += 1
+    }
+    val n = ids.length
+    val deg = new Array[Int](n)
+    e = 0; while (e < m) { deg(ea(e)) += 1; deg(eb(e)) += 1; e += 1 }
+    val off = new Array[Int](n + 1)
+    var i = 0
+    while (i < n) { off(i + 1) = off(i) + deg(i); i += 1 }
+    val pos = java.util.Arrays.copyOf(off, n)
+    val adj = new Array[Int](2 * m)
+    e = 0
+    while (e < m) {
+      adj(pos(ea(e))) = eb(e); pos(ea(e)) += 1
+      adj(pos(eb(e))) = ea(e); pos(eb(e)) += 1
+      e += 1
+    }
+    var lbl = Array.tabulate(n)(v => ids(v)) // labels are ORIGINAL ids
+    var converged = false
+    var it = 0
+    while (!converged && it < maxIter) {
+      val next = new Array[Long](n)
+      converged = true
+      var v = 0
+      while (v < n) {
+        // count neighbour labels + self; argmax (count, then min label)
+        val counts = scala.collection.mutable.LongMap.empty[Int]
+        var c = off(v)
+        while (c < off(v + 1)) {
+          val l = lbl(adj(c)); c += 1
+          counts(l) = counts.getOrElse(l, 0) + 1
+        }
+        counts(lbl(v)) = counts.getOrElse(lbl(v), 0) + 1
+        var bestL = Long.MaxValue; var bestC = -1
+        counts.foreach { case (l, cnt) =>
+          if (cnt > bestC || (cnt == bestC && l < bestL)) { bestC = cnt; bestL = l }
+        }
+        next(v) = bestL
+        if (bestL != lbl(v)) converged = false
+        v += 1
+      }
+      lbl = next
+      it += 1
+    }
+    require(converged,
+      s"labelPropagation: no fixpoint after maxIter=$maxIter synchronous " +
+        "rounds — raise maxIter (or the graph oscillates; see the " +
+        "self-inclusion note)")
+    Array.tabulate(n)(v => (ids(v), lbl(v)))
+  }
+
   /** Longest-path layering of a DAG — dependency-scheduling levels:
     * level(v) = the longest chain of edges ending at v (sources at
     * 0), i.e. the earliest parallel wave v can run in. Iterative

@@ -502,6 +502,30 @@ object Advanced2 {
     graft.operators.GraphOps.kCore(edges, "x", "y", k = 3)
   }
 
+  // ---- graph_communities (rows-only — iterate-until-fixpoint has no
+  //      recursive-CTE oracle form, the graph_kcore convention):
+  //      deterministic label-propagation communities of the same
+  //      co-purchase graph, censused to the top-20 communities by
+  //      (size desc, community asc). The LPA fixpoint is a pure
+  //      function of the graph (synchronous rounds, min-label ties),
+  //      so the census is bit-deterministic under any partitioning
+  //      (spec-asserted). ----
+  val graphCommunities: Q = (s, d) => {
+    val li = baskets(s, d)
+    val edges = li.as("a").join(li.as("b"),
+        col("a.ok") === col("b.ok") && col("a.pk") < col("b.pk"))
+      .groupBy(col("a.pk").as("x"), col("b.pk").as("y"))
+      .agg(count(lit(1)).as("n"))
+      .filter(col("n") >= 2).select(col("x"), col("y"))
+    graft.operators.GraphOps.labelPropagation(edges, "x", "y")
+      .groupBy(col("community"))
+      .agg(count(lit(1)).cast("bigint").as("n_members"),
+        min(col("node")).cast("bigint").as("min_node"),
+        max(col("node")).cast("bigint").as("max_node"))
+      .orderBy(col("n_members").desc, col("community"))
+      .limit(20)
+  }
+
   // ---- q105: EXACT ROC AUC via the Mann-Whitney rank-sum — the
   //      model-evaluation primitive at corpus scale (here scoring
   //      "is this doc English" by n_chars — any score column slots
@@ -700,6 +724,7 @@ object Advanced2 {
     "q111_clustering_coeff" -> q111ClusteringCoeff,
     "q112_mann_kendall" -> q112MannKendall,
     "graph_kcore" -> graphKcore,
+    "graph_communities" -> graphCommunities,
     "text_zipf" -> textZipf,
     "emb_class_scatter" -> embClassScatter)
 

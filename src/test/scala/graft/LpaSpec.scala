@@ -1,0 +1,98 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.operators.GraphOps
+
+/** Deterministic label-propagation communities
+  * ([[GraphOps.labelPropagation]]): hand-graph structure, the
+  * local/distributed route parity, partitioning invariance, and the
+  * maxIter refusal.
+  */
+class LpaSpec extends AnyFunSuite {
+
+  private lazy val spark = SparkTestSession.spark
+  import spark.implicits._
+
+  private def communities(edges: Seq[(Long, Long)],
+                          maxLocalEdges: Long = 4000000L,
+                          maxIter: Int = 50): Map[Long, Long] =
+    GraphOps.labelPropagation(edges.toDF("a", "b"), "a", "b",
+        maxIter = maxIter, maxLocalEdges = maxLocalEdges)
+      .as[(Long, Long)].collect().toMap
+
+  test("two triangles over one bridge split into their own communities") {
+    val edges = Seq((1L, 2L), (2L, 3L), (1L, 3L), // triangle A
+      (4L, 5L), (5L, 6L), (4L, 6L),               // triangle B
+      (3L, 4L))                                   // bridge
+    val got = communities(edges)
+    assert(got.keySet == Set(1L, 2L, 3L, 4L, 5L, 6L))
+    // one label per triangle, and the two differ
+    assert(Set(got(1L), got(2L), got(3L)).size == 1)
+    assert(Set(got(4L), got(5L), got(6L)).size == 1)
+    assert(got(1L) != got(4L), got.toString)
+  }
+
+  test("a clique is one community labeled by its smallest id") {
+    val nodes = (1L to 6L)
+    val edges = for (a <- nodes; b <- nodes if a < b) yield (a, b)
+    val got = communities(edges)
+    assert(got.values.toSet == Set(1L), got.toString)
+  }
+
+  test("disconnected components never share a community") {
+    val edges = Seq((1L, 2L), (2L, 3L), (10L, 11L), (11L, 12L))
+    val got = communities(edges)
+    assert(Set(got(1L), got(2L), got(3L))
+      .intersect(Set(got(10L), got(11L), got(12L))).isEmpty)
+  }
+
+  test("local and distributed routes agree bit-for-bit; repartitioning is invisible") {
+    // a graph big enough to exercise several rounds: two 8-cliques
+    // joined by a sparse chain
+    val cliqueA = for (a <- 1L to 8L; b <- 1L to 8L if a < b) yield (a, b)
+    val cliqueB = for (a <- 101L to 108L; b <- 101L to 108L if a < b) yield (a, b)
+    val chain = Seq((8L, 50L), (50L, 51L), (51L, 101L))
+    val edges = cliqueA ++ cliqueB ++ chain
+    val local = communities(edges)                      // routed local
+    val dist = communities(edges, maxLocalEdges = 0L)   // forced distributed
+    assert(dist == local, s"route divergence: ${dist.toSet -- local.toSet}")
+    // partitioning invariance on the distributed path
+    val shuffled = GraphOps.labelPropagation(
+        scala.util.Random.shuffle(edges).toDF("a", "b").repartition(13),
+        "a", "b", maxLocalEdges = 0L)
+      .as[(Long, Long)].collect().toMap
+    assert(shuffled == dist)
+  }
+
+  test("self-loops and duplicate/reversed edges are canonicalized away") {
+    val got = communities(Seq((1L, 2L), (2L, 1L), (1L, 1L), (2L, 3L), (3L, 2L)))
+    assert(got.keySet == Set(1L, 2L, 3L))
+    assert(got.values.toSet.size == 1)
+  }
+
+  test("maxIter exhaustion refuses on both routes") {
+    // the two-triangle graph needs >1 round to converge
+    val edges = Seq((1L, 2L), (2L, 3L), (1L, 3L),
+      (4L, 5L), (5L, 6L), (4L, 6L), (3L, 4L))
+    val eLocal = intercept[IllegalArgumentException](communities(edges, maxIter = 1))
+    assert(eLocal.getMessage.contains("no fixpoint"))
+    val eDist = intercept[IllegalArgumentException](
+      communities(edges, maxLocalEdges = 0L, maxIter = 1))
+    assert(eDist.getMessage.contains("no fixpoint"))
+  }
+
+  test("contract query graph_communities: census is deterministic and sized sanely") {
+    val sfDir = "/root/testdata/sf0.001"
+    val a = SparkEntry.queries("graph_communities")(spark, sfDir).collect()
+    val b = SparkEntry.queries("graph_communities")(spark, sfDir).collect()
+    assert(a.nonEmpty && a.length <= 20)
+    assert(a.map(_.toString).toSeq == b.map(_.toString).toSeq)
+    // members partition the node set: sizes are positive, ids ordered
+    a.foreach { r =>
+      assert(r.getLong(1) >= 1L)
+      assert(r.getLong(2) <= r.getLong(3))
+    }
+  }
+}
