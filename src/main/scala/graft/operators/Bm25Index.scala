@@ -90,8 +90,33 @@ object Bm25Index {
     delta.count()
   }
 
+  /** Every root directory holding a (postings, df, stats) triple: the
+    * base index at `dir` plus any COMPLETE streaming delta roots
+    * (`delta/compact_<m>` newest first, then `delta/batch_<i>` past
+    * it) written by [[graft.streaming.StreamBm25Refresh]] — the
+    * [[IvfIndex.listRoots]] convention. A root is complete when its
+    * `stats/_SUCCESS` exists (stats is written LAST in a batch, so a
+    * crashed batch is invisible until its replay rewrites it whole).
+    */
+  private[graft] def listRoots(spark: SparkSession, dir: String): Seq[String] = {
+    val deltaPath = new org.apache.hadoop.fs.Path(s"$dir/delta")
+    val fs = deltaPath.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    def complete(prefix: String): Seq[(Long, String)] =
+      if (!fs.exists(deltaPath)) Nil
+      else fs.listStatus(deltaPath).toSeq
+        .filter(st => st.isDirectory && st.getPath.getName.startsWith(prefix))
+        .filter(st => fs.exists(
+          new org.apache.hadoop.fs.Path(st.getPath, "stats/_SUCCESS")))
+        .map(st => st.getPath.getName.stripPrefix(prefix).toLong -> st.getPath.toString)
+        .sortBy(_._1)
+    val compacts = complete("compact_")
+    val floor = compacts.lastOption.map(_._1).getOrElse(-1L)
+    val batches = complete("batch_").filter(_._1 > floor)
+    (dir +: compacts.lastOption.map(_._2).toSeq) ++ batches.map(_._2)
+  }
+
   /** BM25 top-k over a saved index; == `TextAnalysis.bm25TopK` on the
-    * corpus the index was built from.
+    * corpus the index was built from plus every streamed delta.
     */
   def query(spark: SparkSession, dir: String,
             queries: Seq[(Long, String)], k: Int = 5,
@@ -102,16 +127,22 @@ object Bm25Index {
       .dropDuplicates("query_id", "term")
       .withColumn("b", bucket(col("term")))
       .localCheckpoint(true)
+    // base + complete streaming delta roots; the isin filter below
+    // distributes through the union, so EVERY root's scan is pruned
+    // to the probe buckets (spec-asserted per root)
+    val roots = listRoots(spark, dir)
+    def allOf(sub: String): DataFrame =
+      roots.map(r => spark.read.parquet(s"$r/$sub")).reduce(_ unionByName _)
     // static partition pruning: probe-term buckets are model-sized
     val probedB = qterms.select("b").distinct().collect().map(_.getInt(0)).toSeq
-    val postings = spark.read.parquet(s"$dir/postings")
+    val postings = allOf("postings")
       .filter(col("b").isin(probedB: _*))
-    val dfreq = spark.read.parquet(s"$dir/df")
+    val dfreq = allOf("df")
       .filter(col("b").isin(probedB: _*))
     // stats and per-term df are SUMS over file rows so refresh can
     // append deltas without rewriting (exact integers until the one
     // division)
-    val stats = spark.read.parquet(s"$dir/stats")
+    val stats = allOf("stats")
       .agg(sum(col("n")).cast("bigint").as("ni"),
         sum(col("sumdl")).cast("bigint").as("sumdl"))
       .select(col("ni").cast("double").as("n"),
