@@ -175,14 +175,24 @@ object CorpusFormats {
 
   /** Write as FIXED-WIDTH text (the mainframe/legacy-feed format):
     * each column rendered to its declared width, left-justified,
-    * space-padded; nulls are all-spaces. A value LONGER than its
-    * width REFUSES inside the writing task (`raise_error` — silent
-    * truncation would corrupt the column boundary for every field to
-    * its right), with no extra validation pass over the data.
+    * space-padded; nulls are all-spaces. Two value classes REFUSE
+    * inside the writing task (`raise_error`, no extra validation
+    * pass) rather than silently corrupting the round-trip:
+    *  - a value LONGER than its width — truncation would shift the
+    *    column boundary for every field to its right;
+    *  - a value with LEADING or TRAILING whitespace — space padding
+    *    makes it indistinguishable from the padded form, so the
+    *    reader's trim would hand back a different value. Whitespace-
+    *    edge strings have no faithful fixed-width encoding; refusing
+    *    is the overflow-refusal convention applied to the same
+    *    lossiness.
+    * Remaining inherent ambiguity (documented, not refused): the
+    * empty string renders as all-spaces, identical to null, and
+    * reads back as null.
     */
   def writeFixedWidth(df: DataFrame, path: String,
                       widths: Seq[Int]): String = {
-    import org.apache.spark.sql.functions.{concat, length, lit, raise_error, rpad, when}
+    import org.apache.spark.sql.functions.{concat, length, lit, raise_error, rpad, trim, when}
     require(widths.length == df.schema.length,
       s"writeFixedWidth: ${widths.length} widths for ${df.schema.length} columns")
     require(widths.forall(_ > 0), "writeFixedWidth: widths must be positive")
@@ -191,6 +201,10 @@ object CorpusFormats {
       when(s.isNull, rpad(lit(""), w, " "))
         .when(length(s) > w, raise_error(concat(
           lit(s"writeFixedWidth: value in '${f.name}' exceeds width $w: "), s)))
+        .when(s =!= trim(s) && length(s) > 0, raise_error(concat(
+          lit(s"writeFixedWidth: value in '${f.name}' has leading/trailing " +
+            "whitespace, which space padding cannot round-trip: '"),
+          s, lit("'"))))
         .otherwise(rpad(s, w, " "))
     }
     df.select(concat(fields: _*).as("value"))

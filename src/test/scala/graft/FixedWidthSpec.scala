@@ -50,6 +50,36 @@ class FixedWidthSpec extends AnyFunSuite {
       Option(e.getCause).exists(_.getMessage.contains("exceeds width")))
   }
 
+  test("whitespace-edge strings refuse at write; empty string reads back null (documented)") {
+    // trailing spaces: the reader's trim would hand back 'AB', not
+    // 'AB ' — no faithful encoding exists, so the writer refuses
+    // (the overflow-refusal convention; r12 verdict item 6)
+    for (v <- Seq("AB ", " AB", "  ")) {
+      val dir = Files.createTempDirectory("fww").toString + "/data"
+      val e = intercept[Exception] {
+        CorpusFormats.writeFixedWidth(
+          Seq((1L, v, 1.0)).toDF("id", "code", "amt"), dir, widths)
+      }
+      assert(e.getMessage.contains("whitespace") ||
+        Option(e.getCause).exists(_.getMessage.contains("whitespace")),
+        s"value '$v' did not refuse: $e")
+    }
+    // interior whitespace is fine and round-trips
+    val okDir = Files.createTempDirectory("fwi").toString + "/data"
+    CorpusFormats.writeFixedWidth(
+      Seq((1L, "A B", 1.0)).toDF("id", "code", "amt"), okDir, widths)
+    val ok = CorpusFormats.splitCorrupt(
+      CorpusFormats.readFixedWidth(spark, okDir, schema, widths))._1
+    assert(ok.as[(Long, String, Double)].collect().toSeq == Seq((1L, "A B", 1.0)))
+    // the one documented ambiguity: '' renders as all-spaces == null
+    val emptyDir = Files.createTempDirectory("fwe").toString + "/data"
+    CorpusFormats.writeFixedWidth(
+      Seq((1L, "", 1.0)).toDF("id", "code", "amt"), emptyDir, widths)
+    val back = CorpusFormats.splitCorrupt(
+      CorpusFormats.readFixedWidth(spark, emptyDir, schema, widths))._1.collect()(0)
+    assert(back.isNullAt(1))
+  }
+
   test("torn and uncastable lines route to the corrupt column") {
     val dir = Files.createTempDirectory("fwc")
     val good = "     1AB        12.5"
