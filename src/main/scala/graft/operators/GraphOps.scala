@@ -559,6 +559,76 @@ object GraphOps {
     labels.select(col("node"), col("lbl").as("community"))
   }
 
+  /** Newman MODULARITY of a community assignment — the standard
+    * partition-quality score (Newman & Girvan 2004):
+    * Q = Σ_c [ e_c/m − (d_c/2m)² ] where e_c = edges inside community
+    * c, d_c = degree mass of c, m = |E|. The quality half next to
+    * [[labelPropagation]]'s assignment half: score ANY labeling
+    * (LPA output, a dimension column, a competitor's clustering)
+    * against the graph.
+    *
+    * EXACT integer algebra until the final division: the per-
+    * community contribution is (4·m·e_c − d_c²) / 4m², with the
+    * numerator in DECIMAL(38,0) (d_c ≤ 2m, so d_c² ≤ 4m² ≈ 4e18
+    * already brushes bigint at m = 1e9 edges — decimal is the
+    * 100 TB-safe form) and ONE double division rounded to 9 —
+    * bit-deterministic under any partitioning, DuckDB-replicable.
+    *
+    * Plan shape: two broadcast-able joins of the edge list against
+    * the (node, community) assignment (dimension-sized by
+    * construction), two community-cardinality aggregates, and the
+    * scalar m cross-joined broadcast. Nodes missing from the
+    * assignment refuse (a silent drop would misstate d_c).
+    *
+    * @param assignment (node, community) — every edge endpoint must
+    *                   appear exactly once
+    * @return one row per community: (community, n_nodes, e_in,
+    *         deg_sum, q_contrib); Σ q_contrib = Q
+    */
+  def modularity(edgesIn: DataFrame, aCol: String, bCol: String,
+                 assignment: DataFrame, nodeCol: String,
+                 communityCol: String): DataFrame = {
+    val canon = edgesIn
+      .select(least(col(aCol), col(bCol)).cast("long").as("x"),
+        greatest(col(aCol), col(bCol)).cast("long").as("y"))
+      .filter(col("x") =!= col("y"))
+      .distinct()
+      .localCheckpoint(true) // feeds deg, e_c and the m scalar
+    val assign = assignment.select(col(nodeCol).cast("long").as("node"),
+      col(communityCol).as("community"))
+    val deg = canon.select(col("x").as("node"))
+      .unionAll(canon.select(col("y").as("node")))
+      .groupBy(col("node")).agg(count(lit(1)).as("deg"))
+    val unassigned = deg.join(assign, Seq("node"), "left_anti")
+    require(unassigned.isEmpty,
+      "modularity: edge endpoints missing from the assignment — a " +
+        "silent drop would misstate the community degree mass " +
+        s"(first few: ${unassigned.limit(3).collect().mkString(", ")})")
+    // d_c: degree mass per community (nodes without edges contribute 0
+    // and communities of only such nodes score 0 — keep them visible)
+    val dc = assign.join(deg, Seq("node"), "left")
+      .groupBy(col("community"))
+      .agg(count(lit(1)).cast("bigint").as("n_nodes"),
+        sum(coalesce(col("deg"), lit(0L))).cast("decimal(20,0)").as("d_c"))
+    // e_c: edges with BOTH endpoints in c
+    val ec = canon
+      .join(assign.select(col("node").as("x"), col("community").as("cx")), Seq("x"))
+      .join(assign.select(col("node").as("y"), col("community").as("cy")), Seq("y"))
+      .filter(col("cx") === col("cy"))
+      .groupBy(col("cx").as("community"))
+      .agg(count(lit(1)).cast("bigint").as("e_in"))
+    val m = canon.agg(count(lit(1)).cast("decimal(20,0)").as("m"))
+    dc.join(ec, Seq("community"), "left")
+      .crossJoin(broadcast(m))
+      .select(col("community"), col("n_nodes"),
+        coalesce(col("e_in"), lit(0L)).cast("bigint").as("e_in"),
+        col("d_c").cast("bigint").as("deg_sum"),
+        round((col("m") * coalesce(col("e_in"), lit(0L)).cast("decimal(20,0)") * 4
+          - col("d_c") * col("d_c")).cast("decimal(38,0)").cast("double") /
+          (col("m") * col("m") * 4).cast("decimal(38,0)").cast("double"), 9)
+          .as("q_contrib"))
+  }
+
   /** Driver-local LPA: the SAME synchronous most-frequent-
     * neighbour+self / min-label update on a CSR, one array pass per
     * round — bit-identical to the distributed fixpoint (parity

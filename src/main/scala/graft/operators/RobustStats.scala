@@ -1,0 +1,73 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Per-group MEDIAN / MAD robust statistics and the 3·MAD outlier
+  * rule (Hampel 1974; the standard robust alternative to mean±3σ,
+  * which outliers themselves corrupt) — EXACT, in integers end to
+  * end: the median is kept DOUBLED (med2 = lo + hi central order
+  * statistics, integral for integral input even at even n) and the
+  * MAD QUADRUPLED (mad4 = lo + hi of the doubled absolute
+  * deviations |2v − med2|), so the outlier test
+  * |v − med| > 3·MAD becomes the integer comparison
+  * 2·|2v − med2| > 3·mad4 — no float anywhere,
+  * bit-deterministic under any partitioning and engine.
+  *
+  * Scale shape: order statistics are SELECTED from the
+  * per-(group, value) count table with within-group cumulative
+  * counts ([[RankCorr.groupCumCounts]] — composite rank + PrefixSum,
+  * never a row-scale window); a value sits at position p iff
+  * below < p ≤ below + cnt, so each selection is one
+  * value-cardinality filter against broadcast per-group target
+  * positions. Two passes (values, then deviations), each value-
+  * cardinality bounded.
+  */
+object RobustStats {
+
+  /** Per-group robust summary of an integral column.
+    *
+    * @return (groupCol, n, med2, mad4, n_outliers): med2 = 2·median,
+    *         mad4 = 4·MAD, n_outliers = rows with |v−med| > 3·MAD
+    */
+  def madSummary(df: DataFrame, groupCol: String, valueCol: String): DataFrame = {
+    val rows = df.select(col(groupCol).as("g"),
+      col(valueCol).cast("long").as("v"))
+      .localCheckpoint(true) // feeds both stat passes and the flag pass
+    val med2 = orderStat2(rows, "v").withColumnRenamed("stat2", "med2")
+    val dev = rows.join(broadcast(med2.select(col("g"), col("med2"))), Seq("g"))
+      .select(col("g"),
+        abs(lit(2) * col("v") - col("med2")).cast("long").as("d"))
+    val mad4 = orderStat2(dev, "d").withColumnRenamed("stat2", "mad4")
+    val flagged = dev
+      .join(broadcast(mad4.select(col("g"), col("mad4"))), Seq("g"))
+      .groupBy(col("g"))
+      .agg(count(lit(1)).cast("bigint").as("n"),
+        sum(when(lit(2) * col("d") > lit(3) * col("mad4"), 1L).otherwise(0L))
+          .cast("bigint").as("n_outliers"))
+    flagged.join(med2, Seq("g")).join(mad4, Seq("g"))
+      .select(col("g").as(groupCol), col("n"), col("med2"), col("mad4"),
+        col("n_outliers"))
+  }
+
+  /** (g, stat2) — lo + hi central order statistics of `vc` per group
+    * (= 2·median, exact). Selection positions lo = ⌊(n+1)/2⌋ and
+    * hi = ⌈(n+1)/2⌉ are group-cardinality and broadcast; the value at
+    * position p is the unique row with below < p ≤ below + cnt.
+    */
+  private def orderStat2(rows: DataFrame, vc: String): DataFrame = {
+    val cum = RankCorr.groupCumCounts(rows, vc).localCheckpoint(true)
+    val pos = cum.groupBy(col("g"))
+      .agg(sum(col("cnt")).cast("bigint").as("__n"))
+      .select(col("g"), expr("(__n + 1) DIV 2").as("__lo"),
+        expr("(__n + 2) DIV 2").as("__hi"))
+    def at(p: String): DataFrame = cum
+      .join(broadcast(pos), Seq("g"))
+      .filter(col("below") < col(p) &&
+        col(p) <= col("below") + col("cnt"))
+      .select(col("g"), col(vc).as(p + "_v"))
+    at("__lo").join(at("__hi"), Seq("g"))
+      .select(col("g"),
+        (col("__lo_v") + col("__hi_v")).cast("bigint").as("stat2"))
+  }
+}

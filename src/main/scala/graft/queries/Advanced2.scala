@@ -526,6 +526,51 @@ object Advanced2 {
       .limit(20)
   }
 
+  // ---- q136: Newman modularity of the brand partition over the
+  //      co-purchase graph — the community-QUALITY metric completing
+  //      LPA's community-ASSIGNMENT (score any labeling against the
+  //      graph; here the brand column gives a deterministic,
+  //      oracle-replicable assignment). Per-community contribution
+  //      (4·m·e_c − d_c²)/4m² in exact integers (DECIMAL(38,0)
+  //      numerator — d_c² brushes bigint at m≈1e9) with ONE double
+  //      division rounded to 9. ----
+  val q136Modularity: Q = (s, d) => {
+    val li = baskets(s, d)
+    val edges = li.as("a").join(li.as("b"),
+        col("a.ok") === col("b.ok") && col("a.pk") < col("b.pk"))
+      .groupBy(col("a.pk").as("x"), col("b.pk").as("y"))
+      .agg(count(lit(1)).as("n"))
+      .filter(col("n") >= 2).select(col("x"), col("y"))
+    val assign = part(s, d).select(col("p_partkey").as("node"),
+      col("p_brand").as("community"))
+    graft.operators.GraphOps.modularity(edges, "x", "y",
+        assign, "node", "community")
+      .orderBy(col("community"))
+  }
+
+  val q136Oracle: String =
+    """WITH b AS (SELECT DISTINCT l_orderkey AS ok, l_partkey AS pk FROM lineitem),
+      |e AS (SELECT a.pk AS x, b2.pk AS y FROM b a JOIN b b2
+      |        ON a.ok = b2.ok AND a.pk < b2.pk
+      |      GROUP BY 1, 2 HAVING COUNT(*) >= 2),
+      |deg AS (SELECT node, COUNT(*) AS deg FROM
+      |          (SELECT x AS node FROM e UNION ALL SELECT y AS node FROM e)
+      |        GROUP BY 1),
+      |m AS (SELECT COUNT(*) AS m FROM e),
+      |asg AS (SELECT p_partkey AS node, p_brand AS community FROM part),
+      |dc AS (SELECT community, CAST(COUNT(*) AS BIGINT) AS n_nodes,
+      |         CAST(SUM(COALESCE(deg, 0)) AS BIGINT) AS deg_sum
+      |       FROM asg LEFT JOIN deg USING (node) GROUP BY 1),
+      |ec AS (SELECT a1.community, CAST(COUNT(*) AS BIGINT) AS e_in
+      |       FROM e JOIN asg a1 ON e.x = a1.node JOIN asg a2 ON e.y = a2.node
+      |       WHERE a1.community = a2.community GROUP BY 1)
+      |SELECT community, n_nodes,
+      |  CAST(COALESCE(e_in, 0) AS BIGINT) AS e_in, deg_sum,
+      |  round(CAST(4 * m.m * COALESCE(e_in, 0) - deg_sum * deg_sum AS DOUBLE)
+      |    / CAST(4 * m.m * m.m AS DOUBLE), 9) AS q_contrib
+      |FROM dc LEFT JOIN ec USING (community) CROSS JOIN m
+      |ORDER BY community""".stripMargin
+
   // ---- q105: EXACT ROC AUC via the Mann-Whitney rank-sum — the
   //      model-evaluation primitive at corpus scale (here scoring
   //      "is this doc English" by n_chars — any score column slots
@@ -725,6 +770,7 @@ object Advanced2 {
     "q112_mann_kendall" -> q112MannKendall,
     "graph_kcore" -> graphKcore,
     "graph_communities" -> graphCommunities,
+    "q136_modularity" -> q136Modularity,
     "text_zipf" -> textZipf,
     "emb_class_scatter" -> embClassScatter)
 
@@ -742,5 +788,6 @@ object Advanced2 {
     "q111_clustering_coeff" -> q111Oracle,
     "q112_mann_kendall" -> q112Oracle,
     "text_zipf" -> textZipfOracle,
-    "emb_class_scatter" -> embClassScatterOracle)
+    "emb_class_scatter" -> embClassScatterOracle,
+    "q136_modularity" -> q136Oracle)
 }

@@ -1,0 +1,186 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.operators.RankCorr
+import graft.sources.TableCatalog._
+
+/** Round-13 additions: rank-based association (Spearman) and the
+  * statistics built on the same exact-midrank machinery.
+  *
+  * Same oracle-parity discipline as [[Relational]]/[[Advanced]]:
+  * exact integer / DECIMAL statistics everywhere, doubles only in a
+  * final fixed IEEE formula shared verbatim with the DuckDB oracle,
+  * deterministic tie-breaks on every top-k.
+  */
+object Advanced5 {
+
+  type Q = (SparkSession, String) => DataFrame
+
+  // ---- q137: per-nation Spearman rank correlation between customer
+  //      account balance and order count — the monotone-association
+  //      readout (robust where Pearson is not). Midranks with exact
+  //      tie handling as DOUBLED integers (2·midrank is always
+  //      integral), every sum exact DECIMAL(38,0), ρ = ONE double
+  //      division rounded to 6; ranks via the tokenBudget composite
+  //      rank + PrefixSum discipline, never a row-scale window. ----
+  val q137Spearman: Q = (s, d) => {
+    val oc = orders(s, d).groupBy(col("o_custkey"))
+      .agg(count(lit(1)).as("n_orders"))
+    val c = customer(s, d)
+      .join(oc, col("c_custkey") === col("o_custkey"), "left")
+      .select(col("c_nationkey").as("nation"),
+        round(col("c_acctbal") * 100).cast("long").as("bal_cents"),
+        coalesce(col("n_orders"), lit(0L)).as("n_orders"))
+    RankCorr.spearman(c, "nation", "bal_cents", "n_orders")
+      .orderBy(col("nation"))
+  }
+
+  val q137Oracle: String =
+    """WITH oc AS (SELECT o_custkey, COUNT(*) AS n_orders FROM orders GROUP BY 1),
+      |c AS (SELECT c_nationkey AS nation,
+      |        CAST(round(c_acctbal * 100) AS BIGINT) AS x,
+      |        CAST(COALESCE(n_orders, 0) AS BIGINT) AS y
+      |      FROM customer LEFT JOIN oc ON c_custkey = o_custkey),
+      |r AS (SELECT nation, x, y,
+      |        2 * RANK() OVER (PARTITION BY nation ORDER BY x)
+      |          + COUNT(*) OVER (PARTITION BY nation, x) - 1 AS rx,
+      |        2 * RANK() OVER (PARTITION BY nation ORDER BY y)
+      |          + COUNT(*) OVER (PARTITION BY nation, y) - 1 AS ry
+      |      FROM c),
+      |a AS (SELECT nation, CAST(COUNT(*) AS BIGINT) AS n,
+      |        SUM(CAST(rx AS HUGEINT)) AS sx, SUM(CAST(ry AS HUGEINT)) AS sy,
+      |        SUM(CAST(rx AS HUGEINT) * ry) AS sxy,
+      |        SUM(CAST(rx AS HUGEINT) * rx) AS sxx,
+      |        SUM(CAST(ry AS HUGEINT) * ry) AS syy
+      |      FROM r GROUP BY 1)
+      |SELECT nation, n,
+      |  CASE WHEN (n * sxx - sx * sx) > 0 AND (n * syy - sy * sy) > 0 THEN
+      |    round(CAST(n * sxy - sx * sy AS DOUBLE) /
+      |      sqrt(CAST(n * sxx - sx * sx AS DOUBLE)
+      |        * CAST(n * syy - sy * sy AS DOUBLE)), 6)
+      |  ELSE NULL END AS rho
+      |FROM a ORDER BY nation""".stripMargin
+
+  // ---- q138: per-nation robust outlier report on customer account
+  //      balances — median/MAD with the 3·MAD Hampel rule, EXACT in
+  //      integers end to end: median DOUBLED (lo+hi central order
+  //      statistics), MAD QUADRUPLED, outlier test
+  //      2·|2v − med2| > 3·mad4. No float anywhere — rows, schema
+  //      and hash all engine-exact. ----
+  val q138Mad: Q = (s, d) => {
+    val c = customer(s, d).select(col("c_nationkey").as("nation"),
+      round(col("c_acctbal") * 100).cast("long").as("bal_cents"))
+    graft.operators.RobustStats.madSummary(c, "nation", "bal_cents")
+      .orderBy(col("nation"))
+  }
+
+  val q138Oracle: String =
+    """WITH c AS (SELECT c_nationkey AS nation,
+      |             CAST(round(c_acctbal * 100) AS BIGINT) AS v
+      |           FROM customer),
+      |r AS (SELECT nation, v,
+      |        ROW_NUMBER() OVER (PARTITION BY nation ORDER BY v) AS rn,
+      |        COUNT(*) OVER (PARTITION BY nation) AS n
+      |      FROM c),
+      |med AS (SELECT nation, CAST(SUM(v) AS BIGINT) AS med2 FROM r
+      |        WHERE rn IN ((n + 1) // 2, (n + 2) // 2)
+      |          AND (n + 1) // 2 <> (n + 2) // 2
+      |        GROUP BY nation
+      |        UNION ALL
+      |        SELECT nation, CAST(2 * SUM(v) AS BIGINT) AS med2 FROM r
+      |        WHERE rn = (n + 1) // 2 AND (n + 1) // 2 = (n + 2) // 2
+      |        GROUP BY nation),
+      |dev AS (SELECT c.nation, abs(2 * c.v - med.med2) AS d
+      |        FROM c JOIN med ON c.nation = med.nation),
+      |rd AS (SELECT nation, d,
+      |         ROW_NUMBER() OVER (PARTITION BY nation ORDER BY d) AS rn,
+      |         COUNT(*) OVER (PARTITION BY nation) AS n
+      |       FROM dev),
+      |mad AS (SELECT nation, CAST(SUM(d) AS BIGINT) AS mad4 FROM rd
+      |        WHERE rn IN ((n + 1) // 2, (n + 2) // 2)
+      |          AND (n + 1) // 2 <> (n + 2) // 2
+      |        GROUP BY nation
+      |        UNION ALL
+      |        SELECT nation, CAST(2 * SUM(d) AS BIGINT) AS mad4 FROM rd
+      |        WHERE rn = (n + 1) // 2 AND (n + 1) // 2 = (n + 2) // 2
+      |        GROUP BY nation)
+      |SELECT dev.nation, CAST(COUNT(*) AS BIGINT) AS n, med.med2, mad.mad4,
+      |  CAST(SUM(CASE WHEN 2 * dev.d > 3 * mad.mad4 THEN 1 ELSE 0 END)
+      |    AS BIGINT) AS n_outliers
+      |FROM dev JOIN med ON dev.nation = med.nation
+      |         JOIN mad ON dev.nation = mad.nation
+      |GROUP BY dev.nation, med.med2, mad.mad4
+      |ORDER BY dev.nation""".stripMargin
+
+  // ---- q139: autocorrelation function of daily order revenue at
+  //      lags 1..7 — the seasonality/persistence diagnostic under
+  //      the q116 weekday index and the q133 backtest (a weekly
+  //      cycle shows as a lag-7 peak). Pearson over the (day,
+  //      day+k) pair set per lag: daily revenue in exact cents, all
+  //      sums exact DECIMAL(38,0) (sums of pair products — the
+  //      variance-product alone is computed in doubles, the q137
+  //      formula), ONE double division rounded to 6. Plan: ONE
+  //      date-cardinality aggregate reused by 7 self-joins on
+  //      day+k (each side day-cardinality — broadcastable at any
+  //      corpus scale; dates grow with time, not data). ----
+  val q139Acf: Q = (s, d) => {
+    val daily = orders(s, d)
+      .groupBy(to_date(col("o_orderdate")).as("day"))
+      .agg(sum(round(col("o_totalprice") * 100).cast("long"))
+        .cast("decimal(19,0)").as("rev"))
+      .localCheckpoint(true) // reused by all 7 lag joins
+    val acfs = (1 to 7).map { k =>
+      val b = daily.select(col("day").as("day_b"), col("rev").as("rev_b"))
+      val agg = daily.join(b, date_add(col("day"), k) === col("day_b"))
+        .agg(count(lit(1)).cast("bigint").as("n"),
+          sum(col("rev")).cast("decimal(19,0)").as("sx"),
+          sum(col("rev_b")).cast("decimal(19,0)").as("sy"),
+          sum(col("rev") * col("rev_b")).cast("decimal(38,0)").as("sxy"),
+          sum(col("rev") * col("rev")).cast("decimal(38,0)").as("sxx"),
+          sum(col("rev_b") * col("rev_b")).cast("decimal(38,0)").as("syy"))
+      val n = col("n").cast("decimal(10,0)")
+      val num = (n * col("sxy") - col("sx") * col("sy")).cast("decimal(38,0)")
+      val varx = (n * col("sxx") - col("sx") * col("sx")).cast("decimal(38,0)")
+      val vary = (n * col("syy") - col("sy") * col("sy")).cast("decimal(38,0)")
+      agg.select(lit(k).as("lag"), col("n").as("n_pairs"),
+        when(varx > 0 && vary > 0,
+          round(num.cast("double") /
+            sqrt(varx.cast("double") * vary.cast("double")), 6))
+          .otherwise(lit(null).cast("double")).as("acf"))
+    }
+    acfs.reduce(_ unionByName _).orderBy(col("lag"))
+  }
+
+  val q139Oracle: String =
+    """WITH daily AS (SELECT CAST(o_orderdate AS DATE) AS day,
+      |    CAST(SUM(CAST(round(o_totalprice * 100) AS BIGINT)) AS HUGEINT) AS rev
+      |  FROM orders GROUP BY 1),
+      |lags AS (SELECT unnest(range(1, 8)) AS lag),
+      |pairs AS (SELECT l.lag, a.rev AS x, b.rev AS y
+      |          FROM lags l JOIN daily a ON true
+      |          JOIN daily b ON b.day = a.day + CAST(l.lag AS INTEGER)),
+      |agg AS (SELECT lag, CAST(COUNT(*) AS BIGINT) AS n_pairs,
+      |    SUM(x) AS sx, SUM(y) AS sy, SUM(x * y) AS sxy,
+      |    SUM(x * x) AS sxx, SUM(y * y) AS syy
+      |  FROM pairs GROUP BY 1)
+      |SELECT CAST(lag AS INTEGER) AS lag, n_pairs,
+      |  CASE WHEN (n_pairs * sxx - sx * sx) > 0
+      |        AND (n_pairs * syy - sy * sy) > 0 THEN
+      |    round(CAST(n_pairs * sxy - sx * sy AS DOUBLE) /
+      |      sqrt(CAST(n_pairs * sxx - sx * sx AS DOUBLE)
+      |        * CAST(n_pairs * syy - sy * sy AS DOUBLE)), 6)
+      |  ELSE NULL END AS acf
+      |FROM agg ORDER BY lag""".stripMargin
+
+  val queries: Map[String, Q] = Map(
+    "q137_spearman" -> q137Spearman,
+    "q138_mad" -> q138Mad,
+    "q139_acf" -> q139Acf)
+
+  val oracles: Map[String, String] = Map(
+    "q137_spearman" -> q137Oracle,
+    "q138_mad" -> q138Oracle,
+    "q139_acf" -> q139Oracle)
+}

@@ -83,6 +83,35 @@ class LpaSpec extends AnyFunSuite {
     assert(eDist.getMessage.contains("no fixpoint"))
   }
 
+  test("modularity: hand value on two triangles + bridge; LPA beats the one-blob labeling") {
+    val edges = Seq((1L, 2L), (2L, 3L), (1L, 3L),
+      (4L, 5L), (5L, 6L), (4L, 6L), (3L, 4L)).toDF("a", "b")
+    // the natural split {1,2,3}/{4,5,6}: m=7, each side e_c=3,
+    // d_c=7 → Q = 2·(3/7 − (7/14)²) = 6/7 − 1/2 = 5/14 ≈ 0.357142857
+    val lpa = GraphOps.labelPropagation(edges, "a", "b")
+    val split = GraphOps.modularity(edges, "a", "b", lpa, "node", "community")
+    val qSplit = split.agg(sum($"q_contrib")).as[Double].head()
+    assert(math.abs(qSplit - 5.0 / 14.0) < 1e-8, qSplit.toString)
+    // per-community rows carry the exact integers
+    val rows = split.orderBy("community")
+      .select($"n_nodes", $"e_in", $"deg_sum").as[(Long, Long, Long)].collect()
+    assert(rows.toSeq == Seq((3L, 3L, 7L), (3L, 3L, 7L)))
+    // everything in one community: Q = m/m − (2m/2m)² = 0 exactly
+    val blob = lpa.select($"node", lit(1L).as("community"))
+    val qBlob = GraphOps.modularity(edges, "a", "b", blob, "node", "community")
+      .agg(sum($"q_contrib")).as[Double].head()
+    assert(qBlob == 0.0)
+    assert(qSplit > qBlob)
+  }
+
+  test("modularity refuses an assignment that misses edge endpoints") {
+    val edges = Seq((1L, 2L), (2L, 3L)).toDF("a", "b")
+    val partial = Seq((1L, 1L), (2L, 1L)).toDF("node", "community")
+    val e = intercept[IllegalArgumentException](
+      GraphOps.modularity(edges, "a", "b", partial, "node", "community").collect())
+    assert(e.getMessage.contains("missing from the assignment"))
+  }
+
   test("contract query graph_communities: census is deterministic and sized sanely") {
     val sfDir = "/root/testdata/sf0.001"
     val a = SparkEntry.queries("graph_communities")(spark, sfDir).collect()

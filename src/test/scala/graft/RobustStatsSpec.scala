@@ -1,0 +1,60 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.operators.RobustStats
+
+/** Per-group median/MAD/outlier summary ([[RobustStats.madSummary]]):
+  * hand values at odd/even/tied/constant groups, the integer outlier
+  * rule, and partitioning invariance.
+  */
+class RobustStatsSpec extends AnyFunSuite {
+
+  private lazy val spark = SparkTestSession.spark
+  import spark.implicits._
+
+  private def mad(rows: Seq[(String, Long)], parts: Int = 1)
+      : Map[String, (Long, Long, Long, Long)] = {
+    val df0 = rows.toDF("g", "v")
+    val df = if (parts > 1) df0.repartition(parts) else df0
+    RobustStats.madSummary(df, "g", "v")
+      .as[(String, Long, Long, Long, Long)].collect()
+      .map(r => r._1 -> ((r._2, r._3, r._4, r._5))).toMap
+  }
+
+  test("odd group: median 3, MAD 2, one 3-MAD outlier") {
+    val got = mad(Seq(("a", 1L), ("a", 3L), ("a", 100L)))
+    // med2 = 2·3, mad4 = 4·2, outlier: |100−3| = 97 > 3·2
+    assert(got("a") == ((3L, 6L, 8L, 1L)), got.toString)
+  }
+
+  test("even group: half-integer median and MAD stay exact (doubled/quadrupled)") {
+    val got = mad(Seq(("e", 1L), ("e", 2L), ("e", 3L), ("e", 4L)))
+    // median 2.5 → med2 = 5; deviations 1.5,.5,.5,1.5 → MAD 1 → mad4 = 4
+    assert(got("e") == ((4L, 5L, 4L, 0L)), got.toString)
+  }
+
+  test("constant group: MAD 0 and no outliers (strict inequality)") {
+    val got = mad(Seq(("c", 7L), ("c", 7L), ("c", 7L)))
+    assert(got("c") == ((3L, 14L, 0L, 0L)), got.toString)
+  }
+
+  test("tied center and negatives; groups isolated; partitioning invisible") {
+    val rows = Seq(("t", -5L), ("t", 2L), ("t", 2L), ("t", 2L), ("t", 9L),
+      ("u", 1L), ("u", 1L))
+    val one = mad(rows)
+    // t: median 2 (tied), devs 0,0,0,14,14 → MAD 0 → both extremes outliers
+    assert(one("t") == ((5L, 4L, 0L, 2L)), one.toString)
+    assert(one("u") == ((2L, 2L, 0L, 0L)), one.toString)
+    assert(mad(scala.util.Random.shuffle(rows), parts = 7) == one)
+  }
+
+  test("contract query q138_mad: exact integers per nation") {
+    val got = SparkEntry.queries("q138_mad")(spark, "/root/testdata/sf0.001")
+      .as[(Int, Long, Long, Long, Long)].collect()
+    assert(got.nonEmpty)
+    got.foreach { case (_, n, _, mad4, out) =>
+      assert(n >= 1 && mad4 >= 0 && out >= 0 && out <= n)
+    }
+  }
+}
