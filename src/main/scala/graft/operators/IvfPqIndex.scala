@@ -71,10 +71,11 @@ object IvfPqIndex {
   /** (base_id, codes, c) — the stored row shape: assignment from the
     * coarse model and codes from the shared PQ codebooks, both as
     * expressions in ONE scan-side projection (no join, no shuffle
-    * before the partitioned write's own exchange).
+    * before the partitioned write's own exchange). Shared with the
+    * streaming refresher.
     */
-  private def encoded(df: DataFrame, idCol: String, vecCol: String,
-                      model: Model): DataFrame =
+  private[graft] def encoded(df: DataFrame, idCol: String, vecCol: String,
+                             model: Model): DataFrame =
     IvfIndex.assign(df, idCol, vecCol, model.ivf)
       .select(col("base_id"),
         PqIndex.codesExpr(col("base_v"), model.pq).as("codes"), col("c"))
@@ -115,7 +116,11 @@ object IvfPqIndex {
       .withColumn("qv", PqIndex.normalized(col("query_v")))
       .drop("query_v")
     val probedCs = probes.select("c").distinct().collect().map(_.getInt(0)).toSeq
-    val scored = spark.read.parquet(s"$dir/lists")
+    // base coded lists plus any complete streaming delta roots
+    // (IvfIndex.listRoots is layout-generic: lists/ + delta/ dirs
+    // partitioned by c) — the isin filter prunes every root
+    val scored = IvfIndex.listRoots(spark, dir).map(spark.read.parquet(_))
+      .reduce(_ unionByName _)
       .filter(col("c").isin(probedCs: _*))
       .join(broadcast(probes), Seq("c"))
       .filter(col("base_id") =!= col("query_id"))

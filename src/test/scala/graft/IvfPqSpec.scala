@@ -93,6 +93,55 @@ class IvfPqSpec extends AnyFunSuite {
     assert(run(incDir) == full && full.nonEmpty)
   }
 
+  test("streamed batches == save(full); replay adds nothing; all roots pruned; consolidation") {
+    import graft.streaming.StreamIvfPqRefresh
+    val model = IvfPqIndex.train(emb, "vec_id", "embedding",
+      numCentroids = 8, numSub = 8, codesPerSub = 64, iters = 2)
+    val fullDir = Files.createTempDirectory("sivfpq_full").toString
+    IvfPqIndex.save(emb, "vec_id", "embedding", model, fullDir)
+    val dir = Files.createTempDirectory("sivfpq_inc").toString
+    IvfPqIndex.save(emb.filter($"vec_id" % 2 === 0), "vec_id", "embedding",
+      model, dir)
+    assert(StreamIvfPqRefresh.applyBatch(emb.filter($"vec_id" % 4 === 1),
+      "vec_id", "embedding", dir, 0L) > 0)
+    assert(StreamIvfPqRefresh.applyBatch(emb.filter($"vec_id" % 4 === 3),
+      "vec_id", "embedding", dir, 1L) > 0)
+    def res(d: String) = search(d)
+      .select("query_id", "base_id", "rank").as[(Long, Long, Long)].collect().toSet
+    val full = res(fullDir)
+    assert(res(dir) == full && full.nonEmpty)
+
+    // replay rewrites its own delta root: same row count, same result
+    val count0 = graft.operators.IvfIndex.listRoots(spark, dir)
+      .map(spark.read.parquet(_)).reduce(_ unionByName _).count()
+    StreamIvfPqRefresh.applyBatch(emb.filter($"vec_id" % 4 === 3),
+      "vec_id", "embedding", dir, 1L)
+    assert(graft.operators.IvfIndex.listRoots(spark, dir)
+      .map(spark.read.parquet(_)).reduce(_ unionByName _).count() == count0)
+    assert(res(dir) == full)
+
+    // every root's scan pruned to the probed coarse lists
+    val plan = search(dir).queryExecution.executedPlan.toString
+    val rootScans = plan.linesIterator
+      .filter(l => l.contains("FileScan") && l.contains(dir)).toSeq
+    assert(rootScans.size >= 3, s"expected lists + 2 delta roots:\n$plan")
+    assert(rootScans.forall(_.contains("PartitionFilters: [c")),
+      s"an unpruned root:\n${rootScans.mkString("\n")}")
+
+    // consolidation bounds the root count and preserves results
+    val cDir = Files.createTempDirectory("sivfpq_compact").toString
+    IvfPqIndex.save(emb.filter($"vec_id" % 2 === 0), "vec_id", "embedding",
+      model, cDir)
+    (0 until 6).foreach { b =>
+      StreamIvfPqRefresh.applyBatch(emb.filter($"vec_id" % 12 === 2 * b + 1),
+        "vec_id", "embedding", cDir, b.toLong, compactEvery = 2)
+    }
+    val deltaDirs = new java.io.File(s"$cDir/delta").listFiles().map(_.getName)
+    assert(deltaDirs.count(_.startsWith("batch_")) <= 2, deltaDirs.mkString(","))
+    assert(deltaDirs.exists(_.startsWith("compact_")), deltaDirs.mkString(","))
+    assert(res(cDir) == full)
+  }
+
   test("contract query ann_ivfpq returns k rows per probe query") {
     val df = SparkEntry.queries("ann_ivfpq")(spark, sfDir)
     val perQuery = df.groupBy("query_id").count().select("count")
