@@ -174,13 +174,58 @@ object Advanced5 {
       |  ELSE NULL END AS acf
       |FROM agg ORDER BY lag""".stripMargin
 
+  // ---- q140: 7-day centered ROLLING MEDIAN of daily revenue — the
+  //      robust smoother next to q114's EWMA (a single spiky day
+  //      moves an EWMA but not a rolling median; the q138 robustness
+  //      argument applied along time). Window by DATE VALUE (±3
+  //      days), not row count, so calendar gaps shrink the window
+  //      honestly. Median kept DOUBLED (lo+hi order statistics) —
+  //      exact integers end to end. Plan: ONE date-cardinality
+  //      aggregate + a ±3-day range self-join (both sides
+  //      date-cardinality — broadcastable at any corpus scale), the
+  //      per-day median over ≤7 collected values. ----
+  val q140RollingMedian: Q = (s, d) => {
+    val daily = orders(s, d)
+      .groupBy(to_date(col("o_orderdate")).as("day"))
+      .agg(sum(round(col("o_totalprice") * 100).cast("long"))
+        .cast("long").as("rev"))
+      .localCheckpoint(true) // both sides of the range self-join
+    val b = daily.select(col("day").as("day_b"), col("rev").as("rev_b"))
+    daily.join(b,
+        col("day_b").between(date_sub(col("day"), 3), date_add(col("day"), 3)))
+      .groupBy(col("day"))
+      .agg(count(lit(1)).cast("bigint").as("n_days"),
+        array_sort(collect_list(col("rev_b"))).as("w"))
+      .select(col("day"), col("n_days"),
+        (element_at(col("w"), expr("CAST((n_days + 1) DIV 2 AS INT)")) +
+          element_at(col("w"), expr("CAST((n_days + 2) DIV 2 AS INT)")))
+          .cast("bigint").as("med2_cents"))
+      .orderBy(col("day"))
+  }
+
+  val q140Oracle: String =
+    """WITH daily AS (SELECT CAST(o_orderdate AS DATE) AS day,
+      |    CAST(SUM(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT) AS rev
+      |  FROM orders GROUP BY 1),
+      |w AS (SELECT a.day, CAST(COUNT(*) AS BIGINT) AS n_days,
+      |        list_sort(list(b.rev)) AS vs
+      |      FROM daily a JOIN daily b
+      |        ON b.day BETWEEN a.day - 3 AND a.day + 3
+      |      GROUP BY a.day)
+      |SELECT day, n_days,
+      |  CAST(vs[CAST((n_days + 1) // 2 AS INTEGER)]
+      |     + vs[CAST((n_days + 2) // 2 AS INTEGER)] AS BIGINT) AS med2_cents
+      |FROM w ORDER BY day""".stripMargin
+
   val queries: Map[String, Q] = Map(
     "q137_spearman" -> q137Spearman,
     "q138_mad" -> q138Mad,
-    "q139_acf" -> q139Acf)
+    "q139_acf" -> q139Acf,
+    "q140_rolling_median" -> q140RollingMedian)
 
   val oracles: Map[String, String] = Map(
     "q137_spearman" -> q137Oracle,
     "q138_mad" -> q138Oracle,
-    "q139_acf" -> q139Oracle)
+    "q139_acf" -> q139Oracle,
+    "q140_rolling_median" -> q140Oracle)
 }
