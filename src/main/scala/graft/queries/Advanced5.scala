@@ -217,13 +217,88 @@ object Advanced5 {
       |     + vs[CAST((n_days + 2) // 2 AS INTEGER)] AS BIGINT) AS med2_cents
       |FROM w ORDER BY day""".stripMargin
 
+  // ---- emb_label_noise: k-NN label-noise detection — the
+  //      training-data QA primitive (Wilson 1972 edited-nearest-
+  //      neighbor family): a vector whose label disagrees with its
+  //      k=5 nearest neighbors' majority is a relabel/review
+  //      candidate. EXACT-integer similarity makes this the ANN
+  //      family's first fully oracle-checkable member: vectors scale
+  //      to round(v·10⁶) (the emb_class_scatter convention), the dot
+  //      product of integer-valued doubles is exact below 2^53
+  //      (64·(5.3e5·3)² ≈ 1.2e15 at this corpus), so top-5 by
+  //      (sim desc, id) and the majority vote (count desc, label asc)
+  //      are bit-deterministic in BOTH engines. Probes capped at
+  //      vec_id < 100 (the ann_* convention); base side scans once,
+  //      probes broadcast, heap top-k via TopKPerKey. ----
+  val embLabelNoise: Q = (s, d) => {
+    graft.plans.GraftFunctions.register(s)
+    val e = embeddings(s, d).select(col("vec_id"), col("label"),
+        transform(col("embedding"),
+          v => round(v.cast("double") * 1000000L)).as("vi"))
+      .localCheckpoint(true) // base side + probe side of one scan
+    val probes = e.filter(col("vec_id") < 100)
+      .select(col("vec_id").as("qid"), col("label").as("qlabel"),
+        col("vi").as("qv"))
+    val sims = e.crossJoin(broadcast(probes))
+      .filter(col("vec_id") =!= col("qid"))
+      .withColumn("sim",
+        graft.plans.GraftFunctions.dotFast(col("vi"), col("qv")).cast("long"))
+      .select(col("qid"), col("qlabel"), col("label"), col("sim"),
+        col("vec_id"))
+    val top = org.apache.spark.sql.graft.TopKPerKey(sims, Seq("qid"),
+      Seq("sim" -> true, "vec_id" -> false), 5)
+    top.groupBy(col("qid"), col("qlabel"), col("label"))
+      .agg(count(lit(1)).as("n"))
+      .groupBy(col("qid"), col("qlabel"))
+      .agg(max(struct(col("n"), (-col("label")).cast("long").as("nl")))
+        .as("best"))
+      .select(col("qid").cast("bigint").as("vec_id"),
+        col("qlabel").cast("int").as("label"),
+        (-col("best.nl")).cast("int").as("knn_label"),
+        col("best.n").cast("bigint").as("n_votes"),
+        when(col("qlabel") =!= -col("best.nl"), 1).otherwise(0)
+          .cast("int").as("flagged"))
+      .orderBy(col("vec_id"))
+  }
+
+  val embLabelNoiseOracle: String =
+    """WITH ex AS (SELECT vec_id, label, unnest(embedding) AS v,
+      |              unnest(range(len(embedding))) AS pos
+      |            FROM embeddings),
+      |vi AS (SELECT vec_id, label, pos,
+      |         CAST(round(CAST(v AS DOUBLE) * 1000000) AS BIGINT) AS vi
+      |       FROM ex),
+      |sims AS (SELECT p.vec_id AS qid, p.label AS qlabel,
+      |           b.vec_id AS bid, b.label AS blabel,
+      |           SUM(p.vi * b.vi) AS sim
+      |         FROM vi p JOIN vi b ON p.pos = b.pos AND b.vec_id <> p.vec_id
+      |         WHERE p.vec_id < 100
+      |         GROUP BY 1, 2, 3, 4),
+      |top AS (SELECT qid, qlabel, blabel,
+      |          ROW_NUMBER() OVER (PARTITION BY qid
+      |            ORDER BY sim DESC, bid) AS rk
+      |        FROM sims),
+      |votes AS (SELECT qid, qlabel, blabel, COUNT(*) AS n
+      |          FROM top WHERE rk <= 5 GROUP BY 1, 2, 3),
+      |best AS (SELECT qid, qlabel, blabel, n,
+      |           ROW_NUMBER() OVER (PARTITION BY qid
+      |             ORDER BY n DESC, blabel) AS brk
+      |         FROM votes)
+      |SELECT CAST(qid AS BIGINT) AS vec_id, CAST(qlabel AS INTEGER) AS label,
+      |  CAST(blabel AS INTEGER) AS knn_label, CAST(n AS BIGINT) AS n_votes,
+      |  CAST(CASE WHEN qlabel <> blabel THEN 1 ELSE 0 END AS INTEGER)
+      |    AS flagged
+      |FROM best WHERE brk = 1 ORDER BY vec_id""".stripMargin
+
   val queries: Map[String, Q] = Map(
+    "emb_label_noise" -> embLabelNoise,
     "q137_spearman" -> q137Spearman,
     "q138_mad" -> q138Mad,
     "q139_acf" -> q139Acf,
     "q140_rolling_median" -> q140RollingMedian)
 
   val oracles: Map[String, String] = Map(
+    "emb_label_noise" -> embLabelNoiseOracle,
     "q137_spearman" -> q137Oracle,
     "q138_mad" -> q138Oracle,
     "q139_acf" -> q139Oracle,
