@@ -50,6 +50,39 @@ object RobustStats {
         col("n_outliers"))
   }
 
+  /** Per-group NEAREST-RANK quantile bands — exact order statistics
+    * at each requested percent (value at position ⌈n·P/100⌉, the
+    * classic nearest-rank definition: always an actual data value,
+    * no interpolation, integer arithmetic end to end). One cumulative
+    * count table serves every band; each percent is one
+    * value-cardinality selection against broadcast per-group
+    * positions.
+    *
+    * @return (groupCol, n, p<P1>, p<P2>, ...) — one bigint column per
+    *         requested percent
+    */
+  def quantilesNearestRank(df: DataFrame, groupCol: String, valueCol: String,
+                           percents: Seq[Int]): DataFrame = {
+    require(percents.nonEmpty && percents.forall(p => p >= 1 && p <= 100),
+      s"percents must be in [1, 100], got $percents")
+    val rows = df.select(col(groupCol).as("g"),
+      col(valueCol).cast("long").as("v"))
+    val cum = RankCorr.groupCumCounts(rows, "v").localCheckpoint(true)
+    val n = cum.groupBy(col("g"))
+      .agg(sum(col("cnt")).cast("bigint").as("n"))
+    val bands = percents.map { p =>
+      val pos = n.select(col("g"),
+        expr(s"greatest(1L, (n * $p + 99) DIV 100)").as("__pos"))
+      cum.join(broadcast(pos), Seq("g"))
+        .filter(col("below") < col("__pos") &&
+          col("__pos") <= col("below") + col("cnt"))
+        .select(col("g"), col("v").cast("bigint").as(s"p$p"))
+    }
+    bands.foldLeft(n)((acc, b) => acc.join(b, Seq("g")))
+      .select((col("g").as(groupCol) +: col("n") +:
+        percents.map(p => col(s"p$p"))): _*)
+  }
+
   /** (g, stat2) — lo + hi central order statistics of `vc` per group
     * (= 2·median, exact). Selection positions lo = ⌊(n+1)/2⌋ and
     * hi = ⌈(n+1)/2⌉ are group-cardinality and broadcast; the value at

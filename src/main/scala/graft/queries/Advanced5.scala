@@ -290,7 +290,38 @@ object Advanced5 {
       |    AS flagged
       |FROM best WHERE brk = 1 ORDER BY vec_id""".stripMargin
 
+  // ---- q141: per-nation P10/P50/P90 balance bands — exact
+  //      NEAREST-RANK order statistics (value at ⌈n·P/100⌉ — always
+  //      an actual data value, integer arithmetic end to end, no
+  //      interpolation convention to disagree on). One cumulative
+  //      count table serves all three bands. ----
+  val q141QuantileBands: Q = (s, d) => {
+    val c = customer(s, d).select(col("c_nationkey").as("nation"),
+      round(col("c_acctbal") * 100).cast("long").as("bal_cents"))
+    graft.operators.RobustStats.quantilesNearestRank(
+        c, "nation", "bal_cents", Seq(10, 50, 90))
+      .orderBy(col("nation"))
+  }
+
+  val q141Oracle: String =
+    """WITH c AS (SELECT c_nationkey AS nation,
+      |             CAST(round(c_acctbal * 100) AS BIGINT) AS v
+      |           FROM customer),
+      |r AS (SELECT nation, v,
+      |        ROW_NUMBER() OVER (PARTITION BY nation ORDER BY v) AS rn,
+      |        COUNT(*) OVER (PARTITION BY nation) AS n
+      |      FROM c)
+      |SELECT nation, CAST(MAX(n) AS BIGINT) AS n,
+      |  CAST(MAX(CASE WHEN rn = greatest(1, (n * 10 + 99) // 100)
+      |    THEN v END) AS BIGINT) AS p10,
+      |  CAST(MAX(CASE WHEN rn = greatest(1, (n * 50 + 99) // 100)
+      |    THEN v END) AS BIGINT) AS p50,
+      |  CAST(MAX(CASE WHEN rn = greatest(1, (n * 90 + 99) // 100)
+      |    THEN v END) AS BIGINT) AS p90
+      |FROM r GROUP BY nation ORDER BY nation""".stripMargin
+
   val queries: Map[String, Q] = Map(
+    "q141_quantile_bands" -> q141QuantileBands,
     "emb_label_noise" -> embLabelNoise,
     "q137_spearman" -> q137Spearman,
     "q138_mad" -> q138Mad,
@@ -298,6 +329,7 @@ object Advanced5 {
     "q140_rolling_median" -> q140RollingMedian)
 
   val oracles: Map[String, String] = Map(
+    "q141_quantile_bands" -> q141Oracle,
     "emb_label_noise" -> embLabelNoiseOracle,
     "q137_spearman" -> q137Oracle,
     "q138_mad" -> q138Oracle,

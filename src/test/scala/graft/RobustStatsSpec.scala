@@ -49,6 +49,25 @@ class RobustStatsSpec extends AnyFunSuite {
     assert(mad(scala.util.Random.shuffle(rows), parts = 7) == one)
   }
 
+  test("nearest-rank quantile bands: hand positions, ties, tiny groups, invariance") {
+    def bands(rows: Seq[(String, Long)], parts: Int = 1) = {
+      val df0 = rows.toDF("g", "v")
+      val df = if (parts > 1) df0.repartition(parts) else df0
+      RobustStats.quantilesNearestRank(df, "g", "v", Seq(10, 50, 90))
+        .as[(String, Long, Long, Long, Long)].collect()
+        .map(r => r._1 -> ((r._2, r._3, r._4, r._5))).toMap
+    }
+    // 10 values 1..10: p10 = ceil(1.0) = v[1] = 1, p50 = v[5] = 5, p90 = v[9] = 9
+    val ten = (1L to 10L).map(("a", _))
+    val one = bands(ten)
+    assert(one("a") == ((10L, 1L, 5L, 9L)), one.toString)
+    // ties at the selected position; single-row group gets its value everywhere
+    val got = bands(Seq(("t", 3L), ("t", 3L), ("t", 3L), ("t", 9L), ("s", 42L)))
+    assert(got("t") == ((4L, 3L, 3L, 9L)), got.toString)   // p90: ceil(3.6) = 4 → 9
+    assert(got("s") == ((1L, 42L, 42L, 42L)), got.toString)
+    assert(bands(scala.util.Random.shuffle(ten), parts = 7) == one)
+  }
+
   test("contract query q138_mad: exact integers per nation") {
     val got = SparkEntry.queries("q138_mad")(spark, "/root/testdata/sf0.001")
       .as[(Int, Long, Long, Long, Long)].collect()
