@@ -320,7 +320,64 @@ object Advanced5 {
       |    THEN v END) AS BIGINT) AS p90
       |FROM r GROUP BY nation ORDER BY nation""".stripMargin
 
+  // ---- q142: weekly cohort retention — the classic product-
+  //      analytics matrix: cohort = a user's FIRST-event week; cell
+  //      (cohort, offset) = distinct users of that cohort active
+  //      offset WEEKS later, as a fraction of the cohort (weekly —
+  //      the corpus spans one month; the grain knob is the only
+  //      difference from the monthly classic). Offsets by integer
+  //      day-difference DIV 7, spelled identically in both engines
+  //      (months_between has float semantics); counts exact, retention is the ONE double
+  //      division rounded 6. Plan: one first-event aggregate + one
+  //      distinct (user, month) activity table + an equi-join on the
+  //      user key — all shuffles on user_id, matrix is
+  //      cohort×offset-cardinality. ----
+  val q142CohortRetention: Q = (s, d) => {
+    val ev = events(s, d)
+    val first = ev.groupBy(col("user_id"))
+      .agg(to_date(date_trunc("week", min(col("ts")))).as("cohort"))
+    val active = ev.select(col("user_id"),
+        to_date(date_trunc("week", col("ts"))).as("am"))
+      .distinct()
+    val size = first.groupBy(col("cohort"))
+      .agg(count(lit(1)).cast("bigint").as("cohort_size"))
+    val cells = active.join(first, Seq("user_id"))
+      .withColumn("week_offset",
+        (datediff(col("am"), col("cohort")) / 7).cast("int"))
+      .filter(col("week_offset").between(0, 12))
+      .groupBy(col("cohort"), col("week_offset"))
+      .agg(count(lit(1)).cast("bigint").as("n_active"))
+    cells.join(size, Seq("cohort"))
+      .select(col("cohort"), col("week_offset"), col("n_active"),
+        col("cohort_size"),
+        round(col("n_active").cast("double") /
+          col("cohort_size").cast("double"), 6).as("retention"))
+      .orderBy(col("cohort"), col("week_offset"))
+  }
+
+  val q142Oracle: String =
+    """WITH first AS (SELECT user_id,
+      |    CAST(date_trunc('week', MIN(ts)) AS DATE) AS cohort
+      |  FROM events GROUP BY 1),
+      |active AS (SELECT DISTINCT user_id,
+      |    CAST(date_trunc('week', ts) AS DATE) AS am
+      |  FROM events),
+      |sz AS (SELECT cohort, CAST(COUNT(*) AS BIGINT) AS cohort_size
+      |       FROM first GROUP BY 1),
+      |cells AS (SELECT f.cohort,
+      |    CAST((a.am - f.cohort) // 7 AS INTEGER) AS week_offset,
+      |    CAST(COUNT(*) AS BIGINT) AS n_active
+      |  FROM active a JOIN first f ON a.user_id = f.user_id
+      |  WHERE (a.am - f.cohort) // 7 BETWEEN 0 AND 12
+      |  GROUP BY 1, 2)
+      |SELECT cells.cohort, week_offset, n_active, cohort_size,
+      |  round(CAST(n_active AS DOUBLE) / CAST(cohort_size AS DOUBLE), 6)
+      |    AS retention
+      |FROM cells JOIN sz ON cells.cohort = sz.cohort
+      |ORDER BY cells.cohort, week_offset""".stripMargin
+
   val queries: Map[String, Q] = Map(
+    "q142_cohort_retention" -> q142CohortRetention,
     "q141_quantile_bands" -> q141QuantileBands,
     "emb_label_noise" -> embLabelNoise,
     "q137_spearman" -> q137Spearman,
@@ -329,6 +386,7 @@ object Advanced5 {
     "q140_rolling_median" -> q140RollingMedian)
 
   val oracles: Map[String, String] = Map(
+    "q142_cohort_retention" -> q142Oracle,
     "q141_quantile_bands" -> q141Oracle,
     "emb_label_noise" -> embLabelNoiseOracle,
     "q137_spearman" -> q137Oracle,
