@@ -37,10 +37,16 @@ object RankCorr {
     * broadcast back. The shared primitive under doubled midranks
     * (here) and order-statistic selection ([[RobustStats]]).
     */
-  private[operators] def groupCumCounts(rows: DataFrame, vc: String): DataFrame = {
-    val pv = rows.groupBy(col("g"), col(vc))
-      .agg(count(lit(1)).as("cnt"))
-      .localCheckpoint(true) // feeds the rank pass and group totals
+  private[operators] def groupCumCounts(rows: DataFrame, vc: String): DataFrame =
+    cumFromCounts(rows.groupBy(col("g"), col(vc))
+      .agg(count(lit(1)).as("cnt")), vc)
+
+  /** Same, from a PRE-AGGREGATED (g, vc, cnt) count table — the form
+    * streaming maintenance holds as state (counts are the additive
+    * sufficient statistic for every order-statistic readout).
+    */
+  private[operators] def cumFromCounts(counts: DataFrame, vc: String): DataFrame = {
+    val pv = counts.localCheckpoint(true) // feeds the rank pass and group totals
     val ranked = Ranking.globalRank(pv, Seq("g", vc), "__gr", 0)
     val cum = PrefixSum.runningTotal(ranked, "__gr", "cnt", "__cum")
     val gt = pv.groupBy(col("g")).agg(sum(col("cnt")).as("__tot"))

@@ -14,14 +14,17 @@ import org.apache.spark.sql.functions._
   * 2·|2v − med2| > 3·mad4 — no float anywhere,
   * bit-deterministic under any partitioning and engine.
   *
-  * Scale shape: order statistics are SELECTED from the
-  * per-(group, value) count table with within-group cumulative
-  * counts ([[RankCorr.groupCumCounts]] — composite rank + PrefixSum,
-  * never a row-scale window); a value sits at position p iff
-  * below < p ≤ below + cnt, so each selection is one
-  * value-cardinality filter against broadcast per-group target
-  * positions. Two passes (values, then deviations), each value-
-  * cardinality bounded.
+  * Scale shape: EVERYTHING runs on per-(group, value) COUNT tables —
+  * the additive sufficient statistic. The raw rows are touched once
+  * (the counting aggregate, map-side combining); order statistics
+  * are then SELECTED from within-group cumulative counts
+  * ([[RankCorr.cumFromCounts]] — composite rank + PrefixSum, never a
+  * row-scale window; a value sits at position p iff
+  * below < p ≤ below + cnt), and even the DEVIATION pass is
+  * value-cardinality: |2v − med2| re-aggregates the count table, not
+  * the rows. Additivity is also what makes the statistic
+  * streamable — [[graft.streaming.StreamRobustStats]] holds exactly
+  * this count table as state.
   */
 object RobustStats {
 
@@ -31,22 +34,34 @@ object RobustStats {
     *         mad4 = 4·MAD, n_outliers = rows with |v−med| > 3·MAD
     */
   def madSummary(df: DataFrame, groupCol: String, valueCol: String): DataFrame = {
-    val rows = df.select(col(groupCol).as("g"),
-      col(valueCol).cast("long").as("v"))
-      .localCheckpoint(true) // feeds both stat passes and the flag pass
-    val med2 = orderStat2(rows, "v").withColumnRenamed("stat2", "med2")
-    val dev = rows.join(broadcast(med2.select(col("g"), col("med2"))), Seq("g"))
-      .select(col("g"),
-        abs(lit(2) * col("v") - col("med2")).cast("long").as("d"))
-    val mad4 = orderStat2(dev, "d").withColumnRenamed("stat2", "mad4")
+    val counts = df.select(col(groupCol).as("g"),
+        col(valueCol).cast("long").as("v"))
+      .groupBy(col("g"), col("v")).agg(count(lit(1)).as("cnt"))
+    madSummaryFromCounts(counts).withColumnRenamed("g", groupCol)
+  }
+
+  /** [[madSummary]] from a pre-aggregated (g, v, cnt) count table —
+    * the streaming-state form; `g` stays `g` in the output.
+    */
+  private[graft] def madSummaryFromCounts(countsIn: DataFrame): DataFrame = {
+    val counts = countsIn.localCheckpoint(true) // med pass + dev pass
+    val med2 = orderStat2(counts).withColumnRenamed("stat2", "med2")
+    // deviation COUNT table: |2v − med2| at value-cardinality
+    val dev = counts
+      .join(broadcast(med2.select(col("g"), col("med2"))), Seq("g"))
+      .select(col("g"), abs(lit(2) * col("v") - col("med2")).cast("long").as("v"),
+        col("cnt"))
+      .groupBy(col("g"), col("v")).agg(sum(col("cnt")).as("cnt"))
+      .localCheckpoint(true) // mad pass + flag pass
+    val mad4 = orderStat2(dev).withColumnRenamed("stat2", "mad4")
     val flagged = dev
       .join(broadcast(mad4.select(col("g"), col("mad4"))), Seq("g"))
       .groupBy(col("g"))
-      .agg(count(lit(1)).cast("bigint").as("n"),
-        sum(when(lit(2) * col("d") > lit(3) * col("mad4"), 1L).otherwise(0L))
-          .cast("bigint").as("n_outliers"))
+      .agg(sum(col("cnt")).cast("bigint").as("n"),
+        sum(when(lit(2) * col("v") > lit(3) * col("mad4"), col("cnt"))
+          .otherwise(0L)).cast("bigint").as("n_outliers"))
     flagged.join(med2, Seq("g")).join(mad4, Seq("g"))
-      .select(col("g").as(groupCol), col("n"), col("med2"), col("mad4"),
+      .select(col("g"), col("n"), col("med2"), col("mad4"),
         col("n_outliers"))
   }
 
@@ -63,11 +78,18 @@ object RobustStats {
     */
   def quantilesNearestRank(df: DataFrame, groupCol: String, valueCol: String,
                            percents: Seq[Int]): DataFrame = {
+    val counts = df.select(col(groupCol).as("g"),
+        col(valueCol).cast("long").as("v"))
+      .groupBy(col("g"), col("v")).agg(count(lit(1)).as("cnt"))
+    quantilesFromCounts(counts, percents).withColumnRenamed("g", groupCol)
+  }
+
+  /** [[quantilesNearestRank]] from a pre-aggregated count table. */
+  private[graft] def quantilesFromCounts(counts: DataFrame,
+                                         percents: Seq[Int]): DataFrame = {
     require(percents.nonEmpty && percents.forall(p => p >= 1 && p <= 100),
       s"percents must be in [1, 100], got $percents")
-    val rows = df.select(col(groupCol).as("g"),
-      col(valueCol).cast("long").as("v"))
-    val cum = RankCorr.groupCumCounts(rows, "v").localCheckpoint(true)
+    val cum = RankCorr.cumFromCounts(counts, "v").localCheckpoint(true)
     val n = cum.groupBy(col("g"))
       .agg(sum(col("cnt")).cast("bigint").as("n"))
     val bands = percents.map { p =>
@@ -79,17 +101,17 @@ object RobustStats {
         .select(col("g"), col("v").cast("bigint").as(s"p$p"))
     }
     bands.foldLeft(n)((acc, b) => acc.join(b, Seq("g")))
-      .select((col("g").as(groupCol) +: col("n") +:
-        percents.map(p => col(s"p$p"))): _*)
+      .select((col("g") +: col("n") +: percents.map(p => col(s"p$p"))): _*)
   }
 
-  /** (g, stat2) — lo + hi central order statistics of `vc` per group
-    * (= 2·median, exact). Selection positions lo = ⌊(n+1)/2⌋ and
-    * hi = ⌈(n+1)/2⌉ are group-cardinality and broadcast; the value at
-    * position p is the unique row with below < p ≤ below + cnt.
+  /** (g, stat2) — lo + hi central order statistics per group
+    * (= 2·median, exact) from a (g, v, cnt) count table. Selection
+    * positions lo = ⌊(n+1)/2⌋ and hi = ⌈(n+1)/2⌉ are
+    * group-cardinality and broadcast; the value at position p is the
+    * unique row with below < p ≤ below + cnt.
     */
-  private def orderStat2(rows: DataFrame, vc: String): DataFrame = {
-    val cum = RankCorr.groupCumCounts(rows, vc).localCheckpoint(true)
+  private def orderStat2(counts: DataFrame): DataFrame = {
+    val cum = RankCorr.cumFromCounts(counts, "v").localCheckpoint(true)
     val pos = cum.groupBy(col("g"))
       .agg(sum(col("cnt")).cast("bigint").as("__n"))
       .select(col("g"), expr("(__n + 1) DIV 2").as("__lo"),
@@ -98,7 +120,7 @@ object RobustStats {
       .join(broadcast(pos), Seq("g"))
       .filter(col("below") < col(p) &&
         col(p) <= col("below") + col("cnt"))
-      .select(col("g"), col(vc).as(p + "_v"))
+      .select(col("g"), col("v").as(p + "_v"))
     at("__lo").join(at("__hi"), Seq("g"))
       .select(col("g"),
         (col("__lo_v") + col("__hi_v")).cast("bigint").as("stat2"))
