@@ -376,7 +376,43 @@ object Advanced5 {
       |FROM cells JOIN sz ON cells.cohort = sz.cohort
       |ORDER BY cells.cohort, week_offset""".stripMargin
 
+  // ---- q143: burstiness (Fano factor) of hourly event counts per
+  //      event type — the overdispersion diagnostic (F = 1 for a
+  //      Poisson arrival process; F ≫ 1 flags bursty/bot traffic,
+  //      F < 1 a rate limiter). Over OBSERVED hours (absent hours
+  //      are absent, stated — both engines see the same grid).
+  //      F = var/mean = (n·Σc² − (Σc)²) / (n·Σc): exact bigint
+  //      numerator/denominator, ONE double division rounded 9. ----
+  val q143Burstiness: Q = (s, d) => {
+    val hourly = events(s, d)
+      .groupBy(col("event_type"), date_trunc("hour", col("ts")).as("h"))
+      .agg(count(lit(1)).as("c"))
+    hourly.groupBy(col("event_type"))
+      .agg(count(lit(1)).cast("bigint").as("n_hours"),
+        sum(col("c")).cast("bigint").as("n_events"),
+        sum(col("c") * col("c")).cast("bigint").as("ss"))
+      .select(col("event_type"), col("n_hours"), col("n_events"),
+        round((col("n_hours") * col("ss") - col("n_events") * col("n_events"))
+          .cast("double") /
+          (col("n_hours") * col("n_events")).cast("double"), 9).as("fano"))
+      .orderBy(col("event_type"))
+  }
+
+  val q143Oracle: String =
+    """WITH hourly AS (SELECT event_type, date_trunc('hour', ts) AS h,
+      |    CAST(COUNT(*) AS BIGINT) AS c
+      |  FROM events GROUP BY 1, 2),
+      |agg AS (SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n_hours,
+      |    CAST(SUM(c) AS BIGINT) AS n_events,
+      |    CAST(SUM(c * c) AS BIGINT) AS ss
+      |  FROM hourly GROUP BY 1)
+      |SELECT event_type, n_hours, n_events,
+      |  round(CAST(n_hours * ss - n_events * n_events AS DOUBLE)
+      |    / CAST(n_hours * n_events AS DOUBLE), 9) AS fano
+      |FROM agg ORDER BY event_type""".stripMargin
+
   val queries: Map[String, Q] = Map(
+    "q143_burstiness" -> q143Burstiness,
     "q142_cohort_retention" -> q142CohortRetention,
     "q141_quantile_bands" -> q141QuantileBands,
     "emb_label_noise" -> embLabelNoise,
@@ -386,6 +422,7 @@ object Advanced5 {
     "q140_rolling_median" -> q140RollingMedian)
 
   val oracles: Map[String, String] = Map(
+    "q143_burstiness" -> q143Oracle,
     "q142_cohort_retention" -> q142Oracle,
     "q141_quantile_bands" -> q141Oracle,
     "emb_label_noise" -> embLabelNoiseOracle,
