@@ -411,7 +411,27 @@ object Advanced5 {
       |    / CAST(n_hours * n_events AS DOUBLE), 9) AS fano
       |FROM agg ORDER BY event_type""".stripMargin
 
+  // ---- q144 (rows-only — DuckDB has no soundex): PHONETIC blocking
+  //      for entity resolution — Soundex of the last name token as
+  //      the blocking key, so sound-alike spellings (Smyth/Smith,
+  //      Jonsen/Johnson) land in one block where the exact-token
+  //      block would never pair them; the edit-distance verifier and
+  //      |block|² cap are unchanged (blocking RECALL is the only
+  //      thing a blocking key changes). Census output: clusters of
+  //      size ≥ 2 with their representative, deterministic. ----
+  val q144SoundexBlocking: Q = (s, d) => {
+    val clusters = graft.operators.EntityResolution.cluster(
+      part(s, d), "p_name",
+      blockKey = c => soundex(element_at(split(c, " "), -1)))
+    clusters.groupBy(col("cluster"))
+      .agg(count(lit(1)).cast("bigint").as("n_members"))
+      .filter(col("n_members") >= 2)
+      .orderBy(col("n_members").desc, col("cluster"))
+      .limit(20)
+  }
+
   val queries: Map[String, Q] = Map(
+    "q144_soundex_blocking" -> q144SoundexBlocking,
     "q143_burstiness" -> q143Burstiness,
     "q142_cohort_retention" -> q142CohortRetention,
     "q141_quantile_bands" -> q141QuantileBands,
