@@ -54,7 +54,11 @@ object RankCorr {
       .select(col("g"), (col("__gcum") - col("__tot")).as("__prior"))
     cum.join(broadcast(prior), Seq("g"))
       .select(col("g"), col(vc), col("cnt"),
-        (col("__cum") - col("cnt") - col("__prior")).cast("bigint").as("below"))
+        (col("__cum") - col("cnt") - col("__prior")).cast("bigint").as("below"),
+        // the global rank axis rides along: consumers that need a
+        // SECOND prefix quantity in the same order (a value-mass
+        // cumulation for trimmed sums) prefix-sum over it directly
+        col("__gr"))
   }
 
   /** (group, value, m2) — doubled midranks of `vc` within each group,

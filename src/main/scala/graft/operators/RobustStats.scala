@@ -104,6 +104,65 @@ object RobustStats {
       .select((col("g") +: col("n") +: percents.map(p => col(s"p$p"))): _*)
   }
 
+  /** Per-group TRIMMED MEAN — drop the lowest and highest
+    * k = ⌊n·trimBps/10000⌋ rows per group and average the rest: the
+    * robust location estimate that DISCARDS tails where the
+    * winsorized mean (q125) clips them. Exact: the trimmed SUM is a
+    * difference of two within-group cumulative value masses,
+    * CUMV(n−k) − CUMV(k), where CUMV(p) interpolates INSIDE a tied
+    * value-row as cumv_rows_through(r) − (below(r)+cnt(r)−p)·v(r) —
+    * pure integer/decimal algebra (tie order cannot matter: every
+    * row at the boundary carries the same v), and the prior-group
+    * value mass cancels in the difference, so ONE value-mass
+    * PrefixSum over the shared rank axis serves every group. Mean is
+    * the ONE double division, rounded to 6.
+    *
+    * @param trimBps trim fraction per side in basis points
+    *                (1000 = 10%); n − 2k ≥ 1 enforced per group
+    * @return (groupCol, n, n_kept, trimmed_sum, trimmed_mean)
+    */
+  def trimmedMean(df: DataFrame, groupCol: String, valueCol: String,
+                  trimBps: Int = 1000): DataFrame = {
+    require(trimBps >= 0 && trimBps < 5000,
+      s"trimBps must be in [0, 5000), got $trimBps")
+    val counts = df.select(col(groupCol).as("g"),
+        col(valueCol).cast("long").as("v"))
+      .groupBy(col("g"), col("v")).agg(count(lit(1)).as("cnt"))
+    val cum = RankCorr.cumFromCounts(counts, "v")
+      .withColumn("__vc",
+        (col("v").cast("decimal(19,0)") * col("cnt").cast("decimal(19,0)"))
+          .cast("decimal(38,0)"))
+    // value mass cumulated over the SAME global rank axis the count
+    // cumulation used — within-group differences cancel prior groups
+    val cumv = PrefixSum.runningTotal(cum, "__gr", "__vc", "__cumv")
+      .localCheckpoint(true) // two boundary selections below
+    val pos = cumv.groupBy(col("g"))
+      .agg(sum(col("cnt")).cast("bigint").as("n"))
+      .withColumn("__k", expr(s"n * $trimBps DIV 10000"))
+      .withColumn("__hi", col("n") - col("__k"))
+    // CUMV at position p: the boundary row r has below < p ≤ below+cnt;
+    // CUMV(p) = cumv(r) − (below+cnt−p)·v  (p = 0 ⇒ contributes 0)
+    def at(pCol: String, out: String): DataFrame = cumv
+      .join(broadcast(pos.select(col("g"), col(pCol).as("__p"))), Seq("g"))
+      .filter(col("below") < col("__p") &&
+        col("__p") <= col("below") + col("cnt"))
+      .select(col("g"),
+        (col("__cumv").cast("decimal(38,0)") -
+          (col("below") + col("cnt") - col("__p")).cast("decimal(19,0)") *
+            col("v").cast("decimal(19,0)")).cast("decimal(38,0)").as(out))
+    val hi = at("__hi", "__hiv")
+    val lo = at("__k", "__lov")
+    pos.join(hi, Seq("g"))
+      .join(lo, Seq("g"), "left") // k = 0 ⇒ no boundary row ⇒ CUMV(0) = 0
+      .select(col("g").as(groupCol), col("n"),
+        (col("n") - col("__k") * 2).cast("bigint").as("n_kept"),
+        (col("__hiv") - coalesce(col("__lov"), lit(0).cast("decimal(38,0)")))
+          .cast("bigint").as("trimmed_sum"),
+        round((col("__hiv") - coalesce(col("__lov"), lit(0).cast("decimal(38,0)")))
+          .cast("double") /
+          (col("n") - col("__k") * 2).cast("double"), 6).as("trimmed_mean"))
+  }
+
   /** (g, stat2) — lo + hi central order statistics per group
     * (= 2·median, exact) from a (g, v, cnt) count table. Selection
     * positions lo = ⌊(n+1)/2⌋ and hi = ⌈(n+1)/2⌉ are

@@ -430,7 +430,42 @@ object Advanced5 {
       .limit(20)
   }
 
+  // ---- q145: per-nation 10% trimmed mean of customer balances —
+  //      the tail-DISCARDING robust location estimate beside q125's
+  //      winsorized (tail-CLIPPING) mean. Trimmed sum = difference
+  //      of two within-group cumulative value masses with exact
+  //      inside-a-tie interpolation (tie order provably can't
+  //      matter); integers/decimals until the ONE division. ----
+  val q145TrimmedMean: Q = (s, d) => {
+    val c = customer(s, d).select(col("c_nationkey").as("nation"),
+      round(col("c_acctbal") * 100).cast("long").as("bal_cents"))
+    graft.operators.RobustStats.trimmedMean(c, "nation", "bal_cents",
+        trimBps = 1000)
+      .orderBy(col("nation"))
+  }
+
+  val q145Oracle: String =
+    """WITH c AS (SELECT c_nationkey AS nation,
+      |             CAST(round(c_acctbal * 100) AS BIGINT) AS v
+      |           FROM customer),
+      |r AS (SELECT nation, v,
+      |        ROW_NUMBER() OVER (PARTITION BY nation ORDER BY v) AS rn,
+      |        COUNT(*) OVER (PARTITION BY nation) AS n
+      |      FROM c)
+      |SELECT nation, CAST(MAX(n) AS BIGINT) AS n,
+      |  CAST(MAX(n) - 2 * (MAX(n) * 1000 // 10000) AS BIGINT) AS n_kept,
+      |  CAST(SUM(CASE WHEN rn > n * 1000 // 10000
+      |                 AND rn <= n - n * 1000 // 10000 THEN v END)
+      |    AS BIGINT) AS trimmed_sum,
+      |  round(CAST(SUM(CASE WHEN rn > n * 1000 // 10000
+      |                       AND rn <= n - n * 1000 // 10000 THEN v END)
+      |      AS DOUBLE)
+      |    / CAST(MAX(n) - 2 * (MAX(n) * 1000 // 10000) AS DOUBLE), 6)
+      |    AS trimmed_mean
+      |FROM r GROUP BY nation ORDER BY nation""".stripMargin
+
   val queries: Map[String, Q] = Map(
+    "q145_trimmed_mean" -> q145TrimmedMean,
     "q144_soundex_blocking" -> q144SoundexBlocking,
     "q143_burstiness" -> q143Burstiness,
     "q142_cohort_retention" -> q142CohortRetention,
@@ -442,6 +477,7 @@ object Advanced5 {
     "q140_rolling_median" -> q140RollingMedian)
 
   val oracles: Map[String, String] = Map(
+    "q145_trimmed_mean" -> q145Oracle,
     "q143_burstiness" -> q143Oracle,
     "q142_cohort_retention" -> q142Oracle,
     "q141_quantile_bands" -> q141Oracle,

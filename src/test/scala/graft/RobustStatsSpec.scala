@@ -68,6 +68,34 @@ class RobustStatsSpec extends AnyFunSuite {
     assert(bands(scala.util.Random.shuffle(ten), parts = 7) == one)
   }
 
+  test("trimmed mean: hand values, tie-straddling boundary, k=0, refusal, invariance") {
+    def tm(rows: Seq[(String, Long)], bps: Int, parts: Int = 1) = {
+      val df0 = rows.toDF("g", "v")
+      val df = if (parts > 1) df0.repartition(parts) else df0
+      RobustStats.trimmedMean(df, "g", "v", bps)
+        .as[(String, Long, Long, Long, Double)].collect()
+        .map(r => r._1 -> ((r._2, r._3, r._4, r._5))).toMap
+    }
+    // 10 values 1..10, 10% trim: drop 1 and 10 → sum 2..9 = 44, mean 5.5
+    val ten = (1L to 10L).map(("a", _))
+    val got = tm(ten, 1000)
+    assert(got("a") == ((10L, 8L, 44L, 5.5)), got.toString)
+    // boundary lands INSIDE a tie: values 1,2,2,2,9 with 20% trim
+    // (k=1): drop one 1 and one 9 → keep 2,2,2 → sum 6, mean 2
+    val tied = Seq(("t", 1L), ("t", 2L), ("t", 2L), ("t", 2L), ("t", 9L))
+    assert(tm(tied, 2000)("t") == ((5L, 3L, 6L, 2.0)), tm(tied, 2000).toString)
+    // tiny group: k = 0 → untrimmed mean
+    val small = Seq(("s", 4L), ("s", 8L))
+    assert(tm(small, 1000)("s") == ((2L, 2L, 12L, 6.0)))
+    // a trim fraction of 50%+ refuses up front (k < n/2 is guaranteed
+    // below that, so every group always keeps at least one row)
+    val e = intercept[IllegalArgumentException](tm(Seq(("x", 1L), ("x", 2L)), 5000))
+    assert(e.getMessage.contains("trimBps"))
+    // partitioning invisible
+    assert(tm(scala.util.Random.shuffle(ten ++ tied), 1000, parts = 7) ==
+      tm(ten ++ tied, 1000))
+  }
+
   test("contract query q138_mad: exact integers per nation") {
     val got = SparkEntry.queries("q138_mad")(spark, "/root/testdata/sf0.001")
       .as[(Int, Long, Long, Long, Long)].collect()
