@@ -464,7 +464,64 @@ object Advanced5 {
       |    AS trimmed_mean
       |FROM r GROUP BY nation ORDER BY nation""".stripMargin
 
+  // ---- q146: per-nation Pearson correlation between customer
+  //      balance and order count — the LINEAR-association companion
+  //      to q137's Spearman on the SAME columns (divergence between
+  //      the two flags outlier leverage or nonlinearity). Exact
+  //      DECIMAL(38,0) moment sums, ONE double division rounded 6 —
+  //      the q139 formula, grouped. ----
+  val q146Pearson: Q = (s, d) => {
+    val oc = orders(s, d).groupBy(col("o_custkey"))
+      .agg(count(lit(1)).as("n_orders"))
+    val c = customer(s, d)
+      .join(oc, col("c_custkey") === col("o_custkey"), "left")
+      .select(col("c_nationkey").as("nation"),
+        round(col("c_acctbal") * 100).cast("long").as("x"),
+        coalesce(col("n_orders"), lit(0L)).as("y"))
+    val agg = c.groupBy(col("nation"))
+      .agg(count(lit(1)).cast("bigint").as("n"),
+        sum(col("x")).cast("decimal(19,0)").as("sx"),
+        sum(col("y")).cast("decimal(19,0)").as("sy"),
+        sum(col("x").cast("decimal(19,0)") * col("y").cast("decimal(19,0)"))
+          .cast("decimal(38,0)").as("sxy"),
+        sum(col("x").cast("decimal(19,0)") * col("x").cast("decimal(19,0)"))
+          .cast("decimal(38,0)").as("sxx"),
+        sum(col("y").cast("decimal(19,0)") * col("y").cast("decimal(19,0)"))
+          .cast("decimal(38,0)").as("syy"))
+    val n = col("n").cast("decimal(10,0)")
+    val num = (n * col("sxy") - col("sx") * col("sy")).cast("decimal(38,0)")
+    val varx = (n * col("sxx") - col("sx") * col("sx")).cast("decimal(38,0)")
+    val vary = (n * col("syy") - col("sy") * col("sy")).cast("decimal(38,0)")
+    agg.select(col("nation"), col("n"),
+        when(varx > 0 && vary > 0,
+          round(num.cast("double") /
+            sqrt(varx.cast("double") * vary.cast("double")), 6))
+          .otherwise(lit(null).cast("double")).as("r"))
+      .orderBy(col("nation"))
+  }
+
+  val q146Oracle: String =
+    """WITH oc AS (SELECT o_custkey, COUNT(*) AS n_orders FROM orders GROUP BY 1),
+      |c AS (SELECT c_nationkey AS nation,
+      |        CAST(round(c_acctbal * 100) AS BIGINT) AS x,
+      |        CAST(COALESCE(n_orders, 0) AS BIGINT) AS y
+      |      FROM customer LEFT JOIN oc ON c_custkey = o_custkey),
+      |a AS (SELECT nation, CAST(COUNT(*) AS BIGINT) AS n,
+      |        SUM(CAST(x AS HUGEINT)) AS sx, SUM(CAST(y AS HUGEINT)) AS sy,
+      |        SUM(CAST(x AS HUGEINT) * y) AS sxy,
+      |        SUM(CAST(x AS HUGEINT) * x) AS sxx,
+      |        SUM(CAST(y AS HUGEINT) * y) AS syy
+      |      FROM c GROUP BY 1)
+      |SELECT nation, n,
+      |  CASE WHEN (n * sxx - sx * sx) > 0 AND (n * syy - sy * sy) > 0 THEN
+      |    round(CAST(n * sxy - sx * sy AS DOUBLE) /
+      |      sqrt(CAST(n * sxx - sx * sx AS DOUBLE)
+      |        * CAST(n * syy - sy * sy AS DOUBLE)), 6)
+      |  ELSE NULL END AS r
+      |FROM a ORDER BY nation""".stripMargin
+
   val queries: Map[String, Q] = Map(
+    "q146_pearson" -> q146Pearson,
     "q145_trimmed_mean" -> q145TrimmedMean,
     "q144_soundex_blocking" -> q144SoundexBlocking,
     "q143_burstiness" -> q143Burstiness,
@@ -477,6 +534,7 @@ object Advanced5 {
     "q140_rolling_median" -> q140RollingMedian)
 
   val oracles: Map[String, String] = Map(
+    "q146_pearson" -> q146Oracle,
     "q145_trimmed_mean" -> q145Oracle,
     "q143_burstiness" -> q143Oracle,
     "q142_cohort_retention" -> q142Oracle,
