@@ -128,29 +128,8 @@ object Advanced5 {
   val q139Acf: Q = (s, d) => {
     val daily = orders(s, d)
       .groupBy(to_date(col("o_orderdate")).as("day"))
-      .agg(sum(round(col("o_totalprice") * 100).cast("long"))
-        .cast("decimal(19,0)").as("rev"))
-      .localCheckpoint(true) // reused by all 7 lag joins
-    val acfs = (1 to 7).map { k =>
-      val b = daily.select(col("day").as("day_b"), col("rev").as("rev_b"))
-      val agg = daily.join(b, date_add(col("day"), k) === col("day_b"))
-        .agg(count(lit(1)).cast("bigint").as("n"),
-          sum(col("rev")).cast("decimal(19,0)").as("sx"),
-          sum(col("rev_b")).cast("decimal(19,0)").as("sy"),
-          sum(col("rev") * col("rev_b")).cast("decimal(38,0)").as("sxy"),
-          sum(col("rev") * col("rev")).cast("decimal(38,0)").as("sxx"),
-          sum(col("rev_b") * col("rev_b")).cast("decimal(38,0)").as("syy"))
-      val n = col("n").cast("decimal(10,0)")
-      val num = (n * col("sxy") - col("sx") * col("sy")).cast("decimal(38,0)")
-      val varx = (n * col("sxx") - col("sx") * col("sx")).cast("decimal(38,0)")
-      val vary = (n * col("syy") - col("sy") * col("sy")).cast("decimal(38,0)")
-      agg.select(lit(k).as("lag"), col("n").as("n_pairs"),
-        when(varx > 0 && vary > 0,
-          round(num.cast("double") /
-            sqrt(varx.cast("double") * vary.cast("double")), 6))
-          .otherwise(lit(null).cast("double")).as("acf"))
-    }
-    acfs.reduce(_ unionByName _).orderBy(col("lag"))
+      .agg(sum(round(col("o_totalprice") * 100).cast("long")).as("rev"))
+    graft.operators.DailySeries.acf(daily, maxLag = 7)
   }
 
   val q139Oracle: String =
@@ -187,20 +166,8 @@ object Advanced5 {
   val q140RollingMedian: Q = (s, d) => {
     val daily = orders(s, d)
       .groupBy(to_date(col("o_orderdate")).as("day"))
-      .agg(sum(round(col("o_totalprice") * 100).cast("long"))
-        .cast("long").as("rev"))
-      .localCheckpoint(true) // both sides of the range self-join
-    val b = daily.select(col("day").as("day_b"), col("rev").as("rev_b"))
-    daily.join(b,
-        col("day_b").between(date_sub(col("day"), 3), date_add(col("day"), 3)))
-      .groupBy(col("day"))
-      .agg(count(lit(1)).cast("bigint").as("n_days"),
-        array_sort(collect_list(col("rev_b"))).as("w"))
-      .select(col("day"), col("n_days"),
-        (element_at(col("w"), expr("CAST((n_days + 1) DIV 2 AS INT)")) +
-          element_at(col("w"), expr("CAST((n_days + 2) DIV 2 AS INT)")))
-          .cast("bigint").as("med2_cents"))
-      .orderBy(col("day"))
+      .agg(sum(round(col("o_totalprice") * 100).cast("long")).as("rev"))
+    graft.operators.DailySeries.rollingMedian(daily, halfWindow = 3)
   }
 
   val q140Oracle: String =
