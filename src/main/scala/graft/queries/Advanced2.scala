@@ -571,6 +571,57 @@ object Advanced2 {
       |FROM dc LEFT JOIN ec USING (community) CROSS JOIN m
       |ORDER BY community""".stripMargin
 
+  // ---- q147: conductance of the brand partition over the
+  //      co-purchase graph — the cut-quality companion to q136's
+  //      modularity on the same assignment (modularity rewards
+  //      internal density, conductance punishes external leakage):
+  //      φ(c) = cut(c)/min(vol(c), vol(rest)), exact integers, ONE
+  //      double division rounded 9. ----
+  val q147Conductance: Q = (s, d) => {
+    val li = baskets(s, d)
+    val edges = li.as("a").join(li.as("b"),
+        col("a.ok") === col("b.ok") && col("a.pk") < col("b.pk"))
+      .groupBy(col("a.pk").as("x"), col("b.pk").as("y"))
+      .agg(count(lit(1)).as("n"))
+      .filter(col("n") >= 2).select(col("x"), col("y"))
+    val assign = part(s, d).select(col("p_partkey").as("node"),
+      col("p_brand").as("community"))
+    graft.operators.GraphOps.conductance(edges, "x", "y",
+        assign, "node", "community")
+      .orderBy(col("community"))
+  }
+
+  val q147Oracle: String =
+    """WITH b AS (SELECT DISTINCT l_orderkey AS ok, l_partkey AS pk FROM lineitem),
+      |e AS (SELECT a.pk AS x, b2.pk AS y FROM b a JOIN b b2
+      |        ON a.ok = b2.ok AND a.pk < b2.pk
+      |      GROUP BY 1, 2 HAVING COUNT(*) >= 2),
+      |deg AS (SELECT node, COUNT(*) AS deg FROM
+      |          (SELECT x AS node FROM e UNION ALL SELECT y AS node FROM e)
+      |        GROUP BY 1),
+      |vol AS (SELECT CAST(2 * COUNT(*) AS BIGINT) AS vol_all FROM e),
+      |asg AS (SELECT p_partkey AS node, p_brand AS community FROM part),
+      |dc AS (SELECT community, CAST(COUNT(*) AS BIGINT) AS n_nodes,
+      |         CAST(SUM(COALESCE(deg, 0)) AS BIGINT) AS deg_sum
+      |       FROM asg LEFT JOIN deg USING (node) GROUP BY 1),
+      |cut AS (SELECT community, CAST(COUNT(*) AS BIGINT) AS cut_edges FROM (
+      |          SELECT a1.community FROM e
+      |            JOIN asg a1 ON e.x = a1.node JOIN asg a2 ON e.y = a2.node
+      |            WHERE a1.community <> a2.community
+      |          UNION ALL
+      |          SELECT a2.community FROM e
+      |            JOIN asg a1 ON e.x = a1.node JOIN asg a2 ON e.y = a2.node
+      |            WHERE a1.community <> a2.community)
+      |        GROUP BY 1)
+      |SELECT dc.community, n_nodes,
+      |  CAST(COALESCE(cut_edges, 0) AS BIGINT) AS cut_edges, deg_sum,
+      |  CASE WHEN deg_sum > 0 AND vol_all - deg_sum > 0 THEN
+      |    round(CAST(COALESCE(cut_edges, 0) AS DOUBLE)
+      |      / CAST(least(deg_sum, vol_all - deg_sum) AS DOUBLE), 9)
+      |  ELSE NULL END AS conductance
+      |FROM dc LEFT JOIN cut USING (community) CROSS JOIN vol
+      |ORDER BY dc.community""".stripMargin
+
   // ---- q105: EXACT ROC AUC via the Mann-Whitney rank-sum — the
   //      model-evaluation primitive at corpus scale (here scoring
   //      "is this doc English" by n_chars — any score column slots
@@ -771,6 +822,7 @@ object Advanced2 {
     "graph_kcore" -> graphKcore,
     "graph_communities" -> graphCommunities,
     "q136_modularity" -> q136Modularity,
+    "q147_conductance" -> q147Conductance,
     "text_zipf" -> textZipf,
     "emb_class_scatter" -> embClassScatter)
 
@@ -789,5 +841,6 @@ object Advanced2 {
     "q112_mann_kendall" -> q112Oracle,
     "text_zipf" -> textZipfOracle,
     "emb_class_scatter" -> embClassScatterOracle,
-    "q136_modularity" -> q136Oracle)
+    "q136_modularity" -> q136Oracle,
+    "q147_conductance" -> q147Oracle)
 }

@@ -104,6 +104,23 @@ class LpaSpec extends AnyFunSuite {
     assert(qSplit > qBlob)
   }
 
+  test("conductance: hand value on two triangles + bridge; cut counted both sides") {
+    val edges = Seq((1L, 2L), (2L, 3L), (1L, 3L),
+      (4L, 5L), (5L, 6L), (4L, 6L), (3L, 4L)).toDF("a", "b")
+    val lpa = GraphOps.labelPropagation(edges, "a", "b")
+    // each side: cut = 1 (the bridge), vol = 7, rest = 7 → φ = 1/7
+    val got = GraphOps.conductance(edges, "a", "b", lpa, "node", "community")
+      .select($"n_nodes", $"cut_edges", $"deg_sum", $"conductance")
+      .as[(Long, Long, Long, Option[Double])].collect().toSet
+    assert(got == Set((3L, 1L, 7L, Some(0.142857143))), got.toString)
+    // one blob: vol(rest) = 0 → null (conductance of the whole graph
+    // is undefined)
+    val blob = lpa.select($"node", lit(1L).as("community"))
+    val g2 = GraphOps.conductance(edges, "a", "b", blob, "node", "community")
+      .select($"conductance").as[Option[Double]].collect()
+    assert(g2.toSeq == Seq(None))
+  }
+
   test("modularity refuses an assignment that misses edge endpoints") {
     val edges = Seq((1L, 2L), (2L, 3L)).toDF("a", "b")
     val partial = Seq((1L, 1L), (2L, 1L)).toDF("node", "community")
