@@ -129,6 +129,38 @@ class LpaSpec extends AnyFunSuite {
     assert(e.getMessage.contains("missing from the assignment"))
   }
 
+  test("dense hairball: LPA collapses to per-component labels (the documented epidemic mode)") {
+    // The sf0.001 co-purchase graph is one dense hairball; synchronous
+    // min-tie LPA is KNOWN to let one label sweep such graphs
+    // epidemic-style (Raghavan '07 §IV). Pin the behavior: exactly one
+    // community per connected component, and modularity of that
+    // labeling = 0 for a single component (Q = m/m − (2m/2m)²). Real
+    // community structure (the two-triangle specs above) survives; a
+    // hairball honestly reports "no structure" instead of inventing
+    // some.
+    import graft.sources.TableCatalog
+    val sfDir = "/root/testdata/sf0.001"
+    val li = TableCatalog.lineitem(spark, sfDir)
+      .select($"l_orderkey".as("ok"), $"l_partkey".as("pk")).distinct()
+    val edges = li.as("a").join(li.as("b"),
+        $"a.ok" === $"b.ok" && $"a.pk" < $"b.pk")
+      .groupBy($"a.pk".as("x"), $"b.pk".as("y"))
+      .agg(count(lit(1)).as("n"))
+      .filter($"n" >= 2).select($"x", $"y")
+      .localCheckpoint(true)
+    val lpa = GraphOps.labelPropagation(edges, "x", "y")
+    val nComms = lpa.select($"community").distinct().count()
+    val nComps = graft.operators.Components
+      .connectedComponents(edges, "x", "y")
+      .select($"component").distinct().count()
+    assert(nComms == nComps, s"$nComms communities vs $nComps components")
+    if (nComps == 1L) {
+      val q = GraphOps.modularity(edges, "x", "y", lpa, "node", "community")
+        .agg(sum($"q_contrib")).as[Double].head()
+      assert(q == 0.0, s"one-blob labeling must score Q = 0, got $q")
+    }
+  }
+
   test("contract query graph_communities: census is deterministic and sized sanely") {
     val sfDir = "/root/testdata/sf0.001"
     val a = SparkEntry.queries("graph_communities")(spark, sfDir).collect()
