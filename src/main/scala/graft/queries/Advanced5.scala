@@ -306,20 +306,7 @@ object Advanced5 {
     val active = ev.select(col("user_id"),
         to_date(date_trunc("week", col("ts"))).as("am"))
       .distinct()
-    val size = first.groupBy(col("cohort"))
-      .agg(count(lit(1)).cast("bigint").as("cohort_size"))
-    val cells = active.join(first, Seq("user_id"))
-      .withColumn("week_offset",
-        (datediff(col("am"), col("cohort")) / 7).cast("int"))
-      .filter(col("week_offset").between(0, 12))
-      .groupBy(col("cohort"), col("week_offset"))
-      .agg(count(lit(1)).cast("bigint").as("n_active"))
-    cells.join(size, Seq("cohort"))
-      .select(col("cohort"), col("week_offset"), col("n_active"),
-        col("cohort_size"),
-        round(col("n_active").cast("double") /
-          col("cohort_size").cast("double"), 6).as("retention"))
-      .orderBy(col("cohort"), col("week_offset"))
+    graft.operators.Cohorts.retention(first, active, maxOffset = 12)
   }
 
   val q142Oracle: String =
