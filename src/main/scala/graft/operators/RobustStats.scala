@@ -114,7 +114,12 @@ object RobustStats {
     * pure integer/decimal algebra (tie order cannot matter: every
     * row at the boundary carries the same v), and the prior-group
     * value mass cancels in the difference, so ONE value-mass
-    * PrefixSum over the shared rank axis serves every group. Mean is
+    * PrefixSum over the shared rank axis serves every group. The
+    * k = 0 regime has NO lower boundary row, and because the
+    * cumulation is global the missing read is the group's PRIOR
+    * value mass (everything ranked before it), not 0 — supplied by
+    * the same group-cardinality prefix discipline
+    * [[RankCorr.cumFromCounts]] uses for prior counts. Mean is
     * the ONE double division, rounded to 6.
     *
     * @param trimBps trim fraction per side in basis points
@@ -152,14 +157,24 @@ object RobustStats {
             col("v").cast("decimal(19,0)")).cast("decimal(38,0)").as(out))
     val hi = at("__hi", "__hiv")
     val lo = at("__k", "__lov")
+    // k = 0 ⇒ no lower boundary row — but __cumv is GLOBAL over the
+    // shared rank axis, so CUMV at within-group position 0 is the
+    // group's PRIOR value mass, NOT 0 (coalescing to 0 leaks every
+    // preceding group's total into the trimmed sum): group-cardinality
+    // prefix of per-group value totals, broadcast back.
+    val gv = cumv.groupBy(col("g"))
+      .agg(sum(col("__vc")).cast("decimal(38,0)").as("__gtotv"))
+    val priorv = PrefixSum.runningTotal(gv, "g", "__gtotv", "__gcumv")
+      .select(col("g"),
+        (col("__gcumv") - col("__gtotv")).cast("decimal(38,0)").as("__priorv"))
+    val lov = coalesce(col("__lov"), col("__priorv"))
     pos.join(hi, Seq("g"))
-      .join(lo, Seq("g"), "left") // k = 0 ⇒ no boundary row ⇒ CUMV(0) = 0
+      .join(lo, Seq("g"), "left")
+      .join(broadcast(priorv), Seq("g"))
       .select(col("g").as(groupCol), col("n"),
         (col("n") - col("__k") * 2).cast("bigint").as("n_kept"),
-        (col("__hiv") - coalesce(col("__lov"), lit(0).cast("decimal(38,0)")))
-          .cast("bigint").as("trimmed_sum"),
-        round((col("__hiv") - coalesce(col("__lov"), lit(0).cast("decimal(38,0)")))
-          .cast("double") /
+        (col("__hiv") - lov).cast("bigint").as("trimmed_sum"),
+        round((col("__hiv") - lov).cast("double") /
           (col("n") - col("__k") * 2).cast("double"), 6).as("trimmed_mean"))
   }
 
