@@ -1,6 +1,6 @@
 package graft.operators
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 
 /** Triangle counting over an undirected simple graph — the
@@ -684,6 +684,380 @@ object GraphOps {
             least(col("deg_sum"), col("vol_all") - col("deg_sum"))
               .cast("double"), 9))
           .otherwise(lit(null).cast("double")).as("conductance"))
+  }
+
+  /** Modularity-guided COMMUNITY DETECTION — deterministic Louvain-
+    * family local-move refinement (Blondel et al. 2008 over the
+    * Newman–Girvan 2004 objective): the assignment half that SURVIVES
+    * dense graphs, where plain [[labelPropagation]] floods to one
+    * label per component (the pinned Raghavan '07 epidemic mode —
+    * honest but empty). Two phases:
+    *
+    *  1. NODE-SCALE synchronous local-move rounds from singleton
+    *     seeds. Every node scores a move to each neighbouring
+    *     community with the exact integer gain comparison
+    *     score(c) = 2m·k(v,c) − d_v·d_c  vs
+    *     stay = 2m·k(v,a) − d_v·(d_a − d_v)
+    *     (k(v,c) = edges from v into c; ties → smallest community
+    *     label; move only on a STRICT win). Synchronous batches can
+    *     oscillate (the classic two-node swap), so a round's batch is
+    *     accepted only if the EXACT integer modularity numerator
+    *     Σ_c (4m·e_c − d_c²) strictly increases — otherwise the batch
+    *     is reverted and the phase stops: Q is bounded above, so
+    *     termination is guaranteed, and every step is
+    *     bit-deterministic under any partitioning.
+    *  2. COMMUNITY-SCALE sequential refinement. The level-1 partition
+    *     is contracted to a weighted graph (self-loops carry the
+    *     internal edge mass) — community-cardinality by construction,
+    *     collected under the same named cap — and classic SEQUENTIAL
+    *     Louvain local-move passes + contractions run to a fixpoint
+    *     on the driver (ascending-label node order, min-label ties,
+    *     strictly positive gains: each accepted move strictly
+    *     increases Q, so termination is guaranteed). Sequential moves
+    *     escape the local optima the synchronous phase leaves behind —
+    *     e.g. the reverted half-swap on a two-clique graph.
+    *
+    * SIZE ROUTING (the [[labelPropagation]] convention): at
+    * ≤ maxLocalEdges the whole phase-1 fixpoint runs on a driver CSR
+    * with the SAME synchronous update — bit-identical to the
+    * distributed rounds (spec-asserted parity). Phase 2 scores in
+    * BigInt: contracted weights sum to the ORIGINAL edge count m,
+    * whose 2m·w products overflow Long past m ≈ 1.5e9.
+    *
+    * Output labels are canonical — each community is named by its
+    * smallest member node id — so the result is a pure function of
+    * the graph.
+    *
+    * @return (node, community)
+    */
+  def louvain(edgesIn: DataFrame, aCol: String, bCol: String,
+              maxIter: Int = 50,
+              maxLocalEdges: Long = 4000000L): DataFrame = {
+    val spark = edgesIn.sparkSession
+    import spark.implicits._
+    val canon = edgesIn
+      .select(least(col(aCol), col(bCol)).cast("long").as("x"),
+        greatest(col(aCol), col(bCol)).cast("long").as("y"))
+      .filter(col("x") =!= col("y"))
+      .distinct()
+      .localCheckpoint(true)
+    val m = canon.count()
+    val level1 =
+      if (m <= maxLocalEdges)
+        spark.createDataset(
+            louvainSyncLocal(canon.as[(Long, Long)].collect(), maxIter).toSeq)
+          .toDF("node", "c1")
+      else louvainSyncDistributed(canon, m, maxIter)
+    // contract to the weighted community graph (p ≤ q; p = q rows
+    // carry the internal edge mass) — community-cardinality
+    val wedges = canon
+      .join(level1.select(col("node").as("x"), col("c1").as("cx")), Seq("x"))
+      .join(level1.select(col("node").as("y"), col("c1").as("cy")), Seq("y"))
+      .select(least(col("cx"), col("cy")).as("p"),
+        greatest(col("cx"), col("cy")).as("q"))
+      .groupBy(col("p"), col("q")).agg(count(lit(1)).cast("long").as("w"))
+      .localCheckpoint(true)
+    // phase-2 cap is decoupled from the ROUTING knob: maxLocalEdges = 0
+    // forces phase 1 distributed (the parity-spec lever) but must not
+    // outlaw the community-cardinality collect phase 2 depends on
+    val phase2Cap = math.max(maxLocalEdges, 4000000L)
+    val nW = wedges.count()
+    require(nW <= phase2Cap,
+      s"louvain: contracted community graph has $nW weighted edges > " +
+        s"$phase2Cap — raise maxLocalEdges (phase-2 refinement is " +
+        "driver-local at community cardinality)")
+    val refined = spark.createDataset(
+        louvainWeightedLocal(wedges.as[(Long, Long, Long)].collect(),
+          maxIter).toSeq)
+      .toDF("c1", "c2")
+    val out = level1.join(broadcast(refined), Seq("c1"))
+    val canonLbl = out.groupBy(col("c2"))
+      .agg(min(col("node")).as("community"))
+    out.join(broadcast(canonLbl), Seq("c2"))
+      .select(col("node"), col("community"))
+  }
+
+  /** Phase-1 synchronous local-move rounds, distributed: one degree
+    * join, one neighbour-community count, one community-volume
+    * aggregate and one exact-Q acceptance check per round, labels
+    * pinned by eager localCheckpoint (the PageRank lineage lesson).
+    * All scores in DECIMAL(38,0) — 2m·k and d_v·d_c overflow bigint
+    * past m ≈ 1.5e9 edges.
+    */
+  private def louvainSyncDistributed(canon: DataFrame, m: Long,
+                                     maxIter: Int): DataFrame = {
+    val sym = canon.unionAll(canon.select(col("y").as("x"), col("x").as("y")))
+      .localCheckpoint(true)
+    val deg = sym.groupBy(col("x").as("node"))
+      .agg(count(lit(1)).cast("decimal(19,0)").as("deg"))
+      .localCheckpoint(true)
+    def dec(c: Column): Column = c.cast("decimal(38,0)")
+    val m4 = dec(lit(m) * lit(4))
+    val m2 = dec(lit(m) * lit(2))
+    def qnum(lbls: DataFrame): java.math.BigDecimal = {
+      val vol = lbls.join(deg, Seq("node"))
+        .groupBy(col("lbl")).agg(sum(col("deg")).as("vol"))
+      val ein = canon
+        .join(lbls.select(col("node").as("x"), col("lbl").as("cx")), Seq("x"))
+        .join(lbls.select(col("node").as("y"), col("lbl").as("cy")), Seq("y"))
+        .filter(col("cx") === col("cy"))
+        .groupBy(col("cx").as("lbl"))
+        .agg(count(lit(1)).cast("decimal(19,0)").as("e_in"))
+      val r = vol.join(ein, Seq("lbl"), "left")
+        .select(dec(m4 * coalesce(col("e_in"), lit(0).cast("decimal(19,0)"))
+          - col("vol") * col("vol")).as("t"))
+        .agg(sum(col("t"))).head().getDecimal(0)
+      if (r == null) java.math.BigDecimal.ZERO else r
+    }
+    var labels = deg.select(col("node")).withColumn("lbl", col("node"))
+      .localCheckpoint(true)
+    var q = qnum(labels)
+    var converged = false
+    var i = 0
+    while (!converged && i < maxIter) {
+      val vol = labels.join(deg, Seq("node"))
+        .groupBy(col("lbl")).agg(sum(col("deg")).as("vol"))
+        .localCheckpoint(true)
+      val kvc = sym
+        .join(labels.select(col("node").as("y"), col("lbl").as("c")), Seq("y"))
+        .groupBy(col("x").as("node"), col("c"))
+        .agg(count(lit(1)).cast("decimal(19,0)").as("k"))
+        .localCheckpoint(true)
+      val stay = labels.join(deg, Seq("node"))
+        .join(vol.select(col("lbl"), col("vol").as("avol")), Seq("lbl"))
+        .join(kvc.select(col("node"), col("c").as("lbl"), col("k").as("ka")),
+          Seq("node", "lbl"), "left")
+        .select(col("node"), col("lbl"),
+          dec(m2 * coalesce(col("ka"), lit(0).cast("decimal(19,0)"))
+            - col("deg") * (col("avol") - col("deg"))).as("stayScore"))
+      val cand = kvc
+        .join(labels, Seq("node"))
+        .filter(col("c") =!= col("lbl"))
+        .join(vol.select(col("lbl").as("c"), col("vol").as("cvol")), Seq("c"))
+        .join(deg, Seq("node"))
+        .select(col("node"),
+          dec(m2 * col("k") - col("deg") * col("cvol")).as("score"),
+          col("c"))
+        .groupBy(col("node"))
+        .agg(max(struct(col("score"), (-col("c")).as("nc"))).as("best"))
+        .select(col("node"), col("best.score").as("bestScore"),
+          (-col("best.nc")).as("bestC"))
+      val next = stay.join(cand, Seq("node"), "left")
+        .select(col("node"),
+          when(col("bestScore").isNotNull &&
+            col("bestScore") > col("stayScore"), col("bestC"))
+            .otherwise(col("lbl")).as("lbl"))
+        .localCheckpoint(true)
+      val anyMove = !next
+        .join(labels.withColumnRenamed("lbl", "prev"), Seq("node"))
+        .filter(col("lbl") =!= col("prev")).isEmpty
+      if (!anyMove) converged = true
+      else {
+        val q2 = qnum(next)
+        if (q2.compareTo(q) > 0) { labels = next; q = q2 }
+        else converged = true // the batch oscillated: revert and stop
+      }
+      i += 1
+    }
+    require(converged,
+      s"louvain: phase-1 synchronous local-move still improving after " +
+        s"maxIter=$maxIter rounds — raise maxIter")
+    labels.select(col("node"), col("lbl").as("c1"))
+  }
+
+  /** Driver-local phase 1: the SAME synchronous update on a CSR —
+    * bit-identical to [[louvainSyncDistributed]] (parity
+    * spec-asserted). Long arithmetic is safe here: the local route is
+    * only taken at ≤ maxLocalEdges collected edges.
+    */
+  private[graft] def louvainSyncLocal(edges: Array[(Long, Long)], maxIter: Int)
+      : Array[(Long, Long)] = {
+    val idOf = scala.collection.mutable.LongMap.empty[Int]
+    val ids = scala.collection.mutable.ArrayBuffer[Long]()
+    def intern(v: Long): Int =
+      idOf.getOrElseUpdate(v, { val i = ids.length; ids += v; i })
+    val mE = edges.length
+    val ea = new Array[Int](mE); val eb = new Array[Int](mE)
+    var e = 0
+    while (e < mE) {
+      ea(e) = intern(edges(e)._1); eb(e) = intern(edges(e)._2); e += 1
+    }
+    val n = ids.length
+    val deg = new Array[Long](n)
+    e = 0; while (e < mE) { deg(ea(e)) += 1; deg(eb(e)) += 1; e += 1 }
+    val off = new Array[Int](n + 1)
+    var i0 = 0
+    while (i0 < n) { off(i0 + 1) = off(i0) + deg(i0).toInt; i0 += 1 }
+    val pos = java.util.Arrays.copyOf(off, n)
+    val adj = new Array[Int](2 * mE)
+    e = 0
+    while (e < mE) {
+      adj(pos(ea(e))) = eb(e); pos(ea(e)) += 1
+      adj(pos(eb(e))) = ea(e); pos(eb(e)) += 1
+      e += 1
+    }
+    val m = mE.toLong
+    def volOf(l: Array[Long]): scala.collection.mutable.LongMap[Long] = {
+      val vol = scala.collection.mutable.LongMap.empty[Long]
+      var v = 0
+      while (v < n) { vol(l(v)) = vol.getOrElse(l(v), 0L) + deg(v); v += 1 }
+      vol
+    }
+    def qnum(l: Array[Long]): Long = {
+      val vol = volOf(l)
+      val ein = scala.collection.mutable.LongMap.empty[Long]
+      var k = 0
+      while (k < mE) {
+        if (l(ea(k)) == l(eb(k)))
+          ein(l(ea(k))) = ein.getOrElse(l(ea(k)), 0L) + 1L
+        k += 1
+      }
+      var q = 0L
+      vol.foreach { case (c, d) => q += 4L * m * ein.getOrElse(c, 0L) - d * d }
+      q
+    }
+    var lbl: Array[Long] = Array.tabulate(n)(v => ids(v))
+    var q = qnum(lbl)
+    var converged = false
+    var it = 0
+    while (!converged && it < maxIter) {
+      val vol = volOf(lbl)
+      val next = new Array[Long](n)
+      var anyMove = false
+      var v = 0
+      while (v < n) {
+        val a = lbl(v)
+        val k = scala.collection.mutable.LongMap.empty[Long]
+        var c = off(v)
+        while (c < off(v + 1)) {
+          val l = lbl(adj(c)); c += 1
+          k(l) = k.getOrElse(l, 0L) + 1L
+        }
+        val stay = 2L * m * k.getOrElse(a, 0L) - deg(v) * (vol(a) - deg(v))
+        var bestC = Long.MaxValue; var bestS = Long.MinValue; var has = false
+        k.foreach { case (cl, kc) =>
+          if (cl != a) {
+            val s = 2L * m * kc - deg(v) * vol(cl)
+            if (!has || s > bestS || (s == bestS && cl < bestC)) {
+              bestS = s; bestC = cl; has = true
+            }
+          }
+        }
+        next(v) = if (has && bestS > stay) { anyMove = true; bestC } else a
+        v += 1
+      }
+      if (!anyMove) converged = true
+      else {
+        val q2 = qnum(next)
+        if (q2 > q) { lbl = next; q = q2 }
+        else converged = true // the batch oscillated: revert and stop
+      }
+      it += 1
+    }
+    require(converged,
+      s"louvain: phase-1 synchronous local-move still improving after " +
+        s"maxIter=$maxIter rounds — raise maxIter")
+    Array.tabulate(n)(v => (ids(v), lbl(v)))
+  }
+
+  /** Phase 2: sequential weighted Louvain on the contracted community
+    * graph — ascending-label order, min-label ties, strictly positive
+    * gains (each accepted move strictly increases Q ⇒ termination),
+    * contract and recurse until a level merges nothing. Scores in
+    * BigInt: contracted weights sum to the ORIGINAL m.
+    *
+    * @param wedges (p, q, w) with p ≤ q; p = q rows carry internal
+    *               (self-loop) mass
+    * @return supernode label → final community label
+    */
+  private[graft] def louvainWeightedLocal(wedges: Array[(Long, Long, Long)],
+                                          maxIter: Int): Map[Long, Long] = {
+    val allNodes = wedges.flatMap(t => Array(t._1, t._2)).distinct
+    var mapping: Map[Long, Long] = allNodes.map(l => l -> l).toMap
+    var cur = wedges
+    val twoM: BigInt = BigInt(2) * cur.map(t => BigInt(t._3)).sum
+    var merging = twoM > 0
+    var levels = 0
+    while (merging) {
+      levels += 1
+      require(levels <= maxIter,
+        s"louvain: refinement still contracting after maxIter=$maxIter " +
+          "levels — raise maxIter")
+      val nodes = cur.flatMap(t => Array(t._1, t._2)).distinct.sorted
+      val adj = scala.collection.mutable.LongMap
+        .empty[scala.collection.mutable.LongMap[Long]]
+      nodes.foreach(v => adj(v) = scala.collection.mutable.LongMap.empty[Long])
+      val self = scala.collection.mutable.LongMap.empty[Long]
+      cur.foreach { case (p, qq, w) =>
+        if (p == qq) self(p) = self.getOrElse(p, 0L) + w
+        else {
+          adj(p)(qq) = adj(p).getOrElse(qq, 0L) + w
+          adj(qq)(p) = adj(qq).getOrElse(p, 0L) + w
+        }
+      }
+      val s = scala.collection.mutable.LongMap.empty[Long]
+      nodes.foreach { v =>
+        var t = 2L * self.getOrElse(v, 0L)
+        adj(v).foreach { case (_, w) => t += w }
+        s(v) = t
+      }
+      val comm = scala.collection.mutable.LongMap.empty[Long]
+      val svol = scala.collection.mutable.LongMap.empty[Long]
+      nodes.foreach { v => comm(v) = v; svol(v) = s(v) }
+      var movedAny = false
+      var movedInPass = true
+      var pass = 0
+      while (movedInPass) {
+        pass += 1
+        require(pass <= maxIter,
+          s"louvain: refinement pass limit maxIter=$maxIter hit — " +
+            "raise maxIter")
+        movedInPass = false
+        nodes.foreach { v =>
+          val a = comm(v)
+          val kc = scala.collection.mutable.LongMap.empty[Long]
+          adj(v).foreach { case (u, w) =>
+            val cu = comm(u); kc(cu) = kc.getOrElse(cu, 0L) + w
+          }
+          val sv = BigInt(s(v))
+          val stay = twoM * BigInt(kc.getOrElse(a, 0L)) -
+            sv * BigInt(svol(a) - s(v))
+          var bestC = Long.MaxValue; var bestS: BigInt = null
+          kc.foreach { case (c, w) =>
+            if (c != a) {
+              val sc = twoM * BigInt(w) - sv * BigInt(svol(c))
+              if (bestS == null || sc > bestS || (sc == bestS && c < bestC)) {
+                bestS = sc; bestC = c
+              }
+            }
+          }
+          if (bestS != null && bestS > stay) {
+            comm(v) = bestC
+            svol(a) -= s(v); svol(bestC) += s(v)
+            movedInPass = true; movedAny = true
+          }
+        }
+      }
+      if (!movedAny) merging = false
+      else {
+        // canonical labels at this level: min member label
+        val minLbl = scala.collection.mutable.LongMap.empty[Long]
+        nodes.foreach { v =>
+          val c = comm(v)
+          minLbl(c) = math.min(minLbl.getOrElse(c, Long.MaxValue), v)
+        }
+        def toNew(v: Long): Long = minLbl(comm(v))
+        mapping = mapping.map { case (orig, curL) => orig -> toNew(curL) }
+        val agg = scala.collection.mutable.HashMap.empty[(Long, Long), Long]
+        cur.foreach { case (p, qq, w) =>
+          val np = toNew(p); val nq = toNew(qq)
+          val key = (math.min(np, nq), math.max(np, nq))
+          agg(key) = agg.getOrElse(key, 0L) + w
+        }
+        cur = agg.iterator.map { case ((p, qq), w) => (p, qq, w) }.toArray
+      }
+    }
+    mapping
   }
 
   /** Driver-local LPA: the SAME synchronous most-frequent-

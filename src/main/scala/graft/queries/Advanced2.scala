@@ -526,6 +526,32 @@ object Advanced2 {
       .limit(20)
   }
 
+  // ---- graph_communities2 (rows-only — iterate-until-fixpoint has
+  //      no recursive-CTE oracle form): modularity-guided Louvain
+  //      communities of the same co-purchase graph, censused like
+  //      graph_communities. Unlike LPA (which floods dense graphs to
+  //      one label per component — the pinned epidemic mode), the
+  //      local-move refinement is graded by exact modularity and
+  //      keeps structure on hairballs (spec: Q(louvain) > Q(LPA) = 0
+  //      there). Bit-deterministic: synchronous phase-1 rounds
+  //      accepted only on strict exact-Q increase, sequential phase-2
+  //      in ascending-label order, min-label ties everywhere. ----
+  val graphCommunities2: Q = (s, d) => {
+    val li = baskets(s, d)
+    val edges = li.as("a").join(li.as("b"),
+        col("a.ok") === col("b.ok") && col("a.pk") < col("b.pk"))
+      .groupBy(col("a.pk").as("x"), col("b.pk").as("y"))
+      .agg(count(lit(1)).as("n"))
+      .filter(col("n") >= 2).select(col("x"), col("y"))
+    graft.operators.GraphOps.louvain(edges, "x", "y")
+      .groupBy(col("community"))
+      .agg(count(lit(1)).cast("bigint").as("n_members"),
+        min(col("node")).cast("bigint").as("min_node"),
+        max(col("node")).cast("bigint").as("max_node"))
+      .orderBy(col("n_members").desc, col("community"))
+      .limit(20)
+  }
+
   // ---- q136: Newman modularity of the brand partition over the
   //      co-purchase graph — the community-QUALITY metric completing
   //      LPA's community-ASSIGNMENT (score any labeling against the
@@ -821,6 +847,7 @@ object Advanced2 {
     "q112_mann_kendall" -> q112MannKendall,
     "graph_kcore" -> graphKcore,
     "graph_communities" -> graphCommunities,
+    "graph_communities2" -> graphCommunities2,
     "q136_modularity" -> q136Modularity,
     "q147_conductance" -> q147Conductance,
     "text_zipf" -> textZipf,
