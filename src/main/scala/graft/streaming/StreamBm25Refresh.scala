@@ -83,7 +83,18 @@ object StreamBm25Refresh {
         val name = new Path(d).getName
         name.split("_").last.toLong < upTo || name.startsWith("compact_")
       }
-    if (roots.size <= 1) return
+    if (roots.size <= 1) {
+      // replay after a crash between writing compact_<covered> and
+      // sweeping: the complete compact is the only visible root (the
+      // floor hides the stale batch dirs, so queries are correct, but
+      // the disk leaks until the NEXT compaction) — finish the
+      // interrupted sweep (idempotent). Gated on the compact's
+      // completion marker: with a single UN-merged root the sweep
+      // would destroy live data.
+      if (fs.exists(new Path(target, "stats/_SUCCESS")))
+        sweepBelow(fs, deltaPath, covered)
+      return
+    }
     if (!fs.exists(new Path(target, "stats/_SUCCESS"))) {
       def merged(sub: String): DataFrame =
         roots.map(r => spark.read.parquet(s"$r/$sub")).reduce(_ unionByName _)

@@ -121,7 +121,15 @@ object StreamIvfRefresh {
         val id = name.split("_").last.toLong
         id < upTo || name.startsWith("compact_")
       }
-    if (roots.size <= 1) return
+    if (roots.size <= 1) {
+      // replay after a crash between writing compact_<covered> and
+      // sweeping: finish the interrupted sweep (idempotent), gated on
+      // the compact's completion marker — with a single UN-merged
+      // root the sweep would destroy live data
+      if (fs.exists(new Path(target, "_SUCCESS")))
+        sweepBelow(fs, deltaPath, covered)
+      return
+    }
     if (!fs.exists(new Path(target, "_SUCCESS"))) {
       roots.map(spark.read.parquet(_)).reduce(_ unionByName _)
         .write.mode("overwrite").partitionBy("c").parquet(target.toString)

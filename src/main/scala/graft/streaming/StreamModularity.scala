@@ -1,6 +1,6 @@
 package graft.streaming
 
-import org.apache.hadoop.fs.Path
+import org.apache.hadoop.fs.{FileUtil, Path}
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.streaming.StreamingQuery
@@ -17,25 +17,43 @@ import graft.sinks.TableVersions
   * truly-new edge adds 1 to m, 1 degree to each endpoint's community
   * mass, and 1 to e_c iff both endpoints share c. So a microbatch
   * folds in as three community-cardinality aggregates over the
-  * batch's new edges; cost is O(|batch|), never O(|graph|), and the
-  * per-community state table is community-sized.
+  * batch's new edges; fold COMPUTE is O(|batch|), never O(|graph|).
   *
-  * The new-edge anti-join against the state edge list makes the fold
-  * idempotent under replay (a redelivered batch finds zero new
-  * edges) — the [[StreamTriangles]] convention, no batchId
-  * bookkeeping. Edges whose endpoints the assignment misses REFUSE,
-  * exactly like the batch operator. State (edges + stats) publishes
-  * through [[TableVersions]].
+  * STATE is the canonical edge set in a [[VersionedDeltaState]]
+  * snapshot chain of BUCKET-PARTITIONED append-only segments (the
+  * [[StreamLineDedup]] convention): a batch COMMITS only its own new
+  * edges — O(|batch|) write I/O too, untouched bucket files survive
+  * byte-identical (spec-asserted) — and the newness anti-join reads
+  * only the buckets the batch's edges hash into (hive partition
+  * pruning over every segment). The (per-community stats, m) tables
+  * ride each commit as aside payloads — community-cardinality, so
+  * rewriting them per batch is model-sized — and replay-anchor with
+  * the edge set: a redelivered batch re-derives the same delta and
+  * stats from the pre-batch snapshot its first attempt saw,
+  * superseding that attempt. Edges whose endpoints the assignment
+  * misses REFUSE, exactly like the batch operator. Segments
+  * consolidate every `compactEvery` batches.
   */
 object StreamModularity {
 
+  /** Hive-partition fan-out of the edge state. */
+  val NBuckets = 64
+
+  /** Default consolidation cadence. */
+  val DefaultCompactEvery = 64
+
+  private val MFile = "m"
+  private val StatsDir = "stats"
+
   def start(stream: DataFrame, aCol: String, bCol: String,
             assignment: DataFrame, nodeCol: String, communityCol: String,
-            dir: String, checkpointDir: String): StreamingQuery =
+            dir: String, checkpointDir: String,
+            compactEvery: Int = DefaultCompactEvery): StreamingQuery =
     stream.writeStream
       .option("checkpointLocation", checkpointDir)
-      .foreachBatch { (batch: DataFrame, _: Long) =>
-        applyBatch(batch, aCol, bCol, assignment, nodeCol, communityCol, dir)
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        applyBatch(batch, aCol, bCol, assignment, nodeCol, communityCol,
+          dir, batchId, compactEvery)
         ()
       }
       .start()
@@ -43,10 +61,13 @@ object StreamModularity {
   /** One microbatch of edges; factored out for direct use. */
   def applyBatch(batch: DataFrame, aCol: String, bCol: String,
                  assignment: DataFrame, nodeCol: String,
-                 communityCol: String, dir: String): Unit = {
+                 communityCol: String, dir: String, batchId: Long,
+                 compactEvery: Int = DefaultCompactEvery): Unit = {
     val spark = batch.sparkSession
-    val root = new Path(dir)
-    val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (compactEvery > 0 && batchId > 0 && batchId % compactEvery == 0)
+      consolidate(spark, dir, batchId)
+    val fs = new Path(dir)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
     val assign = assignment.select(col(nodeCol).cast("long").as("node"),
       col(communityCol).as("community"))
     val canon = batch
@@ -54,23 +75,27 @@ object StreamModularity {
         greatest(col(aCol), col(bCol)).cast("long").as("y"))
       .filter(col("x") =!= col("y"))
       .distinct()
-    val cur = TableVersions.current(fs, root)
-    val (old, oldStats, oldM) = cur match {
-      case Some(v) =>
-        val vdir = TableVersions.dataDir(root, v)
-        (spark.read.parquet(new Path(vdir, "edges").toString),
-          spark.read.parquet(new Path(vdir, "stats").toString),
-          TableVersions.readSmall(fs, new Path(vdir, "m"))
-            .map(_.toLong).getOrElse(0L))
-      case None =>
-        (canon.limit(0),
-          assign.limit(0).select(col("community"),
-            lit(0L).as("e_in"), lit(0L).as("d_c")),
-          0L)
-    }
-    // truly-new edges only: replayed/duplicate edges are no-ops
-    val newE = canon.join(old, Seq("x", "y"), "left_anti")
+      .withColumn("__bucket",
+        pmod(xxhash64(col("x"), col("y")), lit(NBuckets)).cast("int"))
       .localCheckpoint(true)
+    val anchorDir = VersionedDeltaState.versionDirBefore(spark, dir, batchId)
+    val oldM = anchorDir
+      .flatMap(d => TableVersions.readSmall(fs, new Path(d, MFile)))
+      .map(_.trim.toLong).getOrElse(0L)
+    val oldStats = anchorDir
+      .filter(d => fs.exists(new Path(d, StatsDir)))
+      .map(d => spark.read.parquet(new Path(d, StatsDir).toString))
+      .getOrElse(assign.limit(0).select(col("community"),
+        lit(0L).as("e_in"), lit(0L).as("d_c")))
+    // newness check reads ONLY the buckets this batch hashes into
+    val touched = canon.select(col("__bucket")).distinct()
+      .collect().map(_.getInt(0)).toSeq
+    val newE = (VersionedDeltaState.stateBefore(spark, dir, batchId) match {
+      case Some(st) =>
+        canon.join(st.filter(col("__bucket").isin(touched: _*)),
+          Seq("x", "y"), "left_anti")
+      case None => canon
+    }).localCheckpoint(true)
     val withC = newE
       .join(assign.select(col("node").as("x"), col("community").as("cx")),
         Seq("x"), "left")
@@ -97,14 +122,39 @@ object StreamModularity {
       .groupBy(col("community"))
       .agg(sum(col("e_in")).cast("bigint").as("e_in"),
         sum(col("d_c")).cast("bigint").as("d_c"))
-    val pending = TableVersions.begin(fs, root)
-    old.unionByName(newE).write
-      .parquet(new Path(pending.dir, "edges").toString)
-    merged.write.parquet(new Path(pending.dir, "stats").toString)
-    TableVersions.writeSmall(fs, new Path(pending.dir, "m"),
-      (oldM + dm).toString)
-    TableVersions.commit(fs, root, pending)
-    TableVersions.prune(fs, root, keep = 4)
+      .localCheckpoint(true) // pin: materialized before the commit window
+    VersionedDeltaState.append(spark, dir,
+      newE.select(col("x"), col("y"), col("__bucket")),
+      tag = batchId, partitionCols = Seq("__bucket"),
+      aside = d => {
+        merged.write.parquet(new Path(d, StatsDir).toString)
+        TableVersions.writeSmall(fs, new Path(d, MFile),
+          (oldM + dm).toString)
+      })
+  }
+
+  /** Merge the edge segments visible to batch `uptoExclusive` into one
+    * (plain union — distinct by construction), carrying the (stats, m)
+    * aside payloads into the merged commit, then reclaim superseded
+    * versions.
+    */
+  private[streaming] def consolidate(spark: SparkSession, dir: String,
+                                     uptoExclusive: Long): Unit = {
+    val fs = new Path(dir)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val conf = spark.sparkContext.hadoopConfiguration
+    VersionedDeltaState.consolidate(spark, dir, uptoExclusive,
+      partitionCols = Seq("__bucket"),
+      carry = (anchorDir, pendingDir) => {
+        TableVersions.readSmall(fs, new Path(anchorDir, MFile))
+          .foreach(m => TableVersions.writeSmall(fs,
+            new Path(pendingDir, MFile), m))
+        val src = new Path(anchorDir, StatsDir)
+        if (fs.exists(src))
+          FileUtil.copy(fs, src, fs, new Path(pendingDir, StatsDir),
+            false, conf)
+      })
+    VersionedDeltaState.prune(spark, dir)
   }
 
   /** The current committed per-community modularity table — same
@@ -114,15 +164,14 @@ object StreamModularity {
     */
   def report(spark: SparkSession, dir: String, assignment: DataFrame,
              nodeCol: String, communityCol: String): DataFrame = {
-    val root = new Path(dir)
-    val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    val v = TableVersions.current(fs, root).getOrElse(
+    val vdir = VersionedDeltaState.currentVersionDir(spark, dir).getOrElse(
       throw new IllegalStateException(
         s"StreamModularity($dir): no committed state yet"))
-    val vdir = TableVersions.dataDir(root, v)
-    val stats = spark.read.parquet(new Path(vdir, "stats").toString)
-    val m = TableVersions.readSmall(fs, new Path(vdir, "m"))
-      .map(_.toLong).getOrElse(0L)
+    val fs = new Path(dir)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val stats = spark.read.parquet(new Path(vdir, StatsDir).toString)
+    val m = TableVersions.readSmall(fs, new Path(vdir, MFile))
+      .map(_.trim.toLong).getOrElse(0L)
     val census = assignment
       .select(col(nodeCol).cast("long").as("node"),
         col(communityCol).as("community"))

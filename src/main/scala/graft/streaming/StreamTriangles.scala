@@ -26,47 +26,81 @@ import graft.sinks.TableVersions
   *  - T3 (three new edges): [[GraphOps.triangleCount]] of N alone.
   *
   * Each class is a handful of equi-joins whose cost is |batch|·deg,
-  * never |graph|². State = the canonical edge list + the running
-  * count, published through [[TableVersions]]; the new-edge anti-join
-  * makes the fold idempotent under replay (a redelivered batch finds
-  * zero new edges), so no batchId bookkeeping is needed.
+  * never |graph|².
+  *
+  * STATE is the canonical edge set in a [[VersionedDeltaState]]
+  * snapshot chain of BUCKET-PARTITIONED append-only segments (the
+  * [[StreamLineDedup]] convention): a batch COMMITS only its own new
+  * edges — O(|batch|) write I/O, untouched bucket files survive
+  * byte-identical (spec-asserted) — and the newness anti-join reads
+  * only the buckets the batch's edges hash into (hive partition
+  * pruning over every segment). The running count rides each commit
+  * as an aside payload, so it replay-anchors with the edge set: a
+  * redelivered batch re-derives the SAME delta and count from the
+  * pre-batch snapshot its first attempt saw, superseding — not
+  * stacking on — that attempt. The wedge joins (T1/T2) do read the
+  * full edge set — that read is the algorithm, not the state layout.
+  * Segments consolidate every `compactEvery` batches, keeping state
+  * reads O(compactEvery) directories on a long-lived stream.
   */
 object StreamTriangles {
 
+  /** Hive-partition fan-out of the edge state: newness anti-joins
+    * scan |touched buckets| / NBuckets of each segment.
+    */
+  val NBuckets = 64
+
+  /** Default consolidation cadence. */
+  val DefaultCompactEvery = 64
+
+  private val CountFile = "count"
+
   def start(stream: DataFrame, aCol: String, bCol: String,
-            dir: String, checkpointDir: String): StreamingQuery =
+            dir: String, checkpointDir: String,
+            compactEvery: Int = DefaultCompactEvery): StreamingQuery =
     stream.writeStream
       .option("checkpointLocation", checkpointDir)
-      .foreachBatch { (batch: DataFrame, _: Long) =>
-        applyBatch(batch, aCol, bCol, dir)
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        applyBatch(batch, aCol, bCol, dir, batchId, compactEvery)
         ()
       }
       .start()
 
+  private def bucketed(df: DataFrame): DataFrame =
+    df.withColumn("__bucket",
+      pmod(xxhash64(col("x"), col("y")), lit(NBuckets)).cast("int"))
+
   /** One microbatch of edges; factored out for direct use. */
   def applyBatch(batch: DataFrame, aCol: String, bCol: String,
-                 dir: String): Unit = {
+                 dir: String, batchId: Long,
+                 compactEvery: Int = DefaultCompactEvery): Unit = {
     val spark = batch.sparkSession
-    val root = new Path(dir)
-    val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    val canon = batch
-      .select(least(col(aCol), col(bCol)).as("x"),
-        greatest(col(aCol), col(bCol)).as("y"))
+    if (compactEvery > 0 && batchId > 0 && batchId % compactEvery == 0)
+      consolidate(spark, dir, batchId)
+    val fs = new Path(dir)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val canon = bucketed(batch
+      .select(least(col(aCol), col(bCol)).cast("long").as("x"),
+        greatest(col(aCol), col(bCol)).cast("long").as("y"))
       .filter(col("x") =!= col("y"))
-      .distinct()
-    val cur = TableVersions.current(fs, root)
-    val (old, prevCount) = cur match {
-      case Some(v) =>
-        val vdir = TableVersions.dataDir(root, v)
-        val st = spark.read.parquet(new Path(vdir, "edges").toString)
-        val c = TableVersions.readSmall(fs, new Path(vdir, "count"))
-          .map(_.toLong).getOrElse(0L)
-        (st, c)
-      case None => (canon.limit(0), 0L)
-    }
-    // truly-new edges only: replayed/duplicate edges are no-ops
-    val newE = canon.join(old, Seq("x", "y"), "left_anti")
-      .localCheckpoint(true)
+      .distinct())
+      .localCheckpoint(true) // feeds the bucket probe + anti-join + wedges
+    val oldState = VersionedDeltaState.stateBefore(spark, dir, batchId)
+    val prevCount = VersionedDeltaState.versionDirBefore(spark, dir, batchId)
+      .flatMap(d => TableVersions.readSmall(fs, new Path(d, CountFile)))
+      .map(_.trim.toLong).getOrElse(0L)
+    // newness check reads ONLY the buckets this batch hashes into —
+    // the partition filter prunes every segment's file listing
+    val touched = canon.select(col("__bucket")).distinct()
+      .collect().map(_.getInt(0)).toSeq
+    val newE = (oldState match {
+      case Some(st) =>
+        canon.join(st.filter(col("__bucket").isin(touched: _*)),
+          Seq("x", "y"), "left_anti")
+      case None => canon
+    }).localCheckpoint(true)
+    val old = oldState.map(_.select(col("x"), col("y")))
+      .getOrElse(newE.select(col("x"), col("y")).limit(0))
     val oldSym = old.select(col("x").as("a"), col("y").as("b"))
       .unionByName(old.select(col("y").as("a"), col("x").as("b")))
       .localCheckpoint(true)
@@ -89,26 +123,42 @@ object StreamTriangles {
     val t3 = GraphOps.triangleCount(newE, "x", "y")
       .select(col("n_triangles")).collect()(0).getLong(0)
     val total = prevCount + t1 + t2 + t3
-    val pending = TableVersions.begin(fs, root)
-    old.unionByName(newE).write
-      .parquet(new Path(pending.dir, "edges").toString)
-    TableVersions.writeSmall(fs, new Path(pending.dir, "count"),
-      total.toString)
-    TableVersions.commit(fs, root, pending)
-    TableVersions.prune(fs, root, keep = 4)
+    VersionedDeltaState.append(spark, dir,
+      newE.select(col("x"), col("y"), col("__bucket")),
+      tag = batchId, partitionCols = Seq("__bucket"),
+      aside = d => TableVersions.writeSmall(fs, new Path(d, CountFile),
+        total.toString))
+  }
+
+  /** Merge the edge segments visible to batch `uptoExclusive` into one
+    * (edges are distinct across segments by construction — plain
+    * union), carrying the running count into the merged commit, then
+    * reclaim superseded versions.
+    */
+  private[streaming] def consolidate(spark: SparkSession, dir: String,
+                                     uptoExclusive: Long): Unit = {
+    val fs = new Path(dir)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    VersionedDeltaState.consolidate(spark, dir, uptoExclusive,
+      partitionCols = Seq("__bucket"),
+      carry = (anchorDir, pendingDir) =>
+        TableVersions.readSmall(fs, new Path(anchorDir, CountFile))
+          .foreach(c => TableVersions.writeSmall(fs,
+            new Path(pendingDir, CountFile), c)))
+    VersionedDeltaState.prune(spark, dir)
   }
 
   /** The current committed (n_edges, n_triangles). */
   def counts(spark: SparkSession, dir: String): (Long, Long) = {
-    val root = new Path(dir)
-    val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    val v = TableVersions.current(fs, root).getOrElse(
+    val vdir = VersionedDeltaState.currentVersionDir(spark, dir).getOrElse(
       throw new IllegalStateException(
         s"StreamTriangles($dir): no committed state yet"))
-    val vdir = TableVersions.dataDir(root, v)
-    val nE = spark.read.parquet(new Path(vdir, "edges").toString).count()
-    val nT = TableVersions.readSmall(fs, new Path(vdir, "count"))
-      .map(_.toLong).getOrElse(0L)
+    val fs = new Path(dir)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val nE = VersionedDeltaState.stateCurrent(spark, dir)
+      .map(_.count()).getOrElse(0L)
+    val nT = TableVersions.readSmall(fs, new Path(vdir, CountFile))
+      .map(_.trim.toLong).getOrElse(0L)
     (nE, nT)
   }
 }

@@ -106,6 +106,40 @@ object VersionedDeltaState {
       .reduce(_.unionByName(_, allowMissingColumns = true)))
   }
 
+  /** The ANCHOR version directory for batch `beforeTag` — where a
+    * fold reads its aside payloads (running counts, sufficient-
+    * statistic tables committed next to the segment delta via
+    * [[append]]'s `aside` hook), so a replayed batch re-derives its
+    * state from exactly the pre-batch snapshot its first attempt saw.
+    */
+  def versionDirBefore(spark: SparkSession, root: String,
+                       beforeTag: Long): Option[Path] = {
+    val (fs, rootPath) = fsOf(spark, root)
+    anchor(fs, rootPath, beforeTag)
+      .map(v => TableVersions.dataDir(rootPath, v))
+  }
+
+  /** The newest committed version directory — where READERS (reports,
+    * counters) pick up the current aside payloads.
+    */
+  def currentVersionDir(spark: SparkSession, root: String): Option[Path] = {
+    val (fs, rootPath) = fsOf(spark, root)
+    TableVersions.committedVersions(fs, rootPath).lastOption
+      .map(v => TableVersions.dataDir(rootPath, v))
+  }
+
+  /** State as of the NEWEST commit (the union of its segments) — the
+    * reader-side companion to [[stateBefore]].
+    */
+  def stateCurrent(spark: SparkSession, root: String): Option[DataFrame] = {
+    val (fs, rootPath) = fsOf(spark, root)
+    val segs = TableVersions.committedVersions(fs, rootPath).lastOption
+      .map(v => readSegments(fs, rootPath, v)).getOrElse(Nil)
+    if (segs.isEmpty) None
+    else Some(segs.map(v => spark.read.parquet(segDir(rootPath, v).toString))
+      .reduce(_.unionByName(_, allowMissingColumns = true)))
+  }
+
   /** Commit one batch's delta: the new version's segment list is the
     * ANCHOR's list plus (if the delta has rows) the new version
     * itself. A replayed batch anchors to the same pre-batch snapshot
@@ -113,7 +147,8 @@ object VersionedDeltaState {
     * the first attempt's.
     */
   def append(spark: SparkSession, root: String, delta: DataFrame,
-             tag: Long, partitionCols: Seq[String] = Nil): Unit = {
+             tag: Long, partitionCols: Seq[String] = Nil,
+             aside: Path => Unit = _ => ()): Unit = {
     val (fs, rootPath) = fsOf(spark, root)
     val prior = anchor(fs, rootPath, tag)
       .map(v => readSegments(fs, rootPath, v)).getOrElse(Nil)
@@ -122,6 +157,10 @@ object VersionedDeltaState {
     val writer = delta.write.mode("overwrite")
     (if (partitionCols.nonEmpty) writer.partitionBy(partitionCols: _*)
      else writer).parquet(seg.toString)
+    // aside payloads (running counts, sufficient-statistic tables)
+    // land in the SAME pending dir so they commit atomically with the
+    // delta and replay-anchor with it
+    aside(pending.dir)
     // zero-row delta: carry the anchor's list forward instead of
     // growing it with an empty segment every idle batch. A
     // non-partitioned write of an empty frame still emits a
@@ -146,9 +185,11 @@ object VersionedDeltaState {
     */
   def consolidate(spark: SparkSession, root: String, upTo: Long,
                   merge: DataFrame => DataFrame = identity,
-                  partitionCols: Seq[String] = Nil): Unit = {
+                  partitionCols: Seq[String] = Nil,
+                  carry: (Path, Path) => Unit = (_, _) => ()): Unit = {
     val (fs, rootPath) = fsOf(spark, root)
-    val segs = anchor(fs, rootPath, upTo)
+    val anchorV = anchor(fs, rootPath, upTo)
+    val segs = anchorV
       .map(v => readSegments(fs, rootPath, v)).getOrElse(Nil)
     if (segs.size <= 1) return
     val merged = merge(
@@ -158,6 +199,10 @@ object VersionedDeltaState {
     val writer = merged.write.mode("overwrite")
     (if (partitionCols.nonEmpty) writer.partitionBy(partitionCols: _*)
      else writer).parquet(new Path(pending.dir, "seg").toString)
+    // aside payloads survive compaction: the anchor's are carried
+    // into the merged commit (it becomes the next batches' anchor)
+    anchorV.foreach(v =>
+      carry(TableVersions.dataDir(rootPath, v), pending.dir))
     writeSmall(fs, new Path(pending.dir, SegmentsFile),
       s"${pending.version}\n")
     writeSmall(fs, new Path(pending.dir, TagFile), (upTo - 1).toString)

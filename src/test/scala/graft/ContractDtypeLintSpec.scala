@@ -41,8 +41,12 @@ class ContractDtypeLintSpec extends AnyFunSuite {
   test("every contract query's output schema is driver-hashable") {
     val violations = SparkEntry.queries.toSeq.sortBy(_._1).flatMap {
       case (name, fn) =>
-        // .schema forces analysis only — no job runs, so the full
-        // 200+-query registry lints in seconds.
+        // .schema forces analysis, not execution, for the PLAN — but
+        // some registry entries (ann_ivfpq, ann_ivf_indexed) train and
+        // save an index inside the query CONSTRUCTOR before returning
+        // the DataFrame, so those few do run index-build jobs here.
+        // The builds are cached per JVM (computeIfAbsent), so the
+        // first-run cost lands once, on whichever spec asks first.
         val schema = fn(spark, sf).schema
         schema.fields.collect {
           case f if !hashable(f.dataType) =>

@@ -80,6 +80,35 @@ class StreamBm25RefreshSpec extends AnyFunSuite {
     assert(run(dir) == run(fullDir) && run(dir).nonEmpty)
   }
 
+  test("replayed consolidation reclaims crash leftovers below the compact floor") {
+    val dir = Files.createTempDirectory("sbm25_crash").toString
+    Bm25Index.build(docs.filter($"doc_id" % 2 === 0), "doc_id", "text", dir)
+    (0 until 4).foreach { b =>
+      StreamBm25Refresh.applyBatch(docs.filter($"doc_id" % 8 === 2 * b + 1),
+        "doc_id", "text", dir, b.toLong, compactEvery = 2)
+    }
+    // first attempt of the consolidating batch: writes compact_3,
+    // sweeps, folds an empty delta
+    StreamBm25Refresh.applyBatch(docs.filter($"doc_id" < 0),
+      "doc_id", "text", dir, 4L, compactEvery = 2)
+    // simulate a crash between writing compact_3 and sweeping: a
+    // stale batch dir below the floor reappears (its content is
+    // already merged — queries ignore it, but disk leaks)
+    val stale = new java.io.File(s"$dir/delta/batch_0")
+    assert(stale.mkdir(), "stale dir should be re-creatable")
+    java.nio.file.Files.write(stale.toPath.resolve("leftover"),
+      "x".getBytes)
+    val before = run(dir)
+    // REPLAY of the consolidating batch: the compact is the single
+    // visible root (the pre-fix early return leaked the stale dir
+    // until the NEXT compaction); its completion marker gates an
+    // idempotent sweep of the leftovers
+    StreamBm25Refresh.applyBatch(docs.filter($"doc_id" < 0),
+      "doc_id", "text", dir, 4L, compactEvery = 2)
+    assert(!stale.exists(), "crash leftover below the floor must be swept")
+    assert(run(dir) == before)
+  }
+
   test("real foreachBatch stream over doc files == one-shot build") {
     val in = Files.createTempDirectory("sbm25_in").toString
     docs.filter($"doc_id" % 3 === 1).write.parquet(s"$in/b1")

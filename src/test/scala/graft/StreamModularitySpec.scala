@@ -10,7 +10,8 @@ import graft.streaming.StreamModularity
 
 /** Streaming modularity maintenance: batched folds == one-shot batch
   * operator (exact, including the rounded contribution), replay
-  * no-op, missing-endpoint refusal, real foreachBatch stream.
+  * no-op, missing-endpoint refusal, append-only O(|batch|) commits,
+  * real foreachBatch stream.
   */
 class StreamModularitySpec extends AnyFunSuite {
 
@@ -30,9 +31,9 @@ class StreamModularitySpec extends AnyFunSuite {
   test("3 streamed batches == one-shot batch modularity; replay is a no-op") {
     val dir = Files.createTempDirectory("smod").toString
     val batches = Seq(allEdges.take(3), allEdges.slice(3, 5), allEdges.drop(5))
-    batches.foreach { b =>
+    batches.zipWithIndex.foreach { case (b, i) =>
       StreamModularity.applyBatch(b.toDF("a", "b"), "a", "b",
-        assign, "node", "community", dir)
+        assign, "node", "community", dir, batchId = i.toLong)
     }
     val got = norm(StreamModularity.report(spark, dir, assign, "node", "community"))
     val want = norm(GraphOps.modularity(allEdges.toDF("a", "b"), "a", "b",
@@ -41,19 +42,75 @@ class StreamModularitySpec extends AnyFunSuite {
     // the empty community is visible with zero mass
     assert(got.exists(r => r._1 == "empty" && r._3 == 0L && r._4 == 0L))
 
-    // replayed + reversed-duplicate batch: zero new edges, same report
+    // at-least-once redelivery of the LATEST batch (the only batch a
+    // checkpointed stream ever re-runs): anchors to its first
+    // attempt's pre-batch snapshot, re-derives the same stats,
+    // supersedes — same report
     StreamModularity.applyBatch(
-      batches(1).map(_.swap).toDF("a", "b"), "a", "b",
-      assign, "node", "community", dir)
+      batches(2).toDF("a", "b"), "a", "b",
+      assign, "node", "community", dir, batchId = 2L)
     assert(norm(StreamModularity.report(spark, dir, assign,
       "node", "community")) == got)
+    // reversed duplicates under a NEW batch id: zero new edges
+    StreamModularity.applyBatch(
+      batches(1).map(_.swap).toDF("a", "b"), "a", "b",
+      assign, "node", "community", dir, batchId = 3L)
+    assert(norm(StreamModularity.report(spark, dir, assign,
+      "node", "community")) == got)
+  }
+
+  test("a fold appends O(|batch|): pre-existing state files survive byte-identical") {
+    val dir = Files.createTempDirectory("smodb").toString
+    def stamps: Map[String, Long] = {
+      val p = new org.apache.hadoop.fs.Path(dir)
+      val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+      val it = fs.listFiles(p, true)
+      val buf = scala.collection.mutable.Map.empty[String, Long]
+      while (it.hasNext) {
+        val f = it.next()
+        if (f.isFile && f.getPath.getName.endsWith(".parquet") &&
+            f.getPath.toString.contains("/seg/"))
+          buf += f.getPath.toString -> f.getModificationTime
+      }
+      buf.toMap
+    }
+    StreamModularity.applyBatch(allEdges.take(5).toDF("a", "b"), "a", "b",
+      assign, "node", "community", dir, batchId = 0L)
+    val before = stamps
+    assert(before.nonEmpty)
+    StreamModularity.applyBatch(allEdges.drop(5).toDF("a", "b"), "a", "b",
+      assign, "node", "community", dir, batchId = 1L)
+    val after = stamps
+    // the commit wrote only the batch's own edge delta, never the
+    // full edge list (the BucketedCdcState byte-identity convention)
+    before.foreach { case (path, mtime) =>
+      assert(after.contains(path), s"pre-existing state file deleted: $path")
+      assert(after(path) == mtime, s"pre-existing state file rewritten: $path")
+    }
+    assert((after.keySet -- before.keySet).nonEmpty)
+  }
+
+  test("consolidation keeps the report exact") {
+    val dir = Files.createTempDirectory("smodc").toString
+    val batches = Seq(allEdges.take(2), allEdges.slice(2, 4),
+      allEdges.slice(4, 6), allEdges.drop(6))
+    batches.zipWithIndex.foreach { case (b, i) =>
+      StreamModularity.applyBatch(b.toDF("a", "b"), "a", "b",
+        assign, "node", "community", dir, batchId = i.toLong,
+        compactEvery = 2)
+    }
+    val got = norm(StreamModularity.report(spark, dir, assign,
+      "node", "community"))
+    val want = norm(GraphOps.modularity(allEdges.toDF("a", "b"), "a", "b",
+      assign, "node", "community"))
+    assert(got == want)
   }
 
   test("an edge endpoint missing from the assignment refuses") {
     val dir = Files.createTempDirectory("smod_ref").toString
     val e = intercept[IllegalArgumentException] {
       StreamModularity.applyBatch(Seq((1L, 77L)).toDF("a", "b"), "a", "b",
-        assign, "node", "community", dir)
+        assign, "node", "community", dir, batchId = 0L)
     }
     assert(e.getMessage.contains("missing from the assignment"))
   }
