@@ -72,13 +72,19 @@ object PqIndex {
     */
   def train(base: DataFrame, idCol: String, vecCol: String,
             numSub: Int = 8, codesPerSub: Int = 16,
-            iters: Int = 2): Model = {
+            iters: Int = 2, normalizeInput: Boolean = true): Model = {
     GraftFunctions.register(base.sparkSession)
     val probe = base.select(size(col(vecCol))).head().getInt(0)
     require(probe % numSub == 0,
       s"dim $probe not divisible by numSub $numSub")
     val subDim = probe / numSub
-    val vecs = base.select(col(idCol).as("id"), normalized(col(vecCol)).as("v"))
+    // normalizeInput = false: the input is already in score space
+    // (e.g. IVFADC residuals, which must NOT be re-normalized — the
+    // reconstruction centroid + residual depends on their magnitude)
+    val prep =
+      if (normalizeInput) normalized(col(vecCol))
+      else transform(col(vecCol), _.cast("double"))
+    val vecs = base.select(col(idCol).as("id"), prep.as("v"))
       .cache() // re-scanned per subspace iteration
     try {
       val codebooks = (0 until numSub).map { s =>
@@ -111,18 +117,22 @@ object PqIndex {
     * (tinyint is signed).
     */
   def encode(base: DataFrame, idCol: String, vecCol: String,
-             model: Model): DataFrame = {
+             model: Model, normalizeInput: Boolean = true): DataFrame = {
     GraftFunctions.register(base.sparkSession)
-    base.select(col(idCol), codesExpr(col(vecCol), model).as("codes"))
+    base.select(col(idCol),
+      codesExpr(col(vecCol), model, normalizeInput).as("codes"))
   }
 
   /** The code array as a column expression (normalize → per-subspace
     * argmin), so composing indexes ([[IvfPqIndex]]) can encode inside
     * an existing projection instead of via a join.
     */
-  private[operators] def codesExpr(vecCol: Column, model: Model): Column = {
+  private[operators] def codesExpr(vecCol: Column, model: Model,
+                                   normalizeInput: Boolean = true): Column = {
     require(model.codesPerSub <= 128, "codesPerSub > 128 does not fit tinyint")
-    val v = normalized(vecCol)
+    val v =
+      if (normalizeInput) normalized(vecCol)
+      else transform(vecCol, _.cast("double"))
     array((0 until model.numSub).map(s =>
       nearestCode(subvector(v, s, model.subDim), model.codebooks(s))
         .cast("tinyint")): _*)

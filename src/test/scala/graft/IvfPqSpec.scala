@@ -62,6 +62,97 @@ class IvfPqSpec extends AnyFunSuite {
     assert(m2.pq.codebooks == model.pq.codebooks)
   }
 
+  test("residual variant: reconstruction gain at equal code size; cosine-recall limit pinned; roundtrip + refresh parity") {
+    // the by_residual regime: a corpus with real cluster structure —
+    // push each vector strongly along one of 4 one-hot directions
+    // chosen by vec_id, so the list mean explains most of each vector
+    // and residuals concentrate near 0
+    val clustered = emb.select($"vec_id",
+      transform($"embedding",
+        (x, i) => x.cast("double") +
+          when(i === ($"vec_id" % 4) * 16, lit(6.0)).otherwise(lit(0.0)))
+        .as("embedding"))
+      .localCheckpoint(true)
+    val vn = clustered.select($"vec_id".as("base_id"),
+      transform($"embedding", x => x / sqrt(aggregate(
+        transform($"embedding", y => y * y), lit(0.0), (a, b) => a + b)))
+        .as("vn"))
+      .collect().map(r => r.getLong(0) -> r.getSeq[Double](1)).toMap
+    // end-to-end reconstruction MSE through the SAVED index: how well
+    // shift + codebook[codes] reproduces v̂ (direct: shift = 0)
+    def reconMse(byResidual: Boolean): (Double, String) = {
+      val model = IvfPqIndex.train(clustered, "vec_id", "embedding",
+        numCentroids = 8, numSub = 8, codesPerSub = 64, iters = 2,
+        byResidual = byResidual)
+      val dir = Files.createTempDirectory(s"ivfpq_res_$byResidual").toString
+      IvfPqIndex.save(clustered, "vec_id", "embedding", model, dir)
+      // variant + shifts persist with the index
+      val loaded = IvfPqIndex.load(spark, dir)
+      assert(loaded.byResidual == byResidual)
+      if (byResidual) assert(loaded.shifts.size == 8)
+      val lists = spark.read.parquet(s"$dir/lists").limit(800).collect()
+      var tot = 0.0; var n = 0
+      lists.foreach { r =>
+        val id = r.getAs[Long]("base_id")
+        val codes = r.getAs[scala.collection.Seq[Byte]]("codes")
+        val c = r.getAs[Int]("c")
+        val shift =
+          if (byResidual) model.shifts(c)
+          else Seq.fill(model.pq.numSub * model.pq.subDim)(0.0)
+        val recon = (0 until model.pq.numSub).flatMap(s =>
+          model.pq.codebooks(s)(codes(s).toInt))
+        val v = vn(id)
+        tot += v.indices.map { i =>
+          val d = v(i) - (shift(i) + recon(i)); d * d }.sum
+        n += 1
+      }
+      (tot / n, dir)
+    }
+    val (mseDirect, _) = reconMse(byResidual = false)
+    val (mseResidual, resDir) = reconMse(byResidual = true)
+    // the Jégou §V equal-code-size claim, measured: residual codes
+    // reproduce the vector with LESS error than direct codes
+    assert(mseResidual < mseDirect,
+      s"residual recon MSE $mseResidual must beat direct $mseDirect")
+
+    // the honest cosine-recall limit (see the operator scaladoc): the
+    // reconstruction gain does NOT translate to cosine recall here —
+    // normalized queries weight the coarse direction ~1 and the
+    // discriminating dims ~1/|v| while k-means MSE is unweighted, so
+    // direct spends codes exactly where queries look (the ScaNN
+    // anisotropy observation; Faiss defaults by_residual=false for
+    // IP). Pin: residual recall stays in the same band, no collapse.
+    def recallOf(dirIdx: String): Double = {
+      val exact = Similarity.bruteForceTopK(clustered,
+          clustered.filter($"vec_id" < 20), "vec_id", "embedding", k = 5)
+        .select("query_id", "base_id").as[(Long, Long)].collect().toSet
+      val got = IvfPqIndex.topK(spark, dirIdx,
+          clustered.filter($"vec_id" < 20),
+          "vec_id", "embedding", k = 5, nProbe = 8)
+        .select("query_id", "base_id").as[(Long, Long)].collect().toSet
+      (exact & got).size.toDouble / exact.size
+    }
+    val recallRes = recallOf(resDir)
+    // measured 0.13 (deterministic) — 50x over the 5/2000 chance
+    // floor, in the same band as direct's within-cluster recall
+    assert(recallRes >= 0.1, s"residual cosine recall collapsed: $recallRes")
+
+    // append-only refresh under the residual model == save(full)
+    val model = IvfPqIndex.train(emb, "vec_id", "embedding",
+      numCentroids = 8, numSub = 8, codesPerSub = 64, iters = 2,
+      byResidual = true)
+    val half = Files.createTempDirectory("ivfpq_res_half").toString
+    IvfPqIndex.save(emb.filter($"vec_id" % 2 === 0), "vec_id", "embedding",
+      model, half)
+    IvfPqIndex.refresh(emb.filter($"vec_id" % 2 === 1), "vec_id",
+      "embedding", half)
+    val full = Files.createTempDirectory("ivfpq_res_full").toString
+    IvfPqIndex.save(emb, "vec_id", "embedding", model, full)
+    def rows(d: String) = search(d)
+      .as[(Long, Long, Long, Double)].collect().toSet
+    assert(rows(half) == rows(full) && rows(full).nonEmpty)
+  }
+
   test("probing all lists == flat PQ over the same codes (pruning loses nothing)") {
     val model = IvfPqIndex.train(emb, "vec_id", "embedding",
       numCentroids = 8, numSub = 8, codesPerSub = 64, iters = 2)
