@@ -686,6 +686,56 @@ object GraphOps {
           .otherwise(lit(null).cast("double")).as("conductance"))
   }
 
+  /** LINK PREDICTION by common-neighbor counting — the classic
+    * structural-similarity candidate generator (Liben-Nowell &
+    * Kleinberg 2003): for every NON-adjacent pair (a, b) sharing at
+    * least one neighbor, report |N(a) ∩ N(b)| and the exact-integer
+    * Jaccard share |N(a)∩N(b)|·10⁶ DIV |N(a)∪N(b)| (the q85/PMI
+    * no-float ranking convention — log-weighted variants like
+    * Adamic–Adar would hang cross-engine hashes on ln ulps).
+    *
+    * Plan shape: wedges enumerate at their CENTER (each 2-path a–c–b
+    * counted once via a < b), one aggregate to (a, b, cn), one
+    * left-anti join removes existing edges, degrees broadcast back,
+    * heap-based top-k — never a window sort. Wedge volume is
+    * Σ_c deg(c)², the [[triangleCount]] cost class; inputs are the
+    * same dimension-sized co-occurrence graphs (a social-scale hub
+    * would need a degree cap — out of contract, documented).
+    *
+    * @return top-k rows (x, y, common, jaccard_ppm, deg_x, deg_y)
+    *         ordered by (common desc, jaccard_ppm desc, x, y)
+    */
+  def commonNeighborLinks(edgesIn: DataFrame, aCol: String, bCol: String,
+                          k: Int = 20): DataFrame = {
+    val canon = edgesIn
+      .select(least(col(aCol), col(bCol)).cast("long").as("x"),
+        greatest(col(aCol), col(bCol)).cast("long").as("y"))
+      .filter(col("x") =!= col("y"))
+      .distinct()
+      .localCheckpoint(true) // wedges + anti-join + degrees
+    val sym = canon.unionAll(canon.select(col("y").as("x"), col("x").as("y")))
+    val deg = sym.groupBy(col("x").as("node"))
+      .agg(count(lit(1)).cast("bigint").as("deg"))
+    // wedges at their center: neighbor pairs (a < b) of each c
+    val cn = sym.select(col("x").as("c"), col("y").as("a"))
+      .join(sym.select(col("x").as("c"), col("y").as("b")), Seq("c"))
+      .filter(col("a") < col("b"))
+      .groupBy(col("a").as("x"), col("b").as("y"))
+      .agg(count(lit(1)).cast("bigint").as("common"))
+      .join(canon, Seq("x", "y"), "left_anti") // candidates only
+      .join(deg.select(col("node").as("x"), col("deg").as("deg_x")), Seq("x"))
+      .join(deg.select(col("node").as("y"), col("deg").as("deg_y")), Seq("y"))
+      .select(col("x"), col("y"), col("common"),
+        expr("common * 1000000 DIV (deg_x + deg_y - common)")
+          .cast("bigint").as("jaccard_ppm"),
+        col("deg_x"), col("deg_y"))
+    // global top-k: sort+limit plans to TakeOrderedAndProject (the
+    // partial+final heap), never a full sort
+    cn.orderBy(col("common").desc, col("jaccard_ppm").desc,
+        col("x"), col("y"))
+      .limit(k)
+  }
+
   /** Modularity-guided COMMUNITY DETECTION — deterministic Louvain-
     * family local-move refinement (Blondel et al. 2008 over the
     * Newman–Girvan 2004 objective): the assignment half that SURVIVES

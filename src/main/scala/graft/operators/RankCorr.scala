@@ -69,6 +69,113 @@ object RankCorr {
       .select(col("g"), col(vc),
         (lit(2) * col("below") + col("cnt") + lit(1)).cast("bigint").as("m2"))
 
+  /** Per-group WILCOXON SIGNED-RANK test — the non-parametric PAIRED
+    * two-sample location test (Wilcoxon 1945; the paired complement
+    * to the Welch/CUPED unpaired family): rank the |d| of the
+    * non-zero paired differences with midrank ties, W+ = Σ ranks of
+    * the positive differences, z = (W+ − n(n+1)/4) / sqrt(var) with
+    * the standard tie-corrected variance
+    * var = [2n(n+1)(2n+1) − Σ_t (t³−t)] / 48.
+    *
+    * EXACT: the count table is per-(group, |d|) with positive-side
+    * counts riding along; midranks are the DOUBLED integers of
+    * [[cumFromCounts]], so 2·W+ = Σ cells posCnt·m2 is an exact
+    * DECIMAL sum, and 48·var is an exact integer — z is the ONE
+    * double formula, shared verbatim with the oracle, rounded to 6.
+    * Zero differences are dropped per the standard definition.
+    *
+    * Scale shape: one row-scale aggregate to the |d| count table,
+    * then everything is value-cardinality (the [[RobustStats]]
+    * discipline) — never a row-scale window.
+    *
+    * @param dCol integral paired difference (cents convention)
+    * @return (groupCol, n, w2_plus = 2·W+, z) per group with ≥1
+    *         non-zero difference
+    */
+  def wilcoxonSignedRank(df: DataFrame, groupCol: String,
+                         dCol: String): DataFrame = {
+    val cells = df.select(col(groupCol).as("g"),
+        col(dCol).cast("long").as("d"))
+      .filter(col("d") =!= 0L)
+      .groupBy(col("g"), abs(col("d")).as("ad"))
+      .agg(count(lit(1)).as("cnt"),
+        sum(when(col("d") > 0, 1L).otherwise(0L)).as("pos"))
+      .localCheckpoint(true) // feeds the rank pass and the final agg
+    val m2 = cumFromCounts(cells.select(col("g"), col("ad"), col("cnt")), "ad")
+      .select(col("g"), col("ad"),
+        (lit(2) * col("below") + col("cnt") + lit(1)).cast("long").as("m2"))
+    def dec(c: Column): Column = c.cast("decimal(38,0)")
+    val agg = cells.join(m2, Seq("g", "ad"))
+      .groupBy(col("g"))
+      .agg(sum(col("cnt")).cast("bigint").as("n"),
+        sum(dec(col("pos")) * dec(col("m2"))).cast("decimal(38,0)").as("w2"),
+        sum(dec(col("cnt")) * dec(col("cnt")) * dec(col("cnt"))
+          - dec(col("cnt"))).cast("decimal(38,0)").as("t3t"))
+    agg.select(col("g").as(groupCol), col("n"),
+      col("w2").cast("bigint").as("w2_plus"),
+      round((lit(2).cast("decimal(38,0)") * col("w2")
+        - dec(col("n")) * dec(col("n") + 1)).cast("double") /
+        (lit(4.0) * sqrt(
+          (dec(lit(2)) * dec(col("n")) * dec(col("n") + 1)
+            * dec(lit(2) * col("n") + 1) - col("t3t"))
+            .cast("double") / lit(48.0))), 6).as("z"))
+  }
+
+  /** Per-group KENDALL τ-b between two BOUNDED-CARDINALITY ordinal
+    * columns (Kendall 1938 with the τ-b tie correction) — the
+    * pair-concordance association metric next to [[spearman]]'s
+    * midrank form; τ-b is the one that stays meaningful under heavy
+    * ties, which is exactly the bounded-ordinal regime.
+    *
+    * EXACT pair algebra on the per-(group, x, y) JOINT COUNT TABLE:
+    * S = Σ_{cells i≠j} n_i·n_j·sign((x_i−x_j)(y_i−y_j)) = 2(C − D)
+    * via a within-group self-join of the CELL table — pair volume is
+    * cardinality², NEVER rows² (the calendar-bounded q112/q117
+    * discipline: |x-values|·|y-values| cells per group regardless of
+    * corpus size). Tie masses n(n−1) − Σ_x t_x(t_x−1) and the y twin
+    * are exact integer marginal sums; τ-b is the ONE double division
+    * rounded to 6, null when either margin is fully tied.
+    *
+    * @return (groupCol, n, s = 2(C−D), tau_b)
+    */
+  def kendallTauB(df: DataFrame, groupCol: String, xCol: String,
+                  yCol: String): DataFrame = {
+    val cells = df.select(col(groupCol).as("g"),
+        col(xCol).cast("long").as("x"), col(yCol).cast("long").as("y"))
+      .groupBy(col("g"), col("x"), col("y"))
+      .agg(count(lit(1)).as("cnt"))
+      .localCheckpoint(true) // self-join + two marginals + n
+    def dec(c: Column): Column = c.cast("decimal(38,0)")
+    val s = cells.as("a").join(cells.as("b"),
+        col("a.g") === col("b.g") &&
+          (col("a.x") =!= col("b.x") || col("a.y") =!= col("b.y")))
+      .groupBy(col("a.g").as("g"))
+      .agg(sum(dec(col("a.cnt")) * dec(col("b.cnt")) *
+        signum((col("a.x") - col("b.x")).cast("double")).cast("int") *
+        signum((col("a.y") - col("b.y")).cast("double")).cast("int"))
+        .cast("decimal(38,0)").as("s"))
+    val tx = cells.groupBy(col("g"), col("x"))
+      .agg(sum(col("cnt")).as("t"))
+      .groupBy(col("g"))
+      .agg(sum(dec(col("t")) * (dec(col("t")) - 1)).cast("decimal(38,0)").as("tx"))
+    val ty = cells.groupBy(col("g"), col("y"))
+      .agg(sum(col("cnt")).as("t"))
+      .groupBy(col("g"))
+      .agg(sum(dec(col("t")) * (dec(col("t")) - 1)).cast("decimal(38,0)").as("ty"))
+    val n = cells.groupBy(col("g")).agg(sum(col("cnt")).cast("bigint").as("n"))
+    n.join(s, Seq("g"), "left").join(tx, Seq("g")).join(ty, Seq("g"))
+      .select(col("g").as(groupCol), col("n"),
+        coalesce(col("s"), lit(0).cast("decimal(38,0)"))
+          .cast("bigint").as("s"),
+        when(dec(col("n")) * (dec(col("n")) - 1) - col("tx") > 0 &&
+          dec(col("n")) * (dec(col("n")) - 1) - col("ty") > 0,
+          round(coalesce(col("s"), lit(0).cast("decimal(38,0)")).cast("double") /
+            sqrt((dec(col("n")) * (dec(col("n")) - 1) - col("tx")).cast("double")
+              * (dec(col("n")) * (dec(col("n")) - 1) - col("ty")).cast("double")),
+            6))
+          .otherwise(lit(null).cast("double")).as("tau_b"))
+  }
+
   /** Per-group Spearman ρ between two integral columns (scale
     * decimals to integer units first — the cents convention).
     *
