@@ -154,13 +154,154 @@ object Advanced6 {
       |JOIN deg dy ON cand.y = dy.node
       |ORDER BY common DESC, jaccard_ppm DESC, x, y LIMIT 20""".stripMargin
 
+  /** Per-customer reorder gaps with right censoring at the corpus
+    * end — the classic churn observation set: every consecutive
+    * order pair is an observed "reordered after t days" event; the
+    * window from the last order to the corpus end is a CENSORED
+    * observation ("no reorder for at least t days"). Shared by q151
+    * (Kaplan–Meier) and q152 (log-rank).
+    */
+  private def reorderGaps(s: SparkSession, d: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val o = orders(s, d).select(col("o_custkey").as("ck"),
+      col("o_orderdate").as("dt"))
+    val endD = o.agg(max(col("dt")).as("endd"))
+    val w = Window.partitionBy(col("ck")).orderBy(col("dt"))
+    o.withColumn("nxt", lead(col("dt"), 1).over(w))
+      .crossJoin(broadcast(endD))
+      .join(customer(s, d).select(col("c_custkey").as("ck"),
+        col("c_mktsegment").as("seg")), Seq("ck"))
+      .select(col("seg"),
+        when(col("nxt").isNotNull, datediff(col("nxt"), col("dt")))
+          .otherwise(datediff(col("endd"), col("dt")))
+          .cast("long").as("t"),
+        when(col("nxt").isNotNull, 1).otherwise(0).as("e"))
+  }
+
+  private val gapsSql: String =
+    """o AS (SELECT o_custkey AS ck, o_orderdate AS dt FROM orders),
+      |mx AS (SELECT MAX(dt) AS endd FROM o),
+      |g AS (SELECT ck, dt,
+      |        LEAD(dt) OVER (PARTITION BY ck ORDER BY dt) AS nxt FROM o),
+      |obs AS (SELECT c_mktsegment AS seg,
+      |        CAST(CASE WHEN nxt IS NOT NULL THEN date_diff('day', dt, nxt)
+      |             ELSE date_diff('day', dt, endd) END AS BIGINT) AS t,
+      |        CASE WHEN nxt IS NOT NULL THEN 1 ELSE 0 END AS e
+      |      FROM g, mx JOIN customer ON c_custkey = ck)""".stripMargin
+
+  // ---- q151: Kaplan–Meier reorder-gap survival per market segment —
+  //      time-to-event under RIGHT CENSORING (the family no moment or
+  //      rank statistic covers: a censored gap says "no reorder for
+  //      AT LEAST t days"; dropping it biases churn estimates). Risk
+  //      sets n(t) = N − #{time < t} exact integers off the shared
+  //      cumulative-count machinery; the product Π(1 − d/n) is the
+  //      ONE sequential double fold, driver-side in ascending (seg,
+  //      t) — the same multiply order as the oracle's windowed
+  //      product() — rounded 9. ----
+  val q151KaplanMeier: Q = (s, d) =>
+    graft.operators.Survival.kaplanMeier(reorderGaps(s, d), "seg", "t", "e")
+      .orderBy(col("seg"), col("t"))
+
+  val q151Oracle: String =
+    s"""WITH $gapsSql,
+      |counts AS (SELECT seg, t, CAST(SUM(e) AS BIGINT) AS d,
+      |        CAST(COUNT(*) AS BIGINT) AS cnt FROM obs GROUP BY 1, 2),
+      |ng AS (SELECT seg, SUM(cnt) AS n_g FROM counts GROUP BY 1),
+      |below AS (SELECT seg, t, d,
+      |        SUM(cnt) OVER (PARTITION BY seg ORDER BY t
+      |          ROWS UNBOUNDED PRECEDING) - cnt AS below
+      |      FROM counts),
+      |steps AS (SELECT seg, t, CAST(n_g - below AS BIGINT) AS n_risk, d
+      |      FROM below JOIN ng USING (seg) WHERE d > 0)
+      |SELECT seg, t, n_risk, d,
+      |  round(product(1.0 - CAST(d AS DOUBLE) / n_risk)
+      |    OVER (PARTITION BY seg ORDER BY t ROWS UNBOUNDED PRECEDING), 9)
+      |    AS survival
+      |FROM steps ORDER BY seg, t""".stripMargin
+
+  // ---- q152: two-sample LOG-RANK test, BUILDING vs MACHINERY
+  //      reorder-gap survival — "do these segments churn at the same
+  //      rate?" with censoring handled correctly. Fully distributed
+  //      deterministic algebra: per pooled event time, E and V are
+  //      single exact integral divisions FLOORED AT PPM
+  //      (DECIMAL(38,0) products, DIV == the oracle's HUGEINT //),
+  //      so the sums are order-free exact integers; z is the ONE
+  //      double formula rounded 6. ----
+  val q152LogRank: Q = (s, d) =>
+    graft.operators.Survival.logRank(
+      reorderGaps(s, d).filter(col("seg").isin("BUILDING", "MACHINERY")),
+      "seg", "t", "e", groupA = "BUILDING")
+
+  val q152Oracle: String =
+    s"""WITH $gapsSql,
+      |obs2 AS (SELECT * FROM obs WHERE seg IN ('BUILDING', 'MACHINERY')),
+      |counts AS (SELECT seg, t, CAST(SUM(e) AS BIGINT) AS d,
+      |        CAST(COUNT(*) AS BIGINT) AS cnt FROM obs2 GROUP BY 1, 2),
+      |axis AS (SELECT DISTINCT t FROM counts),
+      |segs AS (SELECT DISTINCT seg FROM counts),
+      |filled AS (SELECT seg, t, COALESCE(d, 0) AS d, COALESCE(cnt, 0) AS cnt
+      |      FROM (SELECT * FROM axis CROSS JOIN segs)
+      |      LEFT JOIN counts USING (seg, t)),
+      |ng AS (SELECT seg, SUM(cnt) AS n_g FROM filled GROUP BY 1),
+      |below AS (SELECT seg, t, d,
+      |        SUM(cnt) OVER (PARTITION BY seg ORDER BY t
+      |          ROWS UNBOUNDED PRECEDING) - cnt AS below
+      |      FROM filled),
+      |pg AS (SELECT seg, t, d, CAST(n_g - below AS BIGINT) AS n_risk
+      |      FROM below JOIN ng USING (seg)),
+      |bt AS (SELECT t,
+      |        SUM(CASE WHEN seg = 'BUILDING' THEN d ELSE 0 END) AS d_a,
+      |        SUM(CASE WHEN seg <> 'BUILDING' THEN d ELSE 0 END) AS d_b,
+      |        SUM(CASE WHEN seg = 'BUILDING' THEN n_risk ELSE 0 END) AS n_a,
+      |        SUM(CASE WHEN seg <> 'BUILDING' THEN n_risk ELSE 0 END) AS n_b
+      |      FROM pg GROUP BY 1 HAVING SUM(d) > 0),
+      |terms AS (SELECT d_a,
+      |        CAST(n_a AS HUGEINT) * (d_a + d_b) * 1000000
+      |          // CAST(n_a + n_b AS HUGEINT) AS e_ppm,
+      |        CASE WHEN n_a + n_b > 1 THEN
+      |          CAST(d_a + d_b AS HUGEINT) * n_a * n_b
+      |            * (n_a + n_b - d_a - d_b) * 1000000
+      |            // (CAST(n_a + n_b AS HUGEINT) * (n_a + n_b)
+      |              * (n_a + n_b - 1))
+      |        ELSE 0 END AS v_ppm
+      |      FROM bt),
+      |agg AS (SELECT CAST(SUM(d_a) AS BIGINT) AS o_a,
+      |        CAST(SUM(e_ppm) AS BIGINT) AS e_a_ppm,
+      |        CAST(SUM(v_ppm) AS BIGINT) AS var_a_ppm FROM terms)
+      |SELECT o_a, e_a_ppm, var_a_ppm,
+      |  CASE WHEN var_a_ppm > 0 THEN
+      |    round((CAST(o_a AS DOUBLE) - CAST(e_a_ppm AS DOUBLE) / 1000000.0)
+      |      / sqrt(CAST(var_a_ppm AS DOUBLE) / 1000000.0), 6)
+      |  ELSE NULL END AS z
+      |FROM agg""".stripMargin
+
+  // ---- q153 (rows-only — PAV pooling is inherently sequential, no
+  //      SQL form): isotonic calibration of P(return | quantity) —
+  //      the monotone step-function fit that turns a ranking score
+  //      into calibrated probabilities, blocks chosen by the data
+  //      (vs q104's fixed bins). Exact: per-score count table, PAV
+  //      violator comparisons as BigInt cross-multiplications, ONE
+  //      rate division per block rounded 9. ----
+  val q153Isotonic: Q = (s, d) => {
+    val li = lineitem(s, d).select(
+      col("l_quantity").cast("long").as("qty"),
+      when(col("l_returnflag") === "R", 1).otherwise(0).as("ret"))
+    graft.operators.Isotonic.calibrate(li, "qty", "ret")
+      .orderBy(col("score_lo"))
+  }
+
   val queries: Map[String, Q] = Map(
     "q148_wilcoxon" -> q148Wilcoxon,
     "q149_kendall" -> q149Kendall,
-    "q150_link_prediction" -> q150LinkPrediction)
+    "q150_link_prediction" -> q150LinkPrediction,
+    "q151_kaplan_meier" -> q151KaplanMeier,
+    "q152_log_rank" -> q152LogRank,
+    "q153_isotonic" -> q153Isotonic)
 
   val oracles: Map[String, String] = Map(
     "q148_wilcoxon" -> q148Oracle,
     "q149_kendall" -> q149Oracle,
-    "q150_link_prediction" -> q150Oracle)
+    "q150_link_prediction" -> q150Oracle,
+    "q151_kaplan_meier" -> q151Oracle,
+    "q152_log_rank" -> q152Oracle)
 }
