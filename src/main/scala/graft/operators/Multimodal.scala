@@ -694,6 +694,98 @@ object Multimodal {
       .toDF("doc_id", "sample_rate", "channels", "duration_s", "rms", "zcr", "peak")
   }
 
+  /** JPEG header facts from the first SOF frame marker. */
+  case class JpegInfo(doc_id: Long, width: Int, height: Int,
+                      components: Int, progressive: Boolean)
+
+  /** REAL JPEG header PROBE — dimensions, component count and the
+    * progressive flag from the marker stream (ITU T.81 §B): walk
+    * FF-prefixed segments (fill bytes tolerated, standalone markers
+    * skipped) to the first SOF frame header (C0–CF except C4 DHT /
+    * C8 JPG / CC DAC), whose payload is
+    * [precision][height:2][width:2][ncomponents]. Entropy DECODE
+    * stays out of scope (needs a codec library — absent, the
+    * documented stub), but the metadata probe is pure byte math:
+    * exactly the width/height/progressive facts a corpus pipeline
+    * filters and bins on. None on anything malformed (no SOI, EOI or
+    * SOS before a SOF, truncated or undersized segments).
+    */
+  def jpegInfo(row: MediaRow): Option[JpegInfo] = {
+    val p = row.payload
+    def u8(i: Int): Int = p(i) & 0xFF
+    def be16(i: Int): Int = (u8(i) << 8) | u8(i + 1)
+    if (p.length < 4 || u8(0) != 0xFF || u8(1) != 0xD8) return None
+    var off = 2
+    while (off + 1 < p.length) {
+      if (u8(off) != 0xFF) return None
+      var mOff = off + 1
+      while (mOff < p.length && u8(mOff) == 0xFF) mOff += 1 // fill bytes
+      if (mOff >= p.length) return None
+      val m = u8(mOff)
+      if (m == 0x01 || (m >= 0xD0 && m <= 0xD8)) off = mOff + 1
+      else if (m == 0xD9 || m == 0xDA) return None // EOI/SOS before SOF
+      else {
+        if (mOff + 2 >= p.length) return None
+        val len = be16(mOff + 1)
+        if (len < 2 || mOff + 1 + len > p.length) return None
+        val isSof = m >= 0xC0 && m <= 0xCF &&
+          m != 0xC4 && m != 0xC8 && m != 0xCC
+        if (isSof) {
+          if (len < 8) return None
+          return Some(JpegInfo(row.doc_id, be16(mOff + 6), be16(mOff + 4),
+            u8(mOff + 8),
+            progressive = m == 0xC2 || m == 0xC6 || m == 0xCA || m == 0xCE))
+        }
+        off = mOff + 1 + len
+      }
+    }
+    None
+  }
+
+  /** Batch JPEG probe — the [[decodeAudioBatch]] shape: typed rows
+    * through mapPartitions, undecodables dropped.
+    */
+  def jpegProbeBatch(spark: SparkSession, df: DataFrame,
+                     idCol: String, payloadCol: String): DataFrame = {
+    import spark.implicits._
+    df.select(col(idCol).cast("long").as("doc_id"),
+        col(payloadCol).as("payload"))
+      .as[MediaRow]
+      .mapPartitions(_.flatMap(r => jpegInfo(r).map(i =>
+        (i.doc_id, i.width, i.height, i.components, i.progressive))))
+      .toDF("doc_id", "width", "height", "components", "progressive")
+  }
+
+  /** Deterministic header-only synthetic JPEG (SOI, JFIF APP0, an
+    * id-length COM segment to exercise the walk, SOF0 or SOF2, a
+    * stub SOS + fake entropy bytes, EOI): the header parses for
+    * real; the body is deliberately undecodable — which is exactly
+    * the real-world shape for a probe-only pipeline stage.
+    */
+  def syntheticJpeg(id: Long): Array[Byte] = {
+    val w = (((id % 640) + 640) % 640 + 16).toInt
+    val h = (((id * 7 % 480) + 480) % 480 + 16).toInt
+    val nc = if (id % 5 == 0) 1 else 3
+    val sof = if (id % 3 == 0) 0xC2 else 0xC0
+    val out = new java.io.ByteArrayOutputStream()
+    def b(v: Int): Unit = out.write(v & 0xFF)
+    def be16(v: Int): Unit = { b(v >> 8); b(v) }
+    b(0xFF); b(0xD8)
+    b(0xFF); b(0xE0); be16(16)
+    out.write("JFIF".getBytes("US-ASCII")); b(0)
+    b(1); b(1); b(0); be16(1); be16(1); b(0); b(0)
+    val com = s"graft synthetic $id".getBytes("US-ASCII")
+    b(0xFF); b(0xFE); be16(com.length + 2); out.write(com)
+    b(0xFF); b(sof); be16(8 + 3 * nc); b(8); be16(h); be16(w); b(nc)
+    (0 until nc).foreach { c => b(c + 1); b(0x11); b(0) }
+    b(0xFF); b(0xDA); be16(2 + 1 + 2 * nc + 3); b(nc)
+    (0 until nc).foreach { c => b(c + 1); b(0) }
+    b(0); b(63); b(0)
+    b(0x12); b(0x34)
+    b(0xFF); b(0xD9)
+    out.toByteArray
+  }
+
   /** A media row with an extracted feature vector. */
   case class MediaFeatures(doc_id: Long, features: Array[Float])
 

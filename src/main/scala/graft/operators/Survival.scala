@@ -37,15 +37,27 @@ object Survival {
     */
   def kaplanMeier(df: DataFrame, groupCol: String, timeCol: String,
                   eventCol: String,
-                  maxTableRows: Long = 200000L): DataFrame = {
-    val spark = df.sparkSession
-    val counts = df.select(col(groupCol).as("g"),
-        col(timeCol).cast("long").as("t"),
-        col(eventCol).cast("int").as("e"))
-      .groupBy(col("g"), col("t"))
-      .agg(sum(when(col("e") === 1, 1L).otherwise(0L)).as("d"),
-        count(lit(1)).as("cnt"))
-      .localCheckpoint(true) // cumulation + the collect
+                  maxTableRows: Long = 200000L): DataFrame =
+    kaplanMeierFromCounts(
+      df.select(col(groupCol).as("g"),
+          col(timeCol).cast("long").as("t"),
+          col(eventCol).cast("int").as("e"))
+        .groupBy(col("g"), col("t"))
+        .agg(sum(when(col("e") === 1, 1L).otherwise(0L)).as("d"),
+          count(lit(1)).as("cnt")),
+      groupCol, maxTableRows)
+
+  /** [[kaplanMeier]] from a pre-aggregated (g, t, d, cnt) count table
+    * — the streaming-state form ([[graft.streaming.StreamSurvival]]):
+    * events and totals per (group, time) are the ADDITIVE sufficient
+    * statistic of the whole estimator.
+    */
+  private[graft] def kaplanMeierFromCounts(countsIn: DataFrame,
+                                           groupCol: String,
+                                           maxTableRows: Long = 200000L)
+      : DataFrame = {
+    val spark = countsIn.sparkSession
+    val counts = countsIn.localCheckpoint(true) // cumulation + collect
     // n_risk(t) = N_g − #{time < t}: within-group cumulative counts
     val cum = RankCorr.cumFromCounts(
       counts.select(col("g"), col("t"), col("cnt")), "t")
@@ -74,7 +86,7 @@ object Survival {
         BigDecimal(s).setScale(9, BigDecimal.RoundingMode.HALF_UP).toDouble)
     }
     import spark.implicits._
-    val schema = df.select(col(groupCol)).schema.head.dataType
+    val schema = counts.select(col("g")).schema.head.dataType
     spark.createDataFrame(
       spark.sparkContext.parallelize(out.toSeq.map(t =>
         org.apache.spark.sql.Row(t._1, t._2, t._3, t._4, t._5)), 1),
@@ -115,24 +127,32 @@ object Survival {
     * @return one row: (o_a, e_a_ppm, var_a_ppm, z)
     */
   def logRank(df: DataFrame, groupCol: String, timeCol: String,
-              eventCol: String, groupA: String): DataFrame = {
-    val obs = df.select(col(groupCol).cast("string").as("g"),
-        col(timeCol).cast("long").as("t"),
-        col(eventCol).cast("int").as("e"))
-      .localCheckpoint(true) // group census + counts
-    val gs = obs.select(col("g")).distinct().collect().map(_.getString(0))
+              eventCol: String, groupA: String): DataFrame =
+    logRankFromCounts(
+      df.select(col(groupCol).cast("string").as("g"),
+          col(timeCol).cast("long").as("t"),
+          col(eventCol).cast("int").as("e"))
+        .groupBy(col("g"), col("t"))
+        .agg(sum(when(col("e") === 1, 1L).otherwise(0L)).as("d"),
+          count(lit(1)).as("cnt")),
+      groupA)
+
+  /** [[logRank]] from a pre-aggregated (g, t, d, cnt) count table —
+    * the streaming-state form (shared with [[kaplanMeierFromCounts]]).
+    */
+  private[graft] def logRankFromCounts(countsIn: DataFrame,
+                                       groupA: String): DataFrame = {
+    val counts = countsIn.localCheckpoint(true)
+    val gs = counts.select(col("g")).distinct()
+      .collect().map(_.get(0).toString)
     require(gs.length == 2 && gs.contains(groupA),
       s"logRank: exactly two groups required incl. '$groupA', got " +
         gs.mkString(", "))
-    val nObs = obs.count()
+    val nObs = counts.agg(sum(col("cnt"))).head().getLong(0)
     require(nObs <= 200000000L,
       s"logRank: $nObs observations — the exact single-division ppm " +
         "algebra needs n⁴·10⁶ ≤ 10³⁸ (≤ 2e8 obs); sample first (a " +
         "rank test's power saturates far earlier)")
-    val counts = obs.groupBy(col("g"), col("t"))
-      .agg(sum(when(col("e") === 1, 1L).otherwise(0L)).as("d"),
-        count(lit(1)).as("cnt"))
-      .localCheckpoint(true)
     // fill the pooled axis: each group needs a (possibly zero-count)
     // row at EVERY pooled time so the cumulation yields its risk set
     // there

@@ -290,18 +290,85 @@ object Advanced6 {
       .orderBy(col("score_lo"))
   }
 
+  // ---- q154: difference-in-differences — the canonical
+  //      quasi-experimental estimator next to q91 Welch / q103 CUPED
+  //      (those need randomized assignment; DiD differences OUT both
+  //      the fixed group gap and the common time trend): treated =
+  //      BUILDING-segment orders, pre/post = 1995/1996, outcome =
+  //      order value. All four cells as EXACT (n, cents-sum) pairs;
+  //      the estimate is the ONE double formula of the four exact
+  //      means, in dollars rounded 4. ----
+  val q154Did: Q = (s, d) => {
+    val o = orders(s, d)
+      .withColumn("yr", year(col("o_orderdate")))
+      .filter(col("yr").isin(1995, 1996))
+      .join(customer(s, d).select(col("c_custkey").as("o_custkey"),
+        col("c_mktsegment").as("seg")), Seq("o_custkey"))
+      .select((col("seg") === "BUILDING").cast("int").as("tr"),
+        (col("yr") === 1996).cast("int").as("po"),
+        round(col("o_totalprice") * 100).cast("long").as("cents"))
+    val a = o.agg(
+      sum(when(col("tr") === 1 && col("po") === 0, 1L).otherwise(0L))
+        .cast("bigint").as("n_t_pre"),
+      sum(when(col("tr") === 1 && col("po") === 0, col("cents"))
+        .otherwise(0L)).cast("bigint").as("cents_t_pre"),
+      sum(when(col("tr") === 1 && col("po") === 1, 1L).otherwise(0L))
+        .cast("bigint").as("n_t_post"),
+      sum(when(col("tr") === 1 && col("po") === 1, col("cents"))
+        .otherwise(0L)).cast("bigint").as("cents_t_post"),
+      sum(when(col("tr") === 0 && col("po") === 0, 1L).otherwise(0L))
+        .cast("bigint").as("n_c_pre"),
+      sum(when(col("tr") === 0 && col("po") === 0, col("cents"))
+        .otherwise(0L)).cast("bigint").as("cents_c_pre"),
+      sum(when(col("tr") === 0 && col("po") === 1, 1L).otherwise(0L))
+        .cast("bigint").as("n_c_post"),
+      sum(when(col("tr") === 0 && col("po") === 1, col("cents"))
+        .otherwise(0L)).cast("bigint").as("cents_c_post"))
+    a.withColumn("did_dollars",
+      round(((col("cents_t_post").cast("double") / col("n_t_post").cast("double")
+        - col("cents_t_pre").cast("double") / col("n_t_pre").cast("double"))
+        - (col("cents_c_post").cast("double") / col("n_c_post").cast("double")
+          - col("cents_c_pre").cast("double") / col("n_c_pre").cast("double")))
+        / lit(100.0), 4))
+  }
+
+  val q154Oracle: String =
+    """WITH o AS (SELECT
+      |    CASE WHEN c_mktsegment = 'BUILDING' THEN 1 ELSE 0 END AS tr,
+      |    CASE WHEN EXTRACT(year FROM o_orderdate) = 1996 THEN 1 ELSE 0 END AS po,
+      |    CAST(round(o_totalprice * 100) AS BIGINT) AS cents
+      |  FROM orders JOIN customer ON c_custkey = o_custkey
+      |  WHERE EXTRACT(year FROM o_orderdate) IN (1995, 1996)),
+      |a AS (SELECT
+      |  CAST(SUM(CASE WHEN tr = 1 AND po = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_t_pre,
+      |  CAST(SUM(CASE WHEN tr = 1 AND po = 0 THEN cents ELSE 0 END) AS BIGINT) AS cents_t_pre,
+      |  CAST(SUM(CASE WHEN tr = 1 AND po = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_t_post,
+      |  CAST(SUM(CASE WHEN tr = 1 AND po = 1 THEN cents ELSE 0 END) AS BIGINT) AS cents_t_post,
+      |  CAST(SUM(CASE WHEN tr = 0 AND po = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_c_pre,
+      |  CAST(SUM(CASE WHEN tr = 0 AND po = 0 THEN cents ELSE 0 END) AS BIGINT) AS cents_c_pre,
+      |  CAST(SUM(CASE WHEN tr = 0 AND po = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_c_post,
+      |  CAST(SUM(CASE WHEN tr = 0 AND po = 1 THEN cents ELSE 0 END) AS BIGINT) AS cents_c_post
+      |FROM o)
+      |SELECT *, round(((CAST(cents_t_post AS DOUBLE) / n_t_post
+      |    - CAST(cents_t_pre AS DOUBLE) / n_t_pre)
+      |  - (CAST(cents_c_post AS DOUBLE) / n_c_post
+      |    - CAST(cents_c_pre AS DOUBLE) / n_c_pre)) / 100.0, 4) AS did_dollars
+      |FROM a""".stripMargin
+
   val queries: Map[String, Q] = Map(
     "q148_wilcoxon" -> q148Wilcoxon,
     "q149_kendall" -> q149Kendall,
     "q150_link_prediction" -> q150LinkPrediction,
     "q151_kaplan_meier" -> q151KaplanMeier,
     "q152_log_rank" -> q152LogRank,
-    "q153_isotonic" -> q153Isotonic)
+    "q153_isotonic" -> q153Isotonic,
+    "q154_did" -> q154Did)
 
   val oracles: Map[String, String] = Map(
     "q148_wilcoxon" -> q148Oracle,
     "q149_kendall" -> q149Oracle,
     "q150_link_prediction" -> q150Oracle,
     "q151_kaplan_meier" -> q151Oracle,
-    "q152_log_rank" -> q152Oracle)
+    "q152_log_rank" -> q152Oracle,
+    "q154_did" -> q154Oracle)
 }

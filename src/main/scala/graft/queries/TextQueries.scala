@@ -501,6 +501,31 @@ object TextQueries {
       |  CASE WHEN octet_length(encode(text)) % 2 = 0 THEN 'png' ELSE 'jpeg' END AS format
       |FROM documents""".stripMargin
 
+  // ---- multimodal_jpeg_probe: REAL JPEG header parsing over the
+  //      batch plumbing — the marker walk (fill bytes, COM/APP0
+  //      segments, SOF0/SOF2) runs on synthetic header-only JPEGs
+  //      whose dims are deterministic doc_id formulas, so the oracle
+  //      replays the GENERATOR while Spark must earn the values
+  //      through the PARSER (the multimodal_meta convention). Decode
+  //      stays the documented stub; probing is what a corpus
+  //      pipeline filters and bins on. ----
+  val multimodalJpegProbe: Q = (s, d) => {
+    import s.implicits._
+    val jpgs = documents(s, d).filter(col("doc_id") < 300)
+      .select(col("doc_id")).as[Long]
+      .mapPartitions(_.map(id => (id, Multimodal.syntheticJpeg(id))))
+      .toDF("doc_id", "payload")
+    Multimodal.jpegProbeBatch(s, jpgs, "doc_id", "payload")
+  }
+
+  val multimodalJpegProbeOracle: String =
+    """SELECT doc_id,
+      |  CAST(doc_id % 640 + 16 AS INT) AS width,
+      |  CAST(doc_id * 7 % 480 + 16 AS INT) AS height,
+      |  CAST(CASE WHEN doc_id % 5 = 0 THEN 1 ELSE 3 END AS INT) AS components,
+      |  doc_id % 3 = 0 AS progressive
+      |FROM documents WHERE doc_id < 300""".stripMargin
+
   // ---- multimodal_audio: REAL WAV decode + audio features over the
   //      batch plumbing (mapPartitions decode, typed rows). The
   //      corpus ships no audio, so deterministic pure-tone PCM WAVs
@@ -1785,6 +1810,7 @@ object TextQueries {
     "ann_ivf_indexed" -> annIvfIndexed,
     "ann_ivfpq" -> annIvfPq,
     "multimodal_meta" -> multimodalMeta,
+    "multimodal_jpeg_probe" -> multimodalJpegProbe,
     "multimodal_audio" -> multimodalAudio,
     "text_pii_redact" -> piiRedact,
     "text_top_ngrams" -> topNgrams,
@@ -1840,6 +1866,7 @@ object TextQueries {
     "text_gopher_rules" -> gopherRulesOracle,
     "dedup_ngram_jaccard" -> dedupNgramOracle,
     "multimodal_meta" -> multimodalMetaOracle,
+    "multimodal_jpeg_probe" -> multimodalJpegProbeOracle,
     "text_pii_redact" -> piiRedactOracle,
     "text_top_ngrams" -> topNgramsOracle,
     "dedup_components" -> dedupComponentsOracle,
