@@ -97,4 +97,79 @@ object PageRank {
     e.unpersist(); outdeg.unpersist(); nodes.unpersist()
     ranks.select(col("node"), col("r").as("rank"))
   }
+
+  /** PERSONALIZED PageRank — random walk with restart at a SEED set
+    * (the related-items / recommendation primitive: authority
+    * RELATIVE to the seeds, where [[run]] is global): the restart
+    * mass (1 − d) and the dangling teleport both go to the seeds
+    * (uniformly) instead of all nodes. Same exact-integer fixed-point
+    * semantics — bigint microunits, rational 17/20 damping, floor
+    * `div`, bit-deterministic under any partitioning — and the same
+    * per-iteration lineage truncation. Seeds missing from the graph
+    * REFUSE (silently dropping one would redistribute the restart
+    * mass and change every score).
+    *
+    * @param seeds one column of seed node ids (deduplicated here)
+    * @return (node, rank) in microunits of `scale`
+    */
+  def personalized(edges: DataFrame, srcCol: String, dstCol: String,
+                   seeds: DataFrame, seedCol: String,
+                   iters: Int = 10, scale: Long = 1000000000000L,
+                   tolMicro: Long = 0L): DataFrame = {
+    require(iters > 0, "iters must be positive")
+    val dampNum = 17L; val dampDen = 20L
+    val e = edges.select(col(srcCol).cast("bigint").as("src"),
+      col(dstCol).cast("bigint").as("dst")).distinct().persist()
+    val nodes = e.select(col("src").as("node"))
+      .union(e.select(col("dst").as("node"))).distinct().persist()
+    val sd = seeds.select(col(seedCol).cast("bigint").as("node"))
+      .distinct().persist()
+    val missing = sd.join(nodes, Seq("node"), "left_anti")
+    require(missing.isEmpty,
+      "personalized PageRank: seeds missing from the graph — a silent " +
+        "drop would redistribute the restart mass " +
+        s"(first few: ${missing.limit(3).collect().mkString(", ")})")
+    val nS = sd.count()
+    require(nS > 0, "personalized PageRank: empty seed set")
+    val outdeg = e.groupBy(col("src").as("node"))
+      .agg(count(lit(1)).cast("bigint").as("deg")).persist()
+    val baseSeed = scale * (dampDen - dampNum) / (dampDen * nS)
+    val seedMark = sd.withColumn("__seed", lit(1))
+    // init = the restart distribution itself
+    var ranks = nodes.join(seedMark, Seq("node"), "left")
+      .select(col("node"),
+        when(col("__seed").isNotNull, lit(scale / nS)).otherwise(lit(0L))
+          .cast("bigint").as("r"))
+      .localCheckpoint(true)
+    var i = 0
+    var converged = false
+    while (i < iters && !converged) {
+      val withDeg = ranks.join(outdeg, Seq("node"), "left")
+      val dangling = withDeg.filter(col("deg").isNull)
+        .agg(coalesce(sum(col("r")), lit(0L))).head().getLong(0)
+      val dShare = dangling / nS // teleports to the seeds
+      val inflow = withDeg.join(e, withDeg("node") === e("src"))
+        .select(col("dst").as("node"), expr("r div deg").as("c"))
+        .groupBy("node").agg(sum(col("c")).as("inflow"))
+      val prev = ranks
+      ranks = nodes.join(inflow, Seq("node"), "left")
+        .join(seedMark, Seq("node"), "left")
+        .select(col("node"),
+          (when(col("__seed").isNotNull, lit(baseSeed)).otherwise(lit(0L)) +
+            expr(s"$dampNum * (coalesce(inflow, CAST(0 AS BIGINT)) + " +
+              s"IF(__seed IS NOT NULL, $dShare, CAST(0 AS BIGINT))) " +
+              s"div $dampDen"))
+            .cast("bigint").as("r"))
+        .localCheckpoint(true)
+      if (tolMicro > 0) {
+        val moved = ranks.join(
+            prev.select(col("node"), col("r").as("r0")), Seq("node"))
+          .agg(max(abs(col("r") - col("r0")))).head().getLong(0)
+        converged = moved <= tolMicro
+      }
+      i += 1
+    }
+    e.unpersist(); outdeg.unpersist(); nodes.unpersist(); sd.unpersist()
+    ranks.select(col("node"), col("r").as("rank"))
+  }
 }

@@ -355,7 +355,31 @@ object Advanced6 {
       |    - CAST(cents_c_pre AS DOUBLE) / n_c_pre)) / 100.0, 4) AS did_dollars
       |FROM a""".stripMargin
 
+  // ---- graph_ppr (rows-only — iterate-to-fixpoint, the
+  //      graph_pagerank convention; exact integer ranks make
+  //      rows-only a determinism statement, not an excuse):
+  //      PERSONALIZED PageRank on the customer→supplier purchase
+  //      graph, restarted at the three smallest customer nodes —
+  //      "suppliers most related to THESE buyers", the
+  //      recommendation shape global PageRank can't answer. ----
+  val graphPpr: Q = (s, d) => {
+    val edges = lineitem(s, d)
+      .select(col("l_orderkey"), col("l_suppkey"))
+      .join(orders(s, d).select(col("o_orderkey"), col("o_custkey")),
+        col("l_orderkey") === col("o_orderkey"))
+      .select((col("o_custkey") * 2).as("src"),
+        (col("l_suppkey") * 2 + 1).as("dst"))
+    val seeds = edges.select(col("src")).distinct()
+      .orderBy(col("src")).limit(3)
+    graft.operators.PageRank.personalized(edges, "src", "dst",
+        seeds, "src", iters = 4)
+      .filter(col("rank") > 0)
+      .orderBy(col("rank").desc, col("node").asc)
+      .limit(20)
+  }
+
   val queries: Map[String, Q] = Map(
+    "graph_ppr" -> graphPpr,
     "q148_wilcoxon" -> q148Wilcoxon,
     "q149_kendall" -> q149Kendall,
     "q150_link_prediction" -> q150LinkPrediction,
