@@ -543,7 +543,10 @@ object Advanced2 {
       .groupBy(col("a.pk").as("x"), col("b.pk").as("y"))
       .agg(count(lit(1)).as("n"))
       .filter(col("n") >= 2).select(col("x"), col("y"))
-    graft.operators.GraphOps.louvain(edges, "x", "y")
+    // maxIter 200: phase-1 synchronous rounds grow slowly with graph
+    // size (measured: the 1.2M-edge 10x corpus converges in 51-200
+    // rounds, ~7 s local CSR; the sf0.1 graph well under 50)
+    graft.operators.GraphOps.louvain(edges, "x", "y", maxIter = 200)
       .groupBy(col("community"))
       .agg(count(lit(1)).cast("bigint").as("n_members"),
         min(col("node")).cast("bigint").as("min_node"),

@@ -6,8 +6,10 @@ import org.apache.spark.sql.functions._
 import graft.operators.{GraphOps, RankCorr}
 import graft.sources.TableCatalog._
 
-/** Round-14 additions: the paired rank test, tie-corrected pair
-  * concordance, and structural link prediction.
+/** Round-14 additions: the paired rank test (Wilcoxon), tie-corrected
+  * pair concordance (Kendall τ-b), structural link prediction,
+  * survival analysis (Kaplan–Meier + log-rank), isotonic calibration,
+  * difference-in-differences, and personalized PageRank.
   *
   * Same oracle-parity discipline as [[Advanced5]]: exact integer /
   * DECIMAL statistics everywhere, doubles only in a final fixed IEEE
