@@ -64,4 +64,67 @@ object DailySeries {
           .cast("bigint").as("med2_cents"))
       .orderBy(col("day"))
   }
+
+  /** HOLT'S LINEAR-TREND exponential smoothing (Holt 1957) over the
+    * daily series — the forecasting baseline above seasonal-naive
+    * (q133's backtest target): level ℓ_t = α·x_t + (1−α)(ℓ + b),
+    * trend b_t = β(ℓ_t − ℓ) + (1−β)b, one-step fit = ℓ + b BEFORE
+    * seeing x_t, plus an h-step forecast fan ℓ_T + h·b_T past the
+    * last observed day. β = 0 degrades to simple exponential
+    * smoothing exactly.
+    *
+    * The recursion is inherently SEQUENTIAL in float — so it runs on
+    * the DRIVER over the collected series in ascending-day order
+    * (bit-deterministic under any partitioning) — and the series is
+    * DATE-cardinality: it grows with calendar time, never with data
+    * volume (the [[acf]]/[[rollingMedian]] scale story), under a
+    * named-cap refusal. Init: ℓ = x_0, b = x_1 − x_0 (the standard
+    * two-point start); calendar gaps are treated as consecutive
+    * observations (the daily revenue table is gap-free in practice;
+    * interpolate first if yours isn't).
+    *
+    * @return per observed day from index 1: (day, actual, fit,
+    *         level, trend, is_forecast=false), then `horizon`
+    *         forecast rows (actual null, is_forecast=true); fit /
+    *         level / trend rounded to 6
+    */
+  def holt(dailyIn: DataFrame, alpha: Double = 0.2, beta: Double = 0.1,
+           horizon: Int = 7, maxDays: Long = 200000L): DataFrame = {
+    require(alpha > 0 && alpha <= 1 && beta >= 0 && beta <= 1,
+      s"holt: need 0 < alpha <= 1 and 0 <= beta <= 1, got $alpha, $beta")
+    val spark = dailyIn.sparkSession
+    val daily = dailyIn.select(col("day").cast("date").as("day"),
+      col("rev").cast("long").as("rev"))
+    val nDays = daily.count()
+    require(nDays >= 2 && nDays <= maxDays,
+      s"holt: $nDays days — need 2 <= days <= maxDays=$maxDays (the " +
+        "series is the collected state; coarsen the time unit)")
+    val series = daily.orderBy(col("day")).collect()
+      .map(r => (r.getDate(0), r.getLong(1)))
+    def r6(x: Double): Double =
+      BigDecimal(x).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    var level = series(0)._2.toDouble
+    var trend = series(1)._2.toDouble - series(0)._2.toDouble
+    val fitted = series.drop(1).map { case (day, x) =>
+      val fit = level + trend
+      val newLevel = alpha * x + (1.0 - alpha) * (level + trend)
+      trend = beta * (newLevel - level) + (1.0 - beta) * trend
+      level = newLevel
+      org.apache.spark.sql.Row(day, java.lang.Long.valueOf(x), r6(fit),
+        r6(level), r6(trend), false)
+    }
+    val lastDay = series.last._1.toLocalDate
+    val forecasts = (1 to horizon).map { h =>
+      org.apache.spark.sql.Row(java.sql.Date.valueOf(lastDay.plusDays(h)),
+        null, r6(level + h * trend), r6(level), r6(trend), true)
+    }
+    import org.apache.spark.sql.types._
+    spark.createDataFrame(
+      spark.sparkContext.parallelize((fitted ++ forecasts).toSeq, 1),
+      StructType(Seq(StructField("day", DateType),
+        StructField("actual_cents", LongType),
+        StructField("fit", DoubleType), StructField("level", DoubleType),
+        StructField("trend", DoubleType),
+        StructField("is_forecast", BooleanType))))
+  }
 }

@@ -1,0 +1,246 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** K-SAMPLE GROUP-COMPARISON TESTS on exact sufficient statistics —
+  * one-way ANOVA (Fisher 1925), Mood's median test (Mood 1950), and
+  * the chi-square / Cramér's V contingency pair (Cramér 1946):
+  * "do these K populations differ?", each answered from a different
+  * robustness stance (moments / median counts / pure categories),
+  * next to the rank-based [[RankCorr.kruskalWallis]].
+  *
+  * EXACTNESS SHAPE (the q152/q155 ppm discipline): every sum is an
+  * exact integer or DECIMAL(38,0) sufficient statistic — per-sample
+  * (n_j, Σv, Σv²) moment tuples, per-cell contingency counts, count
+  * tables for the pooled median — and every intermediate RATIONAL
+  * (S_j²/n_j, (o·n − r·c)²/(n·r·c)) enters as ONE exact integral
+  * floor division (Spark DIV == DuckDB HUGEINT //), so the cross-
+  * sample sums are order-free exact integers; the final statistic is
+  * the ONE double formula shared VERBATIM with the oracle (the
+  * `*FormulaSql` constants below are `expr()`ed on the Spark side
+  * and textually embedded in the DuckDB oracle — identical parse,
+  * identical IEEE evaluation order).
+  */
+object GroupTests {
+
+  /** Kruskal–Wallis H with tie correction, from exact integer inputs
+    * (rsq_sum = Σ_j ⌊(2R_j)²/n_j⌋, t3t = Σ(t³−t), n): H =
+    * [12/(n(n+1))]·ΣR_j²/n_j − 3(n+1), divided by 1 − t3t/(n³−n).
+    * Shared verbatim between [[RankCorr.kruskalWallis]] and its
+    * oracle. (2R)²/4 folds the 12 → 3.)
+    */
+  val kwHFormulaSql: String =
+    "(3.0 * CAST(rsq_sum AS DOUBLE) / (CAST(n AS DOUBLE) * (n + 1)) " +
+      "- 3.0 * (n + 1)) / " +
+      "(1.0 - CAST(t3t AS DOUBLE) / " +
+      "(CAST(n AS DOUBLE) * CAST(n AS DOUBLE) * CAST(n AS DOUBLE) - n))"
+
+  /** One-way ANOVA F from exact integer sums of squares:
+    * F = (ssb/(k−1)) / (ssw/(n−k)). Shared verbatim with the oracle.
+    */
+  val anovaFFormulaSql: String =
+    "(CAST(ssb AS DOUBLE) / (k - 1)) / (CAST(ssw AS DOUBLE) / (n - k))"
+
+  /** Per-FAMILY one-way ANOVA — the parametric K-sample location
+    * test: decompose the family's total sum of squares into between-
+    * sample and within-sample parts, F = MSB/MSW with (k−1, n−k)
+    * degrees of freedom, effect size η² = SSB/SST.
+    *
+    * EXACT: per-sample moment tuples (n_j, S_j = Σv, Q_j = Σv²) are
+    * exact integers; SSB = Σ_j ⌊S_j²/n_j⌋ − ⌊S²/n⌋ and
+    * SSW = Q − Σ_j ⌊S_j²/n_j⌋ floor each rational at unit scale
+    * (identically in both engines), so both are order-free exact
+    * integers; F and η² are the two double formulas rounded to 6.
+    *
+    * Magnitude contract: S_j²/n_j = n_j·mean_j² must fit BIGINT —
+    * keep `valueCol` in units where n_j·v̄² < 2^63 (the q156 contract
+    * query uses whole DOLLARS, good to ~10⁷ rows per sample at TPC-H
+    * price scales; cents would be 10⁴× tighter). A silent DECIMAL
+    * overflow nulls the output — loud at the oracle gate.
+    *
+    * @return (famCol, k, n, ssb, ssw, f, eta2) — f null for k < 2 or
+    *         zero within-variance, eta2 null for zero total variance
+    */
+  def anovaOneWay(df: DataFrame, famCol: String, sampleCol: String,
+                  valueCol: String): DataFrame =
+    anovaFromCells(
+      df.select(col(famCol).as("g"), col(sampleCol).as("smp"),
+          col(valueCol).cast("long").as("v"))
+        .groupBy(col("g"), col("smp"), col("v"))
+        .agg(count(lit(1)).as("cnt")),
+      famCol)
+
+  /** [[anovaOneWay]] from a pre-aggregated (g, smp, v, cnt) count
+    * table — the streaming-state form: per-sample moments are sums
+    * over the cells (n_j = Σcnt, S_j = Σcnt·v, Q_j = Σcnt·v²).
+    */
+  private[graft] def anovaFromCells(cells: DataFrame,
+                                    famCol: String): DataFrame = {
+    def dcm(c: Column): Column = c.cast("decimal(38,0)")
+    val perSample = cells
+      .groupBy(col("g"), col("smp"))
+      .agg(sum(col("cnt")).cast("long").as("n_j"),
+        sum(dcm(col("cnt")) * dcm(col("v"))).cast("decimal(38,0)").as("s_j"),
+        sum(dcm(col("cnt")) * dcm(col("v")) * dcm(col("v")))
+          .cast("decimal(38,0)").as("q_j"))
+    val agg = perSample
+      .select(col("g"), col("n_j"), col("s_j"), col("q_j"),
+        expr("CAST(s_j * s_j AS DECIMAL(38,0)) DIV n_j").as("bterm"))
+      .groupBy(col("g"))
+      .agg(count(lit(1)).cast("bigint").as("k"),
+        sum(col("n_j")).cast("bigint").as("n"),
+        sum(col("s_j")).cast("decimal(38,0)").as("s"),
+        sum(col("q_j")).cast("decimal(38,0)").as("q"),
+        sum(col("bterm")).cast("decimal(38,0)").as("bsum"))
+    agg
+      .withColumn("ssb",
+        (col("bsum") - expr("CAST(s * s AS DECIMAL(38,0)) DIV n"))
+          .cast("bigint"))
+      .withColumn("ssw", (col("q") - col("bsum")).cast("bigint"))
+      .select(col("g").as(famCol), col("k"), col("n"),
+        col("ssb"), col("ssw"),
+        when(col("k") > 1 && col("n") > col("k") && col("ssw") > 0,
+          round(expr(anovaFFormulaSql), 6))
+          .otherwise(lit(null).cast("double")).as("f"),
+        when(col("ssb") + col("ssw") > 0,
+          round(col("ssb").cast("double") /
+            (col("ssb") + col("ssw")).cast("double"), 6))
+          .otherwise(lit(null).cast("double")).as("eta2"))
+  }
+
+  /** Per-FAMILY MOOD'S MEDIAN TEST — the coarsest, most outlier-
+    * immune K-sample location test: dichotomize every observation at
+    * the family's pooled (lower) median and chi-square the resulting
+    * 2×K table. Where Kruskal–Wallis uses full rank information,
+    * Mood's test survives ANY monotone contamination of the tails.
+    *
+    * EXACT: the pooled nearest-rank lower median (position
+    * ⌊(n+1)/2⌋) is SELECTED from the family's value-cardinality
+    * count table ([[RankCorr.cumFromCounts]]); the 2×K observed/
+    * expected cells are exact integer marginal products, each cell's
+    * chi-square contribution enters as the exact ppm floor
+    * ⌊(o·n − r·c)²·10⁶ / (n·r·c)⌋, so chi2_ppm is an order-free
+    * exact integer; the statistic is its one descaling, rounded 6.
+    *
+    * @return (famCol, k, n, median, chi2_ppm, chi2) — null chi2 when
+    *         a margin is empty (every value on one side of the
+    *         median: the test is undefined)
+    */
+  def moodMedianTest(df: DataFrame, famCol: String, sampleCol: String,
+                     valueCol: String): DataFrame =
+    moodFromCells(
+      df.select(col(famCol).as("g"), col(sampleCol).as("smp"),
+          col(valueCol).cast("long").as("v"))
+        .groupBy(col("g"), col("smp"), col("v"))
+        .agg(count(lit(1)).as("cnt")),
+      famCol)
+
+  /** [[moodMedianTest]] from a pre-aggregated (g, smp, v, cnt) count
+    * table — the streaming-state form.
+    */
+  private[graft] def moodFromCells(cellsIn: DataFrame,
+                                   famCol: String): DataFrame = {
+    val cells = cellsIn
+      .localCheckpoint(true) // pooled median pass + per-sample splits
+    val pooled = cells.groupBy(col("g"), col("v"))
+      .agg(sum(col("cnt")).as("cnt"))
+    val cum = RankCorr.cumFromCounts(pooled, "v")
+    val n = pooled.groupBy(col("g"))
+      .agg(sum(col("cnt")).cast("bigint").as("n"))
+    val med = cum.join(broadcast(
+        n.select(col("g"), expr("(n + 1) DIV 2").as("__pos"))), Seq("g"))
+      .filter(col("below") < col("__pos") &&
+        col("__pos") <= col("below") + col("cnt"))
+      .select(col("g"), col("v").as("med"))
+    val perSample = cells.join(broadcast(med), Seq("g"))
+      .groupBy(col("g"), col("smp"))
+      .agg(sum(when(col("v") > col("med"), col("cnt")).otherwise(0L))
+          .cast("bigint").as("above"),
+        sum(col("cnt")).cast("bigint").as("n_j"))
+    val marg = perSample.groupBy(col("g"))
+      .agg(sum(col("above")).cast("bigint").as("r_above"),
+        sum(col("n_j")).cast("bigint").as("n"),
+        count(lit(1)).cast("bigint").as("k"))
+    def dcm(c: Column): Column = c.cast("decimal(38,0)")
+    // both cells of each sample's column: (above, r_above) and
+    // (n_j − above, n − r_above); (o·n − r·c) is identical up to sign
+    // across the two cells of a column, so each contributes the same
+    // numerator over its own denominator
+    val contrib = perSample.join(broadcast(marg), Seq("g"))
+      .select(col("g"), col("k"), col("n"), col("r_above"),
+        ((dcm(col("above")) * dcm(col("n"))
+          - dcm(col("r_above")) * dcm(col("n_j")))
+          * (dcm(col("above")) * dcm(col("n"))
+            - dcm(col("r_above")) * dcm(col("n_j"))))
+          .cast("decimal(38,0)").as("num2"),
+        (dcm(col("n")) * dcm(col("r_above")) * dcm(col("n_j")))
+          .cast("decimal(38,0)").as("den_above"),
+        (dcm(col("n")) * (dcm(col("n")) - dcm(col("r_above")))
+          * dcm(col("n_j"))).cast("decimal(38,0)").as("den_below"))
+    val chi = contrib.groupBy(col("g"), col("k"), col("n"), col("r_above"))
+      .agg((sum(when(col("r_above") > 0,
+          expr("CAST(num2 * 1000000 AS DECIMAL(38,0)) DIV den_above"))
+          .otherwise(lit(null))) +
+        sum(when(col("n") > col("r_above"),
+          expr("CAST(num2 * 1000000 AS DECIMAL(38,0)) DIV den_below"))
+          .otherwise(lit(null)))).cast("bigint").as("chi2_ppm"))
+    chi.join(broadcast(med), Seq("g"))
+      .select(col("g").as(famCol), col("k"), col("n"),
+        col("med").as("median"), col("chi2_ppm"),
+        round(col("chi2_ppm").cast("double") / lit(1000000.0), 6)
+          .as("chi2"))
+  }
+
+  /** Per-FAMILY chi-square test of independence WITH Cramér's V —
+    * the full-table categorical association pair (q81 reports
+    * per-cell contributions; this is the exact-integer TOTAL it
+    * deliberately avoided, made order-free by the ppm floor): over
+    * the rowCol × colCol contingency table (INCLUDING structural
+    * zeros — an empty cell still contributes its expected mass),
+    * chi2_ppm = Σ_cells ⌊(o·n − r·c)²·10⁶/(n·r·c)⌋ exact, and
+    * V = sqrt(chi2 / (n·min(r−1, c−1))) ∈ [0,1] the ONE double
+    * formula rounded 6.
+    *
+    * @return (famCol, n, n_rows, n_cols, chi2_ppm, chi2, v) — v null
+    *         for a degenerate 1×c / r×1 table
+    */
+  def cramersV(df: DataFrame, famCol: String, rowCol: String,
+               colCol: String): DataFrame = {
+    val cells = df.select(col(famCol).as("g"), col(rowCol).as("r"),
+        col(colCol).as("c"))
+      .groupBy(col("g"), col("r"), col("c"))
+      .agg(count(lit(1)).cast("bigint").as("o"))
+      .localCheckpoint(true) // marginals + the dense-cross join
+    val rm = cells.groupBy(col("g"), col("r"))
+      .agg(sum(col("o")).cast("bigint").as("rm"))
+    val cm = cells.groupBy(col("g"), col("c"))
+      .agg(sum(col("o")).cast("bigint").as("cm"))
+    val n = cells.groupBy(col("g")).agg(sum(col("o")).cast("bigint").as("n"),
+      countDistinct(col("r")).cast("bigint").as("n_rows"),
+      countDistinct(col("c")).cast("bigint").as("n_cols"))
+    def dcm(c: Column): Column = c.cast("decimal(38,0)")
+    // dense r×c grid so structural zeros contribute (o=0 ⇒ r·c/n mass)
+    val dense = rm.join(cm, Seq("g"))
+      .join(cells, Seq("g", "r", "c"), "left")
+      .na.fill(0L, Seq("o"))
+      .join(broadcast(n.select(col("g"), col("n"))), Seq("g"))
+      .select(col("g"),
+        expr("CAST((CAST(o AS DECIMAL(38,0)) * n - CAST(rm AS DECIMAL(38,0)) * cm) * " +
+          "(CAST(o AS DECIMAL(38,0)) * n - CAST(rm AS DECIMAL(38,0)) * cm) " +
+          "* 1000000 AS DECIMAL(38,0)) DIV " +
+          "CAST(CAST(n AS DECIMAL(38,0)) * rm * cm AS DECIMAL(38,0))")
+          .as("contrib"))
+    val chi = dense.groupBy(col("g"))
+      .agg(sum(col("contrib")).cast("bigint").as("chi2_ppm"))
+    chi.join(broadcast(n), Seq("g"))
+      .select(col("g").as(famCol), col("n"), col("n_rows"), col("n_cols"),
+        col("chi2_ppm"),
+        round(col("chi2_ppm").cast("double") / lit(1000000.0), 6).as("chi2"),
+        when(least(col("n_rows"), col("n_cols")) > 1,
+          round(sqrt(col("chi2_ppm").cast("double") / lit(1000000.0) /
+            (col("n").cast("double") *
+              (least(col("n_rows"), col("n_cols")) - 1).cast("double"))), 6))
+          .otherwise(lit(null).cast("double")).as("v"))
+  }
+}

@@ -176,6 +176,95 @@ object RankCorr {
           .otherwise(lit(null).cast("double")).as("tau_b"))
   }
 
+  /** Per-FAMILY KRUSKAL–WALLIS H test — the K-sample non-parametric
+    * one-way analysis of variance on ranks (Kruskal & Wallis 1952):
+    * within each family, are the `sampleCol` populations' locations
+    * equal? The rank-based sibling of the parametric one-way ANOVA
+    * ([[GroupTests.anovaOneWay]]) — outlier-immune and
+    * distribution-free, the right default on heavy-tailed revenue
+    * columns.
+    *
+    * EXACT: pooled-within-family DOUBLED midranks off the shared
+    * count-table machinery ([[cumFromCounts]] — value-cardinality,
+    * never a row-scale window); per-sample 2·R_j = Σ cnt·m2 is an
+    * exact DECIMAL sum, and the rank-square term Σ_j R_j²/n_j enters
+    * as Σ_j ⌊(2R_j)²/n_j⌋ — each term ONE exact integral division
+    * FLOORED AT UNIT SCALE (the q152 ppm discipline: Spark DIV ==
+    * DuckDB HUGEINT //; the floor loses < 1 per sample on ~10¹⁶
+    * values, below double resolution, and identically in both
+    * engines), so the sum is an order-free exact integer. H with the
+    * standard tie correction 1 − Σ(t³−t)/(n³−n) is the ONE double
+    * formula, rounded to 6.
+    *
+    * Magnitude contract: ⌊(2R_j)²/n_j⌋ ≤ n_j(2n+1)² must fit a
+    * BIGINT, so families are capped at `maxFamilyN` rows (default
+    * 1.3M — n_j(2n+1)² < 2^63 there); larger families REFUSE loudly
+    * (a silent decimal overflow would null the statistic).
+    *
+    * @return (famCol, k, n, rsq_sum, t3t, h) per family — h null
+    *         when every value in the family is tied (correction 0)
+    */
+  def kruskalWallis(df: DataFrame, famCol: String, sampleCol: String,
+                    valueCol: String,
+                    maxFamilyN: Long = 1300000L): DataFrame =
+    kruskalWallisFromCells(
+      df.select(col(famCol).as("g"),
+          col(sampleCol).as("smp"), col(valueCol).cast("long").as("v"))
+        .groupBy(col("g"), col("smp"), col("v"))
+        .agg(count(lit(1)).as("cnt")),
+      famCol, maxFamilyN)
+
+  /** [[kruskalWallis]] from a pre-aggregated (g, smp, v, cnt) count
+    * table — the streaming-state form
+    * ([[graft.streaming.StreamGroupTests]]): the per-(family, sample,
+    * value) count table is the additive sufficient statistic of the
+    * whole K-sample battery.
+    */
+  private[graft] def kruskalWallisFromCells(cellsIn: DataFrame,
+                                            famCol: String,
+                                            maxFamilyN: Long = 1300000L)
+      : DataFrame = {
+    val cells = cellsIn
+      .localCheckpoint(true) // pooled rank pass + midrank join + sizes
+    val pooled = cells.groupBy(col("g"), col("v"))
+      .agg(sum(col("cnt")).as("cnt"))
+    def dcm(c: Column): Column = c.cast("decimal(38,0)")
+    // family sizes + tie masses off the pooled table; fam-cardinality
+    val fam = pooled.groupBy(col("g"))
+      .agg(sum(col("cnt")).cast("bigint").as("n"),
+        sum(dcm(col("cnt")) * dcm(col("cnt")) * dcm(col("cnt"))
+          - dcm(col("cnt"))).cast("decimal(38,0)").as("t3t"))
+      .localCheckpoint(true) // refusal scan + final join
+    val tooBig = fam.filter(col("n") > maxFamilyN)
+      .select(col("g"), col("n")).collect()
+    require(tooBig.isEmpty,
+      s"kruskalWallis: families ${tooBig.map(_.get(0)).mkString(", ")} " +
+        s"exceed maxFamilyN=$maxFamilyN rows — the exact rank-square " +
+        "term n_j(2n+1)^2 would overflow BIGINT; split the family or " +
+        "coarsen the value units")
+    val m2 = cumFromCounts(pooled, "v")
+      .select(col("g"), col("v"),
+        (lit(2) * col("below") + col("cnt") + lit(1)).cast("long").as("m2"))
+    val perSample = cells.join(m2, Seq("g", "v"))
+      .groupBy(col("g"), col("smp"))
+      .agg(sum(col("cnt")).cast("long").as("n_j"),
+        sum(dcm(col("cnt")) * dcm(col("m2"))).cast("decimal(38,0)").as("r2"))
+    val terms = perSample
+      .select(col("g"),
+        expr("CAST(r2 * r2 AS DECIMAL(38,0)) DIV n_j").as("term"))
+      .groupBy(col("g"))
+      .agg(count(lit(1)).cast("bigint").as("k"),
+        sum(col("term")).cast("decimal(38,0)").as("rsq_sum"))
+    terms.join(fam, Seq("g"))
+      .select(col("g").as(famCol), col("k"), col("n"),
+        col("rsq_sum").cast("bigint").as("rsq_sum"),
+        col("t3t").cast("bigint").as("t3t"),
+        when(dcm(col("n")) * dcm(col("n")) * dcm(col("n")) - dcm(col("n"))
+            > col("t3t"),
+          round(expr(GroupTests.kwHFormulaSql), 6))
+          .otherwise(lit(null).cast("double")).as("h"))
+  }
+
   /** Per-group Spearman ρ between two integral columns (scale
     * decimals to integer units first — the cents convention).
     *

@@ -199,4 +199,215 @@ object Survival {
           sqrt(col("var_a_ppm").cast("double") / lit(1000000.0)), 6))
         .otherwise(lit(null).cast("double")).as("z"))
   }
+
+  /** COX PROPORTIONAL-HAZARDS regression (Cox 1972, Breslow tie
+    * handling) — the multivariate member of this family: hazard
+    * ratios for SEVERAL covariates at once, where [[kaplanMeier]]
+    * describes one grouping and [[logRank]] tests exactly two.
+    *
+    * SCALE SHAPE: the partial likelihood depends on the data ONLY
+    * through the (time, covariate-cell) SUFFICIENT table — per
+    * distinct (t, x⃗): at-risk count n and event count d — because
+    * exp(βᵀx) is constant within a cell and risk sets are suffix
+    * sums over the time axis. ONE distributed aggregation builds it
+    * (cell-cardinality: |times| × |covariate combos|, the count-table
+    * discipline); ALL Newton iterations then run on the driver over
+    * that model-sized table (named-cap refusal) — no per-iteration
+    * corpus pass, and bit-deterministic: cells are folded in sorted
+    * (t desc, x⃗) order, a FIXED `iters` Newton steps (no float
+    * convergence test to flip across partitionings).
+    *
+    * Inference: U(β) = Σ_event times [Σ_events x⃗ − d·S1/S0] and
+    * I(β) = Σ d·(S2/S0 − S1S1ᵀ/S0²) with S_k(t) = Σ_{risk ≥ t}
+    * n·w·x^k; β ← β + I⁻¹U; SE from the inverse information at the
+    * final β. At β = 0 with a single binary covariate and no ties,
+    * the score test U²/I is EXACTLY the log-rank chi-square — the
+    * spec's cross-operator identity.
+    *
+    * @param xCols 1–4 numeric covariates (bounded cell cardinality —
+    *              dummy-code categories, bucket continuous values)
+    * @return one row per covariate: (covariate, beta, hr, se, z) —
+    *         beta/hr/se rounded 9, z rounded 6
+    */
+  def coxPh(df: DataFrame, timeCol: String, eventCol: String,
+            xCols: Seq[String], iters: Int = 8,
+            maxCells: Long = 200000L): DataFrame = {
+    val (spark, cells, p) = coxCells(df, timeCol, eventCol, xCols, maxCells)
+    var beta = Array.fill(p)(0.0)
+    for (_ <- 0 until iters) {
+      val (u, info) = coxScoreInfo(cells, beta)
+      val delta = coxSolve(info, u, xCols)
+      var k = 0
+      while (k < p) { beta(k) += delta(k); k += 1 }
+    }
+    val (_, infoF) = coxScoreInfo(cells, beta)
+    val inv = coxInvert(infoF, xCols)
+    val rows = xCols.indices.map { k =>
+      val se = math.sqrt(inv(k)(k))
+      org.apache.spark.sql.Row(xCols(k),
+        BigDecimal(beta(k)).setScale(9, BigDecimal.RoundingMode.HALF_UP)
+          .toDouble,
+        BigDecimal(math.exp(beta(k)))
+          .setScale(9, BigDecimal.RoundingMode.HALF_UP).toDouble,
+        BigDecimal(se).setScale(9, BigDecimal.RoundingMode.HALF_UP)
+          .toDouble,
+        BigDecimal(beta(k) / se)
+          .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble)
+    }
+    import org.apache.spark.sql.types._
+    spark.createDataFrame(
+      spark.sparkContext.parallelize(rows, 1),
+      StructType(Seq(StructField("covariate", StringType),
+        StructField("beta", DoubleType), StructField("hr", DoubleType),
+        StructField("se", DoubleType), StructField("z", DoubleType))))
+  }
+
+  /** Score and information at a given β — exposed for the
+    * score-test == log-rank spec identity.
+    */
+  private[graft] def coxScoreAt(df: DataFrame, timeCol: String,
+                                eventCol: String, xCols: Seq[String],
+                                beta: Array[Double])
+      : (Array[Double], Array[Array[Double]]) = {
+    val (_, cells, _) = coxCells(df, timeCol, eventCol, xCols, 200000L)
+    coxScoreInfo(cells, beta)
+  }
+
+  /** The sufficient cell table, collected sorted (t desc, x⃗ asc):
+    * (t, x⃗, n, d) per distinct (time, covariate vector).
+    */
+  private def coxCells(df: DataFrame, timeCol: String, eventCol: String,
+                       xCols: Seq[String], maxCells: Long)
+      : (SparkSession, Array[(Long, Array[Double], Long, Long)], Int) = {
+    val p = xCols.length
+    require(p >= 1 && p <= 4,
+      s"coxPh: 1-4 covariates supported, got $p")
+    val spark = df.sparkSession
+    val sel = col(timeCol).cast("long").as("__t") +:
+      col(eventCol).cast("int").as("__e") +:
+      xCols.zipWithIndex.map { case (c, i) =>
+        col(c).cast("double").as(s"__x$i") }
+    val cellDf = df.select(sel: _*)
+      .groupBy((col("__t") +: xCols.indices.map(i => col(s"__x$i"))): _*)
+      .agg(count(lit(1)).cast("long").as("__n"),
+        sum(when(col("__e") === 1, 1L).otherwise(0L)).cast("long").as("__d"))
+    val nCells = cellDf.count()
+    require(nCells <= maxCells,
+      s"coxPh: $nCells (time × covariate-cell) rows > maxCells=" +
+        s"$maxCells — bucket the covariates or coarsen the time unit")
+    val collected = cellDf.collect().map { r =>
+      (r.getLong(0),
+        Array.tabulate(p)(i => r.getDouble(1 + i)),
+        r.getLong(1 + p), r.getLong(2 + p))
+    }
+    // sorted fold order: t DESCENDING (risk sets accumulate), cells
+    // within a time in ascending x⃗ — bit-deterministic
+    val ord = collected.sortBy { case (t, x, _, _) =>
+      (-t, x.mkString(","))
+    }
+    (spark, ord, p)
+  }
+
+  /** One pass over the sorted cell table: (U, I) at β (Breslow). */
+  private def coxScoreInfo(cells: Array[(Long, Array[Double], Long, Long)],
+                           beta: Array[Double])
+      : (Array[Double], Array[Array[Double]]) = {
+    val p = beta.length
+    var s0 = 0.0
+    val s1 = Array.fill(p)(0.0)
+    val s2 = Array.fill(p, p)(0.0)
+    val u = Array.fill(p)(0.0)
+    val info = Array.fill(p, p)(0.0)
+    var i = 0
+    while (i < cells.length) {
+      val t = cells(i)._1
+      var j = i
+      var dT = 0L
+      val zx = Array.fill(p)(0.0)
+      while (j < cells.length && cells(j)._1 == t) {
+        val (_, x, n, d) = cells(j)
+        var dot = 0.0
+        var k = 0
+        while (k < p) { dot += beta(k) * x(k); k += 1 }
+        val w = math.exp(dot)
+        s0 += n * w
+        k = 0
+        while (k < p) {
+          s1(k) += n * w * x(k)
+          var l = 0
+          while (l < p) { s2(k)(l) += n * w * x(k) * x(l); l += 1 }
+          k += 1
+        }
+        dT += d
+        k = 0
+        while (k < p) { zx(k) += d * x(k); k += 1 }
+        j += 1
+      }
+      if (dT > 0) {
+        var k = 0
+        while (k < p) {
+          u(k) += zx(k) - dT * s1(k) / s0
+          var l = 0
+          while (l < p) {
+            info(k)(l) += dT * (s2(k)(l) / s0 - s1(k) * s1(l) / (s0 * s0))
+            l += 1
+          }
+          k += 1
+        }
+      }
+      i = j
+    }
+    (u, info)
+  }
+
+  /** Solve I·δ = u (partial-pivot Gaussian elimination, p ≤ 4). */
+  private def coxSolve(infoIn: Array[Array[Double]], uIn: Array[Double],
+                       xCols: Seq[String]): Array[Double] = {
+    val p = uIn.length
+    val a = infoIn.map(_.clone())
+    val b = uIn.clone()
+    var c = 0
+    while (c < p) {
+      var piv = c
+      var r = c + 1
+      while (r < p) {
+        if (math.abs(a(r)(c)) > math.abs(a(piv)(c))) piv = r; r += 1
+      }
+      require(math.abs(a(piv)(c)) > 1e-12,
+        s"coxPh: singular information matrix — covariate " +
+          s"'${xCols(c)}' is constant or collinear on the risk sets")
+      val tmp = a(c); a(c) = a(piv); a(piv) = tmp
+      val tb = b(c); b(c) = b(piv); b(piv) = tb
+      r = c + 1
+      while (r < p) {
+        val f = a(r)(c) / a(c)(c)
+        var k = c
+        while (k < p) { a(r)(k) -= f * a(c)(k); k += 1 }
+        b(r) -= f * b(c)
+        r += 1
+      }
+      c += 1
+    }
+    val x = Array.fill(p)(0.0)
+    c = p - 1
+    while (c >= 0) {
+      var s = b(c)
+      var k = c + 1
+      while (k < p) { s -= a(c)(k) * x(k); k += 1 }
+      x(c) = s / a(c)(c)
+      c -= 1
+    }
+    x
+  }
+
+  /** Invert I via p solves against unit vectors. */
+  private def coxInvert(info: Array[Array[Double]],
+                        xCols: Seq[String]): Array[Array[Double]] = {
+    val p = info.length
+    val cols = (0 until p).map { j =>
+      coxSolve(info, Array.tabulate(p)(i => if (i == j) 1.0 else 0.0),
+        xCols)
+    }
+    Array.tabulate(p, p)((i, j) => cols(j)(i))
+  }
 }

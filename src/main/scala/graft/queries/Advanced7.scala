@@ -1,0 +1,353 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.operators.{DailySeries, GroupTests, RankCorr, StatTests, Survival}
+import graft.sources.TableCatalog._
+
+/** Round-14 (continued) additions: the K-sample test battery
+  * (Kruskal–Wallis / one-way ANOVA / Mood's median / Cramér's V) on
+  * exact sufficient statistics, market-concentration HHI,
+  * Benjamini–Hochberg FDR over the per-nation Wilcoxon family, Cox
+  * proportional hazards, and Holt linear-trend forecasting.
+  *
+  * Same oracle-parity discipline as [[Advanced6]]: exact integer /
+  * DECIMAL statistics everywhere, rationals floored at a declared
+  * scale (ppm / unit) as single integral divisions identical across
+  * engines, doubles only in a final fixed IEEE formula shared
+  * verbatim with the DuckDB oracle.
+  */
+object Advanced7 {
+
+  type Q = (SparkSession, String) => DataFrame
+
+  /** Orders joined to their customer's market segment, with exact
+    * cents and whole-dollar totals — the shared input of the
+    * K-sample battery (fam = order year, samples = segments).
+    */
+  private def orderSegments(s: SparkSession, d: String): DataFrame =
+    orders(s, d)
+      .join(customer(s, d).select(col("c_custkey").as("o_custkey"),
+        col("c_mktsegment").as("seg")), Seq("o_custkey"))
+      .select(year(col("o_orderdate")).as("yr"), col("seg"),
+        col("o_orderpriority").as("prio"),
+        round(col("o_totalprice") * 100).cast("long").as("cents"),
+        round(col("o_totalprice")).cast("long").as("dollars"))
+
+  private val orderSegmentsSql: String =
+    """os AS (SELECT EXTRACT(year FROM o_orderdate) AS yr,
+      |        c_mktsegment AS seg, o_orderpriority AS prio,
+      |        CAST(round(o_totalprice * 100) AS BIGINT) AS cents,
+      |        CAST(round(o_totalprice) AS BIGINT) AS dollars
+      |      FROM orders JOIN customer ON c_custkey = o_custkey)""".stripMargin
+
+  // ---- q155: Kruskal–Wallis H per order year — "do the five market
+  //      segments' order values share a location?" asked the rank
+  //      way (outlier-immune, distribution-free). Pooled doubled
+  //      midranks off the shared count-table machinery; the
+  //      rank-square term enters as Σ⌊(2R_j)²/n_j⌋ exact integers;
+  //      tie-corrected H is the ONE shared double formula. ----
+  val q155KruskalWallis: Q = (s, d) =>
+    RankCorr.kruskalWallis(orderSegments(s, d), "yr", "seg", "cents")
+      .orderBy(col("yr"))
+
+  val q155Oracle: String =
+    s"""WITH $orderSegmentsSql,
+      |cells AS (SELECT yr, seg, cents AS v, CAST(COUNT(*) AS BIGINT) AS cnt
+      |      FROM os GROUP BY 1, 2, 3),
+      |pooled AS (SELECT yr, v, CAST(SUM(cnt) AS BIGINT) AS cnt
+      |      FROM cells GROUP BY 1, 2),
+      |m2 AS (SELECT yr, v,
+      |        2 * (SUM(cnt) OVER (PARTITION BY yr ORDER BY v
+      |          ROWS UNBOUNDED PRECEDING) - cnt) + cnt + 1 AS m2
+      |      FROM pooled),
+      |fam AS (SELECT yr, CAST(SUM(cnt) AS BIGINT) AS n,
+      |        CAST(SUM(CAST(cnt AS HUGEINT) * cnt * cnt - cnt) AS BIGINT)
+      |          AS t3t
+      |      FROM pooled GROUP BY 1),
+      |r AS (SELECT c.yr, c.seg, CAST(SUM(c.cnt) AS BIGINT) AS n_j,
+      |        SUM(CAST(c.cnt AS HUGEINT) * m2.m2) AS r2
+      |      FROM cells c JOIN m2 ON c.yr = m2.yr AND c.v = m2.v
+      |      GROUP BY 1, 2),
+      |terms AS (SELECT yr, CAST(COUNT(*) AS BIGINT) AS k,
+      |        CAST(SUM(r2 * r2 // n_j) AS BIGINT) AS rsq_sum
+      |      FROM r GROUP BY 1)
+      |SELECT yr, k, n, rsq_sum, t3t,
+      |  CASE WHEN CAST(n AS HUGEINT) * n * n - n > t3t THEN
+      |    round(${GroupTests.kwHFormulaSql}, 6)
+      |  ELSE NULL END AS h
+      |FROM terms JOIN fam USING (yr) ORDER BY yr""".stripMargin
+
+  // ---- q156: one-way ANOVA F per order year across order
+  //      priorities, in whole DOLLARS (the magnitude contract:
+  //      S_j²/n_j must fit BIGINT) — the parametric companion of
+  //      q155 with the η² effect size. SSB/SSW are order-free exact
+  //      integers (per-sample ⌊S_j²/n_j⌋ floors); F and η² the two
+  //      shared double formulas. ----
+  val q156Anova: Q = (s, d) =>
+    GroupTests.anovaOneWay(orderSegments(s, d), "yr", "prio", "dollars")
+      .orderBy(col("yr"))
+
+  val q156Oracle: String =
+    s"""WITH $orderSegmentsSql,
+      |per AS (SELECT yr, prio, CAST(COUNT(*) AS BIGINT) AS n_j,
+      |        SUM(CAST(dollars AS HUGEINT)) AS s_j,
+      |        SUM(CAST(dollars AS HUGEINT) * dollars) AS q_j
+      |      FROM os GROUP BY 1, 2),
+      |agg AS (SELECT yr, CAST(COUNT(*) AS BIGINT) AS k,
+      |        CAST(SUM(n_j) AS BIGINT) AS n,
+      |        SUM(s_j) AS s, SUM(q_j) AS q,
+      |        SUM(s_j * s_j // n_j) AS bsum
+      |      FROM per GROUP BY 1),
+      |sq AS (SELECT yr, k, n,
+      |        CAST(bsum - (s * s // n) AS BIGINT) AS ssb,
+      |        CAST(q - bsum AS BIGINT) AS ssw
+      |      FROM agg)
+      |SELECT yr, k, n, ssb, ssw,
+      |  CASE WHEN k > 1 AND n > k AND ssw > 0 THEN
+      |    round(${GroupTests.anovaFFormulaSql}, 6) ELSE NULL END AS f,
+      |  CASE WHEN ssb + ssw > 0 THEN
+      |    round(CAST(ssb AS DOUBLE) / CAST(ssb + ssw AS DOUBLE), 6)
+      |  ELSE NULL END AS eta2
+      |FROM sq ORDER BY yr""".stripMargin
+
+  // ---- q157: Mood's median test per order year across market
+  //      segments — the coarsest K-sample location test (dichotomize
+  //      at the pooled nearest-rank lower median, chi-square the 2×K
+  //      table); survives any monotone tail contamination. chi2_ppm
+  //      is an order-free exact integer (per-cell ppm floors). ----
+  val q157MoodMedian: Q = (s, d) =>
+    GroupTests.moodMedianTest(orderSegments(s, d), "yr", "seg", "cents")
+      .orderBy(col("yr"))
+
+  val q157Oracle: String =
+    s"""WITH $orderSegmentsSql,
+      |cells AS (SELECT yr, seg, cents AS v, CAST(COUNT(*) AS BIGINT) AS cnt
+      |      FROM os GROUP BY 1, 2, 3),
+      |pooled AS (SELECT yr, v, CAST(SUM(cnt) AS BIGINT) AS cnt
+      |      FROM cells GROUP BY 1, 2),
+      |nn AS (SELECT yr, CAST(SUM(cnt) AS BIGINT) AS n FROM pooled GROUP BY 1),
+      |cum AS (SELECT yr, v, cnt,
+      |        SUM(cnt) OVER (PARTITION BY yr ORDER BY v
+      |          ROWS UNBOUNDED PRECEDING) - cnt AS below
+      |      FROM pooled),
+      |med AS (SELECT cum.yr, cum.v AS med
+      |      FROM cum JOIN nn USING (yr)
+      |      WHERE below < (n + 1) // 2 AND (n + 1) // 2 <= below + cnt),
+      |per AS (SELECT c.yr, c.seg,
+      |        CAST(SUM(CASE WHEN c.v > med THEN c.cnt ELSE 0 END) AS BIGINT)
+      |          AS above,
+      |        CAST(SUM(c.cnt) AS BIGINT) AS n_j
+      |      FROM cells c JOIN med ON c.yr = med.yr GROUP BY 1, 2),
+      |marg AS (SELECT yr, CAST(SUM(above) AS BIGINT) AS r_above,
+      |        CAST(SUM(n_j) AS BIGINT) AS n,
+      |        CAST(COUNT(*) AS BIGINT) AS k
+      |      FROM per GROUP BY 1),
+      |contrib AS (SELECT per.yr, k, n, r_above,
+      |        (CAST(above AS HUGEINT) * n - CAST(r_above AS HUGEINT) * n_j)
+      |          * (CAST(above AS HUGEINT) * n
+      |             - CAST(r_above AS HUGEINT) * n_j) AS num2,
+      |        CAST(n AS HUGEINT) * r_above * n_j AS den_above,
+      |        CAST(n AS HUGEINT) * (n - r_above) * n_j AS den_below
+      |      FROM per JOIN marg USING (yr)),
+      |chi AS (SELECT yr, k, n, r_above,
+      |        CAST(SUM(CASE WHEN r_above > 0
+      |            THEN num2 * 1000000 // den_above ELSE NULL END)
+      |          + SUM(CASE WHEN n > r_above
+      |            THEN num2 * 1000000 // den_below ELSE NULL END)
+      |          AS BIGINT) AS chi2_ppm
+      |      FROM contrib GROUP BY 1, 2, 3, 4)
+      |SELECT chi.yr, k, n, med AS median, chi2_ppm,
+      |  round(CAST(chi2_ppm AS DOUBLE) / 1000000.0, 6) AS chi2
+      |FROM chi JOIN med ON chi.yr = med.yr ORDER BY chi.yr""".stripMargin
+
+  // ---- q158: chi-square TOTAL + Cramér's V per order year over the
+  //      segment × priority contingency table (q81 reports per-cell
+  //      contributions; the ppm floor makes the TOTAL order-free and
+  //      exact, including structural zeros' expected mass). ----
+  val q158CramersV: Q = (s, d) =>
+    GroupTests.cramersV(orderSegments(s, d), "yr", "seg", "prio")
+      .orderBy(col("yr"))
+
+  val q158Oracle: String =
+    s"""WITH $orderSegmentsSql,
+      |cells AS (SELECT yr, seg AS r, prio AS c, CAST(COUNT(*) AS BIGINT) AS o
+      |      FROM os GROUP BY 1, 2, 3),
+      |rm AS (SELECT yr, r, CAST(SUM(o) AS BIGINT) AS rm FROM cells GROUP BY 1, 2),
+      |cm AS (SELECT yr, c, CAST(SUM(o) AS BIGINT) AS cm FROM cells GROUP BY 1, 2),
+      |nn AS (SELECT yr, CAST(SUM(o) AS BIGINT) AS n,
+      |        CAST(COUNT(DISTINCT r) AS BIGINT) AS n_rows,
+      |        CAST(COUNT(DISTINCT c) AS BIGINT) AS n_cols
+      |      FROM cells GROUP BY 1),
+      |dense AS (SELECT rm.yr, rm.r, cm.c, rm.rm, cm.cm,
+      |        COALESCE(o, 0) AS o, n
+      |      FROM rm JOIN cm ON rm.yr = cm.yr
+      |      LEFT JOIN cells ON cells.yr = rm.yr AND cells.r = rm.r
+      |        AND cells.c = cm.c
+      |      JOIN nn ON nn.yr = rm.yr),
+      |chi AS (SELECT yr,
+      |        CAST(SUM((CAST(o AS HUGEINT) * n - CAST(rm AS HUGEINT) * cm)
+      |          * (CAST(o AS HUGEINT) * n - CAST(rm AS HUGEINT) * cm)
+      |          * 1000000 // (CAST(n AS HUGEINT) * rm * cm)) AS BIGINT)
+      |          AS chi2_ppm
+      |      FROM dense GROUP BY 1)
+      |SELECT yr, n, n_rows, n_cols, chi2_ppm,
+      |  round(CAST(chi2_ppm AS DOUBLE) / 1000000.0, 6) AS chi2,
+      |  CASE WHEN least(n_rows, n_cols) > 1 THEN
+      |    round(sqrt(CAST(chi2_ppm AS DOUBLE) / 1000000.0 /
+      |      (CAST(n AS DOUBLE) *
+      |        CAST(least(n_rows, n_cols) - 1 AS DOUBLE))), 6)
+      |  ELSE NULL END AS v
+      |FROM chi JOIN nn USING (yr) ORDER BY yr""".stripMargin
+
+  // ---- q159: Herfindahl–Hirschman supplier-concentration index per
+  //      nation — Σ(revenue share)² as the order-free exact integer
+  //      Σ⌊rev_s²·10⁸/rev_tot²⌋ (the antitrust-screening market-
+  //      structure statistic; 1/HHI is the "effective supplier
+  //      count"). ----
+  val q159Hhi: Q = (s, d) => {
+    val rev = lineitem(s, d)
+      .join(supplier(s, d).select(col("s_suppkey").as("l_suppkey"),
+        col("s_nationkey").as("nation")), Seq("l_suppkey"))
+      .groupBy(col("nation"), col("l_suppkey"))
+      .agg(sum(round(col("l_extendedprice") * 100).cast("long"))
+        .cast("decimal(38,0)").as("rev_s"))
+    val tot = rev.groupBy(col("nation"))
+      .agg(sum(col("rev_s")).cast("decimal(38,0)").as("rev_tot"),
+        count(lit(1)).cast("bigint").as("n_suppliers"))
+    rev.join(broadcast(tot), Seq("nation"))
+      .select(col("nation"), col("n_suppliers"), col("rev_tot"),
+        expr("CAST(rev_s * rev_s * 100000000 AS DECIMAL(38,0)) DIV " +
+          "CAST(rev_tot * rev_tot AS DECIMAL(38,0))").as("term"))
+      .groupBy(col("nation"), col("n_suppliers"))
+      .agg(max(col("rev_tot")).cast("bigint").as("rev_cents"),
+        sum(col("term")).cast("bigint").as("hhi_e8"))
+      .withColumn("hhi",
+        round(col("hhi_e8").cast("double") / lit(100000000.0), 9))
+      .orderBy(col("nation"))
+  }
+
+  val q159Oracle: String =
+    """WITH rev AS (SELECT s_nationkey AS nation, l_suppkey,
+      |        SUM(CAST(round(l_extendedprice * 100) AS BIGINT)) AS rev_s
+      |      FROM lineitem JOIN supplier ON s_suppkey = l_suppkey
+      |      GROUP BY 1, 2),
+      |tot AS (SELECT nation, CAST(SUM(rev_s) AS BIGINT) AS rev_tot,
+      |        CAST(COUNT(*) AS BIGINT) AS n_suppliers
+      |      FROM rev GROUP BY 1)
+      |SELECT nation, n_suppliers, rev_tot AS rev_cents,
+      |  CAST(SUM(CAST(rev_s AS HUGEINT) * rev_s * 100000000
+      |    // (CAST(rev_tot AS HUGEINT) * rev_tot)) AS BIGINT) AS hhi_e8,
+      |  round(CAST(SUM(CAST(rev_s AS HUGEINT) * rev_s * 100000000
+      |    // (CAST(rev_tot AS HUGEINT) * rev_tot)) AS DOUBLE)
+      |    / 100000000.0, 9) AS hhi
+      |FROM rev JOIN tot USING (nation)
+      |GROUP BY nation, n_suppliers, rev_tot
+      |ORDER BY nation""".stripMargin
+
+  // ---- q160: Benjamini–Hochberg FDR over the per-nation Wilcoxon
+  //      family (q148's 1995-vs-1996 paired spend tests) — "which
+  //      nations' shifts survive multiple testing at q = 0.05?".
+  //      p-values via the A&S 26.2.17 normal tail SHARED as one SQL
+  //      text (identical parse both engines) on z already rounded 6;
+  //      the step-up suffix min folds over the 25-row test table. ----
+  val q160BhFdr: Q = (s, d) => {
+    val tests = Advanced6.q148Wilcoxon(s, d)
+      .filter(col("z").isNotNull)
+      .select(col("nation"), col("z"),
+        round(expr(StatTests.normalTwoSidedPSql("z")), 9).as("p"))
+    StatTests.bhAdjust(tests.select(col("nation"), col("p")),
+        "nation", "p")
+      .join(tests.select(col("nation"), col("z")), Seq("nation"))
+      .select(col("nation"), col("z"), col("p"), col("i"), col("m"),
+        col("p_adj"), col("reject"))
+      .orderBy(col("i"))
+  }
+
+  val q160Oracle: String = {
+    val pExpr = StatTests.normalTwoSidedPSql("z")
+    s"""WITH w AS (${Advanced6.q148Oracle.replace("ORDER BY nation", "")}),
+      |tests AS (SELECT nation, z, round($pExpr, 9) AS p
+      |      FROM w WHERE z IS NOT NULL),
+      |ranked AS (SELECT nation, z, p,
+      |        CAST(ROW_NUMBER() OVER (ORDER BY p, nation) AS BIGINT) AS i,
+      |        CAST(COUNT(*) OVER () AS BIGINT) AS m
+      |      FROM tests),
+      |adj AS (SELECT a.nation, a.z, a.p, a.i, a.m,
+      |        round(MIN(least(1.0, CAST(b.m AS DOUBLE) * b.p
+      |          / CAST(b.i AS DOUBLE))), 6) AS p_adj
+      |      FROM ranked a JOIN ranked b ON b.i >= a.i
+      |      GROUP BY 1, 2, 3, 4, 5)
+      |SELECT nation, z, p, i, m, p_adj, p_adj <= 0.05 AS reject
+      |FROM adj ORDER BY i""".stripMargin
+  }
+
+  /** Reorder gaps with customer-level covariates — the Cox input:
+    * every consecutive order pair is an observed reorder event at
+    * gap t; the window from the last order to the corpus end is
+    * right-censored. Covariates: BUILDING segment, positive account
+    * balance.
+    */
+  private def coxGaps(s: SparkSession, d: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val o = orders(s, d).select(col("o_custkey").as("ck"),
+      col("o_orderdate").as("dt"))
+    val endD = o.agg(max(col("dt")).as("endd"))
+    val w = Window.partitionBy(col("ck")).orderBy(col("dt"))
+    o.withColumn("nxt", lead(col("dt"), 1).over(w))
+      .crossJoin(broadcast(endD))
+      .join(customer(s, d).select(col("c_custkey").as("ck"),
+        (col("c_mktsegment") === "BUILDING").cast("double")
+          .as("x_building"),
+        (col("c_acctbal") > 0).cast("double").as("x_pos_bal")),
+        Seq("ck"))
+      .select(
+        when(col("nxt").isNotNull, datediff(col("nxt"), col("dt")))
+          .otherwise(datediff(col("endd"), col("dt")))
+          .cast("long").as("t"),
+        when(col("nxt").isNotNull, 1).otherwise(0).as("e"),
+        col("x_building"), col("x_pos_bal"))
+  }
+
+  // ---- q161 (rows-only — Newton iteration on a transcendental
+  //      partial likelihood has no SQL form; determinism is the
+  //      contract: one distributed pass to the (time × covariate-
+  //      cell) sufficient table, all iterations driver-side in
+  //      sorted order): Cox proportional hazards on reorder gaps —
+  //      hazard ratios for BUILDING segment and positive balance
+  //      JOINTLY, where q152's log-rank can only test one split. ----
+  val q161Cox: Q = (s, d) =>
+    Survival.coxPh(coxGaps(s, d), "t", "e",
+      Seq("x_building", "x_pos_bal"))
+
+  // ---- q162 (rows-only — the recursion is a sequential float fold,
+  //      driver-side over the date-cardinality series, the q151
+  //      convention): Holt linear-trend smoothing of daily revenue
+  //      with a 7-day forecast fan — the forecasting baseline above
+  //      q133's seasonal-naive. ----
+  val q162Holt: Q = (s, d) => {
+    val daily = orders(s, d)
+      .groupBy(col("o_orderdate").as("day"))
+      .agg(sum(round(col("o_totalprice") * 100).cast("long")).as("rev"))
+    DailySeries.holt(daily).orderBy(col("day"))
+  }
+
+  val queries: Map[String, Q] = Map(
+    "q155_kruskal_wallis" -> q155KruskalWallis,
+    "q156_anova" -> q156Anova,
+    "q157_mood_median" -> q157MoodMedian,
+    "q158_cramers_v" -> q158CramersV,
+    "q159_hhi" -> q159Hhi,
+    "q160_bh_fdr" -> q160BhFdr,
+    "q161_cox" -> q161Cox,
+    "q162_holt" -> q162Holt)
+
+  val oracles: Map[String, String] = Map(
+    "q155_kruskal_wallis" -> q155Oracle,
+    "q156_anova" -> q156Oracle,
+    "q157_mood_median" -> q157Oracle,
+    "q158_cramers_v" -> q158Oracle,
+    "q159_hhi" -> q159Oracle,
+    "q160_bh_fdr" -> q160Oracle)
+}

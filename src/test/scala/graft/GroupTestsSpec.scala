@@ -1,0 +1,168 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.operators.{GroupTests, RankCorr}
+
+/** K-sample test battery: Kruskal–Wallis
+  * ([[RankCorr.kruskalWallis]]), one-way ANOVA
+  * ([[GroupTests.anovaOneWay]]), Mood's median test
+  * ([[GroupTests.moodMedianTest]]), and Cramér's V
+  * ([[GroupTests.cramersV]]) — hand values, tie/degenerate regimes,
+  * family isolation, partitioning invariance, and the KW magnitude
+  * refusal.
+  */
+class GroupTestsSpec extends AnyFunSuite {
+
+  private lazy val spark = SparkTestSession.spark
+  import spark.implicits._
+
+  // ---- Kruskal–Wallis ----
+
+  test("KW hand case, no ties: A=(1,2,3) B=(4,5,6) gives H = 27/7") {
+    val df = Seq(("f", "A", 1L), ("f", "A", 2L), ("f", "A", 3L),
+      ("f", "B", 4L), ("f", "B", 5L), ("f", "B", 6L)).toDF("g", "s", "v")
+    val r = RankCorr.kruskalWallis(df, "g", "s", "v").collect().head
+    // ranks 1..6, R_A = 6, R_B = 15; H = 12/(6·7)·(12+75) − 21
+    assert(r.getAs[Long]("k") == 2L && r.getAs[Long]("n") == 6L)
+    assert(r.getAs[Long]("rsq_sum") == 48L + 300L)
+    assert(r.getAs[Long]("t3t") == 0L)
+    assert(math.abs(r.getAs[Double]("h") - 27.0 / 7.0) < 5e-7, r.toString)
+  }
+
+  test("KW tie correction: A=(1,1) B=(2,2) gives H = 2.4/0.8 = 3") {
+    val df = Seq(("f", "A", 1L), ("f", "A", 1L),
+      ("f", "B", 2L), ("f", "B", 2L)).toDF("g", "s", "v")
+    val r = RankCorr.kruskalWallis(df, "g", "s", "v").collect().head
+    // midranks 1.5/1.5/3.5/3.5 → 2R = (6, 14); t3t = 6 + 6 = 12;
+    // H_unc = 3·(18+98)/20 − 15 = 2.4; corr = 1 − 12/60 = 0.8
+    assert(r.getAs[Long]("t3t") == 12L)
+    assert(math.abs(r.getAs[Double]("h") - 3.0) < 5e-7, r.toString)
+  }
+
+  test("KW: fully tied family yields null H; families are isolated") {
+    val df = Seq(("t", "A", 5L), ("t", "B", 5L), ("t", "B", 5L),
+      ("f", "A", 1L), ("f", "A", 2L), ("f", "A", 3L),
+      ("f", "B", 4L), ("f", "B", 5L), ("f", "B", 6L)).toDF("g", "s", "v")
+    val m = RankCorr.kruskalWallis(df, "g", "s", "v").collect()
+      .map(r => r.getString(0) -> r).toMap
+    assert(m("t").isNullAt(m("t").fieldIndex("h")))
+    assert(math.abs(m("f").getAs[Double]("h") - 27.0 / 7.0) < 5e-7)
+  }
+
+  test("KW partitioning invariance") {
+    val rows = (1 to 200).map(i =>
+      (s"f${i % 3}", s"s${i % 4}", (i * 37 % 23).toLong))
+    val a = RankCorr.kruskalWallis(rows.toDF("g", "s", "v"), "g", "s", "v")
+      .collect().map(_.toString).sorted
+    val b = RankCorr.kruskalWallis(
+        rows.toDF("g", "s", "v").repartition(13), "g", "s", "v")
+      .collect().map(_.toString).sorted
+    assert(a.sameElements(b))
+  }
+
+  test("KW refuses families beyond the BIGINT magnitude cap") {
+    val df = Seq(("f", "A", 1L), ("f", "B", 2L)).toDF("g", "s", "v")
+    val e = intercept[IllegalArgumentException] {
+      RankCorr.kruskalWallis(df, "g", "s", "v", maxFamilyN = 1L).collect()
+    }
+    assert(e.getMessage.contains("maxFamilyN"))
+  }
+
+  // ---- one-way ANOVA ----
+
+  test("ANOVA hand case: A=(1,2,3) B=(7,8,9) gives F = 54, eta2 = 54/58") {
+    val df = Seq(("f", "A", 1L), ("f", "A", 2L), ("f", "A", 3L),
+      ("f", "B", 7L), ("f", "B", 8L), ("f", "B", 9L)).toDF("g", "s", "v")
+    val r = GroupTests.anovaOneWay(df, "g", "s", "v").collect().head
+    // S_A = 6, Q_A = 14; S_B = 24, Q_B = 194; bsum = 12 + 192 = 204;
+    // S²/n = 900/6 = 150 → SSB = 54, SSW = 208 − 204 = 4
+    assert(r.getAs[Long]("ssb") == 54L && r.getAs[Long]("ssw") == 4L,
+      r.toString)
+    // F = (54/1)/(4/4) = 54; eta2 = 54/58
+    assert(math.abs(r.getAs[Double]("f") - 54.0) < 5e-7)
+    assert(math.abs(r.getAs[Double]("eta2") - 54.0 / 58.0) < 5e-7)
+  }
+
+  test("ANOVA: zero within-variance gives null F and eta2 = 1") {
+    val df = Seq(("f", "A", 1L), ("f", "A", 1L),
+      ("f", "B", 5L), ("f", "B", 5L)).toDF("g", "s", "v")
+    val r = GroupTests.anovaOneWay(df, "g", "s", "v").collect().head
+    assert(r.isNullAt(r.fieldIndex("f")))
+    assert(r.getAs[Double]("eta2") == 1.0)
+  }
+
+  test("ANOVA: single sample gives null F and null eta2 on zero SSB") {
+    val df = Seq(("f", "A", 1L), ("f", "A", 2L)).toDF("g", "s", "v")
+    val r = GroupTests.anovaOneWay(df, "g", "s", "v").collect().head
+    assert(r.getAs[Long]("k") == 1L && r.isNullAt(r.fieldIndex("f")))
+  }
+
+  // ---- Mood's median test ----
+
+  test("Mood hand case: complete separation at n=8 gives chi2 = 8") {
+    val df = Seq(("f", "A", 1L), ("f", "A", 2L), ("f", "A", 3L),
+      ("f", "A", 4L), ("f", "B", 5L), ("f", "B", 6L), ("f", "B", 7L),
+      ("f", "B", 8L)).toDF("g", "s", "v")
+    val r = GroupTests.moodMedianTest(df, "g", "s", "v").collect().head
+    // lower median position (8+1) DIV 2 = 4 → median 4; above: A 0, B 4;
+    // all four cells have e = 2, (o−e)²/e = 2 → chi2 = 8
+    assert(r.getAs[Long]("median") == 4L)
+    assert(r.getAs[Long]("chi2_ppm") == 8000000L, r.toString)
+    assert(r.getAs[Double]("chi2") == 8.0)
+  }
+
+  test("Mood: identical samples give chi2 = 0; constant family gives null") {
+    val df = Seq(("f", "A", 1L), ("f", "A", 2L), ("f", "B", 1L),
+      ("f", "B", 2L),
+      ("c", "A", 5L), ("c", "B", 5L)).toDF("g", "s", "v")
+    val m = GroupTests.moodMedianTest(df, "g", "s", "v").collect()
+      .map(r => r.getString(0) -> r).toMap
+    assert(m("f").getAs[Long]("chi2_ppm") == 0L)
+    // constant family: every value ≤ median → empty 'above' margin
+    assert(m("c").isNullAt(m("c").fieldIndex("chi2_ppm")))
+  }
+
+  // ---- Cramér's V ----
+
+  test("V hand case: perfect 2x2 association gives chi2 = n and v = 1") {
+    val df = Seq(("f", "r1", "c1"), ("f", "r1", "c1"),
+      ("f", "r2", "c2"), ("f", "r2", "c2")).toDF("g", "r", "c")
+    val r = GroupTests.cramersV(df, "g", "r", "c").collect().head
+    assert(r.getAs[Long]("chi2_ppm") == 4000000L, r.toString)
+    assert(r.getAs[Double]("v") == 1.0)
+  }
+
+  test("V: independent 2x2 gives chi2 = 0; structural zeros contribute") {
+    val ind = Seq(("f", "r1", "c1"), ("f", "r1", "c2"),
+      ("f", "r2", "c1"), ("f", "r2", "c2")).toDF("g", "r", "c")
+    val r1 = GroupTests.cramersV(ind, "g", "r", "c").collect().head
+    assert(r1.getAs[Long]("chi2_ppm") == 0L && r1.getAs[Double]("v") == 0.0)
+    // the perfect-association case above only works because the (r1,c2)
+    // and (r2,c1) ZERO cells contribute their expected mass — drop the
+    // dense grid and chi2 would halve; pin the dense-grid contract by
+    // the exact ppm value (already asserted) and a 2x3 with a hole:
+    val hole = Seq(("f", "r1", "c1"), ("f", "r1", "c2"), ("f", "r1", "c3"),
+      ("f", "r2", "c1"), ("f", "r2", "c2")).toDF("g", "r", "c")
+    val r2 = GroupTests.cramersV(hole, "g", "r", "c").collect().head
+    // marginals: r1=3, r2=2; c1=2, c2=2, c3=1; n=5; the (r2,c3) cell is
+    // o=0 with expected 2/5 — its exact contribution is
+    // ⌊(0·5 − 2·1)²·10⁶/(5·2·1)⌋ = 400000
+    assert(r2.getAs[Long]("n_rows") == 2L && r2.getAs[Long]("n_cols") == 3L)
+    assert(r2.getAs[Long]("chi2_ppm") >= 400000L)
+  }
+
+  test("battery partitioning invariance (ANOVA + Mood + V)") {
+    val rows = (1 to 300).map(i =>
+      (s"f${i % 2}", s"s${i % 5}", (i * 31 % 97).toLong))
+    def run(parts: Int): Seq[String] = {
+      val df = rows.toDF("g", "s", "v").repartition(parts)
+      (GroupTests.anovaOneWay(df, "g", "s", "v").collect() ++
+        GroupTests.moodMedianTest(df, "g", "s", "v").collect() ++
+        GroupTests.cramersV(df.withColumn("c",
+          org.apache.spark.sql.functions.col("v") % 3), "g", "s", "c")
+          .collect()).map(_.toString).sorted.toSeq
+    }
+    assert(run(1) == run(17))
+  }
+}
