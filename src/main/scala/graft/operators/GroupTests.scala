@@ -42,6 +42,16 @@ object GroupTests {
   val anovaFFormulaSql: String =
     "(CAST(ssb AS DOUBLE) / (k - 1)) / (CAST(ssw AS DOUBLE) / (n - k))"
 
+  /** CMH chi-square from the exact integer (o, e_ppm, v_ppm) sums —
+    * (O − E)²/V with the square written as an explicit product (both
+    * engines multiply; a pow() could round differently). Shared
+    * verbatim with the oracle.
+    */
+  val cmhChi2FormulaSql: String =
+    "(CAST(o AS DOUBLE) - CAST(e_ppm AS DOUBLE) / 1000000.0) * " +
+      "(CAST(o AS DOUBLE) - CAST(e_ppm AS DOUBLE) / 1000000.0) / " +
+      "(CAST(v_ppm AS DOUBLE) / 1000000.0)"
+
   /** Per-FAMILY one-way ANOVA — the parametric K-sample location
     * test: decompose the family's total sum of squares into between-
     * sample and within-sample parts, F = MSB/MSW with (k−1, n−k)
@@ -190,6 +200,74 @@ object GroupTests {
         col("med").as("median"), col("chi2_ppm"),
         round(col("chi2_ppm").cast("double") / lit(1000000.0), 6)
           .as("chi2"))
+  }
+
+  /** COCHRAN–MANTEL–HAENSZEL test + Mantel–Haenszel common odds
+    * ratio (Mantel & Haenszel 1959) — "is exposure associated with
+    * outcome AFTER controlling for the stratifying confounder?":
+    * the stratified-2×2 workhorse of epidemiology/observational
+    * analysis, the categorical sibling of [[Survival.logRank]] (the
+    * same O − E / hypergeometric-variance algebra, strata in place
+    * of event times — a Simpson's-paradox-proof association test).
+    *
+    * FULLY DISTRIBUTED exact algebra (the q152 ppm discipline): per
+    * stratum, E = n1·m1·10⁶ DIV n and V = n1·n0·m1·m0·10⁶ DIV
+    * (n²(n−1)) are single exact integral divisions floored at ppm,
+    * and the MH odds-ratio components a·d·10⁶ DIV n / b·c·10⁶ DIV n
+    * likewise — all four sums are order-free exact integers; the
+    * chi-square (no continuity correction — determinism over
+    * small-sample nicety, stated) and OR are the two final double
+    * formulas rounded 6. n⁴·10⁶ ≤ 10³⁸ REFUSAL above 2·10⁸ rows in
+    * any one stratum.
+    *
+    * @param exposureCol boolean-valued; @param outcomeCol boolean
+    * @return one row: (k, o, e_ppm, v_ppm, chi2, or_num_ppm,
+    *         or_den_ppm, or_mh) — chi2 null on zero variance, or_mh
+    *         null on a zero denominator
+    */
+  def cmh(df: DataFrame, strataCol: String, exposureCol: String,
+          outcomeCol: String): DataFrame = {
+    val strata = df.select(col(strataCol).as("g"),
+        col(exposureCol).cast("boolean").as("x"),
+        col(outcomeCol).cast("boolean").as("y"))
+      .groupBy(col("g"))
+      .agg(count(lit(1)).cast("long").as("n"),
+        sum(when(col("x") && col("y"), 1L).otherwise(0L)).as("a"),
+        sum(when(col("x") && !col("y"), 1L).otherwise(0L)).as("b"),
+        sum(when(!col("x") && col("y"), 1L).otherwise(0L)).as("c"),
+        sum(when(!col("x") && !col("y"), 1L).otherwise(0L)).as("d"))
+      .localCheckpoint(true) // refusal scan + the term aggregation
+    val tooBig = strata.filter(col("n") > 200000000L).count()
+    require(tooBig == 0,
+      "cmh: a stratum exceeds 2e8 rows — the exact single-division " +
+        "ppm algebra needs n⁴·10⁶ ≤ 10³⁸; sample first")
+    val terms = strata.selectExpr(
+      "a",
+      "CAST(a + b AS DECIMAL(38,0)) * (a + c) * 1000000 " +
+        "DIV CAST(n AS DECIMAL(38,0)) AS e_ppm",
+      "CASE WHEN n > 1 THEN " +
+        "CAST(a + b AS DECIMAL(38,0)) * (c + d) * (a + c) * (b + d) " +
+        "* 1000000 DIV (CAST(n AS DECIMAL(38,0)) * n * (n - 1)) " +
+        "ELSE 0 END AS v_ppm",
+      "CAST(a AS DECIMAL(38,0)) * d * 1000000 " +
+        "DIV CAST(n AS DECIMAL(38,0)) AS orn_ppm",
+      "CAST(b AS DECIMAL(38,0)) * c * 1000000 " +
+        "DIV CAST(n AS DECIMAL(38,0)) AS ord_ppm")
+    terms.agg(count(lit(1)).cast("bigint").as("k"),
+        sum(col("a")).cast("bigint").as("o"),
+        sum(col("e_ppm")).cast("bigint").as("e_ppm"),
+        sum(col("v_ppm")).cast("bigint").as("v_ppm"),
+        sum(col("orn_ppm")).cast("bigint").as("or_num_ppm"),
+        sum(col("ord_ppm")).cast("bigint").as("or_den_ppm"))
+      .select(col("k"), col("o"), col("e_ppm"), col("v_ppm"),
+        when(col("v_ppm") > 0,
+          round(expr(cmhChi2FormulaSql), 6))
+          .otherwise(lit(null).cast("double")).as("chi2"),
+        col("or_num_ppm"), col("or_den_ppm"),
+        when(col("or_den_ppm") > 0,
+          round(col("or_num_ppm").cast("double") /
+            col("or_den_ppm").cast("double"), 6))
+          .otherwise(lit(null).cast("double")).as("or_mh"))
   }
 
   /** Per-FAMILY chi-square test of independence WITH Cramér's V —

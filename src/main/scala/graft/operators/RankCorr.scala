@@ -265,6 +265,86 @@ object RankCorr {
           .otherwise(lit(null).cast("double")).as("h"))
   }
 
+  /** Per-FAMILY FRIEDMAN TEST (Friedman 1937, midrank tie form) —
+    * the K-treatment repeated-measures rank test: within each
+    * complete BLOCK (a month, a subject, a store) rank the K
+    * treatments, then ask whether any treatment ranks consistently
+    * high/low across blocks. The blocked sibling of
+    * [[kruskalWallis]]: blocking removes the between-block variance
+    * KW would dilute power with.
+    *
+    * FULLY EXACT — no floor scaling needed: with DOUBLED midranks
+    * m2 = 2·below + t + 1 from a WITHIN-BLOCK self-join (pair volume
+    * K² per block, never corpus-bounded — the q149 cell discipline),
+    * the tie-corrected statistic is
+    * χ² = (K−1)·Σ_j (2R_j − n(K+1))² / (Σ m2² − nK(K+1)²)
+    * — every quantity an exact integer (the /4's cancel), ONE double
+    * division rounded 6.
+    *
+    * REFUSALS: duplicate (block, treatment) observations (aggregate
+    * first — the test is defined on one value per cell) and
+    * incomplete blocks (a missing treatment shifts every midrank;
+    * filter to complete blocks explicitly — the q164 contract query
+    * shows the idiom).
+    *
+    * @return (famCol, k, n_blocks, num, den, chi2) — chi2 null when
+    *         every block is fully tied (den = 0)
+    */
+  def friedman(df: DataFrame, famCol: String, blockCol: String,
+               treatmentCol: String, valueCol: String): DataFrame = {
+    val rows = df.select(col(famCol).as("g"), col(blockCol).as("b"),
+        col(treatmentCol).as("trt"), col(valueCol).cast("long").as("v"))
+      .localCheckpoint(true) // dup check + completeness + self-join
+    val dups = rows.groupBy(col("g"), col("b"), col("trt"))
+      .agg(count(lit(1)).as("c")).filter(col("c") > 1).count()
+    require(dups == 0,
+      s"friedman: $dups (family, block, treatment) cells have multiple " +
+        "observations — aggregate to one value per cell first")
+    val kg = rows.groupBy(col("g"))
+      .agg(countDistinct(col("trt")).cast("long").as("k"))
+    val incomplete = rows.groupBy(col("g"), col("b"))
+      .agg(count(lit(1)).as("c"))
+      .join(broadcast(kg), Seq("g"))
+      .filter(col("c") =!= col("k")).count()
+    require(incomplete == 0,
+      s"friedman: $incomplete incomplete blocks (missing treatments " +
+        "shift every midrank) — filter to complete blocks first")
+    // within-block doubled midranks: co-partitioned self-join on
+    // (g, b), K² pairs per block
+    val m2 = rows.as("a").join(rows.as("b"),
+        col("a.g") === col("b.g") && col("a.b") === col("b.b"))
+      .groupBy(col("a.g").as("g"), col("a.b").as("b"),
+        col("a.trt").as("trt"))
+      .agg((lit(2) * sum(when(col("b.v") < col("a.v"), 1L).otherwise(0L))
+        + sum(when(col("b.v") === col("a.v"), 1L).otherwise(0L)) + lit(1))
+        .cast("long").as("m2"))
+    def dcm(c: Column): Column = c.cast("decimal(38,0)")
+    val perTrt = m2.groupBy(col("g"), col("trt"))
+      .agg(sum(col("m2")).cast("decimal(38,0)").as("r2"),
+        count(lit(1)).cast("long").as("n"),
+        sum(dcm(col("m2")) * dcm(col("m2"))).cast("decimal(38,0)").as("m2sq"))
+    val agg = perTrt.join(broadcast(kg), Seq("g"))
+      .select(col("g"), col("k"), col("n"),
+        ((col("r2") - dcm(col("n")) * (col("k") + 1))
+          * (col("r2") - dcm(col("n")) * (col("k") + 1)))
+          .cast("decimal(38,0)").as("dev2"),
+        col("m2sq"))
+      .groupBy(col("g"), col("k"))
+      .agg(max(col("n")).as("n_blocks"),
+        ((col("k") - 1).cast("decimal(38,0)") * sum(col("dev2")))
+          .cast("decimal(38,0)").as("num"),
+        (sum(col("m2sq")) - max(col("n")).cast("decimal(38,0)")
+          * dcm(col("k")) * (col("k") + 1) * (col("k") + 1))
+          .cast("decimal(38,0)").as("den"))
+    agg.select(col("g").as(famCol), col("k"),
+      col("n_blocks").cast("bigint").as("n_blocks"),
+      col("num").cast("bigint").as("num"),
+      col("den").cast("bigint").as("den"),
+      when(col("den") > 0,
+        round(col("num").cast("double") / col("den").cast("double"), 6))
+        .otherwise(lit(null).cast("double")).as("chi2"))
+  }
+
   /** Per-group Spearman ρ between two integral columns (scale
     * decimals to integer units first — the cents convention).
     *

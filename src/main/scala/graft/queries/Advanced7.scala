@@ -333,6 +333,120 @@ object Advanced7 {
     DailySeries.holt(daily).orderBy(col("day"))
   }
 
+  // ---- q163: Cochran–Mantel–Haenszel — "are BUILDING-segment
+  //      customers more likely to place URGENT orders, controlling
+  //      for order year?" — the Simpson's-paradox-proof stratified
+  //      association test (the log-rank algebra with years as
+  //      strata), plus the MH common odds ratio. All four sums exact
+  //      order-free ppm-floored integers; chi2/OR the shared double
+  //      formulas. ----
+  val q163Cmh: Q = (s, d) =>
+    GroupTests.cmh(orderSegments(s, d)
+        .select(col("yr"), (col("seg") === "BUILDING").as("x"),
+          (col("prio") === "1-URGENT").as("y")),
+      "yr", "x", "y")
+
+  val q163Oracle: String =
+    s"""WITH $orderSegmentsSql,
+      |strata AS (SELECT yr, CAST(COUNT(*) AS BIGINT) AS n,
+      |        CAST(SUM(CASE WHEN seg = 'BUILDING' AND prio = '1-URGENT'
+      |          THEN 1 ELSE 0 END) AS BIGINT) AS a,
+      |        CAST(SUM(CASE WHEN seg = 'BUILDING' AND prio <> '1-URGENT'
+      |          THEN 1 ELSE 0 END) AS BIGINT) AS b,
+      |        CAST(SUM(CASE WHEN seg <> 'BUILDING' AND prio = '1-URGENT'
+      |          THEN 1 ELSE 0 END) AS BIGINT) AS c,
+      |        CAST(SUM(CASE WHEN seg <> 'BUILDING' AND prio <> '1-URGENT'
+      |          THEN 1 ELSE 0 END) AS BIGINT) AS d
+      |      FROM os GROUP BY 1),
+      |terms AS (SELECT a,
+      |        CAST(a + b AS HUGEINT) * (a + c) * 1000000 // n AS e_ppm,
+      |        CASE WHEN n > 1 THEN
+      |          CAST(a + b AS HUGEINT) * (c + d) * (a + c) * (b + d)
+      |            * 1000000 // (CAST(n AS HUGEINT) * n * (n - 1))
+      |        ELSE 0 END AS v_ppm,
+      |        CAST(a AS HUGEINT) * d * 1000000 // n AS orn_ppm,
+      |        CAST(b AS HUGEINT) * c * 1000000 // n AS ord_ppm
+      |      FROM strata),
+      |agg AS (SELECT CAST(COUNT(*) AS BIGINT) AS k,
+      |        CAST(SUM(a) AS BIGINT) AS o,
+      |        CAST(SUM(e_ppm) AS BIGINT) AS e_ppm,
+      |        CAST(SUM(v_ppm) AS BIGINT) AS v_ppm,
+      |        CAST(SUM(orn_ppm) AS BIGINT) AS or_num_ppm,
+      |        CAST(SUM(ord_ppm) AS BIGINT) AS or_den_ppm
+      |      FROM terms)
+      |SELECT k, o, e_ppm, v_ppm,
+      |  CASE WHEN v_ppm > 0 THEN
+      |    round(${GroupTests.cmhChi2FormulaSql}, 6) ELSE NULL END AS chi2,
+      |  or_num_ppm, or_den_ppm,
+      |  CASE WHEN or_den_ppm > 0 THEN
+      |    round(CAST(or_num_ppm AS DOUBLE) / CAST(or_den_ppm AS DOUBLE), 6)
+      |  ELSE NULL END AS or_mh
+      |FROM agg""".stripMargin
+
+  // ---- q164: Friedman test per region — "do the five market
+  //      segments rank consistently by monthly revenue?": blocks =
+  //      months, treatments = segments, blocking removes the common
+  //      seasonal trend Kruskal–Wallis would dilute power with.
+  //      Blocks missing a segment are filtered out EXPLICITLY (the
+  //      operator refuses incomplete blocks — a missing treatment
+  //      shifts every midrank); the statistic is fully exact
+  //      integers, one double division. ----
+  val q164Friedman: Q = (s, d) => {
+    val monthly = orders(s, d)
+      .join(customer(s, d).select(col("c_custkey").as("o_custkey"),
+        col("c_nationkey"), col("c_mktsegment").as("seg")),
+        Seq("o_custkey"))
+      .join(nation(s, d).select(col("n_nationkey").as("c_nationkey"),
+        col("n_regionkey").as("region")), Seq("c_nationkey"))
+      .groupBy(col("region"), trunc(col("o_orderdate"), "month").as("mon"),
+        col("seg"))
+      .agg(sum(round(col("o_totalprice") * 100).cast("long")).as("rev"))
+    val k = monthly.select(col("seg")).distinct().count()
+    val complete = monthly.groupBy(col("region"), col("mon"))
+      .agg(count(lit(1)).as("c")).filter(col("c") === k)
+      .select(col("region"), col("mon"))
+    RankCorr.friedman(monthly.join(complete, Seq("region", "mon")),
+        "region", "mon", "seg", "rev")
+      .orderBy(col("region"))
+  }
+
+  val q164Oracle: String =
+    """WITH monthly AS (SELECT n_regionkey AS region,
+      |        date_trunc('month', o_orderdate) AS mon,
+      |        c_mktsegment AS seg,
+      |        CAST(SUM(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT)
+      |          AS rev
+      |      FROM orders JOIN customer ON c_custkey = o_custkey
+      |      JOIN nation ON n_nationkey = c_nationkey
+      |      GROUP BY 1, 2, 3),
+      |kk AS (SELECT COUNT(DISTINCT seg) AS kglob FROM monthly),
+      |complete AS (SELECT region, mon FROM monthly, kk
+      |      GROUP BY region, mon, kglob HAVING COUNT(*) = kglob),
+      |cells AS (SELECT m.* FROM monthly m JOIN complete USING (region, mon)),
+      |m2 AS (SELECT region, mon, seg,
+      |        2 * (RANK() OVER (PARTITION BY region, mon ORDER BY rev) - 1)
+      |          + CAST(COUNT(*) OVER (PARTITION BY region, mon, rev)
+      |            AS BIGINT) + 1 AS m2
+      |      FROM cells),
+      |kg AS (SELECT region, CAST(COUNT(DISTINCT seg) AS BIGINT) AS k
+      |      FROM cells GROUP BY 1),
+      |per AS (SELECT region, seg, CAST(SUM(m2) AS HUGEINT) AS r2,
+      |        CAST(COUNT(*) AS BIGINT) AS n,
+      |        SUM(CAST(m2 AS HUGEINT) * m2) AS m2sq
+      |      FROM m2 GROUP BY 1, 2),
+      |agg AS (SELECT region, k, MAX(n) AS n_blocks,
+      |        (k - 1) * SUM((r2 - CAST(n AS HUGEINT) * (k + 1))
+      |          * (r2 - CAST(n AS HUGEINT) * (k + 1))) AS num,
+      |        SUM(m2sq) - MAX(n) * CAST(k AS HUGEINT) * (k + 1) * (k + 1)
+      |          AS den
+      |      FROM per JOIN kg USING (region) GROUP BY 1, 2)
+      |SELECT region, k, CAST(n_blocks AS BIGINT) AS n_blocks,
+      |  CAST(num AS BIGINT) AS num, CAST(den AS BIGINT) AS den,
+      |  CASE WHEN den > 0 THEN
+      |    round(CAST(num AS DOUBLE) / CAST(den AS DOUBLE), 6)
+      |  ELSE NULL END AS chi2
+      |FROM agg ORDER BY region""".stripMargin
+
   val queries: Map[String, Q] = Map(
     "q155_kruskal_wallis" -> q155KruskalWallis,
     "q156_anova" -> q156Anova,
@@ -341,7 +455,9 @@ object Advanced7 {
     "q159_hhi" -> q159Hhi,
     "q160_bh_fdr" -> q160BhFdr,
     "q161_cox" -> q161Cox,
-    "q162_holt" -> q162Holt)
+    "q162_holt" -> q162Holt,
+    "q163_cmh" -> q163Cmh,
+    "q164_friedman" -> q164Friedman)
 
   val oracles: Map[String, String] = Map(
     "q155_kruskal_wallis" -> q155Oracle,
@@ -349,5 +465,7 @@ object Advanced7 {
     "q157_mood_median" -> q157Oracle,
     "q158_cramers_v" -> q158Oracle,
     "q159_hhi" -> q159Oracle,
-    "q160_bh_fdr" -> q160Oracle)
+    "q160_bh_fdr" -> q160Oracle,
+    "q163_cmh" -> q163Oracle,
+    "q164_friedman" -> q164Oracle)
 }

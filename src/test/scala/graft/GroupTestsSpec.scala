@@ -152,6 +152,92 @@ class GroupTestsSpec extends AnyFunSuite {
     assert(r2.getAs[Long]("chi2_ppm") >= 400000L)
   }
 
+  // ---- Cochran–Mantel–Haenszel ----
+
+  private def cmhRows(reps: Seq[(String, Boolean, Boolean, Int)]) =
+    reps.flatMap { case (g, x, y, n) => Seq.fill(n)((g, x, y)) }
+      .toDF("g", "x", "y")
+
+  test("CMH hand case: two identical balanced strata") {
+    val df = cmhRows(Seq(
+      ("s1", true, true, 10), ("s1", true, false, 5),
+      ("s1", false, true, 5), ("s1", false, false, 10),
+      ("s2", true, true, 10), ("s2", true, false, 5),
+      ("s2", false, true, 5), ("s2", false, false, 10)))
+    val r = GroupTests.cmh(df, "g", "x", "y").head()
+    // per stratum: e = 15·15·10⁶//30 = 7,500,000;
+    // v = 15⁴·10⁶//(30·30·29) = 1,939,655 (floored)
+    assert(r.getAs[Long]("k") == 2L && r.getAs[Long]("o") == 20L)
+    assert(r.getAs[Long]("e_ppm") == 15000000L)
+    assert(r.getAs[Long]("v_ppm") == 2L * 1939655L, r.toString)
+    assert(math.abs(r.getAs[Double]("chi2") - 25.0 / 3.87931) < 1e-5)
+    // OR_MH: Σ(a·d/n)/Σ(b·c/n) = 6,666,666/1,666,666 → 4.000001
+    assert(r.getAs[Long]("or_num_ppm") == 6666666L)
+    assert(r.getAs[Long]("or_den_ppm") == 1666666L)
+    assert(r.getAs[Double]("or_mh") == 4.000001)
+  }
+
+  test("CMH: zero variance (everyone exposed) gives null chi2") {
+    val df = cmhRows(Seq(("s1", true, true, 3), ("s1", true, false, 2)))
+    val r = GroupTests.cmh(df, "g", "x", "y").head()
+    assert(r.getAs[Long]("v_ppm") == 0L)
+    assert(r.isNullAt(r.fieldIndex("chi2")))
+  }
+
+  test("CMH: no association within strata gives chi2 ~ 0") {
+    // both strata have OR = 1 (a·d = b·c) at different base rates
+    val df = cmhRows(Seq(
+      ("s1", true, true, 8), ("s1", true, false, 8),
+      ("s1", false, true, 4), ("s1", false, false, 4),
+      ("s2", true, true, 2), ("s2", true, false, 6),
+      ("s2", false, true, 3), ("s2", false, false, 9)))
+    val r = GroupTests.cmh(df, "g", "x", "y").head()
+    assert(math.abs(r.getAs[Double]("chi2")) < 1e-4, r.toString)
+    assert(math.abs(r.getAs[Double]("or_mh") - 1.0) < 1e-4)
+  }
+
+  // ---- Friedman ----
+
+  test("Friedman hand case, no ties: two (1,2,3)-ranked blocks give chi2 = 4") {
+    val df = Seq(("f", "b1", "t1", 1L), ("f", "b1", "t2", 2L),
+      ("f", "b1", "t3", 3L), ("f", "b2", "t1", 4L),
+      ("f", "b2", "t2", 5L), ("f", "b2", "t3", 6L))
+      .toDF("g", "b", "t", "v")
+    val r = RankCorr.friedman(df, "g", "b", "t", "v").head()
+    assert(r.getAs[Long]("k") == 3L && r.getAs[Long]("n_blocks") == 2L)
+    assert(r.getAs[Long]("num") == 64L && r.getAs[Long]("den") == 16L)
+    assert(r.getAs[Double]("chi2") == 4.0)
+  }
+
+  test("Friedman midrank ties: tied block gives the corrected 52/14") {
+    val df = Seq(("f", "b1", "t1", 1L), ("f", "b1", "t2", 2L),
+      ("f", "b1", "t3", 3L), ("f", "b2", "t1", 4L),
+      ("f", "b2", "t2", 4L), ("f", "b2", "t3", 9L))
+      .toDF("g", "b", "t", "v")
+    val r = RankCorr.friedman(df, "g", "b", "t", "v").head()
+    // doubled midranks: (2,4,6) and (3,3,6) → 2R = (5,7,12);
+    // num = 2·((5−8)² + (7−8)² + (12−8)²) = 52; den = 110 − 96 = 14
+    assert(r.getAs[Long]("num") == 52L && r.getAs[Long]("den") == 14L)
+    assert(math.abs(r.getAs[Double]("chi2") - 52.0 / 14.0) < 5e-7)
+  }
+
+  test("Friedman: fully tied blocks give null; refusals fire") {
+    val tied = Seq(("f", "b1", "t1", 5L), ("f", "b1", "t2", 5L),
+      ("f", "b2", "t1", 7L), ("f", "b2", "t2", 7L)).toDF("g", "b", "t", "v")
+    val r = RankCorr.friedman(tied, "g", "b", "t", "v").head()
+    assert(r.getAs[Long]("den") == 0L && r.isNullAt(r.fieldIndex("chi2")))
+    val dup = Seq(("f", "b1", "t1", 1L), ("f", "b1", "t1", 2L),
+      ("f", "b1", "t2", 3L)).toDF("g", "b", "t", "v")
+    assert(intercept[IllegalArgumentException] {
+      RankCorr.friedman(dup, "g", "b", "t", "v")
+    }.getMessage.contains("multiple"))
+    val incomplete = Seq(("f", "b1", "t1", 1L), ("f", "b1", "t2", 2L),
+      ("f", "b2", "t1", 3L)).toDF("g", "b", "t", "v")
+    assert(intercept[IllegalArgumentException] {
+      RankCorr.friedman(incomplete, "g", "b", "t", "v")
+    }.getMessage.contains("incomplete"))
+  }
+
   test("battery partitioning invariance (ANOVA + Mood + V)") {
     val rows = (1 to 300).map(i =>
       (s"f${i % 2}", s"s${i % 5}", (i * 31 % 97).toLong))
