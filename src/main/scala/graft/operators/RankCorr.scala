@@ -265,6 +265,115 @@ object RankCorr {
           .otherwise(lit(null).cast("double")).as("h"))
   }
 
+  /** SQL text of the tie-corrected variance of the (undoubled)
+    * Kendall S statistic — Kendall 1970 §4 / the Hollander–Wolfe
+    * Jonckheere–Terpstra normal approximation — from the exact
+    * integer marginal tie sums (t over pooled values, u over sample
+    * sizes). Shared verbatim between [[jonckheereTerpstra]] and its
+    * oracle; the operator's s column is DOUBLED (2(C−D), the
+    * [[kendallTauB]] convention), so z divides by 2·sqrt(var).
+    */
+  val jtVarFormulaSql: String =
+    "((CAST(n AS DOUBLE) * (n - 1) * (2 * n + 5) " +
+      "- CAST(t25 AS DOUBLE) - CAST(u25 AS DOUBLE)) / 18.0 " +
+      "+ CAST(t3 AS DOUBLE) * CAST(u3 AS DOUBLE) / " +
+      "(9.0 * CAST(n AS DOUBLE) * (n - 1) * (n - 2)) " +
+      "+ CAST(t2 AS DOUBLE) * CAST(u2 AS DOUBLE) / " +
+      "(2.0 * CAST(n AS DOUBLE) * (n - 1)))"
+
+  /** Per-FAMILY JONCKHEERE–TERPSTRA trend test (Jonckheere 1954,
+    * Terpstra 1952) — the ORDERED-alternative K-sample test: where
+    * [[kruskalWallis]] asks "do these K populations differ at all?",
+    * JT asks "do they INCREASE along the stated sample order?" —
+    * strictly more power when the alternative is a monotone dose/
+    * tier/priority trend. Equivalent to Kendall's S between the
+    * sample order and the value ([[kendallTauB]] without the τ
+    * normalization), tested with the full tie-corrected S variance.
+    *
+    * EXACT without the cell² self-join (values here are UNBOUNDED
+    * cardinality, where kendallTauB's joint-cell join would explode):
+    * the pooled value axis is FILLED across the K samples (a
+    * K-bounded expansion), per-sample cumulative-below counts come
+    * from the shared [[cumFromCounts]] machinery on the composite
+    * (family, sample) key, and the cross-sample prefix
+    * Σ_{i<j}(below_i − above_i) is a window over the (family, value)
+    * partition — AT MOST K ROWS per partition at any corpus scale.
+    * S = 2·Σ cells cnt_j·Σ_{i<j}(below_i(v) − above_i(v)) exact
+    * DECIMAL; all five tie sums exact integers; z is the ONE shared
+    * double formula ([[jtVarFormulaSql]]) rounded 6.
+    *
+    * @param sampleOrderCol integral — the hypothesized ORDER of the
+    *                       samples (dose level, priority tier)
+    * @return (famCol, k, n, s, z) — s = 2(C−D) > 0 means values
+    *         increase with sample order; z null for n < 3 or zero
+    *         variance
+    */
+  def jonckheereTerpstra(df: DataFrame, famCol: String,
+                         sampleOrderCol: String,
+                         valueCol: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val cells = df.select(col(famCol).as("fam"),
+        col(sampleOrderCol).cast("long").as("smp"),
+        col(valueCol).cast("long").as("v"))
+      .groupBy(col("fam"), col("smp"), col("v"))
+      .agg(count(lit(1)).as("cnt"))
+      .localCheckpoint(true) // axis fill + marginals
+    // fill the pooled value axis per sample so below_i(v) exists at
+    // every v any sample hits — a K-bounded expansion
+    val axis = cells.select(col("fam"), col("v")).distinct()
+    val smps = cells.select(col("fam"), col("smp")).distinct()
+    val filled = axis.join(smps, Seq("fam"))
+      .join(cells, Seq("fam", "smp", "v"), "left")
+      .na.fill(0L, Seq("cnt"))
+      .withColumn("g", concat_ws("\u0001", col("fam"), col("smp")))
+      .localCheckpoint(true) // cum pass + the fam/smp join-back
+    val cum = cumFromCounts(filled.select(col("g"), col("v"), col("cnt")), "v")
+      .select(col("g"), col("v"), col("below"))
+    val nsmp = cells.groupBy(col("fam"), col("smp"))
+      .agg(sum(col("cnt")).cast("long").as("n_i"))
+    def dcm(c: Column): Column = c.cast("decimal(38,0)")
+    val ab = filled.join(cum, Seq("g", "v"))
+      .join(nsmp, Seq("fam", "smp"))
+      .select(col("fam"), col("smp"), col("v"), col("cnt"), col("below"),
+        (col("n_i") - col("below") - col("cnt")).as("above"))
+    // Σ_{i<j}(below_i − above_i) at each (fam, v): a window whose
+    // partitions hold AT MOST K rows (one per sample)
+    val w = Window.partitionBy(col("fam"), col("v")).orderBy(col("smp"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val low = ab.withColumn("lowdiff",
+      sum(col("below") - col("above")).over(w)
+        - (col("below") - col("above")))
+    val sAgg = low.groupBy(col("fam"))
+      .agg((lit(2).cast("decimal(38,0)")
+        * sum(dcm(col("cnt")) * dcm(col("lowdiff"))))
+        .cast("decimal(38,0)").as("s"))
+    // marginal tie sums: t over pooled values, u over sample sizes
+    val tm = cells.groupBy(col("fam"), col("v"))
+      .agg(sum(col("cnt")).as("t"))
+      .groupBy(col("fam"))
+      .agg(sum(col("t")).cast("bigint").as("n"),
+        sum(dcm(col("t")) * (dcm(col("t")) - 1)).cast("decimal(38,0)").as("t2"),
+        sum(dcm(col("t")) * (dcm(col("t")) - 1)
+          * (dcm(col("t")) * 2 + 5)).cast("decimal(38,0)").as("t25"),
+        sum(dcm(col("t")) * (dcm(col("t")) - 1) * (dcm(col("t")) - 2))
+          .cast("decimal(38,0)").as("t3"))
+    val um = nsmp.groupBy(col("fam"))
+      .agg(count(lit(1)).cast("bigint").as("k"),
+        sum(dcm(col("n_i")) * (dcm(col("n_i")) - 1))
+          .cast("decimal(38,0)").as("u2"),
+        sum(dcm(col("n_i")) * (dcm(col("n_i")) - 1)
+          * (dcm(col("n_i")) * 2 + 5)).cast("decimal(38,0)").as("u25"),
+        sum(dcm(col("n_i")) * (dcm(col("n_i")) - 1) * (dcm(col("n_i")) - 2))
+          .cast("decimal(38,0)").as("u3"))
+    sAgg.join(tm, Seq("fam")).join(um, Seq("fam"))
+      .select(col("fam").as(famCol), col("k"), col("n"),
+        col("s").cast("bigint").as("s"),
+        when(col("n") >= 3 && expr(jtVarFormulaSql) > 0,
+          round(col("s").cast("double")
+            / (lit(2.0) * sqrt(expr(jtVarFormulaSql))), 6))
+          .otherwise(lit(null).cast("double")).as("z"))
+  }
+
   /** Per-FAMILY FRIEDMAN TEST (Friedman 1937, midrank tie form) —
     * the K-treatment repeated-measures rank test: within each
     * complete BLOCK (a month, a subject, a store) rank the K

@@ -3,7 +3,7 @@ package graft.queries
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
-import graft.operators.{DailySeries, GroupTests, RankCorr, StatTests, Survival}
+import graft.operators.{DailySeries, GraphOps, GroupTests, RankCorr, StatTests, Survival}
 import graft.sources.TableCatalog._
 
 /** Round-14 (continued) additions: the K-sample test battery
@@ -447,6 +447,97 @@ object Advanced7 {
       |  ELSE NULL END AS chi2
       |FROM agg ORDER BY region""".stripMargin
 
+  // ---- q165: Jonckheere–Terpstra ordered trend per year — "does
+  //      order value INCREASE along the priority tiers?": the
+  //      ordered-alternative K-sample test (strictly more power than
+  //      q155's KW when the alternative is the monotone tier trend).
+  //      No cell² join: filled pooled axis + the shared cumulative-
+  //      count machinery + a ≤K-row window per (year, value); S and
+  //      all five tie sums exact, z the shared-text formula. ----
+  val q165Jt: Q = (s, d) =>
+    RankCorr.jonckheereTerpstra(
+      orderSegments(s, d).select(col("yr"),
+        substring(col("prio"), 1, 1).cast("long").as("tier"),
+        col("dollars")),
+      "yr", "tier", "dollars")
+      .orderBy(col("yr"))
+
+  val q165Oracle: String =
+    s"""WITH $orderSegmentsSql,
+      |cells AS (SELECT yr, CAST(substr(prio, 1, 1) AS BIGINT) AS smp,
+      |        dollars AS v, CAST(COUNT(*) AS BIGINT) AS cnt
+      |      FROM os GROUP BY 1, 2, 3),
+      |axis AS (SELECT DISTINCT yr, v FROM cells),
+      |smps AS (SELECT DISTINCT yr, smp FROM cells),
+      |filled AS (SELECT axis.yr, smps.smp, axis.v,
+      |        COALESCE(cnt, 0) AS cnt
+      |      FROM axis JOIN smps ON axis.yr = smps.yr
+      |      LEFT JOIN cells ON cells.yr = axis.yr
+      |        AND cells.smp = smps.smp AND cells.v = axis.v),
+      |nsmp AS (SELECT yr, smp, CAST(SUM(cnt) AS BIGINT) AS n_i
+      |      FROM cells GROUP BY 1, 2),
+      |ab AS (SELECT f.yr, f.smp, f.v, f.cnt,
+      |        SUM(f.cnt) OVER (PARTITION BY f.yr, f.smp ORDER BY f.v
+      |          ROWS UNBOUNDED PRECEDING) - f.cnt AS below,
+      |        n_i FROM filled f JOIN nsmp USING (yr, smp)),
+      |ab2 AS (SELECT yr, smp, v, cnt, below,
+      |        n_i - below - cnt AS above FROM ab),
+      |low AS (SELECT yr, v, cnt,
+      |        SUM(below - above) OVER (PARTITION BY yr, v ORDER BY smp
+      |          ROWS UNBOUNDED PRECEDING) - (below - above) AS lowdiff
+      |      FROM ab2),
+      |sagg AS (SELECT yr,
+      |        2 * SUM(CAST(cnt AS HUGEINT) * lowdiff) AS s FROM low
+      |      GROUP BY 1),
+      |tm AS (SELECT yr, CAST(SUM(t) AS BIGINT) AS n,
+      |        CAST(SUM(CAST(t AS HUGEINT) * (t - 1)) AS BIGINT) AS t2,
+      |        CAST(SUM(CAST(t AS HUGEINT) * (t - 1) * (2 * t + 5))
+      |          AS BIGINT) AS t25,
+      |        CAST(SUM(CAST(t AS HUGEINT) * (t - 1) * (t - 2))
+      |          AS BIGINT) AS t3
+      |      FROM (SELECT yr, v, SUM(cnt) AS t FROM cells GROUP BY 1, 2)
+      |      GROUP BY 1),
+      |um AS (SELECT yr, CAST(COUNT(*) AS BIGINT) AS k,
+      |        CAST(SUM(CAST(n_i AS HUGEINT) * (n_i - 1)) AS BIGINT) AS u2,
+      |        CAST(SUM(CAST(n_i AS HUGEINT) * (n_i - 1) * (2 * n_i + 5))
+      |          AS BIGINT) AS u25,
+      |        CAST(SUM(CAST(n_i AS HUGEINT) * (n_i - 1) * (n_i - 2))
+      |          AS BIGINT) AS u3
+      |      FROM nsmp GROUP BY 1)
+      |SELECT yr, k, n, CAST(s AS BIGINT) AS s,
+      |  CASE WHEN n >= 3 AND ${RankCorr.jtVarFormulaSql} > 0 THEN
+      |    round(CAST(s AS DOUBLE) / (2.0 * sqrt(${RankCorr.jtVarFormulaSql})), 6)
+      |  ELSE NULL END AS z
+      |FROM sagg JOIN tm USING (yr) JOIN um USING (yr)
+      |ORDER BY yr""".stripMargin
+
+  // ---- graph_harmonic (rows-only — iterate-to-fixpoint BFS, the
+  //      graph_bfs convention; exact integer ⌊10⁶/d⌋ sums make
+  //      rows-only a determinism statement): harmonic centrality of
+  //      the brand co-purchase graph — "which brands sit closest to
+  //      ALL other brands?", the disconnection-safe centrality
+  //      (Boldi–Vigna 2014). Brand-cardinality nodes: the exact
+  //      all-pairs form's home turf. ----
+  val graphHarmonic: Q = (s, d) => {
+    val li = lineitem(s, d)
+      .join(part(s, d).select(col("p_partkey").as("l_partkey"),
+        substring(col("p_brand"), 7, 2).cast("long").as("brand")),
+        Seq("l_partkey"))
+      .select(col("l_orderkey").as("ok"), col("brand")).distinct()
+    val pairs = li.as("a").join(li.as("b"),
+        col("a.ok") === col("b.ok") && col("a.brand") < col("b.brand"))
+      .groupBy(col("a.brand").as("x"), col("b.brand").as("y"))
+      .agg(count(lit(1)).as("n"))
+    // AFFINITY edges: pairs co-bought strictly more than the mean
+    // pair (an exact integer threshold, scale-free — an absolute
+    // count would saturate to the complete graph as the corpus grows)
+    val thresh = pairs.agg(
+      expr("sum(n) DIV count(1)").as("__mean"))
+    val edges = pairs.crossJoin(broadcast(thresh))
+      .filter(col("n") > col("__mean")).select(col("x"), col("y"))
+    GraphOps.harmonicCentrality(edges, "x", "y")
+  }
+
   val queries: Map[String, Q] = Map(
     "q155_kruskal_wallis" -> q155KruskalWallis,
     "q156_anova" -> q156Anova,
@@ -457,7 +548,9 @@ object Advanced7 {
     "q161_cox" -> q161Cox,
     "q162_holt" -> q162Holt,
     "q163_cmh" -> q163Cmh,
-    "q164_friedman" -> q164Friedman)
+    "q164_friedman" -> q164Friedman,
+    "q165_jonckheere" -> q165Jt,
+    "graph_harmonic" -> graphHarmonic)
 
   val oracles: Map[String, String] = Map(
     "q155_kruskal_wallis" -> q155Oracle,
@@ -467,5 +560,6 @@ object Advanced7 {
     "q159_hhi" -> q159Oracle,
     "q160_bh_fdr" -> q160Oracle,
     "q163_cmh" -> q163Oracle,
-    "q164_friedman" -> q164Oracle)
+    "q164_friedman" -> q164Oracle,
+    "q165_jonckheere" -> q165Oracle)
 }

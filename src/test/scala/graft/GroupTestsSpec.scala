@@ -238,6 +238,54 @@ class GroupTestsSpec extends AnyFunSuite {
     }.getMessage.contains("incomplete"))
   }
 
+  // ---- Jonckheere–Terpstra ----
+
+  test("JT hand case: perfectly ordered two samples give z = 1.549193") {
+    val df = Seq(("f", 1L, 1L), ("f", 1L, 2L), ("f", 2L, 3L),
+      ("f", 2L, 4L)).toDF("g", "smp", "v")
+    val r = RankCorr.jonckheereTerpstra(df, "g", "smp", "v").head()
+    // all 4 cross pairs concordant → s = 2(C−D) = 8;
+    // var = (4·3·13 − 0 − 36)/18 = 20/3; z = 8/(2·sqrt(20/3))
+    assert(r.getAs[Long]("s") == 8L, r.toString)
+    assert(r.getAs[Double]("z") == 1.549193)
+    // anti-trend mirrors exactly
+    val anti = Seq(("f", 1L, 3L), ("f", 1L, 4L), ("f", 2L, 1L),
+      ("f", 2L, 2L)).toDF("g", "smp", "v")
+    val r2 = RankCorr.jonckheereTerpstra(anti, "g", "smp", "v").head()
+    assert(r2.getAs[Long]("s") == -8L && r2.getAs[Double]("z") == -1.549193)
+  }
+
+  test("JT tie-corrected variance hand case: z = 1 exactly") {
+    // samples 1:(1,1), 2:(1,2): C−D = 2 → s = 4; t-sums (66, 6, 6),
+    // u-sums (36, 4, 0) → var = (156−102)/18 + 0 + 24/24 = 4 → z = 1
+    val df = Seq(("f", 1L, 1L), ("f", 1L, 1L), ("f", 2L, 1L),
+      ("f", 2L, 2L)).toDF("g", "smp", "v")
+    val r = RankCorr.jonckheereTerpstra(df, "g", "smp", "v").head()
+    assert(r.getAs[Long]("s") == 4L && r.getAs[Double]("z") == 1.0,
+      r.toString)
+  }
+
+  test("JT s equals kendallTauB's S on the same (order, value) pairs") {
+    val rows = (1 to 120).map(i =>
+      (s"f${i % 2}", (i % 4).toLong + 1, (i * 13 % 17).toLong))
+    val df = rows.toDF("g", "smp", "v")
+    val jt = RankCorr.jonckheereTerpstra(df, "g", "smp", "v").collect()
+      .map(r => r.getString(0) -> r.getAs[Long]("s")).toMap
+    val kd = RankCorr.kendallTauB(df, "g", "smp", "v").collect()
+      .map(r => r.getString(0) -> r.getAs[Long]("s")).toMap
+    assert(jt == kd, s"$jt vs $kd")
+  }
+
+  test("JT partitioning invariance and family isolation") {
+    val rows = (1 to 100).map(i =>
+      (s"f${i % 3}", (i % 5).toLong, (i * 7 % 13).toLong))
+    def run(parts: Int): Set[String] =
+      RankCorr.jonckheereTerpstra(rows.toDF("g", "smp", "v")
+        .repartition(parts), "g", "smp", "v")
+        .collect().map(_.toString).toSet
+    assert(run(1) == run(9))
+  }
+
   test("battery partitioning invariance (ANOVA + Mood + V)") {
     val rows = (1 to 300).map(i =>
       (s"f${i % 2}", s"s${i % 5}", (i * 31 % 97).toLong))
