@@ -65,6 +65,51 @@ object DailySeries {
       .orderBy(col("day"))
   }
 
+  /** DAY-OF-WEEK SEASONAL PROFILE (classical-decomposition seasonal
+    * summary, Persons 1919 ratio-to-moving-average family in its
+    * additive form): detrend each day against its centered 7-day
+    * moving mass, then average the detrended values per weekday —
+    * "how much does a Monday differ from trend?".
+    *
+    * EXACT until the last step: the centered window mass tsum =
+    * Σ_{±3 days BY DATE} rev is an exact integer off a range
+    * self-join (the [[rollingMedian]] shape); the detrended value
+    * enters SCALED BY 7 — d7 = 7·rev − tsum, an exact integer, no
+    * per-day division; only FULL windows participate (edge days
+    * have no centered trend — standard practice, stated); weekday =
+    * (day − 1970-01-05) mod 7 (0 = Monday — an explicit formula
+    * because engines disagree on dayofweek numbering). The per-
+    * weekday mean is ONE double division of two exact integers
+    * (sum_d7 may be negative — a floor would diverge between
+    * engines' DIV semantics, so no ppm scaling here), in dollars
+    * rounded 4.
+    *
+    * @return 7 rows: (dow, n_days, sum_d7, seasonal_dollars)
+    */
+  def weekdayProfile(dailyIn: DataFrame): DataFrame = {
+    val daily = dailyIn
+      .select(col("day").cast("date").as("day"),
+        col("rev").cast("long").as("rev"))
+      .localCheckpoint(true) // both sides of the range self-join
+    val b = daily.select(col("day").as("day_b"), col("rev").as("rev_b"))
+    daily.join(b, col("day_b").between(
+        date_sub(col("day"), 3), date_add(col("day"), 3)))
+      .groupBy(col("day"), col("rev"))
+      .agg(count(lit(1)).as("tdays"), sum(col("rev_b")).as("tsum"))
+      .filter(col("tdays") === 7)
+      .select(
+        (datediff(col("day"), lit(java.sql.Date.valueOf("1970-01-05")))
+          % 7).as("dow"),
+        (col("rev") * 7 - col("tsum")).as("d7"))
+      .groupBy(col("dow"))
+      .agg(count(lit(1)).cast("bigint").as("n_days"),
+        sum(col("d7")).cast("bigint").as("sum_d7"))
+      .withColumn("seasonal_dollars",
+        round(col("sum_d7").cast("double") /
+          (lit(700.0) * col("n_days").cast("double")), 4))
+      .orderBy(col("dow"))
+  }
+
   /** HOLT'S LINEAR-TREND exponential smoothing (Holt 1957) over the
     * daily series — the forecasting baseline above seasonal-naive
     * (q133's backtest target): level ℓ_t = α·x_t + (1−α)(ℓ + b),

@@ -538,6 +538,74 @@ object Advanced7 {
     GraphOps.harmonicCentrality(edges, "x", "y")
   }
 
+  // ---- q166: day-of-week seasonal profile of daily revenue — the
+  //      classical-decomposition seasonal summary ("how much does a
+  //      Monday differ from trend?"). Detrended mass d7 = 7·rev −
+  //      Σ±3days rev stays an exact integer (scaled by 7, no per-day
+  //      division); full windows only; weekday by the explicit
+  //      epoch-anchored formula (engines disagree on dayofweek
+  //      numbering); ONE double division per weekday. ----
+  val q166WeekdaySeasonal: Q = (s, d) => {
+    val daily = orders(s, d)
+      .groupBy(col("o_orderdate").as("day"))
+      .agg(sum(round(col("o_totalprice") * 100).cast("long")).as("rev"))
+    DailySeries.weekdayProfile(daily)
+  }
+
+  val q166Oracle: String =
+    """WITH daily AS (SELECT CAST(o_orderdate AS DATE) AS day,
+      |        CAST(SUM(CAST(round(o_totalprice * 100) AS BIGINT))
+      |          AS BIGINT) AS rev
+      |      FROM orders GROUP BY 1),
+      |win AS (SELECT a.day, a.rev, COUNT(*) AS tdays,
+      |        CAST(SUM(b.rev) AS BIGINT) AS tsum
+      |      FROM daily a JOIN daily b
+      |        ON b.day BETWEEN a.day - 3 AND a.day + 3
+      |      GROUP BY 1, 2),
+      |d7 AS (SELECT CAST((day - DATE '1970-01-05') % 7 AS BIGINT) AS dow,
+      |        rev * 7 - tsum AS d7
+      |      FROM win WHERE tdays = 7)
+      |SELECT dow, CAST(COUNT(*) AS BIGINT) AS n_days,
+      |  CAST(SUM(d7) AS BIGINT) AS sum_d7,
+      |  round(CAST(SUM(d7) AS DOUBLE) / (700.0 * COUNT(*)), 4)
+      |    AS seasonal_dollars
+      |FROM d7 GROUP BY 1 ORDER BY dow""".stripMargin
+
+  // ---- q167: Benford first-digit conformance of order amounts —
+  //      the audit/fraud/data-quality screen. TPC-H prices are
+  //      synthetic-uniform, so the screen FIRES (a huge chi2) —
+  //      exactly what it should say about synthetic data; the
+  //      oracle checks the machinery end-to-end on the same exact
+  //      integers. ----
+  val q167Benford: Q = (s, d) =>
+    graft.operators.Benford.test(
+      orders(s, d).select(
+        round(col("o_totalprice") * 100).cast("long").as("cents")),
+      "cents")
+
+  val q167Oracle: String =
+    """WITH p(digit, p_ppm) AS (VALUES (1, 301030), (2, 176091),
+      |    (3, 124939), (4, 96910), (5, 79181), (6, 66947), (7, 57992),
+      |    (8, 51153), (9, 45757)),
+      |obs AS (SELECT CAST(substr(CAST(CAST(round(o_totalprice * 100)
+      |          AS BIGINT) AS VARCHAR), 1, 1) AS INT) AS digit,
+      |        CAST(COUNT(*) AS BIGINT) AS o
+      |      FROM orders WHERE round(o_totalprice * 100) > 0 GROUP BY 1),
+      |filled AS (SELECT p.digit, p.p_ppm, COALESCE(o, 0) AS o
+      |      FROM p LEFT JOIN obs ON p.digit = obs.digit),
+      |nn AS (SELECT CAST(SUM(o) AS BIGINT) AS n FROM filled),
+      |terms AS (SELECT digit, CAST(o AS BIGINT) AS observed, n,
+      |        CAST(CAST(n AS HUGEINT) * p_ppm AS BIGINT) AS expected_ppm,
+      |        CAST((CAST(o AS HUGEINT) * 1000000 - CAST(n AS HUGEINT) * p_ppm)
+      |          * (CAST(o AS HUGEINT) * 1000000 - CAST(n AS HUGEINT) * p_ppm)
+      |          * 1000000 // (CAST(n AS HUGEINT) * p_ppm * 1000000)
+      |          AS BIGINT) AS term_ppm
+      |      FROM filled, nn),
+      |tot AS (SELECT CAST(SUM(term_ppm) AS BIGINT) AS chi2_ppm FROM terms)
+      |SELECT digit, observed, n, expected_ppm, term_ppm, chi2_ppm,
+      |  round(CAST(chi2_ppm AS DOUBLE) / 1000000.0, 6) AS chi2
+      |FROM terms, tot ORDER BY digit""".stripMargin
+
   val queries: Map[String, Q] = Map(
     "q155_kruskal_wallis" -> q155KruskalWallis,
     "q156_anova" -> q156Anova,
@@ -550,6 +618,8 @@ object Advanced7 {
     "q163_cmh" -> q163Cmh,
     "q164_friedman" -> q164Friedman,
     "q165_jonckheere" -> q165Jt,
+    "q166_weekday_seasonal" -> q166WeekdaySeasonal,
+    "q167_benford" -> q167Benford,
     "graph_harmonic" -> graphHarmonic)
 
   val oracles: Map[String, String] = Map(
@@ -561,5 +631,7 @@ object Advanced7 {
     "q160_bh_fdr" -> q160Oracle,
     "q163_cmh" -> q163Oracle,
     "q164_friedman" -> q164Oracle,
-    "q165_jonckheere" -> q165Oracle)
+    "q165_jonckheere" -> q165Oracle,
+    "q166_weekday_seasonal" -> q166Oracle,
+    "q167_benford" -> q167Oracle)
 }

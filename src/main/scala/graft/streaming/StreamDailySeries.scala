@@ -83,4 +83,18 @@ object StreamDailySeries {
   def rollingMedian(spark: SparkSession, dir: String,
                     halfWindow: Int = 3): DataFrame =
     DailySeries.rollingMedian(daily(spark, dir), halfWindow)
+
+  /** Live Holt forecast — == the batch [[DailySeries.holt]] (the
+    * daily table is the recursion's entire input, so the stream's
+    * fits AND forecasts track every microbatch).
+    */
+  def holt(spark: SparkSession, dir: String, alpha: Double = 0.2,
+           beta: Double = 0.1, horizon: Int = 7): DataFrame =
+    DailySeries.holt(daily(spark, dir), alpha, beta, horizon)
+
+  /** Live weekday seasonal profile — == the batch
+    * [[DailySeries.weekdayProfile]].
+    */
+  def weekdayProfile(spark: SparkSession, dir: String): DataFrame =
+    DailySeries.weekdayProfile(daily(spark, dir))
 }

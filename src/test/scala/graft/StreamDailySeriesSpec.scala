@@ -44,6 +44,18 @@ class StreamDailySeriesSpec extends AnyFunSuite {
     StreamDailySeries.applyBatch(orders.filter($"o_orderkey" % 3 === 1),
       "ts", "cents", dir, 1L)
     assert(normAcf(StreamDailySeries.acf(spark, dir)) == wantAcf)
+
+    // the r14b readouts ride the same daily state: live Holt and
+    // weekday profile == the batch operators over everything streamed
+    val daily = orders.select(to_date(col("ts")).as("day"), col("cents"))
+      .groupBy(col("day"))
+      .agg(sum(col("cents")).as("rev"))
+    def strs(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(_.toString).toSet
+    assert(strs(StreamDailySeries.holt(spark, dir)) ==
+      strs(graft.operators.DailySeries.holt(daily)))
+    assert(strs(StreamDailySeries.weekdayProfile(spark, dir)) ==
+      strs(graft.operators.DailySeries.weekdayProfile(daily)))
   }
 
   test("real foreachBatch stream == batch") {
