@@ -226,16 +226,25 @@ object GroupTests {
     *         null on a zero denominator
     */
   def cmh(df: DataFrame, strataCol: String, exposureCol: String,
-          outcomeCol: String): DataFrame = {
-    val strata = df.select(col(strataCol).as("g"),
-        col(exposureCol).cast("boolean").as("x"),
-        col(outcomeCol).cast("boolean").as("y"))
-      .groupBy(col("g"))
-      .agg(count(lit(1)).cast("long").as("n"),
-        sum(when(col("x") && col("y"), 1L).otherwise(0L)).as("a"),
-        sum(when(col("x") && !col("y"), 1L).otherwise(0L)).as("b"),
-        sum(when(!col("x") && col("y"), 1L).otherwise(0L)).as("c"),
-        sum(when(!col("x") && !col("y"), 1L).otherwise(0L)).as("d"))
+          outcomeCol: String): DataFrame =
+    cmhFromStrata(
+      df.select(col(strataCol).as("g"),
+          col(exposureCol).cast("boolean").as("x"),
+          col(outcomeCol).cast("boolean").as("y"))
+        .groupBy(col("g"))
+        .agg(sum(when(col("x") && col("y"), 1L).otherwise(0L)).as("a"),
+          sum(when(col("x") && !col("y"), 1L).otherwise(0L)).as("b"),
+          sum(when(!col("x") && col("y"), 1L).otherwise(0L)).as("c"),
+          sum(when(!col("x") && !col("y"), 1L).otherwise(0L)).as("d")))
+
+  /** [[cmh]] from a pre-aggregated per-stratum (g, a, b, c, d) 2×2
+    * table — the streaming-state form
+    * ([[graft.streaming.StreamCmh]]): the four cell counts per
+    * stratum are the additive sufficient statistic.
+    */
+  private[graft] def cmhFromStrata(strataIn: DataFrame): DataFrame = {
+    val strata = strataIn
+      .withColumn("n", col("a") + col("b") + col("c") + col("d"))
       .localCheckpoint(true) // refusal scan + the term aggregation
     val tooBig = strata.filter(col("n") > 200000000L).count()
     require(tooBig == 0,

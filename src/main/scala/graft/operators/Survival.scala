@@ -102,6 +102,62 @@ object Survival {
           org.apache.spark.sql.types.DoubleType))))
   }
 
+  /** NELSON–AALEN cumulative-hazard estimator (Nelson 1972, Aalen
+    * 1978) — Ĥ(t) = Σ_{t_i ≤ t} d_i/n_i, the hazard-scale companion
+    * of [[kaplanMeier]] (exp(−Ĥ) ≈ Ŝ; the hazard INCREMENTS are what
+    * rate models consume). Unlike KM's inherently sequential product,
+    * the hazard is a SUM — so it goes FULLY DISTRIBUTED exact: each
+    * increment enters as ⌊d·10⁶/n⌋ (the q152 ppm discipline, ≤ 1 ppm
+    * floor per event time, identical in both engines), and the
+    * cumulation over event times is the same shared
+    * [[RankCorr.cumFromCounts]] prefix machinery the risk sets ride —
+    * value-cardinality, never a row-scale window, no driver fold, no
+    * collect cap.
+    *
+    * @return one row per (group, EVENT time): (groupCol, t, n_risk,
+    *         d, h_ppm, cumhaz_ppm, cumhaz) ordered by (group, t)
+    */
+  def nelsonAalen(df: DataFrame, groupCol: String, timeCol: String,
+                  eventCol: String): DataFrame =
+    nelsonAalenFromCounts(
+      df.select(col(groupCol).as("g"),
+          col(timeCol).cast("long").as("t"),
+          col(eventCol).cast("int").as("e"))
+        .groupBy(col("g"), col("t"))
+        .agg(sum(when(col("e") === 1, 1L).otherwise(0L)).as("d"),
+          count(lit(1)).as("cnt")),
+      groupCol)
+
+  /** [[nelsonAalen]] from a pre-aggregated (g, t, d, cnt) count table
+    * (the [[graft.streaming.StreamSurvival]] state form).
+    */
+  private[graft] def nelsonAalenFromCounts(countsIn: DataFrame,
+                                           groupCol: String): DataFrame = {
+    val counts = countsIn.localCheckpoint(true) // risk cum + hazard cum
+    val cum = RankCorr.cumFromCounts(
+      counts.select(col("g"), col("t"), col("cnt")), "t")
+    val ng = counts.groupBy(col("g")).agg(sum(col("cnt")).as("n_g"))
+    val steps = counts.join(cum, Seq("g", "t"))
+      .join(broadcast(ng), Seq("g"))
+      .filter(col("d") > 0)
+      .select(col("g"), col("t"),
+        (col("n_g") - col("below")).cast("long").as("n_risk"),
+        col("d").cast("long").as("d"))
+      .withColumn("h_ppm", expr(
+        "CAST(d AS DECIMAL(38,0)) * 1000000 DIV CAST(n_risk AS DECIMAL(38,0))"))
+    // cumulative hazard: the SAME prefix machinery, summing h_ppm
+    val cumHaz = RankCorr.cumFromCounts(
+      steps.select(col("g"), col("t"), col("h_ppm").as("cnt")), "t")
+      .select(col("g"), col("t"),
+        (col("below") + col("cnt")).cast("bigint").as("cumhaz_ppm"))
+    steps.join(cumHaz, Seq("g", "t"))
+      .select(col("g").as(groupCol), col("t"), col("n_risk"), col("d"),
+        col("h_ppm").cast("bigint").as("h_ppm"), col("cumhaz_ppm"),
+        round(col("cumhaz_ppm").cast("double") / lit(1000000.0), 6)
+          .as("cumhaz"))
+      .orderBy(col(groupCol), col("t"))
+  }
+
   /** Two-sample LOG-RANK test: does group A's survival differ from
     * group B's? O − E and the hypergeometric variance summed over
     * pooled event times (Mantel 1966): at each pooled event time t,

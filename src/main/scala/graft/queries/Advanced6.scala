@@ -163,7 +163,7 @@ object Advanced6 {
     * observation ("no reorder for at least t days"). Shared by q151
     * (Kaplan–Meier) and q152 (log-rank).
     */
-  private def reorderGaps(s: SparkSession, d: String): DataFrame = {
+  private[queries] def reorderGaps(s: SparkSession, d: String): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     val o = orders(s, d).select(col("o_custkey").as("ck"),
       col("o_orderdate").as("dt"))
@@ -180,7 +180,7 @@ object Advanced6 {
         when(col("nxt").isNotNull, 1).otherwise(0).as("e"))
   }
 
-  private val gapsSql: String =
+  private[queries] val gapsSql: String =
     """o AS (SELECT o_custkey AS ck, o_orderdate AS dt FROM orders),
       |mx AS (SELECT MAX(dt) AS endd FROM o),
       |g AS (SELECT ck, dt,

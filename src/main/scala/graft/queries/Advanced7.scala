@@ -606,6 +606,35 @@ object Advanced7 {
       |  round(CAST(chi2_ppm AS DOUBLE) / 1000000.0, 6) AS chi2
       |FROM terms, tot ORDER BY digit""".stripMargin
 
+  // ---- q168: Nelson–Aalen cumulative reorder hazard per market
+  //      segment — the hazard-scale companion of q151's KM curve
+  //      (exp(−Ĥ) ≈ Ŝ; increments are what rate models consume).
+  //      Unlike KM's sequential product this is FULLY DISTRIBUTED
+  //      exact: ⌊d·10⁶/n⌋ increments cumulated by the shared prefix
+  //      machinery — no driver fold, no collect cap. ----
+  val q168NelsonAalen: Q = (s, d) =>
+    Survival.nelsonAalen(Advanced6.reorderGaps(s, d), "seg", "t", "e")
+
+  val q168Oracle: String =
+    s"""WITH ${Advanced6.gapsSql},
+      |counts AS (SELECT seg, t, CAST(SUM(e) AS BIGINT) AS d,
+      |        CAST(COUNT(*) AS BIGINT) AS cnt FROM obs GROUP BY 1, 2),
+      |ng AS (SELECT seg, SUM(cnt) AS n_g FROM counts GROUP BY 1),
+      |below AS (SELECT seg, t, d,
+      |        SUM(cnt) OVER (PARTITION BY seg ORDER BY t
+      |          ROWS UNBOUNDED PRECEDING) - cnt AS below
+      |      FROM counts),
+      |steps AS (SELECT seg, t, CAST(n_g - below AS BIGINT) AS n_risk, d,
+      |        CAST(CAST(d AS HUGEINT) * 1000000
+      |          // CAST(n_g - below AS HUGEINT) AS BIGINT) AS h_ppm
+      |      FROM below JOIN ng USING (seg) WHERE d > 0)
+      |SELECT seg, t, n_risk, d, h_ppm,
+      |  CAST(SUM(h_ppm) OVER (PARTITION BY seg ORDER BY t
+      |    ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cumhaz_ppm,
+      |  round(CAST(SUM(h_ppm) OVER (PARTITION BY seg ORDER BY t
+      |    ROWS UNBOUNDED PRECEDING) AS DOUBLE) / 1000000.0, 6) AS cumhaz
+      |FROM steps ORDER BY seg, t""".stripMargin
+
   val queries: Map[String, Q] = Map(
     "q155_kruskal_wallis" -> q155KruskalWallis,
     "q156_anova" -> q156Anova,
@@ -620,6 +649,7 @@ object Advanced7 {
     "q165_jonckheere" -> q165Jt,
     "q166_weekday_seasonal" -> q166WeekdaySeasonal,
     "q167_benford" -> q167Benford,
+    "q168_nelson_aalen" -> q168NelsonAalen,
     "graph_harmonic" -> graphHarmonic)
 
   val oracles: Map[String, String] = Map(
@@ -633,5 +663,6 @@ object Advanced7 {
     "q164_friedman" -> q164Oracle,
     "q165_jonckheere" -> q165Oracle,
     "q166_weekday_seasonal" -> q166Oracle,
-    "q167_benford" -> q167Oracle)
+    "q167_benford" -> q167Oracle,
+    "q168_nelson_aalen" -> q168Oracle)
 }
