@@ -310,13 +310,25 @@ object RankCorr {
     */
   def jonckheereTerpstra(df: DataFrame, famCol: String,
                          sampleOrderCol: String,
-                         valueCol: String): DataFrame = {
+                         valueCol: String): DataFrame =
+    jtFromCells(
+      df.select(col(famCol).as("fam"),
+          col(sampleOrderCol).cast("long").as("smp"),
+          col(valueCol).cast("long").as("v"))
+        .groupBy(col("fam"), col("smp"), col("v"))
+        .agg(count(lit(1)).as("cnt")),
+      famCol)
+
+  /** [[jonckheereTerpstra]] from a pre-aggregated (fam, smp, v, cnt)
+    * count table — the streaming-state form: the SAME cell table
+    * [[graft.streaming.StreamGroupTests]] already holds for the
+    * KW/ANOVA/Mood battery serves the ordered-trend test too
+    * (sampleCol must be integral there).
+    */
+  private[graft] def jtFromCells(cellsIn: DataFrame,
+                                 famCol: String): DataFrame = {
     import org.apache.spark.sql.expressions.Window
-    val cells = df.select(col(famCol).as("fam"),
-        col(sampleOrderCol).cast("long").as("smp"),
-        col(valueCol).cast("long").as("v"))
-      .groupBy(col("fam"), col("smp"), col("v"))
-      .agg(count(lit(1)).as("cnt"))
+    val cells = cellsIn
       .localCheckpoint(true) // axis fill + marginals
     // fill the pooled value axis per sample so below_i(v) exists at
     // every v any sample hits — a K-bounded expansion

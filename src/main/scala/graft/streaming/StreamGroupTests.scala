@@ -97,4 +97,16 @@ object StreamGroupTests {
   def moodMedian(spark: SparkSession, dir: String,
                  famCol: String): DataFrame =
     GroupTests.moodFromCells(cells(spark, dir), famCol)
+
+  /** Current Jonckheere–Terpstra ordered trend per family — == the
+    * batch [[RankCorr.jonckheereTerpstra]] (requires the streamed
+    * `sampleCol` to be the integral sample ORDER). The fourth test
+    * off the same cell table.
+    */
+  def jonckheere(spark: SparkSession, dir: String,
+                 famCol: String): DataFrame =
+    RankCorr.jtFromCells(
+      cells(spark, dir).select(col("g").as("fam"),
+        col("smp").cast("long").as("smp"), col("v"), col("cnt")),
+      famCol)
 }

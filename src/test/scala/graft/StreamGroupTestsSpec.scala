@@ -16,8 +16,10 @@ class StreamGroupTestsSpec extends AnyFunSuite {
   private lazy val spark = SparkTestSession.spark
   import spark.implicits._
 
+  // integral sample labels so the SAME streamed cell table also
+  // serves the Jonckheere ordered-trend readout
   private val rows = (1L to 90L).map(i =>
-    ("f" + (i % 2), "s" + (i % 3), i * 11 % 31))
+    ("f" + (i % 2), i % 3, i * 11 % 31))
 
   private def norm(df: org.apache.spark.sql.DataFrame): Set[String] =
     df.collect().map(_.toString).toSet
@@ -41,6 +43,10 @@ class StreamGroupTestsSpec extends AnyFunSuite {
       "g", "s", "v", dir, 1L)
     assert(norm(StreamGroupTests.kruskalWallis(spark, dir, "g")) == wantKw)
     assert(norm(StreamGroupTests.anova(spark, dir, "g")) == wantAn)
+
+    // the fourth readout off the SAME cell table: live JT == batch
+    assert(norm(StreamGroupTests.jonckheere(spark, dir, "g")) ==
+      norm(RankCorr.jonckheereTerpstra(df, "g", "s", "v")))
   }
 
   test("real foreachBatch stream == batch") {
@@ -49,7 +55,7 @@ class StreamGroupTestsSpec extends AnyFunSuite {
     rows.drop(45).toDF("g", "s", "v").write.parquet(s"$in/b2")
     val dir = Files.createTempDirectory("sgt_state").toString
     val q = StreamGroupTests.start(
-      spark.readStream.schema("g STRING, s STRING, v LONG")
+      spark.readStream.schema("g STRING, s BIGINT, v LONG")
         .option("maxFilesPerTrigger", "1").parquet(s"$in/*"),
       "g", "s", "v", dir, Files.createTempDirectory("sgt_ck").toString)
     q.processAllAvailable(); q.stop()
