@@ -698,15 +698,42 @@ object GraphOps {
     * counted once via a < b), one aggregate to (a, b, cn), one
     * left-anti join removes existing edges, degrees broadcast back,
     * heap-based top-k — never a window sort. Wedge volume is
-    * Σ_c deg(c)², the [[triangleCount]] cost class; inputs are the
-    * same dimension-sized co-occurrence graphs (a social-scale hub
-    * would need a degree cap — out of contract, documented).
+    * Σ_c deg(c)², the [[triangleCount]] cost class — which one
+    * social-scale HUB can silently take quadratic (a degree-10⁶
+    * center is 10¹² wedge rows in a single key), so centers past
+    * `maxDegree` are SKIPPED from wedge enumeration, quantified by
+    * [[commonNeighborLinksWithReport]] (the embeddingNearDup
+    * skip-and-report convention). The skip is also statistically
+    * honest: a mega-hub certifies almost nothing about its
+    * neighbours' pairwise affinity — hub-mediated common-neighbor
+    * evidence is exactly what Adamic–Adar down-weights to ≈ 0.
+    * Degrees in the output (and the Jaccard denominator) stay TRUE
+    * degrees — only the wedge CENTER role is capped.
     *
+    * @param maxDegree centers above this degree do not generate
+    *                  wedges; defaults far above any dimension-sized
+    *                  co-occurrence graph’s hub
     * @return top-k rows (x, y, common, jaccard_ppm, deg_x, deg_y)
     *         ordered by (common desc, jaccard_ppm desc, x, y)
     */
   def commonNeighborLinks(edgesIn: DataFrame, aCol: String, bCol: String,
-                          k: Int = 20): DataFrame = {
+                          k: Int = 20,
+                          maxDegree: Long = 100000L): DataFrame =
+    commonNeighborLinksWithReport(edgesIn, aCol, bCol, k, maxDegree)._1
+
+  /** [[commonNeighborLinks]] plus its cap-opt-out report: `(links,
+    * report)` where the report is ONE row — (hubs_skipped,
+    * max_degree_seen, wedges_skipped) — quantifying what the
+    * `maxDegree` center cap excluded (wedges_skipped = Σ over
+    * skipped hubs of deg·(deg−1)/2, the exact wedge count the cap
+    * refused to enumerate). A capped path that doesn’t say how much
+    * it skipped looks complete when it isn’t.
+    */
+  def commonNeighborLinksWithReport(edgesIn: DataFrame, aCol: String,
+                                    bCol: String, k: Int = 20,
+                                    maxDegree: Long = 100000L)
+      : (DataFrame, DataFrame) = {
+    require(maxDegree > 0, s"maxDegree must be positive, got $maxDegree")
     val canon = edgesIn
       .select(least(col(aCol), col(bCol)).cast("long").as("x"),
         greatest(col(aCol), col(bCol)).cast("long").as("y"))
@@ -716,9 +743,23 @@ object GraphOps {
     val sym = canon.unionAll(canon.select(col("y").as("x"), col("x").as("y")))
     val deg = sym.groupBy(col("x").as("node"))
       .agg(count(lit(1)).cast("bigint").as("deg"))
-    // wedges at their center: neighbor pairs (a < b) of each c
-    val cn = sym.select(col("x").as("c"), col("y").as("a"))
-      .join(sym.select(col("x").as("c"), col("y").as("b")), Seq("c"))
+      .localCheckpoint(true) // the hub filter, the report, two join-backs
+    val report = deg.agg(
+      sum(when(col("deg") > maxDegree, 1L).otherwise(0L))
+        .cast("bigint").as("hubs_skipped"),
+      max(col("deg")).cast("bigint").as("max_degree_seen"),
+      sum(when(col("deg") > maxDegree,
+        expr("deg * (deg - 1) DIV 2")).otherwise(0L))
+        .cast("bigint").as("wedges_skipped"))
+    // wedges at their center: neighbor pairs (a < b) of each c —
+    // centers past the cap are excluded BEFORE the self-join, so the
+    // quadratic key never materializes
+    val centers = sym.join(
+      deg.filter(col("deg") <= maxDegree).select(col("node").as("x")),
+      Seq("x"))
+      .select(col("x").as("c"), col("y"))
+    val cn = centers.select(col("c"), col("y").as("a"))
+      .join(centers.select(col("c"), col("y").as("b")), Seq("c"))
       .filter(col("a") < col("b"))
       .groupBy(col("a").as("x"), col("b").as("y"))
       .agg(count(lit(1)).cast("bigint").as("common"))
@@ -731,9 +772,9 @@ object GraphOps {
         col("deg_x"), col("deg_y"))
     // global top-k: sort+limit plans to TakeOrderedAndProject (the
     // partial+final heap), never a full sort
-    cn.orderBy(col("common").desc, col("jaccard_ppm").desc,
+    (cn.orderBy(col("common").desc, col("jaccard_ppm").desc,
         col("x"), col("y"))
-      .limit(k)
+      .limit(k), report)
   }
 
   /** Modularity-guided COMMUNITY DETECTION — deterministic Louvain-

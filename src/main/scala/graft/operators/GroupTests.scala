@@ -66,8 +66,10 @@ object GroupTests {
     * Magnitude contract: S_j²/n_j = n_j·mean_j² must fit BIGINT —
     * keep `valueCol` in units where n_j·v̄² < 2^63 (the q156 contract
     * query uses whole DOLLARS, good to ~10⁷ rows per sample at TPC-H
-    * price scales; cents would be 10⁴× tighter). A silent DECIMAL
-    * overflow nulls the output — loud at the oracle gate.
+    * price scales; cents would be 10⁴× tighter). A DECIMAL overflow
+    * nulls the TERM, and SUM would silently SKIP the null — so an
+    * overflowed per-sample moment REFUSES loudly instead (the
+    * cmh/mood convention).
     *
     * @return (famCol, k, n, ssb, ssw, f, eta2) — f null for k < 2 or
     *         zero within-variance, eta2 null for zero total variance
@@ -85,9 +87,25 @@ object GroupTests {
     * table — the streaming-state form: per-sample moments are sums
     * over the cells (n_j = Σcnt, S_j = Σcnt·v, Q_j = Σcnt·v²).
     */
-  private[graft] def anovaFromCells(cells: DataFrame,
+  private[graft] def anovaFromCells(cellsIn: DataFrame,
                                     famCol: String): DataFrame = {
     def dcm(c: Column): Column = c.cast("decimal(38,0)")
+    val cells = cellsIn.localCheckpoint(true) // bound scan + moments
+    // magnitude refusal BEFORE any decimal algebra: n_j·max(v)²
+    // bounds both Q_j and S_j² DIV n_j, so if it stays under 10³⁸
+    // every moment fits DECIMAL(38,0). Past it, the engine either
+    // throws mid-job (ANSI on — Spark 4 default) or NULLs the term
+    // and SUM silently skips it (ANSI off) — both worse than a named
+    // refusal. The bound rides doubles (can't overflow); 9e37 keeps
+    // a safe margin under the exact 10³⁸−1 boundary.
+    val tooBigA = cells.groupBy(col("g"), col("smp"))
+      .agg((sum(col("cnt")).cast("double") *
+        max(col("v").cast("double") * col("v").cast("double")))
+        .as("bound"))
+      .filter(col("bound") >= 9.0e37).count()
+    require(tooBigA == 0,
+      "anovaOneWay: a sample's moment bound n_j·max(v)² reaches the " +
+        "DECIMAL(38,0) range — rescale valueCol to coarser units")
     val perSample = cells
       .groupBy(col("g"), col("smp"))
       .agg(sum(col("cnt")).cast("long").as("n_j"),
@@ -158,6 +176,17 @@ object GroupTests {
     val cum = RankCorr.cumFromCounts(pooled, "v")
     val n = pooled.groupBy(col("g"))
       .agg(sum(col("cnt")).cast("bigint").as("n"))
+      .localCheckpoint(true) // refusal scan + the median position join
+    // the cmh/logRank magnitude refusal: each cell's chi-square
+    // numerator (o·n − r·c)²·10⁶ is bounded by (n²/4)²·10⁶, which
+    // reaches 10³⁸ (past DECIMAL(38,0) max) at n = 2e8 — and an
+    // overflowed term goes NULL, which SUM silently SKIPS, yielding a
+    // wrong non-null chi2_ppm. Refuse loudly instead.
+    val tooBig = n.filter(col("n") > 190000000L).count()
+    require(tooBig == 0,
+      "moodMedianTest: a family exceeds 1.9e8 observations — the " +
+        "exact ppm chi-square algebra needs (n²/4)²·10⁶ < 10³⁸; " +
+        "sample first")
     val med = cum.join(broadcast(
         n.select(col("g"), expr("(n + 1) DIV 2").as("__pos"))), Seq("g"))
       .filter(col("below") < col("__pos") &&
@@ -246,10 +275,14 @@ object GroupTests {
     val strata = strataIn
       .withColumn("n", col("a") + col("b") + col("c") + col("d"))
       .localCheckpoint(true) // refusal scan + the term aggregation
-    val tooBig = strata.filter(col("n") > 200000000L).count()
+    // strictly below 2e8: with balanced margins the v_ppm numerator
+    // (n/2)⁴·10⁶ reaches exactly 10³⁸ AT n = 2e8, which already
+    // exceeds DECIMAL(38,0) max (10³⁸−1) — an at-the-cap stratum
+    // would overflow to NULL and SUM would silently drop it
+    val tooBig = strata.filter(col("n") > 190000000L).count()
     require(tooBig == 0,
-      "cmh: a stratum exceeds 2e8 rows — the exact single-division " +
-        "ppm algebra needs n⁴·10⁶ ≤ 10³⁸; sample first")
+      "cmh: a stratum exceeds 1.9e8 rows — the exact single-division " +
+        "ppm algebra needs (n/2)⁴·10⁶ < 10³⁸; sample first")
     val terms = strata.selectExpr(
       "a",
       "CAST(a + b AS DECIMAL(38,0)) * (a + c) * 1000000 " +
@@ -293,11 +326,22 @@ object GroupTests {
     *         for a degenerate 1×c / r×1 table
     */
   def cramersV(df: DataFrame, famCol: String, rowCol: String,
-               colCol: String): DataFrame = {
-    val cells = df.select(col(famCol).as("g"), col(rowCol).as("r"),
-        col(colCol).as("c"))
-      .groupBy(col("g"), col("r"), col("c"))
-      .agg(count(lit(1)).cast("bigint").as("o"))
+               colCol: String): DataFrame =
+    cramersVFromCells(
+      df.select(col(famCol).as("g"), col(rowCol).as("r"),
+          col(colCol).as("c"))
+        .groupBy(col("g"), col("r"), col("c"))
+        .agg(count(lit(1)).cast("bigint").as("o")),
+      famCol)
+
+  /** [[cramersV]] from a pre-aggregated (g, r, c, o) contingency-cell
+    * table — the streaming-state form
+    * ([[graft.streaming.StreamCramersV]]): the per-(family, row,
+    * column) counts are the additive sufficient statistic.
+    */
+  private[graft] def cramersVFromCells(cellsIn: DataFrame,
+                                       famCol: String): DataFrame = {
+    val cells = cellsIn
       .localCheckpoint(true) // marginals + the dense-cross join
     val rm = cells.groupBy(col("g"), col("r"))
       .agg(sum(col("o")).cast("bigint").as("rm"))
@@ -306,6 +350,13 @@ object GroupTests {
     val n = cells.groupBy(col("g")).agg(sum(col("o")).cast("bigint").as("n"),
       countDistinct(col("r")).cast("bigint").as("n_rows"),
       countDistinct(col("c")).cast("bigint").as("n_cols"))
+      .localCheckpoint(true) // refusal scan + the final join
+    // the moodFromCells magnitude refusal (same (o·n − r·c)²·10⁶ ≤
+    // (n²/4)²·10⁶ cell bound, same NULL-skipping SUM hazard)
+    val tooBigV = n.filter(col("n") > 190000000L).count()
+    require(tooBigV == 0,
+      "cramersV: a family exceeds 1.9e8 observations — the exact ppm " +
+        "chi-square algebra needs (n²/4)²·10⁶ < 10³⁸; sample first")
     def dcm(c: Column): Column = c.cast("decimal(38,0)")
     // dense r×c grid so structural zeros contribute (o=0 ⇒ r·c/n mass)
     val dense = rm.join(cm, Seq("g"))

@@ -334,10 +334,19 @@ object RankCorr {
     // every v any sample hits — a K-bounded expansion
     val axis = cells.select(col("fam"), col("v")).distinct()
     val smps = cells.select(col("fam"), col("smp")).distinct()
+    // composite (fam, smp) key for the single-column cumulation
+    // machinery, made INJECTIVE for arbitrary string families by
+    // LENGTH-PREFIXING the fam segment: len(fam) \u2295 fam \u2295 smp parses
+    // back uniquely even when fam itself CONTAINS the separator (the
+    // first separator ends the digit-only length prefix, which then
+    // fixes fam's extent; smp is integral -- digits only -- so the
+    // remainder is unambiguous). A plain fam \u2295 smp concat could merge
+    // distinct (family, sample) groups for such families.
     val filled = axis.join(smps, Seq("fam"))
       .join(cells, Seq("fam", "smp", "v"), "left")
       .na.fill(0L, Seq("cnt"))
-      .withColumn("g", concat_ws("\u0001", col("fam"), col("smp")))
+      .withColumn("g", concat_ws("\u0001",
+        length(col("fam").cast("string")), col("fam"), col("smp")))
       .localCheckpoint(true) // cum pass + the fam/smp join-back
     val cum = cumFromCounts(filled.select(col("g"), col("v"), col("cnt")), "v")
       .select(col("g"), col("v"), col("below"))

@@ -204,11 +204,15 @@ object Survival {
     require(gs.length == 2 && gs.contains(groupA),
       s"logRank: exactly two groups required incl. '$groupA', got " +
         gs.mkString(", "))
+    // strictly below 2e8: balanced margins put the variance numerator
+    // at (n/2)⁴·10⁶ = exactly 10³⁸ when n = 2e8 — past DECIMAL(38,0)
+    // max, so an at-the-boundary input would overflow to NULL and be
+    // silently dropped by SUM
     val nObs = counts.agg(sum(col("cnt"))).head().getLong(0)
-    require(nObs <= 200000000L,
+    require(nObs <= 190000000L,
       s"logRank: $nObs observations — the exact single-division ppm " +
-        "algebra needs n⁴·10⁶ ≤ 10³⁸ (≤ 2e8 obs); sample first (a " +
-        "rank test's power saturates far earlier)")
+        "algebra needs (n/2)⁴·10⁶ < 10³⁸ (≤ 1.9e8 obs); sample first " +
+        "(a rank test's power saturates far earlier)")
     // fill the pooled axis: each group needs a (possibly zero-count)
     // row at EVERY pooled time so the cumulation yields its risk set
     // there

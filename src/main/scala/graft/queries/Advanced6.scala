@@ -45,7 +45,11 @@ object Advanced6 {
       .orderBy(col("nation"))
   }
 
-  val q148Oracle: String =
+  /** The un-ordered q148 body, shared with q160's oracle (which
+    * wraps it in a CTE where a trailing ORDER BY would be invalid) —
+    * one definition, no string surgery at the composition site.
+    */
+  private[queries] val q148OracleBody: String =
     """WITH o AS (SELECT o_custkey, EXTRACT(year FROM o_orderdate) AS yr,
       |        SUM(CAST(round(o_totalprice * 100) AS BIGINT)) AS cents
       |      FROM orders WHERE EXTRACT(year FROM o_orderdate) IN (1995, 1996)
@@ -70,7 +74,9 @@ object Advanced6 {
       |  round(CAST(2 * w2 - CAST(n AS HUGEINT) * (n + 1) AS DOUBLE) /
       |    (4.0 * sqrt(CAST(2 * CAST(n AS HUGEINT) * (n + 1) * (2 * n + 1)
       |      - t3t AS DOUBLE) / 48.0)), 6) AS z
-      |FROM a ORDER BY nation""".stripMargin
+      |FROM a""".stripMargin
+
+  val q148Oracle: String = q148OracleBody + "\nORDER BY nation"
 
   // ---- q149: Kendall τ-b between quantity and discount cents per
   //      return flag — pair concordance under HEAVY ties (50 × 11

@@ -267,7 +267,7 @@ object Advanced7 {
 
   val q160Oracle: String = {
     val pExpr = StatTests.normalTwoSidedPSql("z")
-    s"""WITH w AS (${Advanced6.q148Oracle.replace("ORDER BY nation", "")}),
+    s"""WITH w AS (${Advanced6.q148OracleBody}),
       |tests AS (SELECT nation, z, round($pExpr, 9) AS p
       |      FROM w WHERE z IS NOT NULL),
       |ranked AS (SELECT nation, z, p,

@@ -286,6 +286,67 @@ class GroupTestsSpec extends AnyFunSuite {
     assert(run(1) == run(9))
   }
 
+  test("JT composite key is injective: a family CONTAINING the " +
+      "separator never merges with its neighbors") {
+    // "x\u00012" contains the internal separator; under a plain
+    // fam+sep+smp concat it could collide with other keys — the
+    // length-prefixed key keeps every (family, sample) group distinct
+    val plain = Seq(("x", 1L, 1L), ("x", 1L, 2L), ("x", 2L, 5L),
+      ("x", 2L, 6L))
+    val tricky = plain.map { case (_, s, v) => ("x\u00012", s, v) }
+    val both = (plain ++ tricky).toDF("g", "smp", "v")
+    val got = RankCorr.jonckheereTerpstra(both, "g", "smp", "v")
+      .collect().map(r => r.getString(0) -> r.getAs[Long]("s")).toMap
+    val solo = RankCorr.jonckheereTerpstra(plain.toDF("g", "smp", "v"),
+      "g", "smp", "v").collect().head.getAs[Long]("s")
+    assert(got.size == 2 && got("x") == solo && got("x\u00012") == solo,
+      got.toString)
+  }
+
+  test("Mood/V/CMH magnitude refusals fire ABOVE 1.9e8 — a NULL-" +
+      "skipping SUM would otherwise report a wrong non-null chi2") {
+    import org.apache.spark.sql.functions.{col, lit}
+    // planted count cells: the guards scan aggregated counts, so the
+    // over-cap regime is testable without 2e8 physical rows
+    val moodCells = Seq(("f", "A", 1L, 100000000L),
+      ("f", "B", 2L, 150000000L)).toDF("g", "smp", "v", "cnt")
+    val e1 = intercept[IllegalArgumentException] {
+      GroupTests.moodFromCells(moodCells, "fam").collect()
+    }
+    assert(e1.getMessage.contains("1.9e8"), e1.getMessage)
+    val vCells = Seq(("f", "r1", "c1", 191000000L),
+      ("f", "r2", "c2", 1L)).toDF("g", "r", "c", "o")
+    val e2 = intercept[IllegalArgumentException] {
+      GroupTests.cramersVFromCells(vCells, "fam").collect()
+    }
+    assert(e2.getMessage.contains("1.9e8"), e2.getMessage)
+    // CMH boundary tightened: a stratum AT 2e8 would put the balanced
+    // v_ppm numerator at exactly 10^38 — past DECIMAL(38,0) max
+    val strata = Seq(("s1", 95500000L, 95500000L, 0L, 0L))
+      .toDF("g", "a", "b", "c", "d")
+    val e3 = intercept[IllegalArgumentException] {
+      GroupTests.cmhFromStrata(strata).collect()
+    }
+    assert(e3.getMessage.contains("1.9e8"), e3.getMessage)
+    // sub-cap still computes
+    val ok = Seq(("f", "A", 1L, 10L), ("f", "B", 2L, 10L))
+      .toDF("g", "smp", "v", "cnt")
+    assert(GroupTests.moodFromCells(ok, "fam").count() == 1L)
+  }
+
+  test("ANOVA refuses BEFORE the decimal algebra when a moment bound " +
+      "reaches DECIMAL(38,0) range") {
+    // v = 1e18, 100 rows: n_j·max(v)² = 1e38 — without the pre-scan
+    // the engine throws mid-aggregation (ANSI) or NULL-skips (no ANSI)
+    val big = (1 to 100).flatMap(_ =>
+      Seq(("f", "A", 1000000000000000000L), ("f", "B", 1L)))
+      .toDF("g", "s", "v")
+    val e = intercept[IllegalArgumentException] {
+      GroupTests.anovaOneWay(big, "g", "s", "v").collect()
+    }
+    assert(e.getMessage.contains("rescale"), e.getMessage)
+  }
+
   test("battery partitioning invariance (ANOVA + Mood + V)") {
     val rows = (1 to 300).map(i =>
       (s"f${i % 2}", s"s${i % 5}", (i * 31 % 97).toLong))

@@ -61,6 +61,28 @@ class LinkPredictionSpec extends AnyFunSuite {
       links(square))
   }
 
+  test("maxDegree hub cap: the hub is skipped as a wedge center, " +
+      "sub-cap candidates stay exact with TRUE degrees, report quantifies") {
+    // hub 100 — {1..10} (degree 10), plus chain 1-2-3: the only
+    // sub-cap candidate is (1,3) via center 2 (pairs through the hub
+    // center would be 45 wedges)
+    val edges = ((1L to 10L).map(i => (100L, i)) ++
+      Seq((1L, 2L), (2L, 3L))).toDF("a", "b")
+    val (capped, report) = GraphOps.commonNeighborLinksWithReport(
+      edges, "a", "b", k = 50, maxDegree = 5L)
+    // deg(1) = {100, 2} = 2, deg(3) = {100, 2} = 2, union = 3
+    assert(capped.as[(Long, Long, Long, Long, Long, Long)].collect().toSeq ==
+      Seq((1L, 3L, 1L, 333333L, 2L, 2L)))
+    assert(report.as[(Long, Long, Long)].collect().toSeq ==
+      Seq((1L, 10L, 45L)))
+    // uncapped: the hub center contributes its C(10,2) pairs too
+    val (uncapped, report2) = GraphOps.commonNeighborLinksWithReport(
+      edges, "a", "b", k = 50, maxDegree = 100L)
+    assert(uncapped.count() > 40)
+    assert(report2.as[(Long, Long, Long)].collect().toSeq ==
+      Seq((0L, 10L, 0L)))
+  }
+
   test("contract query q150_link_prediction: top-20, deterministic, candidates only") {
     val sfDir = "/root/testdata/sf0.001"
     val a = SparkEntry.queries("q150_link_prediction")(spark, sfDir).collect()
