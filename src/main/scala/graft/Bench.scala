@@ -205,19 +205,44 @@ object Bench {
     // band-retake semantics — the old minimum survives as the floor).
     val priorPath = sys.env.getOrElse("SPARK_GRAFT_BENCH_PRIOR",
       "bench_full.json")
-    val priorMedians: Map[String, Double] =
-      try {
-        val txt = new String(java.nio.file.Files.readAllBytes(
-          java.nio.file.Paths.get(priorPath)), "UTF-8")
-        val re = """"([^"]+)":\{"median":([0-9.]+)""".r
-        re.findAllMatchIn(txt).map(m => m.group(1) -> m.group(2).toDouble)
-          .toMap
-      } catch { case _: Throwable => Map.empty }
+    val priorTxt: String =
+      try new String(java.nio.file.Files.readAllBytes(
+        java.nio.file.Paths.get(priorPath)), "UTF-8")
+      catch { case _: Throwable => "" }
+    val priorMedians: Map[String, Double] = {
+      val re = """"([^"]+)":\{"median":([0-9.]+)""".r
+      re.findAllMatchIn(priorTxt).map(m => m.group(1) -> m.group(2).toDouble)
+        .toMap
+    }
+    // SENTINEL-DRIFT NORMALIZATION (the r14 lesson: the machine ran
+    // 1.43x slower than the r13 session — the interleaved sentinel
+    // drifted 0.207->0.296s — and 20+ untouched queries "regressed"
+    // 1.4-1.7x; the raw >1.3x gate re-measured them INSIDE the same
+    // slowed session and reproduced the drifted numbers). The prior
+    // artifact carries its own sentinel samples: the ratio of this
+    // session's sentinel median to the prior session's is pure
+    // machine/environment drift, so every per-query delta is
+    // normalized by it BEFORE the re-measure gate fires, and both raw
+    // and normalized numbers land in the artifact.
+    val priorSentinels: Seq[Double] = {
+      val re = """"sentinel":\[([0-9.,]+)\]""".r
+      re.findFirstMatchIn(priorTxt)
+        .map(_.group(1).split(",").map(_.toDouble).toSeq)
+        .getOrElse(Seq.empty)
+    }
+    def medianSeq(xs: Seq[Double]): Double =
+      if (xs.isEmpty) 0.0 else medianOf(xs.sorted.toIndexedSeq)
+    val priorSentinel = medianSeq(priorSentinels)
+    val curSentinel = medianSeq(sentinels.toSeq)
+    val sentinelRatio =
+      if (priorSentinel > 0 && curSentinel > 0) curSentinel / priorSentinel
+      else 1.0
     var remeasured = 0
     if (priorMedians.nonEmpty) {
       val suspects = samples.collect {
         case (name, ts) if priorMedians.get(name)
-          .exists(p => medianOf(ts.sorted) > p * 1.3 + 0.05) => name
+          .exists(p => medianOf(ts.sorted) >
+            p * sentinelRatio * 1.3 + 0.05) => name
       }.toSeq
       suspects.foreach { name =>
         remeasured += 1
@@ -247,6 +272,11 @@ object Bench {
       if (s.contains('.')) s.reverse.dropWhile(_ == '0').reverse.stripSuffix(".")
       else s
     }
+    def fmt3(v: Double): String = {
+      val s = String.format(java.util.Locale.ROOT, "%.3f", Double.box(v))
+      if (s.contains('.')) s.reverse.dropWhile(_ == '0').reverse.stripSuffix(".")
+      else s
+    }
     val total = if (results.nonEmpty) results.values.sum else 0.0
     val sfName = new java.io.File(sfDir).getName
     val bySlowest = results.toSeq.sortBy { case (n, v) => (-v, n) }
@@ -260,6 +290,7 @@ object Bench {
         else s""","queries_omitted":${dropped.size},"omitted_sec":${fmt(dropped.map(_._2).sum)}"""
       val guard =
         s""","sentinel":[${sentinels.map(fmt).mkString(",")}],""" +
+        s""""sentinel_ratio":${fmt3(sentinelRatio)},""" +
         s""""foreign_jvms":$foreignMax,"windows_redone":$windowsRedone,""" +
         s""""remeasured":$remeasured"""
       s"""{"metric":"total","value":${fmt(total)},"unit":"sec","queries":$qs$omit$guard,"sf":"$sfName"}"""
@@ -271,12 +302,18 @@ object Bench {
     // disk: the stdout line is size-capped for the driver, but min vs
     // median is exactly what separates jitter from regression when a
     // number looks off — keep the evidence where the judge can read it.
+    // "norm" = median divided by the sentinel drift ratio — the
+    // number comparable across sessions; "median" stays the raw
+    // wall-clock truth of THIS session.
     val full = measured.toSeq.sortBy(_._1).map { case (n, (med, min, k)) =>
-      s""""$n":{"median":${fmt(med)},"min":${fmt(min)},"reps":$k}"""
+      s""""$n":{"median":${fmt(med)},"min":${fmt(min)},"reps":$k""" +
+        s""","norm":${fmt(med / sentinelRatio)}}"""
     }.mkString("{", ",", "}")
     val fullLine =
       s"""{"metric":"total","value":${fmt(total)},"unit":"sec","queries":$full,""" +
       s""""sentinel":[${sentinels.map(fmt).mkString(",")}],""" +
+      s""""sentinel_prior":${fmt3(priorSentinel)},""" +
+      s""""sentinel_ratio":${fmt3(sentinelRatio)},""" +
       s""""foreign_jvms":$foreignMax,"windows_redone":$windowsRedone,""" +
       s""""remeasured":$remeasured,"sf":"$sfName"}"""
     // Path is env-anchored (default: process CWD, where the driver

@@ -39,14 +39,22 @@ object Benford {
     *         chi2_ppm, chi2) — chi2_ppm/chi2 repeated per row (the
     *         table IS the test report)
     */
-  def test(df: DataFrame, valueCol: String): DataFrame = {
-    val spark = df.sparkSession
+  def test(df: DataFrame, valueCol: String): DataFrame =
+    testFromCounts(
+      df.select(col(valueCol).cast("long").as("v"))
+        .filter(col("v") > 0)
+        .select(substring(col("v").cast("string"), 1, 1)
+          .cast("int").as("digit"))
+        .groupBy(col("digit")).agg(count(lit(1)).as("o")))
+
+  /** [[test]] from a pre-aggregated (digit, o) first-digit count
+    * table — the streaming-state form
+    * ([[graft.streaming.StreamBenford]]): the nine digit counts are
+    * the additive sufficient statistic for the whole screen.
+    */
+  private[graft] def testFromCounts(obs: DataFrame): DataFrame = {
+    val spark = obs.sparkSession
     import spark.implicits._
-    val obs = df.select(col(valueCol).cast("long").as("v"))
-      .filter(col("v") > 0)
-      .select(substring(col("v").cast("string"), 1, 1)
-        .cast("int").as("digit"))
-      .groupBy(col("digit")).agg(count(lit(1)).as("o"))
     val expected = expectedPpm.toDF("digit", "p_ppm")
     val filled = broadcast(expected)
       .join(obs, Seq("digit"), "left")

@@ -172,4 +172,86 @@ object DailySeries {
         StructField("trend", DoubleType),
         StructField("is_forecast", BooleanType))))
   }
+
+  /** HOLT–WINTERS ADDITIVE SEASONAL smoothing (Winters 1960) with a
+    * weekly (period-7) cycle — the top of the forecasting ladder
+    * q133 seasonal-naive → q162 Holt → here: level + trend + a
+    * seasonal offset per weekday, each exponentially smoothed.
+    *
+    *   fit_t = ℓ + b + s_{t−7}            (one-step, BEFORE x_t)
+    *   ℓ_t = α(x_t − s_{t−7}) + (1−α)(ℓ + b)
+    *   b_t = β(ℓ_t − ℓ) + (1−β)b
+    *   s_t = γ(x_t − ℓ_t) + (1−γ)s_{t−7}
+    *
+    * Seeds are the classical two-week start (the q166 weekday-profile
+    * idea at minimal window): ℓ = mean(week 1), b = (mean(week 2) −
+    * mean(week 1))/7, s_i = x_i − mean(week 1) for the first seven
+    * days — so a purely 7-periodic series is a FIXED POINT (every fit
+    * exact) and a constant series degrades to zero trend and zero
+    * seasonals exactly. γ = 0 freezes the seeded seasonal profile;
+    * γ = β = 0 with flat seeds is simple exponential smoothing.
+    *
+    * Same scale contract as [[holt]]: the recursion is inherently
+    * sequential in float, so it folds on the DRIVER over the
+    * DATE-cardinality series (grows with calendar time, never with
+    * data volume) under the same named-cap refusal; the series must
+    * be gap-free daily (interpolate first — [[Interpolate]]).
+    *
+    * @return per observed day from index 7: (day, actual_cents, fit,
+    *         level, trend, seasonal [the s used by the fit],
+    *         is_forecast=false), then `horizon` forecast rows
+    *         ℓ_T + h·b_T + s_cyclic (actual null, is_forecast=true)
+    */
+  def holtWinters(dailyIn: DataFrame, alpha: Double = 0.2,
+                  beta: Double = 0.1, gamma: Double = 0.1,
+                  horizon: Int = 7, maxDays: Long = 200000L): DataFrame = {
+    require(alpha > 0 && alpha <= 1 && beta >= 0 && beta <= 1 &&
+      gamma >= 0 && gamma <= 1,
+      s"holtWinters: need 0 < alpha <= 1 and 0 <= beta, gamma <= 1, " +
+        s"got $alpha, $beta, $gamma")
+    val spark = dailyIn.sparkSession
+    val daily = dailyIn.select(col("day").cast("date").as("day"),
+      col("rev").cast("long").as("rev"))
+    val nDays = daily.count()
+    require(nDays >= 14 && nDays <= maxDays,
+      s"holtWinters: $nDays days — need 14 <= days <= maxDays=" +
+        s"$maxDays (two full weekly cycles seed the seasonal state; " +
+        "the series is the collected state — coarsen the time unit)")
+    val series = daily.orderBy(col("day")).collect()
+      .map(r => (r.getDate(0), r.getLong(1)))
+    def r6(x: Double): Double =
+      BigDecimal(x).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    val w1 = series.slice(0, 7).map(_._2.toDouble)
+    val w2 = series.slice(7, 14).map(_._2.toDouble)
+    val m1 = w1.sum / 7.0
+    var level = m1
+    var trend = (w2.sum / 7.0 - m1) / 7.0
+    val seasonal = w1.map(_ - m1) // s_0..s_6, indexed t % 7 cyclically
+    val fitted = series.zipWithIndex.drop(7).map { case ((day, x), t) =>
+      val s = seasonal(t % 7)
+      val fit = level + trend + s
+      val newLevel = alpha * (x - s) + (1.0 - alpha) * (level + trend)
+      trend = beta * (newLevel - level) + (1.0 - beta) * trend
+      level = newLevel
+      seasonal(t % 7) = gamma * (x - newLevel) + (1.0 - gamma) * s
+      org.apache.spark.sql.Row(day, java.lang.Long.valueOf(x), r6(fit),
+        r6(level), r6(trend), r6(s), false)
+    }
+    val lastDay = series.last._1.toLocalDate
+    val lastT = series.length - 1
+    val forecasts = (1 to horizon).map { h =>
+      val s = seasonal((lastT + h) % 7)
+      org.apache.spark.sql.Row(java.sql.Date.valueOf(lastDay.plusDays(h)),
+        null, r6(level + h * trend + s), r6(level), r6(trend), r6(s), true)
+    }
+    import org.apache.spark.sql.types._
+    spark.createDataFrame(
+      spark.sparkContext.parallelize((fitted ++ forecasts).toSeq, 1),
+      StructType(Seq(StructField("day", DateType),
+        StructField("actual_cents", LongType),
+        StructField("fit", DoubleType), StructField("level", DoubleType),
+        StructField("trend", DoubleType),
+        StructField("seasonal", DoubleType),
+        StructField("is_forecast", BooleanType))))
+  }
 }

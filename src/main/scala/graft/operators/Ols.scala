@@ -1,0 +1,245 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, Row}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+import graft.plans.Gram
+
+/** Grouped MULTIVARIATE ORDINARY LEAST SQUARES — the classical
+  * analytics step above q71/q84's single-covariate slope: fit
+  * y = b0 + b1·x1 + … + bd·xd per group from ONE aggregation pass,
+  * never materializing a design matrix. Two paths, two contracts:
+  *
+  *  - [[fitGrouped2]]: the ORACLE-EXACT two-covariate form. The
+  *    normal equations (X'X)β = X'y with intercept are a 3×3 system
+  *    whose Cramer determinants are polynomial in the EXACT INTEGER
+  *    moments (n, Σx, Σx², Σxy, …), so every coefficient is ONE
+  *    double division of two exact integers (rounded 6) and R² is
+  *    ONE shared-SQL-text formula — bit-identical across engines.
+  *    Exactness costs magnitude: the determinant algebra needs
+  *    6·M²·max(M, My) < 10³⁸ (M = largest X'X entry, My = largest
+  *    X'y entry), a NAMED per-group refusal that in practice means
+  *    ~10⁹ rows per group at integer covariate scales.
+  *  - [[fitFromGram]]: the SCALE path for any covariate count — the
+  *    mergeable [[graft.plans.Gram]] moment aggregate (one pass,
+  *    model-sized state per group, elementwise-additive merge)
+  *    followed by a model-sized DRIVER solve (Gaussian elimination
+  *    with partial pivoting — the coxPh driver-Newton convention)
+  *    with maxGroups and singularity REFUSALS. Double moments: the
+  *    result is deterministic to ulps, not hash-exact — rows-only.
+  *
+  * X'X and X'y are exactly the Gram moment state over the vector
+  * [1?, x…, y] — the covariance analog of the sketch family: a
+  * 100 TB fit is one partial-aggregate shuffle of ~(d+2)²/2 doubles
+  * per group, never a second scan.
+  */
+object Ols {
+
+  /** 3×3 Cramer determinants over the exact integer moment columns
+    * (n, sx1, sx2, sx1x1, sx2x2, sx1x2, sy, sx1y, sx2y) — cofactor
+    * expansions written ONCE and shared verbatim with the DuckDB
+    * oracle (integer algebra: exact in DECIMAL(38,0) and HUGEINT
+    * alike under the magnitude refusal).
+    */
+  val detSql: String =
+    "n * (sx1x1 * sx2x2 - sx1x2 * sx1x2) " +
+      "- sx1 * (sx1 * sx2x2 - sx1x2 * sx2) " +
+      "+ sx2 * (sx1 * sx1x2 - sx1x1 * sx2)"
+
+  val d0Sql: String =
+    "sy * (sx1x1 * sx2x2 - sx1x2 * sx1x2) " +
+      "- sx1 * (sx1y * sx2x2 - sx1x2 * sx2y) " +
+      "+ sx2 * (sx1y * sx1x2 - sx1x1 * sx2y)"
+
+  val d1Sql: String =
+    "n * (sx1y * sx2x2 - sx1x2 * sx2y) " +
+      "- sy * (sx1 * sx2x2 - sx1x2 * sx2) " +
+      "+ sx2 * (sx1 * sx2y - sx1y * sx2)"
+
+  val d2Sql: String =
+    "n * (sx1x1 * sx2y - sx1y * sx1x2) " +
+      "- sx1 * (sx1 * sx2y - sx1y * sx2) " +
+      "+ sy * (sx1 * sx1x2 - sx1x1 * sx2)"
+
+  /** Coefficient = det_i / det, ONE double division of two exact
+    * integers, rounded 6; null on a singular system. Shared text.
+    */
+  def coefSql(d: String): String =
+    s"CASE WHEN det <> 0 THEN " +
+      s"round(CAST($d AS DOUBLE) / CAST(det AS DOUBLE), 6) ELSE NULL END"
+
+  /** R² from exact integers: SSE = syy − β'X'y with β = det_i/det
+    * folded in as doubles — ONE shared IEEE formula (identical parse
+    * ⇒ identical evaluation order ⇒ hash-identical), rounded 6; null
+    * on a singular system or zero total variance.
+    */
+  val r2Sql: String =
+    "CASE WHEN det <> 0 AND CAST(n AS DOUBLE) * CAST(syy AS DOUBLE) " +
+      "- CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE) > 0 THEN " +
+      "round(1.0 - (CAST(syy AS DOUBLE) " +
+      "- (CAST(d0 AS DOUBLE) * CAST(sy AS DOUBLE) " +
+      "+ CAST(d1 AS DOUBLE) * CAST(sx1y AS DOUBLE) " +
+      "+ CAST(d2 AS DOUBLE) * CAST(sx2y AS DOUBLE)) " +
+      "/ CAST(det AS DOUBLE)) " +
+      "/ (CAST(syy AS DOUBLE) - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE) " +
+      "/ CAST(n AS DOUBLE)), 6) ELSE NULL END"
+
+  /** Per-group two-covariate OLS with intercept, fully distributed
+    * and ORACLE-EXACT. Inputs must be integral (pre-scale to cents /
+    * whole units — the q84 discipline).
+    *
+    * Magnitude refusals run BEFORE any decimal algebra (the
+    * anovaOneWay convention — under ANSI mode an overflow would
+    * throw mid-job, under non-ANSI it would NULL the term and SUM
+    * would silently skip it): a cheap per-group bound scan over the
+    * raw rows caps every moment at n·max(|v|,1)², and the Cramer
+    * products at 6·(n·mx²)²·max(n·mx², n·mx·my) — both must stay
+    * under 9·10³⁷ (safe margin below DECIMAL(38,0)/HUGEINT max).
+    *
+    * @return (groupCol, n, b0, b1, b2, r2) — b0 the intercept;
+    *         coefficients null for a singular group (constant or
+    *         collinear covariates), r2 additionally null on zero
+    *         total variance
+    */
+  def fitGrouped2(df: DataFrame, groupCol: String, x1Col: String,
+                  x2Col: String, yCol: String): DataFrame = {
+    val rows = df.select(col(groupCol).as("g"),
+      col(x1Col).cast("long").as("x1"),
+      col(x2Col).cast("long").as("x2"),
+      col(yCol).cast("long").as("y"))
+    // bound scan first: doubles can't overflow, so this pass is safe
+    // on any input and certifies the decimal pass that follows
+    val bounds = rows.groupBy(col("g"))
+      .agg(count(lit(1)).cast("double").as("nd"),
+        max(greatest(abs(col("x1")), abs(col("x2")), lit(1L))
+          .cast("double")).as("mx"),
+        max(greatest(abs(col("y")), lit(1L)).cast("double")).as("my"))
+      .select(col("g"), (col("nd") * col("mx") * col("mx")).as("bx"),
+        (col("nd") * col("mx") * col("my")).as("bxy"),
+        (col("nd") * col("my") * col("my")).as("byy"))
+    val tooBig = bounds.filter(
+      lit(6.0) * col("bx") * col("bx") * greatest(col("bx"), col("bxy"))
+        >= lit(9.0e37) || col("byy") >= lit(9.0e37)).count()
+    require(tooBig == 0,
+      "fitGrouped2: a group's moment bound reaches the DECIMAL(38,0) " +
+        "range — the exact Cramer algebra needs 6·M²·max(M,My) < 10³⁸; " +
+        "rescale to coarser units or use fitFromGram (the double-" +
+        "moment scale path)")
+    def dcm(c: String): org.apache.spark.sql.Column =
+      col(c).cast("decimal(38,0)")
+    val m = rows.select(col("g"), dcm("x1").as("x1"), dcm("x2").as("x2"),
+        dcm("y").as("y"))
+      .groupBy(col("g"))
+      .agg(count(lit(1)).cast("decimal(38,0)").as("n"),
+        sum(col("x1")).as("sx1"), sum(col("x2")).as("sx2"),
+        sum(col("x1") * col("x1")).as("sx1x1"),
+        sum(col("x2") * col("x2")).as("sx2x2"),
+        sum(col("x1") * col("x2")).as("sx1x2"),
+        sum(col("y")).as("sy"),
+        sum(col("x1") * col("y")).as("sx1y"),
+        sum(col("x2") * col("y")).as("sx2y"),
+        sum(col("y") * col("y")).as("syy"))
+    m.select(col("g"), col("n"), col("sy"), col("sx1y"), col("sx2y"),
+        col("syy"),
+        expr(detSql).cast("decimal(38,0)").as("det"),
+        expr(d0Sql).cast("decimal(38,0)").as("d0"),
+        expr(d1Sql).cast("decimal(38,0)").as("d1"),
+        expr(d2Sql).cast("decimal(38,0)").as("d2"))
+      .select(col("g").as(groupCol), col("n").cast("bigint").as("n"),
+        expr(coefSql("d0")).as("b0"),
+        expr(coefSql("d1")).as("b1"),
+        expr(coefSql("d2")).as("b2"),
+        expr(r2Sql).as("r2"))
+  }
+
+  /** Per-group OLS with intercept for ANY covariate count, on the
+    * mergeable Gram moment machinery: one pass to a
+    * (d+2)-dimensional moment state per group ([1-free: the
+    * intercept column is implicit — n and the first moments ARE its
+    * rows]), then a model-sized driver solve. REFUSES on more than
+    * `maxGroups` groups (the collected state is the output scale),
+    * on a singular / underdetermined group (collinear covariates,
+    * n ≤ d — the coxPh convention: loud, named), never silently.
+    *
+    * Double moments: deterministic to ulps under a fixed
+    * partitioning, NOT hash-exact across engines — rows-only.
+    *
+    * @return (groupCol, n, coefs array — [intercept, b1..bd], r2) —
+    *         r2 null on zero total variance
+    */
+  def fitFromGram(df: DataFrame, groupCol: String, xCols: Seq[String],
+                  yCol: String, maxGroups: Long = 100000L): DataFrame = {
+    require(xCols.nonEmpty, "fitFromGram: need at least one covariate")
+    val d = xCols.size
+    val dim = d + 1 // covariates + y in one Gram vector
+    val spark = df.sparkSession
+    val vec = array((xCols :+ yCol).map(c => col(c).cast("double")): _*)
+    val moments = df.select(col(groupCol).as("g"), vec.as("z"))
+      .groupBy(col("g"))
+      .agg(Gram.moments(col("z"), dim).as("m"))
+      .localCheckpoint(true) // group-count refusal + the collect
+    val k = moments.count()
+    require(k <= maxGroups,
+      s"fitFromGram: $k groups > maxGroups=$maxGroups — the " +
+        "normal-equation solve is a model-sized driver fold; " +
+        "coarsen the grouping")
+    val gType = moments.schema.head.dataType
+    val out = moments.collect().map { r =>
+      val g = r.get(0)
+      val st = r.getSeq[Double](1).toArray
+      val n = st(0)
+      def first(i: Int): Double = st(1 + i)
+      def cross(i0: Int, j0: Int): Double = {
+        val (i, j) = if (i0 <= j0) (i0, j0) else (j0, i0)
+        st(1 + dim + i * dim - i * (i - 1) / 2 + (j - i))
+      }
+      val p = d + 1 // intercept + covariates
+      require(n > p,
+        s"fitFromGram: group $g has n=${n.toLong} ≤ $p parameters — " +
+          "underdetermined")
+      val a = Array.ofDim[Double](p, p + 1) // augmented [A | b]
+      a(0)(0) = n
+      for (i <- 0 until d) { a(0)(1 + i) = first(i); a(1 + i)(0) = first(i) }
+      for (i <- 0 until d; j <- 0 until d) a(1 + i)(1 + j) = cross(i, j)
+      a(0)(p) = first(d)
+      for (i <- 0 until d) a(1 + i)(p) = cross(i, d)
+      val sy = first(d); val syy = cross(d, d)
+      val xty = (0 until p).map(i => a(i)(p)).toArray
+      // Gaussian elimination with partial pivoting; singular → refuse
+      val scaleRef = (0 until p).map(i =>
+        (0 until p).map(j => math.abs(a(i)(j))).max).max.max(1.0)
+      for (c <- 0 until p) {
+        val piv = (c until p).maxBy(r2 => math.abs(a(r2)(c)))
+        require(math.abs(a(piv)(c)) > 1e-12 * scaleRef,
+          s"fitFromGram: singular normal equations in group $g " +
+            "(constant or collinear covariates) — drop the redundant " +
+            "covariate")
+        if (piv != c) { val t = a(piv); a(piv) = a(c); a(c) = t }
+        for (r2 <- c + 1 until p) {
+          val f = a(r2)(c) / a(c)(c)
+          for (j <- c to p) a(r2)(j) -= f * a(c)(j)
+        }
+      }
+      val beta = new Array[Double](p)
+      for (c <- p - 1 to 0 by -1) {
+        var s = a(c)(p)
+        for (j <- c + 1 until p) s -= a(c)(j) * beta(j)
+        beta(c) = s / a(c)(c)
+      }
+      val sst = syy - sy * sy / n
+      val sse = syy - (0 until p).map(i => beta(i) * xty(i)).sum
+      def r6(x: Double): Double =
+        BigDecimal(x).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+      val r2v: Any =
+        if (sst > 0) java.lang.Double.valueOf(r6(1.0 - sse / sst)) else null
+      Row(g, n.toLong, beta.map(r6).toSeq, r2v)
+    }
+    spark.createDataFrame(
+      spark.sparkContext.parallelize(out.toSeq, 1),
+      StructType(Seq(StructField(groupCol, gType),
+        StructField("n", LongType),
+        StructField("coefs", ArrayType(DoubleType, false)),
+        StructField("r2", DoubleType))))
+  }
+}
