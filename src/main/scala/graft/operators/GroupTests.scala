@@ -381,4 +381,150 @@ object GroupTests {
               (least(col("n_rows"), col("n_cols")) - 1).cast("double"))), 6))
           .otherwise(lit(null).cast("double")).as("v"))
   }
+
+  /** Per-FAMILY BROWN–FORSYTHE TEST (Brown & Forsythe 1974 — the
+    * median-centered Levene test): are the K samples' DISPERSIONS
+    * equal? The variance-equality complement of the location battery
+    * (KW/ANOVA/Mood all compare centers): one-way ANOVA F on the
+    * absolute deviations z_ij = |v_ij − median_j| from each sample's
+    * OWN median — median centering is what makes it robust to
+    * non-normality (Levene's mean-centered form is not).
+    *
+    * EXACT end-to-end: each sample's nearest-rank lower median
+    * (position ⌊(n_j+1)/2⌋) is SELECTED from its value-cardinality
+    * count table ([[RankCorr.cumFromCounts]] on the injective
+    * composite (family, sample) key), z is an exact integer, and the
+    * F decomposition is [[anovaFromCells]]'s exact floor algebra with
+    * its shared-text formula — so the whole statistic is
+    * oracle-exact.
+    *
+    * @return (famCol, k, n, ssb, ssw, f, eta2) — the ANOVA columns
+    *         over the deviations; f is the Brown–Forsythe statistic
+    */
+  def brownForsythe(df: DataFrame, famCol: String, sampleCol: String,
+                    valueCol: String): DataFrame = {
+    val cells = df.select(col(famCol).as("g"), col(sampleCol).as("smp"),
+        col(valueCol).cast("long").as("v"))
+      .groupBy(col("g"), col("smp"), col("v"))
+      .agg(count(lit(1)).as("cnt"))
+      .withColumn("gk", RankCorr.compositeKey(col("g"), col("smp")))
+      .localCheckpoint(true) // median pass + the deviation join-back
+    val cum = RankCorr.cumFromCounts(
+        cells.select(col("gk").as("g"), col("v"), col("cnt")), "v")
+      .select(col("g").as("gk"), col("v"), col("cnt"), col("below"))
+    val nj = cells.groupBy(col("gk"))
+      .agg(sum(col("cnt")).cast("bigint").as("n_j"))
+    val med = cum.join(broadcast(
+        nj.select(col("gk"), expr("(n_j + 1) DIV 2").as("__pos"))),
+        Seq("gk"))
+      .filter(col("below") < col("__pos") &&
+        col("__pos") <= col("below") + col("cnt"))
+      .select(col("gk"), col("v").as("med"))
+    val zCells = cells.join(broadcast(med), Seq("gk"))
+      .select(col("g"), col("smp"), abs(col("v") - col("med")).as("v"),
+        col("cnt"))
+      .groupBy(col("g"), col("smp"), col("v"))
+      .agg(sum(col("cnt")).as("cnt"))
+    anovaFromCells(zCells, famCol)
+  }
+
+  /** Per-FAMILY McNEMAR TEST (McNemar 1947) — the PAIRED binary
+    * association test: did the same subjects flip between two
+    * boolean measurements (before/after, year-over-year)? Only the
+    * DISCORDANT pairs carry information: b = (true, false),
+    * c = (false, true), chi2 = (b − c)²/(b + c). No continuity
+    * correction (determinism over small-sample nicety — the cmh
+    * adjudication, stated).
+    *
+    * EXACT: b and c are plain counts; the numerator is a SQUARE, so
+    * the ppm floor ⌊(b−c)²·10⁶/(b+c)⌋ equals truncation in both
+    * engines — chi2_ppm is an order-free exact integer, the
+    * statistic its one descaling rounded 6. Magnitude: (b−c)²·10⁶
+    * fits DECIMAL(38,0) to 10¹⁵ discordant pairs — no refusal
+    * needed below row counts that can't exist.
+    *
+    * @return (famCol, n_pairs, b, c, chi2_ppm, chi2) — chi2 null
+    *         when b + c = 0 (no discordant pairs: the test is
+    *         undefined)
+    */
+  def mcnemar(df: DataFrame, famCol: String, aCol: String,
+              bCol: String): DataFrame =
+    df.select(col(famCol).as("g"), col(aCol).cast("boolean").as("x"),
+        col(bCol).cast("boolean").as("y"))
+      .groupBy(col("g"))
+      .agg(count(lit(1)).cast("bigint").as("n_pairs"),
+        sum(when(col("x") && !col("y"), 1L).otherwise(0L))
+          .cast("bigint").as("b"),
+        sum(when(!col("x") && col("y"), 1L).otherwise(0L))
+          .cast("bigint").as("c"))
+      .select(col("g").as(famCol), col("n_pairs"), col("b"), col("c"),
+        when(col("b") + col("c") > 0,
+          expr("CAST((b - c) * (b - c) AS DECIMAL(38,0)) * 1000000 " +
+            "DIV (b + c)").cast("bigint"))
+          .otherwise(lit(null).cast("bigint")).as("chi2_ppm"),
+        when(col("b") + col("c") > 0,
+          round((expr("CAST((b - c) * (b - c) AS DECIMAL(38,0)) " +
+            "* 1000000 DIV (b + c)")).cast("double") / lit(1000000.0), 6))
+          .otherwise(lit(null).cast("double")).as("chi2"))
+
+  /** Per-FAMILY COCHRAN'S Q TEST (Cochran 1950) — the K-treatment
+    * BLOCKED binary test, [[graft.operators.RankCorr.friedman]]'s
+    * 0/1 sibling: within each complete block (a subject measured
+    * under all K treatments), does success probability differ across
+    * treatments?
+    *
+    * FULLY EXACT — no floor scaling: with column totals T_j, block
+    * totals R_i, and S = ΣT_j,
+    *   Q = (K−1)·(K·ΣT_j² − S²) / (K·S − ΣR_i²)
+    * — numerator and denominator are exact integers, Q the ONE
+    * double division rounded 6. Same REFUSALS as friedman:
+    * duplicate (block, treatment) cells and incomplete blocks (a
+    * missing treatment deflates its column total).
+    *
+    * @param valueCol boolean-valued success indicator
+    * @return (famCol, k, n_blocks, num, den, q) — q null when every
+    *         block is all-success or all-failure (den = 0)
+    */
+  def cochranQ(df: DataFrame, famCol: String, blockCol: String,
+               treatmentCol: String, valueCol: String): DataFrame = {
+    val rows = df.select(col(famCol).as("g"), col(blockCol).as("b"),
+        col(treatmentCol).as("trt"),
+        when(col(valueCol).cast("boolean"), 1L).otherwise(0L).as("x"))
+      .localCheckpoint(true) // dup/completeness checks + two marginals
+    val dups = rows.groupBy(col("g"), col("b"), col("trt"))
+      .agg(count(lit(1)).as("c")).filter(col("c") > 1).count()
+    require(dups == 0,
+      s"cochranQ: $dups (family, block, treatment) cells have multiple " +
+        "observations — aggregate to one indicator per cell first")
+    val kg = rows.groupBy(col("g"))
+      .agg(countDistinct(col("trt")).cast("long").as("k"))
+    val incomplete = rows.groupBy(col("g"), col("b"))
+      .agg(count(lit(1)).as("c"))
+      .join(broadcast(kg), Seq("g"))
+      .filter(col("c") =!= col("k")).count()
+    require(incomplete == 0,
+      s"cochranQ: $incomplete incomplete blocks (a missing treatment " +
+        "deflates its column total) — filter to complete blocks first")
+    def dcm(c: Column): Column = c.cast("decimal(38,0)")
+    val colT = rows.groupBy(col("g"), col("trt"))
+      .agg(sum(col("x")).as("t"))
+      .groupBy(col("g"))
+      .agg(sum(dcm(col("t")) * dcm(col("t"))).cast("decimal(38,0)").as("t2"),
+        sum(col("t")).cast("decimal(38,0)").as("s"))
+    val rowR = rows.groupBy(col("g"), col("b"))
+      .agg(sum(col("x")).as("r"), count(lit(1)).as("c"))
+      .groupBy(col("g"))
+      .agg(sum(dcm(col("r")) * dcm(col("r"))).cast("decimal(38,0)").as("r2"),
+        count(lit(1)).cast("bigint").as("n_blocks"))
+    colT.join(rowR, Seq("g")).join(broadcast(kg), Seq("g"))
+      .select(col("g").as(famCol), col("k"),
+        col("n_blocks"),
+        ((dcm(col("k")) - 1) * (dcm(col("k")) * col("t2")
+          - col("s") * col("s"))).cast("bigint").as("num"),
+        (dcm(col("k")) * col("s") - col("r2")).cast("bigint").as("den"))
+      .withColumn("q",
+        when(col("den") > 0,
+          round(col("num").cast("double") / col("den").cast("double"), 6))
+          .otherwise(lit(null).cast("double")))
+  }
 }

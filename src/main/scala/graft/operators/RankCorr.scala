@@ -30,6 +30,16 @@ import org.apache.spark.sql.functions._
   */
 object RankCorr {
 
+  /** INJECTIVE composite key for feeding a (fam, sub) pair through
+    * the single-column cumulation machinery: len(fam) ⊕ fam ⊕ sub is
+    * parseable back uniquely for ANY string contents (the first
+    * separator ends the digit-only length prefix, which fixes fam's
+    * extent; the remainder is sub) — a plain fam ⊕ sub concat could
+    * merge distinct groups when fam contains the separator.
+    */
+  private[graft] def compositeKey(fam: Column, sub: Column): Column =
+    concat_ws("\u0001", length(fam.cast("string")), fam, sub)
+
   /** (g, vc, cnt, below) — the per-(group, value) count table with
     * the WITHIN-GROUP cumulative row count strictly below each value:
     * composite-key [[Ranking.globalRank]] + [[PrefixSum]] over the
@@ -175,6 +185,152 @@ object RankCorr {
             6))
           .otherwise(lit(null).cast("double")).as("tau_b"))
   }
+
+  /** Per-group GOODMAN–KRUSKAL GAMMA + SOMERS' D (Goodman & Kruskal
+    * 1954; Somers 1962) — the ordinal-association family next to
+    * [[kendallTauB]], on the SAME joint-cell pair algebra: gamma
+    * ignores ALL ties ((C−D)/(C+D) — the "among pairs that rank both
+    * ways, how consistently?" reading), Somers' D is the asymmetric
+    * regression-flavoured variant that penalizes ties on the
+    * DEPENDENT side only (d_yx = (C−D)/(pairs not tied on x)).
+    *
+    * EXACT: S = 2(C−D) from the cell² self-join (cardinality², never
+    * rows²); 2(C+D) = n(n−1) − T_x − T_y + T_xy by inclusion-
+    * exclusion over the exact tie masses (T_x = Σt_x(t_x−1), twin
+    * for y, T_xy = Σ_cell cnt(cnt−1)); each statistic is ONE double
+    * division of two exact integers, rounded 6.
+    *
+    * @return (groupCol, n, s, gamma, d_yx, d_xy) — each null when
+    *         its denominator is zero (all pairs tied the relevant
+    *         way)
+    */
+  def gammaSomers(df: DataFrame, groupCol: String, xCol: String,
+                  yCol: String): DataFrame = {
+    val cells = df.select(col(groupCol).as("g"),
+        col(xCol).cast("long").as("x"), col(yCol).cast("long").as("y"))
+      .groupBy(col("g"), col("x"), col("y"))
+      .agg(count(lit(1)).as("cnt"))
+      .localCheckpoint(true) // self-join + three marginals + n
+    def dec(c: Column): Column = c.cast("decimal(38,0)")
+    val s = cells.as("a").join(cells.as("b"),
+        col("a.g") === col("b.g") &&
+          (col("a.x") =!= col("b.x") || col("a.y") =!= col("b.y")))
+      .groupBy(col("a.g").as("g"))
+      .agg(sum(dec(col("a.cnt")) * dec(col("b.cnt")) *
+        signum((col("a.x") - col("b.x")).cast("double")).cast("int") *
+        signum((col("a.y") - col("b.y")).cast("double")).cast("int"))
+        .cast("decimal(38,0)").as("s"))
+    val tx = cells.groupBy(col("g"), col("x"))
+      .agg(sum(col("cnt")).as("t"))
+      .groupBy(col("g"))
+      .agg(sum(dec(col("t")) * (dec(col("t")) - 1)).cast("decimal(38,0)").as("tx"))
+    val ty = cells.groupBy(col("g"), col("y"))
+      .agg(sum(col("cnt")).as("t"))
+      .groupBy(col("g"))
+      .agg(sum(dec(col("t")) * (dec(col("t")) - 1)).cast("decimal(38,0)").as("ty"))
+    val nt = cells.groupBy(col("g"))
+      .agg(sum(col("cnt")).cast("bigint").as("n"),
+        sum(dec(col("cnt")) * (dec(col("cnt")) - 1))
+          .cast("decimal(38,0)").as("txy"))
+    nt.join(s, Seq("g"), "left").join(tx, Seq("g")).join(ty, Seq("g"))
+      .select(col("g"), col("n"),
+        coalesce(col("s"), lit(0).cast("decimal(38,0)")).as("sd"),
+        (dec(col("n")) * (dec(col("n")) - 1) - col("tx") - col("ty")
+          + col("txy")).as("cd2"),
+        (dec(col("n")) * (dec(col("n")) - 1) - col("tx")).as("notx2"),
+        (dec(col("n")) * (dec(col("n")) - 1) - col("ty")).as("noty2"))
+      .select(col("g").as(groupCol), col("n"),
+        col("sd").cast("bigint").as("s"),
+        when(col("cd2") > 0,
+          round(col("sd").cast("double") / col("cd2").cast("double"), 6))
+          .otherwise(lit(null).cast("double")).as("gamma"),
+        when(col("notx2") > 0,
+          round(col("sd").cast("double") / col("notx2").cast("double"), 6))
+          .otherwise(lit(null).cast("double")).as("d_yx"),
+        when(col("noty2") > 0,
+          round(col("sd").cast("double") / col("noty2").cast("double"), 6))
+          .otherwise(lit(null).cast("double")).as("d_xy"))
+  }
+
+  /** Per-family PAGE'S TREND TEST (Page 1963) — the ORDERED
+    * alternative within complete blocks: [[friedman]] asks "do the K
+    * treatments differ?", Page asks "do they INCREASE along the
+    * stated order?" — the blocked sibling of
+    * [[jonckheereTerpstra]], strictly more powerful than Friedman
+    * under a monotone alternative.
+    *
+    * EXACT core: within-block DOUBLED midranks from the friedman K²
+    * self-join; 2L = Σ_j ord_j · (2R_j) is an exact integer (ord_j =
+    * the treatment's 1..K position in `treatmentCol`'s ascending
+    * order). z uses the STANDARD no-tie variance
+    * Var(L) = n·K²(K+1)(K²−1)/144 (Page's tie correction is not
+    * defined in the classical test; ties only DEFLATE |z| here —
+    * stated), as ONE double formula of exact integers rounded 6.
+    * Friedman's duplicate-cell and incomplete-block refusals apply.
+    *
+    * @param treatmentCol integral — its ascending order IS the
+    *                     hypothesized trend order
+    * @return (famCol, k, n_blocks, l2 = 2L, z) — z null for k < 3 or
+    *         a single block
+    */
+  def pageTrend(df: DataFrame, famCol: String, blockCol: String,
+                treatmentCol: String, valueCol: String): DataFrame = {
+    val rows = df.select(col(famCol).as("g"), col(blockCol).as("b"),
+        col(treatmentCol).cast("long").as("trt"),
+        col(valueCol).cast("long").as("v"))
+      .localCheckpoint(true) // dup/completeness checks + self-join
+    val dups = rows.groupBy(col("g"), col("b"), col("trt"))
+      .agg(count(lit(1)).as("c")).filter(col("c") > 1).count()
+    require(dups == 0,
+      s"pageTrend: $dups (family, block, treatment) cells have multiple " +
+        "observations — aggregate to one value per cell first")
+    val kg = rows.groupBy(col("g"))
+      .agg(countDistinct(col("trt")).cast("long").as("k"))
+    val incomplete = rows.groupBy(col("g"), col("b"))
+      .agg(count(lit(1)).as("c"))
+      .join(broadcast(kg), Seq("g"))
+      .filter(col("c") =!= col("k")).count()
+    require(incomplete == 0,
+      s"pageTrend: $incomplete incomplete blocks (missing treatments " +
+        "shift every midrank) — filter to complete blocks first")
+    // treatment order 1..K within each family (dense rank over the
+    // family's K-sized distinct-treatment set — model-sized per family)
+    val ord = rows.select(col("g"), col("trt")).distinct()
+      .withColumn("ord", row_number().over(
+        org.apache.spark.sql.expressions.Window.partitionBy(col("g"))
+          .orderBy(col("trt"))).cast("long"))
+    // within-block doubled midranks (the friedman K² discipline)
+    val m2 = rows.as("a").join(rows.as("b"),
+        col("a.g") === col("b.g") && col("a.b") === col("b.b"))
+      .groupBy(col("a.g").as("g"), col("a.b").as("b"),
+        col("a.trt").as("trt"))
+      .agg((lit(2) * sum(when(col("b.v") < col("a.v"), 1L).otherwise(0L))
+        + sum(when(col("b.v") === col("a.v"), 1L).otherwise(0L)) + lit(1))
+        .cast("long").as("m2"))
+    def dcm(c: Column): Column = c.cast("decimal(38,0)")
+    val agg = m2.join(ord, Seq("g", "trt"))
+      .groupBy(col("g"))
+      .agg(sum(dcm(col("ord")) * dcm(col("m2")))
+          .cast("decimal(38,0)").as("l2"),
+        count_distinct(col("b")).cast("bigint").as("n_blocks"))
+    agg.join(broadcast(kg), Seq("g"))
+      .select(col("g").as(famCol), col("k"),
+        col("n_blocks"), col("l2").cast("bigint").as("l2"))
+      .withColumn("z",
+        when(col("k") >= 3 && col("n_blocks") >= 2,
+          round(expr(pageZFormulaSql), 6))
+          .otherwise(lit(null).cast("double")))
+  }
+
+  /** Page z from the exact integers (l2 = 2L, n_blocks, k) with the
+    * classical no-tie variance — shared verbatim with the oracle
+    * (identical parse ⇒ identical IEEE evaluation).
+    */
+  val pageZFormulaSql: String =
+    "(CAST(l2 AS DOUBLE) - CAST(n_blocks AS DOUBLE) * k * (k + 1) " +
+      "* (k + 1) / 2.0) / " +
+      "(2.0 * sqrt(CAST(n_blocks AS DOUBLE) * k * k * (k + 1) " +
+      "* (k * k - 1) / 144.0))"
 
   /** Per-FAMILY KRUSKAL–WALLIS H test — the K-sample non-parametric
     * one-way analysis of variance on ranks (Kruskal & Wallis 1952):
@@ -345,8 +501,7 @@ object RankCorr {
     val filled = axis.join(smps, Seq("fam"))
       .join(cells, Seq("fam", "smp", "v"), "left")
       .na.fill(0L, Seq("cnt"))
-      .withColumn("g", concat_ws("\u0001",
-        length(col("fam").cast("string")), col("fam"), col("smp")))
+      .withColumn("g", compositeKey(col("fam"), col("smp")))
       .localCheckpoint(true) // cum pass + the fam/smp join-back
     val cum = cumFromCounts(filled.select(col("g"), col("v"), col("cnt")), "v")
       .select(col("g"), col("v"), col("below"))

@@ -205,4 +205,69 @@ object RobustStats {
       .select(col("g"),
         (col("__lo_v") + col("__hi_v")).cast("bigint").as("stat2"))
   }
+
+  /** Per-group THEIL–SEN ROBUST SLOPE (Theil 1950, Sen 1968) — the
+    * median-of-pairwise-slopes trend estimator: up to ~29% of the
+    * points can be arbitrary outliers before the estimate breaks,
+    * where q84's least-squares slope is corrupted by one. The
+    * point-estimate companion of q112's Mann–Kendall trend TEST
+    * (same pair algebra, slope instead of sign).
+    *
+    * DETERMINISTIC cross-engine: each pairwise slope is ONE double
+    * division of two exact integers ((y_b−y_a)/(x_b−x_a) — identical
+    * IEEE result in any engine); the slope estimate is the
+    * NEAREST-RANK LOWER MEDIAN of the pair slopes (position
+    * ⌊(m+1)/2⌋ — selection by value, so tie order can't matter;
+    * classical interpolation would average two doubles, still exact,
+    * but lower-median keeps the single-order-statistic discipline),
+    * and the intercept is the lower median of the residuals
+    * y_i − slope·x_i. Rounded 9.
+    *
+    * Scale contract: pair volume is points² per group — REFUSES
+    * above `maxPoints` per group (the q112 calendar-bounded-series
+    * regime: months/days per group, never raw rows; pre-aggregate to
+    * the time grain first).
+    *
+    * @return (groupCol, n_points, n_pairs, slope, intercept); a
+    *         group with NO distinct-x pair (a single time point) has
+    *         no slope and is absent from the output
+    */
+  def theilSen(df: DataFrame, groupCol: String, xCol: String,
+               yCol: String, maxPoints: Long = 5000L): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val pts = df.select(col(groupCol).as("g"),
+        col(xCol).cast("long").as("x"), col(yCol).cast("long").as("y"))
+      .localCheckpoint(true) // cap scan + pair join + residual pass
+    val tooBig = pts.groupBy(col("g")).agg(count(lit(1)).as("c"))
+      .filter(col("c") > maxPoints).count()
+    require(tooBig == 0,
+      s"theilSen: a group exceeds maxPoints=$maxPoints points — pair " +
+        "volume is points\u00b2; aggregate to a coarser time grain first")
+    val slopes = pts.as("a").join(pts.as("b"),
+        col("a.g") === col("b.g") && col("a.x") < col("b.x"))
+      .select(col("a.g").as("g"),
+        ((col("b.y") - col("a.y")).cast("double") /
+          (col("b.x") - col("a.x")).cast("double")).as("sl"))
+    val wS = Window.partitionBy(col("g")).orderBy(col("sl"))
+    val mS = slopes
+      .withColumn("rn", row_number().over(wS))
+      .withColumn("m", count(lit(1)).over(Window.partitionBy(col("g"))))
+      .filter(col("rn") === expr("(m + 1) DIV 2"))
+      .select(col("g"), col("sl").as("slope"), col("m").as("n_pairs"))
+    val resid = pts.join(broadcast(mS), Seq("g"))
+      .select(col("g"), col("slope"), col("n_pairs"),
+        (col("y").cast("double") - col("slope") * col("x").cast("double"))
+          .as("r"))
+    val wR = Window.partitionBy(col("g")).orderBy(col("r"))
+    val mI = resid
+      .withColumn("rn", row_number().over(wR))
+      .withColumn("np", count(lit(1)).over(Window.partitionBy(col("g"))))
+      .filter(col("rn") === expr("(np + 1) DIV 2"))
+      .select(col("g"), round(col("slope"), 9).as("slope"),
+        col("n_pairs").cast("bigint").as("n_pairs"),
+        col("np").cast("bigint").as("n_points"),
+        round(col("r"), 9).as("intercept"))
+    mI.select(col("g").as(groupCol), col("n_points"), col("n_pairs"),
+      col("slope"), col("intercept"))
+  }
 }

@@ -3,7 +3,7 @@ package graft.queries
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
-import graft.operators.{DailySeries, Ols}
+import graft.operators.{DailySeries, GroupTests, Ols, RankCorr, RobustStats}
 import graft.sources.TableCatalog._
 
 /** Round-15 additions: grouped multivariate OLS on exact integer
@@ -75,10 +75,328 @@ object Advanced8 {
     DailySeries.holtWinters(daily).orderBy(col("day"))
   }
 
+  // ---- q171: McNemar's paired urgency flip — "did the SAME
+  //      customers' use of URGENT priority change from 1995 to
+  //      1996?": only discordant customers carry information; the
+  //      paired-binary sibling of q148's Wilcoxon. chi2_ppm exact
+  //      (square numerator -> floor == truncation both engines). ----
+  val q171Mcnemar: Q = (s, d) => {
+    val o = orders(s, d)
+      .withColumn("yr", year(col("o_orderdate")))
+      .filter(col("yr").isin(1995, 1996))
+      .groupBy(col("o_custkey"), col("yr"))
+      .agg(max(when(col("o_orderpriority") === "1-URGENT", 1)
+        .otherwise(0)).as("u"))
+    val pairs = o.filter(col("yr") === 1995)
+      .select(col("o_custkey").as("ck"), (col("u") === 1).as("x"))
+      .join(o.filter(col("yr") === 1996)
+        .select(col("o_custkey").as("ck"), (col("u") === 1).as("y")),
+        Seq("ck"))
+      .join(customer(s, d).select(col("c_custkey").as("ck"),
+        col("c_nationkey").as("nation")), Seq("ck"))
+    GroupTests.mcnemar(pairs, "nation", "x", "y").orderBy(col("nation"))
+  }
+
+  val q171Oracle: String =
+    """WITH o AS (SELECT o_custkey, EXTRACT(year FROM o_orderdate) AS yr,
+      |        MAX(CASE WHEN o_orderpriority = '1-URGENT' THEN 1 ELSE 0 END)
+      |          AS u
+      |      FROM orders WHERE EXTRACT(year FROM o_orderdate) IN (1995, 1996)
+      |      GROUP BY 1, 2),
+      |p AS (SELECT c_nationkey AS nation, a.u AS x, b.u AS y
+      |      FROM o a JOIN o b ON a.o_custkey = b.o_custkey
+      |        AND a.yr = 1995 AND b.yr = 1996
+      |      JOIN customer ON c_custkey = a.o_custkey),
+      |agg AS (SELECT nation, CAST(COUNT(*) AS BIGINT) AS n_pairs,
+      |        CAST(SUM(CASE WHEN x = 1 AND y = 0 THEN 1 ELSE 0 END)
+      |          AS BIGINT) AS b,
+      |        CAST(SUM(CASE WHEN x = 0 AND y = 1 THEN 1 ELSE 0 END)
+      |          AS BIGINT) AS c
+      |      FROM p GROUP BY 1)
+      |SELECT nation, n_pairs, b, c,
+      |  CASE WHEN b + c > 0 THEN
+      |    CAST(CAST(b - c AS HUGEINT) * (b - c) * 1000000 // (b + c)
+      |      AS BIGINT) ELSE NULL END AS chi2_ppm,
+      |  CASE WHEN b + c > 0 THEN
+      |    round(CAST(CAST(b - c AS HUGEINT) * (b - c) * 1000000 // (b + c)
+      |      AS DOUBLE) / 1000000.0, 6) ELSE NULL END AS chi2
+      |FROM agg ORDER BY nation""".stripMargin
+
+  // ---- q172: Cochran's Q — "does a customer's propensity to order
+  //      at all differ across the years 1993-1997?": blocks =
+  //      customers (complete by grid construction), treatments =
+  //      years, x = placed >= 1 order that year; per market segment.
+  //      num/den exact integers, Q the one double division. ----
+  val q172CochranQ: Q = (s, d) => {
+    import s.implicits._
+    val yrs = (1993 to 1997).map(_.toLong).toDF("trt")
+    val grid = customer(s, d)
+      .select(col("c_custkey").as("b"), col("c_mktsegment").as("seg"))
+      .crossJoin(broadcast(yrs))
+    val hits = orders(s, d)
+      .select(col("o_custkey").as("b"),
+        year(col("o_orderdate")).cast("long").as("trt"))
+      .filter(col("trt").between(1993, 1997))
+      .distinct()
+      .withColumn("hit", lit(1))
+    val x = grid.join(hits, Seq("b", "trt"), "left")
+      .select(col("seg"), col("b"), col("trt"),
+        coalesce(col("hit"), lit(0)).as("x"))
+    GroupTests.cochranQ(x, "seg", "b", "trt", "x").orderBy(col("seg"))
+  }
+
+  val q172Oracle: String =
+    """WITH yrs AS (SELECT UNNEST([1993, 1994, 1995, 1996, 1997]) AS trt),
+      |grid AS (SELECT c_custkey AS b, c_mktsegment AS seg, trt
+      |      FROM customer CROSS JOIN yrs),
+      |hits AS (SELECT DISTINCT o_custkey AS b,
+      |        EXTRACT(year FROM o_orderdate) AS trt
+      |      FROM orders
+      |      WHERE EXTRACT(year FROM o_orderdate) BETWEEN 1993 AND 1997),
+      |x AS (SELECT g.seg, g.b, g.trt,
+      |        CASE WHEN h.b IS NULL THEN 0 ELSE 1 END AS x
+      |      FROM grid g LEFT JOIN hits h ON g.b = h.b AND g.trt = h.trt),
+      |kg AS (SELECT seg, CAST(COUNT(DISTINCT trt) AS BIGINT) AS k
+      |      FROM x GROUP BY 1),
+      |colt AS (SELECT seg, SUM(CAST(t AS HUGEINT) * t) AS t2,
+      |        CAST(SUM(t) AS HUGEINT) AS s
+      |      FROM (SELECT seg, trt, SUM(x) AS t FROM x GROUP BY 1, 2)
+      |      GROUP BY 1),
+      |rowr AS (SELECT seg, SUM(CAST(r AS HUGEINT) * r) AS r2,
+      |        CAST(COUNT(*) AS BIGINT) AS n_blocks
+      |      FROM (SELECT seg, b, SUM(x) AS r FROM x GROUP BY 1, 2)
+      |      GROUP BY 1),
+      |agg AS (SELECT seg, k, n_blocks,
+      |        CAST((k - 1) * (k * t2 - s * s) AS BIGINT) AS num,
+      |        CAST(k * s - r2 AS BIGINT) AS den
+      |      FROM colt JOIN rowr USING (seg) JOIN kg USING (seg))
+      |SELECT seg, k, n_blocks, num, den,
+      |  CASE WHEN den > 0 THEN
+      |    round(CAST(num AS DOUBLE) / CAST(den AS DOUBLE), 6)
+      |  ELSE NULL END AS q
+      |FROM agg ORDER BY seg""".stripMargin
+
+  // ---- q173: Goodman-Kruskal gamma + Somers' D between quantity
+  //      and discount per return flag — the ordinal-association
+  //      family on q149's joint-cell pair algebra (cells^2, never
+  //      rows^2); gamma ignores all ties, Somers' D penalizes ties
+  //      on the dependent side only. ----
+  val q173Gamma: Q = (s, d) => {
+    val li = lineitem(s, d).select(col("l_returnflag").as("mode"),
+      col("l_quantity").cast("long").as("qty"),
+      round(col("l_discount") * 100).cast("long").as("disc"))
+    RankCorr.gammaSomers(li, "mode", "qty", "disc").orderBy(col("mode"))
+  }
+
+  val q173Oracle: String =
+    """WITH li AS (SELECT l_returnflag AS mode,
+      |        CAST(l_quantity AS BIGINT) AS x,
+      |        CAST(round(l_discount * 100) AS BIGINT) AS y
+      |      FROM lineitem),
+      |cells AS (SELECT mode, x, y, CAST(COUNT(*) AS BIGINT) AS cnt
+      |      FROM li GROUP BY 1, 2, 3),
+      |s AS (SELECT a.mode,
+      |        SUM(CAST(a.cnt AS HUGEINT) * b.cnt *
+      |          sign(a.x - b.x) * sign(a.y - b.y)) AS s
+      |      FROM cells a JOIN cells b ON a.mode = b.mode
+      |        AND (a.x <> b.x OR a.y <> b.y)
+      |      GROUP BY 1),
+      |tx AS (SELECT mode, SUM(CAST(t AS HUGEINT) * (t - 1)) AS tx FROM
+      |        (SELECT mode, x, SUM(cnt) AS t FROM cells GROUP BY 1, 2)
+      |      GROUP BY 1),
+      |ty AS (SELECT mode, SUM(CAST(t AS HUGEINT) * (t - 1)) AS ty FROM
+      |        (SELECT mode, y, SUM(cnt) AS t FROM cells GROUP BY 1, 2)
+      |      GROUP BY 1),
+      |nt AS (SELECT mode, CAST(SUM(cnt) AS BIGINT) AS n,
+      |        SUM(CAST(cnt AS HUGEINT) * (cnt - 1)) AS txy
+      |      FROM cells GROUP BY 1),
+      |dens AS (SELECT mode, n, CAST(COALESCE(s, 0) AS HUGEINT) AS sd,
+      |        CAST(n AS HUGEINT) * (n - 1) - tx - ty + txy AS cd2,
+      |        CAST(n AS HUGEINT) * (n - 1) - tx AS notx2,
+      |        CAST(n AS HUGEINT) * (n - 1) - ty AS noty2
+      |      FROM nt LEFT JOIN s USING (mode) JOIN tx USING (mode)
+      |        JOIN ty USING (mode))
+      |SELECT mode, n, CAST(sd AS BIGINT) AS s,
+      |  CASE WHEN cd2 > 0 THEN
+      |    round(CAST(sd AS DOUBLE) / CAST(cd2 AS DOUBLE), 6)
+      |  ELSE NULL END AS gamma,
+      |  CASE WHEN notx2 > 0 THEN
+      |    round(CAST(sd AS DOUBLE) / CAST(notx2 AS DOUBLE), 6)
+      |  ELSE NULL END AS d_yx,
+      |  CASE WHEN noty2 > 0 THEN
+      |    round(CAST(sd AS DOUBLE) / CAST(noty2 AS DOUBLE), 6)
+      |  ELSE NULL END AS d_xy
+      |FROM dens ORDER BY mode""".stripMargin
+
+  // ---- q174: Theil-Sen robust slope of each nation's monthly
+  //      revenue trend — the point-estimate companion of q112's
+  //      Mann-Kendall trend test (same calendar-bounded pair
+  //      algebra, slope instead of sign); lower-median selection
+  //      keeps both engines on the same single order statistic. ----
+  val q174TheilSen: Q = (s, d) => {
+    val monthly = orders(s, d)
+      .join(customer(s, d).select(col("c_custkey").as("o_custkey"),
+        col("c_nationkey").as("nation")), Seq("o_custkey"))
+      .groupBy(col("nation"),
+        ((year(col("o_orderdate")) - 1992) * 12
+          + month(col("o_orderdate"))).cast("long").as("mi"))
+      .agg(sum(round(col("o_totalprice") * 100).cast("long")).as("rev"))
+    RobustStats.theilSen(monthly, "nation", "mi", "rev")
+      .orderBy(col("nation"))
+  }
+
+  val q174Oracle: String =
+    """WITH m AS (SELECT c_nationkey AS nation,
+      |        (EXTRACT(year FROM o_orderdate) - 1992) * 12
+      |          + EXTRACT(month FROM o_orderdate) AS mi,
+      |        CAST(SUM(CAST(round(o_totalprice * 100) AS BIGINT))
+      |          AS BIGINT) AS rev
+      |      FROM orders JOIN customer ON c_custkey = o_custkey
+      |      GROUP BY 1, 2),
+      |p AS (SELECT a.nation,
+      |        CAST(b.rev - a.rev AS DOUBLE) / CAST(b.mi - a.mi AS DOUBLE)
+      |          AS sl
+      |      FROM m a JOIN m b ON a.nation = b.nation AND a.mi < b.mi),
+      |ms AS (SELECT nation, sl AS slope, m AS n_pairs FROM
+      |        (SELECT nation, sl,
+      |          ROW_NUMBER() OVER (PARTITION BY nation ORDER BY sl) AS rn,
+      |          CAST(COUNT(*) OVER (PARTITION BY nation) AS BIGINT) AS m
+      |        FROM p) WHERE rn = (m + 1) // 2),
+      |r AS (SELECT nation, slope, n_pairs,
+      |        CAST(rev AS DOUBLE) - slope * CAST(mi AS DOUBLE) AS r
+      |      FROM m JOIN ms USING (nation))
+      |SELECT nation, np AS n_points, n_pairs,
+      |  round(slope, 9) AS slope, round(r, 9) AS intercept FROM
+      |    (SELECT nation, slope, n_pairs, r,
+      |      ROW_NUMBER() OVER (PARTITION BY nation ORDER BY r) AS rn,
+      |      CAST(COUNT(*) OVER (PARTITION BY nation) AS BIGINT) AS np
+      |    FROM r) WHERE rn = (np + 1) // 2
+      |ORDER BY nation""".stripMargin
+
+  // ---- q175: Page's trend test — "does monthly revenue DECREASE
+  //      along the priority ladder?": ordered treatments = priority
+  //      level 1..5, blocks = complete months, per region — the
+  //      ordered-alternative sibling of q164's Friedman (exactly as
+  //      q165's JT is of q155's KW). 2L exact; z the shared-text
+  //      no-tie formula. ----
+  val q175Page: Q = (s, d) => {
+    val monthly = orders(s, d)
+      .join(customer(s, d).select(col("c_custkey").as("o_custkey"),
+        col("c_nationkey")), Seq("o_custkey"))
+      .join(nation(s, d).select(col("n_nationkey").as("c_nationkey"),
+        col("n_regionkey").as("region")), Seq("c_nationkey"))
+      .groupBy(col("region"), trunc(col("o_orderdate"), "month").as("mon"),
+        substring(col("o_orderpriority"), 1, 1).cast("long").as("prio"))
+      .agg(sum(round(col("o_totalprice") * 100).cast("long")).as("rev"))
+    val k = monthly.select(col("prio")).distinct().count()
+    val complete = monthly.groupBy(col("region"), col("mon"))
+      .agg(count(lit(1)).as("c")).filter(col("c") === k)
+      .select(col("region"), col("mon"))
+    RankCorr.pageTrend(monthly.join(complete, Seq("region", "mon")),
+        "region", "mon", "prio", "rev")
+      .orderBy(col("region"))
+  }
+
+  val q175Oracle: String =
+    s"""WITH monthly AS (SELECT n_regionkey AS region,
+      |        date_trunc('month', o_orderdate) AS mon,
+      |        CAST(substring(o_orderpriority, 1, 1) AS BIGINT) AS prio,
+      |        CAST(SUM(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT)
+      |          AS rev
+      |      FROM orders JOIN customer ON c_custkey = o_custkey
+      |      JOIN nation ON n_nationkey = c_nationkey
+      |      GROUP BY 1, 2, 3),
+      |kk AS (SELECT COUNT(DISTINCT prio) AS kglob FROM monthly),
+      |complete AS (SELECT region, mon FROM monthly, kk
+      |      GROUP BY region, mon, kglob HAVING COUNT(*) = kglob),
+      |cells AS (SELECT m.* FROM monthly m JOIN complete USING (region, mon)),
+      |m2 AS (SELECT region, mon, prio,
+      |        2 * (RANK() OVER (PARTITION BY region, mon ORDER BY rev) - 1)
+      |          + CAST(COUNT(*) OVER (PARTITION BY region, mon, rev)
+      |            AS BIGINT) + 1 AS m2
+      |      FROM cells),
+      |ord AS (SELECT region, prio,
+      |        CAST(ROW_NUMBER() OVER (PARTITION BY region ORDER BY prio)
+      |          AS BIGINT) AS ord
+      |      FROM (SELECT DISTINCT region, prio FROM cells)),
+      |kg AS (SELECT region, CAST(COUNT(DISTINCT prio) AS BIGINT) AS k
+      |      FROM cells GROUP BY 1),
+      |agg AS (SELECT region,
+      |        CAST(SUM(CAST(ord AS HUGEINT) * m2) AS BIGINT) AS l2,
+      |        CAST(COUNT(DISTINCT mon) AS BIGINT) AS n_blocks
+      |      FROM m2 JOIN ord USING (region, prio) GROUP BY 1)
+      |SELECT region, k, n_blocks, l2,
+      |  CASE WHEN k >= 3 AND n_blocks >= 2 THEN
+      |    round(${RankCorr.pageZFormulaSql}, 6)
+      |  ELSE NULL END AS z
+      |FROM agg JOIN kg USING (region) ORDER BY region""".stripMargin
+
+  // ---- q176: Brown-Forsythe dispersion-equality test — "do the
+  //      five market segments' order values have equal SPREAD per
+  //      year?": the variance complement of q155/q156/q157's
+  //      location battery; ANOVA F on |v - sample median|, exact
+  //      end-to-end (nearest-rank medians + integer deviations +
+  //      the shared anova formula). Whole dollars (the q156
+  //      magnitude contract). ----
+  val q176BrownForsythe: Q = (s, d) => {
+    val os = orders(s, d)
+      .join(customer(s, d).select(col("c_custkey").as("o_custkey"),
+        col("c_mktsegment").as("seg")), Seq("o_custkey"))
+      .select(year(col("o_orderdate")).as("yr"), col("seg"),
+        round(col("o_totalprice")).cast("long").as("dollars"))
+    GroupTests.brownForsythe(os, "yr", "seg", "dollars")
+      .orderBy(col("yr"))
+  }
+
+  val q176Oracle: String =
+    s"""WITH os AS (SELECT EXTRACT(year FROM o_orderdate) AS yr,
+      |        c_mktsegment AS seg,
+      |        CAST(round(o_totalprice) AS BIGINT) AS v
+      |      FROM orders JOIN customer ON c_custkey = o_custkey),
+      |med AS (SELECT yr, seg, v AS med FROM
+      |        (SELECT yr, seg, v,
+      |          ROW_NUMBER() OVER (PARTITION BY yr, seg ORDER BY v) AS rn,
+      |          CAST(COUNT(*) OVER (PARTITION BY yr, seg) AS BIGINT) AS n_j
+      |        FROM os) WHERE rn = (n_j + 1) // 2),
+      |z AS (SELECT os.yr, os.seg, abs(os.v - med.med) AS z
+      |      FROM os JOIN med ON os.yr = med.yr AND os.seg = med.seg),
+      |per AS (SELECT yr, seg, CAST(COUNT(*) AS BIGINT) AS n_j,
+      |        SUM(CAST(z AS HUGEINT)) AS s_j,
+      |        SUM(CAST(z AS HUGEINT) * z) AS q_j
+      |      FROM z GROUP BY 1, 2),
+      |agg AS (SELECT yr, CAST(COUNT(*) AS BIGINT) AS k,
+      |        CAST(SUM(n_j) AS BIGINT) AS n,
+      |        SUM(s_j) AS s, SUM(q_j) AS q,
+      |        SUM(s_j * s_j // n_j) AS bsum
+      |      FROM per GROUP BY 1),
+      |sq AS (SELECT yr, k, n,
+      |        CAST(bsum - (s * s // n) AS BIGINT) AS ssb,
+      |        CAST(q - bsum AS BIGINT) AS ssw
+      |      FROM agg)
+      |SELECT yr, k, n, ssb, ssw,
+      |  CASE WHEN k > 1 AND n > k AND ssw > 0 THEN
+      |    round(${GroupTests.anovaFFormulaSql}, 6) ELSE NULL END AS f,
+      |  CASE WHEN ssb + ssw > 0 THEN
+      |    round(CAST(ssb AS DOUBLE) / CAST(ssb + ssw AS DOUBLE), 6)
+      |  ELSE NULL END AS eta2
+      |FROM sq ORDER BY yr""".stripMargin
+
   val queries: Map[String, Q] = Map(
     "q169_ols" -> q169Ols,
-    "q170_holt_winters" -> q170HoltWinters)
+    "q170_holt_winters" -> q170HoltWinters,
+    "q171_mcnemar" -> q171Mcnemar,
+    "q172_cochran_q" -> q172CochranQ,
+    "q173_gamma" -> q173Gamma,
+    "q174_theil_sen" -> q174TheilSen,
+    "q175_page" -> q175Page,
+    "q176_brown_forsythe" -> q176BrownForsythe)
 
   val oracles: Map[String, String] = Map(
-    "q169_ols" -> q169Oracle)
+    "q169_ols" -> q169Oracle,
+    "q171_mcnemar" -> q171Oracle,
+    "q172_cochran_q" -> q172Oracle,
+    "q173_gamma" -> q173Oracle,
+    "q174_theil_sen" -> q174Oracle,
+    "q175_page" -> q175Oracle,
+    "q176_brown_forsythe" -> q176Oracle)
 }
