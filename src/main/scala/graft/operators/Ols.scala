@@ -126,9 +126,19 @@ object Ols {
         "range — the exact Cramer algebra needs 6·M²·max(M,My) < 10³⁸; " +
         "rescale to coarser units or use fitFromGram (the double-" +
         "moment scale path)")
+    fitFromMoments2(moments2(rows), groupCol)
+  }
+
+  /** The exact integer moment table (g, n, sx1, sx2, sx1x1, sx2x2,
+    * sx1x2, sy, sx1y, sx2y, syy) over (g, x1, x2, y) rows — the
+    * ADDITIVE sufficient statistic of the two-covariate fit
+    * ([[graft.streaming.StreamOls]] holds exactly this as state: two
+    * shards' moment tables merge by column-wise DECIMAL addition).
+    */
+  private[graft] def moments2(rows: DataFrame): DataFrame = {
     def dcm(c: String): org.apache.spark.sql.Column =
       col(c).cast("decimal(38,0)")
-    val m = rows.select(col("g"), dcm("x1").as("x1"), dcm("x2").as("x2"),
+    rows.select(col("g"), dcm("x1").as("x1"), dcm("x2").as("x2"),
         dcm("y").as("y"))
       .groupBy(col("g"))
       .agg(count(lit(1)).cast("decimal(38,0)").as("n"),
@@ -140,6 +150,29 @@ object Ols {
         sum(col("x1") * col("y")).as("sx1y"),
         sum(col("x2") * col("y")).as("sx2y"),
         sum(col("y") * col("y")).as("syy"))
+  }
+
+  /** [[fitGrouped2]] from a pre-aggregated moment table — the
+    * streaming-state form. Carries its OWN magnitude refusal derived
+    * from the materialized moment values (the raw-row bound scan in
+    * [[fitGrouped2]] certifies the aggregation; this one certifies
+    * the Cramer products when the moments arrive already built).
+    */
+  private[graft] def fitFromMoments2(mIn: DataFrame,
+                                     groupCol: String): DataFrame = {
+    val m = mIn.localCheckpoint(true) // det-bound scan + the solve
+    val tooBig = m.select(
+        greatest(col("n"), abs(col("sx1")), abs(col("sx2")),
+          col("sx1x1"), col("sx2x2"), abs(col("sx1x2")))
+          .cast("double").as("mx"),
+        greatest(abs(col("sy")), abs(col("sx1y")), abs(col("sx2y")))
+          .cast("double").as("my"))
+      .filter(lit(6.0) * col("mx") * col("mx")
+        * greatest(col("mx"), col("my")) >= lit(9.0e37)).count()
+    require(tooBig == 0,
+      "fitFromMoments2: a group's Cramer product bound 6·M²·max(M,My) " +
+        "reaches the DECIMAL(38,0) range — rescale to coarser units " +
+        "or use fitFromGram (the double-moment scale path)")
     m.select(col("g"), col("n"), col("sy"), col("sx1y"), col("sx2y"),
         col("syy"),
         expr(detSql).cast("decimal(38,0)").as("det"),
