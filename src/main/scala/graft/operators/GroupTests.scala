@@ -382,6 +382,81 @@ object GroupTests {
           .otherwise(lit(null).cast("double")).as("v"))
   }
 
+  /** Per-group EXACT SKEWNESS + EXCESS KURTOSIS (the population
+    * moment-shape pair — Pearson's g1/g2): the third- and fourth-
+    * moment companions of the corpus's mean/variance machinery, and
+    * the distribution-shape diagnostics a quality pipeline reads
+    * before trusting a parametric test (q156's ANOVA assumes what
+    * these measure).
+    *
+    * EXACT sufficient statistics with an algebra that makes n
+    * CANCEL: with raw moment sums S=Σv, Q=Σv², C=Σv³, D=Σv⁴,
+    *   A2 = n·Q − S²                        (= n²·m2)
+    *   A3 = n²·C − 3n·S·Q + 2S³             (= n³·m3)
+    *   A4 = n³·D − 4n²·S·C + 6n·S²·Q − 3S⁴  (= n⁴·m4)
+    * so g1 = m3/m2^1.5 = A3/(A2·√A2) and g2 = m4/m2² − 3 =
+    * A4/A2² − 3 — the n-powers cancel exactly, leaving TWO
+    * shared-SQL-text double formulas over exact integers
+    * ([[skewFormulaSql]]/[[kurtFormulaSql]]), rounded 6.
+    *
+    * Magnitude contract ENFORCED (the anovaOneWay pre-scan
+    * convention): every term is bounded by 6·(n·max|v|)⁴, which must
+    * stay under 9·10³⁷ — keep `valueCol` in units where
+    * n·max|v| < 10⁹ (the q178 contract query uses KILOdollars).
+    *
+    * @return (famCol, n, a2, skewness, kurtosis_excess) — null shape
+    *         measures on zero variance or n < 2
+    */
+  def skewKurtosis(df: DataFrame, famCol: String,
+                   valueCol: String): DataFrame = {
+    val rows = df.select(col(famCol).as("g"),
+      col(valueCol).cast("long").as("v"))
+    val tooBig = rows.groupBy(col("g"))
+      .agg((count(lit(1)).cast("double") *
+        max(greatest(abs(col("v")), lit(1L)).cast("double"))).as("b"))
+      .filter(lit(6.0) * col("b") * col("b") * col("b") * col("b")
+        >= lit(9.0e37)).count()
+    require(tooBig == 0,
+      "skewKurtosis: a group's quartic moment bound 6·(n·max|v|)⁴ " +
+        "reaches the DECIMAL(38,0) range — rescale valueCol to " +
+        "coarser units")
+    def dcm(c: Column): Column = c.cast("decimal(38,0)")
+    val m = rows.select(col("g"), dcm(col("v")).as("v"))
+      .groupBy(col("g"))
+      .agg(count(lit(1)).cast("decimal(38,0)").as("n"),
+        sum(col("v")).as("s"),
+        sum(col("v") * col("v")).as("q"),
+        sum(col("v") * col("v") * col("v")).as("c"),
+        sum(col("v") * col("v") * col("v") * col("v")).as("d"))
+    m.select(col("g").as(famCol), col("n").cast("bigint").as("n"),
+        expr("CAST(n * q - s * s AS DECIMAL(38,0))").as("a2"),
+        expr("CAST(n * n * c - 3 * n * s * q + 2 * s * s * s " +
+          "AS DECIMAL(38,0))").as("a3"),
+        expr("CAST(n * n * n * d - 4 * n * n * s * c " +
+          "+ 6 * n * s * s * q - 3 * s * s * s * s " +
+          "AS DECIMAL(38,0))").as("a4"))
+      .select(col(famCol), col("n"), col("a2").cast("decimal(38,0)"),
+        col("a3"), col("a4"))
+      .select(col(famCol), col("n"),
+        col("a2").cast("bigint").as("a2"),
+        when(col("n") >= 2 && col("a2") > 0,
+          round(expr(skewFormulaSql), 6))
+          .otherwise(lit(null).cast("double")).as("skewness"),
+        when(col("n") >= 2 && col("a2") > 0,
+          round(expr(kurtFormulaSql), 6))
+          .otherwise(lit(null).cast("double")).as("kurtosis_excess"))
+  }
+
+  /** g1 = A3/(A2·√A2) over the exact integers — shared verbatim with
+    * the oracle.
+    */
+  val skewFormulaSql: String =
+    "CAST(a3 AS DOUBLE) / (CAST(a2 AS DOUBLE) * sqrt(CAST(a2 AS DOUBLE)))"
+
+  /** g2 = A4/A2² − 3 over the exact integers — shared verbatim. */
+  val kurtFormulaSql: String =
+    "CAST(a4 AS DOUBLE) / (CAST(a2 AS DOUBLE) * CAST(a2 AS DOUBLE)) - 3.0"
+
   /** Per-FAMILY BROWN–FORSYTHE TEST (Brown & Forsythe 1974 — the
     * median-centered Levene test): are the K samples' DISPERSIONS
     * equal? The variance-equality complement of the location battery

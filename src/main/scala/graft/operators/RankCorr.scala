@@ -186,6 +186,85 @@ object RankCorr {
           .otherwise(lit(null).cast("double")).as("tau_b"))
   }
 
+  /** Per-family MANN–WHITNEY U / Wilcoxon RANK-SUM test (Mann &
+    * Whitney 1947; Wilcoxon 1945) — the UNPAIRED two-sample location
+    * test, completing the battery: [[wilcoxonSignedRank]] is its
+    * paired sibling, [[kruskalWallis]] its K-sample generalization
+    * (KW at k=2 is U², but U's signed z IS the standard two-sample
+    * readout).
+    *
+    * EXACT: pooled doubled midranks off the shared [[cumFromCounts]]
+    * count-table machinery; 2U_A = 2R_A − n_A(n_A+1) is an exact
+    * integer, the tie sum Σ(t³−t) likewise; z is the ONE shared-text
+    * double formula ([[mwZFormulaSql]] — tie-corrected variance
+    * n_A·n_B/12·[(n+1) − Σ(t³−t)/(n(n−1))]) rounded 6.
+    *
+    * REFUSES families that don't have exactly two samples including
+    * `sampleA` (the logRank convention).
+    *
+    * @return (famCol, na, nb, u2 = 2U_A, z) — z > 0 means sample A's
+    *         values rank higher; z null on zero variance (all tied)
+    */
+  def mannWhitney(df: DataFrame, famCol: String, sampleCol: String,
+                  valueCol: String, sampleA: String): DataFrame = {
+    val cells = df.select(col(famCol).as("g"),
+        col(sampleCol).cast("string").as("smp"),
+        col(valueCol).cast("long").as("v"))
+      .groupBy(col("g"), col("smp"), col("v"))
+      .agg(count(lit(1)).as("cnt"))
+      .localCheckpoint(true) // two-sample check + rank pass + agg
+    val badFams = cells.groupBy(col("g"))
+      .agg(count_distinct(col("smp")).as("k"),
+        max(when(col("smp") === sampleA, 1).otherwise(0)).as("hasA"))
+      .filter(col("k") =!= 2 || col("hasA") === 0).count()
+    require(badFams == 0,
+      s"mannWhitney: $badFams families lack exactly two samples " +
+        s"including '$sampleA' — filter/relabel first (use " +
+        "kruskalWallis for k > 2)")
+    val pooled = cells.groupBy(col("g"), col("v"))
+      .agg(sum(col("cnt")).as("cnt"))
+    val m2 = cumFromCounts(pooled, "v")
+      .select(col("g"), col("v"),
+        (lit(2) * col("below") + col("cnt") + lit(1)).cast("long").as("m2"))
+    def dec(c: Column): Column = c.cast("decimal(38,0)")
+    val ties = pooled.groupBy(col("g"))
+      .agg(sum(dec(col("cnt")) * dec(col("cnt")) * dec(col("cnt"))
+        - dec(col("cnt"))).cast("decimal(38,0)").as("t3t"),
+        sum(col("cnt")).cast("bigint").as("n"))
+    val agg = cells.join(m2, Seq("g", "v"))
+      .groupBy(col("g"))
+      .agg(sum(when(col("smp") === sampleA, col("cnt")).otherwise(0L))
+          .cast("bigint").as("na"),
+        sum(when(col("smp") =!= sampleA, col("cnt")).otherwise(0L))
+          .cast("bigint").as("nb"),
+        sum(when(col("smp") === sampleA,
+          dec(col("cnt")) * dec(col("m2"))).otherwise(lit(0)
+          .cast("decimal(38,0)"))).cast("decimal(38,0)").as("r2a"))
+    agg.join(ties, Seq("g"))
+      .select(col("g").as(famCol), col("na"), col("nb"),
+        (col("r2a") - dec(col("na")) * (dec(col("na")) + 1))
+          .cast("bigint").as("u2"),
+        col("n"), col("t3t").cast("bigint").as("t3t"))
+      .withColumn("z",
+        when(col("na") > 0 && col("nb") > 0 &&
+          expr(mwVarGuardSql) > 0, round(expr(mwZFormulaSql), 6))
+          .otherwise(lit(null).cast("double")))
+      .select(col(famCol), col("na"), col("nb"), col("u2"), col("z"))
+  }
+
+  /** Tie-corrected Mann–Whitney variance (×1, in doubles) over the
+    * exact integers (na, nb, n, t3t) — the guard and the z share it
+    * verbatim with the oracle.
+    */
+  val mwVarGuardSql: String =
+    "CAST(na AS DOUBLE) * nb / 12.0 * ((n + 1) " +
+      "- CAST(t3t AS DOUBLE) / (CAST(n AS DOUBLE) * (n - 1)))"
+
+  val mwZFormulaSql: String =
+    "(CAST(u2 AS DOUBLE) / 2.0 - CAST(na AS DOUBLE) * nb / 2.0) / " +
+      "sqrt(CAST(na AS DOUBLE) * nb / 12.0 * ((n + 1) " +
+      "- CAST(t3t AS DOUBLE) / (CAST(n AS DOUBLE) * (n - 1))))"
+
   /** Per-group GOODMAN–KRUSKAL GAMMA + SOMERS' D (Goodman & Kruskal
     * 1954; Somers 1962) — the ordinal-association family next to
     * [[kendallTauB]], on the SAME joint-cell pair algebra: gamma

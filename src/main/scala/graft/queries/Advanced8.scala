@@ -381,6 +381,95 @@ object Advanced8 {
       |  ELSE NULL END AS eta2
       |FROM sq ORDER BY yr""".stripMargin
 
+  // ---- q177: Mann-Whitney rank-sum — "do BUILDING customers place
+  //      larger orders than AUTOMOBILE customers?" per year: the
+  //      UNPAIRED two-sample location test next to q148's paired
+  //      Wilcoxon; pooled doubled midranks, 2U exact, shared-text
+  //      tie-corrected z. ----
+  val q177MannWhitney: Q = (s, d) => {
+    val os = orders(s, d)
+      .join(customer(s, d).select(col("c_custkey").as("o_custkey"),
+        col("c_mktsegment").as("seg")), Seq("o_custkey"))
+      .filter(col("seg").isin("BUILDING", "AUTOMOBILE"))
+      .select(year(col("o_orderdate")).as("yr"), col("seg"),
+        round(col("o_totalprice") * 100).cast("long").as("cents"))
+    RankCorr.mannWhitney(os, "yr", "seg", "cents", "BUILDING")
+      .orderBy(col("yr"))
+  }
+
+  val q177Oracle: String =
+    s"""WITH os AS (SELECT EXTRACT(year FROM o_orderdate) AS yr,
+      |        c_mktsegment AS seg,
+      |        CAST(round(o_totalprice * 100) AS BIGINT) AS v
+      |      FROM orders JOIN customer ON c_custkey = o_custkey
+      |      WHERE c_mktsegment IN ('BUILDING', 'AUTOMOBILE')),
+      |cells AS (SELECT yr, seg, v, CAST(COUNT(*) AS BIGINT) AS cnt
+      |      FROM os GROUP BY 1, 2, 3),
+      |pooled AS (SELECT yr, v, CAST(SUM(cnt) AS BIGINT) AS cnt
+      |      FROM cells GROUP BY 1, 2),
+      |m2 AS (SELECT yr, v,
+      |        2 * (SUM(cnt) OVER (PARTITION BY yr ORDER BY v
+      |          ROWS UNBOUNDED PRECEDING) - cnt) + cnt + 1 AS m2
+      |      FROM pooled),
+      |ties AS (SELECT yr,
+      |        CAST(SUM(CAST(cnt AS HUGEINT) * cnt * cnt - cnt) AS BIGINT)
+      |          AS t3t,
+      |        CAST(SUM(cnt) AS BIGINT) AS n
+      |      FROM pooled GROUP BY 1),
+      |agg AS (SELECT c.yr,
+      |        CAST(SUM(CASE WHEN c.seg = 'BUILDING' THEN c.cnt
+      |          ELSE 0 END) AS BIGINT) AS na,
+      |        CAST(SUM(CASE WHEN c.seg <> 'BUILDING' THEN c.cnt
+      |          ELSE 0 END) AS BIGINT) AS nb,
+      |        SUM(CASE WHEN c.seg = 'BUILDING'
+      |          THEN CAST(c.cnt AS HUGEINT) * m2.m2 ELSE 0 END) AS r2a
+      |      FROM cells c JOIN m2 ON c.yr = m2.yr AND c.v = m2.v
+      |      GROUP BY 1)
+      |SELECT yr, na, nb, u2,
+      |  CASE WHEN na > 0 AND nb > 0 AND
+      |      ${RankCorr.mwVarGuardSql} > 0 THEN
+      |    round(${RankCorr.mwZFormulaSql}, 6)
+      |  ELSE NULL END AS z
+      |FROM (SELECT yr, na, nb,
+      |        CAST(r2a - CAST(na AS HUGEINT) * (na + 1) AS BIGINT) AS u2,
+      |        n, t3t
+      |      FROM agg JOIN ties USING (yr)) q_
+      |ORDER BY yr""".stripMargin
+
+  // ---- q178: exact skewness + excess kurtosis of order totals per
+  //      year (KILOdollars — the quartic magnitude contract): the
+  //      distribution-shape pair read before trusting q156's
+  //      normal-theory F; the n-powers cancel in A3/A2^1.5 and
+  //      A4/A2², leaving shared-text doubles over exact integers. ----
+  val q178SkewKurtosis: Q = (s, d) =>
+    GroupTests.skewKurtosis(
+      orders(s, d).select(year(col("o_orderdate")).as("yr"),
+        round(col("o_totalprice") / 1000).cast("long").as("kd")),
+      "yr", "kd")
+      .orderBy(col("yr"))
+
+  val q178Oracle: String =
+    s"""WITH v AS (SELECT EXTRACT(year FROM o_orderdate) AS yr,
+      |        CAST(round(o_totalprice / 1000) AS HUGEINT) AS v
+      |      FROM orders),
+      |m AS (SELECT yr, CAST(COUNT(*) AS HUGEINT) AS n,
+      |        SUM(v) AS s, SUM(v * v) AS q,
+      |        SUM(v * v * v) AS c, SUM(v * v * v * v) AS d
+      |      FROM v GROUP BY 1),
+      |a AS (SELECT yr, CAST(n AS BIGINT) AS n,
+      |        n * q - s * s AS a2,
+      |        n * n * c - 3 * n * s * q + 2 * s * s * s AS a3,
+      |        n * n * n * d - 4 * n * n * s * c + 6 * n * s * s * q
+      |          - 3 * s * s * s * s AS a4
+      |      FROM m)
+      |SELECT yr, n, CAST(a2 AS BIGINT) AS a2,
+      |  CASE WHEN n >= 2 AND a2 > 0 THEN
+      |    round(${GroupTests.skewFormulaSql}, 6) ELSE NULL END AS skewness,
+      |  CASE WHEN n >= 2 AND a2 > 0 THEN
+      |    round(${GroupTests.kurtFormulaSql}, 6)
+      |  ELSE NULL END AS kurtosis_excess
+      |FROM a ORDER BY yr""".stripMargin
+
   val queries: Map[String, Q] = Map(
     "q169_ols" -> q169Ols,
     "q170_holt_winters" -> q170HoltWinters,
@@ -389,7 +478,9 @@ object Advanced8 {
     "q173_gamma" -> q173Gamma,
     "q174_theil_sen" -> q174TheilSen,
     "q175_page" -> q175Page,
-    "q176_brown_forsythe" -> q176BrownForsythe)
+    "q176_brown_forsythe" -> q176BrownForsythe,
+    "q177_mann_whitney" -> q177MannWhitney,
+    "q178_skew_kurtosis" -> q178SkewKurtosis)
 
   val oracles: Map[String, String] = Map(
     "q169_ols" -> q169Oracle,
@@ -398,5 +489,7 @@ object Advanced8 {
     "q173_gamma" -> q173Oracle,
     "q174_theil_sen" -> q174Oracle,
     "q175_page" -> q175Oracle,
-    "q176_brown_forsythe" -> q176Oracle)
+    "q176_brown_forsythe" -> q176Oracle,
+    "q177_mann_whitney" -> q177Oracle,
+    "q178_skew_kurtosis" -> q178Oracle)
 }

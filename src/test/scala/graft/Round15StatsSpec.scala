@@ -158,6 +158,72 @@ class Round15StatsSpec extends AnyFunSuite {
     assert(run(1) == run(13))
   }
 
+  // ---- Mann–Whitney ----
+
+  test("MW hand case: A=(1,2,3) B=(4,5,6) gives u2=0, z = -1.963961") {
+    val df = Seq(("f", "A", 1L), ("f", "A", 2L), ("f", "A", 3L),
+      ("f", "B", 4L), ("f", "B", 5L), ("f", "B", 6L)).toDF("g", "s", "v")
+    val r = RankCorr.mannWhitney(df, "g", "s", "v", "A").collect().head
+    assert(r.getAs[Long]("na") == 3L && r.getAs[Long]("nb") == 3L)
+    assert(r.getAs[Long]("u2") == 0L)
+    assert(r.getAs[Double]("z") == -1.963961, r.toString)
+  }
+
+  test("MW tie correction: A=(1,1) B=(2,2) gives z = -sqrt(3)") {
+    val df = Seq(("f", "A", 1L), ("f", "A", 1L),
+      ("f", "B", 2L), ("f", "B", 2L)).toDF("g", "s", "v")
+    val r = RankCorr.mannWhitney(df, "g", "s", "v", "A").collect().head
+    assert(r.getAs[Long]("u2") == 0L)
+    assert(r.getAs[Double]("z") == -1.732051, r.toString)
+  }
+
+  test("MW: H == z² at k=2 (cross-operator identity); fully tied null; " +
+      "two-sample refusal") {
+    val rows = (1 to 100).map(i =>
+      ("f", if (i % 2 == 0) "A" else "B", (i * 37 % 23).toLong))
+    val df = rows.toDF("g", "s", "v")
+    val z = RankCorr.mannWhitney(df, "g", "s", "v", "A")
+      .collect().head.getAs[Double]("z")
+    val h = RankCorr.kruskalWallis(df, "g", "s", "v")
+      .collect().head.getAs[Double]("h")
+    // identical up to KW's per-sample ⌊(2R_j)²/n_j⌋ floors (each
+    // loses <1 unit, so |H − z²| < 3·12/(N(N+1)) ≈ 4e-3 at N=100)
+    assert(math.abs(h - z * z) < 4e-3, s"H=$h z²=${z * z}")
+    val tied = Seq(("f", "A", 1L), ("f", "B", 1L)).toDF("g", "s", "v")
+    val rt = RankCorr.mannWhitney(tied, "g", "s", "v", "A").collect().head
+    assert(rt.isNullAt(rt.fieldIndex("z")))
+    assert(intercept[IllegalArgumentException] {
+      RankCorr.mannWhitney(
+        (rows :+ (("f", "C", 1L))).toDF("g", "s", "v"),
+        "g", "s", "v", "A").collect()
+    }.getMessage.contains("exactly two samples"))
+  }
+
+  // ---- skewness / kurtosis ----
+
+  test("skewKurtosis hand case: (0,0,0,1) gives g1 = 2/sqrt(3), " +
+      "g2 = -2/3") {
+    val df = Seq(("f", 0L), ("f", 0L), ("f", 0L), ("f", 1L)).toDF("g", "v")
+    val r = GroupTests.skewKurtosis(df, "g", "v").collect().head
+    assert(r.getAs[Long]("n") == 4L && r.getAs[Long]("a2") == 3L)
+    assert(r.getAs[Double]("skewness") == 1.154701, r.toString)
+    assert(r.getAs[Double]("kurtosis_excess") == -0.666667, r.toString)
+  }
+
+  test("skewKurtosis: symmetric data has zero skew; constant gives " +
+      "nulls; quartic refusal fires") {
+    val df = Seq(("f", 1L), ("f", 2L), ("f", 3L),
+      ("c", 7L), ("c", 7L)).toDF("g", "v")
+    val m = GroupTests.skewKurtosis(df, "g", "v").collect()
+      .map(r => r.getString(0) -> r).toMap
+    assert(m("f").getAs[Double]("skewness") == 0.0)
+    assert(m("c").isNullAt(m("c").fieldIndex("skewness")))
+    val big = (1 to 100).map(i => ("f", 1000000000L + i)).toDF("g", "v")
+    assert(intercept[IllegalArgumentException] {
+      GroupTests.skewKurtosis(big, "g", "v").collect()
+    }.getMessage.contains("quartic"))
+  }
+
   // ---- Brown–Forsythe ----
 
   test("BF hand case: A=(1,1,1) vs B=(0,4,8) gives F = 4") {
