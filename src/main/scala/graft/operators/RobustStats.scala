@@ -221,7 +221,11 @@ object RobustStats {
     * classical interpolation would average two doubles, still exact,
     * but lower-median keeps the single-order-statistic discipline),
     * and the intercept is the lower median of the residuals
-    * y_i − slope·x_i. Rounded 9.
+    * y_i − slope·x_i. Deliberately UNROUNDED: the selected values are
+    * bit-identical across engines already, and round(x, 9) on a
+    * large-magnitude double asks for more significant digits than a
+    * double holds — engines' rounding implementations diverge in
+    * ulps exactly there (measured at sf1: a 2.16e10 intercept).
     *
     * Scale contract: pair volume is points² per group — REFUSES
     * above `maxPoints` per group (the q112 calendar-bounded-series
@@ -263,10 +267,10 @@ object RobustStats {
       .withColumn("rn", row_number().over(wR))
       .withColumn("np", count(lit(1)).over(Window.partitionBy(col("g"))))
       .filter(col("rn") === expr("(np + 1) DIV 2"))
-      .select(col("g"), round(col("slope"), 9).as("slope"),
+      .select(col("g"), col("slope"),
         col("n_pairs").cast("bigint").as("n_pairs"),
         col("np").cast("bigint").as("n_points"),
-        round(col("r"), 9).as("intercept"))
+        col("r").as("intercept"))
     mI.select(col("g").as(groupCol), col("n_points"), col("n_pairs"),
       col("slope"), col("intercept"))
   }

@@ -266,7 +266,7 @@ object Advanced8 {
       |        CAST(rev AS DOUBLE) - slope * CAST(mi AS DOUBLE) AS r
       |      FROM m JOIN ms USING (nation))
       |SELECT nation, np AS n_points, n_pairs,
-      |  round(slope, 9) AS slope, round(r, 9) AS intercept FROM
+      |  slope, r AS intercept FROM
       |    (SELECT nation, slope, n_pairs, r,
       |      ROW_NUMBER() OVER (PARTITION BY nation ORDER BY r) AS rn,
       |      CAST(COUNT(*) OVER (PARTITION BY nation) AS BIGINT) AS np
