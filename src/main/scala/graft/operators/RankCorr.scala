@@ -709,6 +709,33 @@ object RankCorr {
         .otherwise(lit(null).cast("double")).as("chi2"))
   }
 
+  /** Per-family KENDALL'S W — the COEFFICIENT OF CONCORDANCE
+    * (Kendall & Babington Smith 1939): how much do the n_blocks
+    * "judges" AGREE on their ranking of the K treatments? W ∈ [0,1]
+    * is [[friedman]]'s chi-square rescaled by its maximum,
+    * W = χ²_F / (n_blocks·(K−1)) — the standard inter-rater
+    * agreement readout (1 = every block ranks identically, 0 = no
+    * agreement beyond chance), tie-corrected because the underlying
+    * Friedman algebra already is.
+    *
+    * EXACT: W = num / (den·n_blocks·(K−1)) — one double division of
+    * two exact integers, rounded 6; friedman's duplicate-cell and
+    * incomplete-block refusals apply verbatim (shared machinery).
+    *
+    * @return (famCol, k, n_blocks, num, den, w) — w null when every
+    *         block is fully tied (den = 0)
+    */
+  def kendallW(df: DataFrame, famCol: String, blockCol: String,
+               treatmentCol: String, valueCol: String): DataFrame =
+    friedman(df, famCol, blockCol, treatmentCol, valueCol)
+      .select(col(famCol), col("k"), col("n_blocks"), col("num"),
+        col("den"),
+        when(col("den") > 0 && col("k") > 1,
+          round(col("num").cast("double") /
+            (col("den") * col("n_blocks") * (col("k") - 1))
+              .cast("double"), 6))
+          .otherwise(lit(null).cast("double")).as("w"))
+
   /** Per-group Spearman ρ between two integral columns (scale
     * decimals to integer units first — the cents convention).
     *

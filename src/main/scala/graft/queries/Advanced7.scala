@@ -410,7 +410,11 @@ object Advanced7 {
       .orderBy(col("region"))
   }
 
-  val q164Oracle: String =
+  /** The q164 Friedman CTE chain up to the exact (num, den)
+    * aggregate — shared with q179's Kendall-W oracle (W is the same
+    * algebra rescaled).
+    */
+  private[queries] val friedmanAggSql: String =
     """WITH monthly AS (SELECT n_regionkey AS region,
       |        date_trunc('month', o_orderdate) AS mon,
       |        c_mktsegment AS seg,
@@ -439,7 +443,10 @@ object Advanced7 {
       |          * (r2 - CAST(n AS HUGEINT) * (k + 1))) AS num,
       |        SUM(m2sq) - MAX(n) * CAST(k AS HUGEINT) * (k + 1) * (k + 1)
       |          AS den
-      |      FROM per JOIN kg USING (region) GROUP BY 1, 2)
+      |      FROM per JOIN kg USING (region) GROUP BY 1, 2)""".stripMargin
+
+  val q164Oracle: String = friedmanAggSql +
+    """
       |SELECT region, k, CAST(n_blocks AS BIGINT) AS n_blocks,
       |  CAST(num AS BIGINT) AS num, CAST(den AS BIGINT) AS den,
       |  CASE WHEN den > 0 THEN

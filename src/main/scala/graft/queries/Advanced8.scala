@@ -470,6 +470,40 @@ object Advanced8 {
       |  ELSE NULL END AS kurtosis_excess
       |FROM a ORDER BY yr""".stripMargin
 
+  // ---- q179: Kendall's W — "how concordant are the months'
+  //      segment-revenue rankings within each region?": friedman's
+  //      chi-square rescaled to the [0,1] inter-rater agreement
+  //      coefficient; same complete-months input as q164, same
+  //      refusals, one extra exact division. ----
+  val q179KendallW: Q = (s, d) => {
+    val monthly = orders(s, d)
+      .join(customer(s, d).select(col("c_custkey").as("o_custkey"),
+        col("c_nationkey"), col("c_mktsegment").as("seg")),
+        Seq("o_custkey"))
+      .join(nation(s, d).select(col("n_nationkey").as("c_nationkey"),
+        col("n_regionkey").as("region")), Seq("c_nationkey"))
+      .groupBy(col("region"), trunc(col("o_orderdate"), "month").as("mon"),
+        col("seg"))
+      .agg(sum(round(col("o_totalprice") * 100).cast("long")).as("rev"))
+    val k = monthly.select(col("seg")).distinct().count()
+    val complete = monthly.groupBy(col("region"), col("mon"))
+      .agg(count(lit(1)).as("c")).filter(col("c") === k)
+      .select(col("region"), col("mon"))
+    RankCorr.kendallW(monthly.join(complete, Seq("region", "mon")),
+        "region", "mon", "seg", "rev")
+      .orderBy(col("region"))
+  }
+
+  val q179Oracle: String = Advanced7.friedmanAggSql +
+    """
+      |SELECT region, k, CAST(n_blocks AS BIGINT) AS n_blocks,
+      |  CAST(num AS BIGINT) AS num, CAST(den AS BIGINT) AS den,
+      |  CASE WHEN den > 0 AND k > 1 THEN
+      |    round(CAST(num AS DOUBLE)
+      |      / CAST(den * n_blocks * (k - 1) AS DOUBLE), 6)
+      |  ELSE NULL END AS w
+      |FROM agg ORDER BY region""".stripMargin
+
   val queries: Map[String, Q] = Map(
     "q169_ols" -> q169Ols,
     "q170_holt_winters" -> q170HoltWinters,
@@ -480,7 +514,8 @@ object Advanced8 {
     "q175_page" -> q175Page,
     "q176_brown_forsythe" -> q176BrownForsythe,
     "q177_mann_whitney" -> q177MannWhitney,
-    "q178_skew_kurtosis" -> q178SkewKurtosis)
+    "q178_skew_kurtosis" -> q178SkewKurtosis,
+    "q179_kendall_w" -> q179KendallW)
 
   val oracles: Map[String, String] = Map(
     "q169_ols" -> q169Oracle,
@@ -491,5 +526,6 @@ object Advanced8 {
     "q175_page" -> q175Oracle,
     "q176_brown_forsythe" -> q176Oracle,
     "q177_mann_whitney" -> q177Oracle,
-    "q178_skew_kurtosis" -> q178Oracle)
+    "q178_skew_kurtosis" -> q178Oracle,
+    "q179_kendall_w" -> q179Oracle)
 }

@@ -158,6 +158,26 @@ class Round15StatsSpec extends AnyFunSuite {
     assert(run(1) == run(13))
   }
 
+  // ---- Kendall's W ----
+
+  test("Kendall's W: identically-ranked blocks give W = 1; friedman " +
+      "chi2 relation holds") {
+    val agree = for (b <- Seq("b1", "b2"); t <- 0 to 2)
+      yield ("f", b, t.toLong, (t + 1).toLong * 10)
+    val r = RankCorr.kendallW(agree.toDF("g", "b", "trt", "v"),
+      "g", "b", "trt", "v").collect().head
+    assert(r.getAs[Double]("w") == 1.0, r.toString)
+    // W == chi2 / (n_blocks·(k−1)) against friedman on shared data
+    val rows = for (b <- 1 to 5; t <- 0 to 3)
+      yield ("f", s"b$b", t.toLong, ((b * 7 + t * 13) % 11).toLong)
+    val w = RankCorr.kendallW(rows.toDF("g", "b", "trt", "v"),
+      "g", "b", "trt", "v").collect().head
+    val f = RankCorr.friedman(rows.toDF("g", "b", "trt", "v"),
+      "g", "b", "trt", "v").collect().head
+    assert(math.abs(w.getAs[Double]("w") -
+      f.getAs[Double]("chi2") / (5.0 * 3.0)) < 2e-6)
+  }
+
   // ---- Mann–Whitney ----
 
   test("MW hand case: A=(1,2,3) B=(4,5,6) gives u2=0, z = -1.963961") {
