@@ -219,6 +219,22 @@ object DailySeries {
         "the series is the collected state — coarsen the time unit)")
     val series = daily.orderBy(col("day")).collect()
       .map(r => (r.getDate(0), r.getLong(1)))
+    // ENFORCED gap-free contract (holt() tolerates gaps — it has no
+    // periodic alignment; here one missing or duplicated day would
+    // silently ROTATE every subsequent weekday's seasonal index and
+    // yield wrong seasonals/fits/forecasts with no error): exact span
+    // and distinctness checks on the collected series, refusing loudly
+    // per the corpus convention.
+    val firstD = series.head._1.toLocalDate
+    val lastD = series.last._1.toLocalDate
+    val span = java.time.temporal.ChronoUnit.DAYS.between(firstD, lastD) + 1
+    val nDistinct = series.map(_._1).distinct.length
+    require(nDistinct == series.length && span == series.length,
+      s"holtWinters: series has gaps or duplicate days ($nDistinct " +
+        s"distinct days over a $span-day span for ${series.length} " +
+        "rows) — the t % 7 seasonal indexing needs a gap-free daily " +
+        "series; interpolate first (Interpolate) and aggregate to one " +
+        "row per day")
     def r6(x: Double): Double =
       BigDecimal(x).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
     val w1 = series.slice(0, 7).map(_._2.toDouble)

@@ -716,10 +716,30 @@ object GraphOps {
     * @return top-k rows (x, y, common, jaccard_ppm, deg_x, deg_y)
     *         ordered by (common desc, jaccard_ppm desc, x, y)
     */
+  /** NOTE on completeness: the default `maxDegree` cap applies here
+    * too — if the graph has a hub past the cap, its wedges are
+    * silently absent from THIS entry point's result. The plain path
+    * therefore reads the one-row report eagerly (the degree table is
+    * already checkpointed — the readout is a model-sized aggregate)
+    * and WARNS when anything was skipped; callers that need the
+    * skip counts programmatically use
+    * [[commonNeighborLinksWithReport]].
+    */
   def commonNeighborLinks(edgesIn: DataFrame, aCol: String, bCol: String,
                           k: Int = 20,
-                          maxDegree: Long = 100000L): DataFrame =
-    commonNeighborLinksWithReport(edgesIn, aCol, bCol, k, maxDegree)._1
+                          maxDegree: Long = 100000L): DataFrame = {
+    val (links, report) =
+      commonNeighborLinksWithReport(edgesIn, aCol, bCol, k, maxDegree)
+    val r = report.head()
+    if (r.getLong(0) > 0) {
+      org.slf4j.LoggerFactory.getLogger(getClass).warn(
+        s"commonNeighborLinks: ${r.getLong(0)} hubs past " +
+          s"maxDegree=$maxDegree skipped as wedge centers " +
+          s"(${r.getLong(2)} wedges, max degree seen ${r.getLong(1)}) " +
+          "— use commonNeighborLinksWithReport for the counts")
+    }
+    links
+  }
 
   /** [[commonNeighborLinks]] plus its cap-opt-out report: `(links,
     * report)` where the report is ONE row — (hubs_skipped,
@@ -744,12 +764,16 @@ object GraphOps {
     val deg = sym.groupBy(col("x").as("node"))
       .agg(count(lit(1)).cast("bigint").as("deg"))
       .localCheckpoint(true) // the hub filter, the report, two join-backs
+    // TOTAL one-row report: on an EMPTY edge input the aggregates
+    // would return NULLs, which a bigint-reading consumer NPEs on —
+    // coalesce every field to zero
     val report = deg.agg(
-      sum(when(col("deg") > maxDegree, 1L).otherwise(0L))
-        .cast("bigint").as("hubs_skipped"),
-      max(col("deg")).cast("bigint").as("max_degree_seen"),
-      sum(when(col("deg") > maxDegree,
-        expr("deg * (deg - 1) DIV 2")).otherwise(0L))
+      coalesce(sum(when(col("deg") > maxDegree, 1L).otherwise(0L)),
+        lit(0L)).cast("bigint").as("hubs_skipped"),
+      coalesce(max(col("deg")), lit(0L)).cast("bigint")
+        .as("max_degree_seen"),
+      coalesce(sum(when(col("deg") > maxDegree,
+        expr("deg * (deg - 1) DIV 2")).otherwise(0L)), lit(0L))
         .cast("bigint").as("wedges_skipped"))
     // wedges at their center: neighbor pairs (a < b) of each c —
     // centers past the cap are excluded BEFORE the self-join, so the

@@ -731,9 +731,13 @@ object RankCorr {
       .select(col(famCol), col("k"), col("n_blocks"), col("num"),
         col("den"),
         when(col("den") > 0 && col("k") > 1,
+          // den·n_blocks·(K−1) in DECIMAL(38,0), not BIGINT: under
+          // non-ANSI Spark a BIGINT product can silently wrap for
+          // very large families, diverging from the oracle's HUGEINT
+          // product (friedman's dcm convention)
           round(col("num").cast("double") /
-            (col("den") * col("n_blocks") * (col("k") - 1))
-              .cast("double"), 6))
+            (col("den").cast("decimal(38,0)") * col("n_blocks")
+              * (col("k") - 1)).cast("double"), 6))
           .otherwise(lit(null).cast("double")).as("w"))
 
   /** Per-group Spearman ρ between two integral columns (scale

@@ -72,7 +72,16 @@ object Advanced8 {
     val daily = orders(s, d)
       .groupBy(col("o_orderdate").as("day"))
       .agg(sum(round(col("o_totalprice") * 100).cast("long")).as("rev"))
-    DailySeries.holtWinters(daily).orderBy(col("day"))
+    // gap-free contract: holtWinters REFUSES gapped series (a missing
+    // day would silently rotate every later weekday's seasonal index —
+    // which the sparse sf0.001/sf0.01 corpora actually trigger), so
+    // fill the calendar axis with zero-revenue days first
+    // (date-cardinality sequence, the q162 interpolation idiom)
+    val axis = daily.agg(min(col("day")).as("lo"), max(col("day")).as("hi"))
+      .select(explode(expr("sequence(lo, hi, interval 1 day)")).as("day"))
+    val filled = axis.join(daily, Seq("day"), "left")
+      .na.fill(0L, Seq("rev"))
+    DailySeries.holtWinters(filled).orderBy(col("day"))
   }
 
   // ---- q171: McNemar's paired urgency flip — "did the SAME

@@ -109,4 +109,30 @@ class HoltWintersSpec extends AnyFunSuite {
     }
     assert(e3.getMessage.contains("maxDays"), e3.getMessage)
   }
+
+  test("refusal: a gap in the daily series (t % 7 would rotate)") {
+    // 15 days with day index 7 missing: span 16, count 15
+    val rows = (0 until 16).filter(_ != 7).map { i =>
+      (java.sql.Date.valueOf(
+        java.time.LocalDate.of(1995, 1, 2).plusDays(i)), 100L)
+    }.toDF("day", "rev")
+    val e = intercept[IllegalArgumentException] {
+      DailySeries.holtWinters(rows)
+    }
+    assert(e.getMessage.contains("gaps or duplicate days"), e.getMessage)
+  }
+
+  test("refusal: a duplicated day, even when a gap masks the span") {
+    // duplicate day 3 AND drop day 9: span 14, count 14 — the span
+    // check alone would pass; distinctness catches it
+    val idx = (0 until 14).filter(_ != 9) :+ 3
+    val rows = idx.map { i =>
+      (java.sql.Date.valueOf(
+        java.time.LocalDate.of(1995, 1, 2).plusDays(i)), 100L)
+    }.toDF("day", "rev")
+    val e = intercept[IllegalArgumentException] {
+      DailySeries.holtWinters(rows)
+    }
+    assert(e.getMessage.contains("gaps or duplicate days"), e.getMessage)
+  }
 }

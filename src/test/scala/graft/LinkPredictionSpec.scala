@@ -83,6 +83,19 @@ class LinkPredictionSpec extends AnyFunSuite {
       Seq((0L, 10L, 0L)))
   }
 
+  test("empty edge input: the one-row report is TOTAL (zeros, not nulls)") {
+    val empty = Seq.empty[(Long, Long)].toDF("a", "b")
+    val (links0, report) = GraphOps.commonNeighborLinksWithReport(
+      empty, "a", "b", k = 5)
+    assert(links0.isEmpty)
+    // a bigint-reading consumer must not NPE on the report fields
+    assert(report.as[(Long, Long, Long)].collect().toSeq ==
+      Seq((0L, 0L, 0L)))
+    // the plain path (which now reads the report eagerly to warn on
+    // skips) must also survive an empty graph
+    assert(GraphOps.commonNeighborLinks(empty, "a", "b", k = 5).isEmpty)
+  }
+
   test("contract query q150_link_prediction: top-20, deterministic, candidates only") {
     val sfDir = "/root/testdata/sf0.001"
     val a = SparkEntry.queries("q150_link_prediction")(spark, sfDir).collect()
