@@ -63,13 +63,14 @@ object GroupTests {
     * (identically in both engines), so both are order-free exact
     * integers; F and η² are the two double formulas rounded to 6.
     *
-    * Magnitude contract: S_j²/n_j = n_j·mean_j² must fit BIGINT —
-    * keep `valueCol` in units where n_j·v̄² < 2^63 (the q156 contract
-    * query uses whole DOLLARS, good to ~10⁷ rows per sample at TPC-H
-    * price scales; cents would be 10⁴× tighter). A DECIMAL overflow
-    * nulls the TERM, and SUM would silently SKIP the null — so an
-    * overflowed per-sample moment REFUSES loudly instead (the
-    * cmh/mood convention).
+    * Magnitude contract ENFORCED in-plan: the family bound
+    * (n·max|v|)² < 9·10³⁷ covers every decimal intermediate (moments,
+    * per-sample and family squares) — keep `valueCol` in units where
+    * n·max|v| < ~10¹⁸ (the q156 contract query uses whole DOLLARS).
+    * A DECIMAL overflow nulls the TERM, and SUM would silently SKIP
+    * the null — so a bound violation REFUSES loudly via in-plan
+    * raise_error (the cmh/mood convention), with no separate
+    * pre-scan action.
     *
     * @return (famCol, k, n, ssb, ssw, f, eta2) — f null for k < 2 or
     *         zero within-variance, eta2 null for zero total variance
@@ -90,25 +91,37 @@ object GroupTests {
   private[graft] def anovaFromCells(cellsIn: DataFrame,
                                     famCol: String): DataFrame = {
     def dcm(c: Column): Column = c.cast("decimal(38,0)")
-    val cells = cellsIn.localCheckpoint(true) // bound scan + moments
-    // magnitude refusal BEFORE any decimal algebra: n_j·max(v)²
-    // bounds both Q_j and S_j² DIV n_j, so if it stays under 10³⁸
-    // every moment fits DECIMAL(38,0). Past it, the engine either
-    // throws mid-job (ANSI on — Spark 4 default) or NULLs the term
-    // and SUM silently skips it (ANSI off) — both worse than a named
-    // refusal. The bound rides doubles (can't overflow); 9e37 keeps
-    // a safe margin under the exact 10³⁸−1 boundary.
-    val tooBigA = cells.groupBy(col("g"), col("smp"))
+    // magnitude guard rides the SAME job as the moments (r16 — the
+    // separate pre-scan cost a localCheckpoint plus its own count()
+    // action, the fixed floor the r15 verdict flagged): the
+    // per-family bound b = n·max|v| must satisfy b² < 9·10³⁷, which
+    // covers EVERY decimal intermediate — q ≤ n·max² ≤ b², per-sample
+    // s_j² ≤ (n_j·max)² ≤ b², the family-level s² ≤ b², bsum ≤ n·max²
+    // (the old per-sample n_j·max(v²) bound UNDER-covered the squares
+    // s_j² and s², which are up to n× larger — the r15 sweep item).
+    // The bound rides doubles (can't overflow), and it gates through
+    // a BROADCAST build side: the broadcast materializes BEFORE any
+    // probe-side task runs, so a violating family raises the NAMED
+    // refusal before the decimal algebra can overflow (ANSI) or
+    // NULL-poison a sum (non-ANSI). The bound aggregate's exchange is
+    // shared with the moment pass — no extra action, no extra scan.
+    val gate = broadcast(cellsIn.groupBy(col("g"))
       .agg((sum(col("cnt")).cast("double") *
-        max(col("v").cast("double") * col("v").cast("double")))
-        .as("bound"))
-      .filter(col("bound") >= 9.0e37).count()
-    require(tooBigA == 0,
-      "anovaOneWay: a sample's moment bound n_j·max(v)² reaches the " +
-        "DECIMAL(38,0) range — rescale valueCol to coarser units")
-    val perSample = cells
+        max(greatest(abs(col("v")), lit(1L)).cast("double"))).as("b"))
+      .select(col("g"),
+        when(col("b") * col("b") < lit(9.0e37), lit(1))
+          .otherwise(raise_error(lit(
+            "anovaOneWay: a family's moment bound (n*max|v|)^2 " +
+              "reaches the DECIMAL(38,0) range — rescale valueCol " +
+              "to coarser units")).cast("int")).as("__gate")))
+    // n_j multiplies by __gate (always 1 for admissible rows) so the
+    // guard column stays REFERENCED — column pruning would otherwise
+    // strip the raise_error projection out of the broadcast build
+    // side entirely (observed: the pruned gate became a bare distinct
+    // join and never fired)
+    val perSample = cellsIn.join(gate, Seq("g"))
       .groupBy(col("g"), col("smp"))
-      .agg(sum(col("cnt")).cast("long").as("n_j"),
+      .agg(sum(col("cnt") * col("__gate")).cast("long").as("n_j"),
         sum(dcm(col("cnt")) * dcm(col("v"))).cast("decimal(38,0)").as("s_j"),
         sum(dcm(col("cnt")) * dcm(col("v")) * dcm(col("v")))
           .cast("decimal(38,0)").as("q_j"))
@@ -176,19 +189,22 @@ object GroupTests {
     val cum = RankCorr.cumFromCounts(pooled, "v")
     val n = pooled.groupBy(col("g"))
       .agg(sum(col("cnt")).cast("bigint").as("n"))
-      .localCheckpoint(true) // refusal scan + the median position join
-    // the cmh/logRank magnitude refusal: each cell's chi-square
-    // numerator (o·n − r·c)²·10⁶ is bounded by (n²/4)²·10⁶, which
-    // reaches 10³⁸ (past DECIMAL(38,0) max) at n = 2e8 — and an
+    // the cmh/logRank magnitude refusal, IN-PLAN (r16 — previously a
+    // localCheckpoint + its own count() action): each cell's
+    // chi-square numerator (o·n − r·c)²·10⁶ is bounded by (n²/4)²·10⁶,
+    // which reaches 10³⁸ (past DECIMAL(38,0) max) at n = 2e8 — and an
     // overflowed term goes NULL, which SUM silently SKIPS, yielding a
-    // wrong non-null chi2_ppm. Refuse loudly instead.
-    val tooBig = n.filter(col("n") > 190000000L).count()
-    require(tooBig == 0,
-      "moodMedianTest: a family exceeds 1.9e8 observations — the " +
-        "exact ppm chi-square algebra needs (n²/4)²·10⁶ < 10³⁸; " +
-        "sample first")
+    // wrong non-null chi2_ppm. The median position is computed for
+    // EVERY family when the broadcast side materializes, so a too-big
+    // family raises there, before any chi-square term can be read.
     val med = cum.join(broadcast(
-        n.select(col("g"), expr("(n + 1) DIV 2").as("__pos"))), Seq("g"))
+        n.select(col("g"),
+          when(col("n") <= 190000000L, expr("(n + 1) DIV 2"))
+            .otherwise(raise_error(lit(
+              "moodMedianTest: a family exceeds 1.9e8 observations — " +
+                "the exact ppm chi-square algebra needs " +
+                "(n^2/4)^2*10^6 < 10^38; sample first")).cast("bigint"))
+            .as("__pos"))), Seq("g"))
       .filter(col("below") < col("__pos") &&
         col("__pos") <= col("below") + col("cnt"))
       .select(col("g"), col("v").as("med"))
@@ -272,29 +288,32 @@ object GroupTests {
     * stratum are the additive sufficient statistic.
     */
   private[graft] def cmhFromStrata(strataIn: DataFrame): DataFrame = {
-    val strata = strataIn
-      .withColumn("n", col("a") + col("b") + col("c") + col("d"))
-      .localCheckpoint(true) // refusal scan + the term aggregation
     // strictly below 2e8: with balanced margins the v_ppm numerator
     // (n/2)⁴·10⁶ reaches exactly 10³⁸ AT n = 2e8, which already
     // exceeds DECIMAL(38,0) max (10³⁸−1) — an at-the-cap stratum
-    // would overflow to NULL and SUM would silently drop it
-    val tooBig = strata.filter(col("n") > 190000000L).count()
-    require(tooBig == 0,
-      "cmh: a stratum exceeds 1.9e8 rows — the exact single-division " +
-        "ppm algebra needs (n/2)⁴·10⁶ < 10³⁸; sample first")
+    // would overflow to NULL and SUM would silently drop it. The
+    // refusal is IN-PLAN (r16 — previously a localCheckpoint + its
+    // own count() action): CASE evaluates the guard BEFORE the
+    // decimal algebra, so a too-big stratum raises before its terms
+    // exist.
+    val guard = "CASE WHEN n > 190000000 THEN CAST(raise_error(" +
+      "'cmh: a stratum exceeds 1.9e8 rows — the exact " +
+      "single-division ppm algebra needs (n/2)^4*10^6 < 10^38; " +
+      "sample first') AS DECIMAL(38,0)) ELSE %s END"
+    val strata = strataIn
+      .withColumn("n", col("a") + col("b") + col("c") + col("d"))
     val terms = strata.selectExpr(
       "a",
-      "CAST(a + b AS DECIMAL(38,0)) * (a + c) * 1000000 " +
-        "DIV CAST(n AS DECIMAL(38,0)) AS e_ppm",
-      "CASE WHEN n > 1 THEN " +
+      guard.format("CAST(a + b AS DECIMAL(38,0)) * (a + c) * 1000000 " +
+        "DIV CAST(n AS DECIMAL(38,0))") + " AS e_ppm",
+      guard.format("CASE WHEN n > 1 THEN " +
         "CAST(a + b AS DECIMAL(38,0)) * (c + d) * (a + c) * (b + d) " +
         "* 1000000 DIV (CAST(n AS DECIMAL(38,0)) * n * (n - 1)) " +
-        "ELSE 0 END AS v_ppm",
-      "CAST(a AS DECIMAL(38,0)) * d * 1000000 " +
-        "DIV CAST(n AS DECIMAL(38,0)) AS orn_ppm",
-      "CAST(b AS DECIMAL(38,0)) * c * 1000000 " +
-        "DIV CAST(n AS DECIMAL(38,0)) AS ord_ppm")
+        "ELSE 0 END") + " AS v_ppm",
+      guard.format("CAST(a AS DECIMAL(38,0)) * d * 1000000 " +
+        "DIV CAST(n AS DECIMAL(38,0))") + " AS orn_ppm",
+      guard.format("CAST(b AS DECIMAL(38,0)) * c * 1000000 " +
+        "DIV CAST(n AS DECIMAL(38,0))") + " AS ord_ppm")
     terms.agg(count(lit(1)).cast("bigint").as("k"),
         sum(col("a")).cast("bigint").as("o"),
         sum(col("e_ppm")).cast("bigint").as("e_ppm"),
@@ -350,24 +369,25 @@ object GroupTests {
     val n = cells.groupBy(col("g")).agg(sum(col("o")).cast("bigint").as("n"),
       countDistinct(col("r")).cast("bigint").as("n_rows"),
       countDistinct(col("c")).cast("bigint").as("n_cols"))
-      .localCheckpoint(true) // refusal scan + the final join
-    // the moodFromCells magnitude refusal (same (o·n − r·c)²·10⁶ ≤
-    // (n²/4)²·10⁶ cell bound, same NULL-skipping SUM hazard)
-    val tooBigV = n.filter(col("n") > 190000000L).count()
-    require(tooBigV == 0,
-      "cramersV: a family exceeds 1.9e8 observations — the exact ppm " +
-        "chi-square algebra needs (n²/4)²·10⁶ < 10³⁸; sample first")
     def dcm(c: Column): Column = c.cast("decimal(38,0)")
-    // dense r×c grid so structural zeros contribute (o=0 ⇒ r·c/n mass)
+    // dense r×c grid so structural zeros contribute (o=0 ⇒ r·c/n mass).
+    // The moodFromCells magnitude refusal (same (o·n − r·c)²·10⁶ ≤
+    // (n²/4)²·10⁶ cell bound, same NULL-skipping SUM hazard) is
+    // IN-PLAN (r16): every contribution row carries the guard, so a
+    // too-big family raises before its chi-square can be summed.
     val dense = rm.join(cm, Seq("g"))
       .join(cells, Seq("g", "r", "c"), "left")
       .na.fill(0L, Seq("o"))
       .join(broadcast(n.select(col("g"), col("n"))), Seq("g"))
       .select(col("g"),
-        expr("CAST((CAST(o AS DECIMAL(38,0)) * n - CAST(rm AS DECIMAL(38,0)) * cm) * " +
+        expr("CASE WHEN n <= 190000000 THEN " +
+          "CAST((CAST(o AS DECIMAL(38,0)) * n - CAST(rm AS DECIMAL(38,0)) * cm) * " +
           "(CAST(o AS DECIMAL(38,0)) * n - CAST(rm AS DECIMAL(38,0)) * cm) " +
           "* 1000000 AS DECIMAL(38,0)) DIV " +
-          "CAST(CAST(n AS DECIMAL(38,0)) * rm * cm AS DECIMAL(38,0))")
+          "CAST(CAST(n AS DECIMAL(38,0)) * rm * cm AS DECIMAL(38,0)) " +
+          "ELSE CAST(raise_error('cramersV: a family exceeds 1.9e8 " +
+          "observations — the exact ppm chi-square algebra needs " +
+          "(n^2/4)^2*10^6 < 10^38; sample first') AS DECIMAL(38,0)) END")
           .as("contrib"))
     val chi = dense.groupBy(col("g"))
       .agg(sum(col("contrib")).cast("bigint").as("chi2_ppm"))
@@ -399,10 +419,12 @@ object GroupTests {
     * shared-SQL-text double formulas over exact integers
     * ([[skewFormulaSql]]/[[kurtFormulaSql]]), rounded 6.
     *
-    * Magnitude contract ENFORCED (the anovaOneWay pre-scan
-    * convention): every term is bounded by 6·(n·max|v|)⁴, which must
-    * stay under 9·10³⁷ — keep `valueCol` in units where
-    * n·max|v| < 10⁹ (the q178 contract query uses KILOdollars).
+    * Magnitude contract ENFORCED in-plan (the anovaOneWay guard
+    * convention): every term, every transient PARTIAL SUM of the a3/
+    * a4 expressions, and the final values are bounded by
+    * 16·(n·max|v|)⁴, which must stay under 9·10³⁷ — keep `valueCol`
+    * in units where n·max|v| < ~10⁹ (the q178 contract query uses
+    * KILOdollars).
     *
     * @return (famCol, n, a2, skewness, kurtosis_excess) — null shape
     *         measures on zero variance or n < 2
@@ -411,23 +433,41 @@ object GroupTests {
                    valueCol: String): DataFrame = {
     val rows = df.select(col(famCol).as("g"),
       col(valueCol).cast("long").as("v"))
-    val tooBig = rows.groupBy(col("g"))
+    def dcm(c: Column): Column = c.cast("decimal(38,0)")
+    // the magnitude guard gates through a BROADCAST build side (r16 —
+    // previously a separate pre-scan count() action; the broadcast
+    // materializes before any probe-side moment task, so the NAMED
+    // refusal fires before the quartic sums can overflow under ANSI
+    // or NULL-poison under non-ANSI), and the constant is WIDENED
+    // from 6 to 16·(n·max|v|)⁴ (the r15 verdict's partial-sum
+    // margin): the a4 expression's left-to-right partial sums reach
+    // |n³d − 4n²sc| ≤ 5B⁴, |… + 6ns²q| ≤ 11B⁴, |… − 3s⁴| ≤ 14B⁴, and
+    // the quartic RAW-SUM term n³·d itself is ≤ B⁴ — so every term,
+    // every transient partial sum, the raw moment sums, and the final
+    // values fit DECIMAL(38,0) whenever 16·B⁴ < 9·10³⁷.
+    val gate = broadcast(rows.groupBy(col("g"))
       .agg((count(lit(1)).cast("double") *
         max(greatest(abs(col("v")), lit(1L)).cast("double"))).as("b"))
-      .filter(lit(6.0) * col("b") * col("b") * col("b") * col("b")
-        >= lit(9.0e37)).count()
-    require(tooBig == 0,
-      "skewKurtosis: a group's quartic moment bound 6·(n·max|v|)⁴ " +
-        "reaches the DECIMAL(38,0) range — rescale valueCol to " +
-        "coarser units")
-    def dcm(c: Column): Column = c.cast("decimal(38,0)")
-    val m = rows.select(col("g"), dcm(col("v")).as("v"))
+      .select(col("g"),
+        when(lit(16.0) * col("b") * col("b") * col("b") * col("b") <
+            lit(9.0e37), lit(1))
+          .otherwise(raise_error(lit(
+            "skewKurtosis: a group's quartic moment bound " +
+              "16*(n*max|v|)^4 reaches the DECIMAL(38,0) range — " +
+              "rescale valueCol to coarser units")).cast("int"))
+          .as("__gate")))
+    // n sums __gate (always 1) rather than counting, so the guard
+    // column stays REFERENCED — pruning would otherwise strip the
+    // raise_error projection out of the broadcast build side (the
+    // anovaFromCells lesson)
+    val m = rows.join(gate, Seq("g"))
       .groupBy(col("g"))
-      .agg(count(lit(1)).cast("decimal(38,0)").as("n"),
-        sum(col("v")).as("s"),
-        sum(col("v") * col("v")).as("q"),
-        sum(col("v") * col("v") * col("v")).as("c"),
-        sum(col("v") * col("v") * col("v") * col("v")).as("d"))
+      .agg(sum(col("__gate")).cast("decimal(38,0)").as("n"),
+        sum(dcm(col("v"))).as("s"),
+        sum(dcm(col("v")) * dcm(col("v"))).as("q"),
+        sum(dcm(col("v")) * dcm(col("v")) * dcm(col("v"))).as("c"),
+        sum(dcm(col("v")) * dcm(col("v")) * dcm(col("v")) * dcm(col("v")))
+          .as("d"))
     m.select(col("g").as(famCol), col("n").cast("bigint").as("n"),
         expr("CAST(n * q - s * s AS DECIMAL(38,0))").as("a2"),
         expr("CAST(n * n * c - 3 * n * s * q + 2 * s * s * s " +
@@ -435,8 +475,6 @@ object GroupTests {
         expr("CAST(n * n * n * d - 4 * n * n * s * c " +
           "+ 6 * n * s * s * q - 3 * s * s * s * s " +
           "AS DECIMAL(38,0))").as("a4"))
-      .select(col(famCol), col("n"), col("a2").cast("decimal(38,0)"),
-        col("a3"), col("a4"))
       .select(col(famCol), col("n"),
         col("a2").cast("bigint").as("a2"),
         when(col("n") >= 2 && col("a2") > 0,

@@ -41,11 +41,9 @@ object RankCorr {
     concat_ws("\u0001", length(fam.cast("string")), fam, sub)
 
   /** (g, vc, cnt, below) — the per-(group, value) count table with
-    * the WITHIN-GROUP cumulative row count strictly below each value:
-    * composite-key [[Ranking.globalRank]] + [[PrefixSum]] over the
-    * rank axis, prior-group masses off a group-cardinality PrefixSum
-    * broadcast back. The shared primitive under doubled midranks
-    * (here) and order-statistic selection ([[RobustStats]]).
+    * the WITHIN-GROUP cumulative row count strictly below each value.
+    * The shared primitive under doubled midranks (here) and
+    * order-statistic selection ([[RobustStats]]).
     */
   private[operators] def groupCumCounts(rows: DataFrame, vc: String): DataFrame =
     cumFromCounts(rows.groupBy(col("g"), col(vc))
@@ -55,20 +53,98 @@ object RankCorr {
     * streaming maintenance holds as state (counts are the additive
     * sufficient statistic for every order-statistic readout).
     */
-  private[operators] def cumFromCounts(counts: DataFrame, vc: String): DataFrame = {
-    val pv = counts.localCheckpoint(true) // feeds the rank pass and group totals
-    val ranked = Ranking.globalRank(pv, Seq("g", vc), "__gr", 0)
-    val cum = PrefixSum.runningTotal(ranked, "__gr", "cnt", "__cum")
-    val gt = pv.groupBy(col("g")).agg(sum(col("cnt")).as("__tot"))
-    val prior = PrefixSum.runningTotal(gt, "g", "__tot", "__gcum")
-      .select(col("g"), (col("__gcum") - col("__tot")).as("__prior"))
-    cum.join(broadcast(prior), Seq("g"))
-      .select(col("g"), col(vc), col("cnt"),
-        (col("__cum") - col("cnt") - col("__prior")).cast("bigint").as("below"),
-        // the global rank axis rides along: consumers that need a
-        // SECOND prefix quantity in the same order (a value-mass
-        // cumulation for trimmed sums) prefix-sum over it directly
-        col("__gr"))
+  private[operators] def cumFromCounts(counts: DataFrame, vc: String): DataFrame =
+    cumFromCountsWith(counts, vc, None)
+
+  /** FUSED grouped cumulation (r16 — the whole rank/order-statistic
+    * battery's pass-count floor lived here): ONE sampled range
+    * partition on (g, vc), pinned by ONE eager localCheckpoint, then
+    * ONE model-sized collect, then a lazy partition-LOCAL window —
+    * where the previous composition (globalRank + two PrefixSum
+    * passes) paid three pins and three collects for the same
+    * integers.
+    *
+    *  - Each partition holds a CONTIGUOUS (g, vc) range, so a group
+    *    needs a non-zero starting offset only when it SPANS a
+    *    partition boundary — at most ~2·#partitions (partition,
+    *    group) rows ever reach the driver, independent of group
+    *    count (the model-sized-collect convention).
+    *  - The duplicate-key guard rides the SAME collect (count vs
+    *    count_distinct per (partition, group) cell; range
+    *    partitioning never splits equal keys, so per-cell
+    *    distinctness is global distinctness).
+    *  - below = partition-local running cnt − cnt + broadcast
+    *    offset: exact integer algebra, identical to the previous
+    *    global-cumulation-minus-prior form.
+    *  - `valCol` optionally cumulates a SECOND column in the same
+    *    window (within-group INCLUSIVE running sum, emitted as
+    *    `cumv`) — the trimmed-mean value-mass axis, previously a
+    *    whole extra PrefixSum pass.
+    *
+    * Null groups are dropped (the previous prior-join behavior,
+    * now explicit). Rows must be unique on (g, vc) — enforced.
+    */
+  private[operators] def cumFromCountsWith(countsIn: DataFrame, vc: String,
+                                           valCol: Option[String])
+      : DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    import org.apache.spark.sql.types._
+    val spark = countsIn.sparkSession
+    val counts = countsIn.filter(col("g").isNotNull)
+    val n = spark.sessionState.conf.numShufflePartitions
+    val ranged = counts.repartitionByRange(n, col("g"), col(vc))
+      .localCheckpoint(true) // pin the sampled range layout
+    val withPid = ranged.withColumn("__pid",
+      spark_partition_id().cast("long"))
+    val baseAggs = Seq(sum(col("cnt")).as("__t"),
+      count(lit(1)).as("__rows"),
+      count_distinct(col(vc)).as("__nd")) ++
+      valCol.map(c => sum(col(c)).as("__tv"))
+    val pg = withPid.groupBy(col("__pid"), col("g"))
+      .agg(baseAggs.head, baseAggs.tail: _*)
+    // collect ONLY boundary-spanning groups (offset ≠ 0) and any
+    // duplicate-key offenders — model-sized regardless of group count
+    val flagged = pg
+      .withColumn("__span", count(lit(1)).over(Window.partitionBy(col("g"))))
+      .filter(col("__span") > 1 || col("__rows") =!= col("__nd"))
+      .collect()
+    require(flagged.forall(r =>
+      r.getAs[Long]("__rows") == r.getAs[Long]("__nd")),
+      s"cumFromCounts: rows must be unique on (g, $vc) — aggregate to " +
+        "the (group, value) key first")
+    // per-(partition, group) starting offsets, accumulated in
+    // partition order on the driver
+    val run = scala.collection.mutable.Map.empty[Any, (BigDecimal, BigDecimal)]
+    val offRows = flagged.sortBy(_.getAs[Long]("__pid")).map { r =>
+      val g = r.getAs[Any]("g")
+      val (c0, v0) = run.getOrElse(g, (BigDecimal(0), BigDecimal(0)))
+      val t = BigDecimal(Option(r.getAs[Any]("__t")).fold("0")(_.toString))
+      val tv = valCol.map(_ =>
+        BigDecimal(Option(r.getAs[Any]("__tv")).fold("0")(_.toString)))
+        .getOrElse(BigDecimal(0))
+      run(g) = (c0 + t, v0 + tv)
+      org.apache.spark.sql.Row(r.getAs[Long]("__pid"), g,
+        c0.toString, v0.toString)
+    }
+    val gType = counts.schema("g").dataType
+    val offDf = broadcast(spark.createDataFrame(
+      java.util.Arrays.asList(offRows: _*),
+      StructType(Seq(StructField("__pid", LongType),
+        StructField("g", gType), StructField("__coff", StringType),
+        StructField("__voff", StringType)))))
+    val w = Window.partitionBy(col("__pid"), col("g")).orderBy(col(vc))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val dz = lit(0).cast("decimal(38,0)")
+    val out = withPid.join(offDf, Seq("__pid", "g"), "left")
+      .withColumn("below",
+        (sum(col("cnt")).over(w) - col("cnt")
+          + coalesce(col("__coff").cast("decimal(38,0)"), dz))
+          .cast("bigint"))
+    val cols = Seq(col("g"), col(vc), col("cnt"), col("below")) ++
+      valCol.map(c => (sum(col(c)).over(w)
+        + coalesce(col("__voff").cast("decimal(38,0)"), dz))
+        .cast("decimal(38,0)").as("cumv"))
+    out.select(cols: _*)
   }
 
   /** (group, value, m2) — doubled midranks of `vc` within each group,
@@ -212,15 +288,7 @@ object RankCorr {
         col(valueCol).cast("long").as("v"))
       .groupBy(col("g"), col("smp"), col("v"))
       .agg(count(lit(1)).as("cnt"))
-      .localCheckpoint(true) // two-sample check + rank pass + agg
-    val badFams = cells.groupBy(col("g"))
-      .agg(count_distinct(col("smp")).as("k"),
-        max(when(col("smp") === sampleA, 1).otherwise(0)).as("hasA"))
-      .filter(col("k") =!= 2 || col("hasA") === 0).count()
-    require(badFams == 0,
-      s"mannWhitney: $badFams families lack exactly two samples " +
-        s"including '$sampleA' — filter/relabel first (use " +
-        "kruskalWallis for k > 2)")
+      .localCheckpoint(true) // rank pass + agg
     val pooled = cells.groupBy(col("g"), col("v"))
       .agg(sum(col("cnt")).as("cnt"))
     val m2 = cumFromCounts(pooled, "v")
@@ -231,6 +299,9 @@ object RankCorr {
       .agg(sum(dec(col("cnt")) * dec(col("cnt")) * dec(col("cnt"))
         - dec(col("cnt"))).cast("decimal(38,0)").as("t3t"),
         sum(col("cnt")).cast("bigint").as("n"))
+    // the two-sample shape check rides the SAME aggregate (r16 —
+    // previously its own count() action) and refuses IN-PLAN, naming
+    // the family, the moment a malformed family's statistic is read
     val agg = cells.join(m2, Seq("g", "v"))
       .groupBy(col("g"))
       .agg(sum(when(col("smp") === sampleA, col("cnt")).otherwise(0L))
@@ -239,17 +310,28 @@ object RankCorr {
           .cast("bigint").as("nb"),
         sum(when(col("smp") === sampleA,
           dec(col("cnt")) * dec(col("m2"))).otherwise(lit(0)
-          .cast("decimal(38,0)"))).cast("decimal(38,0)").as("r2a"))
+          .cast("decimal(38,0)"))).cast("decimal(38,0)").as("r2a"),
+        count_distinct(col("smp")).as("kk"),
+        max(when(col("smp") === sampleA, 1).otherwise(0)).as("hasA"))
+    def guard(c: Column, tpe: String): Column =
+      when(col("kk") === 2 && col("hasA") === 1, c)
+        .otherwise(raise_error(concat(
+          lit("mannWhitney: family "), col("g").cast("string"),
+          lit(s" lacks exactly two samples including '$sampleA' — " +
+            "filter/relabel first (use kruskalWallis for k > 2)")))
+          .cast(tpe))
     agg.join(ties, Seq("g"))
-      .select(col("g").as(famCol), col("na"), col("nb"),
-        (col("r2a") - dec(col("na")) * (dec(col("na")) + 1))
-          .cast("bigint").as("u2"),
+      .select(col("g"), col("kk"), col("hasA"),
+        col("na"), col("nb"),
+        guard((col("r2a") - dec(col("na")) * (dec(col("na")) + 1))
+          .cast("bigint"), "bigint").as("u2"),
         col("n"), col("t3t").cast("bigint").as("t3t"))
       .withColumn("z",
-        when(col("na") > 0 && col("nb") > 0 &&
+        guard(when(col("na") > 0 && col("nb") > 0 &&
           expr(mwVarGuardSql) > 0, round(expr(mwZFormulaSql), 6))
-          .otherwise(lit(null).cast("double")))
-      .select(col(famCol), col("na"), col("nb"), col("u2"), col("z"))
+          .otherwise(lit(null).cast("double")), "double"))
+      .select(col("g").as(famCol), col("na"), col("nb"), col("u2"),
+        col("z"))
   }
 
   /** Tie-corrected Mann–Whitney variance (×1, in doubles) over the
@@ -469,14 +551,6 @@ object RankCorr {
       .agg(sum(col("cnt")).cast("bigint").as("n"),
         sum(dcm(col("cnt")) * dcm(col("cnt")) * dcm(col("cnt"))
           - dcm(col("cnt"))).cast("decimal(38,0)").as("t3t"))
-      .localCheckpoint(true) // refusal scan + final join
-    val tooBig = fam.filter(col("n") > maxFamilyN)
-      .select(col("g"), col("n")).collect()
-    require(tooBig.isEmpty,
-      s"kruskalWallis: families ${tooBig.map(_.get(0)).mkString(", ")} " +
-        s"exceed maxFamilyN=$maxFamilyN rows — the exact rank-square " +
-        "term n_j(2n+1)^2 would overflow BIGINT; split the family or " +
-        "coarsen the value units")
     val m2 = cumFromCounts(pooled, "v")
       .select(col("g"), col("v"),
         (lit(2) * col("below") + col("cnt") + lit(1)).cast("long").as("m2"))
@@ -490,14 +564,25 @@ object RankCorr {
       .groupBy(col("g"))
       .agg(count(lit(1)).cast("bigint").as("k"),
         sum(col("term")).cast("decimal(38,0)").as("rsq_sum"))
+    // maxFamilyN refusal IN-PLAN (r16 — previously a localCheckpoint
+    // + its own collect() action): a too-big family raises the moment
+    // its rank-square sum is read, naming the family
+    def guard(c: Column, tpe: String): Column =
+      when(col("n") <= maxFamilyN, c)
+        .otherwise(raise_error(concat(
+          lit("kruskalWallis: family "), col("g").cast("string"),
+          lit(s" exceeds maxFamilyN=$maxFamilyN rows — the exact " +
+            "rank-square term n_j(2n+1)^2 would overflow BIGINT; " +
+            "split the family or coarsen the value units")))
+          .cast(tpe))
     terms.join(fam, Seq("g"))
       .select(col("g").as(famCol), col("k"), col("n"),
-        col("rsq_sum").cast("bigint").as("rsq_sum"),
-        col("t3t").cast("bigint").as("t3t"),
-        when(dcm(col("n")) * dcm(col("n")) * dcm(col("n")) - dcm(col("n"))
-            > col("t3t"),
+        guard(col("rsq_sum").cast("bigint"), "bigint").as("rsq_sum"),
+        guard(col("t3t").cast("bigint"), "bigint").as("t3t"),
+        guard(when(dcm(col("n")) * dcm(col("n")) * dcm(col("n"))
+            - dcm(col("n")) > col("t3t"),
           round(expr(GroupTests.kwHFormulaSql), 6))
-          .otherwise(lit(null).cast("double")).as("h"))
+          .otherwise(lit(null).cast("double")), "double").as("h"))
   }
 
   /** SQL text of the tie-corrected variance of the (undoubled)

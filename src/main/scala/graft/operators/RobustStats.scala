@@ -133,50 +133,34 @@ object RobustStats {
     val counts = df.select(col(groupCol).as("g"),
         col(valueCol).cast("long").as("v"))
       .groupBy(col("g"), col("v")).agg(count(lit(1)).as("cnt"))
-    val cum = RankCorr.cumFromCounts(counts, "v")
       .withColumn("__vc",
         (col("v").cast("decimal(19,0)") * col("cnt").cast("decimal(19,0)"))
           .cast("decimal(38,0)"))
-    // value mass cumulated over the SAME global rank axis the count
-    // cumulation used — within-group differences cancel prior groups
-    val cumv = PrefixSum.runningTotal(cum, "__gr", "__vc", "__cumv")
-      .localCheckpoint(true) // two boundary selections below
-    // ONE group-cardinality aggregate feeds both the trim positions
-    // and the prior-mass prefix (folding them together saves a full
-    // value-cardinality pass — measured ~1 s at sf0.1)
-    val gagg = cumv.groupBy(col("g"))
-      .agg(sum(col("cnt")).cast("bigint").as("n"),
-        sum(col("__vc")).cast("decimal(38,0)").as("__gtotv"))
-      .localCheckpoint(true)
-    val pos = gagg
+    // the value-mass axis rides the SAME fused cumulation pass as the
+    // count axis (r16 — previously a whole extra PrefixSum pass over
+    // the shared rank axis plus a prior-group-mass correction; `cumv`
+    // is WITHIN-GROUP inclusive, so position 0 is simply mass 0)
+    val cum = RankCorr.cumFromCountsWith(counts, "v", Some("__vc"))
+      .localCheckpoint(true) // two boundary selections + group totals
+    val pos = cum.groupBy(col("g"))
+      .agg(sum(col("cnt")).cast("bigint").as("n"))
       .withColumn("__k", expr(s"n * $trimBps DIV 10000"))
       .withColumn("__hi", col("n") - col("__k"))
     // CUMV at position p: the boundary row r has below < p ≤ below+cnt;
-    // CUMV(p) = cumv(r) − (below+cnt−p)·v  (p = 0 ⇒ contributes 0)
-    def at(pCol: String, out: String): DataFrame = cumv
+    // CUMV(p) = cumv(r) − (below+cnt−p)·v  (p = 0 ⇒ no row ⇒ mass 0)
+    def at(pCol: String, out: String): DataFrame = cum
       .join(broadcast(pos.select(col("g"), col(pCol).as("__p"))), Seq("g"))
       .filter(col("below") < col("__p") &&
         col("__p") <= col("below") + col("cnt"))
       .select(col("g"),
-        (col("__cumv").cast("decimal(38,0)") -
+        (col("cumv") -
           (col("below") + col("cnt") - col("__p")).cast("decimal(19,0)") *
             col("v").cast("decimal(19,0)")).cast("decimal(38,0)").as(out))
     val hi = at("__hi", "__hiv")
     val lo = at("__k", "__lov")
-    // k = 0 ⇒ no lower boundary row — but __cumv is GLOBAL over the
-    // shared rank axis, so CUMV at within-group position 0 is the
-    // group's PRIOR value mass, NOT 0 (coalescing to 0 leaks every
-    // preceding group's total into the trimmed sum): group-cardinality
-    // prefix of the per-group value totals gagg already holds,
-    // broadcast back.
-    val priorv = PrefixSum.runningTotal(
-        gagg.select(col("g"), col("__gtotv")), "g", "__gtotv", "__gcumv")
-      .select(col("g"),
-        (col("__gcumv") - col("__gtotv")).cast("decimal(38,0)").as("__priorv"))
-    val lov = coalesce(col("__lov"), col("__priorv"))
+    val lov = coalesce(col("__lov"), lit(0).cast("decimal(38,0)"))
     pos.join(hi, Seq("g"))
       .join(lo, Seq("g"), "left")
-      .join(broadcast(priorv), Seq("g"))
       .select(col("g").as(groupCol), col("n"),
         (col("n") - col("__k") * 2).cast("bigint").as("n_kept"),
         (col("__hiv") - lov).cast("bigint").as("trimmed_sum"),

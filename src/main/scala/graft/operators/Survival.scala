@@ -67,14 +67,18 @@ object Survival {
       .filter(col("d") > 0)
       .select(col("g"), col("t"), (col("n_g") - col("below"))
         .cast("bigint").as("n_risk"), col("d").cast("bigint").as("d"))
-    val nRows = steps.count()
-    require(nRows <= maxTableRows,
-      s"kaplanMeier: $nRows group×event-time rows > maxTableRows=" +
-        s"$maxTableRows — the curve IS this table; coarsen the time " +
-        "unit or raise maxTableRows")
     // sequential product per group in ascending t — the oracle's
-    // windowed product() order, so the doubles are bit-identical
-    val rows = steps.orderBy(col("g"), col("t")).collect()
+    // windowed product() order, so the doubles are bit-identical.
+    // The size refusal rides the SAME action (r16 — previously its
+    // own count() job): sort+limit(cap+1) plans as the
+    // TakeOrderedAndProject partial+final heap, the driver holds at
+    // most cap+1 rows, and one extra row proves the violation.
+    val capPlus = (maxTableRows.min(Int.MaxValue - 1L) + 1).toInt
+    val rows = steps.orderBy(col("g"), col("t")).limit(capPlus).collect()
+    require(rows.length <= maxTableRows,
+      s"kaplanMeier: more than maxTableRows=$maxTableRows " +
+        "group×event-time rows — the curve IS this table; coarsen " +
+        "the time unit or raise maxTableRows")
     var curG: Any = null
     var s = 1.0
     val out = rows.map { r =>
@@ -199,8 +203,12 @@ object Survival {
   private[graft] def logRankFromCounts(countsIn: DataFrame,
                                        groupA: String): DataFrame = {
     val counts = countsIn.localCheckpoint(true)
-    val gs = counts.select(col("g")).distinct()
-      .collect().map(_.get(0).toString)
+    // ONE group-cardinality collect serves BOTH preconditions (r16 —
+    // the observation total previously paid its own agg action): the
+    // two-group shape and the magnitude cap
+    val gRows = counts.groupBy(col("g"))
+      .agg(sum(col("cnt")).as("__n")).collect()
+    val gs = gRows.map(_.get(0).toString)
     require(gs.length == 2 && gs.contains(groupA),
       s"logRank: exactly two groups required incl. '$groupA', got " +
         gs.mkString(", "))
@@ -208,7 +216,7 @@ object Survival {
     // at (n/2)⁴·10⁶ = exactly 10³⁸ when n = 2e8 — past DECIMAL(38,0)
     // max, so an at-the-boundary input would overflow to NULL and be
     // silently dropped by SUM
-    val nObs = counts.agg(sum(col("cnt"))).head().getLong(0)
+    val nObs = gRows.map(_.getLong(1)).sum
     require(nObs <= 190000000L,
       s"logRank: $nObs observations — the exact single-division ppm " +
         "algebra needs (n/2)⁴·10⁶ < 10³⁸ (≤ 1.9e8 obs); sample first " +

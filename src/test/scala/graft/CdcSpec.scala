@@ -17,6 +17,20 @@ object SparkTestSession {
     .config("spark.sql.session.timeZone", "UTC")
     .config("spark.ui.enabled", "false")
     .getOrCreate()
+
+  /** Run `f` expecting a refusal; return the FULL message chain.
+    * In-plan refusals (raise_error inside the query — the r16
+    * guard convention) surface as SparkException-wrapped
+    * SparkRuntimeException at action time, driver-side `require`
+    * refusals as IllegalArgumentException — this accepts both and
+    * lets the caller assert on the message text.
+    */
+  def refusalMessage(f: => Any): String = {
+    val t = try { f; null } catch { case e: Throwable => e }
+    Predef.assert(t != null, "expected a refusal, got none")
+    Iterator.iterate(t: Throwable)(_.getCause).takeWhile(_ != null)
+      .map(e => Option(e.getMessage).getOrElse("")).mkString(" | ")
+  }
 }
 
 class CdcSpec extends AnyFunSuite {

@@ -63,10 +63,10 @@ class GroupTestsSpec extends AnyFunSuite {
 
   test("KW refuses families beyond the BIGINT magnitude cap") {
     val df = Seq(("f", "A", 1L), ("f", "B", 2L)).toDF("g", "s", "v")
-    val e = intercept[IllegalArgumentException] {
+    val e = SparkTestSession.refusalMessage {
       RankCorr.kruskalWallis(df, "g", "s", "v", maxFamilyN = 1L).collect()
     }
-    assert(e.getMessage.contains("maxFamilyN"))
+    assert(e.contains("maxFamilyN") && e.contains("family f"), e)
   }
 
   // ---- one-way ANOVA ----
@@ -310,24 +310,24 @@ class GroupTestsSpec extends AnyFunSuite {
     // over-cap regime is testable without 2e8 physical rows
     val moodCells = Seq(("f", "A", 1L, 100000000L),
       ("f", "B", 2L, 150000000L)).toDF("g", "smp", "v", "cnt")
-    val e1 = intercept[IllegalArgumentException] {
+    val e1 = SparkTestSession.refusalMessage {
       GroupTests.moodFromCells(moodCells, "fam").collect()
     }
-    assert(e1.getMessage.contains("1.9e8"), e1.getMessage)
+    assert(e1.contains("1.9e8"), e1)
     val vCells = Seq(("f", "r1", "c1", 191000000L),
       ("f", "r2", "c2", 1L)).toDF("g", "r", "c", "o")
-    val e2 = intercept[IllegalArgumentException] {
+    val e2 = SparkTestSession.refusalMessage {
       GroupTests.cramersVFromCells(vCells, "fam").collect()
     }
-    assert(e2.getMessage.contains("1.9e8"), e2.getMessage)
+    assert(e2.contains("1.9e8"), e2)
     // CMH boundary tightened: a stratum AT 2e8 would put the balanced
     // v_ppm numerator at exactly 10^38 — past DECIMAL(38,0) max
     val strata = Seq(("s1", 95500000L, 95500000L, 0L, 0L))
       .toDF("g", "a", "b", "c", "d")
-    val e3 = intercept[IllegalArgumentException] {
+    val e3 = SparkTestSession.refusalMessage {
       GroupTests.cmhFromStrata(strata).collect()
     }
-    assert(e3.getMessage.contains("1.9e8"), e3.getMessage)
+    assert(e3.contains("1.9e8"), e3)
     // sub-cap still computes
     val ok = Seq(("f", "A", 1L, 10L), ("f", "B", 2L, 10L))
       .toDF("g", "smp", "v", "cnt")
@@ -341,10 +341,36 @@ class GroupTestsSpec extends AnyFunSuite {
     val big = (1 to 100).flatMap(_ =>
       Seq(("f", "A", 1000000000000000000L), ("f", "B", 1L)))
       .toDF("g", "s", "v")
-    val e = intercept[IllegalArgumentException] {
+    val e = SparkTestSession.refusalMessage {
       GroupTests.anovaOneWay(big, "g", "s", "v").collect()
     }
-    assert(e.getMessage.contains("rescale"), e.getMessage)
+    assert(e.contains("rescale"), e)
+  }
+
+  test("ANOVA adversarial near-bound: the SQUARE s_j² can overflow " +
+      "where the old per-sample n_j·max(v²) bound still passed — the " +
+      "family (n·max|v|)² guard refuses instead of silently nulling") {
+    // one cell: cnt = 4e9, v = 3e9 → s_j = 1.2e19, s_j² = 1.44e38 >
+    // DECIMAL(38,0) max, yet n_j·max(v²) = 4e9 · 9e18 = 3.6e28 ≪ 9e37
+    // (the r15-certified guard would have let this through to an
+    // ANSI mid-job arithmetic error / non-ANSI NULL-skipping SUM)
+    val cells = Seq(("f", "A", 3000000000L, 4000000000L))
+      .toDF("g", "smp", "v", "cnt")
+    val e = SparkTestSession.refusalMessage {
+      GroupTests.anovaFromCells(cells, "fam").collect()
+    }
+    assert(e.contains("rescale") && e.contains("(n*max|v|)^2"), e)
+  }
+
+  test("skewKurtosis widened partial-sum margin: 16·B⁴ refuses inputs " +
+      "the old 6·B⁴ constant accepted") {
+    // B = n·max|v| = 1600 · 1e6 = 1.6e9: 16·B⁴ ≈ 1.05e38 ≥ 9e37
+    // (refuse) while 6·B⁴ ≈ 3.9e37 < 9e37 (the old guard passed)
+    val df = (1 to 1600).map(i => ("f", 1000000L - i)).toDF("g", "v")
+    val e = SparkTestSession.refusalMessage {
+      GroupTests.skewKurtosis(df, "g", "v").collect()
+    }
+    assert(e.contains("16*(n*max|v|)^4"), e)
   }
 
   test("battery partitioning invariance (ANOVA + Mood + V)") {

@@ -212,11 +212,11 @@ class Round15StatsSpec extends AnyFunSuite {
     val tied = Seq(("f", "A", 1L), ("f", "B", 1L)).toDF("g", "s", "v")
     val rt = RankCorr.mannWhitney(tied, "g", "s", "v", "A").collect().head
     assert(rt.isNullAt(rt.fieldIndex("z")))
-    assert(intercept[IllegalArgumentException] {
+    assert(SparkTestSession.refusalMessage {
       RankCorr.mannWhitney(
         (rows :+ (("f", "C", 1L))).toDF("g", "s", "v"),
         "g", "s", "v", "A").collect()
-    }.getMessage.contains("exactly two samples"))
+    }.contains("exactly two samples"))
   }
 
   // ---- skewness / kurtosis ----
@@ -239,9 +239,9 @@ class Round15StatsSpec extends AnyFunSuite {
     assert(m("f").getAs[Double]("skewness") == 0.0)
     assert(m("c").isNullAt(m("c").fieldIndex("skewness")))
     val big = (1 to 100).map(i => ("f", 1000000000L + i)).toDF("g", "v")
-    assert(intercept[IllegalArgumentException] {
+    assert(SparkTestSession.refusalMessage {
       GroupTests.skewKurtosis(big, "g", "v").collect()
-    }.getMessage.contains("quartic"))
+    }.contains("quartic"))
   }
 
   // ---- Brown–Forsythe ----
