@@ -69,6 +69,48 @@ object Ols {
     s"CASE WHEN det <> 0 THEN " +
       s"round(CAST($d AS DOUBLE) / CAST(det AS DOUBLE), 6) ELSE NULL END"
 
+  /** DIAGONAL COFACTORS of X'X — [(X'X)⁻¹]_ii · det, exact integers
+    * (r16 inference upgrade): more Cramer algebra over the same
+    * moments, covered by the same magnitude refusal (each ≤ 2·M²,
+    * far inside the 6·M²·max(M,My) bound). c00 ↔ intercept,
+    * c11 ↔ x1, c22 ↔ x2.
+    */
+  val c00Sql: String = "sx1x1 * sx2x2 - sx1x2 * sx1x2"
+  val c11Sql: String = "n * sx2x2 - sx2 * sx2"
+  val c22Sql: String = "n * sx1x1 - sx1 * sx1"
+
+  /** SSE over the exact integers, in doubles — textually the inner
+    * expression of [[r2Sql]] (identical parse ⇒ identical IEEE
+    * evaluation ⇒ hash-identical across engines).
+    */
+  val sseSql: String =
+    "(CAST(syy AS DOUBLE) - (CAST(d0 AS DOUBLE) * CAST(sy AS DOUBLE) " +
+      "+ CAST(d1 AS DOUBLE) * CAST(sx1y AS DOUBLE) " +
+      "+ CAST(d2 AS DOUBLE) * CAST(sx2y AS DOUBLE)) " +
+      "/ CAST(det AS DOUBLE))"
+
+  /** Standard error of coefficient i —
+    * se_i = sqrt(σ̂²·[(X'X)⁻¹]_ii) = sqrt(max(SSE,0)/(n−3)·C_ii/det),
+    * the ONE shared double formula rounded 6; null for a singular
+    * system or n ≤ 3 (no residual dof). greatest(·,0) absorbs the
+    * −ulp SSE of a numerically perfect fit.
+    */
+  def seSql(cii: String): String =
+    s"CASE WHEN det <> 0 AND n > 3 THEN " +
+      s"round(sqrt(greatest($sseSql, 0.0) / (CAST(n AS DOUBLE) - 3.0) " +
+      s"* CAST($cii AS DOUBLE) / CAST(det AS DOUBLE)), 6) ELSE NULL END"
+
+  /** t-statistic of coefficient i — the UNROUNDED β_i over the
+    * UNROUNDED se (never a rounded-over-rounded chain), one shared
+    * double formula rounded 6; null when SSE ≤ 0 (a perfect fit has
+    * no finite t) or the se is undefined.
+    */
+  def tSql(d: String, cii: String): String =
+    s"CASE WHEN det <> 0 AND n > 3 AND $sseSql > 0 THEN " +
+      s"round((CAST($d AS DOUBLE) / CAST(det AS DOUBLE)) / " +
+      s"sqrt($sseSql / (CAST(n AS DOUBLE) - 3.0) " +
+      s"* CAST($cii AS DOUBLE) / CAST(det AS DOUBLE)), 6) ELSE NULL END"
+
   /** R² from exact integers: SSE = syy − β'X'y with β = det_i/det
     * folded in as doubles — ONE shared IEEE formula (identical parse
     * ⇒ identical evaluation order ⇒ hash-identical), rounded 6; null
@@ -89,18 +131,27 @@ object Ols {
     * and ORACLE-EXACT. Inputs must be integral (pre-scale to cents /
     * whole units — the q84 discipline).
     *
-    * Magnitude refusals run BEFORE any decimal algebra (the
-    * anovaOneWay convention — under ANSI mode an overflow would
-    * throw mid-job, under non-ANSI it would NULL the term and SUM
-    * would silently skip it): a cheap per-group bound scan over the
-    * raw rows caps every moment at n·max(|v|,1)², and the Cramer
-    * products at 6·(n·mx²)²·max(n·mx², n·mx·my) — both must stay
-    * under 9·10³⁷ (safe margin below DECIMAL(38,0)/HUGEINT max).
+    * Magnitude refusals fire BEFORE any decimal algebra (the
+    * anovaOneWay broadcast-gate convention — under ANSI mode an
+    * overflow would throw mid-job, under non-ANSI it would NULL the
+    * term and SUM would silently skip it): a per-group bound rides a
+    * broadcast build side that materializes before any moment task,
+    * capping every moment at n·max(|v|,1)² and the Cramer products
+    * at 6·(n·mx²)²·max(n·mx², n·mx·my) — both must stay under
+    * 9·10³⁷ (safe margin below DECIMAL(38,0)/HUGEINT max).
     *
-    * @return (groupCol, n, b0, b1, b2, r2) — b0 the intercept;
-    *         coefficients null for a singular group (constant or
-    *         collinear covariates), r2 additionally null on zero
-    *         total variance
+    * INFERENCE (r16): standard errors and t-statistics per
+    * coefficient ride the same exact moments — [(X'X)⁻¹]_ii·det are
+    * the diagonal COFACTORS (more Cramer algebra, exact integers),
+    * se_i = sqrt(SSE/(n−3)·C_ii/det) and t_i = β_i/se_i are shared-
+    * text double formulas — so the whole inference row stays
+    * oracle-exact.
+    *
+    * @return (groupCol, n, b0, b1, b2, se0, se1, se2, t0, t1, t2,
+    *         r2) — b0 the intercept; coefficients/se null for a
+    *         singular group (constant or collinear covariates), se/t
+    *         additionally null for n ≤ 3, t null on a perfect fit
+    *         (SSE ≤ 0), r2 null on zero total variance
     */
   def fitGrouped2(df: DataFrame, groupCol: String, x1Col: String,
                   x2Col: String, yCol: String): DataFrame = {
@@ -108,9 +159,14 @@ object Ols {
       col(x1Col).cast("long").as("x1"),
       col(x2Col).cast("long").as("x2"),
       col(yCol).cast("long").as("y"))
-    // bound scan first: doubles can't overflow, so this pass is safe
-    // on any input and certifies the decimal pass that follows
-    val bounds = rows.groupBy(col("g"))
+    // the bound gates through a BROADCAST build side (r16 — the
+    // anovaFromCells convention; previously its own count() action):
+    // doubles can't overflow, the broadcast materializes BEFORE any
+    // probe-side moment task, so a violating group raises the NAMED
+    // refusal before the decimal aggregation can overflow (ANSI) or
+    // NULL-poison (non-ANSI). x1 multiplies by __gate (always 1) so
+    // column pruning can't strip the raise_error projection.
+    val gate = broadcast(rows.groupBy(col("g"))
       .agg(count(lit(1)).cast("double").as("nd"),
         max(greatest(abs(col("x1")), abs(col("x2")), lit(1L))
           .cast("double")).as("mx"),
@@ -118,15 +174,20 @@ object Ols {
       .select(col("g"), (col("nd") * col("mx") * col("mx")).as("bx"),
         (col("nd") * col("mx") * col("my")).as("bxy"),
         (col("nd") * col("my") * col("my")).as("byy"))
-    val tooBig = bounds.filter(
-      lit(6.0) * col("bx") * col("bx") * greatest(col("bx"), col("bxy"))
-        >= lit(9.0e37) || col("byy") >= lit(9.0e37)).count()
-    require(tooBig == 0,
-      "fitGrouped2: a group's moment bound reaches the DECIMAL(38,0) " +
-        "range — the exact Cramer algebra needs 6·M²·max(M,My) < 10³⁸; " +
-        "rescale to coarser units or use fitFromGram (the double-" +
-        "moment scale path)")
-    fitFromMoments2(moments2(rows), groupCol)
+      .select(col("g"),
+        when(lit(6.0) * col("bx") * col("bx")
+            * greatest(col("bx"), col("bxy")) < lit(9.0e37) &&
+            col("byy") < lit(9.0e37), lit(1L))
+          .otherwise(raise_error(lit(
+            "fitGrouped2: a group's moment bound reaches the " +
+              "DECIMAL(38,0) range — the exact Cramer algebra needs " +
+              "6·M²·max(M,My) < 10³⁸; rescale to coarser units or " +
+              "use fitFromGram (the double-moment scale path)"))
+            .cast("bigint")).as("__gate")))
+    val gated = rows.join(gate, Seq("g"))
+      .select(col("g"), (col("x1") * col("__gate")).as("x1"),
+        col("x2"), col("y"))
+    fitFromMoments2(moments2(gated), groupCol)
   }
 
   /** The exact integer moment table (g, n, sx1, sx2, sx1x1, sx2x2,
@@ -160,29 +221,52 @@ object Ols {
     */
   private[graft] def fitFromMoments2(mIn: DataFrame,
                                      groupCol: String): DataFrame = {
-    val m = mIn.localCheckpoint(true) // det-bound scan + the solve
-    val tooBig = m.select(
+    // det-bound refusal IN-PLAN (r16 — previously a localCheckpoint +
+    // its own count() action): the bound rides doubles off the
+    // materialized moments, so even NULL-poisoned (non-ANSI
+    // overflowed) moments fall into the raise branch (a null guard
+    // condition selects the otherwise), and det is read by every
+    // output column, so no at-risk value escapes unguarded. Under
+    // ANSI a genuinely overflowing Cramer product may throw Spark's
+    // arithmetic error first — equally loud, never a wrong answer
+    // (the raw-row path in fitGrouped2 gates BEFORE aggregation and
+    // always names the refusal).
+    val m = mIn
+    val detOk = (lit(6.0) * col("__mx") * col("__mx") *
+      greatest(col("__mx"), col("__my"))) < lit(9.0e37)
+    m.withColumn("__mx",
         greatest(col("n"), abs(col("sx1")), abs(col("sx2")),
-          col("sx1x1"), col("sx2x2"), abs(col("sx1x2")))
-          .cast("double").as("mx"),
+          col("sx1x1"), col("sx2x2"), abs(col("sx1x2"))).cast("double"))
+      .withColumn("__my",
         greatest(abs(col("sy")), abs(col("sx1y")), abs(col("sx2y")))
-          .cast("double").as("my"))
-      .filter(lit(6.0) * col("mx") * col("mx")
-        * greatest(col("mx"), col("my")) >= lit(9.0e37)).count()
-    require(tooBig == 0,
-      "fitFromMoments2: a group's Cramer product bound 6·M²·max(M,My) " +
-        "reaches the DECIMAL(38,0) range — rescale to coarser units " +
-        "or use fitFromGram (the double-moment scale path)")
-    m.select(col("g"), col("n"), col("sy"), col("sx1y"), col("sx2y"),
-        col("syy"),
-        expr(detSql).cast("decimal(38,0)").as("det"),
-        expr(d0Sql).cast("decimal(38,0)").as("d0"),
-        expr(d1Sql).cast("decimal(38,0)").as("d1"),
-        expr(d2Sql).cast("decimal(38,0)").as("d2"))
+          .cast("double"))
+      .select(col("g") +: col("n") +: col("sy") +: col("sx1y") +:
+        col("sx2y") +: col("syy") +:
+        // EVERY Cramer product is guarded, not just det: within one
+        // projection Spark may evaluate sibling columns in any order,
+        // so an unguarded d2 could hit the ANSI overflow before the
+        // guarded det raises the named refusal (observed)
+        Seq("det" -> detSql, "d0" -> d0Sql, "d1" -> d1Sql,
+          "d2" -> d2Sql, "c00" -> c00Sql, "c11" -> c11Sql,
+          "c22" -> c22Sql).map { case (nm, sql) =>
+          when(detOk, expr(sql).cast("decimal(38,0)"))
+            .otherwise(raise_error(lit(
+              "fitFromMoments2: a group's Cramer product bound " +
+                "6·M²·max(M,My) reaches the DECIMAL(38,0) range — " +
+                "rescale to coarser units or use fitFromGram (the " +
+                "double-moment scale path)")).cast("decimal(38,0)"))
+            .as(nm)
+        }: _*)
       .select(col("g").as(groupCol), col("n").cast("bigint").as("n"),
         expr(coefSql("d0")).as("b0"),
         expr(coefSql("d1")).as("b1"),
         expr(coefSql("d2")).as("b2"),
+        expr(seSql("c00")).as("se0"),
+        expr(seSql("c11")).as("se1"),
+        expr(seSql("c22")).as("se2"),
+        expr(tSql("d0", "c00")).as("t0"),
+        expr(tSql("d1", "c11")).as("t1"),
+        expr(tSql("d2", "c22")).as("t2"),
         expr(r2Sql).as("r2"))
   }
 

@@ -55,12 +55,20 @@ object Advanced8 {
       |      FROM e GROUP BY 1),
       |dets AS (SELECT nation, n, sy, sx1y, sx2y, syy,
       |        ${Ols.detSql} AS det, ${Ols.d0Sql} AS d0,
-      |        ${Ols.d1Sql} AS d1, ${Ols.d2Sql} AS d2
+      |        ${Ols.d1Sql} AS d1, ${Ols.d2Sql} AS d2,
+      |        ${Ols.c00Sql} AS c00, ${Ols.c11Sql} AS c11,
+      |        ${Ols.c22Sql} AS c22
       |      FROM m)
       |SELECT nation, CAST(n AS BIGINT) AS n,
       |  ${Ols.coefSql("d0")} AS b0,
       |  ${Ols.coefSql("d1")} AS b1,
       |  ${Ols.coefSql("d2")} AS b2,
+      |  ${Ols.seSql("c00")} AS se0,
+      |  ${Ols.seSql("c11")} AS se1,
+      |  ${Ols.seSql("c22")} AS se2,
+      |  ${Ols.tSql("d0", "c00")} AS t0,
+      |  ${Ols.tSql("d1", "c11")} AS t1,
+      |  ${Ols.tSql("d2", "c22")} AS t2,
       |  ${Ols.r2Sql} AS r2
       |FROM dets ORDER BY nation""".stripMargin
 
@@ -513,8 +521,35 @@ object Advanced8 {
       |  ELSE NULL END AS w
       |FROM agg ORDER BY region""".stripMargin
 
+  // ---- q180: MULTIVARIATE OLS on the Gram scale path — the d>2
+  //      form q169's exact algebra can't reach: price_cents ~
+  //      quantity + discount_pct + tax_pct per supplier nation, on
+  //      the mergeable double-moment Gram aggregate + model-sized
+  //      driver solve. Rows-only (double moments: deterministic to
+  //      ulps, not hash-exact — the emb_pca convention); parity with
+  //      the exact path is OlsSpec's cross-path identity. ----
+  val q180OlsGram: Q = (s, d) => {
+    val li = lineitem(s, d)
+      .join(supplier(s, d).select(col("s_suppkey").as("l_suppkey"),
+        col("s_nationkey").as("nation")), "l_suppkey")
+      .select(col("nation"),
+        col("l_quantity").cast("double").as("x1"),
+        round(col("l_discount") * 100).cast("double").as("x2"),
+        round(col("l_tax") * 100).cast("double").as("x3"),
+        round(col("l_extendedprice") * 100).cast("double").as("y"))
+    Ols.fitFromGram(li, "nation", Seq("x1", "x2", "x3"), "y")
+      .select(col("nation"), col("n"),
+        col("coefs").getItem(0).as("b0"),
+        col("coefs").getItem(1).as("b1"),
+        col("coefs").getItem(2).as("b2"),
+        col("coefs").getItem(3).as("b3"),
+        col("r2"))
+      .orderBy(col("nation"))
+  }
+
   val queries: Map[String, Q] = Map(
     "q169_ols" -> q169Ols,
+    "q180_ols_gram" -> q180OlsGram,
     "q170_holt_winters" -> q170HoltWinters,
     "q171_mcnemar" -> q171Mcnemar,
     "q172_cochran_q" -> q172CochranQ,

@@ -526,6 +526,35 @@ object TextQueries {
       |  doc_id % 3 = 0 AS progressive
       |FROM documents WHERE doc_id < 300""".stripMargin
 
+  // ---- multimodal_mp4_probe: REAL ISO-BMFF box-walk over synthetic
+  //      MP4 containers whose metadata are deterministic doc_id
+  //      formulas — the oracle replays the GENERATOR while Spark must
+  //      earn duration/timescale/track-count/dimensions through the
+  //      PARSER (the multimodal_jpeg_probe convention, applied to
+  //      video). Codec decode stays the documented stub; the box walk
+  //      is what a corpus pipeline filters and bins video on.
+  //      duration_ms is an exact integer floor (all-positive DIV ==
+  //      DuckDB //). ----
+  val multimodalMp4Probe: Q = (s, d) => {
+    import s.implicits._
+    val mp4s = documents(s, d).filter(col("doc_id") < 300)
+      .select(col("doc_id")).as[Long]
+      .mapPartitions(_.map(id => (id, Multimodal.syntheticMp4(id))))
+      .toDF("doc_id", "payload")
+    Multimodal.mp4ProbeBatch(s, mp4s, "doc_id", "payload")
+  }
+
+  val multimodalMp4ProbeOracle: String =
+    """SELECT doc_id,
+      |  CAST((doc_id * 13 % 90000 + 1000) * 1000
+      |    // ((doc_id % 4 + 1) * 1000) AS BIGINT) AS duration_ms,
+      |  CAST((doc_id % 4 + 1) * 1000 AS BIGINT) AS timescale,
+      |  CAST(doc_id % 3 + 1 AS INT) AS n_tracks,
+      |  CAST(doc_id % 640 + 16 + doc_id % 3 AS INT) AS width,
+      |  CAST(doc_id * 7 % 480 + 16 + doc_id % 3 AS INT) AS height,
+      |  'isom' AS brand
+      |FROM documents WHERE doc_id < 300""".stripMargin
+
   // ---- multimodal_audio: REAL WAV decode + audio features over the
   //      batch plumbing (mapPartitions decode, typed rows). The
   //      corpus ships no audio, so deterministic pure-tone PCM WAVs
@@ -1561,6 +1590,28 @@ object TextQueries {
           .as("n_unique_tokens"))
   }
 
+  // ---- text_unigram_lm: the SECOND tokenizer family — a unigram-LM
+  //      (SentencePiece-style, Kudo 2018) vocabulary trained ON THIS
+  //      CORPUS by driver-side hard-EM + pruning over the same
+  //      model-sized word-frequency table text_bpe trains on, then
+  //      the corpus Viterbi-tokenized with the broadcast model.
+  //      Rows-only (no SQL engine trains a unigram LM); the hand EM
+  //      step, determinism, round-trip, and UNK fallback are
+  //      spec-pinned in UnigramLmSpec ----
+  private val builtUnigram =
+    new java.util.concurrent.ConcurrentHashMap[String, graft.operators.UnigramLm.Model]()
+
+  val unigramTokenize: Q = (s, d) => {
+    import graft.operators.UnigramLm
+    val model = builtUnigram.computeIfAbsent(d,
+      dir => UnigramLm.train(documents(s, dir), "text", vocabSize = 400))
+    UnigramLm.tokenize(documents(s, d), "doc_id", "text", model)
+      .select(col("doc_id"),
+        size(col("pieces")).cast("bigint").as("n_pieces"),
+        size(array_distinct(col("pieces"))).cast("bigint")
+          .as("n_unique_pieces"))
+  }
+
   // ---- text_importance: DSIR-style importance scores — every doc
   //      scored by the log-likelihood ratio of a hashed-n-gram model
   //      of the TARGET slice (lang='en') over the raw corpus. The
@@ -1769,6 +1820,7 @@ object TextQueries {
     "text_decontaminate_surgical" -> decontaminateSurgical,
     "text_importance" -> importanceScores,
     "text_bpe" -> bpeTokenize,
+    "text_unigram_lm" -> unigramTokenize,
     "text_heavy_hitters" -> heavyHitters,
     "text_sample_weighted" -> textSampleWeighted,
     "text_hof_stats" -> textHofStats,
@@ -1811,6 +1863,7 @@ object TextQueries {
     "ann_ivfpq" -> annIvfPq,
     "multimodal_meta" -> multimodalMeta,
     "multimodal_jpeg_probe" -> multimodalJpegProbe,
+    "multimodal_mp4_probe" -> multimodalMp4Probe,
     "multimodal_audio" -> multimodalAudio,
     "text_pii_redact" -> piiRedact,
     "text_top_ngrams" -> topNgrams,
@@ -1867,6 +1920,7 @@ object TextQueries {
     "dedup_ngram_jaccard" -> dedupNgramOracle,
     "multimodal_meta" -> multimodalMetaOracle,
     "multimodal_jpeg_probe" -> multimodalJpegProbeOracle,
+    "multimodal_mp4_probe" -> multimodalMp4ProbeOracle,
     "text_pii_redact" -> piiRedactOracle,
     "text_top_ngrams" -> topNgramsOracle,
     "dedup_components" -> dedupComponentsOracle,

@@ -98,11 +98,11 @@ class OlsSpec extends AnyFunSuite {
   test("fitGrouped2 magnitude refusal fires BEFORE the decimal algebra") {
     val big = (1 to 100).map(i =>
       ("g", i.toLong, (i % 7).toLong, 1000000000000000000L))
-    val e = intercept[IllegalArgumentException] {
+    val e = SparkTestSession.refusalMessage {
       Ols.fitGrouped2(big.toDF("g", "x1", "x2", "y"),
         "g", "x1", "x2", "y").collect()
     }
-    assert(e.getMessage.contains("fitFromGram"), e.getMessage)
+    assert(e.contains("fitFromGram"), e)
   }
 
   test("fitFromGram refusals: too many groups, underdetermined group") {
@@ -118,6 +118,61 @@ class OlsSpec extends AnyFunSuite {
         Seq("x1", "x2"), "y").collect()
     }
     assert(e2.getMessage.contains("underdetermined"), e2.getMessage)
+  }
+
+  test("inference columns: se/t match a naive dense recomputation; " +
+      "a perfect fit gives se = 0 and t = null") {
+    // perfect fit: SSE = 0 exactly → se 0.0 (greatest absorbs −ulp),
+    // t undefined
+    val r0 = Ols.fitGrouped2(exact.toDF("g", "x1", "x2", "y"),
+      "g", "x1", "x2", "y").collect().head
+    assert(r0.getAs[Double]("se0") == 0.0 &&
+      r0.getAs[Double]("se1") == 0.0 && r0.getAs[Double]("se2") == 0.0,
+      r0.toString)
+    assert(r0.isNullAt(r0.fieldIndex("t0")) &&
+      r0.isNullAt(r0.fieldIndex("t1")), r0.toString)
+    // noisy group: independent naive dense algebra on the driver
+    val rows = (1 to 50).map { i =>
+      val x1 = (i * 7 % 23).toLong; val x2 = (i * 13 % 11).toLong
+      ("g", x1, x2, 10L + 3L * x1 - 2L * x2 + (i * 31 % 5).toLong - 2L)
+    }
+    val r = Ols.fitGrouped2(rows.toDF("g", "x1", "x2", "y"),
+      "g", "x1", "x2", "y").collect().head
+    // naive: X'X, X'y in doubles; adjugate 3×3 inverse; residual SSE
+    val n = rows.size.toDouble
+    val xs = rows.map { case (_, x1, x2, _) =>
+      Array(1.0, x1.toDouble, x2.toDouble) }
+    val ys = rows.map(_._4.toDouble)
+    val xtx = Array.tabulate(3, 3)((i, j) =>
+      xs.map(x => x(i) * x(j)).sum)
+    val xty = Array.tabulate(3)(i =>
+      xs.zip(ys).map { case (x, y) => x(i) * y }.sum)
+    def det3(m: Array[Array[Double]]): Double =
+      m(0)(0) * (m(1)(1) * m(2)(2) - m(1)(2) * m(2)(1)) -
+        m(0)(1) * (m(1)(0) * m(2)(2) - m(1)(2) * m(2)(0)) +
+        m(0)(2) * (m(1)(0) * m(2)(1) - m(1)(1) * m(2)(0))
+    val dt = det3(xtx)
+    def cof(i: Int, j: Int): Double = {
+      val sub = (0 until 3).filter(_ != i).map(r2 =>
+        (0 until 3).filter(_ != j).map(c2 => xtx(r2)(c2)).toArray).toArray
+      val s = sub(0)(0) * sub(1)(1) - sub(0)(1) * sub(1)(0)
+      (if ((i + j) % 2 == 0) 1.0 else -1.0) * s
+    }
+    val inv = Array.tabulate(3, 3)((i, j) => cof(j, i) / dt)
+    val beta = Array.tabulate(3)(i =>
+      (0 until 3).map(j => inv(i)(j) * xty(j)).sum)
+    val sse = xs.zip(ys).map { case (x, y) =>
+      val f = (0 until 3).map(i => beta(i) * x(i)).sum
+      (y - f) * (y - f) }.sum
+    val sigma2 = sse / (n - 3.0)
+    for ((seCol, tCol, i) <- Seq(("se0", "t0", 0), ("se1", "t1", 1),
+        ("se2", "t2", 2))) {
+      val seN = math.sqrt(sigma2 * inv(i)(i))
+      assert(math.abs(r.getAs[Double](seCol) - seN) < 1e-5,
+        s"$seCol: ${r.getAs[Double](seCol)} vs naive $seN")
+      assert(math.abs(r.getAs[Double](tCol) - beta(i) / seN) < 1e-4,
+        s"$tCol: ${r.getAs[Double](tCol)} vs naive ${beta(i) / seN}")
+    }
   }
 
   test("fitGrouped2 partitioning invariance (exact integers end-to-end)") {
