@@ -603,24 +603,17 @@ object GroupTests {
     val rows = df.select(col(famCol).as("g"), col(blockCol).as("b"),
         col(treatmentCol).as("trt"),
         when(col(valueCol).cast("boolean"), 1L).otherwise(0L).as("x"))
-      .localCheckpoint(true) // dup/completeness checks + two marginals
-    val dups = rows.groupBy(col("g"), col("b"), col("trt"))
-      .agg(count(lit(1)).as("c")).filter(col("c") > 1).count()
-    require(dups == 0,
-      s"cochranQ: $dups (family, block, treatment) cells have multiple " +
-        "observations — aggregate to one indicator per cell first")
+      .localCheckpoint(true) // gate subtree + two marginals
     val kg = rows.groupBy(col("g"))
       .agg(countDistinct(col("trt")).cast("long").as("k"))
-    val incomplete = rows.groupBy(col("g"), col("b"))
-      .agg(count(lit(1)).as("c"))
-      .join(broadcast(kg), Seq("g"))
-      .filter(col("c") =!= col("k")).count()
-    require(incomplete == 0,
-      s"cochranQ: $incomplete incomplete blocks (a missing treatment " +
-        "deflates its column total) — filter to complete blocks first")
+    // dup/completeness refusals IN-PLAN via the shared broadcast gate
+    // (r16 — previously two separate count() actions); sum(x·__gate)
+    // keeps the gate referenced, and every output column reads the
+    // gated column totals
+    val gate = broadcast(RankCorr.completeBlocksGate(rows, kg, "cochranQ"))
     def dcm(c: Column): Column = c.cast("decimal(38,0)")
-    val colT = rows.groupBy(col("g"), col("trt"))
-      .agg(sum(col("x")).as("t"))
+    val colT = rows.join(gate, Seq("g")).groupBy(col("g"), col("trt"))
+      .agg(sum(col("x") * col("__gate")).as("t"))
       .groupBy(col("g"))
       .agg(sum(dcm(col("t")) * dcm(col("t"))).cast("decimal(38,0)").as("t2"),
         sum(col("t")).cast("decimal(38,0)").as("s"))

@@ -439,34 +439,27 @@ object RankCorr {
     val rows = df.select(col(famCol).as("g"), col(blockCol).as("b"),
         col(treatmentCol).cast("long").as("trt"),
         col(valueCol).cast("long").as("v"))
-      .localCheckpoint(true) // dup/completeness checks + self-join
-    val dups = rows.groupBy(col("g"), col("b"), col("trt"))
-      .agg(count(lit(1)).as("c")).filter(col("c") > 1).count()
-    require(dups == 0,
-      s"pageTrend: $dups (family, block, treatment) cells have multiple " +
-        "observations — aggregate to one value per cell first")
+      .localCheckpoint(true) // gate subtree + self-join + ord
     val kg = rows.groupBy(col("g"))
       .agg(countDistinct(col("trt")).cast("long").as("k"))
-    val incomplete = rows.groupBy(col("g"), col("b"))
-      .agg(count(lit(1)).as("c"))
-      .join(broadcast(kg), Seq("g"))
-      .filter(col("c") =!= col("k")).count()
-    require(incomplete == 0,
-      s"pageTrend: $incomplete incomplete blocks (missing treatments " +
-        "shift every midrank) — filter to complete blocks first")
+    // dup/completeness refusals IN-PLAN via the shared broadcast gate
+    // (r16 — previously two separate count() actions)
+    val gate = broadcast(completeBlocksGate(rows, kg, "pageTrend"))
     // treatment order 1..K within each family (dense rank over the
     // family's K-sized distinct-treatment set — model-sized per family)
     val ord = rows.select(col("g"), col("trt")).distinct()
       .withColumn("ord", row_number().over(
         org.apache.spark.sql.expressions.Window.partitionBy(col("g"))
           .orderBy(col("trt"))).cast("long"))
-    // within-block doubled midranks (the friedman K² discipline)
-    val m2 = rows.as("a").join(rows.as("b"),
+    // within-block doubled midranks (the friedman K² discipline); the
+    // +max(__gate) term keeps the gate referenced past pruning
+    val m2 = rows.join(gate, Seq("g")).as("a").join(rows.as("b"),
         col("a.g") === col("b.g") && col("a.b") === col("b.b"))
       .groupBy(col("a.g").as("g"), col("a.b").as("b"),
         col("a.trt").as("trt"))
       .agg((lit(2) * sum(when(col("b.v") < col("a.v"), 1L).otherwise(0L))
-        + sum(when(col("b.v") === col("a.v"), 1L).otherwise(0L)) + lit(1))
+        + sum(when(col("b.v") === col("a.v"), 1L).otherwise(0L))
+        + max(col("a.__gate")))
         .cast("long").as("m2"))
     def dcm(c: Column): Column = c.cast("decimal(38,0)")
     val agg = m2.join(ord, Seq("g", "trt"))
@@ -743,29 +736,24 @@ object RankCorr {
                treatmentCol: String, valueCol: String): DataFrame = {
     val rows = df.select(col(famCol).as("g"), col(blockCol).as("b"),
         col(treatmentCol).as("trt"), col(valueCol).cast("long").as("v"))
-      .localCheckpoint(true) // dup check + completeness + self-join
-    val dups = rows.groupBy(col("g"), col("b"), col("trt"))
-      .agg(count(lit(1)).as("c")).filter(col("c") > 1).count()
-    require(dups == 0,
-      s"friedman: $dups (family, block, treatment) cells have multiple " +
-        "observations — aggregate to one value per cell first")
+      .localCheckpoint(true) // gate subtree + self-join + marginals
     val kg = rows.groupBy(col("g"))
       .agg(countDistinct(col("trt")).cast("long").as("k"))
-    val incomplete = rows.groupBy(col("g"), col("b"))
-      .agg(count(lit(1)).as("c"))
-      .join(broadcast(kg), Seq("g"))
-      .filter(col("c") =!= col("k")).count()
-    require(incomplete == 0,
-      s"friedman: $incomplete incomplete blocks (missing treatments " +
-        "shift every midrank) — filter to complete blocks first")
+    // duplicate-cell and incomplete-block refusals IN-PLAN (r16 —
+    // previously two separate count() actions): violations aggregate
+    // to FAMILY cardinality, gate through a broadcast build side
+    // (materializes before any self-join task), and name the family
+    val gate = broadcast(completeBlocksGate(rows, kg, "friedman"))
     // within-block doubled midranks: co-partitioned self-join on
-    // (g, b), K² pairs per block
-    val m2 = rows.as("a").join(rows.as("b"),
+    // (g, b), K² pairs per block; the +max(__gate) term (always +1
+    // for admissible rows) keeps the gate REFERENCED past pruning
+    val m2 = rows.join(gate, Seq("g")).as("a").join(rows.as("b"),
         col("a.g") === col("b.g") && col("a.b") === col("b.b"))
       .groupBy(col("a.g").as("g"), col("a.b").as("b"),
         col("a.trt").as("trt"))
       .agg((lit(2) * sum(when(col("b.v") < col("a.v"), 1L).otherwise(0L))
-        + sum(when(col("b.v") === col("a.v"), 1L).otherwise(0L)) + lit(1))
+        + sum(when(col("b.v") === col("a.v"), 1L).otherwise(0L))
+        + max(col("a.__gate")))
         .cast("long").as("m2"))
     def dcm(c: Column): Column = c.cast("decimal(38,0)")
     val perTrt = m2.groupBy(col("g"), col("trt"))
@@ -792,6 +780,41 @@ object RankCorr {
       when(col("den") > 0,
         round(col("num").cast("double") / col("den").cast("double"), 6))
         .otherwise(lit(null).cast("double")).as("chi2"))
+  }
+
+  /** (g, __gate) — the complete-blocks admission gate shared by the
+    * blocked-design family ([[friedman]] / [[pageTrend]] /
+    * [[graft.operators.GroupTests.cochranQ]]): __gate is 1 for a
+    * family with no duplicate (block, treatment) cells and no
+    * incomplete blocks; otherwise an in-plan raise_error naming the
+    * family and the violation. Violations aggregate to FAMILY
+    * cardinality (a model-sized broadcast build side that
+    * materializes before any probe task — the anovaFromCells gate
+    * convention); callers thread __gate into one aggregate term so
+    * column pruning keeps the raise_error alive.
+    */
+  private[operators] def completeBlocksGate(rows: DataFrame,
+                                            kg: DataFrame,
+                                            op: String): DataFrame = {
+    val cellCounts = rows.groupBy(col("g"), col("b"), col("trt"))
+      .agg(count(lit(1)).as("c"))
+    val blockStats = cellCounts.groupBy(col("g"), col("b"))
+      .agg(count(lit(1)).as("cells"), max(col("c")).as("maxc"))
+    blockStats.join(kg, Seq("g"))
+      .groupBy(col("g"))
+      .agg(sum(when(col("maxc") > 1, 1L).otherwise(0L)).as("__dups"),
+        sum(when(col("cells") =!= col("k"), 1L).otherwise(0L)).as("__inc"))
+      .select(col("g"),
+        when(col("__dups") === 0 && col("__inc") === 0, lit(1L))
+          .otherwise(raise_error(concat(lit(s"$op: family "),
+            col("g").cast("string"),
+            when(col("__dups") > 0,
+              lit(" has (block, treatment) cells with multiple " +
+                "observations — aggregate to one value per cell first"))
+              .otherwise(lit(" has incomplete blocks (missing " +
+                "treatments shift every midrank) — filter to " +
+                "complete blocks first"))))
+            .cast("bigint")).as("__gate"))
   }
 
   /** Per-family KENDALL'S W — the COEFFICIENT OF CONCORDANCE
