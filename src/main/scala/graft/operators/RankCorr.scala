@@ -80,12 +80,17 @@ object RankCorr {
     *    window (within-group INCLUSIVE running sum, emitted as
     *    `cumv`) — the trimmed-mean value-mass axis, previously a
     *    whole extra PrefixSum pass.
+    *  - `carry` columns ride the window pass untouched and project
+    *    into the output — consumers that previously re-JOINED their
+    *    payload back onto the cumulation (survival's event counts,
+    *    jonckheere's family/sample split) skip that whole shuffle.
     *
     * Null groups are dropped (the previous prior-join behavior,
     * now explicit). Rows must be unique on (g, vc) — enforced.
     */
   private[operators] def cumFromCountsWith(countsIn: DataFrame, vc: String,
-                                           valCol: Option[String])
+                                           valCol: Option[String],
+                                           carry: Seq[String] = Nil)
       : DataFrame = {
     import org.apache.spark.sql.expressions.Window
     import org.apache.spark.sql.types._
@@ -143,7 +148,8 @@ object RankCorr {
     val cols = Seq(col("g"), col(vc), col("cnt"), col("below")) ++
       valCol.map(c => (sum(col(c)).over(w)
         + coalesce(col("__voff").cast("decimal(38,0)"), dz))
-        .cast("decimal(38,0)").as("cumv"))
+        .cast("decimal(38,0)").as("cumv")) ++
+      carry.map(col)
     out.select(cols: _*)
   }
 
@@ -186,12 +192,16 @@ object RankCorr {
       .groupBy(col("g"), abs(col("d")).as("ad"))
       .agg(count(lit(1)).as("cnt"),
         sum(when(col("d") > 0, 1L).otherwise(0L)).as("pos"))
-      .localCheckpoint(true) // feeds the rank pass and the final agg
-    val m2 = cumFromCounts(cells.select(col("g"), col("ad"), col("cnt")), "ad")
-      .select(col("g"), col("ad"),
-        (lit(2) * col("below") + col("cnt") + lit(1)).cast("long").as("m2"))
+    // the positive-side count CARRIES through the fused cumulation
+    // (r16): no (g, |d|) join-back, cells consumed exactly once —
+    // no pin of its own (the cumulation pins internally)
+    val m2 = cumFromCountsWith(
+        cells.select(col("g"), col("ad"), col("cnt"), col("pos")), "ad",
+        None, Seq("pos"))
+      .withColumn("m2",
+        (lit(2) * col("below") + col("cnt") + lit(1)).cast("long"))
     def dec(c: Column): Column = c.cast("decimal(38,0)")
-    val agg = cells.join(m2, Seq("g", "ad"))
+    val agg = m2
       .groupBy(col("g"))
       .agg(sum(col("cnt")).cast("bigint").as("n"),
         sum(dec(col("pos")) * dec(col("m2"))).cast("decimal(38,0)").as("w2"),
@@ -659,13 +669,16 @@ object RankCorr {
       .join(cells, Seq("fam", "smp", "v"), "left")
       .na.fill(0L, Seq("cnt"))
       .withColumn("g", compositeKey(col("fam"), col("smp")))
-      .localCheckpoint(true) // cum pass + the fam/smp join-back
-    val cum = cumFromCounts(filled.select(col("g"), col("v"), col("cnt")), "v")
-      .select(col("g"), col("v"), col("below"))
+    // (fam, smp) CARRY through the fused cumulation (r16): no
+    // join-back onto filled, so filled is consumed exactly once and
+    // needs no pin of its own — the cumulation pins it internally
+    val cum = cumFromCountsWith(
+      filled.select(col("g"), col("v"), col("cnt"), col("fam"),
+        col("smp")), "v", None, Seq("fam", "smp"))
     val nsmp = cells.groupBy(col("fam"), col("smp"))
       .agg(sum(col("cnt")).cast("long").as("n_i"))
     def dcm(c: Column): Column = c.cast("decimal(38,0)")
-    val ab = filled.join(cum, Seq("g", "v"))
+    val ab = cum
       .join(nsmp, Seq("fam", "smp"))
       .select(col("fam"), col("smp"), col("v"), col("cnt"), col("below"),
         (col("n_i") - col("below") - col("cnt")).as("above"))

@@ -57,12 +57,15 @@ object Survival {
                                            maxTableRows: Long = 200000L)
       : DataFrame = {
     val spark = countsIn.sparkSession
-    val counts = countsIn.localCheckpoint(true) // cumulation + collect
-    // n_risk(t) = N_g − #{time < t}: within-group cumulative counts
-    val cum = RankCorr.cumFromCounts(
-      counts.select(col("g"), col("t"), col("cnt")), "t")
+    val counts = countsIn.localCheckpoint(true) // cumulation + totals
+    // n_risk(t) = N_g − #{time < t}: within-group cumulative counts;
+    // the event count d CARRIES through the fused cumulation (r16 —
+    // no (g, t) join-back)
+    val cum = RankCorr.cumFromCountsWith(
+      counts.select(col("g"), col("t"), col("cnt"), col("d")), "t",
+      None, Seq("d"))
     val ng = counts.groupBy(col("g")).agg(sum(col("cnt")).as("n_g"))
-    val steps = counts.join(cum, Seq("g", "t"))
+    val steps = cum
       .join(broadcast(ng), Seq("g"))
       .filter(col("d") > 0)
       .select(col("g"), col("t"), (col("n_g") - col("below"))
@@ -137,11 +140,15 @@ object Survival {
     */
   private[graft] def nelsonAalenFromCounts(countsIn: DataFrame,
                                            groupCol: String): DataFrame = {
-    val counts = countsIn.localCheckpoint(true) // risk cum + hazard cum
-    val cum = RankCorr.cumFromCounts(
-      counts.select(col("g"), col("t"), col("cnt")), "t")
+    val counts = countsIn.localCheckpoint(true) // risk cum + totals
+    // both cumulation passes CARRY their payload (r16): the first
+    // carries the event count d, the second carries n_risk/d/h_ppm —
+    // the two (g, t) join-backs are gone
+    val cum = RankCorr.cumFromCountsWith(
+      counts.select(col("g"), col("t"), col("cnt"), col("d")), "t",
+      None, Seq("d"))
     val ng = counts.groupBy(col("g")).agg(sum(col("cnt")).as("n_g"))
-    val steps = counts.join(cum, Seq("g", "t"))
+    val steps = cum
       .join(broadcast(ng), Seq("g"))
       .filter(col("d") > 0)
       .select(col("g"), col("t"),
@@ -150,14 +157,14 @@ object Survival {
       .withColumn("h_ppm", expr(
         "CAST(d AS DECIMAL(38,0)) * 1000000 DIV CAST(n_risk AS DECIMAL(38,0))"))
     // cumulative hazard: the SAME prefix machinery, summing h_ppm
-    val cumHaz = RankCorr.cumFromCounts(
-      steps.select(col("g"), col("t"), col("h_ppm").as("cnt")), "t")
-      .select(col("g"), col("t"),
-        (col("below") + col("cnt")).cast("bigint").as("cumhaz_ppm"))
-    steps.join(cumHaz, Seq("g", "t"))
+    RankCorr.cumFromCountsWith(
+        steps.select(col("g"), col("t"), col("h_ppm").as("cnt"),
+          col("n_risk"), col("d"), col("h_ppm")), "t",
+        None, Seq("n_risk", "d", "h_ppm"))
       .select(col("g").as(groupCol), col("t"), col("n_risk"), col("d"),
-        col("h_ppm").cast("bigint").as("h_ppm"), col("cumhaz_ppm"),
-        round(col("cumhaz_ppm").cast("double") / lit(1000000.0), 6)
+        col("h_ppm").cast("bigint").as("h_ppm"),
+        (col("below") + col("cnt")).cast("bigint").as("cumhaz_ppm"),
+        round((col("below") + col("cnt")).cast("double") / lit(1000000.0), 6)
           .as("cumhaz"))
       .orderBy(col(groupCol), col("t"))
   }
@@ -231,11 +238,13 @@ object Survival {
       .select(col("g"), col("t"),
         coalesce(col("d"), lit(0L)).as("d"),
         coalesce(col("cnt"), lit(0L)).as("cnt"))
-    val cum = RankCorr.cumFromCounts(
-      filled.select(col("g"), col("t"), col("cnt")), "t")
+    // d CARRIES through the fused cumulation (r16 — no (g, t)
+    // join-back; filled is consumed exactly once)
+    val cum = RankCorr.cumFromCountsWith(
+      filled.select(col("g"), col("t"), col("cnt"), col("d")), "t",
+      None, Seq("d"))
     val ng = counts.groupBy(col("g")).agg(sum(col("cnt")).as("n_g"))
-    val perGroup = filled.select(col("g"), col("t"), col("d"))
-      .join(cum.select(col("g"), col("t"), col("below")), Seq("g", "t"))
+    val perGroup = cum
       .join(broadcast(ng), Seq("g"))
       .select(col("g"), col("t"), col("d"),
         (col("n_g") - col("below")).cast("long").as("n_risk"))
