@@ -88,7 +88,7 @@ object RankCorr {
     * Null groups are dropped (the previous prior-join behavior,
     * now explicit). Rows must be unique on (g, vc) — enforced.
     */
-  private[operators] def cumFromCountsWith(countsIn: DataFrame, vc: String,
+  private[graft] def cumFromCountsWith(countsIn: DataFrame, vc: String,
                                            valCol: Option[String],
                                            carry: Seq[String] = Nil)
       : DataFrame = {

@@ -1,0 +1,85 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+
+import org.apache.spark.sql.functions._
+
+import graft.operators.RankCorr
+
+/** Direct property coverage for the r16 FUSED grouped cumulation
+  * ([[RankCorr.cumFromCountsWith]]) — the primitive the whole
+  * rank/order-statistic battery rides: brute-force parity for
+  * `below`, the second cumulated column, carry-through payload,
+  * boundary-spanning-group offsets (forced by many groups over few
+  * partitions), duplicate-key refusal, null-group drop.
+  */
+class CumFromCountsSpec extends AnyFunSuite {
+
+  private lazy val spark = SparkTestSession.spark
+  import spark.implicits._
+
+  /** brute force: within-group exclusive cumulative cnt below each
+    * value, and inclusive cumulative of vv
+    */
+  private def brute(rows: Seq[(String, Long, Long, Long)])
+      : Map[(String, Long), (Long, Long)] =
+    rows.groupBy(_._1).flatMap { case (g, rs) =>
+      val sorted = rs.sortBy(_._2)
+      var cum = 0L; var cumv = 0L
+      sorted.map { case (_, v, cnt, vv) =>
+        val below = cum
+        cum += cnt; cumv += vv
+        (g, v) -> (below, cumv)
+      }
+    }
+
+  test("brute-force parity across partition counts, with spanning " +
+      "groups (200 groups over 4 shuffle partitions)") {
+    val rows = for (gi <- 1 to 200; vi <- 1 to 5) yield
+      (f"g$gi%03d", vi.toLong * 3, (gi * vi % 7 + 1).toLong,
+        (gi + vi).toLong)
+    val want = brute(rows)
+    for (parts <- Seq(1, 3, 13)) {
+      val df = rows.toDF("g", "v", "cnt", "vv").repartition(parts)
+      val got = RankCorr.cumFromCountsWith(df, "v", Some("vv"),
+          Seq("vv"))
+        .collect()
+        .map(r => (r.getString(0), r.getLong(1)) ->
+          (r.getLong(3), r.getDecimal(4).longValue, r.getLong(5)))
+        .toMap
+      assert(got.size == want.size, s"parts=$parts size")
+      for (((g, v), (below, cumv)) <- want) {
+        val (gb, gc, gvv) = got((g, v))
+        assert(gb == below, s"parts=$parts below($g,$v)")
+        assert(gc == cumv, s"parts=$parts cumv($g,$v)")
+        // carry column rides untouched
+        assert(gvv == rows.find(r => r._1 == g && r._2 == v).get._4)
+      }
+    }
+  }
+
+  test("one giant group spanning every partition still offsets exactly") {
+    val rows = (1 to 5000).map(i => ("g", i.toLong, 2L, 0L))
+    val got = RankCorr.cumFromCountsWith(
+        rows.toDF("g", "v", "cnt", "vv").repartition(8), "v", None)
+      .orderBy("v").collect()
+    got.zipWithIndex.foreach { case (r, i) =>
+      assert(r.getLong(3) == 2L * i, s"row $i")
+    }
+  }
+
+  test("duplicate (g, v) keys refuse loudly") {
+    val dup = Seq(("g", 1L, 1L), ("g", 1L, 2L)).toDF("g", "v", "cnt")
+    val e = SparkTestSession.refusalMessage {
+      RankCorr.cumFromCountsWith(dup, "v", None).collect()
+    }
+    assert(e.contains("unique"), e)
+  }
+
+  test("null groups are dropped (the documented prior-join behavior)") {
+    val rows = Seq((Some("g"), 1L, 1L), (None, 2L, 1L))
+      .toDF("g", "v", "cnt")
+    val got = RankCorr.cumFromCountsWith(rows, "v", None).collect()
+    assert(got.length == 1 && got.head.getString(0) == "g")
+  }
+}
