@@ -941,15 +941,29 @@ object Multimodal {
               val tkhds = kids.filter(_._1 == "trak").flatMap {
                 case (_, ts, te) => boxes(ts, te).toList.flatMap(
                   _.find(_._1 == "tkhd").flatMap { case (_, s, e) =>
-                    val v = u8(s)
-                    val (wOff, hOff) = if (v == 1) (88, 92) else (76, 80)
-                    if (e - s < hOff + 4) None
-                    else Some(((be32(s + wOff) >> 16).toInt,
-                      (be32(s + hOff) >> 16).toInt))
+                    // bounds-check BEFORE the version byte read: a
+                    // size-8 tkhd (empty payload) ending exactly at
+                    // the array end would otherwise throw out of
+                    // mapPartitions and fail the whole job on one
+                    // adversarial row (r17); unknown versions are
+                    // malformed, not v0 (the mvhd convention)
+                    if (e - s < 1) None
+                    else u8(s) match {
+                      case v @ (0 | 1) =>
+                        val (wOff, hOff) = if (v == 1) (88, 92) else (76, 80)
+                        if (e - s < hOff + 4) None
+                        else Some(((be32(s + wOff) >> 16).toInt,
+                          (be32(s + hOff) >> 16).toInt))
+                      case _ => None
+                    }
                   })
               }
               mvhd.flatMap { case (ts, dur) =>
-                if (ts <= 0 || tkhds.isEmpty) None
+                // a version-1 be64 duration can be any Long bit
+                // pattern: negative or above Long.MaxValue/1000 the
+                // millisecond conversion would wrap — malformed (r17)
+                if (ts <= 0 || dur < 0 || dur > Long.MaxValue / 1000L ||
+                  tkhds.isEmpty) None
                 else Some(Mp4Info(row.doc_id, dur * 1000L / ts, ts,
                   tkhds.size, tkhds.map(_._1).max, tkhds.map(_._2).max,
                   brand))

@@ -103,16 +103,28 @@ object RankCorr {
       spark_partition_id().cast("long"))
     val baseAggs = Seq(sum(col("cnt")).as("__t"),
       count(lit(1)).as("__rows"),
-      count_distinct(col(vc)).as("__nd")) ++
+      count_distinct(col(vc)).as("__nd"),
+      sum(when(col(vc).isNull, 1L).otherwise(0L)).as("__nn")) ++
       valCol.map(c => sum(col(c)).as("__tv"))
     val pg = withPid.groupBy(col("__pid"), col("g"))
       .agg(baseAggs.head, baseAggs.tail: _*)
     // collect ONLY boundary-spanning groups (offset ≠ 0) and any
-    // duplicate-key offenders — model-sized regardless of group count
+    // duplicate-key or null-value offenders — model-sized regardless
+    // of group count
     val flagged = pg
       .withColumn("__span", count(lit(1)).over(Window.partitionBy(col("g"))))
-      .filter(col("__span") > 1 || col("__rows") =!= col("__nd"))
+      .filter(col("__span") > 1 || col("__rows") =!= col("__nd") ||
+        col("__nn") > 0)
       .collect()
+    // null values refuse FIRST with their own diagnosis (r17):
+    // count_distinct ignores NULLs, so a group with a null-value row
+    // trips __rows != __nd — without this check it would be refused
+    // with a misleading "must be unique" message (a bad cast to long
+    // is the real, and common, cause)
+    require(flagged.forall(_.getAs[Long]("__nn") == 0L),
+      s"cumFromCounts: null values in $vc (often a failed cast of bad " +
+        "data) — rank inputs must be non-null; filter or fix the cast " +
+        "first")
     require(flagged.forall(r =>
       r.getAs[Long]("__rows") == r.getAs[Long]("__nd")),
       s"cumFromCounts: rows must be unique on (g, $vc) — aggregate to " +
@@ -340,8 +352,16 @@ object RankCorr {
         guard(when(col("na") > 0 && col("nb") > 0 &&
           expr(mwVarGuardSql) > 0, round(expr(mwZFormulaSql), 6))
           .otherwise(lit(null).cast("double")), "double"))
-      .select(col("g").as(famCol), col("na"), col("nb"), col("u2"),
-        col("z"))
+      // the gate multiplies into na/nb too (the anovaFromCells n_j
+      // trick — r17): a consumer that projects only the counts would
+      // otherwise let Catalyst PRUNE the guarded u2/z columns and a
+      // malformed family's nb (the lump of ALL non-A samples) would
+      // return silently — the refusal must ride columns that survive
+      // any projection that reads a statistic
+      .select(col("g").as(famCol),
+        (col("na") * guard(lit(1L), "bigint")).cast("bigint").as("na"),
+        (col("nb") * guard(lit(1L), "bigint")).cast("bigint").as("nb"),
+        col("u2"), col("z"))
   }
 
   /** Tie-corrected Mann–Whitney variance (×1, in doubles) over the
@@ -462,7 +482,9 @@ object RankCorr {
         org.apache.spark.sql.expressions.Window.partitionBy(col("g"))
           .orderBy(col("trt"))).cast("long"))
     // within-block doubled midranks (the friedman K² discipline); the
-    // +max(__gate) term keeps the gate referenced past pruning
+    // +max(__gate) term keeps the gate referenced past pruning, and
+    // the __g carry (r17) threads it into n_blocks too — a
+    // counts-only projection would otherwise prune the refusal
     val m2 = rows.join(gate, Seq("g")).as("a").join(rows.as("b"),
         col("a.g") === col("b.g") && col("a.b") === col("b.b"))
       .groupBy(col("a.g").as("g"), col("a.b").as("b"),
@@ -470,13 +492,15 @@ object RankCorr {
       .agg((lit(2) * sum(when(col("b.v") < col("a.v"), 1L).otherwise(0L))
         + sum(when(col("b.v") === col("a.v"), 1L).otherwise(0L))
         + max(col("a.__gate")))
-        .cast("long").as("m2"))
+        .cast("long").as("m2"),
+        max(col("a.__gate")).as("__g"))
     def dcm(c: Column): Column = c.cast("decimal(38,0)")
     val agg = m2.join(ord, Seq("g", "trt"))
       .groupBy(col("g"))
       .agg(sum(dcm(col("ord")) * dcm(col("m2")))
           .cast("decimal(38,0)").as("l2"),
-        count_distinct(col("b")).cast("bigint").as("n_blocks"))
+        (count_distinct(col("b")) * max(col("__g")))
+          .cast("bigint").as("n_blocks"))
     agg.join(broadcast(kg), Seq("g"))
       .select(col("g").as(famCol), col("k"),
         col("n_blocks"), col("l2").cast("bigint").as("l2"))
@@ -759,7 +783,11 @@ object RankCorr {
     val gate = broadcast(completeBlocksGate(rows, kg, "friedman"))
     // within-block doubled midranks: co-partitioned self-join on
     // (g, b), K² pairs per block; the +max(__gate) term (always +1
-    // for admissible rows) keeps the gate REFERENCED past pruning
+    // for admissible rows) keeps the gate REFERENCED past pruning,
+    // and the separate __g carry (r17) threads it into the COUNT
+    // column too — a consumer projecting only n_blocks would
+    // otherwise let Catalyst prune every m2-derived aggregate and
+    // with it the refusal
     val m2 = rows.join(gate, Seq("g")).as("a").join(rows.as("b"),
         col("a.g") === col("b.g") && col("a.b") === col("b.b"))
       .groupBy(col("a.g").as("g"), col("a.b").as("b"),
@@ -767,11 +795,15 @@ object RankCorr {
       .agg((lit(2) * sum(when(col("b.v") < col("a.v"), 1L).otherwise(0L))
         + sum(when(col("b.v") === col("a.v"), 1L).otherwise(0L))
         + max(col("a.__gate")))
-        .cast("long").as("m2"))
+        .cast("long").as("m2"),
+        max(col("a.__gate")).as("__g"))
     def dcm(c: Column): Column = c.cast("decimal(38,0)")
     val perTrt = m2.groupBy(col("g"), col("trt"))
       .agg(sum(col("m2")).cast("decimal(38,0)").as("r2"),
-        count(lit(1)).cast("long").as("n"),
+        // == count(*): __g is 1 for every admissible row, and a
+        // violating family raises here even under a counts-only
+        // projection
+        sum(col("__g")).cast("long").as("n"),
         sum(dcm(col("m2")) * dcm(col("m2"))).cast("decimal(38,0)").as("m2sq"))
     val agg = perTrt.join(broadcast(kg), Seq("g"))
       .select(col("g"), col("k"), col("n"),

@@ -225,13 +225,25 @@ object RobustStats {
     import org.apache.spark.sql.expressions.Window
     val pts = df.select(col(groupCol).as("g"),
         col(xCol).cast("long").as("x"), col(yCol).cast("long").as("y"))
-      .localCheckpoint(true) // cap scan + pair join + residual pass
-    val tooBig = pts.groupBy(col("g")).agg(count(lit(1)).as("c"))
-      .filter(col("c") > maxPoints).count()
-    require(tooBig == 0,
-      s"theilSen: a group exceeds maxPoints=$maxPoints points — pair " +
-        "volume is points\u00b2; aggregate to a coarser time grain first")
-    val slopes = pts.as("a").join(pts.as("b"),
+      .localCheckpoint(true) // gate subtree + pair join + residual pass
+    // maxPoints refusal IN-PLAN (r17 — previously its own count()
+    // action): the group sizes gate through a BROADCAST build side
+    // (group-cardinality, materializes before any pair-join task) and
+    // the gate multiplies into x (always ×1 for admissible groups) so
+    // column pruning can't strip the raise_error projection — the
+    // anovaFromCells convention
+    val szs = broadcast(pts.groupBy(col("g"))
+      .agg(count(lit(1)).as("__c"))
+      .select(col("g"),
+        when(col("__c") <= maxPoints, lit(1L))
+          .otherwise(raise_error(concat(
+            lit("theilSen: group "), col("g").cast("string"),
+            lit(s" exceeds maxPoints=$maxPoints points — pair " +
+              "volume is points\u00b2; aggregate to a coarser time " +
+              "grain first"))).cast("bigint")).as("__gate")))
+    val gated = pts.join(szs, Seq("g"))
+      .select(col("g"), (col("x") * col("__gate")).as("x"), col("y"))
+    val slopes = gated.as("a").join(gated.as("b"),
         col("a.g") === col("b.g") && col("a.x") < col("b.x"))
       .select(col("a.g").as("g"),
         ((col("b.y") - col("a.y")).cast("double") /
@@ -242,7 +254,7 @@ object RobustStats {
       .withColumn("m", count(lit(1)).over(Window.partitionBy(col("g"))))
       .filter(col("rn") === expr("(m + 1) DIV 2"))
       .select(col("g"), col("sl").as("slope"), col("m").as("n_pairs"))
-    val resid = pts.join(broadcast(mS), Seq("g"))
+    val resid = gated.join(broadcast(mS), Seq("g"))
       .select(col("g"), col("slope"), col("n_pairs"),
         (col("y").cast("double") - col("slope") * col("x").cast("double"))
           .as("r"))

@@ -368,11 +368,18 @@ object Survival {
       .groupBy((col("__t") +: xCols.indices.map(i => col(s"__x$i"))): _*)
       .agg(count(lit(1)).cast("long").as("__n"),
         sum(when(col("__e") === 1, 1L).otherwise(0L)).cast("long").as("__d"))
-    val nCells = cellDf.count()
-    require(nCells <= maxCells,
-      s"coxPh: $nCells (time × covariate-cell) rows > maxCells=" +
-        s"$maxCells — bucket the covariates or coarsen the time unit")
-    val collected = cellDf.collect().map { r =>
+    // the cap rides the COLLECT itself (r17 — previously its own
+    // count() action): limit(maxCells+1) bounds driver memory to the
+    // cap regardless of the true cell count (CollectLimit scans
+    // incrementally), and exactly maxCells+1 rows back means the
+    // table is over the cap — at or under it, the limit is a no-op
+    // and the collect is complete
+    val lim = math.min(maxCells + 1, Int.MaxValue.toLong).toInt
+    val capped = cellDf.limit(lim).collect()
+    require(capped.length <= maxCells,
+      s"coxPh: more than maxCells=$maxCells (time × covariate-cell) " +
+        "rows — bucket the covariates or coarsen the time unit")
+    val collected = capped.map { r =>
       (r.getLong(0),
         Array.tabulate(p)(i => r.getDouble(1 + i)),
         r.getLong(1 + p), r.getLong(2 + p))

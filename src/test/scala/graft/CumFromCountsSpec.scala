@@ -82,4 +82,18 @@ class CumFromCountsSpec extends AnyFunSuite {
     val got = RankCorr.cumFromCountsWith(rows, "v", None).collect()
     assert(got.length == 1 && got.head.getString(0) == "g")
   }
+
+  test("null VALUES refuse with their own diagnosis, not the " +
+      "duplicate-key message (r17 — a failed cast is the common cause)") {
+    // one legitimate row + one null-value row: count_distinct ignores
+    // the null, so without the dedicated check this would be refused
+    // as "not unique" — a wrong diagnosis
+    val rows = Seq((Some("g"), Some(1L), 1L), (Some("g"), None, 1L))
+      .toDF("g", "v", "cnt")
+    val e = SparkTestSession.refusalMessage {
+      RankCorr.cumFromCountsWith(rows, "v", None).collect()
+    }
+    assert(e.contains("null values in v"), e)
+    assert(!e.contains("unique"), e)
+  }
 }

@@ -97,6 +97,65 @@ class Mp4ProbeSpec extends AnyFunSuite {
     assert(probe(rebuilt).get == probe(good).get)
   }
 
+  private def rawBox(typ: String, payload: Array[Byte]): Array[Byte] = {
+    val size = payload.length + 8
+    Array[Byte]((size >> 24).toByte, (size >> 16).toByte,
+      (size >> 8).toByte, size.toByte) ++
+      typ.getBytes("US-ASCII") ++ payload
+  }
+
+  private def be32a(v: Long): Array[Byte] =
+    Array(((v >> 24) & 0xFF).toByte, ((v >> 16) & 0xFF).toByte,
+      ((v >> 8) & 0xFF).toByte, (v & 0xFF).toByte)
+
+  test("empty tkhd payload ending exactly at the array end probes to " +
+      "None, not an exception (r17 — the version byte is bounds-checked)") {
+    // ftyp + moov[mvhd-v0 + trak[size-8 tkhd]] with NOTHING after the
+    // moov: the tkhd version byte would be read one past the array end
+    val ftyp = rawBox("ftyp",
+      "isom".getBytes("US-ASCII") ++ be32a(0x200) ++
+        "iso2".getBytes("US-ASCII"))
+    val mvhd = rawBox("mvhd",
+      Array[Byte](0, 0, 0, 0) ++ be32a(0) ++ be32a(0) ++ be32a(1000) ++
+        be32a(5000))
+    val bytes = ftyp ++ rawBox("moov",
+      mvhd ++ rawBox("trak", rawBox("tkhd", Array.empty[Byte])))
+    assert(probe(bytes).isEmpty)
+  }
+
+  test("unknown tkhd versions are malformed, not parsed as v0 (r17)") {
+    val good = Multimodal.syntheticMp4(2L) // version-0 layout, 3 tracks
+    assert(probe(good).isDefined)
+    val v2 = good.clone()
+    var at = v2.indexOfSlice("tkhd".getBytes("US-ASCII"))
+    while (at >= 0) {
+      v2(at + 4) = 2 // the version byte, first payload byte
+      at = v2.indexOfSlice("tkhd".getBytes("US-ASCII"), at + 1)
+    }
+    assert(probe(v2).isEmpty)
+  }
+
+  test("a version-1 duration that would overflow the millisecond " +
+      "conversion probes to None (r17)") {
+    val ftyp = rawBox("ftyp",
+      "isom".getBytes("US-ASCII") ++ be32a(0x200) ++
+        "iso2".getBytes("US-ASCII"))
+    def v1mvhd(durHi: Long, durLo: Long): Array[Byte] = rawBox("mvhd",
+      Array[Byte](1, 0, 0, 0) ++ be32a(0) ++ be32a(0) ++ be32a(0) ++
+        be32a(0) ++ be32a(1000) ++ be32a(durHi) ++ be32a(durLo))
+    // width at payload offset 76, height at 80 for a v0 tkhd
+    val tkhd = rawBox("tkhd",
+      new Array[Byte](76) ++ be32a(320L << 16) ++ be32a(240L << 16))
+    def clip(mvhd: Array[Byte]): Array[Byte] =
+      ftyp ++ rawBox("moov", mvhd ++ rawBox("trak", tkhd))
+    // all-ones be64 reads back as -1; 2^62 exceeds Long.MaxValue/1000
+    assert(probe(clip(v1mvhd(0xFFFFFFFFL, 0xFFFFFFFFL))).isEmpty)
+    assert(probe(clip(v1mvhd(0x40000000L, 0L))).isEmpty)
+    // a sane v1 duration through the same builder still parses
+    val ok = probe(clip(v1mvhd(0L, 44000L)))
+    assert(ok.isDefined && ok.get.duration_ms == 44000L)
+  }
+
   test("batch shape: malformed rows drop, well-formed rows survive") {
     val rows = Seq(
       (1L, Multimodal.syntheticMp4(1L)),
