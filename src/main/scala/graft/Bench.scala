@@ -237,12 +237,29 @@ object Bench {
     val sentinelRatio =
       if (priorSentinel > 0 && curSentinel > 0) curSentinel / priorSentinel
       else 1.0
+    // MEDIAN PER-QUERY RATIO (r17 — the r16 lesson: a single-point
+    // single-thread sentinel over-corrected a fast session by 1.4x,
+    // norming the corpus total to a fictitious +11% while the raw
+    // numbers showed a real 20% win). The median of this-median /
+    // prior-median over all common queries is a 250+-point drift
+    // instrument dominated by UNTOUCHED queries, so real improvements
+    // in the handful of touched ones cannot shift it. It decides the
+    // re-measure gate and the norm field whenever enough common
+    // queries exist; the sentinel ratio stays in the artifact as the
+    // secondary witness, and drift_basis records which one decided.
+    val commonRatios = samples.toSeq.flatMap { case (name, ts) =>
+      priorMedians.get(name).filter(_ >= 0.05)
+        .map(p => medianOf(ts.sorted) / p)
+    }
+    val (driftRatio, driftBasis) =
+      if (commonRatios.size >= 20) (medianSeq(commonRatios), "query_median")
+      else (sentinelRatio, "sentinel")
     var remeasured = 0
     if (priorMedians.nonEmpty) {
       val suspects = samples.collect {
         case (name, ts) if priorMedians.get(name)
           .exists(p => medianOf(ts.sorted) >
-            p * sentinelRatio * 1.3 + 0.05) => name
+            p * driftRatio * 1.3 + 0.05) => name
       }.toSeq
       suspects.foreach { name =>
         remeasured += 1
@@ -291,6 +308,7 @@ object Bench {
       val guard =
         s""","sentinel":[${sentinels.map(fmt).mkString(",")}],""" +
         s""""sentinel_ratio":${fmt3(sentinelRatio)},""" +
+        s""""query_ratio":${fmt3(driftRatio)},"drift_basis":"$driftBasis",""" +
         s""""foreign_jvms":$foreignMax,"windows_redone":$windowsRedone,""" +
         s""""remeasured":$remeasured"""
       s"""{"metric":"total","value":${fmt(total)},"unit":"sec","queries":$qs$omit$guard,"sf":"$sfName"}"""
@@ -302,18 +320,19 @@ object Bench {
     // disk: the stdout line is size-capped for the driver, but min vs
     // median is exactly what separates jitter from regression when a
     // number looks off — keep the evidence where the judge can read it.
-    // "norm" = median divided by the sentinel drift ratio — the
-    // number comparable across sessions; "median" stays the raw
-    // wall-clock truth of THIS session.
+    // "norm" = median divided by the drift ratio (query-median basis
+    // when available) — the number comparable across sessions;
+    // "median" stays the raw wall-clock truth of THIS session.
     val full = measured.toSeq.sortBy(_._1).map { case (n, (med, min, k)) =>
       s""""$n":{"median":${fmt(med)},"min":${fmt(min)},"reps":$k""" +
-        s""","norm":${fmt(med / sentinelRatio)}}"""
+        s""","norm":${fmt(med / driftRatio)}}"""
     }.mkString("{", ",", "}")
     val fullLine =
       s"""{"metric":"total","value":${fmt(total)},"unit":"sec","queries":$full,""" +
       s""""sentinel":[${sentinels.map(fmt).mkString(",")}],""" +
       s""""sentinel_prior":${fmt3(priorSentinel)},""" +
       s""""sentinel_ratio":${fmt3(sentinelRatio)},""" +
+      s""""query_ratio":${fmt3(driftRatio)},"drift_basis":"$driftBasis",""" +
       s""""foreign_jvms":$foreignMax,"windows_redone":$windowsRedone,""" +
       s""""remeasured":$remeasured,"sf":"$sfName"}"""
     // Path is env-anchored (default: process CWD, where the driver

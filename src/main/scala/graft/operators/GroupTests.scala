@@ -150,6 +150,143 @@ object GroupTests {
           .otherwise(lit(null).cast("double")).as("eta2"))
   }
 
+  /** TWO-WAY ANOVA F's from the exact integer sums of squares and
+    * level counts — shared verbatim with the oracle.
+    */
+  val anova2FaSql: String =
+    "(CAST(ssa AS DOUBLE) / (a_lvls - 1)) / " +
+      "(CAST(ssw AS DOUBLE) / (n - n_cells))"
+  val anova2FbSql: String =
+    "(CAST(ssb AS DOUBLE) / (b_lvls - 1)) / " +
+      "(CAST(ssw AS DOUBLE) / (n - n_cells))"
+  val anova2FabSql: String =
+    "(CAST(ssab AS DOUBLE) / (n_cells - a_lvls - b_lvls + 1)) / " +
+      "(CAST(ssw AS DOUBLE) / (n - n_cells))"
+
+  /** Per-FAMILY TWO-WAY ANOVA with interaction (fixed two-factor
+    * crossed design — Fisher 1925 §42ff) — the apex of the K-sample
+    * battery: decompose the total sum of squares into factor-A,
+    * factor-B, interaction, and within-cell parts,
+    *
+    *   SS_W  = Q − T_cells          (within cells — pure error)
+    *   SS_A  = T_A − T_0            (A marginal)
+    *   SS_B  = T_B − T_0            (B marginal)
+    *   SS_AB = T_cells − T_A − T_B + T_0   (interaction remainder)
+    *
+    * with T_X = Σ_x ⌊S_x²/n_x⌋ over the cells/marginals/total — the
+    * classical textbook decomposition (exact for balanced designs;
+    * for unbalanced cell counts it is the standard unadjusted
+    * sequential form, stated — each SS is still a well-defined exact
+    * integer both engines compute identically).
+    *
+    * EXACT (the [[anovaOneWay]] discipline): per-cell moment tuples
+    * (n_c, S_c = Σv, Q_c = Σv²) are exact integers off ONE row-scale
+    * pass; every rational S²/n enters as ONE exact integral floor
+    * division at unit scale (Spark DIV == DuckDB HUGEINT // on the
+    * non-negative squares), so all four SS are order-free exact
+    * integers; the three F's are shared-text double formulas rounded
+    * 6. Floors can make a true-zero SS marginally NEGATIVE (each
+    * floored term loses < 1 against the unfloored identity) — the
+    * F for a negative SS is null (a zero effect, stated).
+    *
+    * Magnitude contract: the [[anovaFromCells]] bound
+    * (n·max|v|)² < 9·10³⁷, refused IN-PLAN through a broadcast gate
+    * multiplied into n_c (pruning-proof from day one — the r17
+    * sweep convention).
+    *
+    * Scale shape: one row-scale aggregate to the (family, a, b)
+    * cell-moment table (bounded cardinality), then everything is
+    * cell-sized: two marginal re-aggregations + two broadcast joins.
+    *
+    * @return (famCol, a_lvls, b_lvls, n_cells, n, ssa, ssb, ssab,
+    *         ssw, f_a, f_b, f_ab) — f_a null for a_lvls < 2, no
+    *         error dof (n ≤ n_cells), zero/negative SS_W or negative
+    *         SS_A (twins for f_b); f_ab additionally null for an
+    *         interaction dof < 1 (an incomplete crossing) or
+    *         negative SS_AB
+    */
+  def anovaTwoWay(df: DataFrame, famCol: String, aCol: String,
+                  bCol: String, valueCol: String): DataFrame =
+    anova2FromCells(
+      df.select(col(famCol).as("g"), col(aCol).as("fa"),
+          col(bCol).as("fb"), col(valueCol).cast("long").as("v"))
+        .groupBy(col("g"), col("fa"), col("fb"), col("v"))
+        .agg(count(lit(1)).as("cnt")),
+      famCol)
+
+  /** [[anovaTwoWay]] from a pre-aggregated (g, fa, fb, v, cnt) count
+    * table — the streaming-state form: the per-(family, A, B, value)
+    * count table is the additive sufficient statistic.
+    */
+  private[graft] def anova2FromCells(cellsIn: DataFrame,
+                                     famCol: String): DataFrame = {
+    def dcm(c: Column): Column = c.cast("decimal(38,0)")
+    // the anovaFromCells magnitude gate, verbatim: b = n·max|v| with
+    // b² < 9·10³⁷ covers every decimal intermediate (q ≤ n·max² ≤ b²,
+    // per-cell/marginal/total squares ≤ b²); broadcast build side,
+    // multiplied into n_c so pruning keeps the refusal
+    val gate = broadcast(cellsIn.groupBy(col("g"))
+      .agg((sum(col("cnt")).cast("double") *
+        max(greatest(abs(col("v")), lit(1L)).cast("double"))).as("b"))
+      .select(col("g"),
+        when(col("b") * col("b") < lit(9.0e37), lit(1L))
+          .otherwise(raise_error(lit(
+            "anovaTwoWay: a family's moment bound (n*max|v|)^2 " +
+              "reaches the DECIMAL(38,0) range — rescale valueCol " +
+              "to coarser units")).cast("bigint")).as("__gate")))
+    val perCell = cellsIn.join(gate, Seq("g"))
+      .groupBy(col("g"), col("fa"), col("fb"))
+      .agg(sum(col("cnt") * col("__gate")).cast("long").as("n_c"),
+        sum(dcm(col("cnt")) * dcm(col("v"))).cast("decimal(38,0)").as("s_c"),
+        sum(dcm(col("cnt")) * dcm(col("v")) * dcm(col("v")))
+          .cast("decimal(38,0)").as("q_c"))
+      .localCheckpoint(true) // cell table feeds total + two marginals
+    val tc = perCell
+      .select(col("g"), col("n_c"), col("s_c"), col("q_c"),
+        expr("CAST(s_c * s_c AS DECIMAL(38,0)) DIV n_c").as("cterm"))
+      .groupBy(col("g"))
+      .agg(count(lit(1)).cast("bigint").as("n_cells"),
+        sum(col("n_c")).cast("bigint").as("n"),
+        sum(col("s_c")).cast("decimal(38,0)").as("s"),
+        sum(col("q_c")).cast("decimal(38,0)").as("q"),
+        sum(col("cterm")).cast("decimal(38,0)").as("t_cells"))
+    def marg(f: String, lvls: String, t: String): DataFrame = perCell
+      .groupBy(col("g"), col(f))
+      .agg(sum(col("n_c")).cast("long").as("n_m"),
+        sum(col("s_c")).cast("decimal(38,0)").as("s_m"))
+      .select(col("g"), col("n_m"), col("s_m"),
+        expr("CAST(s_m * s_m AS DECIMAL(38,0)) DIV n_m").as("mterm"))
+      .groupBy(col("g"))
+      .agg(count(lit(1)).cast("bigint").as(lvls),
+        sum(col("mterm")).cast("decimal(38,0)").as(t))
+    tc.join(broadcast(marg("fa", "a_lvls", "t_a")), Seq("g"))
+      .join(broadcast(marg("fb", "b_lvls", "t_b")), Seq("g"))
+      .withColumn("t0", expr("CAST(s * s AS DECIMAL(38,0)) DIV n"))
+      .select(col("g").as(famCol), col("a_lvls"), col("b_lvls"),
+        col("n_cells"), col("n"),
+        (col("t_a") - col("t0")).cast("bigint").as("ssa"),
+        (col("t_b") - col("t0")).cast("bigint").as("ssb"),
+        (col("t_cells") - col("t_a") - col("t_b") + col("t0"))
+          .cast("bigint").as("ssab"),
+        (col("q") - col("t_cells")).cast("bigint").as("ssw"))
+      .withColumn("f_a",
+        when(col("a_lvls") > 1 && col("n") > col("n_cells") &&
+          col("ssw") > 0 && col("ssa") >= 0,
+          round(expr(anova2FaSql), 6))
+          .otherwise(lit(null).cast("double")))
+      .withColumn("f_b",
+        when(col("b_lvls") > 1 && col("n") > col("n_cells") &&
+          col("ssw") > 0 && col("ssb") >= 0,
+          round(expr(anova2FbSql), 6))
+          .otherwise(lit(null).cast("double")))
+      .withColumn("f_ab",
+        when(col("n_cells") - col("a_lvls") - col("b_lvls") + 1 >= 1 &&
+          col("n") > col("n_cells") && col("ssw") > 0 &&
+          col("ssab") >= 0,
+          round(expr(anova2FabSql), 6))
+          .otherwise(lit(null).cast("double")))
+  }
+
   /** Per-FAMILY MOOD'S MEDIAN TEST — the coarsest, most outlier-
     * immune K-sample location test: dichotomize every observation at
     * the family's pooled (lower) median and chi-square the resulting
@@ -613,10 +750,12 @@ object GroupTests {
     val gate = broadcast(RankCorr.completeBlocksGate(rows, kg, "cochranQ"))
     def dcm(c: Column): Column = c.cast("decimal(38,0)")
     val colT = rows.join(gate, Seq("g")).groupBy(col("g"), col("trt"))
-      .agg(sum(col("x") * col("__gate")).as("t"))
+      .agg(sum(col("x") * col("__gate")).as("t"),
+        min(col("__gate")).as("__g1"))
       .groupBy(col("g"))
       .agg(sum(dcm(col("t")) * dcm(col("t"))).cast("decimal(38,0)").as("t2"),
-        sum(col("t")).cast("decimal(38,0)").as("s"))
+        sum(col("t")).cast("decimal(38,0)").as("s"),
+        min(col("__g1")).as("__g"))
     val rowR = rows.groupBy(col("g"), col("b"))
       .agg(sum(col("x")).as("r"), count(lit(1)).as("c"))
       .groupBy(col("g"))
@@ -624,7 +763,10 @@ object GroupTests {
         count(lit(1)).cast("bigint").as("n_blocks"))
     colT.join(rowR, Seq("g")).join(broadcast(kg), Seq("g"))
       .select(col("g").as(famCol), col("k"),
-        col("n_blocks"),
+        // ×__g (always 1 when admissible — r17): rowR never joins the
+        // gate, so a counts-only projection of n_blocks alone would
+        // otherwise prune the refusal out of the colT side entirely
+        (col("n_blocks") * col("__g")).cast("bigint").as("n_blocks"),
         ((dcm(col("k")) - 1) * (dcm(col("k")) * col("t2")
           - col("s") * col("s"))).cast("bigint").as("num"),
         (dcm(col("k")) * col("s") - col("r2")).cast("bigint").as("den"))

@@ -69,6 +69,34 @@ object Ols {
     s"CASE WHEN det <> 0 THEN " +
       s"round(CAST($d AS DOUBLE) / CAST(det AS DOUBLE), 6) ELSE NULL END"
 
+  /** RIDGE variants of the Cramer texts (r17): the same cofactor
+    * expansions with the penalized diagonal rx1x1 = sx1x1 + λ,
+    * rx2x2 = sx2x2 + λ — the intercept row/column is NOT penalized
+    * (the standard ridge convention). With integral λ the algebra
+    * stays exact integer: at λ = 0 the texts reduce to the OLS
+    * integers EXACTLY (decimal + 0 is an identity), so
+    * [[ridgeGrouped2]](λ=0) equals [[fitGrouped2]] bit-for-bit.
+    */
+  val rdetSql: String =
+    "n * (rx1x1 * rx2x2 - sx1x2 * sx1x2) " +
+      "- sx1 * (sx1 * rx2x2 - sx1x2 * sx2) " +
+      "+ sx2 * (sx1 * sx1x2 - rx1x1 * sx2)"
+
+  val rd0Sql: String =
+    "sy * (rx1x1 * rx2x2 - sx1x2 * sx1x2) " +
+      "- sx1 * (sx1y * rx2x2 - sx1x2 * sx2y) " +
+      "+ sx2 * (sx1y * sx1x2 - rx1x1 * sx2y)"
+
+  val rd1Sql: String =
+    "n * (sx1y * rx2x2 - sx1x2 * sx2y) " +
+      "- sy * (sx1 * rx2x2 - sx1x2 * sx2) " +
+      "+ sx2 * (sx1 * sx2y - sx1y * sx2)"
+
+  val rd2Sql: String =
+    "n * (rx1x1 * sx2y - sx1y * sx1x2) " +
+      "- sx1 * (sx1 * sx2y - sx1y * sx2) " +
+      "+ sy * (sx1 * sx1x2 - rx1x1 * sx2)"
+
   /** DIAGONAL COFACTORS of X'X — [(X'X)⁻¹]_ii · det, exact integers
     * (r16 inference upgrade): more Cramer algebra over the same
     * moments, covered by the same magnitude refusal (each ≤ 2·M²,
@@ -270,6 +298,85 @@ object Ols {
         expr(r2Sql).as("r2"))
   }
 
+  /** Per-group two-covariate RIDGE REGRESSION on the EXACT path
+    * (r17) — (X'X + λ·diag(0,1,1))β = X'y over the SAME exact
+    * integer moments as [[fitGrouped2]]: with integral λ the
+    * penalized Cramer determinants ([[rdetSql]] family) are still
+    * polynomial in exact integers, so every coefficient is ONE
+    * double division of two exact integers — per-group REGULARIZED
+    * fits that are oracle-exact. The intercept is unpenalized (the
+    * standard convention); covariates are NOT standardized — λ is in
+    * the units of the raw moments (document per use; the exactness
+    * contract is the point, not unit-free shrinkage).
+    *
+    * One row-scale pass builds the moments ONCE (pinned); each λ is
+    * a model-sized select over them. λ = 0 equals [[fitGrouped2]]'s
+    * coefficients bit-for-bit (the cross-operator spec).
+    *
+    * Magnitude refusal: the [[fitGrouped2]] broadcast-gate bound
+    * with M inflated by max(λ) (the penalized diagonal entries are
+    * up to λ larger), multiplied into x1 — pruning-proof.
+    *
+    * @param lambdas distinct non-negative integral penalties; one
+    *                output row per (group, λ)
+    * @return (groupCol, lambda, n, b0, b1, b2) — coefficients null
+    *         for a singular penalized system (impossible for λ > 0
+    *         unless the group is empty of variance AND λ small; the
+    *         λ = 0 rows share OLS's singularity conventions)
+    */
+  def ridgeGrouped2(df: DataFrame, groupCol: String, x1Col: String,
+                    x2Col: String, yCol: String,
+                    lambdas: Seq[Long]): DataFrame = {
+    require(lambdas.nonEmpty && lambdas.forall(_ >= 0L) &&
+      lambdas.distinct.size == lambdas.size,
+      "ridgeGrouped2: lambdas must be distinct and non-negative")
+    val lmax = lambdas.max
+    val rows = df.select(col(groupCol).as("g"),
+      col(x1Col).cast("long").as("x1"),
+      col(x2Col).cast("long").as("x2"),
+      col(yCol).cast("long").as("y"))
+    val gate = broadcast(rows.groupBy(col("g"))
+      .agg(count(lit(1)).cast("double").as("nd"),
+        max(greatest(abs(col("x1")), abs(col("x2")), lit(1L))
+          .cast("double")).as("mx"),
+        max(greatest(abs(col("y")), lit(1L)).cast("double")).as("my"))
+      .select(col("g"),
+        (col("nd") * col("mx") * col("mx") + lit(lmax.toDouble)).as("bx"),
+        (col("nd") * col("mx") * col("my")).as("bxy"))
+      .select(col("g"),
+        when(lit(6.0) * col("bx") * col("bx")
+            * greatest(col("bx"), col("bxy")) < lit(9.0e37), lit(1L))
+          .otherwise(raise_error(lit(
+            "ridgeGrouped2: a group's penalized moment bound reaches " +
+              "the DECIMAL(38,0) range — the exact Cramer algebra " +
+              "needs 6·M²·max(M,My) < 10³⁸ with M inflated by λ; " +
+              "rescale to coarser units or shrink λ, or use " +
+              "fitFromGram(lambda) (the double-moment scale path)"))
+            .cast("bigint")).as("__gate")))
+    val gated = rows.join(gate, Seq("g"))
+      .select(col("g"), (col("x1") * col("__gate")).as("x1"),
+        col("x2"), col("y"))
+    val m = moments2(gated)
+      .localCheckpoint(true) // one row-scale pass, |λ| selects over it
+    lambdas.map { lam =>
+      m.withColumn("rx1x1",
+          (col("sx1x1") + lit(lam)).cast("decimal(38,0)"))
+        .withColumn("rx2x2",
+          (col("sx2x2") + lit(lam)).cast("decimal(38,0)"))
+        .select(col("g"), col("n"),
+          expr(rdetSql).cast("decimal(38,0)").as("det"),
+          expr(rd0Sql).cast("decimal(38,0)").as("d0"),
+          expr(rd1Sql).cast("decimal(38,0)").as("d1"),
+          expr(rd2Sql).cast("decimal(38,0)").as("d2"))
+        .select(col("g").as(groupCol),
+          lit(lam).cast("bigint").as("lambda"),
+          col("n").cast("bigint").as("n"),
+          expr(coefSql("d0")).as("b0"),
+          expr(coefSql("d1")).as("b1"),
+          expr(coefSql("d2")).as("b2"))
+    }.reduce(_ unionByName _)
+  }
+
   /** Per-group OLS with intercept for ANY covariate count, on the
     * mergeable Gram moment machinery: one pass to a
     * (d+2)-dimensional moment state per group ([1-free: the
@@ -286,8 +393,10 @@ object Ols {
     *         r2 null on zero total variance
     */
   def fitFromGram(df: DataFrame, groupCol: String, xCols: Seq[String],
-                  yCol: String, maxGroups: Long = 100000L): DataFrame = {
+                  yCol: String, maxGroups: Long = 100000L,
+                  lambda: Double = 0.0): DataFrame = {
     require(xCols.nonEmpty, "fitFromGram: need at least one covariate")
+    require(lambda >= 0.0, "fitFromGram: lambda must be non-negative")
     val d = xCols.size
     val dim = d + 1 // covariates + y in one Gram vector
     val spark = df.sparkSession
@@ -323,6 +432,16 @@ object Ols {
       for (i <- 0 until d) a(1 + i)(p) = cross(i, d)
       val sy = first(d); val syy = cross(d, d)
       val xty = (0 until p).map(i => a(i)(p)).toArray
+      // the UNpenalized Gram block, kept for the ridge SSE quadratic
+      // form (the λ=0 path never reads it — bit-compat preserved)
+      val xtx =
+        if (lambda > 0.0)
+          Array.tabulate(p, p)((i, j) => a(i)(j))
+        else null
+      // ridge (r17): penalize the covariate diagonal only — the
+      // intercept row/column stays free (the ridgeGrouped2 convention)
+      if (lambda > 0.0)
+        for (i <- 0 until d) a(1 + i)(1 + i) += lambda
       // Gaussian elimination with partial pivoting; singular → refuse
       val scaleRef = (0 until p).map(i =>
         (0 until p).map(j => math.abs(a(i)(j))).max).max.max(1.0)
@@ -345,7 +464,14 @@ object Ols {
         beta(c) = s / a(c)(c)
       }
       val sst = syy - sy * sy / n
-      val sse = syy - (0 until p).map(i => beta(i) * xty(i)).sum
+      // the β'X'y shortcut is an identity ONLY at the OLS optimum;
+      // ridge solutions need the full quadratic form
+      val sse =
+        if (lambda > 0.0)
+          syy - 2.0 * (0 until p).map(i => beta(i) * xty(i)).sum +
+            (for (i <- 0 until p; j <- 0 until p)
+              yield beta(i) * xtx(i)(j) * beta(j)).sum
+        else syy - (0 until p).map(i => beta(i) * xty(i)).sum
       def r6(x: Double): Double =
         BigDecimal(x).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
       val r2v: Any =

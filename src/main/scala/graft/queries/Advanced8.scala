@@ -547,7 +547,115 @@ object Advanced8 {
       .orderBy(col("nation"))
   }
 
+  // ---- q181: TWO-WAY ANOVA with interaction — "do market segment
+  //      and order year shape order value, separately or jointly?"
+  //      per region: the apex of the K-sample battery (q156 is
+  //      one-way). SS_A/SS_B/SS_AB/SS_W from the same exact per-cell
+  //      (n, Σv, Σv²) sufficient statistics, per-cell unit-scale
+  //      floors keeping every sum order-free, three shared-text F
+  //      formulas; whole dollars (the q156 magnitude contract),
+  //      in-plan magnitude gate from day one. ----
+  val q181Anova2: Q = (s, d) => {
+    val os = orders(s, d)
+      .join(customer(s, d).select(col("c_custkey").as("o_custkey"),
+        col("c_nationkey"), col("c_mktsegment").as("seg")),
+        Seq("o_custkey"))
+      .join(nation(s, d).select(col("n_nationkey").as("c_nationkey"),
+        col("n_regionkey").as("region")), Seq("c_nationkey"))
+      .select(col("region"), col("seg"),
+        year(col("o_orderdate")).as("yr"),
+        round(col("o_totalprice")).cast("long").as("dollars"))
+    GroupTests.anovaTwoWay(os, "region", "seg", "yr", "dollars")
+      .orderBy(col("region"))
+  }
+
+  val q181Oracle: String =
+    s"""WITH os AS (SELECT n_regionkey AS g, c_mktsegment AS fa,
+      |        EXTRACT(year FROM o_orderdate) AS fb,
+      |        CAST(round(o_totalprice) AS HUGEINT) AS v
+      |      FROM orders JOIN customer ON c_custkey = o_custkey
+      |      JOIN nation ON n_nationkey = c_nationkey),
+      |cells AS (SELECT g, fa, fb, CAST(COUNT(*) AS HUGEINT) AS n_c,
+      |        SUM(v) AS s_c, SUM(v * v) AS q_c
+      |      FROM os GROUP BY 1, 2, 3),
+      |tc AS (SELECT g, CAST(COUNT(*) AS BIGINT) AS n_cells,
+      |        CAST(SUM(n_c) AS BIGINT) AS n, SUM(s_c) AS s,
+      |        SUM(q_c) AS q, SUM(s_c * s_c // n_c) AS t_cells
+      |      FROM cells GROUP BY 1),
+      |ta AS (SELECT g, CAST(COUNT(*) AS BIGINT) AS a_lvls,
+      |        SUM(s_m * s_m // n_m) AS t_a
+      |      FROM (SELECT g, fa, SUM(n_c) AS n_m, SUM(s_c) AS s_m
+      |            FROM cells GROUP BY 1, 2) GROUP BY 1),
+      |tb AS (SELECT g, CAST(COUNT(*) AS BIGINT) AS b_lvls,
+      |        SUM(s_m * s_m // n_m) AS t_b
+      |      FROM (SELECT g, fb, SUM(n_c) AS n_m, SUM(s_c) AS s_m
+      |            FROM cells GROUP BY 1, 2) GROUP BY 1),
+      |agg AS (SELECT g AS region, a_lvls, b_lvls, n_cells, n,
+      |        CAST(t_a - (s * s // n) AS BIGINT) AS ssa,
+      |        CAST(t_b - (s * s // n) AS BIGINT) AS ssb,
+      |        CAST(t_cells - t_a - t_b + (s * s // n) AS BIGINT) AS ssab,
+      |        CAST(q - t_cells AS BIGINT) AS ssw
+      |      FROM tc JOIN ta USING (g) JOIN tb USING (g))
+      |SELECT region, a_lvls, b_lvls, n_cells, n, ssa, ssb, ssab, ssw,
+      |  CASE WHEN a_lvls > 1 AND n > n_cells AND ssw > 0 AND ssa >= 0
+      |    THEN round(${GroupTests.anova2FaSql}, 6) ELSE NULL END AS f_a,
+      |  CASE WHEN b_lvls > 1 AND n > n_cells AND ssw > 0 AND ssb >= 0
+      |    THEN round(${GroupTests.anova2FbSql}, 6) ELSE NULL END AS f_b,
+      |  CASE WHEN n_cells - a_lvls - b_lvls + 1 >= 1 AND n > n_cells
+      |      AND ssw > 0 AND ssab >= 0
+      |    THEN round(${GroupTests.anova2FabSql}, 6) ELSE NULL END AS f_ab
+      |FROM agg ORDER BY region""".stripMargin
+
+  // ---- q182: RIDGE REGRESSION on the exact path — q169's fit with
+  //      an integral L2 penalty on the covariate diagonal: the
+  //      penalized Cramer determinants stay polynomial in the same
+  //      exact integer moments, so per-nation REGULARIZED fits are
+  //      oracle-exact (λ=0 rows equal q169's coefficients
+  //      bit-for-bit — OlsSpec's cross-operator identity). λ is in
+  //      raw-moment units (quantity²-scale here). ----
+  val q182Ridge: Q = (s, d) => {
+    val li = lineitem(s, d)
+      .join(supplier(s, d).select(col("s_suppkey").as("l_suppkey"),
+        col("s_nationkey").as("nation")), "l_suppkey")
+      .select(col("nation"),
+        col("l_quantity").cast("long").as("x1"),
+        round(col("l_discount") * 100).cast("long").as("x2"),
+        round(col("l_extendedprice") * 100).cast("long").as("y"))
+    Ols.ridgeGrouped2(li, "nation", "x1", "x2", "y",
+        Seq(0L, 1000000000L))
+      .orderBy(col("nation"), col("lambda"))
+  }
+
+  val q182Oracle: String =
+    s"""WITH e AS (SELECT s_nationkey AS nation,
+      |        CAST(l_quantity AS HUGEINT) AS x1,
+      |        CAST(round(l_discount * 100) AS HUGEINT) AS x2,
+      |        CAST(round(l_extendedprice * 100) AS HUGEINT) AS y
+      |      FROM lineitem JOIN supplier ON s_suppkey = l_suppkey),
+      |m AS (SELECT nation, CAST(COUNT(*) AS HUGEINT) AS n,
+      |        SUM(x1) AS sx1, SUM(x2) AS sx2,
+      |        SUM(x1 * x1) AS sx1x1, SUM(x2 * x2) AS sx2x2,
+      |        SUM(x1 * x2) AS sx1x2, SUM(y) AS sy,
+      |        SUM(x1 * y) AS sx1y, SUM(x2 * y) AS sx2y
+      |      FROM e GROUP BY 1),
+      |lam AS (SELECT UNNEST([0, 1000000000]) AS lambda),
+      |r AS (SELECT nation, lambda, n, sx1, sx2, sx1x2, sy, sx1y, sx2y,
+      |        sx1x1 + lambda AS rx1x1, sx2x2 + lambda AS rx2x2
+      |      FROM m CROSS JOIN lam),
+      |dets AS (SELECT nation, lambda, n,
+      |        ${Ols.rdetSql} AS det, ${Ols.rd0Sql} AS d0,
+      |        ${Ols.rd1Sql} AS d1, ${Ols.rd2Sql} AS d2
+      |      FROM r)
+      |SELECT nation, CAST(lambda AS BIGINT) AS lambda,
+      |  CAST(n AS BIGINT) AS n,
+      |  ${Ols.coefSql("d0")} AS b0,
+      |  ${Ols.coefSql("d1")} AS b1,
+      |  ${Ols.coefSql("d2")} AS b2
+      |FROM dets ORDER BY nation, lambda""".stripMargin
+
   val queries: Map[String, Q] = Map(
+    "q181_anova2" -> q181Anova2,
+    "q182_ridge" -> q182Ridge,
     "q169_ols" -> q169Ols,
     "q180_ols_gram" -> q180OlsGram,
     "q170_holt_winters" -> q170HoltWinters,
@@ -562,6 +670,8 @@ object Advanced8 {
     "q179_kendall_w" -> q179KendallW)
 
   val oracles: Map[String, String] = Map(
+    "q181_anova2" -> q181Oracle,
+    "q182_ridge" -> q182Oracle,
     "q169_ols" -> q169Oracle,
     "q171_mcnemar" -> q171Oracle,
     "q172_cochran_q" -> q172Oracle,
