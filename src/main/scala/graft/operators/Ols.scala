@@ -213,9 +213,10 @@ object Ols {
               "use fitFromGram (the double-moment scale path)"))
             .cast("bigint")).as("__gate")))
     val gated = rows.join(gate, Seq("g"))
-      .select(col("g"), (col("x1") * col("__gate")).as("x1"),
+      .select(col("g"), col("__gate"),
+        (col("x1") * col("__gate")).as("x1"),
         col("x2"), col("y"))
-    fitFromMoments2(moments2(gated), groupCol)
+    fitFromMoments2(moments2(gated, Some("__gate")), groupCol)
   }
 
   /** The exact integer moment table (g, n, sx1, sx2, sx1x1, sx2x2,
@@ -224,13 +225,19 @@ object Ols {
     * ([[graft.streaming.StreamOls]] holds exactly this as state: two
     * shards' moment tables merge by column-wise DECIMAL addition).
     */
-  private[graft] def moments2(rows: DataFrame): DataFrame = {
+  private[graft] def moments2(rows: DataFrame,
+                              countCol: Option[String] = None)
+      : DataFrame = {
     def dcm(c: String): org.apache.spark.sql.Column =
       col(c).cast("decimal(38,0)")
-    rows.select(col("g"), dcm("x1").as("x1"), dcm("x2").as("x2"),
-        dcm("y").as("y"))
+    // countCol (r17): callers with an admission gate thread it into
+    // the COUNT moment too (sum of a ×1 gate == count), so even a
+    // projection that reads only n cannot prune the refusal
+    rows.select(col("g") +: countCol.map(col).toSeq ++:
+        Seq(dcm("x1").as("x1"), dcm("x2").as("x2"), dcm("y").as("y")): _*)
       .groupBy(col("g"))
-      .agg(count(lit(1)).cast("decimal(38,0)").as("n"),
+      .agg(countCol.map(c => sum(col(c)).cast("decimal(38,0)"))
+        .getOrElse(count(lit(1)).cast("decimal(38,0)")).as("n"),
         sum(col("x1")).as("sx1"), sum(col("x2")).as("sx2"),
         sum(col("x1") * col("x1")).as("sx1x1"),
         sum(col("x2") * col("x2")).as("sx2x2"),
@@ -309,8 +316,9 @@ object Ols {
     * the units of the raw moments (document per use; the exactness
     * contract is the point, not unit-free shrinkage).
     *
-    * One row-scale pass builds the moments ONCE (pinned); each λ is
-    * a model-sized select over them. λ = 0 equals [[fitGrouped2]]'s
+    * One row-scale pass builds the moments ONCE; the λ axis is a
+    * model-sized EXPLODE over them in the same plan (the oracle's
+    * CROSS JOIN shape). λ = 0 equals [[fitGrouped2]]'s
     * coefficients bit-for-bit (the cross-operator spec).
     *
     * Magnitude refusal: the [[fitGrouped2]] broadcast-gate bound
@@ -354,27 +362,30 @@ object Ols {
               "fitFromGram(lambda) (the double-moment scale path)"))
             .cast("bigint")).as("__gate")))
     val gated = rows.join(gate, Seq("g"))
-      .select(col("g"), (col("x1") * col("__gate")).as("x1"),
+      .select(col("g"), col("__gate"),
+        (col("x1") * col("__gate")).as("x1"),
         col("x2"), col("y"))
-    val m = moments2(gated)
-      .localCheckpoint(true) // one row-scale pass, |λ| selects over it
-    lambdas.map { lam =>
-      m.withColumn("rx1x1",
-          (col("sx1x1") + lit(lam)).cast("decimal(38,0)"))
-        .withColumn("rx2x2",
-          (col("sx2x2") + lit(lam)).cast("decimal(38,0)"))
-        .select(col("g"), col("n"),
-          expr(rdetSql).cast("decimal(38,0)").as("det"),
-          expr(rd0Sql).cast("decimal(38,0)").as("d0"),
-          expr(rd1Sql).cast("decimal(38,0)").as("d1"),
-          expr(rd2Sql).cast("decimal(38,0)").as("d2"))
-        .select(col("g").as(groupCol),
-          lit(lam).cast("bigint").as("lambda"),
-          col("n").cast("bigint").as("n"),
-          expr(coefSql("d0")).as("b0"),
-          expr(coefSql("d1")).as("b1"),
-          expr(coefSql("d2")).as("b2"))
-    }.reduce(_ unionByName _)
+    // ONE plan: the λ axis is a model-sized explode over the single
+    // moment aggregate (the oracle's CROSS JOIN shape) — no pin, no
+    // union, the row-scale pass runs exactly once; the gate rides
+    // BOTH x1 and the count moment, so no projection escapes it
+    moments2(gated, Some("__gate"))
+      .withColumn("lambda",
+        explode(array(lambdas.map(l => lit(l).cast("bigint")): _*)))
+      .withColumn("rx1x1",
+        (col("sx1x1") + col("lambda")).cast("decimal(38,0)"))
+      .withColumn("rx2x2",
+        (col("sx2x2") + col("lambda")).cast("decimal(38,0)"))
+      .select(col("g"), col("lambda"), col("n"),
+        expr(rdetSql).cast("decimal(38,0)").as("det"),
+        expr(rd0Sql).cast("decimal(38,0)").as("d0"),
+        expr(rd1Sql).cast("decimal(38,0)").as("d1"),
+        expr(rd2Sql).cast("decimal(38,0)").as("d2"))
+      .select(col("g").as(groupCol), col("lambda"),
+        col("n").cast("bigint").as("n"),
+        expr(coefSql("d0")).as("b0"),
+        expr(coefSql("d1")).as("b1"),
+        expr(coefSql("d2")).as("b2"))
   }
 
   /** Per-group OLS with intercept for ANY covariate count, on the
