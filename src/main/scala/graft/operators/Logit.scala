@@ -79,6 +79,7 @@ object Logit {
       val cells = byGroup(g).sortBy(_._2.mkString(","))
       val beta = Array.fill(p)(0.0)
       var info: Array[Array[Double]] = null
+      var lastStep = Double.MaxValue
       for (_ <- 0 until iters) {
         val u = Array.fill(p)(0.0)
         info = Array.fill(p, p)(0.0)
@@ -98,6 +99,7 @@ object Logit {
           }
         }
         val delta = solve(info, u, g)
+        lastStep = delta.map(math.abs).max
         var k = 0
         while (k < p) { beta(k) += delta(k); k += 1 }
         require(beta.forall(b => math.abs(b) <= 30.0),
@@ -121,6 +123,15 @@ object Logit {
         s"Logit.fitGrouped: group $g shows SEPARATION (a hyperplane " +
           "splits successes from failures — the MLE is at infinity); " +
           "drop or coarsen the separating covariate")
+      // quasi-complete separation walks |β| up ~linearly and may sit
+      // under the divergence bound at the budget's end with the fit
+      // still moving — an unconverged estimate is refused, not
+      // reported (the PoissonReg twin guard)
+      require(lastStep <= 1e-4,
+        s"Logit.fitGrouped: group $g did not converge in $iters " +
+          s"Newton iterations (last step $lastStep — quasi-complete " +
+          "separation or a near-singular design); drop or coarsen " +
+          "the separating covariate")
       val inv = invert(info, g)
       def r9(x: Double): Double =
         BigDecimal(x).setScale(9, BigDecimal.RoundingMode.HALF_UP).toDouble
@@ -142,8 +153,9 @@ object Logit {
 
   /** Gaussian elimination with partial pivoting; singular → named
     * refusal (constant/collinear covariates have no unique MLE).
+    * Shared with [[PoissonReg]] (the same Newton machinery).
     */
-  private def solve(aIn: Array[Array[Double]], b: Array[Double],
+  private[operators] def solve(aIn: Array[Array[Double]], b: Array[Double],
                     g: Any): Array[Double] = {
     val p = b.length
     val a = Array.tabulate(p, p + 1)((i, j) =>
@@ -171,7 +183,7 @@ object Logit {
   }
 
   /** Inverse by solving against the identity columns. */
-  private def invert(aIn: Array[Array[Double]],
+  private[operators] def invert(aIn: Array[Array[Double]],
                      g: Any): Array[Array[Double]] = {
     val p = aIn.length
     val cols = (0 until p).map { k =>

@@ -3,7 +3,7 @@ package graft.queries
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
-import graft.operators.{Logit, StatTests}
+import graft.operators.{Logit, PoissonReg, StatTests}
 
 /** Round-17 additions beyond the verdict list: the post-hoc contrast
   * layer (pairwise Welch under BH-FDR), the ordered-proportion trend
@@ -132,10 +132,34 @@ object Advanced9 {
       .orderBy(col("yr"), col("term"))
   }
 
+  // ---- q186: grouped POISSON REGRESSION — order frequency ~
+  //      account balance (k$) + BUILDING-segment membership per
+  //      region: the count-outcome GLM on the same driver-Newton
+  //      cell architecture (bounded ~24 cells per region). Customers
+  //      with no orders count as zero (the left join — dropping them
+  //      would bias every rate up). Rows-only; the closed-form
+  //      rate-ratio identities live in Round17PosthocSpec. ----
+  val q186Poisson: Q = (s, d) => {
+    val cnt = orders(s, d).groupBy(col("o_custkey").as("ck"))
+      .agg(count(lit(1)).cast("long").as("n_orders"))
+    val c = customer(s, d)
+      .join(nation(s, d).select(col("n_nationkey").as("c_nationkey"),
+        col("n_regionkey").as("region")), Seq("c_nationkey"))
+      .select(col("region"), col("c_custkey").as("ck"),
+        floor(col("c_acctbal") / 1000).cast("long").as("bal_k"),
+        when(col("c_mktsegment") === "BUILDING", 1L).otherwise(0L)
+          .as("bld"))
+      .join(cnt, Seq("ck"), "left")
+      .na.fill(0L, Seq("n_orders"))
+    PoissonReg.fitGrouped(c, "region", Seq("bal_k", "bld"), "n_orders")
+      .orderBy(col("region"), col("term"))
+  }
+
   val queries: Map[String, Q] = Map(
     "q183_posthoc_welch" -> q183Posthoc,
     "q184_logit" -> q184Logit,
-    "q185_cochran_armitage" -> q185CochranArmitage)
+    "q185_cochran_armitage" -> q185CochranArmitage,
+    "q186_poisson" -> q186Poisson)
 
   val oracles: Map[String, String] = Map(
     "q183_posthoc_welch" -> q183Oracle,

@@ -187,6 +187,73 @@ class Round17PosthocSpec extends AnyFunSuite {
     }.contains("maxCells"))
   }
 
+  // ---- grouped Poisson regression ----
+
+  test("poisson single binary covariate: beta1 = log rate ratio " +
+      "exactly, se = sqrt(1/S1 + 1/S0), intercept = log reference " +
+      "rate") {
+    // x=0: 20 rows totalling 40 events (rate 2); x=1: 10 rows
+    // totalling 60 events (rate 6) → beta1 = log 3
+    val rows = (1 to 20).map(i => ("g", 0L, 2L)) ++
+      (1 to 10).map(i => ("g", 1L, 6L))
+    val out = graft.operators.PoissonReg.fitGrouped(
+      rows.toDF("g", "x", "y"), "g", Seq("x"), "y").collect()
+      .map(r => r.getAs[String]("term") -> r).toMap
+    assert(math.abs(out("intercept").getAs[Double]("beta")
+      - math.log(2.0)) < 1e-8)
+    assert(math.abs(out("x").getAs[Double]("beta")
+      - math.log(3.0)) < 1e-8)
+    assert(math.abs(out("x").getAs[Double]("se")
+      - math.sqrt(1.0 / 60 + 1.0 / 40)) < 1e-8)
+    assert(math.abs(out("intercept").getAs[Double]("se")
+      - math.sqrt(1.0 / 40)) < 1e-8)
+  }
+
+  test("poisson: equal rates give beta1 = 0; group isolation and " +
+      "partitioning invariance") {
+    val rows = (1 to 15).map(_ => ("g", 0L, 3L)) ++
+      (1 to 25).map(_ => ("g", 1L, 3L)) ++
+      (1 to 10).map(_ => ("h", 0L, 1L)) ++
+      (1 to 10).map(_ => ("h", 1L, 4L))
+    def run(parts: Int): Map[(String, String), Double] =
+      graft.operators.PoissonReg.fitGrouped(
+        rows.toDF("g", "x", "y").repartition(parts), "g", Seq("x"), "y")
+        .collect()
+        .map(r => (r.getAs[String]("g"), r.getAs[String]("term")) ->
+          r.getAs[Double]("beta")).toMap
+    val a = run(1)
+    assert(math.abs(a(("g", "x"))) < 1e-9, a.toString)
+    assert(math.abs(a(("h", "x")) - math.log(4.0)) < 1e-8)
+    assert(a == run(5))
+  }
+
+  test("poisson refusals: zero-count group, half-space divergence, " +
+      "negative counts, maxCells") {
+    val zero = Seq(("g", 0L, 0L), ("g", 1L, 0L)).toDF("g", "x", "y")
+    assert(SparkTestSession.refusalMessage {
+      graft.operators.PoissonReg.fitGrouped(zero, "g", Seq("x"), "y")
+        .collect()
+    }.contains("zero total count"))
+    // all events at x=0, none at x=1 → beta1 walks to -inf
+    val half = ((1 to 10).map(_ => ("g", 0L, 5L)) ++
+      (1 to 10).map(_ => ("g", 1L, 0L))).toDF("g", "x", "y")
+    val e = SparkTestSession.refusalMessage {
+      graft.operators.PoissonReg.fitGrouped(half, "g", Seq("x"), "y")
+        .collect()
+    }
+    assert(e.contains("DIVERGED") || e.contains("did not converge"), e)
+    val neg = Seq(("g", 0L, 1L), ("g", 1L, -2L)).toDF("g", "x", "y")
+    assert(SparkTestSession.refusalMessage {
+      graft.operators.PoissonReg.fitGrouped(neg, "g", Seq("x"), "y")
+        .collect()
+    }.contains("non-negative"))
+    val many = (1 to 50).map(i => ("g", i.toLong, 1L))
+    assert(SparkTestSession.refusalMessage {
+      graft.operators.PoissonReg.fitGrouped(many.toDF("g", "x", "y"),
+        "g", Seq("x"), "y", maxCells = 10L).collect()
+    }.contains("maxCells"))
+  }
+
   // ---- streaming two-way ANOVA twin ----
 
   test("StreamAnova2: 3 streamed batches == batch anovaTwoWay; " +
