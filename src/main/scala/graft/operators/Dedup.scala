@@ -262,6 +262,38 @@ object Dedup {
     df.join(losers, Seq(idCol), "left_anti")
   }
 
+  /** Materialize the deduplicated corpus keeping the BEST member of
+    * each near-duplicate component by a caller-chosen score (r17) —
+    * the production representative policy: min-id
+    * ([[dropNearDuplicates]]) is arbitrary, while a training
+    * pipeline wants the longest / highest-quality member of every
+    * duplicate cluster to survive. Ties break to the smallest id
+    * (total order ⇒ deterministic under any partitioning).
+    *
+    * Same scale shape as dropNearDuplicates: pair generation +
+    * pointer-jumping components + ONE component-cardinality
+    * aggregate (max_by over a (score, −id) struct) + one anti-join —
+    * the representative choice adds a broadcast-sized join against
+    * the component membership, never a corpus shuffle.
+    */
+  def dropNearDuplicatesKeepBest(df: DataFrame, idCol: String,
+                                 textCol: String, scoreCol: String,
+                                 n: Int = 3,
+                                 threshold: Double = 0.8): DataFrame = {
+    val pairs = ngramJaccard(df, idCol, textCol, n, threshold)
+    val comp = Components.connectedComponents(pairs, "doc_a", "doc_b")
+    val scored = comp.join(
+      df.select(col(idCol).as("id"), col(scoreCol).as("__score")),
+      Seq("id"))
+    val reps = scored.groupBy(col("component"))
+      .agg(max_by(col("id"),
+        struct(col("__score"), (col("id") * -1).as("negid"))).as("rep"))
+    val losers = scored.join(reps, Seq("component"))
+      .filter(col("id") =!= col("rep"))
+      .select(col("id").as(idCol))
+    df.join(losers, Seq(idCol), "left_anti")
+  }
+
   /** Near-duplicate pairs by SimHash hamming distance.
     *
     * Pigeonhole banding: a pair with hamming <= maxHamming (< number

@@ -940,7 +940,21 @@ object TextQueries {
     Dedup.dropNearDuplicates(documents(s, d), "doc_id", "text", threshold = 0.8)
       .select(col("doc_id"), col("lang"), col("source"), col("n_chars"))
 
-  val dedupDropOracle: String =
+  // ---- dedup_drop_keep_best (r17): the representative POLICY
+  //      variant — keep the LONGEST member of each near-dup
+  //      component (ties → min id) instead of the arbitrary min-id;
+  //      same pair/component machinery, one component-cardinality
+  //      max_by replaces the min-id rule. ----
+  val dedupDropKeepBest: Q = (s, d) =>
+    Dedup.dropNearDuplicatesKeepBest(documents(s, d), "doc_id", "text",
+        "n_chars", threshold = 0.8)
+      .select(col("doc_id"), col("lang"), col("source"), col("n_chars"))
+
+  /** The shared recursive-CTE prefix of the two dedup-drop oracles:
+    * shingles → verified pairs → bidirectional edges → reachability
+    * (component id = min reachable node).
+    */
+  val dedupDropCte: String =
     """WITH RECURSIVE
       |docs AS (SELECT doc_id, regexp_split_to_array(trim(text), '\s+') toks FROM documents),
       |sh AS (SELECT doc_id, list_distinct([toks[i]||' '||toks[i+1]||' '||toks[i+2]
@@ -956,7 +970,24 @@ object TextQueries {
       |reach AS (
       |  SELECT s AS id, s AS r FROM edges
       |  UNION
-      |  SELECT reach.id, e.d FROM reach JOIN edges e ON e.s = reach.r),
+      |  SELECT reach.id, e.d FROM reach JOIN edges e ON e.s = reach.r)""".stripMargin
+
+  val dedupDropKeepBestOracle: String = dedupDropCte +
+    """,
+      |comp AS (SELECT id, MIN(r) AS c FROM reach GROUP BY id),
+      |scored AS (SELECT comp.id, comp.c, d.n_chars
+      |           FROM comp JOIN documents d ON d.doc_id = comp.id),
+      |rep AS (SELECT c, id AS rep FROM
+      |          (SELECT c, id, ROW_NUMBER() OVER
+      |             (PARTITION BY c ORDER BY n_chars DESC, id) rn
+      |           FROM scored) WHERE rn = 1),
+      |losers AS (SELECT s.id FROM scored s
+      |           JOIN rep ON rep.c = s.c WHERE s.id <> rep.rep)
+      |SELECT doc_id, lang, source, n_chars FROM documents
+      |WHERE doc_id NOT IN (SELECT id FROM losers)""".stripMargin
+
+  val dedupDropOracle: String = dedupDropCte +
+    """,
       |losers AS (SELECT id FROM reach GROUP BY id HAVING id <> MIN(r))
       |SELECT doc_id, lang, source, n_chars FROM documents
       |WHERE doc_id NOT IN (SELECT id FROM losers)""".stripMargin
@@ -1872,6 +1903,7 @@ object TextQueries {
     "text_overlap_spans" -> overlapSpans,
     "text_source_overlap" -> sourceOverlap,
     "dedup_drop_neardups" -> dedupDrop,
+    "dedup_drop_keep_best" -> dedupDropKeepBest,
     "q26_funnel" -> funnel,
     "q_stream_window" -> streamWindow,
     "q_stream_sessionize" -> streamSessionize,
@@ -1928,6 +1960,7 @@ object TextQueries {
     "text_overlap_spans" -> overlapSpansOracle,
     "text_source_overlap" -> sourceOverlapOracle,
     "dedup_drop_neardups" -> dedupDropOracle,
+    "dedup_drop_keep_best" -> dedupDropKeepBestOracle,
     "q26_funnel" -> funnelOracle,
     "q_stream_window" -> streamWindowOracle,
     "q_stream_sessionize" -> streamSessionizeOracle,

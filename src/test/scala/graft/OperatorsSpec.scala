@@ -19,7 +19,30 @@ class OperatorsSpec extends AnyFunSuite {
   def docs = spark.read.parquet(s"$sfDir/documents.parquet")
   def embs = spark.read.parquet(s"$sfDir/embeddings.parquet")
 
-  test("minhash LSH finds every exact-jaccard near-dup pair (recall vs truth)") {
+  test("dropNearDuplicatesKeepBest keeps the LONGEST member per " +
+      "component (ties to min id) and matches dropNearDuplicates' " +
+      "survivor count (r17)") {
+    // cluster {1,2,3} identical text with lengths via score col;
+    // cluster {10,11} identical; 20 unique
+    val t1 = "alpha beta gamma delta epsilon zeta eta theta"
+    val t2 = "iota kappa lambda mu nu xi omicron pi"
+    val rows = Seq(
+      (1L, t1, 5L), (2L, t1, 9L), (3L, t1, 9L),
+      (10L, t2, 4L), (11L, t2, 2L),
+      (20L, "completely different words entirely here now", 7L))
+      .toDF("doc_id", "text", "score")
+    val best = Dedup.dropNearDuplicatesKeepBest(rows, "doc_id", "text",
+      "score").select("doc_id").collect().map(_.getLong(0)).toSet
+    // cluster 1: max score 9 tied between 2 and 3 -> min id 2;
+    // cluster 2: 10 (score 4) beats 11; 20 unique survives
+    assert(best == Set(2L, 10L, 20L), best.toString)
+    val minId = Dedup.dropNearDuplicates(rows, "doc_id", "text")
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(minId == Set(1L, 10L, 20L), minId.toString)
+    assert(best.size == minId.size)
+  }
+
+    test("minhash LSH finds every exact-jaccard near-dup pair (recall vs truth)") {
     val truth = Dedup.ngramJaccard(docs, "doc_id", "text", threshold = 0.8)
       .select("doc_a", "doc_b").as[(Long, Long)].collect().toSet
     val lsh = Dedup.minhashLsh(docs, "doc_id", "text", threshold = 0.8)
