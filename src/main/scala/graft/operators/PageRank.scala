@@ -20,11 +20,15 @@ import org.apache.spark.sql.functions._
   * which is noise for a relative authority score.
   *
   * Scale shape (the [[Components]] discipline): the driver loops only
-  * over ITERATIONS, reading one scalar per pass (the dangling-mass
-  * sum — an aggregate over the |nodes|-sized rank state, never over
-  * edges; folding it into the update job as a broadcast one-row
-  * frame was measured 6× SLOWER, the broadcast-exchange
-  * materialization costing far more than the extra small job).
+  * over ITERATIONS, reading one scalar per pass — the dangling-mass
+  * sum, harvested as an Observation metric DURING the eager
+  * checkpoint of the rank state, so it costs zero extra jobs and
+  * zero extra scans (r17; the r15 alternative of folding it into the
+  * update job as a broadcast one-row frame was measured 6× SLOWER,
+  * and the r16 shape paid a separate join+scan job per pass).
+  * Out-degrees are computed once and CARRIED through the checkpointed
+  * state — the per-pass state is (node, deg, rank) — so no iteration
+  * re-joins the degree table.
   * Every step is a distributed join/aggregate on the node key; the
   * rank side is small relative to edges, so AQE broadcasts it into
   * the contribution join and the real per-iteration cost is the
@@ -59,43 +63,86 @@ object PageRank {
     val dampNum = 17L; val dampDen = 20L // damping 0.85 as a rational
     val e = edges.select(col(srcCol).cast("bigint").as("src"),
       col(dstCol).cast("bigint").as("dst")).distinct().persist()
-    val nodes = e.select(col("src").as("node"))
-      .union(e.select(col("dst").as("node"))).distinct().persist()
-    val n = nodes.count()
+    // r17 setup fusion (measured: setup was the largest jobs in the
+    // profile — union+distinct for nodes, a second shuffle for
+    // out-degrees, a count job, and an init join+checkpoint). ONE
+    // shuffle now builds (node, deg) for every node — deg = count of
+    // out-edges, null when dangling, exactly the old left-join — and
+    // the node count + dangling-node count ride the checkpoint as
+    // Observation metrics, so setup is one wide pass over 2|E| rows
+    // plus zero extra jobs.
+    val setupObs = org.apache.spark.sql.Observation()
+    val state0 = e.select(col("src").as("node"), lit(1L).as("__o"))
+      .union(e.select(col("dst").as("node"), lit(0L).as("__o")))
+      .groupBy(col("node")).agg(sum(col("__o")).as("__deg0"))
+      .select(col("node"),
+        when(col("__deg0") > 0, col("__deg0")).otherwise(lit(null))
+          .cast("bigint").as("deg"))
+      .observe(setupObs, count(lit(1)).as("n"),
+        coalesce(sum(when(col("deg").isNull, 1L).otherwise(0L)), lit(0L))
+          .as("nDangling"))
+      .localCheckpoint(true)
+    val n = setupObs.get("n").asInstanceOf[Long]
     require(n > 0, "empty graph")
-    val outdeg = e.groupBy(col("src").as("node"))
-      .agg(count(lit(1)).cast("bigint").as("deg")).persist()
+    val nDangling = setupObs.get("nDangling").asInstanceOf[Long]
     val base = scale * (dampDen - dampNum) / (dampDen * n) // driver longs
-    // eager localCheckpoint: materialize AND truncate the logical plan
-    var ranks = nodes.withColumn("r", lit(scale / n)).localCheckpoint(true)
+    // r17 per-iteration fusion (measured: the old shape scheduled ~10
+    // jobs/iteration — the dangling scalar was its own join+scan job
+    // and outdeg was re-joined TWICE per pass). The state now CARRIES
+    // deg through every checkpoint, and the dangling mass rides the
+    // checkpoint materialization itself as an Observation metric —
+    // zero extra jobs, zero extra joins per pass. Ranks themselves
+    // are untouched integer algebra (deg-null nodes never match
+    // e.src, so pre-filtering the contribution join is a no-op on
+    // the result; the spec pins bit-equality).
+    def checkpointState(df: DataFrame): (DataFrame, Long) = {
+      val obs = org.apache.spark.sql.Observation()
+      val st = df.observe(obs,
+          coalesce(sum(when(col("deg").isNull, col("r"))), lit(0L))
+            .as("dangling"))
+        .localCheckpoint(true) // eager: fires the observation too
+      (st, obs.get("dangling").asInstanceOf[Long])
+    }
+    // initial ranks are uniform, so the initial dangling mass is a
+    // driver product — no job, no physical r column needed yet
+    var state = state0.withColumn("r", lit(scale / n))
+    var dangling = (scale / n) * nDangling
     var i = 0
     var converged = false
     while (i < iters && !converged) {
-      val withDeg = ranks.join(outdeg, Seq("node"), "left")
-      // one driver scalar per pass, over |nodes| checkpointed rows
-      val dangling = withDeg.filter(col("deg").isNull)
-        .agg(coalesce(sum(col("r")), lit(0L))).head().getLong(0)
       val dShare = dangling / n
-      val inflow = withDeg.join(e, withDeg("node") === e("src"))
-        .select(col("dst").as("node"), expr("r div deg").as("c"))
-        .groupBy("node").agg(sum(col("c")).as("inflow"))
-      val prev = ranks
-      ranks = nodes.join(inflow, Seq("node"), "left")
-        .select(col("node"),
-          (lit(base) +
-            expr(s"$dampNum * (coalesce(inflow, CAST(0 AS BIGINT)) + $dShare) div $dampDen")
-          ).cast("bigint").as("r"))
-        .localCheckpoint(true)
+      // ONE exchange per pass (r17): raw contributions and the
+      // previous state (zero-contribution carrier rows — exactly one
+      // per node, so max(deg) recovers each node's degree) feed the
+      // SAME hash aggregate; the old shape paid the contribution
+      // groupBy AND a state join-back (a second exchange or a
+      // broadcast build) for the same integers.
+      val contrib = state.filter(col("deg").isNotNull)
+        .join(e, state("node") === e("src"))
+        .select(col("dst").as("node"), lit(null).cast("bigint").as("deg"),
+          expr("r div deg").as("c"))
+      val prev = state
+      val (st, dg) = checkpointState(
+        prev.select(col("node"), col("deg"),
+            lit(null).cast("bigint").as("c"))
+          .union(contrib)
+          .groupBy(col("node"))
+          .agg(max(col("deg")).as("deg"), sum(col("c")).as("inflow"))
+          .select(col("node"), col("deg"),
+            (lit(base) +
+              expr(s"$dampNum * (coalesce(inflow, CAST(0 AS BIGINT)) + $dShare) div $dampDen")
+            ).cast("bigint").as("r")))
+      state = st; dangling = dg
       if (tolMicro > 0) {
-        val moved = ranks.join(
+        val moved = state.join(
             prev.select(col("node"), col("r").as("r0")), Seq("node"))
           .agg(max(abs(col("r") - col("r0")))).head().getLong(0)
         converged = moved <= tolMicro
       }
       i += 1
     }
-    e.unpersist(); outdeg.unpersist(); nodes.unpersist()
-    ranks.select(col("node"), col("r").as("rank"))
+    e.unpersist()
+    state.select(col("node"), col("r").as("rank"))
   }
 
   /** PERSONALIZED PageRank — random walk with restart at a SEED set
@@ -120,56 +167,88 @@ object PageRank {
     val dampNum = 17L; val dampDen = 20L
     val e = edges.select(col(srcCol).cast("bigint").as("src"),
       col(dstCol).cast("bigint").as("dst")).distinct().persist()
-    val nodes = e.select(col("src").as("node"))
-      .union(e.select(col("dst").as("node"))).distinct().persist()
     val sd = seeds.select(col(seedCol).cast("bigint").as("node"))
       .distinct().persist()
-    val missing = sd.join(nodes, Seq("node"), "left_anti")
-    require(missing.isEmpty,
-      "personalized PageRank: seeds missing from the graph — a silent " +
-        "drop would redistribute the restart mass " +
-        s"(first few: ${missing.limit(3).collect().mkString(", ")})")
     val nS = sd.count()
     require(nS > 0, "personalized PageRank: empty seed set")
-    val outdeg = e.groupBy(col("src").as("node"))
-      .agg(count(lit(1)).cast("bigint").as("deg")).persist()
-    val baseSeed = scale * (dampDen - dampNum) / (dampDen * nS)
-    val seedMark = sd.withColumn("__seed", lit(1))
-    // init = the restart distribution itself
-    var ranks = nodes.join(seedMark, Seq("node"), "left")
+    // r17 setup fusion (the [[run]] shape): ONE shuffle builds
+    // (node, deg, __seed) for every node, and the node/seed/dangling
+    // counts ride the checkpoint as Observation metrics. The
+    // missing-seeds refusal compares the observed in-graph seed count
+    // against |seeds| — the enumerating left-anti join is only run on
+    // the FAILURE path, for the error message.
+    val setupObs = org.apache.spark.sql.Observation()
+    val state0 = e.select(col("src").as("node"), lit(1L).as("__o"))
+      .union(e.select(col("dst").as("node"), lit(0L).as("__o")))
+      .groupBy(col("node")).agg(sum(col("__o")).as("__deg0"))
       .select(col("node"),
-        when(col("__seed").isNotNull, lit(scale / nS)).otherwise(lit(0L))
-          .cast("bigint").as("r"))
+        when(col("__deg0") > 0, col("__deg0")).otherwise(lit(null))
+          .cast("bigint").as("deg"))
+      .join(sd.withColumn("__seed", lit(1)), Seq("node"), "left")
+      .observe(setupObs,
+        coalesce(sum(when(col("__seed").isNotNull, 1L).otherwise(0L)),
+          lit(0L)).as("nSeedIn"),
+        coalesce(sum(when(col("__seed").isNotNull && col("deg").isNull, 1L)
+          .otherwise(0L)), lit(0L)).as("nSeedDangling"))
       .localCheckpoint(true)
+    if (setupObs.get("nSeedIn").asInstanceOf[Long] != nS) {
+      val missing = sd.join(
+        state0.select(col("node")), Seq("node"), "left_anti")
+      require(missing.isEmpty,
+        "personalized PageRank: seeds missing from the graph — a silent " +
+          "drop would redistribute the restart mass " +
+          s"(first few: ${missing.limit(3).collect().mkString(", ")})")
+    }
+    val nSeedDangling = setupObs.get("nSeedDangling").asInstanceOf[Long]
+    val baseSeed = scale * (dampDen - dampNum) / (dampDen * nS)
+    def checkpointState(df: DataFrame): (DataFrame, Long) = {
+      val obs = org.apache.spark.sql.Observation()
+      val st = df.observe(obs,
+          coalesce(sum(when(col("deg").isNull, col("r"))), lit(0L))
+            .as("dangling"))
+        .localCheckpoint(true)
+      (st, obs.get("dangling").asInstanceOf[Long])
+    }
+    // init = the restart distribution itself; uniform on the seeds,
+    // so the initial dangling mass is a driver product
+    var state = state0.withColumn("r",
+      when(col("__seed").isNotNull, lit(scale / nS)).otherwise(lit(0L))
+        .cast("bigint"))
+    var dangling = (scale / nS) * nSeedDangling
     var i = 0
     var converged = false
     while (i < iters && !converged) {
-      val withDeg = ranks.join(outdeg, Seq("node"), "left")
-      val dangling = withDeg.filter(col("deg").isNull)
-        .agg(coalesce(sum(col("r")), lit(0L))).head().getLong(0)
       val dShare = dangling / nS // teleports to the seeds
-      val inflow = withDeg.join(e, withDeg("node") === e("src"))
-        .select(col("dst").as("node"), expr("r div deg").as("c"))
-        .groupBy("node").agg(sum(col("c")).as("inflow"))
-      val prev = ranks
-      ranks = nodes.join(inflow, Seq("node"), "left")
-        .join(seedMark, Seq("node"), "left")
-        .select(col("node"),
-          (when(col("__seed").isNotNull, lit(baseSeed)).otherwise(lit(0L)) +
-            expr(s"$dampNum * (coalesce(inflow, CAST(0 AS BIGINT)) + " +
-              s"IF(__seed IS NOT NULL, $dShare, CAST(0 AS BIGINT))) " +
-              s"div $dampDen"))
-            .cast("bigint").as("r"))
-        .localCheckpoint(true)
+      // ONE exchange per pass — the [[run]] shape, with the seed flag
+      // riding the carrier rows
+      val contrib = state.filter(col("deg").isNotNull)
+        .join(e, state("node") === e("src"))
+        .select(col("dst").as("node"), lit(null).cast("bigint").as("deg"),
+          lit(null).cast("int").as("__seed"), expr("r div deg").as("c"))
+      val prev = state
+      val (st, dg) = checkpointState(
+        prev.select(col("node"), col("deg"), col("__seed").cast("int"),
+            lit(null).cast("bigint").as("c"))
+          .union(contrib)
+          .groupBy(col("node"))
+          .agg(max(col("deg")).as("deg"), max(col("__seed")).as("__seed"),
+            sum(col("c")).as("inflow"))
+          .select(col("node"), col("deg"), col("__seed"),
+            (when(col("__seed").isNotNull, lit(baseSeed)).otherwise(lit(0L)) +
+              expr(s"$dampNum * (coalesce(inflow, CAST(0 AS BIGINT)) + " +
+                s"IF(__seed IS NOT NULL, $dShare, CAST(0 AS BIGINT))) " +
+                s"div $dampDen"))
+              .cast("bigint").as("r")))
+      state = st; dangling = dg
       if (tolMicro > 0) {
-        val moved = ranks.join(
+        val moved = state.join(
             prev.select(col("node"), col("r").as("r0")), Seq("node"))
           .agg(max(abs(col("r") - col("r0")))).head().getLong(0)
         converged = moved <= tolMicro
       }
       i += 1
     }
-    e.unpersist(); outdeg.unpersist(); nodes.unpersist(); sd.unpersist()
-    ranks.select(col("node"), col("r").as("rank"))
+    e.unpersist(); sd.unpersist()
+    state.select(col("node"), col("r").as("rank"))
   }
 }
