@@ -61,8 +61,11 @@ object Dsir {
   private def docBucketCounts(corpus: DataFrame, idCol: String,
                               textCol: String, targetPred: Column,
                               buckets: Int): DataFrame =
-    corpus.select(col(idCol).as("__doc"), targetPred.as("__t"),
-        explode(ngrams(col(textCol))).as("__g"))
+    Fanout.widen(
+        corpus.select(col(idCol).as("__doc"), targetPred.as("__t"),
+          col(textCol).as("__text")))
+      .select(col("__doc"), col("__t"),
+        explode(ngrams(col("__text"))).as("__g"))
       .select(col("__doc"), col("__t"), bucketOf(col("__g"), buckets).as("__b"))
       // semantics-neutral (buckets are never null) but plan-critical:
       // the scoring join infers isnotnull(__b) on ITS copy of this

@@ -87,15 +87,42 @@ object RankCorr {
     *
     * Null groups are dropped (the previous prior-join behavior,
     * now explicit). Rows must be unique on (g, vc) — enforced.
+    *
+    * SIZE ROUTING (r17 — the [[Components.connectedComponents]]
+    * local-route convention; measured: q138_mad scheduled 50 jobs on
+    * a 15k-row input, almost all of them this machinery's sampling /
+    * pinning / boundary-collect fixed costs, twice): the input is
+    * pinned ONCE with its row count riding the checkpoint as an
+    * Observation metric. At or under `maxLocalRows` (250k rows ≈ 10 MB
+    * driver — measured crossover: a 7e5-row table is already faster
+    * on the sampled-range path than collect+parallelize) and with an integral
+    * rank axis, the cumulation is ONE linear driver pass over the
+    * collected count table — same refusals, same schema, same
+    * integers (grouping is hash-based and only `vc` is ordered, so
+    * JVM-vs-UTF8 string collation can never matter; the spec pins
+    * cross-route equality). Above the cap — the 100 TB regime — the
+    * sampled-range path below runs unchanged, now sampling the pinned
+    * input instead of recomputing the upstream aggregation twice.
     */
   private[graft] def cumFromCountsWith(countsIn: DataFrame, vc: String,
                                            valCol: Option[String],
-                                           carry: Seq[String] = Nil)
+                                           carry: Seq[String] = Nil,
+                                           maxLocalRows: Long = 250000L)
       : DataFrame = {
     import org.apache.spark.sql.expressions.Window
     import org.apache.spark.sql.types._
     val spark = countsIn.sparkSession
+    val pinObs = org.apache.spark.sql.Observation()
     val counts = countsIn.filter(col("g").isNotNull)
+      .observe(pinObs, count(lit(1)).as("rows"))
+      .localCheckpoint(true)
+    val totalRows = pinObs.get("rows").asInstanceOf[Long]
+    val vcIntegral = counts.schema(vc).dataType match {
+      case LongType | IntegerType | ShortType | ByteType => true
+      case _ => false
+    }
+    if (vcIntegral && totalRows <= maxLocalRows)
+      return cumLocal(counts, vc, valCol, carry)
     val n = spark.sessionState.conf.numShufflePartitions
     val ranged = counts.repartitionByRange(n, col("g"), col(vc))
       .localCheckpoint(true) // pin the sampled range layout
@@ -163,6 +190,75 @@ object RankCorr {
         .cast("decimal(38,0)").as("cumv")) ++
       carry.map(col)
     out.select(cols: _*)
+  }
+
+  /** Driver-local route of [[cumFromCountsWith]] for count tables
+    * under the size cap: one linear pass over the collected rows —
+    * hash-grouped on g (no cross-group ordering, so string collation
+    * differences between the JVM and UTF8String cannot matter), each
+    * group sorted on the INTEGRAL rank axis. Identical refusal
+    * messages, identical output schema and integers to the
+    * distributed path (spec-pinned cross-route equality).
+    */
+  private def cumLocal(counts: DataFrame, vc: String,
+                       valCol: Option[String],
+                       carry: Seq[String]): DataFrame = {
+    import org.apache.spark.sql.types._
+    val spark = counts.sparkSession
+    val schema = counts.schema
+    val rows = counts.collect()
+    val gi = schema.fieldIndex("g"); val vi = schema.fieldIndex(vc)
+    val ci = schema.fieldIndex("cnt")
+    val vli = valCol.map(schema.fieldIndex)
+    val cis = carry.map(schema.fieldIndex)
+    require(rows.forall(r => !r.isNullAt(vi)),
+      s"cumFromCounts: null values in $vc (often a failed cast of bad " +
+        "data) — rank inputs must be non-null; filter or fix the cast " +
+        "first")
+    val byG = rows.groupBy(_.get(gi))
+    require(byG.valuesIterator.forall(rs =>
+        rs.iterator.map(_.getAs[Number](vi).longValue).toSet.size
+          == rs.length),
+      s"cumFromCounts: rows must be unique on (g, $vc) — aggregate to " +
+        "the (group, value) key first")
+    val out = new java.util.ArrayList[org.apache.spark.sql.Row](rows.length)
+    byG.valuesIterator.foreach { rs =>
+      var below = 0L
+      var acc = java.math.BigDecimal.ZERO
+      var sawVal = false
+      rs.sortBy(_.getAs[Number](vi).longValue).foreach { r =>
+        val cumv: java.math.BigDecimal = vli match {
+          case Some(i) =>
+            if (!r.isNullAt(i)) {
+              acc = acc.add(new java.math.BigDecimal(r.get(i).toString))
+              sawVal = true
+            }
+            if (sawVal) acc.setScale(0) else null
+          case None => null
+        }
+        val vals = Seq(r.get(gi), r.get(vi), r.get(ci),
+          java.lang.Long.valueOf(below)) ++
+          (if (vli.isDefined) Seq(cumv) else Nil) ++ cis.map(r.get)
+        out.add(org.apache.spark.sql.Row(vals: _*))
+        below += r.getAs[Number](ci).longValue
+      }
+    }
+    val outSchema = StructType(
+      Seq(schema("g"), schema(vc), schema("cnt"),
+        StructField("below", LongType)) ++
+        valCol.map(_ => StructField("cumv", DecimalType(38, 0))) ++
+        carry.map(schema(_)))
+    // RDD-backed, NOT a LocalRelation: embedding 10⁵⁺ rows in the
+    // logical plan re-serializes them through every consumer's
+    // planning pass (measured: jonckheere's 7e5-row fill went 7 s →
+    // 12+ s as a LocalRelation; as a parallelized RDD the plan holds
+    // only a reference)
+    import scala.jdk.CollectionConverters._
+    spark.createDataFrame(
+      spark.sparkContext.parallelize(out.asScala.toSeq,
+        math.max(1, math.min(spark.sparkContext.defaultParallelism,
+          1 + out.size / 20000))),
+      outSchema)
   }
 
   /** (group, value, m2) — doubled midranks of `vc` within each group,

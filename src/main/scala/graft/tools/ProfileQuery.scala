@@ -74,7 +74,10 @@ object ProfileQuery {
         if (recording) {
           val si = sc.stageInfo
           val m = si.taskMetrics
-          val line = f"    stage ${si.stageId}%4d ${si.numTasks}%4d tasks " +
+          val dur = (for {
+            s <- si.submissionTime; c <- si.completionTime
+          } yield (c - s) / 1e3).getOrElse(0.0)
+          val line = f"    stage ${si.stageId}%4d $dur%6.2fs ${si.numTasks}%4d tasks " +
             f"in=${m.inputMetrics.bytesRead / 1e6}%8.1fMB " +
             f"sRead=${m.shuffleReadMetrics.totalBytesRead / 1e6}%8.1fMB " +
             f"sWrite=${m.shuffleWriteMetrics.bytesWritten / 1e6}%8.1fMB " +

@@ -41,8 +41,11 @@ class CumFromCountsSpec extends AnyFunSuite {
     val want = brute(rows)
     for (parts <- Seq(1, 3, 13)) {
       val df = rows.toDF("g", "v", "cnt", "vv").repartition(parts)
+      // forced distributed: this is the spanning-offset machinery's
+      // brute-force gate (the local route has its own, plus the
+      // cross-route equality test below)
       val got = RankCorr.cumFromCountsWith(df, "v", Some("vv"),
-          Seq("vv"))
+          Seq("vv"), maxLocalRows = 0L)
         .collect()
         .map(r => (r.getString(0), r.getLong(1)) ->
           (r.getLong(3), r.getDecimal(4).longValue, r.getLong(5)))
@@ -58,10 +61,12 @@ class CumFromCountsSpec extends AnyFunSuite {
     }
   }
 
-  test("one giant group spanning every partition still offsets exactly") {
+  test("one giant group spanning every partition still offsets exactly " +
+      "(forced onto the distributed route)") {
     val rows = (1 to 5000).map(i => ("g", i.toLong, 2L, 0L))
     val got = RankCorr.cumFromCountsWith(
-        rows.toDF("g", "v", "cnt", "vv").repartition(8), "v", None)
+        rows.toDF("g", "v", "cnt", "vv").repartition(8), "v", None,
+        maxLocalRows = 0L)
       .orderBy("v").collect()
     got.zipWithIndex.foreach { case (r, i) =>
       assert(r.getLong(3) == 2L * i, s"row $i")
@@ -81,6 +86,44 @@ class CumFromCountsSpec extends AnyFunSuite {
       .toDF("g", "v", "cnt")
     val got = RankCorr.cumFromCountsWith(rows, "v", None).collect()
     assert(got.length == 1 && got.head.getString(0) == "g")
+  }
+
+  test("r17 size routing: local and forced-distributed routes agree " +
+      "bit-for-bit (below, cumv, carry) and refuse identically") {
+    val rows = for (gi <- 1 to 40; vi <- 1 to 6) yield
+      (f"g$gi%03d", vi.toLong * 7 % 11, (gi * vi % 5 + 1).toLong,
+        (gi * 13 + vi).toLong)
+    val df = rows.toDF("g", "v", "cnt", "vv").repartition(5)
+    def run(maxLocal: Long) =
+      RankCorr.cumFromCountsWith(df, "v", Some("vv"), Seq("vv"),
+          maxLocalRows = maxLocal)
+        .collect()
+        .map(r => (r.getString(0), r.getLong(1)) ->
+          (r.getLong(2), r.getLong(3), r.getDecimal(4).longValue,
+            r.getLong(5)))
+        .toMap
+    val local = run(Long.MaxValue)
+    val dist = run(0L)
+    assert(local == dist)
+    // the same schema comes back from both routes
+    def schemaOf(maxLocal: Long) =
+      RankCorr.cumFromCountsWith(df, "v", Some("vv"), Seq("vv"),
+        maxLocalRows = maxLocal).schema.map(f => (f.name, f.dataType))
+    assert(schemaOf(Long.MaxValue) == schemaOf(0L))
+    // refusals fire on the local route too, with the same diagnoses
+    val dup = Seq(("g", 1L, 1L), ("g", 1L, 2L)).toDF("g", "v", "cnt")
+    val e1 = SparkTestSession.refusalMessage {
+      RankCorr.cumFromCountsWith(dup, "v", None,
+        maxLocalRows = Long.MaxValue).collect()
+    }
+    assert(e1.contains("unique"), e1)
+    val nulls = Seq((Some("g"), Some(1L), 1L), (Some("g"), None, 1L))
+      .toDF("g", "v", "cnt")
+    val e2 = SparkTestSession.refusalMessage {
+      RankCorr.cumFromCountsWith(nulls, "v", None,
+        maxLocalRows = Long.MaxValue).collect()
+    }
+    assert(e2.contains("null values in v"), e2)
   }
 
   test("null VALUES refuse with their own diagnosis, not the " +
