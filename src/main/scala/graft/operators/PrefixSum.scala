@@ -32,11 +32,27 @@ object PrefixSum {
     * order.
     */
   def runningTotal(df: DataFrame, orderCol: String, valueCol: String,
-                   outCol: String, partitions: Int = 0): DataFrame = {
+                   outCol: String, partitions: Int = 0,
+                   maxOnePartRows: Long = 250000L): DataFrame = {
     val spark = df.sparkSession
+    // r17 size routing (the cumFromCountsWith convention, by a
+    // different mechanism): the input is pinned once with its row
+    // count riding the checkpoint as an Observation metric; at or
+    // under `maxOnePartRows` the range partition collapses to ONE
+    // partition — RangePartitioner skips sampling entirely at n=1,
+    // the totals collect is one row, and the window is one small
+    // task. Same expressions, so output types and values are
+    // identical by construction (the machinery is spec-pinned
+    // partition-count-invariant). Above the cap the sampled-range
+    // path runs unchanged against the pinned input.
+    val pinObs = org.apache.spark.sql.Observation()
+    val pinned = df.observe(pinObs, count(lit(1)).as("rows"))
+      .localCheckpoint(true)
+    val totalIn = pinObs.get("rows").asInstanceOf[Long]
     val n = if (partitions > 0) partitions
+      else if (totalIn <= maxOnePartRows) 1
       else spark.sessionState.conf.numShufflePartitions
-    val ranged = df.repartitionByRange(n, col(orderCol))
+    val ranged = pinned.repartitionByRange(n, col(orderCol))
       .localCheckpoint(true) // pin the sampled range layout
     val withPid = ranged.withColumn("__pid",
       spark_partition_id().cast("long"))

@@ -38,11 +38,39 @@ object Ranking {
     * certifies it on the same counts pass.
     */
   def globalRank(df: DataFrame, orderCols: Seq[String], outCol: String,
-                 partitions: Int): DataFrame = {
+                 partitions: Int): DataFrame =
+    globalRank(df, orderCols, outCol, partitions, 250000L)
+
+  /** SIZE-ROUTED form (r17 — the [[RankCorr.cumFromCountsWith]] /
+    * [[Components.connectedComponents]] convention): the input is
+    * pinned once with its row count riding the checkpoint as an
+    * Observation metric; at or under `maxLocalRows` with ALL order
+    * columns integral (longs compare identically on the driver and
+    * in Spark — strings do NOT outside the BMP, the Components
+    * collation rule), ranking is one driver sort over the collected
+    * rows, with the same uniqueness refusal. Above the cap, or with
+    * any non-integral key, the sampled-range path runs unchanged.
+    */
+  def globalRank(df: DataFrame, orderCols: Seq[String], outCol: String,
+                 partitions: Int, maxLocalRows: Long): DataFrame = {
     val spark = df.sparkSession
+    val pinObs = org.apache.spark.sql.Observation()
+    val pinned = df.observe(pinObs, count(lit(1)).as("rows"))
+      .localCheckpoint(true)
+    val totalRows = pinObs.get("rows").asInstanceOf[Long]
+    val integralKeys = orderCols.forall(c =>
+      pinned.schema(c).dataType match {
+        case org.apache.spark.sql.types.LongType |
+             org.apache.spark.sql.types.IntegerType |
+             org.apache.spark.sql.types.ShortType |
+             org.apache.spark.sql.types.ByteType => true
+        case _ => false
+      })
+    if (integralKeys && totalRows <= maxLocalRows)
+      return rankLocal(pinned, orderCols, outCol)
     val n = if (partitions > 0) partitions
       else spark.sessionState.conf.numShufflePartitions
-    val ranged = df.repartitionByRange(n, orderCols.map(col): _*)
+    val ranged = pinned.repartitionByRange(n, orderCols.map(col): _*)
       .localCheckpoint(true)
     val withPid = ranged.withColumn("__pid",
       spark_partition_id().cast("long"))
@@ -65,6 +93,48 @@ object Ranking {
     withPid.join(offDf, Seq("__pid"))
       .withColumn(outCol, row_number().over(w).cast("long") + col("__off"))
       .drop("__pid", "__off")
+  }
+
+  /** Driver-local route of [[globalRank]]: one sort over the
+    * collected rows on the integral key tuple (nulls first, the
+    * Spark ASC default), the same uniqueness refusal, output returned
+    * RDD-backed (never a row-scale LocalRelation — the
+    * [[RankCorr]] cumLocal lesson).
+    */
+  private def rankLocal(pinned: DataFrame, orderCols: Seq[String],
+                        outCol: String): DataFrame = {
+    import org.apache.spark.sql.types._
+    val spark = pinned.sparkSession
+    val schema = pinned.schema
+    val idx = orderCols.map(schema.fieldIndex)
+    val rows = pinned.collect()
+    def key(r: org.apache.spark.sql.Row): Seq[Option[Long]] =
+      idx.map(i => if (r.isNullAt(i)) None
+        else Some(r.getAs[Number](i).longValue))
+    // None (SQL NULL) sorts first — the asc NULLS FIRST default the
+    // distributed window uses
+    implicit val ord: Ordering[Seq[Option[Long]]] = {
+      import scala.math.Ordering.Implicits.seqOrdering
+      seqOrdering(Ordering.Option(Ordering.Long))
+    }
+    val sorted = rows.sortBy(key)
+    require(sorted.length < 2 || sorted.iterator.zip(
+        sorted.iterator.drop(1)).forall { case (a, b) => key(a) != key(b) },
+      s"Ranking: rows must be unique on '${orderCols.mkString(",")}' — a " +
+        "global rank over duplicate keys is partition-order-dependent")
+    val out = new java.util.ArrayList[org.apache.spark.sql.Row](rows.length)
+    var i = 0L
+    sorted.foreach { r =>
+      i += 1
+      out.add(org.apache.spark.sql.Row(
+        (r.toSeq :+ java.lang.Long.valueOf(i)): _*))
+    }
+    import scala.jdk.CollectionConverters._
+    spark.createDataFrame(
+      spark.sparkContext.parallelize(out.asScala.toSeq,
+        math.max(1, math.min(spark.sparkContext.defaultParallelism,
+          1 + out.size / 20000))),
+      StructType(schema.fields :+ StructField(outCol, LongType)))
   }
 
   /** Reciprocal-rank fusion (Cormack & Clarke SIGIR '09) of several

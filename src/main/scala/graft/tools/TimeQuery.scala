@@ -24,8 +24,21 @@ object TimeQuery {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
+    // the Bench resetState convention: checkpoint blocks, cached
+    // plans and streaming state survive each query and poison later
+    // ones' timing windows (measured: q134 read 10-22 s in a 10-query
+    // run vs 2.7-3.4 s isolated)
+    def resetState(): Unit = {
+      try spark.catalog.clearCache() catch { case _: Throwable => () }
+      try spark.sparkContext.getPersistentRDDs.values
+        .foreach(_.unpersist(blocking = false))
+      catch { case _: Throwable => () }
+      try org.apache.spark.sql.execution.streaming.state.StateStore.stop()
+      catch { case _: Throwable => () }
+    }
     names.foreach { name =>
       val fn = SparkEntry.queries(name)
+      resetState(); System.gc()
       val times = (1 to n).map { _ =>
         val t0 = System.nanoTime()
         fn(spark, sfDir).write.mode("overwrite").format("noop").save()

@@ -336,6 +336,22 @@ class AdvancedOps2Spec extends org.scalatest.funsuite.AnyFunSuite {
     assert(e.getMessage.contains("unique"))
   }
 
+  test("globalRank r17 size routing: local and forced-distributed " +
+      "routes agree on integral composites and refuse identically") {
+    val rows = (1 to 300).map(i =>
+      ((i * 7 % 13).toLong, (i * 31 % 300).toLong, i.toLong))
+    val df = rows.toDF("a", "b", "id").repartition(5)
+    def run(maxLocal: Long) =
+      Ranking.globalRank(df, Seq("a", "b", "id"), "r", 0, maxLocal)
+        .select("id", "r").as[(Long, Long)].collect().toMap
+    assert(run(Long.MaxValue) === run(0L))
+    val dup = Seq((1L, 2L), (1L, 3L), (1L, 4L)).toDF("a", "id")
+    val e = intercept[IllegalArgumentException] {
+      Ranking.globalRank(dup, Seq("a"), "r", 0, Long.MaxValue).collect()
+    }
+    assert(e.getMessage.contains("unique"))
+  }
+
   test("incremental skyline under inserts equals full recompute") {
     val rnd = new scala.util.Random(7)
     val pts = (1 to 400).map(i =>
