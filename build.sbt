@@ -11,6 +11,13 @@ libraryDependencies ++= Seq(
 )
 Test / fork := true
 run / fork := true
+// Pass the forked program's stdout through UNDECORATED: the default
+// LoggedOutput prefixes every line with "[info] ", so the Bench
+// contract's one-line JSON never starts at column 0 and a line-based
+// parser ("^{...}") can't see it — every BENCH_r* artifact through r17
+// records parsed:null. StdoutOutput inherits the parent's stdio, so
+// the JSON line reaches the driver exactly as printed.
+run / outputStrategy := Some(StdoutOutput)
 // Spark 4.x on JDK 17 needs these when SparkSession is created outside
 // spark-submit (which normally injects them). Matches
 // org.apache.spark.launcher.JavaModuleOptions.defaultModuleOptions().

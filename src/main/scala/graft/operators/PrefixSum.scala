@@ -45,14 +45,27 @@ object PrefixSum {
     // identical by construction (the machinery is spec-pinned
     // partition-count-invariant). Above the cap the sampled-range
     // path runs unchanged against the pinned input.
-    val pinObs = org.apache.spark.sql.Observation()
-    val pinned = df.observe(pinObs, count(lit(1)).as("rows"))
-      .localCheckpoint(true)
-    val totalIn = pinObs.get("rows").asInstanceOf[Long]
+    // r18 probe gate (the ADVICE precedence/pin fixes): an explicit
+    // partitions > 0 is a REQUESTED distributed layout — the route is
+    // already decided, so no probe runs at all (the old unpinned
+    // path). An input that is already a materialized scan (q93's
+    // caller-checkpointed perValue — the measured +25% probe-pin tax)
+    // is probed with a plain count() instead of a re-serializing
+    // second checkpoint; only an eligible, unmaterialized input pays
+    // the observe + checkpoint pin.
+    val (base, totalIn) =
+      if (partitions > 0) (df, None)
+      else if (SizeRoute.isMaterializedScan(df)) (df, Some(df.count()))
+      else {
+        val pinObs = org.apache.spark.sql.Observation()
+        val pinned = df.observe(pinObs, count(lit(1)).as("rows"))
+          .localCheckpoint(true)
+        (pinned, Some(pinObs.get("rows").asInstanceOf[Long]))
+      }
     val n = if (partitions > 0) partitions
-      else if (totalIn <= maxOnePartRows) 1
+      else if (totalIn.exists(_ <= maxOnePartRows)) 1
       else spark.sessionState.conf.numShufflePartitions
-    val ranged = pinned.repartitionByRange(n, col(orderCol))
+    val ranged = base.repartitionByRange(n, col(orderCol))
       .localCheckpoint(true) // pin the sampled range layout
     val withPid = ranged.withColumn("__pid",
       spark_partition_id().cast("long"))

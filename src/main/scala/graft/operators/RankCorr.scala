@@ -112,23 +112,40 @@ object RankCorr {
     import org.apache.spark.sql.expressions.Window
     import org.apache.spark.sql.types._
     val spark = countsIn.sparkSession
-    // maxLocalRows < 0: the caller KNOWS the table is big (jonckheere's
-    // K-fill is axis × samples by construction) — skip the probe pin
-    // entirely rather than materialize a table that will route
-    // distributed anyway (measured: the probe pin cost q165 ~+20%)
+    // Probe gate (r18 — the r17 pin ran whenever maxLocalRows >= 0,
+    // taxing above-cap callers with a full extra materialization;
+    // measured +20% on q165 before its hand opt-out): the local route
+    // is ruled in/out from the SCHEMA first — integral rank axis, and
+    // a valCol (when cumulated) of integral or decimal type, since
+    // the local BigDecimal accumulation is exact only there (a double
+    // valCol would expose float summation order). Ruled out, or
+    // maxLocalRows < 0 (the caller KNOWS the table is big —
+    // jonckheere's axis × samples fill): the old unpinned distributed
+    // path runs with no probe cost. Eligible inputs that are already
+    // a materialized scan are probed with a plain count() instead of
+    // a re-serializing second checkpoint ([[SizeRoute]]).
+    val vcIntegral = countsIn.schema(vc).dataType match {
+      case LongType | IntegerType | ShortType | ByteType => true
+      case _ => false
+    }
+    val valOk = valCol.forall(c => countsIn.schema(c).dataType match {
+      case LongType | IntegerType | ShortType | ByteType => true
+      case _: DecimalType => true
+      case _ => false
+    })
+    val nonNullG = countsIn.filter(col("g").isNotNull)
     val counts =
-      if (maxLocalRows < 0) countsIn.filter(col("g").isNotNull)
-      else {
+      if (maxLocalRows < 0 || !vcIntegral || !valOk) nonNullG
+      else if (SizeRoute.isMaterializedScan(nonNullG)) {
+        if (nonNullG.count() <= maxLocalRows)
+          return cumLocal(nonNullG, vc, valCol, carry)
+        nonNullG
+      } else {
         val pinObs = org.apache.spark.sql.Observation()
-        val pinned = countsIn.filter(col("g").isNotNull)
+        val pinned = nonNullG
           .observe(pinObs, count(lit(1)).as("rows"))
           .localCheckpoint(true)
-        val totalRows = pinObs.get("rows").asInstanceOf[Long]
-        val vcIntegral = pinned.schema(vc).dataType match {
-          case LongType | IntegerType | ShortType | ByteType => true
-          case _ => false
-        }
-        if (vcIntegral && totalRows <= maxLocalRows)
+        if (pinObs.get("rows").asInstanceOf[Long] <= maxLocalRows)
           return cumLocal(pinned, vc, valCol, carry)
         pinned
       }
@@ -166,18 +183,25 @@ object RankCorr {
       s"cumFromCounts: rows must be unique on (g, $vc) — aggregate to " +
         "the (group, value) key first")
     // per-(partition, group) starting offsets, accumulated in
-    // partition order on the driver
-    val run = scala.collection.mutable.Map.empty[Any, (BigDecimal, BigDecimal)]
+    // partition order on the driver. The VALUE carry is tracked as an
+    // Option (r18 — ADVICE parity fix): None until some prior
+    // partition of the group actually saw a non-null valCol value, so
+    // a group whose earlier partitions are all-null carries a NULL
+    // offset (cumv stays null, the "no value seen yet" SQL running-sum
+    // semantics the local route implements) rather than a spurious 0.
+    val run = scala.collection.mutable
+      .Map.empty[Any, (BigDecimal, Option[BigDecimal])]
     val offRows = flagged.sortBy(_.getAs[Long]("__pid")).map { r =>
       val g = r.getAs[Any]("g")
-      val (c0, v0) = run.getOrElse(g, (BigDecimal(0), BigDecimal(0)))
+      val (c0, v0) = run.getOrElse(g, (BigDecimal(0), Option.empty[BigDecimal]))
       val t = BigDecimal(Option(r.getAs[Any]("__t")).fold("0")(_.toString))
-      val tv = valCol.map(_ =>
-        BigDecimal(Option(r.getAs[Any]("__tv")).fold("0")(_.toString)))
-        .getOrElse(BigDecimal(0))
-      run(g) = (c0 + t, v0 + tv)
+      val tv = valCol.flatMap(_ =>
+        Option(r.getAs[Any]("__tv")).map(v => BigDecimal(v.toString)))
+      val v1 = if (v0.isEmpty && tv.isEmpty) None
+        else Some(v0.getOrElse(BigDecimal(0)) + tv.getOrElse(BigDecimal(0)))
+      run(g) = (c0 + t, v1)
       org.apache.spark.sql.Row(r.getAs[Long]("__pid"), g,
-        c0.toString, v0.toString)
+        c0.toString, v0.map(_.toString).orNull)
     }
     val gType = counts.schema("g").dataType
     val offDf = broadcast(spark.createDataFrame(
@@ -193,9 +217,17 @@ object RankCorr {
         (sum(col("cnt")).over(w) - col("cnt")
           + coalesce(col("__coff").cast("decimal(38,0)"), dz))
           .cast("bigint"))
+    // cumv: a non-null carried offset rescues a null partition-local
+    // window sum (values seen in a PRIOR partition of the group — the
+    // running sum is the carry); with no carry the window sum stands,
+    // null until the group's first value (the local route's sawVal
+    // semantics; identical to the old expression whenever either side
+    // is non-null, since x + 0 = x and null-carry was rendered "0")
     val cols = Seq(col("g"), col(vc), col("cnt"), col("below")) ++
-      valCol.map(c => (sum(col(c)).over(w)
-        + coalesce(col("__voff").cast("decimal(38,0)"), dz))
+      valCol.map(c => when(col("__voff").isNotNull,
+          coalesce(sum(col(c)).over(w), dz)
+            + col("__voff").cast("decimal(38,0)"))
+        .otherwise(sum(col(c)).over(w))
         .cast("decimal(38,0)").as("cumv")) ++
       carry.map(col)
     out.select(cols: _*)
@@ -242,7 +274,12 @@ object RankCorr {
               acc = acc.add(new java.math.BigDecimal(r.get(i).toString))
               sawVal = true
             }
-            if (sawVal) acc.setScale(0) else null
+            // HALF_UP mirrors Spark's decimal(38,0) cast on the
+            // distributed path (a bare setScale(0) would THROW on a
+            // fractional running sum — the valOk gate keeps fractional
+            // decimals exact-summable, so this is belt and braces)
+            if (sawVal) acc.setScale(0, java.math.RoundingMode.HALF_UP)
+            else null
           case None => null
         }
         val vals = Seq(r.get(gi), r.get(vi), r.get(ci),

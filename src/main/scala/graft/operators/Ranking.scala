@@ -54,23 +54,43 @@ object Ranking {
   def globalRank(df: DataFrame, orderCols: Seq[String], outCol: String,
                  partitions: Int, maxLocalRows: Long): DataFrame = {
     val spark = df.sparkSession
-    val pinObs = org.apache.spark.sql.Observation()
-    val pinned = df.observe(pinObs, count(lit(1)).as("rows"))
-      .localCheckpoint(true)
-    val totalRows = pinObs.get("rows").asInstanceOf[Long]
+    // r18 probe gate (the r17 pin ran unconditionally — measured +25%
+    // on q93's above-cap input): the local route is ruled IN/OUT from
+    // the schema and the caller's arguments BEFORE any
+    // materialization — all order columns integral (longs compare
+    // identically on the driver and in Spark — strings do NOT outside
+    // the BMP, the Components collation rule), no explicit partitions
+    // (partitions > 0 is a requested distributed layout and now takes
+    // precedence, the PrefixSum convention), maxLocalRows >= 0. When
+    // ruled out, the old unpinned distributed path runs — no probe
+    // cost at all. When the input is ALREADY a materialized scan (a
+    // caller's checkpoint, e.g. q93's perValue), a plain count()
+    // probes the route without re-serializing it ([[SizeRoute]]).
     val integralKeys = orderCols.forall(c =>
-      pinned.schema(c).dataType match {
+      df.schema(c).dataType match {
         case org.apache.spark.sql.types.LongType |
              org.apache.spark.sql.types.IntegerType |
              org.apache.spark.sql.types.ShortType |
              org.apache.spark.sql.types.ByteType => true
         case _ => false
       })
-    if (integralKeys && totalRows <= maxLocalRows)
-      return rankLocal(pinned, orderCols, outCol)
+    val base =
+      if (!integralKeys || partitions > 0 || maxLocalRows < 0) df
+      else if (SizeRoute.isMaterializedScan(df)) {
+        if (df.count() <= maxLocalRows)
+          return rankLocal(df, orderCols, outCol)
+        df
+      } else {
+        val pinObs = org.apache.spark.sql.Observation()
+        val pinned = df.observe(pinObs, count(lit(1)).as("rows"))
+          .localCheckpoint(true)
+        if (pinObs.get("rows").asInstanceOf[Long] <= maxLocalRows)
+          return rankLocal(pinned, orderCols, outCol)
+        pinned
+      }
     val n = if (partitions > 0) partitions
       else spark.sessionState.conf.numShufflePartitions
-    val ranged = pinned.repartitionByRange(n, orderCols.map(col): _*)
+    val ranged = base.repartitionByRange(n, orderCols.map(col): _*)
       .localCheckpoint(true)
     val withPid = ranged.withColumn("__pid",
       spark_partition_id().cast("long"))
@@ -96,10 +116,10 @@ object Ranking {
   }
 
   /** Driver-local route of [[globalRank]]: one sort over the
-    * collected rows on the integral key tuple (nulls first, the
-    * Spark ASC default), the same uniqueness refusal, output returned
-    * RDD-backed (never a row-scale LocalRelation — the
-    * [[RankCorr]] cumLocal lesson).
+    * collected rows on the integral key tuple, the same uniqueness
+    * refusal (null keys refuse too — the distributed guard's
+    * behavior), output returned RDD-backed (never a row-scale
+    * LocalRelation — the [[RankCorr]] cumLocal lesson).
     */
   private def rankLocal(pinned: DataFrame, orderCols: Seq[String],
                         outCol: String): DataFrame = {
@@ -108,14 +128,20 @@ object Ranking {
     val schema = pinned.schema
     val idx = orderCols.map(schema.fieldIndex)
     val rows = pinned.collect()
-    def key(r: org.apache.spark.sql.Row): Seq[Option[Long]] =
-      idx.map(i => if (r.isNullAt(i)) None
-        else Some(r.getAs[Number](i).longValue))
-    // None (SQL NULL) sorts first — the asc NULLS FIRST default the
-    // distributed window uses
-    implicit val ord: Ordering[Seq[Option[Long]]] = {
+    // NULL order keys refuse with the distributed path's message and
+    // semantics (r18 — ADVICE parity fix): there, count_distinct
+    // skips any-null key tuples, so a single null key trips the
+    // __n != __nd uniqueness refusal regardless of actual duplicates;
+    // accepting them here (nulls-first sorted) would make the SAME
+    // input succeed under the cap and refuse above it.
+    require(rows.forall(r => idx.forall(i => !r.isNullAt(i))),
+      s"Ranking: rows must be unique on '${orderCols.mkString(",")}' — a " +
+        "global rank over duplicate keys is partition-order-dependent")
+    def key(r: org.apache.spark.sql.Row): Seq[Long] =
+      idx.map(r.getAs[Number](_).longValue)
+    implicit val ord: Ordering[Seq[Long]] = {
       import scala.math.Ordering.Implicits.seqOrdering
-      seqOrdering(Ordering.Option(Ordering.Long))
+      seqOrdering(Ordering.Long)
     }
     val sorted = rows.sortBy(key)
     require(sorted.length < 2 || sorted.iterator.zip(

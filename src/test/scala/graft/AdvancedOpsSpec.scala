@@ -352,6 +352,39 @@ class AdvancedOps2Spec extends org.scalatest.funsuite.AnyFunSuite {
     assert(e.getMessage.contains("unique"))
   }
 
+  test("globalRank r18 probe gate: null keys refuse on BOTH routes; " +
+      "partitions > 0 forces the distributed route; a materialized " +
+      "input probes by count and still routes local") {
+    // null order key: the distributed guard (count_distinct skips
+    // null tuples) and the local guard refuse with the same message
+    val withNull = Seq(Some(1L), None, Some(3L)).toDF("v")
+    for (maxLocal <- Seq(Long.MaxValue, 0L)) {
+      val e = intercept[IllegalArgumentException] {
+        Ranking.globalRank(withNull, Seq("v"), "r", 0, maxLocal).collect()
+      }
+      assert(e.getMessage.contains("unique"), s"maxLocal=$maxLocal: $e")
+    }
+    // explicit partitions: a requested distributed layout wins over
+    // the local route (the PrefixSum precedence) — the output carries
+    // the requested range partitioning, and the values still match
+    val rows = (1 to 50).map(i => ((i * 17 % 50).toLong, i.toLong))
+    val df = rows.toDF("k", "id").repartition(4)
+    val forced = Ranking.globalRank(df, Seq("k", "id"), "r", 3)
+    // route witness: the distributed machinery ends in a window pass;
+    // the local route comes back as one parallelized RDD scan
+    assert(forced.queryExecution.executedPlan.toString.contains("Window"),
+      "partitions>0 must force the distributed route")
+    val local = Ranking.globalRank(df, Seq("k", "id"), "r", 0)
+    assert(forced.select("id", "r").as[(Long, Long)].collect().toMap ===
+      local.select("id", "r").as[(Long, Long)].collect().toMap)
+    // a caller-checkpointed input routes local without a second pin
+    val ckpt = df.localCheckpoint(true)
+    val viaCkpt = Ranking.globalRank(ckpt, Seq("k", "id"), "r", 0)
+      .select("id", "r").as[(Long, Long)].collect().toMap
+    assert(viaCkpt === local.select("id", "r").as[(Long, Long)]
+      .collect().toMap)
+  }
+
   test("incremental skyline under inserts equals full recompute") {
     val rnd = new scala.util.Random(7)
     val pts = (1 to 400).map(i =>

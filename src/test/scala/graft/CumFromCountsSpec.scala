@@ -126,6 +126,48 @@ class CumFromCountsSpec extends AnyFunSuite {
     assert(e2.contains("null values in v"), e2)
   }
 
+  test("r18: null-bearing valCol agrees across routes, including a " +
+      "partition-spanning all-null prefix (the carried-sum parity fix)") {
+    // one giant group over many partitions; vv is NULL for the first
+    // 60% of the value axis, so on the distributed route several
+    // leading partitions carry no value at all — cumv must stay null
+    // until the group's first value and then carry across partitions
+    // (pre-fix, a null partition-local window sum nulled out a
+    // non-null carried offset)
+    val rows = (1 to 4000).map(i =>
+      ("g", i.toLong, 1L, if (i <= 2400) None else Some(i.toLong)))
+    val df = rows.toDF("g", "v", "cnt", "vv").repartition(7)
+    def run(maxLocal: Long) =
+      RankCorr.cumFromCountsWith(df, "v", Some("vv"), Nil,
+          maxLocalRows = maxLocal)
+        .collect()
+        .map(r => r.getLong(1) ->
+          (r.getLong(3), Option(r.getDecimal(4)).map(_.longValue)))
+        .toMap
+    val local = run(Long.MaxValue)
+    val dist = run(0L)
+    assert(local == dist)
+    // ground truth: null until v=2401, then the running sum
+    assert(local(2400L)._2.isEmpty)
+    assert(local(2401L)._2.contains(2401L))
+    assert(local(4000L)._2.contains((2401L to 4000L).sum))
+  }
+
+  test("r18: a non-integral (double) valCol routes distributed even " +
+      "under the cap — local exactness is only promised for " +
+      "integral/decimal values — and the integers still agree") {
+    val rows = (1 to 30).map(i => ("g", i.toLong, 1L, i * 0.5))
+    val df = rows.toDF("g", "v", "cnt", "vv")
+    val out = RankCorr.cumFromCountsWith(df, "v", Some("vv"), Nil,
+      maxLocalRows = Long.MaxValue)
+    // route witness: the distributed machinery ends in a window pass;
+    // the local route would come back as one parallelized RDD scan
+    assert(out.queryExecution.executedPlan.toString.contains("Window"),
+      "double valCol must take the distributed route")
+    val got = out.collect().map(r => r.getLong(1) -> r.getLong(3)).toMap
+    assert(got == (1 to 30).map(i => i.toLong -> (i - 1).toLong).toMap)
+  }
+
   test("null VALUES refuse with their own diagnosis, not the " +
       "duplicate-key message (r17 — a failed cast is the common cause)") {
     // one legitimate row + one null-value row: count_distinct ignores
