@@ -81,22 +81,53 @@ object Components {
       .distinct()
     val sym = (if (partitions > 0) symBase.repartition(partitions, col("src"))
                else symBase.repartition(col("src"))).localCheckpoint(true)
-    // the local route is LongType-only: `component = min id` must
-    // order identically on the driver and in Spark, which is a given
-    // for longs but not for strings (JVM UTF-16 compareTo vs Spark's
-    // UTF-8 byte order disagree outside the BMP) — string-keyed
-    // graphs (entity resolution) stay on the distributed path
+    // local route: `component = min id` must order identically on the
+    // driver and in Spark — a given for longs; for STRINGS (entity
+    // resolution) the r18 route compares UTF-8 BYTES unsigned, which
+    // IS UTF8String's binary order (JVM UTF-16 compareTo would
+    // disagree outside the BMP — the original collation rule; byte
+    // comparison sidesteps it instead of forfeiting the route, which
+    // was worth ~45 scheduled fixpoint jobs per entity-resolution
+    // query). Null-bearing string edges fall through to the
+    // distributed fixpoint (equi-join null semantics are its
+    // contract). Outputs return RDD-backed, never a row-scale
+    // LocalRelation (the cumLocal lesson).
+    val spark = pairs.sparkSession
+    def rddBacked(rows: Array[(Any, Any)],
+                  dt: org.apache.spark.sql.types.DataType): DataFrame =
+      spark.createDataFrame(
+        spark.sparkContext.parallelize(rows.toSeq,
+          math.max(1, math.min(spark.sparkContext.defaultParallelism,
+            1 + rows.length / 20000))).map {
+          case (a, b) => org.apache.spark.sql.Row(a, b) },
+        org.apache.spark.sql.types.StructType(Seq(
+          org.apache.spark.sql.types.StructField("id", dt),
+          org.apache.spark.sql.types.StructField("component", dt))))
     val longIds =
       sym.schema("src").dataType == org.apache.spark.sql.types.LongType &&
         sym.schema("dst").dataType == org.apache.spark.sql.types.LongType
-    if (longIds && sym.count() <= 2 * maxLocalEdges) {
-      val spark = pairs.sparkSession
+    val stringIds =
+      sym.schema("src").dataType == org.apache.spark.sql.types.StringType &&
+        sym.schema("dst").dataType == org.apache.spark.sql.types.StringType
+    if ((longIds || stringIds) && sym.count() <= 2 * maxLocalEdges) {
       import spark.implicits._
-      val local = sym.select(col("src"), col("dst")).as[(Long, Long)].collect()
-      val out = spark.createDataset(unionFindLocal(local).toSeq)
-        .toDF("id", "component")
-      return (if (partitions > 0) out.repartition(partitions, col("id"))
-              else out, 0)
+      if (longIds) {
+        val local = sym.select(col("src"), col("dst")).as[(Long, Long)].collect()
+        val out = rddBacked(
+          unionFindLocal(local).map { case (a, b) => (a: Any, b: Any) },
+          org.apache.spark.sql.types.LongType)
+        return (if (partitions > 0) out.repartition(partitions, col("id"))
+                else out, 0)
+      }
+      val local = sym.select(col("src"), col("dst"))
+        .as[(String, String)].collect()
+      if (local.forall(p => p._1 != null && p._2 != null)) {
+        val out = rddBacked(
+          unionFindLocalUtf8(local).map { case (a, b) => (a: Any, b: Any) },
+          org.apache.spark.sql.types.StringType)
+        return (if (partitions > 0) out.repartition(partitions, col("id"))
+                else out, 0)
+      }
     }
     // The INITIAL labels and the first two iterations use plain cache:
     // sym's checkpoint already truncated the deep upstream plan, so
@@ -205,6 +236,70 @@ object Components {
     val out = new Array[(Long, Long)](n)
     i = 0
     while (i < n) { out(i) = (ids(i), minOf(find(i))); i += 1 }
+    out
+  }
+
+  /** String-keyed twin of [[unionFindLocal]]: identical union-find,
+    * with `component = min id` decided on UTF-8 BYTES compared
+    * unsigned — byte-for-byte the order Spark's UTF8String binary
+    * comparison (and therefore the distributed fixpoint's min
+    * aggregate) uses, including outside the BMP where JVM
+    * String.compareTo (UTF-16 code units) disagrees.
+    */
+  private[graft] def unionFindLocalUtf8(edges: Array[(String, String)])
+      : Array[(String, String)] = {
+    val idOf = scala.collection.mutable.HashMap.empty[String, Int]
+    val ids = scala.collection.mutable.ArrayBuffer[String]()
+    def intern(v: String): Int =
+      idOf.getOrElseUpdate(v, { val i = ids.length; ids += v; i })
+    val m = edges.length
+    val srcs = new Array[Int](m); val dsts = new Array[Int](m)
+    var e = 0
+    while (e < m) {
+      srcs(e) = intern(edges(e)._1); dsts(e) = intern(edges(e)._2); e += 1
+    }
+    val n = ids.length
+    val parent = new Array[Int](n)
+    val rank = new Array[Byte](n)
+    var i = 0
+    while (i < n) { parent(i) = i; i += 1 }
+    def find(x0: Int): Int = {
+      var x = x0
+      while (parent(x) != x) {
+        parent(x) = parent(parent(x)); x = parent(x)
+      }
+      x
+    }
+    e = 0
+    while (e < m) {
+      val a = find(srcs(e)); val b = find(dsts(e))
+      if (a != b) {
+        if (rank(a) < rank(b)) parent(a) = b
+        else if (rank(a) > rank(b)) parent(b) = a
+        else { parent(b) = a; rank(a) = (rank(a) + 1).toByte }
+      }
+      e += 1
+    }
+    val bytes = new Array[Array[Byte]](n)
+    i = 0
+    while (i < n) {
+      bytes(i) = ids(i).getBytes(java.nio.charset.StandardCharsets.UTF_8)
+      i += 1
+    }
+    // min (by UTF-8 bytes) original id per root
+    val minOf = new Array[Int](n)
+    java.util.Arrays.fill(minOf, -1)
+    i = 0
+    while (i < n) {
+      val r = find(i)
+      if (minOf(r) < 0 ||
+          java.util.Arrays.compareUnsigned(bytes(i), bytes(minOf(r))) < 0)
+        minOf(r) = i
+      i += 1
+    }
+    val out = new Array[(String, String)](n)
+    i = 0
+    while (i < n) { out(i) = (ids(i), ids(minOf(find(i)))); i += 1 }
     out
   }
 }

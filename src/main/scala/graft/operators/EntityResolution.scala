@@ -39,9 +39,18 @@ object EntityResolution {
                         partitions: Int = 4,
                         blockKey: Column => Column = defaultBlockKey)
       : (DataFrame, DataFrame) = {
+    // r18 (profiled: 47 jobs of ≤0.18 s stages — fixed-cost death):
+    // the distinct name universe feeds BOTH the blocking side and the
+    // final representative join; pin it once so the distinct subtree
+    // isn't replanted per consumer. The block exchange takes the same
+    // small explicit partition count as the components fixpoint — the
+    // name universe is a dim column's distinct values (model-sized),
+    // and 32 near-empty tasks per stage cost more scheduling than
+    // compute (result invariant: hash layout, block-local joins).
     val names = df.select(col(nameCol).as("na")).distinct()
+      .localCheckpoint(true)
     val blocked = names.select(col("na"), blockKey(col("na")).as("blk"))
-      .repartition(col("blk"))
+      .repartition(math.max(1, partitions), col("blk"))
     // block sizes from the same exchange the self-join consumes
     // (ReuseExchange collapses them); only pair-capable, under-cap
     // blocks enter the |block|²-bounded edit-distance join

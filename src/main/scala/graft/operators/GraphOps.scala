@@ -599,11 +599,15 @@ object GraphOps {
     val deg = canon.select(col("x").as("node"))
       .unionAll(canon.select(col("y").as("node")))
       .groupBy(col("node")).agg(count(lit(1)).as("deg"))
-    val unassigned = deg.join(assign, Seq("node"), "left_anti")
-    require(unassigned.isEmpty,
-      "modularity: edge endpoints missing from the assignment — a " +
-        "silent drop would misstate the community degree mass " +
-        s"(first few: ${unassigned.limit(3).collect().mkString(", ")})")
+    // missing-endpoint refusal IN-PLAN (r18 — previously its own
+    // eager isEmpty ACTION over the deg aggregate, a whole extra
+    // scheduled pass before the real one): the unassigned count rides
+    // the same broadcast scalar as m, and the gate multiplies into
+    // EVERY output column (the anovaFromCells convention), so any
+    // projection that reads a statistic raises, naming the count
+    val missing = deg.join(assign.select(col("node")), Seq("node"),
+        "left_anti")
+      .agg(count(lit(1)).as("__miss"))
     // d_c: degree mass per community (nodes without edges contribute 0
     // and communities of only such nodes score 0 — keep them visible)
     val dc = assign.join(deg, Seq("node"), "left")
@@ -618,15 +622,25 @@ object GraphOps {
       .groupBy(col("cx").as("community"))
       .agg(count(lit(1)).cast("bigint").as("e_in"))
     val m = canon.agg(count(lit(1)).cast("decimal(20,0)").as("m"))
+      .crossJoin(missing)
+    def gate(c: Column, tpe: String): Column =
+      when(col("__miss") === 0, c)
+        .otherwise(raise_error(concat(lit("modularity: "),
+          col("__miss").cast("string"),
+          lit(" edge endpoints missing from the assignment — a silent " +
+            "drop would misstate the community degree mass")))
+          .cast(tpe))
     dc.join(ec, Seq("community"), "left")
       .crossJoin(broadcast(m))
-      .select(col("community"), col("n_nodes"),
-        coalesce(col("e_in"), lit(0L)).cast("bigint").as("e_in"),
-        col("d_c").cast("bigint").as("deg_sum"),
-        round((col("m") * coalesce(col("e_in"), lit(0L)).cast("decimal(20,0)") * 4
+      .select(col("community"),
+        gate(col("n_nodes"), "bigint").as("n_nodes"),
+        gate(coalesce(col("e_in"), lit(0L)).cast("bigint"), "bigint")
+          .as("e_in"),
+        gate(col("d_c").cast("bigint"), "bigint").as("deg_sum"),
+        gate(round((col("m") * coalesce(col("e_in"), lit(0L)).cast("decimal(20,0)") * 4
           - col("d_c") * col("d_c")).cast("decimal(38,0)").cast("double") /
-          (col("m") * col("m") * 4).cast("decimal(38,0)").cast("double"), 9)
-          .as("q_contrib"))
+          (col("m") * col("m") * 4).cast("decimal(38,0)").cast("double"), 9),
+          "double").as("q_contrib"))
   }
 
   /** CONDUCTANCE of each community in an assignment — the
@@ -657,11 +671,11 @@ object GraphOps {
     val deg = canon.select(col("x").as("node"))
       .unionAll(canon.select(col("y").as("node")))
       .groupBy(col("node")).agg(count(lit(1)).as("deg"))
-    val unassigned = deg.join(assign, Seq("node"), "left_anti")
-    require(unassigned.isEmpty,
-      "conductance: edge endpoints missing from the assignment — a " +
-        "silent drop would misstate the community volume " +
-        s"(first few: ${unassigned.limit(3).collect().mkString(", ")})")
+    // missing-endpoint refusal IN-PLAN (r18 — the modularity gate):
+    // the unassigned count rides the total-volume broadcast scalar
+    val missing = deg.join(assign.select(col("node")), Seq("node"),
+        "left_anti")
+      .agg(count(lit(1)).as("__miss"))
     val dc = assign.join(deg, Seq("node"), "left")
       .groupBy(col("community"))
       .agg(count(lit(1)).cast("bigint").as("n_nodes"),
@@ -674,16 +688,26 @@ object GraphOps {
       .select(explode(array(col("cx"), col("cy"))).as("community"))
       .groupBy(col("community")).agg(count(lit(1)).cast("bigint").as("cut_edges"))
     val totalVol = canon.agg((count(lit(1)) * 2).cast("bigint").as("vol_all"))
+      .crossJoin(missing)
+    def gate(c: Column, tpe: String): Column =
+      when(col("__miss") === 0, c)
+        .otherwise(raise_error(concat(lit("conductance: "),
+          col("__miss").cast("string"),
+          lit(" edge endpoints missing from the assignment — a silent " +
+            "drop would misstate the community volume")))
+          .cast(tpe))
     dc.join(cut, Seq("community"), "left")
       .crossJoin(broadcast(totalVol))
-      .select(col("community"), col("n_nodes"),
-        coalesce(col("cut_edges"), lit(0L)).cast("bigint").as("cut_edges"),
-        col("deg_sum"),
-        when(col("deg_sum") > 0 && col("vol_all") - col("deg_sum") > 0,
+      .select(col("community"),
+        gate(col("n_nodes"), "bigint").as("n_nodes"),
+        gate(coalesce(col("cut_edges"), lit(0L)).cast("bigint"), "bigint")
+          .as("cut_edges"),
+        gate(col("deg_sum"), "bigint").as("deg_sum"),
+        gate(when(col("deg_sum") > 0 && col("vol_all") - col("deg_sum") > 0,
           round(coalesce(col("cut_edges"), lit(0L)).cast("double") /
             least(col("deg_sum"), col("vol_all") - col("deg_sum"))
               .cast("double"), 9))
-          .otherwise(lit(null).cast("double")).as("conductance"))
+          .otherwise(lit(null).cast("double")), "double").as("conductance"))
   }
 
   /** LINK PREDICTION by common-neighbor counting — the classic

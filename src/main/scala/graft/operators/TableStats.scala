@@ -59,12 +59,21 @@ object TableStats {
     *         avg_cnt, p99_cnt)
     */
   def joinSkewReport(df: DataFrame, keyCol: String): DataFrame = {
+    // key count rides the checkpoint (r18): it bounds the
+    // count-of-counts for free, so the PrefixSum below can be told
+    // its layout outright (n=1 under the cap — RangePartitioner skips
+    // sampling there) instead of paying its own probe pin on a table
+    // that is cheap to recompute from this checkpoint anyway
+    val keyObs = org.apache.spark.sql.Observation()
     val counts = df.groupBy(col(keyCol).as("__k"))
       .agg(count(lit(1)).cast("bigint").as("cnt"))
+      .observe(keyObs, count(lit(1)).as("rows"))
       .localCheckpoint(true) // count-of-counts + totals below
+    val nKeys = keyObs.get("rows").asInstanceOf[Long]
     val coc = counts.groupBy(col("cnt"))
       .agg(count(lit(1)).cast("bigint").as("n_keys_at"))
-    val cum = PrefixSum.runningTotal(coc, "cnt", "n_keys_at", "cum_keys")
+    val cum = PrefixSum.runningTotal(coc, "cnt", "n_keys_at", "cum_keys",
+      partitions = if (nKeys <= 250000L) 1 else 0)
     val totals = counts.agg(count(lit(1)).cast("bigint").as("n_keys"),
       sum(col("cnt")).cast("bigint").as("n_rows"),
       max(col("cnt")).cast("bigint").as("max_cnt"))

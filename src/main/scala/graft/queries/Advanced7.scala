@@ -531,17 +531,30 @@ object Advanced7 {
         substring(col("p_brand"), 7, 2).cast("long").as("brand")),
         Seq("l_partkey"))
       .select(col("l_orderkey").as("ok"), col("brand")).distinct()
+    // AFFINITY edges: pairs co-bought strictly more than the mean
+    // pair (an exact integer threshold, scale-free — an absolute
+    // count would saturate to the complete graph as the corpus grows).
+    // r18: the mean rides the pair table's checkpoint as Observation
+    // metrics — the old scalar-aggregate crossJoin(broadcast(thresh))
+    // planted the whole self-join subtree TWICE in one plan (profiled:
+    // two identical 8-task 0.45 s stages), and ReuseExchange did not
+    // collapse them. Same integers: sum DIV count on the driver is the
+    // same floor division of the same exact longs.
+    val pairObs = org.apache.spark.sql.Observation()
     val pairs = li.as("a").join(li.as("b"),
         col("a.ok") === col("b.ok") && col("a.brand") < col("b.brand"))
       .groupBy(col("a.brand").as("x"), col("b.brand").as("y"))
       .agg(count(lit(1)).as("n"))
-    // AFFINITY edges: pairs co-bought strictly more than the mean
-    // pair (an exact integer threshold, scale-free — an absolute
-    // count would saturate to the complete graph as the corpus grows)
-    val thresh = pairs.agg(
-      expr("sum(n) DIV count(1)").as("__mean"))
-    val edges = pairs.crossJoin(broadcast(thresh))
-      .filter(col("n") > col("__mean")).select(col("x"), col("y"))
+      .observe(pairObs, sum(col("n")).as("__s"), count(lit(1)).as("__c"))
+      .localCheckpoint(true)
+    val mean = {
+      val c = pairObs.get("__c").asInstanceOf[Long]
+      // counts are >= 1, so truncating DIV == floorDiv; sum is null
+      // only when the pair table is empty (c == 0)
+      if (c == 0) 0L
+      else java.lang.Math.floorDiv(pairObs.get("__s").asInstanceOf[Long], c)
+    }
+    val edges = pairs.filter(col("n") > lit(mean)).select(col("x"), col("y"))
     GraphOps.harmonicCentrality(edges, "x", "y")
   }
 

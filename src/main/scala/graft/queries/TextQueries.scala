@@ -1770,8 +1770,18 @@ object TextQueries {
   val pipelineReport: Q = (s, d) => {
     import graft.operators.CorpusPipeline
     val docs0 = documents(s, d)
+    // r18 (profiled): PIN the corpus once after the narrow filter so
+    // every stage of the cascade reads one materialization instead of
+    // replanting the scan+filter subtree per consumer — planning gap
+    // 1.6 s → 1.0 s. A widen was TRIED here and reverted: unlike
+    // text_importance's one 3 s explode task, this cascade's per-stage
+    // compute is 0.1-0.6 s, and 32-task scheduling per stage cost more
+    // than the single-task compute it replaced (measured +0.9 s job
+    // time). Counts and report are partitioning-invariant
+    // (oracle-checked).
     val probes = docs0.filter(col("source") === "src0")
     val corpus = docs0.filter(col("source") =!= "src0")
+      .localCheckpoint(true)
     CorpusPipeline.run(corpus,
       CorpusPipeline.standardStages("doc_id", "text", probes))._2
   }

@@ -135,7 +135,11 @@ object Sessionize {
                 gapSeconds: Long): org.apache.spark.sql.DataFrame = {
     import org.apache.spark.sql.functions._
     import spark.implicits._
+    // one narrow projection cached (the StreamStreamJoin convention,
+    // r18): the min/max probe and the two batch-file writes would
+    // otherwise each rescan + renormalize the events source
     val ev = events.select(col("user_id"), col("event_id"), col("ts"), col("value"))
+      .persist()
     val r = ev.agg(min(col("ts")), max(col("ts"))).head()
     val minUs = tsToUs(r.getTimestamp(0))
     val maxUs = tsToUs(r.getTimestamp(1))
@@ -166,6 +170,7 @@ object Sessionize {
       spark.conf.set("spark.sql.shuffle.partitions", "8")
       runToMemory(spark, sessionsWithTimeout(stream, gapSeconds), name)
     } finally {
+      ev.unpersist()
       spark.conf.set("spark.sql.shuffle.partitions", prevParts)
       // the memory sink holds the drained rows; the replay files are dead
       deleteRecursively(dirPath)

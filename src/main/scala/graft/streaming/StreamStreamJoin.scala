@@ -86,6 +86,10 @@ object StreamStreamJoin {
       // stream-stream join state = one store PER shuffle partition PER
       // side per microbatch: at replay scale fewer, fuller stores beat
       // many near-empty commits (production sizes this to key volume)
+      // r18 finding: profiled the replay at 4 vs 2 state partitions —
+      // no repeatable win (the floor is ~2.7 s of driver-side
+      // microbatch machinery: 3 trigger plans + offset/commit logs +
+      // processAllAvailable, plus ~1.4 s of state-store tasks); 4 kept
       spark.conf.set("spark.sql.shuffle.partitions", "4")
       val q = joined.writeStream.outputMode("append").format("memory")
         .queryName(name).start()

@@ -108,6 +108,39 @@ class AdvancedOpsSpec extends AnyFunSuite {
     assert(got === Map(1L -> 0L, 2L -> 1L, 3L -> 1L, 4L -> 2L))
   }
 
+  test("BFS r18 size routing: local and forced-distributed routes " +
+      "agree (multi-source truncation, per-source table + refusal)") {
+    val edges0 = Seq((1L, 2L), (2L, 3L), (3L, 4L), (4L, 5L), (10L, 11L))
+    val sym = (edges0 ++ edges0.map(e => (e._2, e._1))).toDF("src", "dst")
+    val seeds = Seq(1L, 10L).toDF("node")
+    def multi(maxLocal: Long) =
+      Bfs.multiSourceBfs(sym, "src", "dst", seeds, "node", maxHops = 3,
+          maxLocalEdges = maxLocal)
+        .as[(Long, Long)].collect().toMap
+    // maxHops = 3 truncates node 5 (4 hops) on both routes
+    assert(multi(Long.MaxValue) === multi(-1L))
+    assert(!multi(Long.MaxValue).contains(5L))
+    def per(maxLocal: Long) =
+      Bfs.perSourceBfs(sym, "src", "dst", seeds, "node", maxHops = 10,
+          maxLocalEdges = maxLocal)
+        .as[(Long, Long, Long)].collect().toSet
+    assert(per(Long.MaxValue) === per(-1L))
+    // a seed absent from the edge list still appears at dist 0
+    val soloSeed = Seq(1L, 99L).toDF("node")
+    val solo = Bfs.multiSourceBfs(sym, "src", "dst", soloSeed, "node",
+        maxHops = 2).as[(Long, Long)].collect().toMap
+    assert(solo(99L) == 0L)
+    // per-source refusal parity: a node past maxHops refuses on both
+    for (maxLocal <- Seq(Long.MaxValue, -1L)) {
+      val e = intercept[Exception] {
+        Bfs.perSourceBfs(sym, "src", "dst", seeds, "node", maxHops = 2,
+          maxLocalEdges = maxLocal).collect()
+      }
+      assert(e.getMessage.contains("frontier still live"),
+        s"maxLocal=$maxLocal: ${e.getMessage}")
+    }
+  }
+
   // ---- Feature encoding ----
 
   test("scaleNumeric: min-max and z-score from exact sums; flat group degenerates safely") {

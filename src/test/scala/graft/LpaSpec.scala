@@ -124,9 +124,15 @@ class LpaSpec extends AnyFunSuite {
   test("modularity refuses an assignment that misses edge endpoints") {
     val edges = Seq((1L, 2L), (2L, 3L)).toDF("a", "b")
     val partial = Seq((1L, 1L), (2L, 1L)).toDF("node", "community")
-    val e = intercept[IllegalArgumentException](
+    // r18: the refusal moved in-plan (raise_error riding the m scalar
+    // — no extra eager action), so it surfaces at the ACTION like the
+    // rest of the in-plan gate family
+    val e = SparkTestSession.refusalMessage(
       GraphOps.modularity(edges, "a", "b", partial, "node", "community").collect())
-    assert(e.getMessage.contains("missing from the assignment"))
+    assert(e.contains("missing from the assignment"))
+    val e2 = SparkTestSession.refusalMessage(
+      GraphOps.conductance(edges, "a", "b", partial, "node", "community").collect())
+    assert(e2.contains("missing from the assignment"))
   }
 
   test("dense hairball: LPA collapses to per-component labels (the documented epidemic mode)") {

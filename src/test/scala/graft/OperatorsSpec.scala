@@ -552,12 +552,39 @@ class OperatorsSpec extends AnyFunSuite {
       .connectedComponents(df, "a", "b", maxLocalEdges = -1L)
       .as[(Long, Long)].collect().toMap
     assert(local === dist)
-    // string-keyed graphs never take the local route (ordering parity):
-    // result still correct through the distributed path
+    // string-keyed graphs take the r18 local route (UTF-8-byte min)
     val s = Seq(("x", "y"), ("y", "z"), ("p", "q")).toDF("a", "b")
     val got = graft.operators.Components.connectedComponents(s, "a", "b")
       .as[(String, String)].collect().toMap
     assert(got === Map("x" -> "x", "y" -> "x", "z" -> "x", "p" -> "p", "q" -> "p"))
+  }
+
+  test("connected components r18: string local route matches the " +
+      "distributed min OUTSIDE the BMP, where JVM ordering disagrees") {
+    // U+10000 (surrogate pair, UTF-16 units start 0xD800) sorts BELOW
+    // U+FF61 in JVM compareTo but ABOVE it in UTF-8 bytes — Spark's
+    // UTF8String order. The component min must be the UTF-8 one on
+    // BOTH routes.
+    val astral = "𐀀" // U+10000
+    val halfStop = "｡"     // U+FF61
+    assert(astral.compareTo(halfStop) < 0, "JVM order premise")
+    val df = Seq((astral, halfStop), ("aa", "ab")).toDF("a", "b")
+    def run(maxLocal: Long) = graft.operators.Components
+      .connectedComponents(df, "a", "b", maxLocalEdges = maxLocal)
+      .as[(String, String)].collect().toMap
+    val local = run(4000000L)
+    val dist = run(-1L)
+    assert(local === dist)
+    assert(local(astral) == halfStop, "min must follow UTF-8 byte order")
+    // null-bearing string edges fall through to the distributed path
+    // (equi-join null semantics are its contract): non-null nodes
+    // still resolve, and the call does not NPE in the local route
+    val withNull = Seq((Some("x"), Some("y")), (None, Some("z")))
+      .toDF("a", "b")
+    val viaNull = graft.operators.Components
+      .connectedComponents(withNull, "a", "b")
+      .filter(col("id").isNotNull).as[(String, String)].collect().toMap
+    assert(viaNull("y") == "x" && viaNull("x") == "x")
   }
 
   test("connected components: two cliques sharing no edge stay separate") {
